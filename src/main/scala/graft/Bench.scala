@@ -1,24 +1,86 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.OrcData
+
+/** Benchmark main — mirrors the reference's two benchmark tiers
+  * (benches/orc_query_sql.rs micro patterns + tpcds_bench.rs macro loop):
+  * the 10 named micro scan patterns run against the ORC copy of lineitem,
+  * and the headline operator queries run from SparkEntry. Prints ONE JSON
+  * line {"metric":...,"queries":{name:sec,...}}.
+  *
+  * Queries are forced with a noop datasource write (full materialization,
+  * no driver collect, no parquet-metadata count() shortcuts).
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** The reference's 10 micro-bench SQL patterns
+    * (benches/orc_query_sql.rs:95-171), re-expressed over the ORC lineitem.
+    */
+  private def microPatterns(s: SparkSession, d: String): Seq[(String, () => DataFrame)] = {
+    def li = OrcData.orc(s, d, "lineitem")
+    Seq(
+      "micro_full_table_scan" -> (() => li),
+      "micro_projection_single_column" -> (() => li.select("l_orderkey")),
+      "micro_projection_multiple_columns" ->
+        (() => li.select("l_orderkey", "l_quantity", "l_extendedprice")),
+      "micro_filter_equality" -> (() => li.filter(col("l_returnflag") === "R")),
+      "micro_filter_range" ->
+        (() => li.filter(col("l_quantity") > 10 && col("l_quantity") < 40)),
+      "micro_filter_is_null" -> (() => li.filter(col("l_returnflag").isNull)),
+      "micro_aggregate_count" -> (() => li.agg(count(lit(1)).as("n"))),
+      "micro_aggregate_with_filter" ->
+        (() => li.filter(col("l_returnflag") === "R")
+          .agg(avg(col("l_quantity")).as("a"))),
+      "micro_limit_100" -> (() => li.limit(100)),
+      "micro_projection_filter_limit" ->
+        (() => li.select("l_orderkey", "l_quantity")
+          .filter(col("l_quantity") > 20).limit(100)))
+  }
+
+  /** Headline operator queries (subset of SparkEntry covering each family). */
+  private val headline = Seq(
+    "q01_pricing_summary", "q03_star_join_revenue", "q07_window_topn",
+    "q09_count_distinct", "q12_having", "q16_events_hourly",
+    "q17_events_gaps", "q19_orc_roundtrip",
+    "ta_token_stats", "ta_lang_id", "dd_exact", "dd_minhash_lsh",
+    "dd_simhash", "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm the ORC conversion outside the timed region (data-prep, not query).
+    OrcData.orcPath(spark, sfDir, "lineitem")
+
+    val all: Seq[(String, () => DataFrame)] =
+      microPatterns(spark, sfDir) ++
+        headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
+
+    val results = all.map { case (name, mk) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(mk()) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`) —
+  * no UDFs, so the expressions stay inside whole-stage codegen.
+  *
+  * All math is done in DOUBLE (arrays are cast once) with sequential
+  * accumulation — deterministic for a given element order.
+  */
+object VectorFunctions {
+
+  private def asD(a: Column): Column = a.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), _ + _)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(asD(a), x => x * x), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _))
+
+  /** Sign-bit key for random-hyperplane LSH: `planes` pseudo-random
+    * hyperplanes are derived deterministically from (plane, dim) via a
+    * hash-free integer mix so both driver runs and tests agree. Returns a
+    * bit-packed LONG bucket id.
+    *
+    * Scale path: computing the key is a narrow map; the subsequent
+    * bucket-join replaces the O(n^2) cross join with a shuffle on the key.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column = {
+    // Deterministic pseudo-random component for plane p, dim j in [-1, 1):
+    // a Weyl-sequence style mix, identical across sessions.
+    def comp(p: Int, j: Int): Double = {
+      val x = (p * 2654435761L + j * 40503L + 12345L) & 0xffffffffL
+      (x.toDouble / 2147483648.0) - 1.0
+    }
+    val bits = (0 until planes).map { p =>
+      val d = asD(vec)
+      val proj = (0 until dims).map(j => element_at(d, j + 1) * lit(comp(p, j)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

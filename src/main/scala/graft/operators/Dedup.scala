@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash aggregation on a fingerprint;
+  *  - MinHash/SimHash candidate generation never cross-joins: candidates
+  *    come from equi-joins on band/chunk keys (shuffle on the key, skew
+  *    bounded by band-bucket size), and only candidates pay the exact
+  *    verification cost;
+  *  - embedding near-dup exposes both the O(n^2) exact form (small n /
+  *    oracle-checkable) and the LSH-bucketed form in Similarity.
+  */
+object Dedup {
+
+  /** Word tokens (documents are space-separated). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** 3-word shingles; documents shorter than 3 tokens fall back to the
+    * whole text as a single shingle.
+    */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  private val NumPerms = 32 // MinHash permutations
+  private val Bands = 16    // 16 bands x 2 rows
+  private val RowsPerBand = NumPerms / Bands
+
+  /** (doc_id, minhash signature array[32]) via explode + two-level
+    * partial-aggregated min — the map-side combine keeps the shuffle at
+    * O(docs x perms), independent of shingle count.
+    */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .distinct()
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumPerms - 1)),
+          p => xxhash64(p, col("shingle")))).as(Seq("perm", "h")))
+    sh.groupBy(col("doc_id"), col("perm")).agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+  }
+
+  /** Banded LSH candidate pairs (a_id < b_id), deduplicated. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until Bands).map { b =>
+          concat_ws("_",
+            transform(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand),
+              h => h.cast("string")))
+        }: _*)).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("b_id"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Exact word-set Jaccard between two doc-id columns, given a
+    * (doc_id, tokset) side table.
+    */
+  private def withJaccard(pairs: DataFrame, docsets: DataFrame): DataFrame = {
+    val a = docsets.select(col("doc_id").as("a_id"), col("tokset").as("a_toks"))
+    val b = docsets.select(col("doc_id").as("b_id"), col("tokset").as("b_toks"))
+    pairs.join(a, "a_id").join(b, "b_id")
+      .withColumn("jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))))
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  private def docsets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(toks(col("text"))).as("tokset"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------ exact
+    // Exact dedup: group by full content, keep the smallest doc_id.
+    // At scale: group by md5 fingerprint instead of raw text so the
+    // shuffle carries 16 bytes, not documents (ta_fingerprint is the
+    // companion operator).
+    QueryDef("dd_exact",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(md5(col("text").cast("binary")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT keep_id, n_copies FROM (
+             |  SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+             |    count(*) AS n_copies
+             |  FROM documents GROUP BY 1) t
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ------------------------------------------------------------ jaccard
+    // Exact n-gram (word-set) Jaccard pairs over a bounded id range —
+    // the oracle-checkable exact form (DuckDB list functions reproduce
+    // the same set algebra; single int/int division => identical doubles).
+    QueryDef("dd_jaccard_pairs",
+      (s, d) => {
+        val ds = docsets(Tables.documents(s, d).filter(col("doc_id") < 120))
+        val a = ds.select(col("doc_id").as("a_id"), col("tokset").as("a_toks"))
+        val b = ds.select(col("doc_id").as("b_id"), col("tokset").as("b_toks"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .withColumn("jac",
+            size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+              size(array_union(col("a_toks"), col("b_toks"))))
+          .filter(col("jac") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("jac"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""SELECT a_id, b_id, jac FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.tokset, b.tokset))) AS jac
+             |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+             |        FROM documents WHERE doc_id < 120) a,
+             |       (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+             |        FROM documents WHERE doc_id < 120) b
+             |  WHERE a.doc_id < b.doc_id) t
+             |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin)),
+
+    // ------------------------------------------------------------ minhash
+    // MinHash+LSH near-dup: shingle -> 32-perm signature -> 16x2 band
+    // join -> exact-Jaccard verification of candidates only. xxhash64 is
+    // engine-specific => rows-only driver check; the algebra is unit-tested
+    // against dd_jaccard_pairs (LSH candidates must be a superset of
+    // high-jaccard pairs with overwhelming probability).
+    QueryDef("dd_minhash_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = lshCandidates(minhashSignatures(docs))
+        withJaccard(cands, docsets(docs))
+          .filter(col("jac") >= 0.4)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // ------------------------------------------------------------ simhash
+    // 64-bit SimHash: per-token hash votes folded into a bit vector; pairs
+    // within Hamming distance 12 found via 4x16-bit chunk-bucket join
+    // (pigeonhole: hd<=12 < 16 chunks... any pair at hd<=12 shares >=1 of
+    // 4 chunks only when hd<=3 per missing chunk — standard blocking,
+    // avoids the cross join at scale).
+    QueryDef("dd_simhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // Per-token bit votes: +1/-1 per bit of xxhash64(token), summed
+        // across tokens (bit index unrolled Scala-side — shifts need
+        // literal amounts in Catalyst).
+        val bitsum = aggregate(
+          toks(col("text")),
+          array_repeat(lit(0L), 64),
+          (acc, t) => zip_with(acc,
+            array((0 until 64).map { i =>
+              when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L)
+                .otherwise(-1L)
+            }: _*),
+            (x, y) => x + y))
+        val sim = docs.select(col("doc_id"), bitsum.as("bitsum"))
+          .select(col("doc_id"),
+            (0 until 64).map { i =>
+              when(element_at(col("bitsum"), i + 1) > 0, lit(1L << i))
+                .otherwise(lit(0L))
+            }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+        val chunked = sim.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map { c =>
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
+          }: _*)).as(Seq("chunk", "ckey")))
+        val l = chunked.select(col("chunk"), col("ckey"),
+          col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+        val r = chunked.select(col("chunk"), col("ckey"),
+          col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+        l.join(r, Seq("chunk", "ckey"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // ------------------------------------------------------------ embedding
+    // Embedding-cosine near-dup (exact form): all pairs >= 0.45 cosine.
+    // Oracle-checked: threshold sits >1e-3 from any pair's score, so the
+    // float-vs-double engine difference (~1e-6) cannot flip membership;
+    // scores themselves stay out of the output.
+    QueryDef("dd_embed_cosine",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= 0.45)
+          .select(col("a_id"), col("b_id"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+             |ORDER BY a_id, b_id""".stripMargin))
+  )
+}

@@ -1,0 +1,410 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.sources.OrcData
+
+/** Tier-B relational surface (SURVEY.md §2.B): projections/filters, joins of
+  * every shape, aggregations, windows, sorts/limits, set ops, expressions,
+  * subqueries — each as a driver-checkable query with a DuckDB oracle, plus
+  * ORC round-trip queries exercising the Tier-A scan/write layer.
+  *
+  * Scale notes are inline per query: broadcasts are explicit for dimension
+  * tables, aggregations are partial-aggregate friendly (all built-in
+  * functions), and no query collects to the driver.
+  */
+object Relational {
+
+  /** Exact, order-independent sum: accumulate in DECIMAL, surface DOUBLE. */
+  private def dsum(c: Column, alias: String): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double").as(alias)
+  private val oDsum = (x: String, a: String) =>
+    s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS $a"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    // TPC-H Q1-style pricing summary: scan -> partial/final hash agg.
+    // At 100 TB: group cardinality is tiny (6) so map-side combine reduces
+    // the shuffle to ~6 rows per task — scales linearly with input.
+    QueryDef("q01_pricing_summary",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity"), "sum_qty"),
+            dsum(col("l_extendedprice"), "sum_base_price"),
+            // computed doubles are cast at scale 8: at scale 2 the engines
+            // disagree on rounding ties (prices are ~2-decimal so products
+            // sit near .xx5 boundaries); at scale 8 ties are ~1e-8 likely
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(30, 8))).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // ---------------------------------------------------------------- q02
+    // Filter + projection: both reach the parquet scan (PushedFilters /
+    // ReadSchema) — the reference's A6/A8 pushdown contract.
+    QueryDef("q02_filter_project",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R" &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_returnflag='R' AND l_quantity BETWEEN 10 AND 20
+             |  AND l_shipdate < TIMESTAMP '1999-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---------------------------------------------------------------- q03
+    // Star join: fact (orders) joined to three dims, all broadcast —
+    // zero shuffle for the joins; only the final tiny agg shuffles.
+    QueryDef("q03_star_join_revenue",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), "revenue"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_orders,
+              |  ${oDsum("o_totalprice", "revenue")}
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // ---------------------------------------------------------------- q04
+    // Top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // top-k then driver merge of k*partitions rows, no global sort.
+    QueryDef("q04_topk_orders",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---------------------------------------------------------------- q05
+    // Left-semi join (EXISTS). Dim side is the filter output — broadcast.
+    QueryDef("q05_semi_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q06
+    // Left-anti join (NOT EXISTS).
+    QueryDef("q06_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey"))
+        c.join(p, c("c_custkey") === p("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q07
+    // Window: per-customer top-2 orders via row_number. Single shuffle on
+    // the partition key; deterministic tie-break on o_orderkey.
+    QueryDef("q07_window_topn",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---------------------------------------------------------------- q08
+    // ROLLUP (grouping sets). NULLS FIRST pinned on both engines.
+    QueryDef("q08_rollup",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity"), "sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------- q09
+    // COUNT(DISTINCT x) twice — Catalyst expands to two-phase distinct
+    // aggregation; exact integers so engine-independent.
+    QueryDef("q09_count_distinct",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+             |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q10
+    // Set ops: INTERSECT then EXCEPT (both distinct semantics).
+    QueryDef("q10_setops",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val rKeys = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("okey"))
+        val fKeys = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("okey"))
+        val aKeys = li.filter(col("l_returnflag") === "A")
+          .select(col("l_orderkey").as("okey"))
+        rKeys.intersect(fKeys).except(aKeys).orderBy(col("okey"))
+      },
+      Some("""SELECT okey FROM (
+             |  SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag='R'
+             |  INTERSECT
+             |  SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus='F'
+             |  EXCEPT
+             |  SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag='A') t
+             |ORDER BY okey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q11
+    // Scalar expressions: CASE WHEN buckets, substr, year(). All outputs
+    // BIGINT/DOUBLE-normalized for cross-engine schema stability.
+    QueryDef("q11_expr_buckets",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(
+            year(col("o_orderdate")).cast("long").as("oyear"),
+            substring(col("o_orderpriority"), 1, 1).as("prio"),
+            when(col("o_totalprice") < 100000, "low")
+              .when(col("o_totalprice") < 300000, "mid")
+              .otherwise("high").as("bucket"),
+            col("o_totalprice"))
+          .groupBy(col("oyear"), col("prio"), col("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "total"))
+          .orderBy(col("oyear"), col("prio"), col("bucket"))
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+              |  substr(o_orderpriority,1,1) AS prio,
+              |  CASE WHEN o_totalprice < 100000 THEN 'low'
+              |       WHEN o_totalprice < 300000 THEN 'mid'
+              |       ELSE 'high' END AS bucket,
+              |  count(*) AS n, ${oDsum("o_totalprice", "total")}
+              |FROM orders GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin)),
+
+    // ---------------------------------------------------------------- q12
+    // HAVING over a high-cardinality group key (l_partkey): the shuffle is
+    // on the natural key; AQE coalesces post-shuffle partitions.
+    QueryDef("q12_having",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "qty"))
+          .filter(col("n") >= 40)
+          .orderBy(col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
+             |ORDER BY l_partkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q13
+    // Variance/stddev computed from exact decimal power sums so both
+    // engines derive bit-identical doubles (engine-native stddev_samp
+    // differs in accumulation order; it is covered by ScalaTest instead).
+    QueryDef("q13_variance",
+      (s, d) => {
+        val g = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 6))).cast("double").as("s1"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 6)))
+            .cast("double").as("s2"))
+        g.select(col("l_returnflag"),
+            ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+              .as("var_qty"),
+            (col("s1") / col("n")).as("mean_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  (s2 - s1*s1/n)/(n-1) AS var_qty, s1/n AS mean_qty
+             |FROM (
+             |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             |    CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2
+             |  FROM lineitem GROUP BY 1) t
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---------------------------------------------------------------- q14
+    // Left outer join + COUNT(col) null semantics (zero-order customers).
+    QueryDef("q14_outer_join_count",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q15
+    // Uncorrelated scalar subquery in a filter.
+    QueryDef("q15_subquery_above_avg",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgPrice = o.agg(avg(col("o_totalprice")).as("a"))
+        o.join(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("a"))
+          .agg(count(lit(1)).as("n_above"),
+            dsum(col("o_totalprice"), "sum_above"))
+      },
+      Some(s"""SELECT count(*) AS n_above, ${oDsum("o_totalprice", "sum_above")}
+              |FROM orders
+              |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)),
+
+    // ---------------------------------------------------------------- q16
+    // Event-time tumbling window (hourly) rendered as a string key so no
+    // timestamp types cross the engine boundary.
+    QueryDef("q16_events_hourly",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd HH")
+              .as("hour_key"),
+            col("event_type"), col("value"))
+          .groupBy(col("hour_key"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_value"))
+          .orderBy(col("hour_key"), col("event_type"))
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
+              |  event_type, count(*) AS n, ${oDsum("value", "sum_value")}
+              |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // ---------------------------------------------------------------- q17
+    // Sessionization primitives: lag() over (user, time) -> inter-event
+    // gaps in exact microseconds (BIGINT on both engines).
+    QueryDef("q17_events_gaps",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("ts_us") - col("prev_us")).as("total_gap_us"),
+            max(col("ts_us") - col("prev_us")).as("max_gap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  sum(gap) AS total_gap_us, max(gap) AS max_gap_us
+             |FROM (
+             |  SELECT user_id, epoch_us(ts) -
+             |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS gap
+             |  FROM events) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q18
+    // UNION ALL of two filtered branches then aggregate.
+    QueryDef("q18_union_all",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.filter(col("value") > 50).select(col("event_type"))
+        val b = e.filter(col("event_type") === "error").select(col("event_type"))
+        a.union(b).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n")).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n FROM (
+             |  SELECT event_type FROM events WHERE value > 50
+             |  UNION ALL
+             |  SELECT event_type FROM events WHERE event_type = 'error') t
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q19
+    // ORC round-trip (Tier A): parquet -> write.orc -> read.orc -> agg.
+    // The DuckDB oracle reads the original parquet, so a hash match proves
+    // the ORC write+read path is lossless for every column it touches.
+    QueryDef("q19_orc_roundtrip",
+      (s, d) => {
+        OrcData.orc(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"),
+            dsum(col("l_extendedprice"), "sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |  ${oDsum("l_quantity", "sum_qty")},
+              |  ${oDsum("l_extendedprice", "sum_price")}
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q20
+    // ORC scan with pushed filter + pruned projection (the reference's
+    // A6+A8+A9 contract): predicate prunes stripes, residual re-filters.
+    QueryDef("q20_orc_predicate_scan",
+      (s, d) => {
+        OrcData.orc(s, d, "orders",
+            Map("orc.pushdown_predicate" -> "true"))
+          .filter(col("o_totalprice") > 400000 &&
+            col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 400000 AND o_orderstatus = 'O'
+             |ORDER BY o_orderkey""".stripMargin))
+  )
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (`Array[Float]`, 64 dims).
+  *
+  * Two tiers, per the pipeline brief:
+  *  - `ss_topk_bruteforce`: exact cosine top-k — the correctness baseline,
+  *    oracle-checked against DuckDB's list_cosine_similarity;
+  *  - `ss_ann_lsh`: random-hyperplane LSH buckets -> candidate join ->
+  *    exact rerank. At 100 TB the bucket join replaces the O(n*q) cross
+  *    join; recall is tunable via the number of hyperplanes / probes.
+  */
+object Similarity {
+
+  private val TopK = 8
+  private val NumQueries = 5
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------ brute
+    // Exact top-k: tiny query side is broadcast; the big side streams once.
+    // row_number ties broken by vec_id so the ranking is total.
+    QueryDef("ss_topk_bruteforce",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_v"))
+          .crossJoin(broadcast(q))
+          .filter(col("n_id") =!= col("q_id"))
+          .withColumn("score", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("n_id"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM (
+              |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+              |               e.vec_id) AS rn
+              |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q,
+              |       embeddings e
+              |  WHERE e.vec_id <> q.vec_id) t
+              |WHERE rn <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------ LSH ANN
+    // Random-hyperplane LSH: 8 sign bits -> 256 buckets; queries probe
+    // their own bucket; candidates reranked exactly. Engine-specific
+    // bucketing => rows-only driver check; recall vs the brute-force
+    // baseline is asserted in ScalaTest.
+    QueryDef("ss_ann_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", hyperplaneBucket(col("embedding"), 8, 64))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+            col("bucket"))
+        val cand = e.select(col("vec_id").as("n_id"),
+            col("embedding").as("n_v"), col("bucket"))
+          .join(broadcast(q), Seq("bucket"))
+          .filter(col("n_id") =!= col("q_id"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        cand.withColumn("score", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("n_id"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (beyond the reference; BASELINE.json north
+  * star). Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): at 100 TB these run inside whole-stage codegen with nothing but
+  * a scan underneath — embarrassingly parallel, zero shuffle except final
+  * ordering (which the driver harness needs for determinism).
+  */
+object TextAnalysis {
+
+  /** Non-whitespace token count — identical regex semantics on both engines. */
+  private def nTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+
+  // Language-profile "stopword" regexes for the n-gram/keyword language-ID
+  // heuristic. The same patterns are evaluated by the DuckDB oracle, so the
+  // prediction logic (argmax with fixed tie-break order) is engine-checked.
+  private val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of|to)\\b",
+    "es" -> "\\b(el|la|de|que|los)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|des|est)\\b",
+    // literal CJK range chars: DuckDB's RE2 rejects \uXXXX escapes
+    "zh" -> "[一-鿿]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------ tokens
+    // Token counting: whitespace tokenization + a BPE-ish subword estimate
+    // (ceil(bytes/4) is a common fast proxy for byte-pair-encoded tokens).
+    QueryDef("ta_token_stats",
+      (s, d) => {
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            nTokens(col("text")).as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            ceil(octet_length(col("text")) / lit(4.0)).cast("long")
+              .as("n_bpe_est"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------ quality
+    // Quality scoring: length/stopword/digit/uppercase signals combined
+    // into one deterministic double (single divisions of exact ints — IEEE
+    // identical on both engines).
+    QueryDef("ta_quality_score",
+      (s, d) => {
+        val t = col("text")
+        val toks = nTokens(t)
+        val stops = size(regexp_extract_all(t,
+          lit("\\b(the|a|and|of|to|in|is|it)\\b"), lit(0))).cast("long")
+        val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+          .cast("long")
+        Tables.documents(s, d).select(
+            col("doc_id"), toks.as("n_tokens"), stops.as("n_stopwords"),
+            digits.as("n_digits"),
+            (stops.cast("double") / toks).as("stopword_ratio"),
+            (length(t).cast("double") / toks).as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS BIGINT) AS n_stopwords,
+             |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+             |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+             |    / len(regexp_extract_all(text, '\S+')) AS stopword_ratio,
+             |  CAST(length(text) AS DOUBLE)
+             |    / len(regexp_extract_all(text, '\S+')) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------ lang id
+    // Keyword-profile language ID: score = profile hit count per language,
+    // prediction = argmax with fixed precedence. The oracle re-implements
+    // the identical scoring, so the decision logic is hash-checked.
+    QueryDef("ta_lang_id",
+      (s, d) => {
+        val scores = langProfiles.map { case (lang, re) =>
+          lang -> size(regexp_extract_all(col("text"), lit(re), lit(0)))
+            .cast("long")
+        }
+        val best = scores.tail.foldLeft(
+          struct(scores.head._2.as("sc"), lit(scores.head._1).as("lg"))) {
+          case (acc, (lang, sc)) =>
+            when(sc > acc.getField("sc"),
+              struct(sc.as("sc"), lit(lang).as("lg"))).otherwise(acc)
+        }
+        Tables.documents(s, d).select(
+            col("doc_id"), col("lang").as("label_lang"),
+            best.getField("lg").as("pred_lang"),
+            best.getField("sc").as("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreSql = langProfiles.map { case (lang, re) =>
+          val duckRe = re.replace("\\b", "\\b") // same RE2/Java syntax
+          s"CAST(len(regexp_extract_all(text, '$duckRe')) AS BIGINT) AS sc_$lang"
+        }.mkString(",\n  ")
+        // argmax with the same precedence order as the Scala fold:
+        // later profile wins only on strictly greater score.
+        val (h :: t) = langProfiles.map(_._1).toList: @unchecked
+        def fold(acc: (String, String), rest: List[String]): (String, String) =
+          rest match {
+            case Nil => acc
+            case l :: ls =>
+              val (se, le) = acc
+              fold((s"CASE WHEN sc_$l > ($se) THEN sc_$l ELSE ($se) END",
+                s"CASE WHEN sc_$l > ($se) THEN '$l' ELSE ($le) END"), ls)
+          }
+        val (scExpr, lgExpr) = fold((s"sc_$h", s"'$h'"), t)
+        s"""SELECT doc_id, label_lang, $lgExpr AS pred_lang, $scExpr AS score
+           |FROM (SELECT doc_id, lang AS label_lang,
+           |  $scoreSql
+           |  FROM documents) t
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------ fingerprint
+    // Content fingerprinting: md5 of the raw text + a 16-bucket shard key
+    // (first hex nibble) — the pattern used to shard dedup at scale.
+    QueryDef("ta_fingerprint",
+      (s, d) => {
+        Tables.documents(s, d).select(
+            col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+            substring(md5(col("text").cast("binary")), 1, 1).as("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, md5(text) AS fp, substr(md5(text),1,1) AS shard
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

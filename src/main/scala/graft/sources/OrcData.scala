@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet -> ORC conversion cache for the driver testdata.
+  *
+  * The reference ships parquet->ORC converters
+  * (scripts/convert_tpcds_to_orc.py:61-83); the Spark-native equivalent is a
+  * one-line `read.parquet(...).write.orc(...)`. Conversions are cached per
+  * (sfDir, table) under the JVM temp dir so every ORC-path query and the
+  * bench harness can share one copy.
+  */
+object OrcData {
+  private val lock = new Object
+  private def root: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-orc"
+
+  private def sanitized(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Path to the ORC copy of `table` in `sfDir`, converting on first use. */
+  def orcPath(spark: SparkSession, sfDir: String, table: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/$table"
+    val marker = new java.io.File(s"$out/_SUCCESS")
+    if (!marker.exists()) lock.synchronized {
+      if (!marker.exists()) {
+        OrcTables.write(
+          spark.read.parquet(s"$sfDir/$table.parquet"), out)
+      }
+    }
+    out
+  }
+
+  /** Read the ORC copy of a testdata table (converting lazily). */
+  def orc(spark: SparkSession, sfDir: String, table: String,
+          opts: Map[String, String] = Map.empty): DataFrame =
+    OrcTables.read(spark, orcPath(spark, sfDir, table), opts)
+}

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** ORC read/write layer — the Spark-native equivalent of the reference
+  * connector's registration + options surface.
+  *
+  * Reference mapping (file:line into /root/reference):
+  *  - A1 format factory / "orc" extension binding: `src/file_format.rs:41-86`
+  *  - A2 multi-file schema inference + merge:     `src/file_format.rs:137-162`
+  *  - A13 read options (`orc.batch_size`, `orc.pushdown_predicate`,
+  *    `orc.metadata_size_hint`):                  `src/options.rs:29-114`
+  *  - A14 writer (reference stub only, `src/writer.rs:18-23`) — implemented
+  *    here via Spark's built-in OrcOutputWriter.
+  *
+  * Design note: Spark's built-in vectorized ORC source already satisfies the
+  * reference's observable contracts (stripe-level "inexact" pushdown with a
+  * residual FilterExec above the scan, column pruning via requestedColumnIds,
+  * limit short-circuit). This layer therefore translates the reference's
+  * option/registration semantics onto that source instead of re-implementing
+  * a DSv2 connector — idiomatic, codegen'd, and faster.
+  */
+object OrcTables {
+
+  /** Typed view of the reference's `OrcReadOptions` (src/options.rs:29-47).
+    * Unknown `orc.*` keys are ignored, mirroring src/options.rs:92-99.
+    */
+  final case class OrcReadOptions(
+      batchSize: Option[Int] = None,        // orc.batch_size (reader vector size)
+      pushdownPredicate: Boolean = true,    // orc.pushdown_predicate
+      metadataSizeHint: Option[Long] = None, // orc.metadata_size_hint (no Spark analogue; recorded)
+      mergeSchema: Boolean = false)
+
+  /** Parse a string option map exactly like the reference's
+    * `apply_format_options` (src/options.rs:62-114): typed errors on bad
+    * values, unknown keys tolerated.
+    */
+  def parseOptions(opts: Map[String, String]): OrcReadOptions = {
+    def intOpt(k: String): Option[Int] = opts.get(k).map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"Invalid value for $k: '$v' (expected integer)")
+      }
+    }
+    def boolOpt(k: String, dflt: Boolean): Boolean = opts.get(k) match {
+      case None => dflt
+      case Some(v) => v.trim.toLowerCase match {
+        case "true" | "1" => true
+        case "false" | "0" => false
+        case other => throw new IllegalArgumentException(
+          s"Invalid value for $k: '$other' (expected boolean)")
+      }
+    }
+    OrcReadOptions(
+      batchSize = intOpt("orc.batch_size"),
+      pushdownPredicate = boolOpt("orc.pushdown_predicate", dflt = true),
+      metadataSizeHint = intOpt("orc.metadata_size_hint").map(_.toLong),
+      mergeSchema = boolOpt("orc.merge_schema", dflt = false))
+  }
+
+  /** A configured reader: options map onto Spark's native knobs
+    * (`orc.batch_size` -> columnarReaderBatchSize via session conf,
+    * `orc.pushdown_predicate` -> spark.sql.orc.filterPushdown).
+    */
+  def reader(spark: SparkSession, o: OrcReadOptions = OrcReadOptions()): DataFrameReader = {
+    // These two are session confs, not per-read options, in Spark.
+    o.batchSize.foreach(b =>
+      spark.conf.set("spark.sql.orc.columnarReaderBatchSize", b.toString))
+    spark.conf.set("spark.sql.orc.filterPushdown", o.pushdownPredicate.toString)
+    val r = spark.read.format("orc")
+    if (o.mergeSchema) r.option("mergeSchema", "true") else r
+  }
+
+  def read(spark: SparkSession, path: String,
+           opts: Map[String, String] = Map.empty): DataFrame =
+    reader(spark, parseOptions(opts)).load(path)
+
+  /** Schema inference without reading data — footer-only, like
+    * `read_orc_schema` (src/metadata.rs:35-58). Multi-file dirs merge
+    * schemas (conflict => AnalysisException, mirroring
+    * Schema::try_merge error semantics at src/file_format.rs:157-161).
+    */
+  def inferSchema(spark: SparkSession, path: String): StructType =
+    reader(spark, OrcReadOptions(mergeSchema = true)).load(path).schema
+
+  /** Register every `<name>.orc` file/dir under `dir` as a temp view —
+    * the analogue of ListingTable registration
+    * (tests/basic_reading.rs:124-160). Returns registered names.
+    */
+  def register(spark: SparkSession, dir: String,
+               opts: Map[String, String] = Map.empty): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    val names = st.toSeq
+      .filter(s => s.getPath.getName.endsWith(".orc") || s.isDirectory)
+      .map(_.getPath)
+    names.map { p =>
+      val name = p.getName.stripSuffix(".orc")
+      read(spark, p.toString, opts).createOrReplaceTempView(name)
+      name
+    }
+  }
+
+  /** Writer — A14, which the reference leaves as a stub. Compression
+    * defaults to snappy to match the reference fixtures
+    * (alltypes.snappy.orc).
+    */
+  def write(df: DataFrame, path: String, compression: String = "snappy",
+            mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("compression", compression).orc(path)
+}
