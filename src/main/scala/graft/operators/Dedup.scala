@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions
+import graft.functions.TextHashFunctions._
 
 /** Deduplication operators over `documents` / `embeddings` — exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -20,49 +21,13 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
-  /** Word tokens (documents are space-separated). */
-  private def toks(c: Column): Column = split(c, " ")
-
-  /** 3-word shingles; documents shorter than 3 tokens fall back to the
-    * whole text as a single shingle.
-    */
-  private def shingles(c: Column): Column = {
-    val t = toks(c)
-    when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", t)))
-  }
-
   private val NumPerms = 32 // MinHash permutations
   private val Bands = 16    // 16 bands x 2 rows
   private val RowsPerBand = NumPerms / Bands
 
-  /** (doc_id, minhash signature array[32]) via explode + two-level
-    * partial-aggregated min — the map-side combine keeps the shuffle at
-    * O(docs x perms), independent of shingle count.
-    */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .distinct()
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumPerms - 1)),
-          p => xxhash64(p, col("shingle")))).as(Seq("perm", "h")))
-    sh.groupBy(col("doc_id"), col("perm")).agg(min(col("h")).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
-  }
-
   /** Banded LSH candidate pairs (a_id < b_id), deduplicated. */
-  private def lshCandidates(sigs: DataFrame): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
-        posexplode(array((0 until Bands).map { b =>
-          concat_ws("_",
-            transform(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand),
-              h => h.cast("string")))
-        }: _*)).as(Seq("band", "key")))
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = lshBands(sigs, "doc_id", Bands, RowsPerBand)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "key"))
@@ -70,10 +35,8 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
   }
 
-  /** Exact word-set Jaccard between two doc-id columns, given a
-    * (doc_id, tokset) side table.
-    */
-  private def withJaccard(pairs: DataFrame, docsets: DataFrame): DataFrame = {
+  /** Exact word-set Jaccard attached to candidate pairs. */
+  def withJaccard(pairs: DataFrame, docsets: DataFrame): DataFrame = {
     val a = docsets.select(col("doc_id").as("a_id"), col("tokset").as("a_toks"))
     val b = docsets.select(col("doc_id").as("b_id"), col("tokset").as("b_toks"))
     pairs.join(a, "a_id").join(b, "b_id")
@@ -83,8 +46,34 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
-  private def docsets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), array_distinct(toks(col("text"))).as("tokset"))
+  def docsets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(words(col("text"))).as("tokset"))
+
+  /** MinHash+LSH near-duplicate pairs verified by exact Jaccard >= minJac. */
+  def minhashNearDups(docs: DataFrame, minJac: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, "doc_id", "text", NumPerms)
+    withJaccard(lshCandidates(sigs), docsets(docs))
+      .filter(col("jac") >= minJac)
+  }
+
+  /** SimHash near-duplicate pairs within the given Hamming distance,
+    * blocked by 16-bit fingerprint chunks (no cross join).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sim = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(hammingChunks(col("simhash"), 4)).as(Seq("chunk", "ckey")))
+    val l = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val r = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -142,58 +131,15 @@ object Dedup {
     // against dd_jaccard_pairs (LSH candidates must be a superset of
     // high-jaccard pairs with overwhelming probability).
     QueryDef("dd_minhash_lsh",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val cands = lshCandidates(minhashSignatures(docs))
-        withJaccard(cands, docsets(docs))
-          .filter(col("jac") >= 0.4)
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => minhashNearDups(Tables.documents(s, d), 0.4)
+        .orderBy(col("a_id"), col("b_id")),
       None),
 
     // ------------------------------------------------------------ simhash
-    // 64-bit SimHash: per-token hash votes folded into a bit vector; pairs
-    // within Hamming distance 12 found via 4x16-bit chunk-bucket join
-    // (pigeonhole: hd<=12 < 16 chunks... any pair at hd<=12 shares >=1 of
-    // 4 chunks only when hd<=3 per missing chunk — standard blocking,
-    // avoids the cross join at scale).
+    // 64-bit SimHash with 4x16-bit chunk blocking.
     QueryDef("dd_simhash",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        // Per-token bit votes: +1/-1 per bit of xxhash64(token), summed
-        // across tokens (bit index unrolled Scala-side — shifts need
-        // literal amounts in Catalyst).
-        val bitsum = aggregate(
-          toks(col("text")),
-          array_repeat(lit(0L), 64),
-          (acc, t) => zip_with(acc,
-            array((0 until 64).map { i =>
-              when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L)
-                .otherwise(-1L)
-            }: _*),
-            (x, y) => x + y))
-        val sim = docs.select(col("doc_id"), bitsum.as("bitsum"))
-          .select(col("doc_id"),
-            (0 until 64).map { i =>
-              when(element_at(col("bitsum"), i + 1) > 0, lit(1L << i))
-                .otherwise(lit(0L))
-            }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-        val chunked = sim.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map { c =>
-            shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
-          }: _*)).as(Seq("chunk", "ckey")))
-        val l = chunked.select(col("chunk"), col("ckey"),
-          col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-        val r = chunked.select(col("chunk"), col("ckey"),
-          col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-        l.join(r, Seq("chunk", "ckey"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 12)
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => simhashNearDups(Tables.documents(s, d), 12)
+        .orderBy(col("a_id"), col("b_id")),
       None),
 
     // ------------------------------------------------------------ embedding

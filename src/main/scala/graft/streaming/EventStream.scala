@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference has no streaming surface (SURVEY.md §2, "streams" there are
+  * async I/O batch iterators), but once the batch source works Spark gives
+  * event-time streaming nearly free — this module is that "nearly free"
+  * made concrete: a file-source stream with watermarked event-time windows,
+  * used by tests/demos via the memory sink.
+  */
+object EventStream {
+
+  /** Raw schema of events.parquet with nanos read as long (the file-source
+    * stream needs an explicit schema).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly counts per event type with a 2-hour watermark.
+    * `dir` is a testdata sf directory; only events.parquet is picked up.
+    */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
+
+  /** Sessionized running aggregate per user via flatMapGroupsWithState-free
+    * windowing: 30-minute session windows (built-in session_window).
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+}

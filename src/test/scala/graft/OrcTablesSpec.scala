@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{OrcData, OrcStatistics, OrcTables}
+
+/** Options parsing (reference src/options.rs:116-225 semantics), write/read
+  * round-trips (A14), and footer statistics (A3).
+  */
+class OrcTablesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("option parsing: defaults") {
+    val o = OrcTables.parseOptions(Map.empty)
+    assert(o.batchSize.isEmpty)
+    assert(o.pushdownPredicate)
+    assert(o.metadataSizeHint.isEmpty)
+  }
+
+  test("option parsing: valid values") {
+    val o = OrcTables.parseOptions(Map(
+      "orc.batch_size" -> "1024",
+      "orc.pushdown_predicate" -> "false",
+      "orc.metadata_size_hint" -> "32768"))
+    assert(o.batchSize.contains(1024))
+    assert(!o.pushdownPredicate)
+    assert(o.metadataSizeHint.contains(32768L))
+  }
+
+  test("option parsing: invalid values raise typed errors") {
+    val e1 = intercept[IllegalArgumentException] {
+      OrcTables.parseOptions(Map("orc.batch_size" -> "not_a_number"))
+    }
+    assert(e1.getMessage.contains("orc.batch_size"))
+    val e2 = intercept[IllegalArgumentException] {
+      OrcTables.parseOptions(Map("orc.pushdown_predicate" -> "maybe"))
+    }
+    assert(e2.getMessage.contains("orc.pushdown_predicate"))
+  }
+
+  test("option parsing: unknown orc.* keys are ignored (options.rs:92-99)") {
+    val o = OrcTables.parseOptions(Map("orc.some_future_option" -> "xyz"))
+    assert(o === OrcTables.OrcReadOptions())
+  }
+
+  test("write -> read round-trip preserves rows and schema") {
+    val src = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-orc-rt").toString
+    OrcTables.write(src, out)
+    val back = OrcTables.read(spark, out)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("footer statistics: exact row count, positive byte size, no data read") {
+    val p = OrcData.orcPath(spark, TestSpark.sf0001, "region")
+    val st = OrcStatistics.tableStats(spark, p)
+    val expected = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet").count()
+    assert(st.numRows === expected)
+    assert(st.totalBytes > 0)
+    assert(st.numFiles >= 1)
+  }
+
+  test("column statistics surface min/max from footers") {
+    val p = OrcData.orcPath(spark, TestSpark.sf0001, "region")
+    val cs = OrcStatistics.columnStats(spark, p)
+    assert(cs.map(_._1).contains("r_regionkey"))
+    assert(cs.forall(_._2 > 0)) // every column has values
+  }
+
+  test("register binds *.orc files as temp views") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
+    OrcTables.write(spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+      .coalesce(1), s"$dir/regiontest.orc")
+    val names = OrcTables.register(spark, dir)
+    assert(names.contains("regiontest"))
+    assert(spark.table("regiontest").count() ===
+      spark.read.parquet(s"${TestSpark.sf0001}/region.parquet").count())
+  }
+
+  test("scan efficiency < 1.0 for a single-column projection (metrics.rs:203-217)") {
+    val p = OrcData.orcPath(spark, TestSpark.sf0001, "lineitem")
+    val eff = OrcStatistics.scanEfficiency(spark, p) {
+      OrcTables.read(spark, p).select("l_orderkey")
+        .agg(sum("l_orderkey")).collect()
+      0L
+    }
+    assert(eff > 0.0, s"expected some bytes read, got $eff")
+    assert(eff < 1.0, s"single-column projection should not read the whole file: $eff")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Structured Streaming over events: the streaming windowed aggregation must
+  * agree with the equivalent batch computation once all data is processed.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming hourly counts == batch hourly counts") {
+    val q = EventStream.hourlyCounts(spark, TestSpark.sf0001)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st_hourly")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("st_hourly")
+      .select(date_format($"window.start", "yyyy-MM-dd HH").as("hour_key"),
+        $"event_type", $"n")
+      .orderBy($"hour_key", $"event_type")
+      .as[(String, String, Long)].collect().toSeq
+
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH")
+          .as("hour_key"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour_key", $"event_type")
+      .as[(String, String, Long)].collect().toSeq
+
+    assert(streamed === batch)
+  }
+
+  test("session windows produce per-user sessions") {
+    val q = EventStream.sessionCounts(spark, TestSpark.sf0001)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st_sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("st_sessions")
+    assert(out.count() > 0)
+    // session totals must cover every event exactly once
+    val total = out.agg(sum($"n_events")).as[Long].collect().head
+    assert(total === Tables.events(spark, TestSpark.sf0001).count())
+  }
+}
