@@ -27,13 +27,21 @@ object TextHashFunctions {
   }
 
   /** MinHash signatures: (idCol, sig array[numPerms]) per input row.
-    * Permutations are simulated as xxhash64(perm, shingle); the double
-    * groupBy is partial-aggregated map-side, so the shuffle carries
-    * O(rows x perms) longs regardless of shingle count — the 100 TB-safe
-    * shape.
+    * Native single-pass expression — a narrow map over the docs, no
+    * explode/shuffle at all (the 100 TB shape: signature build costs one
+    * scan; only the band join shuffles).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numPerms: Int = 32): DataFrame = {
+                        numPerms: Int = 32): DataFrame =
+    df.select(col(idCol),
+      NativeExpressions.minhashSig(col(textCol), numPerms, k = 3).as("sig"))
+
+  /** HOF/explode formulation kept as the parity reference for tests:
+    * permutations as xxhash64(perm, shingle), two partial-aggregated
+    * groupBys. Hash-identical to the native form.
+    */
+  def minhashSignaturesHof(df: DataFrame, idCol: String, textCol: String,
+                           numPerms: Int = 32): DataFrame = {
     val sh = df
       .select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
       .distinct()
@@ -60,10 +68,16 @@ object TextHashFunctions {
       }: _*)).as(Seq("band", "key")))
 
   /** 64-bit SimHash of the word multiset: per-token hash bits vote +1/-1,
-    * the sign of each bit-sum forms the fingerprint. Bit positions are
-    * unrolled Scala-side (Catalyst shifts need literal amounts).
+    * the sign of each bit-sum forms the fingerprint. Native single-pass
+    * expression.
     */
-  def simhash64(textCol: Column): Column = {
+  def simhash64(textCol: Column): Column =
+    NativeExpressions.simhash64(textCol)
+
+  /** HOF formulation kept as the parity reference for tests (bit positions
+    * unrolled Scala-side — Catalyst shifts need literal amounts).
+    */
+  def simhash64Hof(textCol: Column): Column = {
     val bitsum = aggregate(
       words(textCol),
       array_repeat(lit(0L), 64),

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop implementations behind the native text-hash expressions.
+  * Called from both interpreted eval and Janino-generated code (top-level
+  * object => static forwarders).
+  *
+  * Hash parity contract: token/shingle hashes reproduce Spark's builtin
+  * `xxhash64` exactly —
+  *   xxhash64(token)        == XXH64.hashUnsafeBytes(bytes, 42)
+  *   xxhash64(perm, token)  == XXH64.hashUnsafeBytes(bytes, hashInt(perm, 42))
+  * and tokenization reproduces `split(text, " ")` (single-space regex,
+  * limit -1: empty tokens between consecutive spaces are kept). Shingles
+  * of k adjacent tokens joined by " " are therefore exactly the original
+  * byte range from the first token's start to the last token's end — no
+  * string materialization needed.
+  */
+object TextHashImpl {
+
+  private final val Seed = 42L
+
+  /** 64-bit SimHash over per-token xxhash64 bit votes — byte-range
+    * tokenization, zero allocations beyond the vote array.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val h = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          i - start, Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash signature over k-word shingles: numPerms minima of
+    * xxhash64(perm, shingle). Shingles are byte ranges over the original
+    * string (k tokens + the k-1 separating spaces), so no per-shingle
+    * allocation; docs shorter than k tokens use the whole string.
+    */
+  def minhash(s: UTF8String, numPerms: Int, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val n = bytes.length
+    // token start offsets (token t spans [starts(t), ends(t)))
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0; var start = 0; i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        starts(t) = start; ends(t) = i; t += 1; start = i + 1
+      }
+      i += 1
+    }
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    val permSeeds = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) { permSeeds(p) = XXH64.hashInt(p, Seed); p += 1 }
+    def addShingle(from: Int, until: Int): Unit = {
+      var p = 0
+      while (p < numPerms) {
+        val h = XXH64.hashUnsafeBytes(bytes, off + from, until - from, permSeeds(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+    }
+    if (nTokens < k) addShingle(0, n)
+    else {
+      var sIdx = 0
+      while (sIdx <= nTokens - k) {
+        addShingle(starts(sIdx), ends(sIdx + k - 1))
+        sIdx += 1
+      }
+    }
+    mins
+  }
+}

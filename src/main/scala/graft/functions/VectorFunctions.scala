@@ -14,7 +14,10 @@ object VectorFunctions {
 
   private def asD(a: Column): Column = a.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** HOF (interpreted) forms — kept as the reference implementation the
+    * native expressions are tested against; math is identical.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), _ + _)
 
   def norm2(a: Column): Column =
@@ -22,8 +25,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(norm2(a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (norm(a) * norm(b))
+
+  /** Hot-path forms: native codegen'd Catalyst expressions. */
+  def cosine(a: Column, b: Column): Column = NativeExpressions.cosine(a, b)
+  def dot(a: Column, b: Column): Column = NativeExpressions.dot(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)),
@@ -45,9 +52,8 @@ object VectorFunctions {
       (x.toDouble / 2147483648.0) - 1.0
     }
     val bits = (0 until planes).map { p =>
-      val d = asD(vec)
-      val proj = (0 until dims).map(j => element_at(d, j + 1) * lit(comp(p, j)))
-        .reduce(_ + _)
+      val plane = Array.tabulate(dims)(j => comp(p, j).toFloat)
+      val proj = NativeExpressions.dot(vec, typedlit(plane))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

@@ -138,6 +138,22 @@ object TextAnalysis {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, md5(text) AS fp, substr(md5(text),1,1) AS shard
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------ rolling
+    // Custom codegen'd Catalyst expression (graft.functions.NativeExpressions
+    // .RollingHash): 64-bit FNV-1a rolling hash over UTF-8 bytes — the
+    // cheap fingerprint for shard-and-dedup at scale. Engine-specific
+    // (no DuckDB analogue) => rows-only driver check; unit-tested against
+    // a JVM-side reference implementation.
+    QueryDef("ta_rolling_hash",
+      (s, d) => {
+        val rh = graft.functions.NativeExpressions.rollingHash(col("text"))
+        Tables.documents(s, d).select(
+            col("doc_id"), rh.as("rhash"),
+            pmod(rh, lit(1024L)).as("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeExpressions, VectorFunctions}
+
+/** The native codegen expressions must be value-identical to the HOF
+  * reference implementations (same accumulation order/width), and the
+  * rolling hash must match a JVM-side re-computation.
+  */
+class NativeExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native cosine == HOF cosine on real embeddings (bit-exact)") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(200)
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_v"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("b_v"))
+    val pairs = a.crossJoin(b).filter($"a_id" < $"b_id")
+    val diff = pairs.select(
+        VectorFunctions.cosine($"a_v", $"b_v").as("native"),
+        VectorFunctions.cosineHof($"a_v", $"b_v").as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("native dot == HOF dot (bit-exact)") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_v"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("b_v"))
+    val diff = a.crossJoin(b)
+      .select(NativeExpressions.dot($"a_v", $"b_v").as("native"),
+        VectorFunctions.dotHof($"a_v", $"b_v").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff === 0L)
+  }
+
+  test("rolling hash matches JVM reference and is null-safe") {
+    def ref(s: String): Long = {
+      var h = -3750763034362895579L
+      for (b <- s.getBytes("UTF-8")) h = (h ^ (b & 0xffL)) * 1099511628211L
+      h
+    }
+    val rows = Seq("hello world", "", "大熊和奏 🤔", "a").toDF("text")
+      .select($"text", NativeExpressions.rollingHash($"text").as("h"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (s, h) => assert(h === ref(s), s"for '$s'") }
+
+    val withNull = Seq(Some("x"), None).toDF("text")
+      .select(NativeExpressions.rollingHash($"text").as("h"))
+      .collect()
+    assert(withNull(1).isNullAt(0))
+  }
+
+  test("expressions survive whole-stage codegen (no fallback) in a real plan") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.select($"vec_id", VectorFunctions.cosine($"embedding", $"embedding").as("c"))
+      .filter($"c" > 0.99)
+    // all vectors have cosine(v,v)=1
+    assert(q.count() === e.count())
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      plan.take(500))
+  }
+}
