@@ -405,6 +405,93 @@ object Relational {
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE o_totalprice > 400000 AND o_orderstatus = 'O'
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q21
+    // Batch sessionization: gap > 30 min opens a new session (lag +
+    // running sum). One shuffle on user_id serves both windows and the
+    // final aggregation — partitioning is reused across stages.
+    QueryDef("q21_sessionize",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("new_sess",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+              .otherwise(when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+                .otherwise(0L)))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"))
+          .agg(max(col("sess_id")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+             |FROM (
+             |  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW) AS sess_id
+             |  FROM (
+             |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+             |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             |        > 1800000000 THEN 1
+             |        WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |          ORDER BY epoch_us(ts), event_id) IS NULL THEN 1
+             |        ELSE 0 END AS new_sess
+             |    FROM events) t1) t2
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q22
+    // CUBE grouping sets (all four combinations).
+    QueryDef("q22_cube",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------- q23
+    // The spark.sql(...) entry point (SURVEY §3.1 lifecycle): TPC-H
+    // Q3-shaped top-10 revenue over three joined tables, written as SQL
+    // against registered temp views.
+    QueryDef("q23_sql_api",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          |SELECT o_orderkey,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM v_lineitem
+          |JOIN v_orders ON l_orderkey = o_orderkey
+          |JOIN v_customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING' AND l_returnflag = 'R'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey
+          |LIMIT 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING' AND l_returnflag = 'R'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey
+             |LIMIT 10""".stripMargin))
   )
 }

@@ -146,6 +146,42 @@ object TextAnalysis {
     // cheap fingerprint for shard-and-dedup at scale. Engine-specific
     // (no DuckDB analogue) => rows-only driver check; unit-tested against
     // a JVM-side reference implementation.
+    // ------------------------------------------------------------ vocab
+    // Corpus vocabulary: explode words -> count -> top-50. The generator
+    // (explode) plus partial-aggregated count is the canonical vocab-build
+    // shape; top-k plans as TakeOrderedAndProject (no global sort).
+    QueryDef("ta_vocab_topk",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(50)
+      },
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY 1 ORDER BY n DESC, word LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------ quantiles
+    // Exact length quantiles (linear interpolation — both engines compute
+    // (1-f)*a + f*b over the sorted values, so doubles match bit-for-bit).
+    QueryDef("ta_length_quantiles",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            percentile(col("n_chars"), lit(0.25)).as("q25"),
+            percentile(col("n_chars"), lit(0.5)).as("q50"),
+            percentile(col("n_chars"), lit(0.75)).as("q75"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  quantile_cont(n_chars, 0.25) AS q25,
+             |  quantile_cont(n_chars, 0.5) AS q50,
+             |  quantile_cont(n_chars, 0.75) AS q75
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("ta_rolling_hash",
       (s, d) => {
         val rh = graft.functions.NativeExpressions.rollingHash(col("text"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+import graft.sources.{Converters, OrcTables}
+
+class UtilitiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join is row-identical to plain inner join") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select($"l_orderkey", $"l_quantity")
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val plain = li.join(orders, Seq("l_orderkey"), "inner")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("q"))
+      .orderBy($"l_orderkey").collect().toSeq
+    val salted = SkewJoin.saltedInnerJoin(li, orders, "l_orderkey", salt = 7)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("q"))
+      .orderBy($"l_orderkey").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("csvToOrc round-trips a delimited file with inferred schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(dir.resolve("data.dat"),
+      "1|alpha|10.5\n2|beta|20.25\n3|gamma|30.0\n")
+    val out = dir.resolve("orc").toString
+    Converters.csvToOrc(spark, dir.resolve("data.dat").toString, out)
+    val back = OrcTables.read(spark, out)
+    assert(back.count() === 3)
+    assert(back.schema.fields.length === 3)
+    val r = back.orderBy("_c0").collect()
+    assert(r(0).getInt(0) === 1)
+    assert(r(1).getString(1) === "beta")
+    assert(r(2).getDouble(2) === 30.0)
+  }
+
+  test("parquetToOrc equals source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-p2o").toString
+    Converters.parquetToOrc(spark,
+      s"${TestSpark.sf0001}/region.parquet", dir)
+    val back = OrcTables.read(spark, dir).orderBy("r_regionkey").collect().toSeq
+    val src = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+      .orderBy("r_regionkey").collect().toSeq
+    assert(back === src)
+  }
+}
