@@ -492,6 +492,25 @@ object Relational {
              |WHERE c_mktsegment = 'BUILDING' AND l_returnflag = 'R'
              |GROUP BY o_orderkey
              |ORDER BY revenue DESC, o_orderkey
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    // ---------------------------------------------------------------- q24
+    // The custom graft-orc DSv2 connector end-to-end: pruned projection +
+    // pushed (inexact) filter + aggregation through
+    // graft.sources.v2.GraftOrcDataSource. Oracle reads the original
+    // parquet, so a hash match proves the whole connector path.
+    QueryDef("q24_graft_orc_source",
+      (s, d) => {
+        val p = OrcData.orcPath(s, d, "lineitem")
+        s.read.format("graft-orc").load(p)
+          .filter(col("l_quantity") >= 30)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), "sum_price"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some(s"""SELECT l_linestatus, count(*) AS n,
+              |  ${oDsum("l_extendedprice", "sum_price")}
+              |FROM lineitem WHERE l_quantity >= 30
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
