@@ -47,9 +47,11 @@ object Bench {
   private val headline = Seq(
     "q01_pricing_summary", "q03_star_join_revenue", "q07_window_topn",
     "q09_count_distinct", "q12_having", "q16_events_hourly",
-    "q17_events_gaps", "q19_orc_roundtrip",
-    "ta_token_stats", "ta_lang_id", "dd_exact", "dd_minhash_lsh",
-    "dd_simhash", "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_lsh")
+    "q17_events_gaps", "q19_orc_roundtrip", "q21_sessionize",
+    "q23_sql_api", "q24_graft_orc_source",
+    "ta_token_stats", "ta_lang_id", "ta_vocab_topk", "dd_exact",
+    "dd_minhash_lsh", "dd_simhash", "dd_embed_cosine",
+    "ss_topk_bruteforce", "ss_ann_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -511,6 +511,86 @@ object Relational {
       Some(s"""SELECT l_linestatus, count(*) AS n,
               |  ${oDsum("l_extendedprice", "sum_price")}
               |FROM lineitem WHERE l_quantity >= 30
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q25
+    // Scalar-expression sweep: IN list, LIKE, COALESCE, NULLIF, BETWEEN —
+    // the TPC-DS expression surface (SURVEY §2.B scalar functions).
+    QueryDef("q25_expr_sweep",
+      (s, d) => {
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+            col("o_orderstatus").like("%O%") &&
+            col("o_totalprice").between(50000, 450000))
+          .select(col("o_orderkey"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+              .as("status_label"),
+            (col("o_totalprice") / 1000.0).as("price_k"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+             |  o_totalprice / 1000.0 AS price_k
+             |FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |  AND o_orderstatus LIKE '%O%'
+             |  AND o_totalprice BETWEEN 50000 AND 450000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q26
+    // Non-equi (theta) join: price-band lookup joined on range conditions
+    // -> BroadcastNestedLoopJoin with a 3-row build side (the only sane
+    // physical shape for inequality joins; the band table is tiny by
+    // construction at any scale).
+    QueryDef("q26_band_join",
+      (s, d) => {
+        val bands = s.createDataFrame(Seq(
+          (0.0, 100000.0, "low"),
+          (100000.0, 300000.0, "mid"),
+          (300000.0, Double.MaxValue, "high")))
+          .toDF("lo", "hi", "band")
+        Tables.orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "total"))
+          .orderBy(col("band"))
+      },
+      Some(s"""SELECT band, count(*) AS n, ${oDsum("o_totalprice", "total")}
+              |FROM orders
+              |JOIN (VALUES (0.0, 100000.0, 'low'),
+              |             (100000.0, 300000.0, 'mid'),
+              |             (300000.0, 1e308, 'high')) AS bands(lo, hi, band)
+              |  ON o_totalprice >= lo AND o_totalprice < hi
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q27
+    // FULL OUTER join over aggregated sides with null accounting.
+    QueryDef("q27_full_outer",
+      (s, d) => {
+        val perCust = Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        val highVal = Tables.customer(s, d)
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        highVal.join(perCust, highVal("c_custkey") === perCust("o_custkey"),
+            "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            col("c_custkey").isNull.as("missing_customer"),
+            col("o_custkey").isNull.as("missing_orders"))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             |  coalesce(n_orders, 0) AS n_orders,
+             |  c_custkey IS NULL AS missing_customer,
+             |  o_custkey IS NULL AS missing_orders
+             |FROM (SELECT c_custkey, c_acctbal FROM customer
+             |      WHERE c_acctbal > 5000) hv
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+             |                 FROM orders GROUP BY 1) pc
+             |  ON hv.c_custkey = pc.o_custkey
+             |ORDER BY custkey""".stripMargin))
   )
 }
