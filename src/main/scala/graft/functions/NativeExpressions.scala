@@ -178,6 +178,89 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Counts, per profile, how many whitespace-separated tokens belong to
+    * that profile's keyword set — a single tokenization pass replacing one
+    * regex scan per profile. Equivalent to counting `\b(w1|w2|...)\b`
+    * matches when the text's token boundaries are spaces (true for all
+    * whitespace-tokenized corpora; punctuation-adjacent matches would need
+    * the regex form).
+    */
+  case class TokenSetCounts(child: Expression, profiles: Seq[Seq[String]])
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_token_set_counts"
+
+    @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+      profiles.map { p =>
+        val s = new java.util.HashSet[UTF8String]()
+        p.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val counts = new Array[Long](sets.length)
+      var start = 0
+      var i = 0
+      val n = bytes.length
+      while (i <= n) {
+        if (i == n || bytes(i) == ' ') {
+          if (i > start) {
+            val tok = UTF8String.fromBytes(bytes, start, i - start)
+            var p = 0
+            while (p < sets.length) {
+              if (sets(p).contains(tok)) counts(p) += 1
+              p += 1
+            }
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Count of characters in the CJK Unified Ideographs block
+    * (U+4E00..U+9FFF) — byte-level scan for the 3-byte UTF-8 range
+    * E4B880..E9BFBF, equivalent to counting regex `[一-鿿]` matches.
+    */
+  case class CjkCharCount(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_cjk_count"
+
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var n = 0L
+      var i = 0
+      while (i + 2 < bytes.length + 1 && i < bytes.length) {
+        val b0 = bytes(i) & 0xff
+        if (b0 >= 0xe4 && b0 <= 0xe9 && i + 2 < bytes.length) {
+          val cp = ((b0 & 0x0f) << 12) |
+            ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+          if (cp >= 0x4e00 && cp <= 0x9fff) n += 1
+          i += 3
+        } else if (b0 < 0x80) i += 1
+        else if (b0 < 0xe0) i += 2
+        else if (b0 < 0xf0) i += 3
+        else i += 4
+      }
+      n
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column-level API -------------------------------------------------
 
   def cosine(a: Column, b: Column): Column =
@@ -196,4 +279,10 @@ object NativeExpressions {
 
   def minhashSig(c: Column, numPerms: Int = 32, k: Int = 3): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), numPerms, k))
+
+  def tokenSetCounts(c: Column, profiles: Seq[Seq[String]]): Column =
+    GraftBridge.column(TokenSetCounts(GraftBridge.expression(c), profiles))
+
+  def cjkCharCount(c: Column): Column =
+    GraftBridge.column(CjkCharCount(GraftBridge.expression(c)))
 }

@@ -54,6 +54,29 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(withNull(1).isNullAt(0))
   }
 
+  test("token-set counts == regex word-boundary counts on space-tokenized text") {
+    val profiles = Seq(Seq("the", "a", "and"), Seq("el", "la"))
+    val regexes = profiles.map(ws => "\\b(" + ws.mkString("|") + ")\\b")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val diff = docs.select(
+        NativeExpressions.tokenSetCounts($"text", profiles).as("ts"),
+        array(regexes.map(re =>
+          size(regexp_extract_all($"text", lit(re), lit(0))).cast("long")): _*)
+          .as("re"))
+      .filter($"ts" =!= $"re").count()
+    assert(diff === 0L)
+  }
+
+  test("CJK char count == regex range count") {
+    val rows = Seq("no cjk here", "大熊和奏 and 斉藤朱夏", "", "鈴原希実🤔")
+      .toDF("text")
+      .select(NativeExpressions.cjkCharCount($"text").as("n"),
+        size(regexp_extract_all($"text", lit("[一-鿿]"), lit(0))).cast("long")
+          .as("re"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, re) => assert(n === re) }
+  }
+
   test("expressions survive whole-stage codegen (no fallback) in a real plan") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val q = e.select($"vec_id", VectorFunctions.cosine($"embedding", $"embedding").as("c"))
