@@ -56,6 +56,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // reference runner defaults to 3 iterations (-i, tpcds_bench.rs:277-279);
+    // driver timing wants a single pass, so 1 is our default
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_ITERATIONS", "1").toInt
+    val detailPath = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,13 +76,44 @@ object Bench {
       microPatterns(spark, sfDir) ++
         headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 
+    // per-query: first-iteration seconds (the driver metric) + per-iteration
+    // detail {elapsed_ms, row_count} mirroring the reference runner JSON
+    // (tpcds_bench.rs:114-120, 159-181)
+    case class Iter(elapsedMs: Double, rows: Long, success: Boolean)
+    val detail = collection.mutable.LinkedHashMap[String, Seq[Iter]]()
     val results = all.map { case (name, mk) =>
-      val t0 = System.nanoTime()
-      try force(mk()) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val iters = (1 to iterations).map { it =>
+        val t0 = System.nanoTime()
+        try {
+          val df = mk()
+          force(df)
+          val ms = (System.nanoTime() - t0) / 1e6 // timing excludes the count
+          val rows =
+            if (detailPath.isDefined && it == 1) df.count() else -1L
+          Iter(ms, rows, success = true)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Iter((System.nanoTime() - t0) / 1e6, -1, success = false)
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      detail(name) = iters
+      name -> iters.head.elapsedMs / 1e3
     }
+
+    detailPath.foreach { p =>
+      val ctx = s"""{"spark_version":"${spark.version}","num_cpus":$cpus,""" +
+        s""""iterations":$iterations,"sf_dir":"$sfDir",""" +
+        s""""shuffle_partitions":$cpus,"aqe":true}"""
+      val body = detail.map { case (q, is) =>
+        val arr = is.map(i =>
+          f"""{"elapsed_ms":${i.elapsedMs}%.1f,"row_count":${i.rows},"success":${i.success}}""")
+          .mkString("[", ",", "]")
+        s""""$q":$arr"""
+      }.mkString(",")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        s"""{"context":$ctx,"queries":{$body}}""")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
