@@ -43,6 +43,19 @@ object Bench {
           .filter(col("l_quantity") > 20).limit(100)))
   }
 
+  /** The reference's --mem-table mode (tpcds_bench.rs:525-535): cache the
+    * table, run the aggregate against memory. Timed per call; the cache is
+    * dropped after so iterations measure cache-build + cached-agg.
+    */
+  private def cachedAggregate(s: SparkSession, d: String): DataFrame = {
+    // reversed projection gives this cache a unique logical plan, so no
+    // other bench query silently hits it
+    val src = OrcData.orc(s, d, "lineitem")
+    val li = src.select(src.columns.reverse.map(col).toSeq: _*).cache()
+    li.count() // materialize
+    li.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+  }
+
   /** Headline operator queries (subset of SparkEntry covering each family). */
   private val headline = Seq(
     "q01_pricing_summary", "q03_star_join_revenue", "q07_window_topn",
@@ -74,6 +87,8 @@ object Bench {
 
     val all: Seq[(String, () => DataFrame)] =
       microPatterns(spark, sfDir) ++
+        Seq("micro_cached_aggregate" ->
+          (() => cachedAggregate(spark, sfDir))) ++
         headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 
     // per-query: first-iteration seconds (the driver metric) + per-iteration

@@ -136,9 +136,10 @@ object Dedup {
       None),
 
     // ------------------------------------------------------------ simhash
-    // 64-bit SimHash with 4x16-bit chunk blocking.
+    // 64-bit SimHash with 4x16-bit chunk blocking (hamming <= 8; pigeonhole
+    // guarantees full recall only to hd <= 3 - standard approximate blocking).
     QueryDef("dd_simhash",
-      (s, d) => simhashNearDups(Tables.documents(s, d), 12)
+      (s, d) => simhashNearDups(Tables.documents(s, d), 8)
         .orderBy(col("a_id"), col("b_id")),
       None),
 

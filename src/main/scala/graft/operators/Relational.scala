@@ -591,6 +591,25 @@ object Relational {
              |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
              |                 FROM orders GROUP BY 1) pc
              |  ON hv.c_custkey = pc.o_custkey
-             |ORDER BY custkey""".stripMargin))
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q29
+    // Hive-style partitioned ORC table + partition pruning: the filter on
+    // the partition column eliminates whole directories before any I/O
+    // (PartitionFilters in the scan, vs PushedFilters' stripe pruning).
+    // At 100 TB, partition-by-date/category is the first-line data layout.
+    QueryDef("q29_partition_pruning",
+      (s, d) => {
+        val p = OrcData.partitionedOrcPath(s, d, "lineitem", "l_returnflag")
+        s.read.orc(p)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some(s"""SELECT l_linestatus, count(*) AS n,
+              |  ${oDsum("l_quantity", "sum_qty")}
+              |FROM lineitem WHERE l_returnflag = 'R'
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

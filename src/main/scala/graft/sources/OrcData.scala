@@ -35,4 +35,21 @@ object OrcData {
   def orc(spark: SparkSession, sfDir: String, table: String,
           opts: Map[String, String] = Map.empty): DataFrame =
     OrcTables.read(spark, orcPath(spark, sfDir, table), opts)
+
+  /** Hive-style partitioned ORC copy (`<out>/<col>=<v>/...`), converting on
+    * first use — the layout that makes Catalyst partition-prune scans.
+    */
+  def partitionedOrcPath(spark: SparkSession, sfDir: String, table: String,
+                         partitionCol: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/${table}_by_$partitionCol"
+    val marker = new java.io.File(s"$out/_SUCCESS")
+    if (!marker.exists()) lock.synchronized {
+      if (!marker.exists()) {
+        spark.read.parquet(s"$sfDir/$table.parquet")
+          .write.mode("overwrite").partitionBy(partitionCol)
+          .option("compression", "snappy").orc(out)
+      }
+    }
+    out
+  }
 }

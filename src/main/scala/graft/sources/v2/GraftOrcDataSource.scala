@@ -172,8 +172,39 @@ class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (f, len) => GraftOrcInputPartition(f, 0, len) }.toArray
+  // Stripe-aligned input splits: a large ORC file becomes multiple
+  // partitions of ~targetSplitBytes, cut at stripe boundaries (a stripe is
+  // the ORC unit of independent decode). Without this, one 1 GB file =
+  // one task — the single-file parallelism killer at scale. Footer reads
+  // happen once on the driver (same place Spark lists files).
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetSplitBytes = options.get("graft.split_size")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    files.flatMap { case (f, len) =>
+      if (len <= targetSplitBytes) {
+        Seq(GraftOrcInputPartition(f, 0, len))
+      } else {
+        val r = OrcFile.createReader(new Path(f), OrcFile.readerOptions(conf))
+        val stripes =
+          try r.getStripes.asScala.map(s => (s.getOffset, s.getLength)).toSeq
+          finally r.close()
+        // greedily pack consecutive stripes into ~target-size ranges
+        val splits = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var start = -1L; var acc = 0L; var end = 0L
+        stripes.foreach { case (off, slen) =>
+          if (start < 0) { start = off; acc = 0L }
+          acc += slen; end = off + slen
+          if (acc >= targetSplitBytes) {
+            splits += ((start, end - start)); start = -1L
+          }
+        }
+        if (start >= 0) splits += ((start, end - start))
+        if (splits.isEmpty) Seq(GraftOrcInputPartition(f, 0, len))
+        else splits.map { case (s, l) => GraftOrcInputPartition(f, s, l) }.toSeq
+      }
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val batchSize = options.get("orc.batch_size").map(_.toInt).getOrElse(4096)

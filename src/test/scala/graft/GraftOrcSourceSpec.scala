@@ -70,6 +70,27 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(stats.numRows().getAsLong === builtin.count())
   }
 
+  test("stripe-aligned splits: a multi-stripe file fans out to multiple partitions") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("graft-stripes").toString
+    val old = hc.get("orc.stripe.size")
+    try {
+      hc.set("orc.stripe.size", "65536") // force many small stripes
+      Tables.lineitem(spark, TestSpark.sf0001).coalesce(1)
+        .write.mode("overwrite").orc(dir)
+    } finally {
+      if (old == null) hc.unset("orc.stripe.size") else hc.set("orc.stripe.size", old)
+    }
+    val v2small = spark.read.format("graft-orc")
+      .option("graft.split_size", "65536").load(dir)
+    val nParts = v2small.rdd.getNumPartitions
+    assert(nParts > 1, s"expected multiple stripe splits, got $nParts")
+    // results across splits must equal the built-in source
+    val a = v2small.orderBy($"l_orderkey", $"l_linenumber").collect()
+    val b = spark.read.orc(dir).orderBy($"l_orderkey", $"l_linenumber").collect()
+    assert(a === b)
+  }
+
   test("pushdown off via option still returns correct results") {
     val q = spark.read.format("graft-orc")
       .option("orc.pushdown_predicate", "false").load(orcPath)
