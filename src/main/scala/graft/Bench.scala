@@ -64,7 +64,7 @@ object Bench {
     "q23_sql_api", "q24_graft_orc_source",
     "ta_token_stats", "ta_lang_id", "ta_vocab_topk", "dd_exact",
     "dd_minhash_lsh", "dd_simhash", "dd_embed_cosine",
-    "ss_topk_bruteforce", "ss_ann_lsh")
+    "ss_topk_bruteforce", "ss_ann_lsh", "ss_ann_ivf", "q29_partition_pruning")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,8 +82,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the ORC conversion outside the timed region (data-prep, not query).
+    // Warm the ORC conversions outside the timed region (data-prep, not query).
     OrcData.orcPath(spark, sfDir, "lineitem")
+    OrcData.orcPath(spark, sfDir, "orders")
+    OrcData.partitionedOrcPath(spark, sfDir, "lineitem", "l_returnflag")
 
     val all: Seq[(String, () => DataFrame)] =
       microPatterns(spark, sfDir) ++

@@ -58,6 +58,47 @@ object Similarity {
     // their own bucket; candidates reranked exactly. Engine-specific
     // bucketing => rows-only driver check; recall vs the brute-force
     // baseline is asserted in ScalaTest.
+    QueryDef("ss_ann_ivf",
+      (s, d) => {
+        // IVF-lite: 16 deterministic coarse centroids (the first 16 vectors
+        // themselves — at scale these come from a k-means fit job), every
+        // vector assigned to its nearest centroid (one broadcast pass),
+        // queries probe their 2 nearest cells, exact rerank inside cells.
+        // The cell equi-join replaces the O(n*q) cross join; probes trade
+        // recall for cells scanned.
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
+        def nearestCells(vecs: org.apache.spark.sql.DataFrame, idC: String,
+                         vC: String, probes: Int) = {
+          val w = Window.partitionBy(col(idC))
+            .orderBy(col("c_sim").desc, col("c_id"))
+          vecs.crossJoin(broadcast(cents))
+            .withColumn("c_sim", cosine(col(vC), col("c_v")))
+            .withColumn("c_rank", row_number().over(w))
+            .filter(col("c_rank") <= probes)
+            .drop("c_v", "c_sim", "c_rank")
+        }
+        val assigned = nearestCells(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("n_v")),
+          "n_id", "n_v", probes = 1)
+        val q = nearestCells(
+          e.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_v")),
+          "q_id", "q_v", probes = 2)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        assigned.join(broadcast(q), Seq("c_id"))
+          .filter(col("n_id") =!= col("q_id"))
+          .withColumn("score", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("n_id"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None),
+
     QueryDef("ss_ann_lsh",
       (s, d) => {
         val e = Tables.embeddings(s, d)
