@@ -112,4 +112,32 @@ object OrcTables {
   def write(df: DataFrame, path: String, compression: String = "snappy",
             mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("compression", compression).orc(path)
+
+  /** Tuned writer: stripe size controls split/pruning granularity, bloom
+    * filters buy point-lookup stripe skips at ~1-2% size cost — the two
+    * knobs that matter when laying out data for 100 TB scans.
+    *
+    * Spark's ORC writer reads these from the Hadoop configuration (not
+    * from writer options), so they are set for the duration of the write
+    * and restored after.
+    */
+  def writeTuned(df: DataFrame, path: String,
+                 compression: String = "snappy",
+                 stripeSizeBytes: Option[Long] = None,
+                 bloomFilterColumns: Seq[String] = Nil,
+                 mode: String = "overwrite"): Unit = {
+    val hc = df.sparkSession.sparkContext.hadoopConfiguration
+    val tuned = Seq(
+      stripeSizeBytes.map("orc.stripe.size" -> _.toString),
+      Option.when(bloomFilterColumns.nonEmpty)(
+        "orc.bloom.filter.columns" -> bloomFilterColumns.mkString(","))).flatten
+    val saved = tuned.map { case (k, _) => k -> Option(hc.get(k)) }
+    try {
+      tuned.foreach { case (k, v) => hc.set(k, v) }
+      df.write.mode(mode).option("compression", compression).orc(path)
+    } finally saved.foreach {
+      case (k, Some(v)) => hc.set(k, v)
+      case (k, None) => hc.unset(k)
+    }
+  }
 }

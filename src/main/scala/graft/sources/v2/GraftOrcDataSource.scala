@@ -41,12 +41,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *  - A10 per-file vectorized batch reader                (opener.rs:97-272)
   *  - A12 scan metrics: bytes/rows/batches/files          (metrics.rs:52-218)
   *
-  * Deliberately scoped: atomic column types (the vectorized reader path),
-  * no hive-partition columns, one InputPartition per file (stripe-level
-  * splitting is noted as the production follow-up). Decode is delegated to
-  * Spark's vectorized `OrcColumnarBatchReader` — the point of the rebuild
-  * is the connector protocol, not a slower re-implementation of the
-  * decoder.
+  * Scope: full type matrix including nested map/list/struct (Spark 4's
+  * vectorized reader handles nested columns); no hive-partition columns
+  * (plain file/dir layouts — partitioned layouts go through the built-in
+  * source, see q29); large files fan out into stripe-aligned splits.
+  * Decode is delegated to Spark's vectorized `OrcColumnarBatchReader` —
+  * the point of the rebuild is the connector protocol, not a slower
+  * re-implementation of the decoder.
   */
 class GraftOrcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-orc"

@@ -70,6 +70,15 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(stats.numRows().getAsLong === builtin.count())
   }
 
+  test("nested types (map/list) read identically through graft-orc") {
+    val p = TestSpark.resource("map_list.snappy.orc")
+    val a = spark.read.format("graft-orc").load(p).collect()
+    val b = spark.read.orc(p).collect()
+    assert(a === b)
+    assert(a.head.getAs[Map[String, String]]("m") ===
+      Map("zero" -> "0", "one" -> "1"))
+  }
+
   test("stripe-aligned splits: a multi-stripe file fans out to multiple partitions") {
     val hc = spark.sparkContext.hadoopConfiguration
     val dir = java.nio.file.Files.createTempDirectory("graft-stripes").toString

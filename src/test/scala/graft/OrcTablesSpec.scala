@@ -70,6 +70,26 @@ class OrcTablesSpec extends AnyFunSuite {
     assert(cs.forall(_._2 > 0)) // every column has values
   }
 
+  test("tuned writer: stripe size and bloom filters land in the files") {
+    val out = java.nio.file.Files.createTempDirectory("graft-tuned").toString
+    OrcTables.writeTuned(
+      spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet").coalesce(1),
+      out, stripeSizeBytes = Some(65536),
+      bloomFilterColumns = Seq("l_orderkey"))
+    val back = OrcTables.read(spark, out)
+    assert(back.count() ===
+      spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet").count())
+    // multiple stripes prove the stripe-size option took effect
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(out), conf)
+    val orcFile = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath).filter(_.getName.endsWith(".orc")).head
+    val r = org.apache.orc.OrcFile.createReader(orcFile,
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try assert(r.getStripes.size() > 1, s"stripes=${r.getStripes.size()}")
+    finally r.close()
+  }
+
   test("register binds *.orc files as temp views") {
     val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
     OrcTables.write(spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
