@@ -16,7 +16,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryDef] =
     Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++
-      Similarity.defs ++ Multimodal.defs ++ TypedOps.defs
+      Similarity.defs ++ Multimodal.defs ++ TypedOps.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregate + ordering over the ORC round-trip scan path —

@@ -26,6 +26,18 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("GraftExtensions: functions callable from SQL, builder injection works") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_rolling_hash('abc') AS h, graft_cjk_count('大熊 and cat') AS c")
+      .collect().head
+    assert(r.getLong(1) === 2L)
+    // builder-level injection path constructs without error
+    val ext = new GraftExtensions
+    assert(GraftExtensions.functions.size === 6)
+    assert(ext != null)
+  }
+
   test("csvToOrc round-trips a delimited file with inferred schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     java.nio.file.Files.writeString(dir.resolve("data.dat"),
