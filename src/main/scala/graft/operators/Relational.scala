@@ -610,6 +610,28 @@ object Relational {
       Some(s"""SELECT l_linestatus, count(*) AS n,
               |  ${oDsum("l_quantity", "sum_qty")}
               |FROM lineitem WHERE l_returnflag = 'R'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q30
+    // Co-located bucketed join: lineitem and orders bucketed+sorted on the
+    // join key into the same bucket count — the SortMergeJoin runs with
+    // ZERO shuffle exchanges (bucket pruning of the Exchange is asserted
+    // by probe). At 100 TB this is the fact-to-fact join answer: pay the
+    // shuffle once at layout time, never per query.
+    QueryDef("q30_bucketed_join",
+      (s, d) => {
+        val li = s.table(OrcData.bucketedTable(s, d, "lineitem", "l_orderkey"))
+        val o = s.table(OrcData.bucketedTable(s, d, "orders", "o_orderkey"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |  ${oDsum("l_quantity", "sum_qty")}
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderstatus = 'F'
               |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

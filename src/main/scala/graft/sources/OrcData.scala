@@ -36,6 +36,25 @@ object OrcData {
           opts: Map[String, String] = Map.empty): DataFrame =
     OrcTables.read(spark, orcPath(spark, sfDir, table), opts)
 
+  /** Bucketed+sorted table (the reference's `--sorted` hint analogue and
+    * the co-located-join layout): both sides of a join bucketed by the key
+    * into the same bucket count join WITHOUT a shuffle exchange. Created
+    * in the session catalog on first use (bucket metadata lives in the
+    * catalog, so this is per-session).
+    */
+  def bucketedTable(spark: SparkSession, sfDir: String, table: String,
+                    key: String, buckets: Int = 8): String = {
+    val name = s"graft_${table}_by_${key}_b$buckets"
+    if (!spark.catalog.tableExists(name)) {
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$root/${sanitized(sfDir)}/bucketed_$name")
+        .saveAsTable(name)
+    }
+    name
+  }
+
   /** Hive-style partitioned ORC copy (`<out>/<col>=<v>/...`), converting on
     * first use — the layout that makes Catalyst partition-prune scans.
     */

@@ -65,6 +65,19 @@ class OperatorsSpec extends AnyFunSuite {
       Tables.customer(spark, sf).count())
   }
 
+  test("q30 bucketed join plans with zero exchanges below the join") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.queries("q30_bucketed_join")(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange"),
+        "bucketed join must not shuffle: " + belowJoin.take(400))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q19 ORC roundtrip agg equals parquet-direct agg") {
     val orc = q("q19_orc_roundtrip").collect().toSeq
     val pq = Tables.lineitem(spark, sf)
