@@ -2,7 +2,15 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
+
+/** Raw events row (nanos kept as long). */
+case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+/** Custom state carried across micro-batches per user. */
+case class UserRunning(nEvents: Long, sumValue: Double)
 
 /** Structured Streaming over the `events` table.
   *
@@ -38,6 +46,33 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
+
+  /** Arbitrary stateful processing: per-user running totals via
+    * `mapGroupsWithState` — the custom-state API for logic windows can't
+    * express. State is a typed case class persisted by the state store
+    * across micro-batches; output mode must be Update.
+    */
+  def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .as[RawEvent]
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[RawEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(0L, 0.0))
+          var n = prev.nEvents
+          var sum = prev.sumValue
+          it.foreach { e => n += 1; sum += e.value }
+          state.update(UserRunning(n, sum))
+          (uid, n, sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
   }
 
   /** Sessionized running aggregate per user via flatMapGroupsWithState-free

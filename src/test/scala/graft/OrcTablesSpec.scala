@@ -100,6 +100,19 @@ class OrcTablesSpec extends AnyFunSuite {
       spark.read.parquet(s"${TestSpark.sf0001}/region.parquet").count())
   }
 
+  test("multi-file schema merge conflict raises an error (file_format.rs:157-161)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-conflict").toString
+    val one = spark.range(3).select(col("id"), lit("s").as("v"))
+    val two = spark.range(3).select(col("id"), lit(1.5).as("v")) // v: double vs string
+    one.coalesce(1).write.orc(s"$dir/a.orc")
+    two.coalesce(1).write.orc(s"$dir/b.orc")
+    val e = intercept[Exception] {
+      OrcTables.read(spark, dir, Map("orc.merge_schema" -> "true")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("scan efficiency < 1.0 for a single-column projection (metrics.rs:203-217)") {
     val p = OrcData.orcPath(spark, TestSpark.sf0001, "lineitem")
     val eff = OrcStatistics.scanEfficiency(spark, p) {

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale-critical physical properties
+  * (pushdown, pruning, broadcasts, shuffle counts) asserted so a future
+  * refactor cannot silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    // pushed filter list is truncated in toString; the prefix proves pushdown
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(600))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(900))
+    // pruned read schema: only the needed columns (6 of 11)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double"), p.take(900))
+  }
+
+  test("q03: all three dimension joins broadcast (no shuffle joins)") {
+    val p = plan("q03_star_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q04_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q29: partition-column filter becomes pure partition pruning") {
+    val p = plan("q29_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p.take(900))
+    assert(p.contains("(l_returnflag"), p.take(900))
+    // no data filter remains for the partition column
+    assert(p.contains("DataFilters: []"), p.take(900))
+  }
+
+  test("q05/q06: semi and anti joins plan as such") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q26: non-equi band join plans as broadcast nested loop") {
+    val p = plan("q26_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("dd_minhash_lsh: candidate generation is an equi-join, not a cross join") {
+    val p = plan("dd_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+}

@@ -35,6 +35,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("mapGroupsWithState running totals cover every event exactly once") {
+    val q = EventStream.statefulUserTotals(spark, TestSpark.sf0001)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("st_stateful")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("st_stateful")
+    val batch = Tables.events(spark, TestSpark.sf0001)
+    assert(out.agg(sum($"n_events")).as[Long].collect().head === batch.count())
+    assert(out.count() ===
+      batch.select($"user_id").distinct().count())
+  }
+
   test("session windows produce per-user sessions") {
     val q = EventStream.sessionCounts(spark, TestSpark.sf0001)
       .writeStream.outputMode("complete")
