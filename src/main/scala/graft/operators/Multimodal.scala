@@ -24,6 +24,14 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("entropy_proxy", LongType, nullable = false)))
 
+  /** Output schema of the frame sampler. */
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_sampled", LongType, nullable = false),
+    StructField("sampled_bytes", LongType, nullable = false),
+    StructField("first_frame", BinaryType, nullable = true)))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------ metadata
@@ -81,6 +89,45 @@ object Multimodal {
           }
         }
         spark.createDataFrame(rdd, featureSchema).orderBy(col("doc_id"))
+      },
+      None),
+
+    // ------------------------------------------------------------ frames
+    // STUB FRAME SAMPLER: stands in for video frame-sampling — the payload
+    // is chunked into fixed-size "frames" (64 B here; real frames come
+    // from the container format) and every 4th frame is kept. The Spark
+    // plumbing (binary in, frame batch shape out, per-partition iteration,
+    // zero shuffle) is the real thing a codec-backed sampler would use.
+    QueryDef("mm_frame_sample",
+      (s, d) => {
+        val spark = s
+        val binDf = Tables.documents(spark, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val rdd = binDf.queryExecution.toRdd.mapPartitions { iter =>
+          iter.map { ir =>
+            val docId = ir.getLong(0)
+            val bytes = ir.getBinary(1)
+            val frameSize = 64
+            val nFrames = (bytes.length + frameSize - 1) / frameSize
+            var sampled = 0L
+            var sampledBytes = 0L
+            var first: Array[Byte] = null
+            var f = 0
+            while (f < nFrames) {
+              if (f % 4 == 0) { // keep every 4th frame
+                val start = f * frameSize
+                val len = math.min(frameSize, bytes.length - start)
+                if (first == null)
+                  first = java.util.Arrays.copyOfRange(bytes, start, start + len)
+                sampled += 1
+                sampledBytes += len
+              }
+              f += 1
+            }
+            Row(docId, nFrames.toLong, sampled, sampledBytes, first)
+          }
+        }
+        spark.createDataFrame(rdd, frameSchema).orderBy(col("doc_id"))
       },
       None)
   )

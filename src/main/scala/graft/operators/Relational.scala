@@ -632,6 +632,26 @@ object Relational {
               |  ${oDsum("l_quantity", "sum_qty")}
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |WHERE o_orderstatus = 'F'
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q31
+    // Semi-structured JSON column: extract a field from the events.props
+    // JSON payload and aggregate — get_json_object is codegen'd and stays
+    // a narrow map before the grouped aggregation.
+    QueryDef("q31_json_extract",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
