@@ -652,6 +652,28 @@ object Relational {
              |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
              |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q32
+    // Correlated scalar subquery — Catalyst decorrelates
+    // (RewriteCorrelatedScalarSubquery) into an aggregate + join; written
+    // via spark.sql because correlation is a SQL-surface feature.
+    QueryDef("q32_correlated_subquery",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        s.sql("""
+          |SELECT p_brand, p_partkey, p_retailprice
+          |FROM v_part p
+          |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+          |                       FROM v_part p2
+          |                       WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_brand, p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice
+             |FROM part p
+             |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+             |                       FROM part p2
+             |                       WHERE p2.p_brand = p.p_brand)
+             |ORDER BY p_brand, p_partkey""".stripMargin))
   )
 }
