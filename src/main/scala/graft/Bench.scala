@@ -117,10 +117,35 @@ object Bench {
       name -> iters.head.elapsedMs / 1e3
     }
 
+    // A12 tie-in: run one graft-orc scan and surface its custom scan
+    // metrics (bytes/rows/batches/files) in the detail artifact, like the
+    // reference's per-scan metrics JSON (metrics.rs:203-217).
+    def scanMetricsJson: String = try {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      val df = SparkEntry.queries("q24_graft_orc_source")(spark, sfDir)
+      df.collect() // execute THIS QueryExecution so its metrics populate
+      // AQE wraps executed subtrees in leaf QueryStageExec nodes; unwrap
+      def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
+        case b: BatchScanExec => Some(b)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case q: QueryStageExec => findScan(q.plan)
+        case other => other.children.iterator.flatMap(findScan).nextOption()
+      }
+      findScan(df.queryExecution.executedPlan).map { b =>
+        b.metrics.collect {
+          case (name, m) if name.startsWith("graft") => s""""$name":${m.value}"""
+        }.mkString("{", ",", "}")
+      }.getOrElse("{}")
+    } catch { case _: Throwable => "{}" }
+
     detailPath.foreach { p =>
       val ctx = s"""{"spark_version":"${spark.version}","num_cpus":$cpus,""" +
         s""""iterations":$iterations,"sf_dir":"$sfDir",""" +
-        s""""shuffle_partitions":$cpus,"aqe":true}"""
+        s""""shuffle_partitions":$cpus,"aqe":true,""" +
+        s""""graft_scan_metrics":$scanMetricsJson}"""
       val body = detail.map { case (q, is) =>
         val arr = is.map(i =>
           f"""{"elapsed_ms":${i.elapsedMs}%.1f,"row_count":${i.rows},"success":${i.success}}""")
