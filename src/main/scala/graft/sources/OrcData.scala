@@ -44,13 +44,18 @@ object OrcData {
     */
   def bucketedTable(spark: SparkSession, sfDir: String, table: String,
                     key: String, buckets: Int = 8): String = {
-    val name = s"graft_${table}_by_${key}_b$buckets"
-    if (!spark.catalog.tableExists(name)) {
-      spark.read.parquet(s"$sfDir/$table.parquet")
-        .write.mode("overwrite")
-        .bucketBy(buckets, key).sortBy(key)
-        .option("path", s"$root/${sanitized(sfDir)}/bucketed_$name")
-        .saveAsTable(name)
+    // sfDir is part of the identity: without it, two scale factors would
+    // collide on one catalog table and silently serve the wrong data
+    val sfTag = sanitized(sfDir).toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    val name = s"graft_${sfTag}_${table}_by_${key}_b$buckets"
+    lock.synchronized {
+      if (!spark.catalog.tableExists(name)) {
+        spark.read.parquet(s"$sfDir/$table.parquet")
+          .write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", s"$root/${sanitized(sfDir)}/bucketed_$name")
+          .saveAsTable(name)
+      }
     }
     name
   }

@@ -52,10 +52,13 @@ object OrcStatistics {
     val reader = OrcFile.createReader(files.head, OrcFile.readerOptions(conf))
     try {
       val schema = reader.getSchema
-      val stats = reader.getStatistics // index 0 = root struct
+      val stats = reader.getStatistics // indexed by flattened column id
       val names = schema.getFieldNames
+      val children = schema.getChildren
       (0 until names.size()).map { i =>
-        val s = stats(i + 1)
+        // nested types occupy a range of flattened ids — getId gives the
+        // top-level field's own id (i+1 is only correct for flat schemas)
+        val s = stats(children.get(i).getId)
         (names.get(i), s.getNumberOfValues, s.hasNull, s.toString)
       }
     } finally reader.close()

@@ -64,19 +64,26 @@ object OrcTables {
   /** A configured reader: options map onto Spark's native knobs
     * (`orc.batch_size` -> columnarReaderBatchSize via session conf,
     * `orc.pushdown_predicate` -> spark.sql.orc.filterPushdown).
+    *
+    * NOTE these two are SESSION confs in Spark (the built-in source has no
+    * per-read equivalent — they're read at execution, so save/restore
+    * around construction would not scope them). They are therefore only
+    * touched when the caller explicitly passed the option, mirroring the
+    * reference where options configure the registered table.
     */
-  def reader(spark: SparkSession, o: OrcReadOptions = OrcReadOptions()): DataFrameReader = {
-    // These two are session confs, not per-read options, in Spark.
+  def reader(spark: SparkSession, o: OrcReadOptions = OrcReadOptions(),
+             explicitKeys: Set[String] = Set.empty): DataFrameReader = {
     o.batchSize.foreach(b =>
       spark.conf.set("spark.sql.orc.columnarReaderBatchSize", b.toString))
-    spark.conf.set("spark.sql.orc.filterPushdown", o.pushdownPredicate.toString)
+    if (explicitKeys.contains("orc.pushdown_predicate"))
+      spark.conf.set("spark.sql.orc.filterPushdown", o.pushdownPredicate.toString)
     val r = spark.read.format("orc")
     if (o.mergeSchema) r.option("mergeSchema", "true") else r
   }
 
   def read(spark: SparkSession, path: String,
            opts: Map[String, String] = Map.empty): DataFrame =
-    reader(spark, parseOptions(opts)).load(path)
+    reader(spark, parseOptions(opts), opts.keySet).load(path)
 
   /** Schema inference without reading data — footer-only, like
     * `read_orc_schema` (src/metadata.rs:35-58). Multi-file dirs merge
@@ -84,7 +91,11 @@ object OrcTables {
     * Schema::try_merge error semantics at src/file_format.rs:157-161).
     */
   def inferSchema(spark: SparkSession, path: String): StructType =
-    reader(spark, OrcReadOptions(mergeSchema = true)).load(path).schema
+    inferSchema(spark, Seq(path))
+
+  /** Multi-path variant: schemas merge across every path's files. */
+  def inferSchema(spark: SparkSession, paths: Seq[String]): StructType =
+    reader(spark, OrcReadOptions(mergeSchema = true)).load(paths: _*).schema
 
   /** Register every `<name>.orc` file/dir under `dir` as a temp view —
     * the analogue of ListingTable registration

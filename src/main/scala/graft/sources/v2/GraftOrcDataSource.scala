@@ -53,24 +53,37 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-orc"
   override def supportsExternalMetadata(): Boolean = true
 
-  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    (single ++ multi).distinct
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val ps = paths(options)
+    val ps = GraftOrcDataSource.paths(options)
     require(ps.nonEmpty, "graft-orc: no path specified")
-    // A2: merge schemas across all files (conflict => AnalysisException)
-    graft.sources.OrcTables.inferSchema(spark, ps.head)
+    // A2: merge schemas across ALL paths/files (conflict => AnalysisException)
+    graft.sources.OrcTables.inferSchema(spark, ps)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new GraftOrcTable(schema, properties.asScala.toMap)
+}
+
+object GraftOrcDataSource {
+  /** Resolve load paths: Spark passes `load(p1, p2, ...)` as a JSON string
+    * array under the "paths" option (DataSourceV2Utils.getOptionsWithPaths)
+    * and a single `load(p)` under "path".
+    */
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap(parseJsonArray)
+    (single ++ multi).distinct
+  }
+
+  private[v2] def parseJsonArray(s: String): Seq[String] = {
+    val t = s.trim
+    if (t.startsWith("[")) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(t, classOf[Array[String]]).toSeq
+    } else t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
 }
 
 class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
@@ -116,10 +129,9 @@ class GraftOrcScanBuilder(dataSchema: StructType,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
   override def build(): Scan = {
-    val path = Option(options.get("path"))
-      .orElse(Option(options.get("paths")))
-      .getOrElse(throw new IllegalArgumentException("graft-orc: no path"))
-    new GraftOrcScan(dataSchema, readSchema, pushed, limit, path,
+    val ps = GraftOrcDataSource.paths(options)
+    if (ps.isEmpty) throw new IllegalArgumentException("graft-orc: no path")
+    new GraftOrcScan(dataSchema, readSchema, pushed, limit, ps,
       options.asCaseSensitiveMap().asScala.toMap)
   }
 }
@@ -129,12 +141,12 @@ case class GraftOrcInputPartition(filePath: String, start: Long, length: Long)
 
 class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
                    pushedFilters: Array[Filter], limit: Option[Int],
-                   path: String, options: Map[String, String])
+                   paths: Seq[String], options: Map[String, String])
     extends Scan with Batch with SupportsReportStatistics {
 
   private def spark = SparkSession.active
 
-  private lazy val files: Seq[(String, Long)] = {
+  private lazy val files: Seq[(String, Long)] = paths.flatMap { path =>
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
@@ -149,14 +161,15 @@ class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"GraftOrcScan path=$path, pushedFilters=${pushedFilters.mkString("[", ",", "]")}, " +
-      s"limit=$limit"
+    s"GraftOrcScan path=${paths.mkString(",")}, " +
+      s"pushedFilters=${pushedFilters.mkString("[", ",", "]")}, limit=$limit"
 
   // A3: exact footer statistics (rows + bytes); like the reference, the
   // estimate degrades to size-only exactness when a filter is pushed
   // (src/source.rs:212-230 to_inexact): we still report the raw counts —
-  // Catalyst treats DSv2 stats as estimates.
-  override def estimateStatistics(): Statistics = {
+  // Catalyst treats DSv2 stats as estimates. Footer sweep is done once
+  // and cached (Catalyst may ask repeatedly during planning).
+  private lazy val footerStats: (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     var rows = 0L
     var bytes = 0L
@@ -165,8 +178,11 @@ class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
       val r = OrcFile.createReader(new Path(f), OrcFile.readerOptions(conf))
       try rows += r.getNumberOfRows finally r.close()
     }
-    val r = rows
-    val b = bytes
+    (rows, bytes)
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val (r, b) = footerStats
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
       override def numRows(): OptionalLong = OptionalLong.of(r)
@@ -208,11 +224,17 @@ class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val batchSize = options.get("orc.batch_size").map(_.toInt).getOrElse(4096)
-    val pushdownEnabled = options.get("orc.pushdown_predicate")
-      .forall(_.toBoolean)
+    // same typed option semantics as the A13 contract (OrcTables)
+    val parsed = graft.sources.OrcTables.parseOptions(options)
+    val batchSize = parsed.batchSize.getOrElse(4096)
+    // ship the session Hadoop configuration to executor-side readers
+    // (fs.* credentials, orc.* tuning) — a bare new Configuration() would
+    // drop s3a/gcs settings on a real cluster
+    val serConf = org.apache.spark.GraftSparkBridge.serializableConf(
+      spark.sparkContext.hadoopConfiguration)
     new GraftOrcPartitionReaderFactory(dataSchema, readSchema,
-      if (pushdownEnabled) pushedFilters else Array.empty, limit, batchSize)
+      if (parsed.pushdownPredicate) pushedFilters else Array.empty,
+      limit, batchSize, serConf)
   }
 
   // A12: custom scan metrics, mirroring the reference's metric names.
@@ -248,7 +270,8 @@ case class GraftTaskMetric(name: String, value: Long) extends CustomTaskMetric
 class GraftOrcPartitionReaderFactory(dataSchema: StructType,
                                      readSchema: StructType,
                                      pushedFilters: Array[Filter],
-                                     limit: Option[Int], batchSize: Int)
+                                     limit: Option[Int], batchSize: Int,
+                                     serConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -260,7 +283,8 @@ class GraftOrcPartitionReaderFactory(dataSchema: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftOrcInputPartition]
-    val conf = new Configuration()
+    // per-reader copy of the shipped session conf (mutated below)
+    val conf = new Configuration(serConf.value)
     // A9: SARG prunes stripes/row-groups only; row-level filtering stays
     // with Catalyst's residual Filter
     OrcConf.ALLOW_SARG_TO_FILTER.setBoolean(conf, false)
