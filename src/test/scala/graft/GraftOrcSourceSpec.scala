@@ -70,6 +70,13 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(stats.numRows().getAsLong === builtin.count())
   }
 
+  test("multi-path load unions files across paths (JSON 'paths' array)") {
+    val p2 = java.nio.file.Files.createTempDirectory("graft-mp").toString
+    spark.read.orc(orcPath).limit(100).write.mode("overwrite").orc(p2)
+    val merged = spark.read.format("graft-orc").load(orcPath, p2)
+    assert(merged.count() === builtin.count() + 100)
+  }
+
   test("nested types (map/list) read identically through graft-orc") {
     val p = TestSpark.resource("map_list.snappy.orc")
     val a = spark.read.format("graft-orc").load(p).collect()

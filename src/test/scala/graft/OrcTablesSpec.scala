@@ -70,6 +70,18 @@ class OrcTablesSpec extends AnyFunSuite {
     assert(cs.forall(_._2 > 0)) // every column has values
   }
 
+  test("column statistics align with names on NESTED schemas (flattened ids)") {
+    // map_list: id(long), m(map), l(list), s(string) — nested cols occupy
+    // id ranges, so naive i+1 indexing would misattribute stats
+    val cs = OrcStatistics.columnStats(spark,
+      TestSpark.resource("map_list.snappy.orc"))
+    assert(cs.map(_._1) === Seq("id", "m", "l", "s"))
+    val sStats = cs.find(_._1 == "s").get
+    assert(sStats._4.contains("blaze"), sStats.toString) // string min/max
+    val idStats = cs.find(_._1 == "id").get
+    assert(idStats._4.contains("1"), idStats.toString) // long min/max
+  }
+
   test("tuned writer: stripe size and bloom filters land in the files") {
     val out = java.nio.file.Files.createTempDirectory("graft-tuned").toString
     OrcTables.writeTuned(
