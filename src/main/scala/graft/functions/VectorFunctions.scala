@@ -44,15 +44,22 @@ object VectorFunctions {
     * Scale path: computing the key is a narrow map; the subsequent
     * bucket-join replaces the O(n^2) cross join with a shuffle on the key.
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column = {
-    // Deterministic pseudo-random component for plane p, dim j in [-1, 1):
-    // a Weyl-sequence style mix, identical across sessions.
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int,
+                       planeOffset: Int = 0): Column = {
+    // Deterministic pseudo-random component for plane p, dim j in [-1, 1).
+    // splitmix64-style finalizer: a linear mix here (tried first) produced
+    // LINEARLY CORRELATED planes whose sign-bits collapsed the bucket
+    // space — 797M candidate pairs at 20k vectors; a full-avalanche mix
+    // restores iid-ish components and near-uniform buckets.
     def comp(p: Int, j: Int): Double = {
-      val x = (p * 2654435761L + j * 40503L + 12345L) & 0xffffffffL
-      (x.toDouble / 2147483648.0) - 1.0
+      var z = (p.toLong * 64 + j) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b5L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      z.toDouble / 9.223372036854776e18
     }
     val bits = (0 until planes).map { p =>
-      val plane = Array.tabulate(dims)(j => comp(p, j).toFloat)
+      val plane = Array.tabulate(dims)(j => comp(planeOffset + p, j).toFloat)
       val proj = NativeExpressions.dot(vec, typedlit(plane))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -60,6 +60,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missed: ${exact.diff(cands).take(5)}")
   }
 
+  test("embedding LSH near-dups are a subset of the exact pairs with nonzero recall") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val lsh = Dedup.embedLshNearDups(e, 0.45).as[(Long, Long)].collect().toSet
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_v"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("b_v"))
+    val exact = a.crossJoin(b).filter($"a_id" < $"b_id")
+      .filter(graft.functions.VectorFunctions.cosine($"a_v", $"b_v") >= 0.45)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
+    if (exact.nonEmpty) assert(lsh.nonEmpty, "zero recall at threshold 0.45")
+  }
+
   test("cosine identities: self=1, orthogonal=0, scale-invariant") {
     val df = Seq(
       (Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
