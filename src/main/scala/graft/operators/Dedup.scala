@@ -141,14 +141,11 @@ object Dedup {
     QueryDef("dd_jaccard_pairs",
       (s, d) => {
         val ds = docsets(Tables.documents(s, d).filter(col("doc_id") < 120))
-        val a = ds.select(col("doc_id").as("a_id"), col("tokset").as("a_toks"))
-        val b = ds.select(col("doc_id").as("b_id"), col("tokset").as("b_toks"))
-        a.crossJoin(b).filter(col("a_id") < col("b_id"))
-          .withColumn("jac",
-            size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-              size(array_union(col("a_toks"), col("b_toks"))))
+        val pairs = ds.select(col("doc_id").as("a_id"))
+          .crossJoin(ds.select(col("doc_id").as("b_id")))
+          .filter(col("a_id") < col("b_id"))
+        withJaccard(pairs, ds)
           .filter(col("jac") >= 0.5)
-          .select(col("a_id"), col("b_id"), col("jac"))
           .orderBy(col("a_id"), col("b_id"))
       },
       Some("""SELECT a_id, b_id, jac FROM (
@@ -163,7 +160,7 @@ object Dedup {
              |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin)),
 
     // ------------------------------------------------------------ minhash
-    // MinHash+LSH near-dup: shingle -> 32-perm signature -> 16x2 band
+    // MinHash+LSH near-dup: shingle -> 32-perm signature -> 8x4 band
     // join -> exact-Jaccard verification of candidates only. xxhash64 is
     // engine-specific => rows-only driver check; the algebra is unit-tested
     // against dd_jaccard_pairs (LSH candidates must be a superset of

@@ -23,8 +23,7 @@ object Pipeline {
       (s, d) => {
         val docs = Tables.documents(s, d).select(
           col("doc_id"),
-          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-            .cast("long").as("n_tokens"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"),
           md5(col("text").cast("binary")).as("fp"))
         val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
         docs.withColumn("rn", row_number().over(w))

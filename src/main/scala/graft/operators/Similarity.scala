@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -9,17 +10,34 @@ import graft.functions.VectorFunctions._
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
   * table (`Array[Float]`, 64 dims).
   *
-  * Two tiers, per the pipeline brief:
+  * Three tiers, per the pipeline brief:
   *  - `ss_topk_bruteforce`: exact cosine top-k — the correctness baseline,
   *    oracle-checked against DuckDB's list_cosine_similarity;
   *  - `ss_ann_lsh`: random-hyperplane LSH buckets -> candidate join ->
-  *    exact rerank. At 100 TB the bucket join replaces the O(n*q) cross
-  *    join; recall is tunable via the number of hyperplanes / probes.
+  *    exact rerank (bucket join replaces the O(n*q) cross join);
+  *  - `ss_ann_ivf`: IVF-lite coarse-centroid cells with probe-2 search.
+  * All three share one rerank epilogue so their ranking contracts cannot
+  * drift apart.
   */
 object Similarity {
 
   private val TopK = 8
   private val NumQueries = 5
+
+  /** Shared exact-rerank epilogue: expects (q_id, n_id, q_v, n_v) candidate
+    * rows; scores by cosine, ranks per query with vec-id tie-break, keeps
+    * the top k.
+    */
+  private def rerank(cands: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    cands.filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -35,17 +53,8 @@ object Similarity {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("n_id"))
-        e.select(col("vec_id").as("n_id"), col("embedding").as("n_v"))
-          .crossJoin(broadcast(q))
-          .filter(col("n_id") =!= col("q_id"))
-          .withColumn("score", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("n_id"))
-          .orderBy(col("q_id"), col("rank"))
+        rerank(e.select(col("vec_id").as("n_id"), col("embedding").as("n_v"))
+          .crossJoin(broadcast(q)))
       },
       Some(s"""SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM (
               |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
@@ -57,23 +66,19 @@ object Similarity {
               |  WHERE e.vec_id <> q.vec_id) t
               |WHERE rn <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
-    // ------------------------------------------------------------ LSH ANN
-    // Random-hyperplane LSH: 8 sign bits -> 256 buckets; queries probe
-    // their own bucket; candidates reranked exactly. Engine-specific
-    // bucketing => rows-only driver check; recall vs the brute-force
-    // baseline is asserted in ScalaTest.
+    // ------------------------------------------------------------ IVF ANN
+    // IVF-lite: 16 deterministic coarse centroids (the first 16 vectors
+    // themselves — at scale these come from a k-means fit job), every
+    // vector assigned to its nearest centroid (one broadcast pass),
+    // queries probe their 2 nearest cells, exact rerank inside cells.
+    // The cell equi-join replaces the O(n*q) cross join; probes trade
+    // recall for cells scanned. Engine-specific cells => rows-only check.
     QueryDef("ss_ann_ivf",
       (s, d) => {
-        // IVF-lite: 16 deterministic coarse centroids (the first 16 vectors
-        // themselves — at scale these come from a k-means fit job), every
-        // vector assigned to its nearest centroid (one broadcast pass),
-        // queries probe their 2 nearest cells, exact rerank inside cells.
-        // The cell equi-join replaces the O(n*q) cross join; probes trade
-        // recall for cells scanned.
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
-        def nearestCells(vecs: org.apache.spark.sql.DataFrame, idC: String,
+        def nearestCells(vecs: DataFrame, idC: String,
                          vC: String, probes: Int) = {
           val w = Window.partitionBy(col(idC))
             .orderBy(col("c_sim").desc, col("c_id"))
@@ -90,19 +95,15 @@ object Similarity {
           e.filter(col("vec_id") < NumQueries)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_v")),
           "q_id", "q_v", probes = 2)
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("n_id"))
-        assigned.join(broadcast(q), Seq("c_id"))
-          .filter(col("n_id") =!= col("q_id"))
-          .withColumn("score", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("n_id"))
-          .orderBy(col("q_id"), col("rank"))
+        rerank(assigned.join(broadcast(q), Seq("c_id")))
       },
       None),
 
+    // ------------------------------------------------------------ LSH ANN
+    // Random-hyperplane LSH: 8 sign bits -> 256 buckets; queries probe
+    // their own bucket; candidates reranked exactly. Engine-specific
+    // bucketing => rows-only driver check; recall vs the brute-force
+    // baseline is asserted in ScalaTest.
     QueryDef("ss_ann_lsh",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -110,18 +111,9 @@ object Similarity {
         val q = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
             col("bucket"))
-        val cand = e.select(col("vec_id").as("n_id"),
+        rerank(e.select(col("vec_id").as("n_id"),
             col("embedding").as("n_v"), col("bucket"))
-          .join(broadcast(q), Seq("bucket"))
-          .filter(col("n_id") =!= col("q_id"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("n_id"))
-        cand.withColumn("score", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("n_id"))
-          .orderBy(col("q_id"), col("rank"))
+          .join(broadcast(q), Seq("bucket")))
       },
       None)
   )

@@ -18,12 +18,19 @@ object SkewJoin {
   def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
                       salt: Int): DataFrame = {
     require(salt > 0)
-    // deterministic pseudo-random salt per row (content-independent rows
-    // of the hot key spread uniformly)
-    val salted = large.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
-    val replicated = small.withColumn("_salt",
+    require(!large.columns.contains("_graft_salt") &&
+      !small.columns.contains("_graft_salt"),
+      "inputs must not contain a _graft_salt column")
+    // Salt must be DETERMINISTIC under task retry (monotonically_
+    // increasing_id / rand reshuffle rows on recomputation and would
+    // lose/duplicate join rows after an executor failure): derive it from
+    // full row content. Identical rows share a salt — they would hash to
+    // the same reducer in a plain join anyway.
+    val salted = large.withColumn("_graft_salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(salt.toLong)))
+    val replicated = small.withColumn("_graft_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")
+    salted.join(replicated, Seq(key, "_graft_salt"), "inner")
+      .drop("_graft_salt")
   }
 }

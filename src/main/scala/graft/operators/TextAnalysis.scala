@@ -14,8 +14,10 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Non-whitespace token count — identical regex semantics on both engines. */
-  private def nTokens(c: Column): Column =
+  /** Non-whitespace token count — identical regex semantics on both engines.
+    * Shared with Pipeline's quality gate so token semantics cannot drift.
+    */
+  private[operators] def nTokens(c: Column): Column =
     size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
 
   // Language-profile keyword sets for the language-ID heuristic. The Spark
@@ -70,11 +72,14 @@ object TextAnalysis {
           lit("\\b(the|a|and|of|to|in|is|it)\\b"), lit(0))).cast("long")
         val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
           .cast("long")
+        // divide by nullif(toks,0): Spark's div-by-zero NULL vs DuckDB's
+        // IEEE inf would diverge on a zero-token document — nullif makes
+        // both engines yield NULL
         Tables.documents(s, d).select(
             col("doc_id"), toks.as("n_tokens"), stops.as("n_stopwords"),
             digits.as("n_digits"),
-            (stops.cast("double") / toks).as("stopword_ratio"),
-            (length(t).cast("double") / toks).as("avg_token_len"))
+            (stops.cast("double") / nullif(toks, lit(0))).as("stopword_ratio"),
+            (length(t).cast("double") / nullif(toks, lit(0))).as("avg_token_len"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
@@ -82,9 +87,9 @@ object TextAnalysis {
              |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS BIGINT) AS n_stopwords,
              |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
              |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
-             |    / len(regexp_extract_all(text, '\S+')) AS stopword_ratio,
+             |    / nullif(len(regexp_extract_all(text, '\S+')), 0) AS stopword_ratio,
              |  CAST(length(text) AS DOUBLE)
-             |    / len(regexp_extract_all(text, '\S+')) AS avg_token_len
+             |    / nullif(len(regexp_extract_all(text, '\S+')), 0) AS avg_token_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------ lang id
@@ -119,8 +124,7 @@ object TextAnalysis {
       },
       Some {
         val scoreSql = langProfiles.map { case (lang, re) =>
-          val duckRe = re.replace("\\b", "\\b") // same RE2/Java syntax
-          s"CAST(len(regexp_extract_all(text, '$duckRe')) AS BIGINT) AS sc_$lang"
+            s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS sc_$lang" // same RE2/Java syntax
         }.mkString(",\n  ")
         // argmax with the same precedence order as the Scala fold:
         // later profile wins only on strictly greater score.
@@ -154,12 +158,6 @@ object TextAnalysis {
       Some("""SELECT doc_id, md5(text) AS fp, substr(md5(text),1,1) AS shard
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ------------------------------------------------------------ rolling
-    // Custom codegen'd Catalyst expression (graft.functions.NativeExpressions
-    // .RollingHash): 64-bit FNV-1a rolling hash over UTF-8 bytes — the
-    // cheap fingerprint for shard-and-dedup at scale. Engine-specific
-    // (no DuckDB analogue) => rows-only driver check; unit-tested against
-    // a JVM-side reference implementation.
     // ------------------------------------------------------------ vocab
     // Corpus vocabulary: explode words -> count -> top-50. The generator
     // (explode) plus partial-aggregated count is the canonical vocab-build
@@ -196,6 +194,12 @@ object TextAnalysis {
              |  quantile_cont(n_chars, 0.75) AS q75
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ------------------------------------------------------------ rolling
+    // Custom codegen'd Catalyst expression (graft.functions.NativeExpressions
+    // .RollingHash): 64-bit FNV-1a rolling hash over UTF-8 bytes — the
+    // cheap fingerprint for shard-and-dedup at scale. Engine-specific
+    // (no DuckDB analogue) => rows-only driver check; unit-tested against
+    // a JVM-side reference implementation.
     QueryDef("ta_rolling_hash",
       (s, d) => {
         val rh = graft.functions.NativeExpressions.rollingHash(col("text"))
