@@ -31,7 +31,13 @@ def compare(name, spark_df, duck_df):
         return f"ROWS {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
-        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+        a_f = np.issubdtype(a[c].dtype, np.floating)
+        b_f = np.issubdtype(b[c].dtype, np.floating)
+        # int64-vs-float64 asymmetry: values compare equal as floats but the
+        # driver hashes representations (round-1 q17/q21/q31 failure mode).
+        if a_f != b_f and not (a[c].dtype == object or b[c].dtype == object):
+            return f"DTYPE col {c}: {a[c].dtype} vs {b[c].dtype} (driver hash diverges)"
+        if a_f or b_f:
             af = pd.to_numeric(a[c], errors="coerce").values.astype(float)
             bf = pd.to_numeric(b[c], errors="coerce").values.astype(float)
             nan_ok = np.isnan(af) == np.isnan(bf)
@@ -55,6 +61,14 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
+    # Expected-query manifest: a query that fails before its parquet write
+    # leaves no output dir, so directory iteration alone would miss it.
+    names_path = os.path.join(out_dir, "query_names.json")
+    if os.path.exists(names_path):
+        with open(names_path) as f:
+            for name in json.load(f):
+                if not os.path.isdir(os.path.join(out_dir, name)):
+                    results[name] = "NO SPARK OUTPUT (query failed?)"
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if not os.path.isdir(p):
@@ -65,8 +79,10 @@ def main(sf_dir, out_dir):
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         if name not in oracles:
-            results[name] = f"rows-only: {len(spark_df)} rows" + \
-                (" (EMPTY!)" if len(spark_df) == 0 else "")
+            if len(spark_df) == 0:
+                results[name] = "EMPTY rows-only output"
+            else:
+                results[name] = f"rows-only: {len(spark_df)} rows"
             continue
         try:
             duck_df = con.sql(oracles[name]).df()

@@ -167,7 +167,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // When run under sbt, stdout lines get an "[info] " prefix that broke
+    // the driver's JSON-line parser in round 1 — also write the clean line
+    // to a file (BENCH_LAST.json next to the repo root, overridable).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -350,7 +350,7 @@ object Relational {
           .orderBy(col("user_id"))
       },
       Some("""SELECT user_id, count(*) AS n_events,
-             |  sum(gap) AS total_gap_us, max(gap) AS max_gap_us
+             |  CAST(sum(gap) AS BIGINT) AS total_gap_us, max(gap) AS max_gap_us
              |FROM (
              |  SELECT user_id, epoch_us(ts) -
              |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
@@ -429,7 +429,8 @@ object Relational {
             count(lit(1)).as("n_events"))
           .orderBy(col("user_id"))
       },
-      Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+      Some("""SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
              |FROM (
              |  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
              |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
@@ -649,7 +650,8 @@ object Relational {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS sum_k,
              |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
