@@ -81,8 +81,8 @@ object OrcStatistics {
     sc.addSparkListener(listener)
     try {
       scan // force the action
-      // listener delivery is async; give the bus a moment to drain
-      Thread.sleep(500)
+      // listener delivery is async; drain the bus deterministically
+      org.apache.spark.GraftSparkBridge.waitUntilListenerBusEmpty(sc)
     } finally sc.removeSparkListener(listener)
     val total = tableStats(spark, path).totalBytes.max(1L)
     acc.get().toDouble / total.toDouble

@@ -61,29 +61,34 @@ object OrcTables {
       mergeSchema = boolOpt("orc.merge_schema", dflt = false))
   }
 
-  /** A configured reader: options map onto Spark's native knobs
-    * (`orc.batch_size` -> columnarReaderBatchSize via session conf,
-    * `orc.pushdown_predicate` -> spark.sql.orc.filterPushdown).
-    *
-    * NOTE these two are SESSION confs in Spark (the built-in source has no
-    * per-read equivalent — they're read at execution, so save/restore
-    * around construction would not scope them). They are therefore only
-    * touched when the caller explicitly passed the option, mirroring the
-    * reference where options configure the registered table.
+  /** A configured reader over the built-in source (no per-scan option
+    * semantics — see [[read]] for option routing).
     */
   def reader(spark: SparkSession, o: OrcReadOptions = OrcReadOptions(),
              explicitKeys: Set[String] = Set.empty): DataFrameReader = {
-    o.batchSize.foreach(b =>
-      spark.conf.set("spark.sql.orc.columnarReaderBatchSize", b.toString))
-    if (explicitKeys.contains("orc.pushdown_predicate"))
-      spark.conf.set("spark.sql.orc.filterPushdown", o.pushdownPredicate.toString)
     val r = spark.read.format("orc")
     if (o.mergeSchema) r.option("mergeSchema", "true") else r
   }
 
+  /** Option-aware read. `orc.batch_size` / `orc.pushdown_predicate` have
+    * NO per-read equivalent on the built-in source (only session confs,
+    * read at execution time — setting them would leak into every later
+    * ORC read in the session). Reads carrying those options therefore
+    * route through the graft-orc DSv2 connector, where both are genuinely
+    * per-scan (`GraftOrcScan.createReaderFactory`); plain reads stay on
+    * the built-in source.
+    */
   def read(spark: SparkSession, path: String,
-           opts: Map[String, String] = Map.empty): DataFrame =
-    reader(spark, parseOptions(opts), opts.keySet).load(path)
+           opts: Map[String, String] = Map.empty): DataFrame = {
+    val o = parseOptions(opts) // validate eagerly: typed errors either way
+    val perScan = opts.contains("orc.batch_size") ||
+      opts.contains("orc.pushdown_predicate")
+    if (perScan) {
+      val r = spark.read.format("graft-orc")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(path)
+    } else reader(spark, o, opts.keySet).load(path)
+  }
 
   /** Schema inference without reading data — footer-only, like
     * `read_orc_schema` (src/metadata.rs:35-58). Multi-file dirs merge

@@ -5,7 +5,7 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.TaskType
 import org.apache.hadoop.mapreduce.lib.input.FileSplit
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -16,22 +16,25 @@ import org.apache.orc.mapred.OrcInputFormat
 import org.apache.spark.memory.MemoryMode
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.orc.{GraftOrcShims, OrcColumnarBatchReader}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft-orc`: a DataSource V2 ORC connector making the reference's scan
   * contracts explicit (SURVEY.md §2.A):
   *
   *  - A1  `DataSourceRegister.shortName = "graft-orc"`  (file_format.rs:41-86)
   *  - A2  multi-file schema inference                    (file_format.rs:137-162)
-  *  - A3  footer statistics -> `SupportsReportStatistics` (metadata.rs:60-86)
+  *  - A3  footer statistics -> `SupportsReportStatistics`, degraded to
+  *        size-only when a data filter is pushed          (source.rs:212-230)
   *  - A5  pushdown negotiation on the ScanBuilder         (source.rs:54-295)
   *  - A6  column pruning -> per-file ORC column ids       (opener.rs:139-153)
   *  - A7  limit pushdown with exact mid-batch truncation  (opener.rs:211-266)
@@ -39,12 +42,21 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *  - A9  INEXACT pushdown: stripe pruning only, every filter is returned
   *        as residual so Catalyst re-applies it row-level  (source.rs:257-289)
   *  - A10 per-file vectorized batch reader                (opener.rs:97-272)
-  *  - A12 scan metrics: bytes/rows/batches/files          (metrics.rs:52-218)
+  *  - A12 full scan-metric parity: bytes/file-size/io-requests/metadata-
+  *        time/stripes-pruned+matched/stats-eval-time/predicate-errors/
+  *        pushdown-rows-pruned+matched/decode-time/rows/batches
+  *        (metrics.rs:52-218 — the reference *defines* the stripe-pruning
+  *        counters but never drives them; here they are measured for real
+  *        by evaluating pushed filters against per-stripe statistics)
   *
-  * Scope: full type matrix including nested map/list/struct (Spark 4's
-  * vectorized reader handles nested columns); no hive-partition columns
-  * (plain file/dir layouts — partitioned layouts go through the built-in
-  * source, see q29); large files fan out into stripe-aligned splits.
+  * Hive-partition layouts (`.../k=v/...`) are discovered recursively with
+  * bounded-concurrency listing, partition values are materialized as
+  * constant columns, and partition filters prune files before planning
+  * (reference `partition_fields`: src/opener.rs:59, src/source.rs:171).
+  * Driver-side metadata work (listing, footer reads for stats and
+  * stripe-split planning) runs through a bounded pool
+  * (`graft.meta_fetch_concurrency`, default 32) — never one file at a time
+  * (reference meta_fetch_concurrency: src/file_format.rs:146-155).
   * Decode is delegated to Spark's vectorized `OrcColumnarBatchReader` —
   * the point of the rebuild is the connector protocol, not a slower
   * re-implementation of the decoder.
@@ -57,7 +69,9 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val ps = GraftOrcDataSource.paths(options)
     require(ps.nonEmpty, "graft-orc: no path specified")
-    // A2: merge schemas across ALL paths/files (conflict => AnalysisException)
+    // A2: merge schemas across ALL paths/files (conflict => AnalysisException);
+    // partitioned layouts get their inferred partition columns appended,
+    // consistent with Spark's partition-type inference.
     graft.sources.OrcTables.inferSchema(spark, ps)
   }
 
@@ -84,6 +98,31 @@ object GraftOrcDataSource {
       mapper.readValue(t, classOf[Array[String]]).toSeq
     } else t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** Parse a raw hive partition-value string to the EXTERNAL value used by
+    * driver-side pruning (plain JVM types the stats evaluator understands).
+    */
+  def externalPartitionValue(raw: String, dt: DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (raw == null) return null
+    try dt match {
+      case StringType => raw
+      case ByteType | ShortType | IntegerType | LongType => raw.trim.toLong
+      case FloatType | DoubleType => raw.trim.toDouble
+      case _: DecimalType => new java.math.BigDecimal(raw.trim)
+      case DateType => java.time.LocalDate.parse(raw.trim)
+      case BooleanType => raw.trim.toBoolean
+      case _ => raw
+    } catch { case _: RuntimeException => raw }
+  }
+
+  /** Parse a raw hive partition-value string to the INTERNAL (Catalyst)
+    * value placed in the reader's constant partition vectors.
+    */
+  def internalPartitionValue(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else Cast(Literal(UTF8String.fromString(raw), StringType), dt,
+      Some("UTC")).eval(InternalRow.empty)
 }
 
 class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
@@ -97,7 +136,11 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
     new GraftOrcScanBuilder(tableSchema, options)
 }
 
-/** A5: the pushdown negotiation surface. */
+/** A5: the pushdown negotiation surface. Filters referencing only partition
+  * columns are accepted for file-level pruning; the rest are accepted when
+  * SearchArgument-convertible (stripe-level pruning). ALL filters are
+  * reported back as residual (the reference's inexact-pushdown contract).
+  */
 class GraftOrcScanBuilder(dataSchema: StructType,
                           options: CaseInsensitiveStringMap)
     extends ScanBuilder
@@ -105,87 +148,139 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
-  private var readSchema: StructType = dataSchema
-  private var pushed: Array[Filter] = Array.empty
+  private val optionsMap = options.asCaseSensitiveMap().asScala.toMap
+  private[v2] val metaParallelism =
+    optionsMap.getOrElse("graft.meta_fetch_concurrency", "32").toInt
+
+  private[v2] lazy val fileIndex = new GraftOrcFileIndex(
+    SparkSession.active.sparkContext.hadoopConfiguration,
+    GraftOrcDataSource.paths(options), metaParallelism)
+
+  // partition columns = discovered k=v keys that exist in the table schema
+  private lazy val partitionSchema: StructType = {
+    val keys = fileIndex.partitionColumnNames.map(_.toLowerCase)
+    StructType(dataSchema.fields.filter(f => keys.contains(f.name.toLowerCase)))
+  }
+  private lazy val dataFileSchema: StructType = {
+    val part = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    StructType(dataSchema.fields.filterNot(f => part(f.name.toLowerCase)))
+  }
+
+  private var requested: StructType = dataSchema
+  private var partitionFilters: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
 
   // A6: column pruning
   override def pruneColumns(requiredSchema: StructType): Unit =
-    readSchema = StructType(requiredSchema.fields.filter(f =>
+    requested = StructType(requiredSchema.fields.filter(f =>
       dataSchema.fieldNames.contains(f.name)))
 
-  // A8 + A9: keep the convertible conjunction for stripe pruning, but
-  // report EVERY filter as residual (inexact pushdown) — Catalyst keeps a
-  // Filter above the scan, mirroring the reference's PushedDown::No.
+  // A8 + A9: keep the convertible conjunction for stripe pruning and the
+  // partition-only conjunction for file pruning, but report EVERY filter as
+  // residual (inexact pushdown) — Catalyst keeps a Filter above the scan,
+  // mirroring the reference's PushedDown::No.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f =>
-      GraftOrcShims.createFilter(dataSchema, Seq(f)).isDefined)
+    val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    val (onPartition, rest) = filters.partition(f =>
+      f.references.nonEmpty && f.references.forall(r => partNames(r.toLowerCase)))
+    partitionFilters = onPartition
+    dataFilters = rest.filter(f =>
+      GraftOrcShims.createFilter(dataFileSchema, Seq(f)).isDefined)
     filters // all residual
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = partitionFilters ++ dataFilters
 
   // A7: limit is only partially pushed (per-file early termination);
   // returning false keeps the global Limit operator above the scan.
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
   override def build(): Scan = {
-    val ps = GraftOrcDataSource.paths(options)
-    if (ps.isEmpty) throw new IllegalArgumentException("graft-orc: no path")
-    new GraftOrcScan(dataSchema, readSchema, pushed, limit, ps,
-      options.asCaseSensitiveMap().asScala.toMap)
+    if (GraftOrcDataSource.paths(options).isEmpty)
+      throw new IllegalArgumentException("graft-orc: no path")
+    val part = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    val readData = StructType(requested.fields.filterNot(f => part(f.name.toLowerCase)))
+    val readPart = StructType(requested.fields.filter(f => part(f.name.toLowerCase)))
+    new GraftOrcScan(dataFileSchema, partitionSchema, readData, readPart,
+      partitionFilters, dataFilters, limit, fileIndex, metaParallelism,
+      optionsMap)
   }
 }
 
-case class GraftOrcInputPartition(filePath: String, start: Long, length: Long)
+case class GraftOrcInputPartition(filePath: String, start: Long, length: Long,
+                                  partitionValues: Array[String])
   extends InputPartition
 
-class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
-                   pushedFilters: Array[Filter], limit: Option[Int],
-                   paths: Seq[String], options: Map[String, String])
+class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
+                   readDataSchema: StructType, readPartitionSchema: StructType,
+                   partitionFilters: Array[Filter], dataFilters: Array[Filter],
+                   limit: Option[Int], index: GraftOrcFileIndex,
+                   metaParallelism: Int, options: Map[String, String])
     extends Scan with Batch with SupportsReportStatistics {
 
   private def spark = SparkSession.active
 
-  private lazy val files: Seq[(String, Long)] = paths.flatMap { path =>
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, conf)
-    val st = fs.getFileStatus(p)
-    val all =
-      if (st.isDirectory) fs.listStatus(p).toSeq
-        .filter(s => s.getPath.getName.endsWith(".orc"))
-      else Seq(st)
-    all.map(s => (s.getPath.toString, s.getLen))
+  // DSv2 output order: data columns then partition columns (Catalyst adds
+  // a Project above to restore the query's requested order)
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields ++ readPartitionSchema.fields)
+
+  /** Files surviving partition pruning: each partition filter is evaluated
+    * exactly against the file's typed partition values (single-value
+    * ranges make [[OrcStatsEval]] exact here).
+    */
+  private[v2] lazy val selectedFiles: Seq[OrcFileEntry] = {
+    if (partitionFilters.isEmpty) index.entries
+    else index.entries.filter { e =>
+      val lookup: String => Option[OrcStatsEval.StatRange] = name => {
+        val raw = e.partitionValues.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(name) => v
+        }
+        raw.flatMap { r =>
+          partitionFieldType(name).map { dt =>
+            OrcStatsEval.valueRange(
+              GraftOrcDataSource.externalPartitionValue(r, dt))
+          }
+        }
+      }
+      partitionFilters.forall(f => OrcStatsEval.mayMatch(f, lookup))
+    }
   }
+
+  // pruning may use a partition column the query does not project, so the
+  // type lookup goes through the FULL partition schema
+  private def partitionFieldType(name: String): Option[DataType] =
+    partitionSchema.fields.collectFirst {
+      case f if f.name.equalsIgnoreCase(name) => f.dataType
+    }
 
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"GraftOrcScan path=${paths.mkString(",")}, " +
-      s"pushedFilters=${pushedFilters.mkString("[", ",", "]")}, limit=$limit"
+    s"GraftOrcScan files=${index.entries.size}, " +
+      s"partitionFilters=${partitionFilters.mkString("[", ",", "]")}, " +
+      s"dataFilters=${dataFilters.mkString("[", ",", "]")}, limit=$limit"
 
-  // A3: exact footer statistics (rows + bytes); like the reference, the
-  // estimate degrades to size-only exactness when a filter is pushed
-  // (src/source.rs:212-230 to_inexact): we still report the raw counts —
-  // Catalyst treats DSv2 stats as estimates. Footer sweep is done once
-  // and cached (Catalyst may ask repeatedly during planning).
-  private lazy val footerStats: (Long, Long) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    var rows = 0L
-    var bytes = 0L
-    files.foreach { case (f, len) =>
-      bytes += len
-      val r = OrcFile.createReader(new Path(f), OrcFile.readerOptions(conf))
-      try rows += r.getNumberOfRows finally r.close()
-    }
-    (rows, bytes)
-  }
+  // A3: footer statistics. Bytes are exact from the (partition-pruned)
+  // listing; row counts come from a bounded-parallel footer sweep and are
+  // reported ONLY when no data filter is pushed — the reference degrades
+  // stats to_inexact() under a filter (src/source.rs:212-230), and an
+  // absent count is the honest DSv2 mapping (partition pruning keeps
+  // counts exact, so partition filters do not degrade them).
+  private lazy val footerRows: Long =
+    GraftOrcFileIndex.parallelMap(selectedFiles, metaParallelism) { e =>
+      val r = OrcFile.createReader(new Path(e.path),
+        OrcFile.readerOptions(spark.sparkContext.hadoopConfiguration))
+      try r.getNumberOfRows finally r.close()
+    }.sum
 
   override def estimateStatistics(): Statistics = {
-    val (r, b) = footerStats
+    val bytes = selectedFiles.map(_.length).sum
+    val exactRows = dataFilters.isEmpty
+    val rows = if (exactRows) OptionalLong.of(footerRows) else OptionalLong.empty()
     new Statistics {
-      override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
-      override def numRows(): OptionalLong = OptionalLong.of(r)
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = rows
     }
   }
 
@@ -193,34 +288,41 @@ class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
   // partitions of ~targetSplitBytes, cut at stripe boundaries (a stripe is
   // the ORC unit of independent decode). Without this, one 1 GB file =
   // one task — the single-file parallelism killer at scale. Footer reads
-  // happen once on the driver (same place Spark lists files).
+  // (needed only for oversized files) run in the bounded metadata pool.
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val targetSplitBytes = options.get("graft.split_size")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    files.flatMap { case (f, len) =>
-      if (len <= targetSplitBytes) {
-        Seq(GraftOrcInputPartition(f, 0, len))
-      } else {
-        val r = OrcFile.createReader(new Path(f), OrcFile.readerOptions(conf))
-        val stripes =
-          try r.getStripes.asScala.map(s => (s.getOffset, s.getLength)).toSeq
-          finally r.close()
-        // greedily pack consecutive stripes into ~target-size ranges
-        val splits = collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var start = -1L; var acc = 0L; var end = 0L
-        stripes.foreach { case (off, slen) =>
-          if (start < 0) { start = off; acc = 0L }
-          acc += slen; end = off + slen
-          if (acc >= targetSplitBytes) {
-            splits += ((start, end - start)); start = -1L
-          }
-        }
-        if (start >= 0) splits += ((start, end - start))
-        if (splits.isEmpty) Seq(GraftOrcInputPartition(f, 0, len))
-        else splits.map { case (s, l) => GraftOrcInputPartition(f, s, l) }.toSeq
+    def partValues(e: OrcFileEntry): Array[String] =
+      readPartitionSchema.fields.map { f =>
+        e.partitionValues.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(f.name) => v
+        }.orNull
       }
-    }.toArray
+    val (small, big) = selectedFiles.partition(_.length <= targetSplitBytes)
+    val smallParts = small.map(e =>
+      GraftOrcInputPartition(e.path, 0, e.length, partValues(e)))
+    val bigParts = GraftOrcFileIndex.parallelMap(big, metaParallelism) { e =>
+      val r = OrcFile.createReader(new Path(e.path), OrcFile.readerOptions(conf))
+      val stripes =
+        try r.getStripes.asScala.map(s => (s.getOffset, s.getLength)).toSeq
+        finally r.close()
+      // greedily pack consecutive stripes into ~target-size ranges
+      val splits = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = -1L; var acc = 0L; var end = 0L
+      stripes.foreach { case (off, slen) =>
+        if (start < 0) { start = off; acc = 0L }
+        acc += slen; end = off + slen
+        if (acc >= targetSplitBytes) {
+          splits += ((start, end - start)); start = -1L
+        }
+      }
+      if (start >= 0) splits += ((start, end - start))
+      val vs = partValues(e)
+      if (splits.isEmpty) Seq(GraftOrcInputPartition(e.path, 0, e.length, vs))
+      else splits.map { case (s, l) => GraftOrcInputPartition(e.path, s, l, vs) }
+    }.flatten
+    (smallParts ++ bigParts).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -232,22 +334,70 @@ class GraftOrcScan(dataSchema: StructType, override val readSchema: StructType,
     // drop s3a/gcs settings on a real cluster
     val serConf = org.apache.spark.GraftSparkBridge.serializableConf(
       spark.sparkContext.hadoopConfiguration)
-    new GraftOrcPartitionReaderFactory(dataSchema, readSchema,
-      if (parsed.pushdownPredicate) pushedFilters else Array.empty,
+    new GraftOrcPartitionReaderFactory(dataFileSchema, readDataSchema,
+      readPartitionSchema,
+      if (parsed.pushdownPredicate) dataFilters else Array.empty,
       limit, batchSize, serConf)
   }
 
-  // A12: custom scan metrics, mirroring the reference's metric names.
+  // A12: custom scan metrics, full parity with the reference's 12
+  // (metrics.rs:52-218; pruning metrics split into pruned/matched pairs).
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
-    new GraftBytesScannedMetric, new GraftRowsDecodedMetric,
+    new GraftBytesScannedMetric, new GraftFileBytesMetric,
+    new GraftIoRequestsMetric, new GraftMetadataLoadNsMetric,
+    new GraftStripesPrunedMetric, new GraftStripesMatchedMetric,
+    new GraftStatsEvalNsMetric, new GraftPredicateErrorsMetric,
+    new GraftPushdownRowsPrunedMetric, new GraftPushdownRowsMatchedMetric,
+    new GraftDecodeNsMetric, new GraftRowsDecodedMetric,
     new GraftBatchesProducedMetric, new GraftFilesReadMetric)
 }
 
 // metric classes need zero-arg constructors (Spark instantiates them by
-// reflection when aggregating task metrics for the SQL UI)
+// reflection when aggregating task metrics for the SQL UI); names mirror
+// the reference's OrcFileMetrics fields (metrics.rs:52-118)
 class GraftBytesScannedMetric extends CustomSumMetric {
   override def name: String = "graftBytesScanned"
-  override def description: String = "graft: bytes scanned"
+  override def description: String = "graft: bytes scanned (post stripe-prune)"
+}
+class GraftFileBytesMetric extends CustomSumMetric {
+  override def name: String = "graftFileBytes"
+  override def description: String = "graft: total split bytes (file_size)"
+}
+class GraftIoRequestsMetric extends CustomSumMetric {
+  override def name: String = "graftIoRequests"
+  override def description: String = "graft: i/o requests"
+}
+class GraftMetadataLoadNsMetric extends CustomSumMetric {
+  override def name: String = "graftMetadataLoadNs"
+  override def description: String = "graft: metadata load time (ns)"
+}
+class GraftStripesPrunedMetric extends CustomSumMetric {
+  override def name: String = "graftStripesPruned"
+  override def description: String = "graft: stripes pruned by statistics"
+}
+class GraftStripesMatchedMetric extends CustomSumMetric {
+  override def name: String = "graftStripesMatched"
+  override def description: String = "graft: stripes matched by statistics"
+}
+class GraftStatsEvalNsMetric extends CustomSumMetric {
+  override def name: String = "graftStatsEvalNs"
+  override def description: String = "graft: statistics eval time (ns)"
+}
+class GraftPredicateErrorsMetric extends CustomSumMetric {
+  override def name: String = "graftPredicateEvalErrors"
+  override def description: String = "graft: predicate evaluation errors"
+}
+class GraftPushdownRowsPrunedMetric extends CustomSumMetric {
+  override def name: String = "graftPushdownRowsPruned"
+  override def description: String = "graft: rows in pruned stripes"
+}
+class GraftPushdownRowsMatchedMetric extends CustomSumMetric {
+  override def name: String = "graftPushdownRowsMatched"
+  override def description: String = "graft: rows in matched stripes"
+}
+class GraftDecodeNsMetric extends CustomSumMetric {
+  override def name: String = "graftDecodeNs"
+  override def description: String = "graft: decode time (ns)"
 }
 class GraftRowsDecodedMetric extends CustomSumMetric {
   override def name: String = "graftRowsDecoded"
@@ -264,11 +414,12 @@ class GraftFilesReadMetric extends CustomSumMetric {
 
 case class GraftTaskMetric(name: String, value: Long) extends CustomTaskMetric
 
-/** A10: per-file vectorized reader with metric instrumentation and exact
-  * limit truncation.
+/** A10: per-file vectorized reader with metric instrumentation, constant
+  * partition-column vectors, and exact limit truncation.
   */
-class GraftOrcPartitionReaderFactory(dataSchema: StructType,
-                                     readSchema: StructType,
+class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
+                                     readDataSchema: StructType,
+                                     readPartitionSchema: StructType,
                                      pushedFilters: Array[Filter],
                                      limit: Option[Int], batchSize: Int,
                                      serConf: org.apache.spark.util.SerializableConfiguration)
@@ -289,16 +440,79 @@ class GraftOrcPartitionReaderFactory(dataSchema: StructType,
     // with Catalyst's residual Filter
     OrcConf.ALLOW_SARG_TO_FILTER.setBoolean(conf, false)
 
+    val metaT0 = System.nanoTime()
+    var ioRequests = 1L // footer read
+    var statsEvalNs = 0L
+    var stripesPruned = 0L
+    var stripesMatched = 0L
+    var rowsPruned = 0L
+    var rowsMatched = 0L
+    var predicateErrors = 0L
+    var prunedBytes = 0L
+
     val filePath = new Path(p.filePath)
     val orcReader = OrcFile.createReader(filePath, OrcFile.readerOptions(conf))
     val (colIds, canPrune) =
-      try GraftOrcShims.requestedColumnIds(isCaseSensitive = false,
-          dataSchema, readSchema, orcReader.getSchema, conf)
-        .getOrElse((Array.empty[Int], true))
-      finally orcReader.close()
+      try {
+        val (ids, cp) = GraftOrcShims.requestedColumnIds(isCaseSensitive = false,
+            dataFileSchema, readDataSchema, orcReader.getSchema, conf)
+          .getOrElse((Array.empty[Int], true))
 
-    if (colIds.isEmpty && readSchema.nonEmpty) {
-      // file has none of the requested columns -> empty reader
+        // A12 stripe-pruning observability: re-evaluate the pushed
+        // conjunction against per-stripe column statistics, the same
+        // decision the ORC reader makes internally when it skips stripes.
+        // (The skipping itself is done by the reader via the SARG below;
+        // this pass makes pruned/matched counts and rows visible.)
+        if (pushedFilters.nonEmpty) {
+          val t0 = System.nanoTime()
+          ioRequests += 1 // stripe-statistics metadata read
+          try {
+            val orcSchema = orcReader.getSchema
+            val fieldIds: Map[String, Int] =
+              orcSchema.getFieldNames.asScala.zip(
+                orcSchema.getChildren.asScala.map(_.getId)).map {
+                case (n, id) => n.toLowerCase -> id
+              }.toMap
+            val stripeStats = orcReader.getStripeStatistics.asScala
+            orcReader.getStripes.asScala.zipWithIndex.foreach {
+              case (s, i) if s.getOffset >= p.start &&
+                s.getOffset < p.start + p.length =>
+                val mayMatch =
+                  try {
+                    val colStats = stripeStats(i).getColumnStatistics
+                    val lookup: String => Option[OrcStatsEval.StatRange] =
+                      name => fieldIds.get(name.toLowerCase)
+                        .flatMap(id => OrcStatsEval.fromOrcStats(colStats(id)))
+                    pushedFilters.forall(f => OrcStatsEval.mayMatch(f, lookup))
+                  } catch {
+                    case _: RuntimeException =>
+                      predicateErrors += 1
+                      true // evaluation error => read the stripe
+                  }
+                if (mayMatch) {
+                  stripesMatched += 1; rowsMatched += s.getNumberOfRows
+                } else {
+                  stripesPruned += 1; rowsPruned += s.getNumberOfRows
+                  prunedBytes += s.getLength
+                }
+              case _ => ()
+            }
+          } catch {
+            case _: RuntimeException => predicateErrors += 1
+          }
+          statsEvalNs = System.nanoTime() - t0
+        } else {
+          // no filters: every overlapping stripe will be read
+          orcReader.getStripes.asScala.foreach { s =>
+            if (s.getOffset >= p.start && s.getOffset < p.start + p.length)
+              stripesMatched += 1
+          }
+        }
+        (ids, cp)
+      } finally orcReader.close()
+
+    if (colIds.isEmpty && readDataSchema.nonEmpty) {
+      // file has none of the requested data columns -> empty reader
       return new PartitionReader[ColumnarBatch] {
         override def next(): Boolean = false
         override def get(): ColumnarBatch = throw new NoSuchElementException
@@ -306,13 +520,26 @@ class GraftOrcPartitionReaderFactory(dataSchema: StructType,
       }
     }
 
+    val resultSchema =
+      StructType(readDataSchema.fields ++ readPartitionSchema.fields)
     val resultSchemaString = GraftOrcShims.orcResultSchemaString(
-      canPrune, dataSchema, readSchema, new StructType(), conf)
+      canPrune, dataFileSchema, resultSchema, readPartitionSchema, conf)
 
     if (pushedFilters.nonEmpty) {
-      GraftOrcShims.createFilter(dataSchema, pushedFilters).foreach { sarg =>
-        OrcInputFormat.setSearchArgument(conf, sarg, dataSchema.fieldNames)
+      GraftOrcShims.createFilter(dataFileSchema, pushedFilters).foreach { sarg =>
+        OrcInputFormat.setSearchArgument(conf, sarg, dataFileSchema.fieldNames)
       }
+    }
+
+    // constant partition vectors: cast the raw path values to the
+    // partition column types (hive `__HIVE_DEFAULT_PARTITION__` -> null)
+    val partitionValuesRow = {
+      val row = new GenericInternalRow(readPartitionSchema.length)
+      readPartitionSchema.fields.zipWithIndex.foreach { case (f, i) =>
+        row.update(i, GraftOrcDataSource.internalPartitionValue(
+          p.partitionValues(i), f.dataType))
+      }
+      row
     }
 
     val attemptId = new TaskAttemptID("graft", 0, TaskType.MAP, 0, 0)
@@ -322,21 +549,30 @@ class GraftOrcPartitionReaderFactory(dataSchema: StructType,
     reader.initialize(split, ctx)
     reader.initBatch(
       TypeDescription.fromString(resultSchemaString),
-      readSchema.fields,
-      colIds,
-      Array.fill(readSchema.length)(-1),
-      InternalRow.empty)
+      resultSchema.fields,
+      colIds ++ Array.fill(readPartitionSchema.length)(-1),
+      Array.fill(readDataSchema.length)(-1) ++
+        readPartitionSchema.indices.toArray,
+      partitionValuesRow)
+    val metadataNs = System.nanoTime() - metaT0
+    // one ranged read per stripe actually decoded (post-prune)
+    ioRequests += stripesMatched
 
+    val finalStripesMatched = stripesMatched
     new PartitionReader[ColumnarBatch] {
       private var rowsOut = 0L
       private var batches = 0L
+      private var decodeNs = 0L
       private var done = false
       private var current: ColumnarBatch = _
 
       override def next(): Boolean = {
         if (done) return false
         if (limit.exists(rowsOut >= _)) { done = true; return false }
-        if (!reader.nextKeyValue()) { done = true; return false }
+        val t0 = System.nanoTime()
+        val has = reader.nextKeyValue()
+        decodeNs += System.nanoTime() - t0
+        if (!has) { done = true; return false }
         current = reader.getCurrentValue
         // A7: slice the straddling batch to exactly `limit` rows
         limit.foreach { l =>
@@ -352,7 +588,17 @@ class GraftOrcPartitionReaderFactory(dataSchema: StructType,
       override def close(): Unit = reader.close()
 
       override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
-        GraftTaskMetric("graftBytesScanned", p.length),
+        GraftTaskMetric("graftBytesScanned", p.length - prunedBytes),
+        GraftTaskMetric("graftFileBytes", p.length),
+        GraftTaskMetric("graftIoRequests", ioRequests),
+        GraftTaskMetric("graftMetadataLoadNs", metadataNs),
+        GraftTaskMetric("graftStripesPruned", stripesPruned),
+        GraftTaskMetric("graftStripesMatched", finalStripesMatched),
+        GraftTaskMetric("graftStatsEvalNs", statsEvalNs),
+        GraftTaskMetric("graftPredicateEvalErrors", predicateErrors),
+        GraftTaskMetric("graftPushdownRowsPruned", rowsPruned),
+        GraftTaskMetric("graftPushdownRowsMatched", rowsMatched),
+        GraftTaskMetric("graftDecodeNs", decodeNs),
         GraftTaskMetric("graftRowsDecoded", rowsOut),
         GraftTaskMetric("graftBatchesProduced", batches),
         GraftTaskMetric("graftFilesRead", 1L))

@@ -1,0 +1,129 @@
+package graft.sources.v2
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** One discovered ORC data file. `partitionValues` holds the raw (unescaped)
+  * hive-layout `k=v` values found on the file's directory path, in
+  * discovery order; a `__HIVE_DEFAULT_PARTITION__` value is mapped to null.
+  */
+case class OrcFileEntry(path: String, length: Long,
+                        partitionValues: Map[String, String])
+
+/** Driver-side file discovery for the graft-orc connector.
+  *
+  * Two properties the reference enforces that a naive listing lacks:
+  *  - hive-partition layouts (`.../k=v/...`) are discovered recursively and
+  *    the `k=v` pairs surfaced per file (reference materializes
+  *    `partition_fields` per file: src/opener.rs:59, src/source.rs:171);
+  *  - metadata operations are bounded-concurrency, never one-by-one on the
+  *    driver (reference `meta_fetch_concurrency`: src/file_format.rs:146-155).
+  *    Listing is breadth-first with each directory wave listed in parallel,
+  *    so a 100k-file tree costs O(depth) round-trip waves, not 100k
+  *    sequential RPCs.
+  */
+class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
+                        parallelism: Int) {
+
+  lazy val entries: Seq[OrcFileEntry] = {
+    // BFS frontier of (directory, partition values accumulated on its path)
+    var frontier: Seq[(Path, Map[String, String])] = Nil
+    val out = Seq.newBuilder[OrcFileEntry]
+    roots.foreach { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) frontier +:= (p, Map.empty[String, String])
+      else out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty)
+    }
+    while (frontier.nonEmpty) {
+      val listed: Seq[(Seq[FileStatus], Map[String, String])] =
+        GraftOrcFileIndex.parallelMap(frontier, parallelism) {
+          case (dir, parts) =>
+            (dir.getFileSystem(conf).listStatus(dir).toSeq, parts)
+        }
+      frontier = Nil
+      listed.foreach { case (children, parts) =>
+        children.foreach { c =>
+          val name = c.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            if (c.isDirectory) {
+              val nextParts = GraftOrcFileIndex.parsePartitionSegment(name)
+                .map { case (k, v) => parts + (k -> v) }.getOrElse(parts)
+              frontier +:= (c.getPath, nextParts)
+            } else if (name.endsWith(".orc")) {
+              out += OrcFileEntry(c.getPath.toString, c.getLen, parts)
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Partition column names in path order (outermost first), taken from the
+    * deepest-keyed file (all files in a consistent hive layout share it).
+    */
+  lazy val partitionColumnNames: Seq[String] =
+    if (entries.isEmpty) Nil
+    else entries.map(_.partitionValues.keys.toSeq).maxBy(_.length)
+}
+
+object GraftOrcFileIndex {
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Parse one `k=v` path segment; None for plain directories. */
+  def parsePartitionSegment(name: String): Option[(String, String)] = {
+    val i = name.indexOf('=')
+    if (i <= 0) None
+    else {
+      val raw = unescapePathName(name.substring(i + 1))
+      Some(name.substring(0, i) ->
+        (if (raw == HiveDefaultPartition) null else raw))
+    }
+  }
+
+  /** Reverse hive path escaping (`%2F` etc.) the writer applies to special
+    * characters in partition values.
+    */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Bounded-parallelism map over driver-side metadata items (listing
+    * waves, footer reads). Propagates the first failure; always tears the
+    * pool down.
+    */
+  def parallelMap[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Nil
+    if (items.length == 1 || parallelism <= 1) return items.map(f)
+    val pool = Executors.newFixedThreadPool(math.min(parallelism, items.length))
+    try {
+      val futures = items.map(a => pool.submit(new Callable[B] {
+        override def call(): B = f(a)
+      }))
+      futures.map(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, TimeUnit.MINUTES)
+    }
+  }
+}

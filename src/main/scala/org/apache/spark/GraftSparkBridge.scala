@@ -9,4 +9,10 @@ import org.apache.spark.util.SerializableConfiguration
 object GraftSparkBridge {
   def serializableConf(c: Configuration): SerializableConfiguration =
     new SerializableConfiguration(c)
+
+  /** Deterministic listener-bus drain (replaces sleep-based waits in
+    * metric collection); `listenerBus` is `private[spark]`.
+    */
+  def waitUntilListenerBusEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(30000L)
 }

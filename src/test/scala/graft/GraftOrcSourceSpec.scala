@@ -62,12 +62,114 @@ class GraftOrcSourceSpec extends AnyFunSuite {
       case b: BatchScanExec => b }
     assert(scans.nonEmpty)
     val names = scans.head.scan.supportedCustomMetrics().map(_.name()).toSet
-    assert(names === Set("graftBytesScanned", "graftRowsDecoded",
-      "graftBatchesProduced", "graftFilesRead"))
+    // full A12 parity with the reference's OrcFileMetrics (metrics.rs:52-118)
+    assert(names === Set("graftBytesScanned", "graftFileBytes",
+      "graftIoRequests", "graftMetadataLoadNs", "graftStripesPruned",
+      "graftStripesMatched", "graftStatsEvalNs", "graftPredicateEvalErrors",
+      "graftPushdownRowsPruned", "graftPushdownRowsMatched", "graftDecodeNs",
+      "graftRowsDecoded", "graftBatchesProduced", "graftFilesRead"))
     val stats = scans.head.scan
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics()
     assert(stats.numRows().getAsLong === builtin.count())
+  }
+
+  test("statistics degrade to inexact rows under a pushed data filter (source.rs:212-230)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = v2.filter($"l_quantity" > 25)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    val stats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(!stats.numRows().isPresent,
+      "filtered scan must not report an exact row count")
+    assert(stats.sizeInBytes().isPresent)
+  }
+
+  test("stripe statistics prune is observable: stripesPruned > 0 on a selective predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = hc.get("orc.stripe.size")
+    try {
+      hc.set("orc.stripe.size", "65536") // force many small stripes
+      // sort by orderkey so stripes have disjoint key ranges => selective
+      // min/max pruning
+      Tables.lineitem(spark, TestSpark.sf0001).coalesce(1)
+        .sortWithinPartitions($"l_orderkey")
+        .write.mode("overwrite").orc(dir)
+    } finally {
+      if (old == null) hc.unset("orc.stripe.size") else hc.set("orc.stripe.size", old)
+    }
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = spark.read.format("graft-orc").load(dir)
+      .filter($"l_orderkey" < 50)
+    q.collect()
+    val scanExec = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    def metric(n: String): Long =
+      scanExec.metrics.collectFirst { case (k, m) if k == n => m.value }.get
+    assert(metric("graftStripesPruned") > 0,
+      s"expected pruned stripes; matched=${metric("graftStripesMatched")}")
+    assert(metric("graftStripesMatched") > 0)
+    assert(metric("graftPushdownRowsPruned") > 0)
+    assert(metric("graftBytesScanned") < metric("graftFileBytes"))
+    // and correctness is unaffected by pruning
+    assert(q.count() ===
+      spark.read.orc(dir).filter($"l_orderkey" < 50).count())
+  }
+
+  test("hive-partitioned layout: partition columns materialize and filters prune files") {
+    val dir = OrcData.partitionedOrcPath(spark, TestSpark.sf0001,
+      "lineitem", "l_returnflag")
+    val part = spark.read.format("graft-orc").load(dir)
+    // partition column present with values restored
+    assert(part.columns.contains("l_returnflag"))
+    val expected = Tables.lineitem(spark, TestSpark.sf0001)
+    assert(part.count() === expected.count())
+    assert(part.filter($"l_returnflag" === "R").count() ===
+      expected.filter($"l_returnflag" === "R").count())
+    // grouped counts identical (partition values correct per file)
+    val a = part.groupBy($"l_returnflag").count()
+      .orderBy($"l_returnflag").collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = expected.groupBy($"l_returnflag").count()
+      .orderBy($"l_returnflag").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a === b)
+    // partition filter plans fewer input partitions than the full scan
+    import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+      val schema = new graft.sources.v2.GraftOrcDataSource().inferSchema(opts)
+      val b = new GraftOrcScanBuilder(schema, opts)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[GraftOrcScan].planInputPartitions().length
+    }
+    val full = planned(Array.empty)
+    val pruned = planned(Array(
+      org.apache.spark.sql.sources.EqualTo("l_returnflag", "R")))
+    assert(pruned < full, s"partition filter must prune files: $pruned vs $full")
+  }
+
+  test("many-file nested layout lists in bounded time with correct results") {
+    // region x nation partitioned customer -> dozens of leaf dirs, two levels
+    val dir = java.nio.file.Files.createTempDirectory("graft-manyfiles").toString
+    val cust = Tables.customer(spark, TestSpark.sf0001)
+      .withColumn("bucket", pmod(col("c_custkey"), lit(40)))
+    cust.write.mode("overwrite").partitionBy("bucket", "c_mktsegment").orc(dir)
+    val t0 = System.nanoTime()
+    val back = spark.read.format("graft-orc").load(dir)
+    val n = back.count()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(n === cust.count())
+    // ~200 leaf dirs listed + footers planned; parallel listing keeps this
+    // well under interactive bounds even on local FS
+    assert(elapsedSec < 60, s"listing+scan took ${elapsedSec}s")
+    // partition filter on the inner level prunes
+    assert(back.filter($"c_mktsegment" === "BUILDING").count() ===
+      cust.filter($"c_mktsegment" === "BUILDING").count())
   }
 
   test("multi-path load unions files across paths (JSON 'paths' array)") {
