@@ -102,13 +102,19 @@ object Dedup {
     val cand = l.join(r, Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    // vector lookup sides are one row per vector — broadcast so the (much
-    // larger) candidate set never sorts/shuffles; at cluster scale with
-    // un-broadcastable vector tables this becomes a shuffle join on ids,
-    // still never on arrays
+    // vector lookup sides are one row per vector — broadcast (so the much
+    // larger candidate set never sorts/shuffles) ONLY while the vector
+    // table fits the session broadcast threshold; past that it becomes a
+    // plain equi-join on ids — still never a shuffle of a candidate x
+    // vector cross product, and never arrays through the candidate shuffle
     val aV = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
     val bV = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
-    cand.join(broadcast(aV), "a_id").join(broadcast(bV), "b_id")
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      e.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val vecBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    def gate(df: DataFrame): DataFrame =
+      if (threshold > 0 && vecBytes <= threshold) broadcast(df) else df
+    cand.join(gate(aV), "a_id").join(gate(bV), "b_id")
       .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= minCos)
       .select(col("a_id"), col("b_id"))
   }

@@ -24,6 +24,50 @@ object Similarity {
   private val TopK = 8
   private val NumQueries = 5
 
+  /** Spherical k-means (Lloyd's) fit on a bounded deterministic sample —
+    * the IVF coarse-quantizer "fit job". Model fitting is the one place a
+    * bounded driver-side loop is the right call: the sample is capped at
+    * `sampleN` vectors regardless of table size (at cluster scale the
+    * sample would come from `df.sample`; a keyed `limit` keeps this
+    * deterministic for the oracle/bench loop).
+    */
+  def fitCentroids(e: DataFrame, k: Int = 16, sampleN: Int = 512,
+                   iters: Int = 8): Seq[(Int, Array[Float])] = {
+    val sample: Array[Array[Float]] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "fitCentroids: empty input")
+    val dim = sample.head.length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    // init: spread seeds across the sample deterministically
+    var cents: Array[Array[Float]] =
+      (0 until k).map(i => sample((i * sample.length / k) % sample.length).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue
+        var c = 0
+        while (c < k) {
+          val s = cos(v, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cell keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+  }
+
   /** Shared exact-rerank epilogue: expects (q_id, n_id, q_v, n_v) candidate
     * rows; scores by cosine, ranks per query with vec-id tie-break, keeps
     * the top k.
@@ -67,17 +111,17 @@ object Similarity {
               |WHERE rn <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------ IVF ANN
-    // IVF-lite: 16 deterministic coarse centroids (the first 16 vectors
-    // themselves — at scale these come from a k-means fit job), every
-    // vector assigned to its nearest centroid (one broadcast pass),
+    // IVF: 16 coarse centroids from a sampled spherical k-means fit,
+    // every vector assigned to its nearest centroid (one broadcast pass),
     // queries probe their 2 nearest cells, exact rerank inside cells.
     // The cell equi-join replaces the O(n*q) cross join; probes trade
-    // recall for cells scanned. Engine-specific cells => rows-only check.
+    // recall for cells scanned. Engine-specific cells => rows-only check;
+    // recall vs brute force is pinned in DedupSimilaritySpec.
     QueryDef("ss_ann_ivf",
       (s, d) => {
+        import s.implicits._
         val e = Tables.embeddings(s, d)
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
+        val cents = fitCentroids(e).toDF("c_id", "c_v")
         def nearestCells(vecs: DataFrame, idC: String,
                          vC: String, probes: Int) = {
           val w = Window.partitionBy(col(idC))
@@ -100,20 +144,33 @@ object Similarity {
       None),
 
     // ------------------------------------------------------------ LSH ANN
-    // Random-hyperplane LSH: 8 sign bits -> 256 buckets; queries probe
-    // their own bucket; candidates reranked exactly. Engine-specific
-    // bucketing => rows-only driver check; recall vs the brute-force
-    // baseline is asserted in ScalaTest.
+    // Multi-table random-hyperplane LSH: 8 independent tables of 4 sign
+    // bits (16 buckets each); a candidate collides in ANY table, then gets
+    // exact rerank. Collision prob for a neighbor at angle θ is
+    // 1-(1-(1-θ/π)^4)^8 ≈ 0.8 at the ~60° of this dataset's true top-k —
+    // a single-probe 8-bit table was ~0.04 and had ~zero measured recall.
+    // Candidate generation is an equi-join on (table,bucket) against the
+    // broadcast query side; only id-deduped candidates pay the rerank.
+    // Engine-specific bucketing => rows-only driver check; recall >= 0.30
+    // vs brute force is asserted in DedupSimilaritySpec.
     QueryDef("ss_ann_lsh",
       (s, d) => {
+        val tables = 8
+        val planes = 4
         val e = Tables.embeddings(s, d)
-          .withColumn("bucket", hyperplaneBucket(col("embedding"), 8, 64))
-        val q = e.filter(col("vec_id") < NumQueries)
+        val bucketed = e.select(col("vec_id"), col("embedding"),
+          posexplode(array((0 until tables).map { t =>
+            hyperplaneBucket(col("embedding"), planes, 64,
+              planeOffset = t * planes)
+          }: _*)).as(Seq("table", "bucket")))
+        val q = bucketed.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
-            col("bucket"))
-        rerank(e.select(col("vec_id").as("n_id"),
-            col("embedding").as("n_v"), col("bucket"))
-          .join(broadcast(q), Seq("bucket")))
+            col("table"), col("bucket"))
+        rerank(bucketed
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_v"),
+            col("table"), col("bucket"))
+          .join(broadcast(q), Seq("table", "bucket"))
+          .dropDuplicates("q_id", "n_id"))
       },
       None)
   )

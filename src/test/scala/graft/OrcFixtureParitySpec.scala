@@ -109,6 +109,80 @@ class OrcFixtureParitySpec extends AnyFunSuite {
     assert(run(push = true) === run(push = false))
   }
 
+  // ------------------------------------------------------ projection sweep
+  // The reference's projection-permutation contract (basic_reading.rs:
+  // 280-385, 800-886): subsets, reorderings, single column, all columns
+  // explicitly, projection+sort+limit — each against pinned row contents.
+
+  test("projection subset keeps file order (basic_reading.rs:312-345)") {
+    val got = alltypes.select($"boolean", $"int8", $"int16")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+    assert(got.length === 11)
+    assert(got(0) === (None, None, None)) // leading all-NULL row
+    assert(got(1) === (Some(true), Some(0.toByte), Some(0.toShort)))
+    assert(got(4) === (Some(true), Some(127.toByte), Some(Short.MaxValue)))
+    assert(got(5) === (Some(true), Some(-128.toByte), Some(Short.MinValue)))
+    assert(got(10) === (None, None, None)) // trailing all-NULL row
+  }
+
+  test("projection reordered vs schema order (basic_reading.rs:349-385)") {
+    val got = alltypes.select($"int16", $"boolean")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(got(2) === (Some(1.toShort), Some(false)))
+    assert(got(3) === (Some((-1).toShort), Some(false)))
+  }
+
+  test("projection reverse order with predicate (basic_reading.rs:858-886)") {
+    val got = alltypes.select($"date32", $"utf8", $"int8", $"boolean")
+      .filter($"int8" === 1)
+      .as[(java.sql.Date, String, Byte, Boolean)].collect().toSeq
+    assert(got === Seq((java.sql.Date.valueOf("1970-01-02"), "a",
+      1.toByte, false)))
+  }
+
+  test("projection single column with predicate (basic_reading.rs:800-830)") {
+    val got = alltypes.select($"boolean").filter($"boolean" === false)
+    assert(got.count() === 3)
+    assert(got.columns.toSeq === Seq("boolean"))
+  }
+
+  test("projection all columns explicit with predicate (basic_reading.rs:833-856)") {
+    val all = Seq("boolean", "int8", "int16", "int32", "int64", "float32",
+      "float64", "decimal", "binary", "utf8", "date32")
+    val got = alltypes.select(all.map(col): _*).filter($"int8" === 0)
+    assert(got.count() === 1)
+    assert(got.columns.toSeq === all)
+  }
+
+  test("projection + sort + limit (basic_reading.rs:280-310)") {
+    // NULLS FIRST ascending over int8, first 3 rows: two all-NULL rows
+    // then the -128 row ('decode', 1582-10-15)
+    val got = alltypes.select($"int8", $"utf8", $"date32")
+      .orderBy($"int8".asc_nulls_first).limit(3)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)).map(_.toString)))
+    assert(got(0)._1 === None && got(1)._1 === None)
+    assert(got(2) === (Some(-128.toByte), Some("decode"), Some("1582-10-15")))
+  }
+
+  test("batch_size=2 end-to-end: tiny batches, same results (basic_reading.rs:529-556)") {
+    val df = OrcTables.read(spark, TestSpark.resource("alltypes.snappy.orc"),
+      Map("orc.batch_size" -> "2"))
+    val got = df.select($"int8").filter($"int8" === 50)
+      .as[Byte].collect().toSeq
+    assert(got === Seq(50.toByte))
+    // and the full scan row count is unaffected by the batch boundary
+    assert(df.count() === 11)
+  }
+
+  test("per-file statistics: exact rows and positive bytes (basic_reading.rs:612-650)") {
+    val stats = graft.sources.OrcStatistics.tableStats(spark,
+      TestSpark.resource("alltypes.snappy.orc"))
+    assert(stats.numRows === 11)
+    assert(stats.totalBytes > 0)
+    assert(stats.numFiles === 1)
+  }
+
   test("non-ORC path yields empty-ish handling, not wrong data (basic_reading.rs:493-522)") {
     // a directory with no .orc files: Spark errors on schema inference —
     // the graceful-empty contract only applies to extension-filtered
