@@ -72,7 +72,9 @@ object Bench {
     "q23_sql_api", "q24_graft_orc_source",
     "ta_token_stats", "ta_lang_id", "ta_vocab_topk", "dd_exact",
     "dd_minhash_lsh", "dd_simhash", "dd_embed_cosine",
-    "ss_topk_bruteforce", "ss_ann_lsh", "ss_ann_ivf", "q29_partition_pruning")
+    "ss_topk_bruteforce", "ss_ann_lsh", "ss_ann_ivf", "q29_partition_pruning",
+    "q33_graft_orc_partitioned", "q35_grouping_sets_join",
+    "q36_window_rank_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

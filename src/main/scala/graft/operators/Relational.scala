@@ -676,6 +676,118 @@ object Relational {
              |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
              |                       FROM part p2
              |                       WHERE p2.p_brand = p.p_brand)
-             |ORDER BY p_brand, p_partkey""".stripMargin))
+             |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q33
+    // q29's twin THROUGH the graft-orc connector: hive-partitioned layout,
+    // partition values materialized as columns, partition filter prunes
+    // files before planning (GraftOrcScan.selectedFiles — asserted in
+    // GraftOrcSourceSpec). Proves the custom connector handles the layout
+    // the built-in source handles in q29.
+    QueryDef("q33_graft_orc_partitioned",
+      (s, d) => {
+        val p = OrcData.partitionedOrcPath(s, d, "lineitem", "l_returnflag")
+        s.read.format("graft-orc").load(p)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some(s"""SELECT l_linestatus, count(*) AS n,
+              |  ${oDsum("l_quantity", "sum_qty")}
+              |FROM lineitem WHERE l_returnflag = 'R'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q34
+    // TPC-DS q87-shaped multi-CTE + EXCEPT: customers active in one order
+    // status but not the other, aggregated by segment. EXCEPT plans as a
+    // left-anti hash join on the distinct keys — ids-only shuffles, no
+    // row explosion (reference census shape: src/bin/tpcds_bench.rs:68-69).
+    QueryDef("q34_cte_except",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          |WITH o_cust AS (SELECT DISTINCT o_custkey FROM v_orders
+          |                WHERE o_orderstatus = 'O'),
+          |     f_cust AS (SELECT DISTINCT o_custkey FROM v_orders
+          |                WHERE o_orderstatus = 'F'),
+          |     only_o AS (SELECT o_custkey FROM o_cust
+          |                EXCEPT
+          |                SELECT o_custkey FROM f_cust)
+          |SELECT c_mktsegment, count(*) AS n_cust
+          |FROM only_o JOIN v_customer ON c_custkey = o_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH o_cust AS (SELECT DISTINCT o_custkey FROM orders
+             |                WHERE o_orderstatus = 'O'),
+             |     f_cust AS (SELECT DISTINCT o_custkey FROM orders
+             |                WHERE o_orderstatus = 'F'),
+             |     only_o AS (SELECT o_custkey FROM o_cust
+             |                EXCEPT
+             |                SELECT o_custkey FROM f_cust)
+             |SELECT c_mktsegment, count(*) AS n_cust
+             |FROM only_o JOIN customer ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q35
+    // TPC-DS q67-shaped GROUPING SETS over a join: part dimension is
+    // broadcast into the fact scan, then one shuffle feeds all three
+    // grouping sets (Catalyst expands them in a single Expand+Aggregate,
+    // not three scans).
+    QueryDef("q35_grouping_sets_join",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        s.sql(s"""
+          |SELECT /*+ BROADCAST(v_part) */ p_brand, l_returnflag,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+          |GROUP BY GROUPING SETS ((p_brand, l_returnflag), (p_brand), ())
+          |ORDER BY p_brand NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)
+      },
+      Some(s"""SELECT p_brand, l_returnflag, count(*) AS n,
+              |  ${oDsum("l_quantity", "sum_qty")}
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY GROUPING SETS ((p_brand, l_returnflag), (p_brand), ())
+              |ORDER BY p_brand NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------- q36
+    // TPC-DS q44-shaped window-over-join: per-nation supplier revenue
+    // ranking. Revenue aggregates BEFORE the joins (fact shuffled once on
+    // l_suppkey, then dimension joins broadcast), the window repartitions
+    // only the small aggregated set. Revenue accumulates in DECIMAL so the
+    // rank ordering is engine-exact; the raw revenue stays out of the
+    // output (rank is the contract, not the float rendering).
+    QueryDef("q36_window_rank_join",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(30, 8))).as("rev"))
+        val j = rev
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("rev").desc, col("s_name"))
+        j.select(col("n_name"), col("s_name"),
+            rank().over(w).cast("long").as("rnk"))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("n_name"), col("rnk"), col("s_name"))
+      },
+      Some("""SELECT n_name, s_name, rnk FROM (
+             |  SELECT n_name, s_name,
+             |    CAST(rank() OVER (PARTITION BY n_name
+             |      ORDER BY rev DESC, s_name) AS BIGINT) AS rnk
+             |  FROM (SELECT l_suppkey,
+             |          sum(CAST(l_extendedprice*(1.0-l_discount)
+             |            AS DECIMAL(30,8))) AS rev
+             |        FROM lineitem GROUP BY 1) r
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey) t
+             |WHERE rnk <= 3 ORDER BY n_name, rnk, s_name""".stripMargin))
   )
 }
