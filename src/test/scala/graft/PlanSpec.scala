@@ -58,4 +58,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
+    val p = plan("q35_grouping_sets_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // all three grouping sets come from ONE Expand, not three scans
+    assert("Expand".r.findAllIn(p).size === 1, p.take(800))
+    assert("FileScan parquet".r.findAllIn(p).size === 2, "exactly two scans")
+  }
+
+  test("q36: revenue aggregates before broadcast dim joins; window is group-limited") {
+    val p = plan("q36_window_rank_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    // rank()<=k is pushed into the window as a group-limit (partial top-k
+    // before the n_name shuffle) — the plan shape that survives 100x data
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
 }
