@@ -119,6 +119,43 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation — the cluster-assignment step a dedup pipeline
+    * runs after pair generation (keep one representative per cluster).
+    *
+    * Each iteration is one shuffle (edge join + min-aggregate); the loop
+    * is driver-COORDINATED but never driver-SIZED: only the converged
+    * flag crosses to the driver, labels stay distributed (the same
+    * contract as GraphX Pregel). Iterations are bounded by the cluster
+    * diameter, which for near-dup graphs is tiny; `localCheckpoint`
+    * truncates lineage so plans don't nest per iteration (a reliable
+    * checkpoint dir replaces it on a real cluster).
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"),
+      col("doc_id").as("label")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iters += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------ exact
@@ -204,6 +241,45 @@ object Dedup {
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ------------------------------------------------------------ clusters
+    // Cluster assignment: connected components over the exact >=0.7-Jaccard
+    // pair graph (the post-pair-generation dedup step: one representative
+    // id per cluster). Oracle: DuckDB recursive CTE computes the same
+    // min-reachable-label fixpoint.
+    QueryDef("dd_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+        val ds = docsets(docs)
+        val pairs = withJaccard(
+          ds.select(col("doc_id").as("a_id"))
+            .crossJoin(ds.select(col("doc_id").as("b_id")))
+            .filter(col("a_id") < col("b_id")), ds)
+          .filter(col("jac") >= 0.7)
+          .select(col("a_id"), col("b_id"))
+        connectedComponents(docs.select(col("doc_id")), pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+             |        FROM documents WHERE doc_id < 120) a,
+             |       (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+             |        FROM documents WHERE doc_id < 120) b
+             |  WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.7
+             |),
+             |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+             |          UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
+             |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+             |reach AS (
+             |  SELECT doc_id, doc_id AS label FROM nodes
+             |  UNION
+             |  SELECT e.a AS doc_id, r.label FROM reach r JOIN edges e ON e.b = r.doc_id
+             |)
+             |SELECT doc_id, min(label) AS cluster_id FROM reach
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------ embed LSH
     // The bucketed scale path for embedding near-dup (see embedLshNearDups

@@ -129,6 +129,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(distinct > 8, s"centroid collapse: only $distinct distinct")
   }
 
+  test("connected components: chains merge, islands stay, empty edges = singletons") {
+    import org.apache.spark.sql.functions.col
+    val nodes = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3 (transitive merge), pair 5-6, islands 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    val none = Dedup.connectedComponents(nodes,
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(none === (1L to 7L).map(i => i -> i))
+  }
+
   test("embedLshNearDups falls back to a non-broadcast join when the table exceeds the threshold") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
