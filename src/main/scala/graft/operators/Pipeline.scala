@@ -40,6 +40,63 @@ object Pipeline {
              |WHERE rn = 1 AND n_tokens >= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------------------ split
+    // Deterministic train/eval split on a content hash — reproducible
+    // across runs, machines, and repartitions (never random()): the
+    // assignment is a pure narrow map, no shuffle at any scale. 90/10 on
+    // the first 8 md5 hex digits.
+    QueryDef("pp_train_test_split",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(conv(substring(md5(col("text").cast("binary")), 1, 8),
+              16, 10).cast("long") % 100 < 90, "train")
+              .otherwise("eval").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+             |    % 100 < 90 THEN 'train' ELSE 'eval' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------ contamination
+    // Benchmark-contamination check: for each held-out doc (doc_id % 25
+    // = 0), the fraction of its distinct 3-word shingles that appear
+    // anywhere in the train split. The shingle join is an equi-join on the
+    // shingle string against a distinct train-side set — at 100 TB both
+    // sides would pre-hash shingles to 8-byte keys; the shape (explode ->
+    // distinct -> left join -> count ratio) is the same.
+    QueryDef("pp_contamination",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.shingles
+        val sh = Tables.documents(s, d).select(col("doc_id"),
+          explode(array_distinct(shingles(col("text")))).as("sh"))
+        val bench = sh.filter(pmod(col("doc_id"), lit(25)) === 0)
+        val train = sh.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+          .select(col("sh"), lit(1L).as("hit")).distinct()
+        bench.join(train, Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(col("hit")).as("n_contaminated"))
+          .withColumn("contamination",
+            col("n_contaminated") / col("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(1, len(toks)-1),
+             |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |    ELSE [array_to_string(toks, ' ')] END)) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |        FROM documents) t),
+             |train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 <> 0),
+             |bench AS (SELECT * FROM sh WHERE doc_id % 25 = 0)
+             |SELECT b.doc_id, count(*) AS n_shingles,
+             |  count(t.sh) AS n_contaminated,
+             |  CAST(count(t.sh) AS DOUBLE) / count(*) AS contamination
+             |FROM bench b LEFT JOIN train t ON b.sh = t.sh
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------------------------ SQL fns
     // The custom Catalyst expressions through their SQL registration
     // (GraftExtensions): same semantics as dd_embed_cosine, so the DuckDB
