@@ -30,6 +30,17 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = NumPerms / Bands
 
+  /** Size-gated broadcast: hint only while the lookup side fits the
+    * session broadcast threshold (per its optimized-plan stats); larger
+    * tables fall back to a plain equi-join — never an OOM'd broadcast.
+    */
+  private def gated(df: DataFrame): DataFrame = {
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && bytes <= threshold) broadcast(df) else df
+  }
+
   /** Banded LSH candidate pairs (a_id < b_id), deduplicated. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val banded = lshBands(sigs, "doc_id", Bands, RowsPerBand)
@@ -40,10 +51,14 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
   }
 
-  /** Exact word-set Jaccard attached to candidate pairs. */
+  /** Exact word-set Jaccard attached to candidate pairs. The token-set
+    * lookup sides broadcast while they fit (candidates never shuffle with
+    * arrays attached); past the threshold this degrades to equi-joins on
+    * ids — the arrays then ship once per doc, not per candidate.
+    */
   def withJaccard(pairs: DataFrame, docsets: DataFrame): DataFrame = {
-    val a = docsets.select(col("doc_id").as("a_id"), col("tokset").as("a_toks"))
-    val b = docsets.select(col("doc_id").as("b_id"), col("tokset").as("b_toks"))
+    val a = gated(docsets.select(col("doc_id").as("a_id"), col("tokset").as("a_toks")))
+    val b = gated(docsets.select(col("doc_id").as("b_id"), col("tokset").as("b_toks")))
     pairs.join(a, "a_id").join(b, "b_id")
       .withColumn("jac",
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
@@ -107,14 +122,9 @@ object Dedup {
     // table fits the session broadcast threshold; past that it becomes a
     // plain equi-join on ids — still never a shuffle of a candidate x
     // vector cross product, and never arrays through the candidate shuffle
-    val aV = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
-    val bV = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      e.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-    val vecBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
-    def gate(df: DataFrame): DataFrame =
-      if (threshold > 0 && vecBytes <= threshold) broadcast(df) else df
-    cand.join(gate(aV), "a_id").join(gate(bV), "b_id")
+    val aV = gated(e.select(col("vec_id").as("a_id"), col("embedding").as("a_v")))
+    val bV = gated(e.select(col("vec_id").as("b_id"), col("embedding").as("b_v")))
+    cand.join(aV, "a_id").join(bV, "b_id")
       .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= minCos)
       .select(col("a_id"), col("b_id"))
   }

@@ -69,6 +69,12 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val ps = GraftOrcDataSource.paths(options)
     require(ps.nonEmpty, "graft-orc: no path specified")
+    // Reference contract (basic_reading.rs:493-522): a listing with zero
+    // .orc files merges to an EMPTY schema, not an inference error. A
+    // nonexistent path still errors (FileNotFound from the listing).
+    val index = new GraftOrcFileIndex(
+      spark.sparkContext.hadoopConfiguration, ps, 32)
+    if (index.entries.isEmpty) return new StructType()
     // A2: merge schemas across ALL paths/files (conflict => AnalysisException);
     // partitioned layouts get their inferred partition columns appended,
     // consistent with Spark's partition-type inference.

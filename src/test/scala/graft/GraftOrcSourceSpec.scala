@@ -209,6 +209,20 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("error contracts: nonexistent path errors; no-orc dir yields empty schema (basic_reading.rs:451-522)") {
+    // nonexistent file -> listing error, not silent empty
+    intercept[Exception] {
+      spark.read.format("graft-orc").load("/no/such/path/anywhere").collect()
+    }
+    // dir with zero .orc files -> EMPTY schema (reference merges zero
+    // schemas), zero rows, no exception
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty")
+    java.nio.file.Files.writeString(tmp.resolve("readme.txt"), "not orc")
+    val df = spark.read.format("graft-orc").load(tmp.toString)
+    assert(df.schema.isEmpty)
+    assert(df.count() === 0)
+  }
+
   test("pushdown off via option still returns correct results") {
     val q = spark.read.format("graft-orc")
       .option("orc.pushdown_predicate", "false").load(orcPath)
