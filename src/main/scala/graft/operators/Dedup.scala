@@ -30,16 +30,7 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = NumPerms / Bands
 
-  /** Size-gated broadcast: hint only while the lookup side fits the
-    * session broadcast threshold (per its optimized-plan stats); larger
-    * tables fall back to a plain equi-join — never an OOM'd broadcast.
-    */
-  private def gated(df: DataFrame): DataFrame = {
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (threshold > 0 && bytes <= threshold) broadcast(df) else df
-  }
+  private def gated(df: DataFrame): DataFrame = Joins.sizeGatedBroadcast(df)
 
   /** Banded LSH candidate pairs (a_id < b_id), deduplicated. */
   def lshCandidates(sigs: DataFrame): DataFrame = {

@@ -158,19 +158,24 @@ object Similarity {
         val tables = 8
         val planes = 4
         val e = Tables.embeddings(s, d)
-        val bucketed = e.select(col("vec_id"), col("embedding"),
+        // ids-only through bucketing and candidate dedup (16-byte rows);
+        // vectors attach only to the deduped candidate set
+        val bucketed = e.select(col("vec_id"),
           posexplode(array((0 until tables).map { t =>
             hyperplaneBucket(col("embedding"), planes, 64,
               planeOffset = t * planes)
           }: _*)).as(Seq("table", "bucket")))
-        val q = bucketed.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+        val qB = bucketed.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("table"), col("bucket"))
+        val cand = bucketed.select(col("vec_id").as("n_id"),
             col("table"), col("bucket"))
-        rerank(bucketed
-          .select(col("vec_id").as("n_id"), col("embedding").as("n_v"),
-            col("table"), col("bucket"))
-          .join(broadcast(q), Seq("table", "bucket"))
-          .dropDuplicates("q_id", "n_id"))
+          .join(broadcast(qB), Seq("table", "bucket"))
+          .select(col("q_id"), col("n_id")).distinct()
+        val qV = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val nV = e.select(col("vec_id").as("n_id"), col("embedding").as("n_v"))
+        rerank(cand.join(broadcast(qV), "q_id")
+          .join(Joins.sizeGatedBroadcast(nV), "n_id"))
       },
       None)
   )

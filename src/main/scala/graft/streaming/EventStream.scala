@@ -75,6 +75,24 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Streaming ingest dedup — the training-pipeline shape: drop exact
+    * duplicate records as they arrive, with state bounded by the event-time
+    * watermark (`dropDuplicatesWithinWatermark`: a duplicate arriving
+    * within the watermark delay of its first copy is dropped; state for
+    * older keys is evicted, so the state store never grows unboundedly —
+    * the property that matters on an infinite stream).
+    */
+  def dedupedStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   /** Sessionized running aggregate per user via flatMapGroupsWithState-free
     * windowing: 30-minute session windows (built-in session_window).
     */

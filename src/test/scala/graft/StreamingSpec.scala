@@ -48,6 +48,19 @@ class StreamingSpec extends AnyFunSuite {
       batch.select($"user_id").distinct().count())
   }
 
+  test("streaming dedup drops nothing on unique ids and covers every event") {
+    val q = EventStream.dedupedStream(spark, TestSpark.sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_dedup")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("st_dedup")
+    val batch = Tables.events(spark, TestSpark.sf0001)
+    // event_ids are unique in the testdata: streaming dedup must be lossless
+    assert(out.count() === batch.count())
+    assert(out.select($"event_id").distinct().count() === batch.count())
+  }
+
   test("session windows produce per-user sessions") {
     val q = EventStream.sessionCounts(spark, TestSpark.sf0001)
       .writeStream.outputMode("complete")
