@@ -788,6 +788,65 @@ object Relational {
              |        FROM lineitem GROUP BY 1) r
              |  JOIN supplier ON s_suppkey = l_suppkey
              |  JOIN nation ON n_nationkey = s_nationkey) t
-             |WHERE rnk <= 3 ORDER BY n_name, rnk, s_name""".stripMargin))
+             |WHERE rnk <= 3 ORDER BY n_name, rnk, s_name""".stripMargin)),
+
+    // ---------------------------------------------------------------- q37
+    // Window-function sweep beyond row_number/lag/rank: ntile, lead,
+    // first_value, percent_rank, cume_dist — one shuffle on o_custkey
+    // serves every one (same window spec). percent_rank/cume_dist are
+    // single divisions of identical ints => bit-equal cross-engine.
+    QueryDef("q37_window_suite",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+            col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            first_value(col("o_orderkey")).over(w).as("cheapest_order"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  lead(o_orderkey, 1) OVER w AS next_order,
+             |  first_value(o_orderkey) OVER w AS cheapest_order,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q38
+    // Date/time scalar sweep: year/month/day/quarter, normalized
+    // day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday — the oracle pins
+    // the normalization), month bucket string, day diff from an epoch
+    // date, end-of-month. All narrow codegen'd projections.
+    QueryDef("q38_datetime_sweep",
+      (s, d) => {
+        val od = col("o_orderdate")
+        Tables.orders(s, d).select(
+            col("o_orderkey"),
+            year(od).cast("long").as("yr"),
+            month(od).cast("long").as("mth"),
+            dayofmonth(od).cast("long").as("dy"),
+            quarter(od).cast("long").as("qtr"),
+            (dayofweek(od) - 1).cast("long").as("dow"),
+            date_format(od, "yyyy-MM").as("ym"),
+            datediff(to_date(od), to_date(lit("1995-01-01")))
+              .cast("long").as("days_since"),
+            last_day(od).cast("string").as("eom"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+             |  day(o_orderdate) AS dy, quarter(o_orderdate) AS qtr,
+             |  dayofweek(o_orderdate) AS dow,
+             |  strftime(o_orderdate, '%Y-%m') AS ym,
+             |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+             |  CAST(last_day(o_orderdate) AS VARCHAR) AS eom
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }
