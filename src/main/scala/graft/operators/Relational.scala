@@ -847,6 +847,54 @@ object Relational {
              |  strftime(o_orderdate, '%Y-%m') AS ym,
              |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
              |  CAST(last_day(o_orderdate) AS VARCHAR) AS eom
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q39
+    // String scalar sweep: case, pad, replace, reverse, find, substring,
+    // concat, length — all codegen'd narrow projections with exact
+    // cross-engine semantics (1-based find, 0 when absent).
+    QueryDef("q39_string_sweep",
+      (s, d) => {
+        val n = col("p_name")
+        Tables.part(s, d).select(
+            col("p_partkey"),
+            upper(n).as("up"),
+            lpad(n, 12, "_").as("padded"),
+            regexp_replace(n, "a", "@").as("replaced"),
+            reverse(n).as("rev"),
+            instr(n, "e").cast("long").as("e_pos"),
+            substring(n, 2, 3).as("mid"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            length(n).cast("long").as("len"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS up,
+             |  lpad(p_name, 12, '_') AS padded,
+             |  replace(p_name, 'a', '@') AS replaced,
+             |  reverse(p_name) AS rev,
+             |  strpos(p_name, 'e') AS e_pos,
+             |  substr(p_name, 2, 3) AS mid,
+             |  concat(p_brand, '-', p_type) AS brand_type,
+             |  len(p_name) AS len
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q40
+    // Sketch aggregates: HyperLogLog distinct count + approximate
+    // percentiles. Sketches are engine-specific (Spark HLL++ vs DuckDB's)
+    // so there is no value oracle — the error contract is pinned in
+    // ScalaTest instead (approx within 5% of exact / between true
+    // quantile neighbors). At 100 TB this is THE distinct-count shape:
+    // mergeable partial sketches, no exact-distinct shuffle.
+    QueryDef("q40_approx_aggs",
+      (s, d) => {
+        Tables.lineitem(s, d).agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("median_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("p95_price"))
+      },
+      None)
   )
 }
