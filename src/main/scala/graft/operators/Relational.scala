@@ -895,6 +895,63 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
             .as("p95_price"))
       },
-      None)
+      None),
+
+    // ---------------------------------------------------------------- q41
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (plan: aggregate-with-counts + generate, not the
+    // distinct-based set ops of q10).
+    QueryDef("q41_setops_all",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.filter(col("value") > 30).select(col("event_type"))
+        val b = e.filter(col("value") < 70).select(col("event_type"))
+        val inter = a.intersectAll(b).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val except = a.exceptAll(b).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        inter.union(except).select(col("op"), col("event_type"), col("n"))
+          .orderBy(col("op"), col("event_type"))
+      },
+      Some("""SELECT op, event_type, n FROM (
+             |  SELECT 'intersect_all' AS op, event_type, count(*) AS n FROM (
+             |    SELECT event_type FROM events WHERE value > 30
+             |    INTERSECT ALL
+             |    SELECT event_type FROM events WHERE value < 70) t1
+             |  GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'except_all' AS op, event_type, count(*) AS n FROM (
+             |    SELECT event_type FROM events WHERE value > 30
+             |    EXCEPT ALL
+             |    SELECT event_type FROM events WHERE value < 70) t2
+             |  GROUP BY 2) u
+             |ORDER BY op, event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------- q42
+    // Array higher-order functions over the token arrays: size, lambda
+    // filter, sort+slice+transform, membership — the array algebra the
+    // embedding/multimodal columns lean on, all codegen'd (no UDFs).
+    QueryDef("q42_array_hof",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            size(toks).cast("long").as("n"),
+            size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+            element_at(sort_array(array_distinct(toks)), 1).as("first_tok"),
+            array_contains(toks, "data").as("has_data"),
+            array_join(transform(slice(sort_array(array_distinct(toks)), 1, 3),
+              t => upper(t)), ",").as("top3"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(toks) AS n,
+             |  len(list_filter(toks, t -> len(t) > 4)) AS n_long,
+             |  list_sort(list_distinct(toks))[1] AS first_tok,
+             |  list_contains(toks, 'data') AS has_data,
+             |  array_to_string(list_transform(list_sort(list_distinct(toks))[1:3],
+             |    t -> upper(t)), ',') AS top3
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin))
   )
 }
