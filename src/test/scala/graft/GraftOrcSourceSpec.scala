@@ -209,6 +209,16 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("SQL DDL: CREATE TEMPORARY VIEW ... USING graft-orc (register_orc_table analogue)") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_ddl_li
+                 |USING `graft-orc` OPTIONS (path '$orcPath')""".stripMargin)
+    assert(spark.table("graft_ddl_li").count() === builtin.count())
+    val agg = spark.sql(
+      "SELECT count(*) AS n FROM graft_ddl_li WHERE l_quantity > 40")
+      .collect().head.getLong(0)
+    assert(agg === builtin.filter($"l_quantity" > 40).count())
+  }
+
   test("error contracts: nonexistent path errors; no-orc dir yields empty schema (basic_reading.rs:451-522)") {
     // nonexistent file -> listing error, not silent empty
     intercept[Exception] {
