@@ -952,6 +952,42 @@ object Relational {
              |    t -> upper(t)), ',') AS top3
              |FROM (SELECT doc_id, string_split(text, ' ') AS toks
              |      FROM documents) t
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------- q43
+    // AS-OF join (the operator Spark lacks natively, composed per the
+    // preference order): each purchase matched to the user's latest click
+    // at-or-before it. One shuffle+sort, no range cross-product
+    // (Joins.asOfJoin scaladoc). Clicks are pre-deduped per (user, ts) so
+    // the representative is deterministic; DuckDB's native ASOF JOIN is
+    // the oracle.
+    QueryDef("q43_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("p_ts_us"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("c_ts_us"),
+            col("event_id"))
+          .groupBy(col("user_id"), col("c_ts_us"))
+          .agg(max(col("event_id")).as("click_id"))
+        Joins.asOfJoin(purchases, clicks, "user_id", "p_ts_us", "c_ts_us")
+          .withColumn("gap_us", col("p_ts_us") - col("c_ts_us"))
+          .select(col("p_id"), col("user_id"), col("p_ts_us"),
+            col("click_id"), col("gap_us"))
+          .orderBy(col("p_id"))
+      },
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
+             |           FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, epoch_us(ts) AS c_ts,
+             |             max(event_id) AS click_id
+             |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.p_id, p.user_id, p.p_ts AS p_ts_us, c.click_id,
+             |  p.p_ts - c.c_ts AS gap_us
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+             |ORDER BY p_id""".stripMargin))
   )
 }

@@ -67,6 +67,13 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size === 2, "exactly two scans")
   }
 
+  test("q43: as-of join is one sort, never a range cross-product") {
+    val p = plan("q43_asof_join")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
   test("q36: revenue aggregates before broadcast dim joins; window is group-limited") {
     val p = plan("q36_window_rank_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(800))

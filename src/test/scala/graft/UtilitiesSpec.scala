@@ -10,6 +10,22 @@ class UtilitiesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("asOfJoin: latest-at-or-before semantics, ties match, no-match yields nulls") {
+    import graft.operators.Joins
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "lt", "l_name")
+    val right = Seq((1L, 40L, "c_40"), (1L, 100L, "c_100"), (1L, 120L, "c_120"),
+      (3L, 5L, "c_other"))
+      .toDF("k", "rt", "r_name")
+    val got = Joins.asOfJoin(left, right, "k", "lt", "rt")
+      .orderBy($"l_name")
+      .select($"l_name", $"r_name").as[(String, String)].collect().toSeq
+    assert(got === Seq(
+      ("p1", "c_100"), // tie at equal ts matches (>=), later c_120 excluded
+      ("p2", "c_40"),  // latest at-or-before 50
+      ("p3", null)))   // key 2 has no rights -> null
+  }
+
   test("salted join is row-identical to plain inner join") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
       .select($"l_orderkey", $"l_quantity")
