@@ -988,6 +988,49 @@ object Relational {
              |  p.p_ts - c.c_ts AS gap_us
              |FROM p ASOF LEFT JOIN c
              |  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
-             |ORDER BY p_id""".stripMargin))
+             |ORDER BY p_id""".stripMargin)),
+
+    // ---------------------------------------------------------------- q44
+    // Interval join: error events within 6 hours AFTER a click by the
+    // same user. The scale shape is a BANDED equi-join — each click lands in
+    // its 60s bucket and its successor (every interval of width W is
+    // covered by two W-buckets), so the plan is an equi-join on
+    // (user, bucket) + exact residual filter, never a per-user range
+    // cross-product. The oracle states the same semantics as a plain
+    // range join (DuckDB's optimizer handles small scale fine). Each
+    // click covers [c_ts, c_ts+W]: emitted into its bucket + successor.
+    QueryDef("q44_interval_join",
+      (s, d) => {
+        val W = 21600000000L // 6h in micros
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("c_ts"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("e_ts"))
+        // click covers [c_ts, c_ts+W]: emit its bucket and the next one;
+        // errors land in exactly one bucket
+        val cB = clicks.withColumn("bucket",
+          explode(array((col("c_ts") / W).cast("long"),
+            (col("c_ts") / W).cast("long") + 1)))
+        val eB = errors.withColumn("bucket", (col("e_ts") / W).cast("long"))
+        cB.join(eB, Seq("user_id", "bucket"))
+          .filter(col("e_ts") >= col("c_ts") &&
+            col("e_ts") <= col("c_ts") + W)
+          // no dedupe needed: each error sits in exactly ONE bucket, so a
+          // (click, error) pair joins at most once
+          .select(col("c_id"), col("e_id"), col("user_id"),
+            (col("e_ts") - col("c_ts")).as("delay_us"))
+          .orderBy(col("c_id"), col("e_id"))
+      },
+      Some("""SELECT c.event_id AS c_id, e.event_id AS e_id, c.user_id,
+             |  epoch_us(e.ts) - epoch_us(c.ts) AS delay_us
+             |FROM events c JOIN events e
+             |  ON c.user_id = e.user_id
+             |  AND c.event_type = 'click' AND e.event_type = 'error'
+             |  AND epoch_us(e.ts) >= epoch_us(c.ts)
+             |  AND epoch_us(e.ts) <= epoch_us(c.ts) + CAST(21600000000 AS BIGINT)
+             |ORDER BY c_id, e_id""".stripMargin))
   )
 }
