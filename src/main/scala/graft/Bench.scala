@@ -74,7 +74,7 @@ object Bench {
     "dd_minhash_lsh", "dd_simhash", "dd_embed_cosine",
     "ss_topk_bruteforce", "ss_ann_lsh", "ss_ann_ivf", "q29_partition_pruning",
     "q33_graft_orc_partitioned", "q35_grouping_sets_join",
-    "q36_window_rank_join")
+    "q36_window_rank_join", "q43_asof_join", "q44_interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
