@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Joins}
+
+/** Scale-stress harness: derives a k-times-larger events table (same user
+  * population => k-times-hotter keys, the adversarial direction for
+  * per-key sorts and band joins) and times the operators whose cost shape
+  * is least obvious from the plan: AS-OF join, interval join, connected
+  * components. Prints one JSON line per (operator, factor).
+  *
+  *   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 1 10
+  */
+object ScaleStress {
+
+  private def num(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaled(k: Int): DataFrame = {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      // k shifted copies: same users (hotter keys), jittered timestamps,
+      // disjoint event ids
+      (0 until k).map { i =>
+        e.select((col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+          col("user_id"), col("event_type"),
+          (col("ts_us") + lit(i.toLong * 7919L)).as("ts_us"))
+      }.reduce(_ union _)
+    }
+
+    def time(name: String, k: Int)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count() // full materialization
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"op":"$name","factor":$k,"rows":$rows,"sec":${num(sec)}}""")
+    }
+
+    factors.foreach { k =>
+      val e = scaled(k).cache()
+      e.count()
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts_us"), col("event_id"))
+        .groupBy(col("user_id"), col("c_ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+      time("asof_join", k) {
+        Joins.asOfJoin(purchases, clicks, "user_id", "p_ts_us", "c_ts_us")
+      }
+
+      val W = 21600000000L
+      val cB = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts_us").as("c_ts"))
+        .withColumn("bucket", explode(array((col("c_ts") / W).cast("long"),
+          (col("c_ts") / W).cast("long") + 1)))
+      val eB = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id"),
+          col("ts_us").as("e_ts"))
+        .withColumn("bucket", (col("e_ts") / W).cast("long"))
+      time("interval_join", k) {
+        cB.join(eB, Seq("user_id", "bucket"))
+          .filter(col("e_ts") >= col("c_ts") && col("e_ts") <= col("c_ts") + W)
+          .select(col("c_id"), col("e_id"))
+      }
+
+      // connected components over a synthetic chain-heavy pair graph
+      // (worst case: long chains need diameter iterations)
+      val n = 20000L * k
+      val nodes = spark.range(n).select(col("id").as("doc_id"))
+      val pairs = spark.range(n - 1)
+        .filter(col("id") % 100 =!= 99) // chains of length 100
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      time("connected_components", k) {
+        Dedup.connectedComponents(nodes, pairs, maxIters = 120)
+      }
+      e.unpersist()
+    }
+    spark.stop()
+  }
+}
