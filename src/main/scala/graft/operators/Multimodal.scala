@@ -24,13 +24,16 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("entropy_proxy", LongType, nullable = false)))
 
-  /** Output schema of the frame sampler. */
+  /** Output schema of the frame sampler. The first frame surfaces as its
+    * md5 hex (raw binary output round-trips differently through the two
+    * engines' result paths; the digest pins the same bytes).
+    */
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
     StructField("n_sampled", LongType, nullable = false),
     StructField("sampled_bytes", LongType, nullable = false),
-    StructField("first_frame", BinaryType, nullable = true)))
+    StructField("first_frame_md5", StringType, nullable = true)))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -60,9 +63,12 @@ object Multimodal {
     // ------------------------------------------------------------ features
     // STUB DECODER: a real deployment would decode image/audio bytes here
     // (e.g. JPEG -> pixels) inside the same mapPartitions; this container
-    // has no codecs, so the "decode" is a deterministic byte histogram +
-    // rolling checksum with identical plumbing (binary in, fixed-schema
-    // features out, executed per-partition with zero shuffle).
+    // has no codecs, so the "decode" is a deterministic byte computation
+    // (position-weighted checksum + high-nibble histogram) with identical
+    // plumbing (binary in, fixed-schema features out, executed
+    // per-partition with zero shuffle). Because the fake decode is pure
+    // byte math, the WHOLE operator is DuckDB-oracle-checked — the
+    // plumbing's accounting is verified even though the codec is stubbed.
     QueryDef("mm_feature_stub",
       (s, d) => {
         val spark = s
@@ -73,11 +79,11 @@ object Multimodal {
             val docId = ir.getLong(0)
             val bytes = ir.getBinary(1)
             // --- fake decode begins (stands in for codec work) ---
-            var checksum = 1469598103934665603L // FNV offset
+            var checksum = 0L // position-weighted byte sum
             val hist = new Array[Long](16)
             var i = 0
             while (i < bytes.length) {
-              checksum = (checksum ^ (bytes(i) & 0xffL)) * 1099511628211L
+              checksum += (i % 31 + 1).toLong * (bytes(i) & 0xffL)
               hist((bytes(i) & 0xf0) >> 4) += 1
               i += 1
             }
@@ -90,7 +96,14 @@ object Multimodal {
         }
         spark.createDataFrame(rdd, featureSchema).orderBy(col("doc_id"))
       },
-      None),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(COALESCE(list_sum(list_transform(range(1, len(text)+1),
+             |    i -> ord(text[i]) * ((i-1) % 31 + 1))), 0) AS BIGINT)
+             |    AS checksum,
+             |  CAST(len(list_distinct(list_transform(range(1, len(text)+1),
+             |    i -> ord(text[i]) // 16))) AS BIGINT) AS entropy_proxy
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------ frames
     // STUB FRAME SAMPLER: stands in for video frame-sampling — the payload
@@ -124,11 +137,26 @@ object Multimodal {
               }
               f += 1
             }
-            Row(docId, nFrames.toLong, sampled, sampledBytes, first)
+            val firstMd5 = if (first == null) null
+              else java.security.MessageDigest.getInstance("MD5")
+                .digest(first).map("%02x".format(_)).mkString
+            Row(docId, nFrames.toLong, sampled, sampledBytes, firstMd5)
           }
         }
         spark.createDataFrame(rdd, frameSchema).orderBy(col("doc_id"))
       },
-      None)
+      // frame chunking is pure arithmetic over the byte length, so the
+      // sampler's accounting (and the first frame's bytes) oracle-check
+      Some("""SELECT doc_id,
+             |  (octet_length(encode(text)) + 63) // 64 AS n_frames,
+             |  ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled,
+             |  CASE WHEN octet_length(encode(text)) = 0 THEN 0
+             |    ELSE 64 * (((octet_length(encode(text)) + 63) // 64 + 3) // 4 - 1)
+             |      + LEAST(64, octet_length(encode(text))
+             |          - 256 * (((octet_length(encode(text)) + 63) // 64 + 3) // 4 - 1))
+             |  END AS sampled_bytes,
+             |  CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+             |    ELSE md5(substr(text, 1, 64)) END AS first_frame_md5
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
