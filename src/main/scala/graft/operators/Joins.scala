@@ -50,8 +50,17 @@ object Joins {
     * broadcast at scale.
     */
   def sizeGatedBroadcast(df: DataFrame): DataFrame = {
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // Mirrors Spark's ConfigHelpers.byteFromString: "-1" (the standard
+    // broadcast-disable value) must mean "never broadcast", not crash —
+    // JavaUtils.byteStringAsBytes rejects a leading '-'.
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold =
+      try {
+        if (raw.startsWith("-"))
+          -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.substring(1))
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      } catch { case _: NumberFormatException => -1L }
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (threshold > 0 && bytes <= threshold) broadcast(df) else df
   }

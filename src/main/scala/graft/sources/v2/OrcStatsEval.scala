@@ -40,8 +40,11 @@ object OrcStatsEval {
     case n: Short => BigDecimal(n.toInt)
     case n: Int => BigDecimal(n)
     case n: Long => BigDecimal(n)
-    case n: Float => BigDecimal.decimal(n)
-    case n: Double => BigDecimal(n)
+    // NaN/±Infinity have no BigDecimal form; return them raw so cmp()
+    // yields None and evaluation stays unknown (keep, never crash) —
+    // Spark writes such values into double-typed hive partition dirs.
+    case n: Float => if (java.lang.Float.isFinite(n)) BigDecimal.decimal(n) else n
+    case n: Double => if (java.lang.Double.isFinite(n)) BigDecimal(n) else n
     case n: java.math.BigDecimal => BigDecimal(n)
     case n: BigDecimal => n
     case d: java.sql.Date => EpochDays(d.toLocalDate.toEpochDay)
