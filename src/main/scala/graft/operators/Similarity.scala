@@ -159,12 +159,11 @@ object Similarity {
         val planes = 4
         val e = Tables.embeddings(s, d)
         // ids-only through bucketing and candidate dedup (16-byte rows);
-        // vectors attach only to the deduped candidate set
+        // vectors attach only to the deduped candidate set; all tables'
+        // buckets from one native pass (see HyperplaneBuckets)
         val bucketed = e.select(col("vec_id"),
-          posexplode(array((0 until tables).map { t =>
-            hyperplaneBucket(col("embedding"), planes, 64,
-              planeOffset = t * planes)
-          }: _*)).as(Seq("table", "bucket")))
+          posexplode(hyperplaneBuckets(col("embedding"), tables, planes, 64))
+            .as(Seq("table", "bucket")))
         val qB = bucketed.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("table"), col("bucket"))
         val cand = bucketed.select(col("vec_id").as("n_id"),

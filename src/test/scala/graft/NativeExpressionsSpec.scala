@@ -37,6 +37,21 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("native hyperplaneBuckets == per-table Column-tree buckets (bit-exact)") {
+    val tables = 8; val planes = 6
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(300)
+    val diff = e.select(
+        VectorFunctions.hyperplaneBuckets($"embedding", tables, planes, 64)
+          .as("native"),
+        array((0 until tables).map { t =>
+          VectorFunctions.hyperplaneBucket($"embedding", planes, 64,
+            planeOffset = t * planes)
+        }: _*).as("tree"))
+      .filter($"native" =!= $"tree")
+      .count()
+    assert(diff === 0L)
+  }
+
   test("rolling hash matches JVM reference and is null-safe") {
     def ref(s: String): Long = {
       var h = -3750763034362895579L

@@ -59,6 +59,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  // BNLJ is acceptable ONLY where the broadcast side is a constant-size
+  // set (5 query vectors / 16 centroids): the big side streams once, cost
+  // is O(n * k) with k fixed — linear in data, survives 100x. Everything
+  // else in the headline bench set must be equi-join shaped: a
+  // CartesianProduct or an unbounded BNLJ here is an n^2 scale-killer.
+  private val boundedBroadcastOk = Set("ss_topk_bruteforce", "ss_ann_ivf")
+
+  test("headline bench set never cross-products (scale guard, whole set)") {
+    val extras = Seq(
+      "dd_embed_lsh_10x" -> (() => Bench.embedLsh10x(spark, sf)))
+    val plans = Bench.headline.map(n => n -> (() => plan(n))) ++
+      extras.map { case (n, mk) =>
+        n -> (() => mk().queryExecution.executedPlan.toString)
+      }
+    plans.foreach { case (name, mk) =>
+      val p = mk()
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${p.take(800)}")
+      if (!boundedBroadcastOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin:\n${p.take(800)}")
+    }
+  }
+
   test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
     val p = plan("q35_grouping_sets_join")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
