@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Real TPC-DS query *shapes* (q5, q14, q51, q72, q95) adapted to the
+  * star schema — the runnable analogue of the reference's q1-99 harness
+  * (`/root/reference/src/bin/tpcds_bench.rs:68-96`; the sandbox lacks the
+  * 24-table TPC-DS corpus, so each query keeps the original's
+  * plan-defining structure — rollup-over-union, INTERSECT,
+  * window-over-union, date-arithmetic multi-join, multi-EXISTS — against
+  * the TPC-H-ish tables).
+  *
+  * Oracle-parity conventions (see QueryDef): DECIMAL accumulation
+  * surfaced as DOUBLE, BIGINT counts, total ORDER BY with NULLS FIRST
+  * spelled on both sides.
+  */
+object TpcdsShapes {
+
+  // revenue term: computed double -> DECIMAL(30,8) (scale-2 rounds ties
+  // differently across engines; at scale 8 ties are ~1e-8 probable)
+  private def revDec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    .cast(DecimalType(30, 8))
+  private val oRev =
+    "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))"
+
+  // Decimal-accumulated total surfaced as DOUBLE. The scale-8 sum itself
+  // is bit-identical across engines, but its double CONVERSION is not
+  // once |total|*1e8 exceeds 2^53 (~9e15, i.e. totals over ~9e7): the
+  // engines then differ by 1 ulp (measured: 3024008727.8907 vs
+  // ...8907003 on the q45 grand total). Rounding the exact decimal to
+  // scale 2 first (HALF_UP in both engines for positive values) keeps
+  // the scaled integer within 2^53, making the double conversion exact.
+  private def decToDouble(c: Column, alias: String): Column =
+    round(c, 2).cast("double").as(alias)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q45
+    // TPC-DS q5 shape: per-channel sales/returns summaries UNION ALL'd,
+    // then ROLLUP over (channel, year) for channel subtotals + grand
+    // total. At 100 TB: the Expand(x3) feeds partial hash aggregation
+    // BEFORE the shuffle, so the exchange carries ~(channels x years x 3)
+    // rows per task regardless of input size.
+    QueryDef("q45_channel_rollup",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def channel(name: String, flagFilter: org.apache.spark.sql.Column) =
+          li.filter(flagFilter).select(lit(name).as("channel"),
+            year(col("l_shipdate")).cast("long").as("yr"), revDec.as("amt"))
+        channel("sales", col("l_returnflag") =!= "R")
+          .union(channel("returns", col("l_returnflag") === "R"))
+          .rollup(col("channel"), col("yr"))
+          .agg(count(lit(1)).as("n"),
+            decToDouble(sum(col("amt")), "amount"))
+          .orderBy(col("channel").asc_nulls_first, col("yr").asc_nulls_first)
+      },
+      Some(s"""SELECT channel, yr, count(*) AS n,
+              |  CAST(round(sum(amt), 2) AS DOUBLE) AS amount
+              |FROM (
+              |  SELECT 'sales' AS channel, year(l_shipdate) AS yr,
+              |    $oRev AS amt
+              |  FROM lineitem WHERE l_returnflag <> 'R'
+              |  UNION ALL
+              |  SELECT 'returns' AS channel, year(l_shipdate) AS yr,
+              |    $oRev AS amt
+              |  FROM lineitem WHERE l_returnflag = 'R') t
+              |GROUP BY ROLLUP (channel, yr)
+              |ORDER BY channel NULLS FIRST, yr NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------- q46
+    // TPC-DS q14 shape: INTERSECT of the part keys two "channels"
+    // (customer segments) both sold, then total sales of the common
+    // parts by brand. INTERSECT plans as distinct + co-partitioned join;
+    // the common-part probe is a semi join (never materializes pairs);
+    // part is a broadcast dim.
+    QueryDef("q46_intersect_parts",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        def partsIn(seg: String) =
+          li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(Tables.customer(s, d)
+              .filter(col("c_mktsegment") === seg)),
+              col("o_custkey") === col("c_custkey"))
+            .select(col("l_partkey"))
+        val common = partsIn("BUILDING").intersect(partsIn("MACHINERY"))
+        li.join(common, Seq("l_partkey"), "left_semi")
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            decToDouble(sum(revDec), "revenue"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""WITH common AS (
+              |  SELECT l_partkey FROM lineitem
+              |    JOIN orders ON l_orderkey = o_orderkey
+              |    JOIN customer ON o_custkey = c_custkey
+              |  WHERE c_mktsegment = 'BUILDING'
+              |  INTERSECT
+              |  SELECT l_partkey FROM lineitem
+              |    JOIN orders ON l_orderkey = o_orderkey
+              |    JOIN customer ON o_custkey = c_custkey
+              |  WHERE c_mktsegment = 'MACHINERY')
+              |SELECT p_brand, count(*) AS n,
+              |  CAST(round(sum($oRev), 2) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_partkey IN (SELECT l_partkey FROM common)
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---------------------------------------------------------------- q47
+    // TPC-DS q51 shape: two monthly revenue series (orders placed vs
+    // lineitems shipped), each cumulated by a running window, FULL OUTER
+    // joined on month, keeping months where cumulative order revenue has
+    // pulled ahead. The windows run over PRE-AGGREGATED month rows
+    // (dozens), so the single-partition window is trivially safe at any
+    // input scale; cumulation is decimal => both engines bit-equal.
+    QueryDef("q47_cumulative_union",
+      (s, d) => {
+        val om = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("amt"))
+        val lm = Tables.lineitem(s, d)
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+          .agg(sum(revDec).as("amt"))
+        val w = Window.orderBy(col("mon"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val oc = om.select(col("mon"),
+          decToDouble(sum(col("amt")).over(w), "cum_orders"))
+        val lc = lm.select(col("mon"),
+          decToDouble(sum(col("amt")).over(w), "cum_shipped"))
+        oc.join(lc, Seq("mon"), "full_outer")
+          .filter(col("cum_orders") > col("cum_shipped"))
+          .orderBy(col("mon"))
+      },
+      Some(s"""WITH om AS (
+              |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+              |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+              |  FROM orders GROUP BY 1),
+              |lm AS (
+              |  SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+              |    sum($oRev) AS amt
+              |  FROM lineitem GROUP BY 1),
+              |oc AS (SELECT mon, CAST(round(sum(amt) OVER (ORDER BY mon
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+              |  AS DOUBLE) AS cum_orders FROM om),
+              |lc AS (SELECT mon, CAST(round(sum(amt) OVER (ORDER BY mon
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+              |  AS DOUBLE) AS cum_shipped FROM lm)
+              |SELECT COALESCE(oc.mon, lc.mon) AS mon, cum_orders, cum_shipped
+              |FROM oc FULL OUTER JOIN lc ON oc.mon = lc.mon
+              |WHERE cum_orders > cum_shipped
+              |ORDER BY mon""".stripMargin)),
+
+    // ---------------------------------------------------------------- q48
+    // TPC-DS q72 shape: date-arithmetic join condition between two facts
+    // (shipment later than 60 days after order placement) under broadcast
+    // dimension joins. The fact-fact join is an equi-join on the order
+    // key with the date arithmetic as residual — co-partitioned shuffle,
+    // never a range cross-product; customer/nation broadcast.
+    QueryDef("q48_late_shipments",
+      (s, d) => {
+        val late = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS"))
+        late
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_late"),
+            avg(datediff(col("l_shipdate"), col("o_orderdate")))
+              .as("avg_delay_days"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_late,
+             |  avg(date_diff('day', o_orderdate, l_shipdate))
+             |    AS avg_delay_days
+             |FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---------------------------------------------------------------- q49
+    // TPC-DS q95 shape: orders passing two EXISTS and one NOT EXISTS
+    // correlated conditions (a big-quantity line; lines from >= 2
+    // distinct suppliers; no returned line), summarized by priority.
+    // Each EXISTS is a LeftSemi and the NOT EXISTS a LeftAnti on the
+    // order key — all co-partitioned equi-joins, no correlated re-scans.
+    QueryDef("q49_multi_exists",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bigQty = li.filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"))
+        val multiSupp = li.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"))
+          .filter(col("ns") >= 2).select(col("l_orderkey"))
+        val returned = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        Tables.orders(s, d)
+          .join(bigQty, col("o_orderkey") === bigQty("l_orderkey"), "left_semi")
+          .join(multiSupp, col("o_orderkey") === multiSupp("l_orderkey"), "left_semi")
+          .join(returned, col("o_orderkey") === returned("l_orderkey"), "left_anti")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem l1
+             |        WHERE l1.l_orderkey = o_orderkey AND l1.l_quantity > 45)
+             |  AND EXISTS (SELECT 1 FROM lineitem l2, lineitem l3
+             |        WHERE l2.l_orderkey = o_orderkey
+             |          AND l3.l_orderkey = o_orderkey
+             |          AND l2.l_suppkey <> l3.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l4
+             |        WHERE l4.l_orderkey = o_orderkey
+             |          AND l4.l_returnflag = 'R')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}
