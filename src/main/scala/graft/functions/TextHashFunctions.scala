@@ -56,16 +56,33 @@ object TextHashFunctions {
 
   /** Explode a signature into (band, key) LSH rows; equal keys in a band
     * mark candidate pairs. bands * rowsPerBand must equal the signature
-    * length.
+    * length. The key is an 8-byte xxhash64 of the band's signature slice,
+    * not the concatenated string: equal slices always collide (recall is
+    * exact), a 2^-64 hash collision only adds a candidate that exact
+    * verification discards, and the band-join shuffle carries 8 bytes per
+    * key instead of a ~rowsPerBand*20-char string.
     */
   def lshBands(sigs: DataFrame, idCol: String, bands: Int,
                rowsPerBand: Int): DataFrame =
     sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
-        concat_ws("_",
-          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            h => h.cast("string")))
+        xxhash64((0 until rowsPerBand).map { r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)
+        }: _*)
       }: _*)).as(Seq("band", "key")))
+
+  /** 60-bit content key both engines compute identically: the first 15 hex
+    * digits of md5, parsed as an integer (DuckDB:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). Used where a hashed
+    * join key must stay reproducible by the DuckDB oracle; engine-internal
+    * paths use the faster xxhash64 instead.
+    */
+  def md5Key60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** The DuckDB SQL text computing exactly [[md5Key60]]. */
+  def md5Key60Sql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
 
   /** 64-bit SimHash of the word multiset: per-token hash bits vote +1/-1,
     * the sign of each bit-sum forms the fingerprint. Native single-pass

@@ -57,8 +57,17 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
-  def docsets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), array_distinct(words(col("text"))).as("tokset"))
+  /** Distinct token sets hashed to 8-byte keys: set algebra (intersect /
+    * union sizes, so Jaccard) is preserved while the equi-join fallback in
+    * [[withJaccard]] ships long arrays, never token strings (~10x fewer
+    * bytes through broadcast or shuffle at corpus scale). Default key is
+    * the engine-internal xxhash64 (the scale path); oracle-checked demos
+    * pass [[TextHashFunctions.md5Key60]] so DuckDB derives identical sets.
+    */
+  def docsets(docs: DataFrame,
+              tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(transform(words(col("text")), tokenKey)).as("tokset"))
 
   /** MinHash+LSH near-duplicate pairs verified by exact Jaccard >= minJac. */
   def minhashNearDups(docs: DataFrame, minJac: Double): DataFrame = {
@@ -179,6 +188,10 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  // oracle-side twin of docsets(_, md5Key60): hashed distinct token sets
+  private val oTokset =
+    s"list_distinct(list_transform(string_split(text, ' '), t -> ${md5Key60Sql("t")}))"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------ exact
@@ -202,11 +215,14 @@ object Dedup {
 
     // ------------------------------------------------------------ jaccard
     // Exact n-gram (word-set) Jaccard pairs over a bounded id range —
-    // the oracle-checkable exact form (DuckDB list functions reproduce
-    // the same set algebra; single int/int division => identical doubles).
+    // the oracle-checkable exact form. Token sets are hashed to 8-byte
+    // keys on BOTH sides (md5Key60, which DuckDB reproduces bit-exactly),
+    // so even this demo's join ships long arrays, not strings; set algebra
+    // and the int/int division are unchanged => identical doubles.
     QueryDef("dd_jaccard_pairs",
       (s, d) => {
-        val ds = docsets(Tables.documents(s, d).filter(col("doc_id") < 120))
+        val ds = docsets(Tables.documents(s, d).filter(col("doc_id") < 120),
+          md5Key60)
         val pairs = ds.select(col("doc_id").as("a_id"))
           .crossJoin(ds.select(col("doc_id").as("b_id")))
           .filter(col("a_id") < col("b_id"))
@@ -214,16 +230,16 @@ object Dedup {
           .filter(col("jac") >= 0.5)
           .orderBy(col("a_id"), col("b_id"))
       },
-      Some("""SELECT a_id, b_id, jac FROM (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
-             |      / len(list_distinct(list_concat(a.tokset, b.tokset))) AS jac
-             |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
-             |        FROM documents WHERE doc_id < 120) a,
-             |       (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
-             |        FROM documents WHERE doc_id < 120) b
-             |  WHERE a.doc_id < b.doc_id) t
-             |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin)),
+      Some(s"""SELECT a_id, b_id, jac FROM (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.tokset, b.tokset))) AS jac
+              |  FROM (SELECT doc_id, $oTokset AS tokset
+              |        FROM documents WHERE doc_id < 120) a,
+              |       (SELECT doc_id, $oTokset AS tokset
+              |        FROM documents WHERE doc_id < 120) b
+              |  WHERE a.doc_id < b.doc_id) t
+              |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin)),
 
     // ------------------------------------------------------------ minhash
     // MinHash+LSH near-dup: shingle -> 32-perm signature -> 8x4 band
@@ -273,7 +289,7 @@ object Dedup {
     QueryDef("dd_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
-        val ds = docsets(docs)
+        val ds = docsets(docs, md5Key60)
         val pairs = withJaccard(
           ds.select(col("doc_id").as("a_id"))
             .crossJoin(ds.select(col("doc_id").as("b_id")))
@@ -283,13 +299,13 @@ object Dedup {
         connectedComponents(docs.select(col("doc_id")), pairs)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
-             |        FROM documents WHERE doc_id < 120) a,
-             |       (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
-             |        FROM documents WHERE doc_id < 120) b
-             |  WHERE a.doc_id < b.doc_id
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM (SELECT doc_id, $oTokset AS tokset
+              |        FROM documents WHERE doc_id < 120) a,
+              |       (SELECT doc_id, $oTokset AS tokset
+              |        FROM documents WHERE doc_id < 120) b
+              |  WHERE a.doc_id < b.doc_id
              |    AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
              |      / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.7
              |),

@@ -62,15 +62,17 @@ object Pipeline {
     // ------------------------------------------------------------ contamination
     // Benchmark-contamination check: for each held-out doc (doc_id % 25
     // = 0), the fraction of its distinct 3-word shingles that appear
-    // anywhere in the train split. The shingle join is an equi-join on the
-    // shingle string against a distinct train-side set — at 100 TB both
-    // sides would pre-hash shingles to 8-byte keys; the shape (explode ->
-    // distinct -> left join -> count ratio) is the same.
+    // anywhere in the train split. Shingles are pre-hashed to 8-byte keys
+    // BEFORE the explode (md5Key60 — DuckDB computes the identical key, so
+    // the oracle stays hash-exact): the distinct / left-join / aggregate
+    // shuffles all carry longs, never ~25-char shingle strings — the
+    // 100 TB shape, ~10x fewer shuffled bytes than joining on the text.
     QueryDef("pp_contamination",
       (s, d) => {
-        import graft.functions.TextHashFunctions.shingles
+        import graft.functions.TextHashFunctions.{md5Key60, shingles}
         val sh = Tables.documents(s, d).select(col("doc_id"),
-          explode(array_distinct(shingles(col("text")))).as("sh"))
+          explode(array_distinct(transform(shingles(col("text")), md5Key60(_))))
+            .as("sh"))
         val bench = sh.filter(pmod(col("doc_id"), lit(25)) === 0)
         val train = sh.filter(pmod(col("doc_id"), lit(25)) =!= 0)
           .select(col("sh"), lit(1L).as("hit")).distinct()
@@ -82,20 +84,22 @@ object Pipeline {
             col("n_contaminated") / col("n_shingles"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
-             |    THEN list_transform(range(1, len(toks)-1),
-             |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             |    ELSE [array_to_string(toks, ' ')] END)) AS sh
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-             |        FROM documents) t),
-             |train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 <> 0),
-             |bench AS (SELECT * FROM sh WHERE doc_id % 25 = 0)
-             |SELECT b.doc_id, count(*) AS n_shingles,
-             |  count(t.sh) AS n_contaminated,
-             |  CAST(count(t.sh) AS DOUBLE) / count(*) AS contamination
-             |FROM bench b LEFT JOIN train t ON b.sh = t.sh
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3
+              |    THEN list_transform(range(1, len(toks)-1),
+              |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |    ELSE [array_to_string(toks, ' ')] END,
+              |    s -> ${graft.functions.TextHashFunctions.md5Key60Sql("s")}))) AS sh
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |        FROM documents) t),
+              |train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 <> 0),
+              |bench AS (SELECT * FROM sh WHERE doc_id % 25 = 0)
+              |SELECT b.doc_id, count(*) AS n_shingles,
+              |  count(t.sh) AS n_contaminated,
+              |  CAST(count(t.sh) AS DOUBLE) / count(*) AS contamination
+              |FROM bench b LEFT JOIN train t ON b.sh = t.sh
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------ SQL fns
     // The custom Catalyst expressions through their SQL registration

@@ -59,6 +59,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  // Fingerprint-join scale guard: token sets and shingles are pre-hashed
+  // to 8-byte keys, so no string (bare or inside an array) may cross any
+  // exchange — broadcast or shuffle — in these plans. A regression back to
+  // string shingles or string token arrays multiplies shuffled bytes ~10x
+  // at corpus scale.
+  test("dd_minhash_lsh / pp_contamination: no string crosses an exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types._
+    def hasString(dt: DataType): Boolean = dt match {
+      case _: StringType    => true
+      case ArrayType(et, _) => hasString(et)
+      case MapType(k, v, _) => hasString(k) || hasString(v)
+      case StructType(fs)   => fs.exists(f => hasString(f.dataType))
+      case _                => false
+    }
+    Seq("dd_minhash_lsh", "pp_contamination").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other                    => other
+      }
+      val exchanges = p.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty, s"$name: expected at least one exchange")
+      exchanges.foreach { e =>
+        val bad = e.output.filter(a => hasString(a.dataType))
+        assert(bad.isEmpty, s"$name ships strings through ${e.nodeName}: " +
+          bad.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+      }
+    }
+  }
+
   // BNLJ is acceptable ONLY where the broadcast side is a constant-size
   // set (5 query vectors / 16 centroids): the big side streams once, cost
   // is O(n * k) with k fixed — linear in data, survives 100x. Everything
