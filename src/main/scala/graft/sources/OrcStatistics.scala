@@ -1,8 +1,10 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.orc.OrcFile
 import org.apache.spark.sql.SparkSession
+
+import graft.sources.v2.GraftOrcFileIndex
 
 /** Footer-only statistics — the Spark rebuild of `read_orc_statistics`
   * (reference src/metadata.rs:60-86, wired at src/file_format.rs:164-172):
@@ -16,30 +18,35 @@ object OrcStatistics {
 
   final case class TableStats(numRows: Long, totalBytes: Long, numFiles: Int)
 
+  /** Driver-side metadata concurrency, mirroring the connector's
+    * `graft.meta_fetch_concurrency` default (reference bounds footer
+    * fetches the same way: src/file_format.rs:146-155).
+    */
+  private val MetaParallelism = 32
+
+  /** Recursive, bounded-parallel listing through the connector's file
+    * index — a 100k-file nested tree costs O(depth) parallel listing waves
+    * plus parallel footer reads, never 100k sequential driver RPCs (the
+    * pre-round-4 version listed sequentially and only one level deep).
+    */
   private def orcFiles(spark: SparkSession, path: String): Seq[Path] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, conf)
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".orc"))
-    else Seq(p)
+    new GraftOrcFileIndex(conf, Seq(path), MetaParallelism)
+      .entries.map(e => new Path(e.path))
   }
 
-  /** Exact table statistics from ORC footers (no data decode). */
+  /** Exact table statistics from ORC footers (no data decode); footer
+    * reads run at bounded parallelism like the listing.
+    */
   def tableStats(spark: SparkSession, path: String): TableStats = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = orcFiles(spark, path)
-    var rows = 0L; var bytes = 0L
-    files.foreach { f =>
+    val perFile = GraftOrcFileIndex.parallelMap(files, MetaParallelism) { f =>
       val reader = OrcFile.createReader(f, OrcFile.readerOptions(conf))
-      try {
-        rows += reader.getNumberOfRows
-        bytes += reader.getContentLength
-      } finally reader.close()
+      try (reader.getNumberOfRows, reader.getContentLength)
+      finally reader.close()
     }
-    TableStats(rows, bytes, files.size)
+    TableStats(perFile.map(_._1).sum, perFile.map(_._2).sum, files.size)
   }
 
   /** Per-column footer statistics (beyond the reference's TODO):

@@ -8,8 +8,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** One discovered ORC data file. `partitionValues` holds the raw (unescaped)
-  * hive-layout `k=v` values found on the file's directory path, in
-  * discovery order; a `__HIVE_DEFAULT_PARTITION__` value is mapped to null.
+  * hive-layout `k=v` values found on the file's directory path, in path
+  * order (outermost directory first — the BFS builds a `ListMap`, whose
+  * iteration order is insertion order at ANY size; a plain immutable `Map`
+  * only guarantees that up to 4 entries); a `__HIVE_DEFAULT_PARTITION__`
+  * value is mapped to null.
   */
 case class OrcFileEntry(path: String, length: Long,
                         partitionValues: Map[String, String])
@@ -30,14 +33,19 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
                         parallelism: Int) {
 
   lazy val entries: Seq[OrcFileEntry] = {
-    // BFS frontier of (directory, partition values accumulated on its path)
+    // BFS frontier of (directory, partition values accumulated on its
+    // path). ListMap so key iteration order stays path order past the
+    // 4-entry specialization of immutable.Map (partitionColumnNames
+    // depends on it); depth is bounded by directory nesting, so the O(n)
+    // ListMap update never matters.
     var frontier: Seq[(Path, Map[String, String])] = Nil
     val out = Seq.newBuilder[OrcFileEntry]
     roots.foreach { r =>
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
-      if (st.isDirectory) frontier +:= (p, Map.empty[String, String])
+      if (st.isDirectory)
+        frontier +:= (p, scala.collection.immutable.ListMap.empty[String, String])
       else out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty)
     }
     while (frontier.nonEmpty) {

@@ -63,6 +63,31 @@ class OrcTablesSpec extends AnyFunSuite {
     assert(st.numFiles >= 1)
   }
 
+  test("footer statistics: recursive bounded listing covers nested many-file trees") {
+    // the pre-round-4 listing was sequential AND one level deep: on this
+    // fixture (data files only under subdirectories) it found 0 files
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested-stats").toString
+    val region = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+    val n = region.count()
+    OrcTables.write(region.coalesce(1), s"$dir/top.orc")
+    OrcTables.write(region.coalesce(1), s"$dir/y=2024/mid.orc")
+    OrcTables.write(region.coalesce(1), s"$dir/y=2024/m=01/deep.orc")
+    val st = OrcStatistics.tableStats(spark, dir)
+    assert(st.numFiles === 3, st.toString)
+    assert(st.numRows === 3 * n, st.toString)
+  }
+
+  test("file index: partition column names keep path order past 4 levels") {
+    // immutable.Map only preserves insertion order up to its 4-entry
+    // specializations; a 5-deep hive layout exposes a hash-order regression
+    val dir = java.nio.file.Files.createTempDirectory("graft-part-order").toString
+    val region = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+    OrcTables.write(region.coalesce(1), s"$dir/k1=a/k2=b/k3=c/k4=d/k5=e/data.orc")
+    val idx = new graft.sources.v2.GraftOrcFileIndex(
+      spark.sparkContext.hadoopConfiguration, Seq(dir), 8)
+    assert(idx.partitionColumnNames === Seq("k1", "k2", "k3", "k4", "k5"))
+  }
+
   test("column statistics surface min/max from footers") {
     val p = OrcData.orcPath(spark, TestSpark.sf0001, "region")
     val cs = OrcStatistics.columnStats(spark, p)
