@@ -25,15 +25,18 @@ object Multimodal {
     StructField("entropy_proxy", LongType, nullable = false)))
 
   /** Output schema of the frame sampler. The first frame surfaces as its
-    * md5 hex (raw binary output round-trips differently through the two
-    * engines' result paths; the digest pins the same bytes).
+    * uppercase hex rendering (raw binary output round-trips differently
+    * through the two engines' result paths; hex pins the exact bytes AND —
+    * unlike md5, which DuckDB only defines over VARCHAR — stays computable
+    * on the oracle side even when a 64-byte frame boundary splits a
+    * multi-byte UTF-8 character, so non-ASCII corpora oracle-check too).
     */
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
     StructField("n_sampled", LongType, nullable = false),
     StructField("sampled_bytes", LongType, nullable = false),
-    StructField("first_frame_md5", StringType, nullable = true)))
+    StructField("first_frame_hex", StringType, nullable = true)))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -96,14 +99,21 @@ object Multimodal {
         }
         spark.createDataFrame(rdd, featureSchema).orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  CAST(COALESCE(list_sum(list_transform(range(1, len(text)+1),
-             |    i -> ord(text[i]) * ((i-1) % 31 + 1))), 0) AS BIGINT)
-             |    AS checksum,
-             |  CAST(len(list_distinct(list_transform(range(1, len(text)+1),
-             |    i -> ord(text[i]) // 16))) AS BIGINT) AS entropy_proxy
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      // the oracle iterates BYTES via hex(encode(text)) — two hex chars per
+      // byte — exactly like the Spark side iterates the UTF-8 payload;
+      // character functions (ord/len/text[i]) would silently diverge on any
+      // non-ASCII document (they see codepoints, Spark sees bytes)
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |  octet_length(encode(text)) AS nb FROM documents)
+             |SELECT doc_id,
+             |  CAST(nb AS BIGINT) AS n_bytes,
+             |  CAST(COALESCE(list_sum(list_transform(range(1, nb+1),
+             |    i -> CAST('0x' || substr(hx, 2*i-1, 2) AS BIGINT)
+             |      * ((i-1) % 31 + 1))), 0) AS BIGINT) AS checksum,
+             |  CAST(len(list_distinct(list_transform(range(1, nb+1),
+             |    i -> CAST('0x' || substr(hx, 2*i-1, 2) AS BIGINT) // 16)))
+             |    AS BIGINT) AS entropy_proxy
+             |FROM b ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------ frames
     // STUB FRAME SAMPLER: stands in for video frame-sampling — the payload
@@ -137,26 +147,27 @@ object Multimodal {
               }
               f += 1
             }
-            val firstMd5 = if (first == null) null
-              else java.security.MessageDigest.getInstance("MD5")
-                .digest(first).map("%02x".format(_)).mkString
-            Row(docId, nFrames.toLong, sampled, sampledBytes, firstMd5)
+            val firstHex = if (first == null) null
+              else first.map("%02X".format(_)).mkString
+            Row(docId, nFrames.toLong, sampled, sampledBytes, firstHex)
           }
         }
         spark.createDataFrame(rdd, frameSchema).orderBy(col("doc_id"))
       },
-      // frame chunking is pure arithmetic over the byte length, so the
-      // sampler's accounting (and the first frame's bytes) oracle-check
-      Some("""SELECT doc_id,
-             |  (octet_length(encode(text)) + 63) // 64 AS n_frames,
-             |  ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled,
-             |  CASE WHEN octet_length(encode(text)) = 0 THEN 0
-             |    ELSE 64 * (((octet_length(encode(text)) + 63) // 64 + 3) // 4 - 1)
-             |      + LEAST(64, octet_length(encode(text))
-             |          - 256 * (((octet_length(encode(text)) + 63) // 64 + 3) // 4 - 1))
+      // frame chunking is pure arithmetic over the BYTE length, and the
+      // first frame renders as the first 128 chars of the hex(bytes)
+      // string — byte-exact on both engines regardless of encoding
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |  octet_length(encode(text)) AS nb FROM documents)
+             |SELECT doc_id,
+             |  (nb + 63) // 64 AS n_frames,
+             |  ((nb + 63) // 64 + 3) // 4 AS n_sampled,
+             |  CASE WHEN nb = 0 THEN 0
+             |    ELSE 64 * (((nb + 63) // 64 + 3) // 4 - 1)
+             |      + LEAST(64, nb - 256 * (((nb + 63) // 64 + 3) // 4 - 1))
              |  END AS sampled_bytes,
-             |  CASE WHEN octet_length(encode(text)) = 0 THEN NULL
-             |    ELSE md5(substr(text, 1, 64)) END AS first_frame_md5
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |  CASE WHEN nb = 0 THEN NULL
+             |    ELSE substr(hx, 1, 128) END AS first_frame_hex
+             |FROM b ORDER BY doc_id""".stripMargin))
   )
 }
