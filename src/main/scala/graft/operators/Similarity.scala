@@ -113,10 +113,14 @@ object Similarity {
     // ------------------------------------------------------------ IVF ANN
     // IVF: 16 coarse centroids from a sampled spherical k-means fit,
     // every vector assigned to its nearest centroid (one broadcast pass),
-    // queries probe their 2 nearest cells, exact rerank inside cells.
+    // queries probe their 3 nearest cells, exact rerank inside cells.
     // The cell equi-join replaces the O(n*q) cross join; probes trade
-    // recall for cells scanned. Engine-specific cells => rows-only check;
-    // recall vs brute force is pinned in DedupSimilaritySpec.
+    // recall for cells scanned (3/16 of the data per query — probe-2
+    // measured recall exactly 0.45 on the fixture, probe-3 buys the
+    // margin the DedupSimilaritySpec floor needs at ~1.5x query cost;
+    // assignment stays probe-1 so the index size is unchanged).
+    // Engine-specific cells => rows-only check; recall vs brute force is
+    // pinned in DedupSimilaritySpec.
     QueryDef("ss_ann_ivf",
       (s, d) => {
         import s.implicits._
@@ -138,7 +142,7 @@ object Similarity {
         val q = nearestCells(
           e.filter(col("vec_id") < NumQueries)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_v")),
-          "q_id", "q_v", probes = 2)
+          "q_id", "q_v", probes = 3)
         rerank(assigned.join(broadcast(q), Seq("c_id")))
       },
       None),
@@ -151,7 +155,7 @@ object Similarity {
     // a single-probe 8-bit table was ~0.04 and had ~zero measured recall.
     // Candidate generation is an equi-join on (table,bucket) against the
     // broadcast query side; only id-deduped candidates pay the rerank.
-    // Engine-specific bucketing => rows-only driver check; recall >= 0.30
+    // Engine-specific bucketing => rows-only driver check; recall >= 0.45
     // vs brute force is asserted in DedupSimilaritySpec.
     QueryDef("ss_ann_lsh",
       (s, d) => {

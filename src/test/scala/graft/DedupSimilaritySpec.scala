@@ -93,7 +93,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(n > 1 && n <= 256)
   }
 
-  test("ANN recall: LSH top-k recalls >=30% of brute-force top-k") {
+  test("ANN recall: LSH top-k recalls >=45% of brute-force top-k") {
     val brute = SparkEntry.queries("ss_topk_bruteforce")(spark, TestSpark.sf0001)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val ann = SparkEntry.queries("ss_ann_lsh")(spark, TestSpark.sf0001)
@@ -102,21 +102,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // single-probe 8-plane LSH: each true neighbor at angle θ shares the
     // query's bucket with probability (1-θ/π)^8; the near-neighbors that
     // dominate top-k sit well under the ~60° of random 64-dim pairs, so a
-    // non-degenerate bucketing clears 30% comfortably (measured ~0.5 on
-    // this dataset); a regression like the correlated-planes bug collapses
-    // it toward 1/256 and fails this floor
+    // non-degenerate bucketing clears this floor (planes and data are both
+    // deterministic — measured 0.525 on this dataset, identical across
+    // runs); a regression like the correlated-planes bug collapses recall
+    // toward 1/256 and fails here
     val recall = ann.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.30, s"LSH ANN recall $recall < 0.30")
+    info(f"LSH ANN recall: $recall%.3f")
+    assert(recall >= 0.45, s"LSH ANN recall $recall < 0.45")
   }
 
-  test("ANN recall: IVF probe-2 with fitted k-means centroids recalls >=30%") {
+  test("ANN recall: IVF probe-3 with fitted k-means centroids recalls >=45%") {
     val brute = SparkEntry.queries("ss_topk_bruteforce")(spark, TestSpark.sf0001)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val ivf = SparkEntry.queries("ss_ann_ivf")(spark, TestSpark.sf0001)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     assert(brute.nonEmpty)
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.30, s"IVF ANN recall $recall < 0.30")
+    info(f"IVF ANN recall: $recall%.3f")
+    assert(recall >= 0.45, s"IVF ANN recall $recall < 0.45")
   }
 
   test("k-means fit: centroids are finite, distinct-ish, and cells are populated") {
