@@ -29,7 +29,7 @@ object OrcTables {
   final case class OrcReadOptions(
       batchSize: Option[Int] = None,        // orc.batch_size (reader vector size)
       pushdownPredicate: Boolean = true,    // orc.pushdown_predicate
-      metadataSizeHint: Option[Long] = None, // orc.metadata_size_hint (no Spark analogue; recorded)
+      metadataSizeHint: Option[Long] = None, // orc.metadata_size_hint (sizes the one-ranged-read footer fetch in the graft-orc connector)
       mergeSchema: Boolean = false)
 
   /** Parse a string option map exactly like the reference's
@@ -70,19 +70,22 @@ object OrcTables {
     if (o.mergeSchema) r.option("mergeSchema", "true") else r
   }
 
-  /** Option-aware read. `orc.batch_size` / `orc.pushdown_predicate` have
-    * NO per-read equivalent on the built-in source (only session confs,
-    * read at execution time — setting them would leak into every later
-    * ORC read in the session). Reads carrying those options therefore
-    * route through the graft-orc DSv2 connector, where both are genuinely
-    * per-scan (`GraftOrcScan.createReaderFactory`); plain reads stay on
+  /** Option-aware read. `orc.batch_size` / `orc.pushdown_predicate` /
+    * `orc.metadata_size_hint` have NO per-read equivalent on the built-in
+    * source (only session confs, read at execution time — setting them
+    * would leak into every later ORC read in the session). Reads carrying
+    * those options therefore route through the graft-orc DSv2 connector,
+    * where all three are genuinely per-scan
+    * (`GraftOrcScan.createReaderFactory`; the hint sizes the one-ranged-
+    * read footer fetch, see `GraftOrcTailReader`); plain reads stay on
     * the built-in source.
     */
   def read(spark: SparkSession, path: String,
            opts: Map[String, String] = Map.empty): DataFrame = {
     val o = parseOptions(opts) // validate eagerly: typed errors either way
     val perScan = opts.contains("orc.batch_size") ||
-      opts.contains("orc.pushdown_predicate")
+      opts.contains("orc.pushdown_predicate") ||
+      opts.contains("orc.metadata_size_hint")
     if (perScan) {
       val r = spark.read.format("graft-orc")
       opts.foreach { case (k, v) => r.option(k, v) }

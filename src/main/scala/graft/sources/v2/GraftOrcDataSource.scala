@@ -214,7 +214,8 @@ class GraftOrcScanBuilder(dataSchema: StructType,
 }
 
 case class GraftOrcInputPartition(filePath: String, start: Long, length: Long,
-                                  partitionValues: Array[String])
+                                  partitionValues: Array[String],
+                                  fileLength: Long)
   extends InputPartition
 
 class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
@@ -307,7 +308,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       }
     val (small, big) = selectedFiles.partition(_.length <= targetSplitBytes)
     val smallParts = small.map(e =>
-      GraftOrcInputPartition(e.path, 0, e.length, partValues(e)))
+      GraftOrcInputPartition(e.path, 0, e.length, partValues(e), e.length))
     val bigParts = GraftOrcFileIndex.parallelMap(big, metaParallelism) { e =>
       val r = OrcFile.createReader(new Path(e.path), OrcFile.readerOptions(conf))
       val stripes =
@@ -325,8 +326,11 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       }
       if (start >= 0) splits += ((start, end - start))
       val vs = partValues(e)
-      if (splits.isEmpty) Seq(GraftOrcInputPartition(e.path, 0, e.length, vs))
-      else splits.map { case (s, l) => GraftOrcInputPartition(e.path, s, l, vs) }
+      if (splits.isEmpty)
+        Seq(GraftOrcInputPartition(e.path, 0, e.length, vs, e.length))
+      else splits.map { case (s, l) =>
+        GraftOrcInputPartition(e.path, s, l, vs, e.length)
+      }
     }.flatten
     (smallParts ++ bigParts).toArray
   }
@@ -343,7 +347,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     new GraftOrcPartitionReaderFactory(dataFileSchema, readDataSchema,
       readPartitionSchema,
       if (parsed.pushdownPredicate) dataFilters else Array.empty,
-      limit, batchSize, serConf)
+      limit, batchSize, serConf, parsed.metadataSizeHint)
   }
 
   // A12: custom scan metrics, full parity with the reference's 12
@@ -428,7 +432,8 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                      readPartitionSchema: StructType,
                                      pushedFilters: Array[Filter],
                                      limit: Option[Int], batchSize: Int,
-                                     serConf: org.apache.spark.util.SerializableConfiguration)
+                                     serConf: org.apache.spark.util.SerializableConfiguration,
+                                     metadataSizeHint: Option[Long] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -457,7 +462,12 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     var prunedBytes = 0L
 
     val filePath = new Path(p.filePath)
-    val orcReader = OrcFile.createReader(filePath, OrcFile.readerOptions(conf))
+    // orc.metadata_size_hint: one ranged tail read of the hinted size
+    // replaces the reader's own footer fetch; a too-small hint costs a
+    // second fetch, surfaced in the ioRequests metric
+    val (orcReader, metaReads) = GraftOrcTailReader.createReader(
+      filePath, conf, p.fileLength, metadataSizeHint)
+    ioRequests += metaReads - 1
     val (colIds, canPrune) =
       try {
         val (ids, cp) = GraftOrcShims.requestedColumnIds(isCaseSensitive = false,

@@ -88,6 +88,53 @@ class OrcTablesSpec extends AnyFunSuite {
     assert(idx.partitionColumnNames === Seq("k1", "k2", "k3", "k4", "k5"))
   }
 
+  test("metadata_size_hint: sufficient hint = one ranged tail read; tiny hint falls back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hint").toString
+    OrcTables.write(spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+      .coalesce(1), dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val f = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".orc")).head
+    val len = fs.getFileStatus(f).getLen
+    val plain = org.apache.orc.OrcFile.createReader(f,
+      org.apache.orc.OrcFile.readerOptions(conf))
+    val expectRows = try plain.getNumberOfRows finally plain.close()
+
+    // generous hint: the pre-parsed tail is handed to the reader — exactly
+    // one ranged metadata read, and the reader agrees with the plain path
+    val (r1, reads1) = graft.sources.v2.GraftOrcTailReader.createReader(
+      f, conf, len, Some(64 * 1024))
+    try {
+      assert(reads1 === 1)
+      assert(r1.getNumberOfRows === expectRows)
+      assert(r1.getSchema.getFieldNames.size() > 0)
+    } finally r1.close()
+
+    // 8-byte hint cannot hold any postscript: the hinted read is wasted
+    // and the reader re-fetches — observable as the second metadata read
+    val (r2, reads2) = graft.sources.v2.GraftOrcTailReader.createReader(
+      f, conf, len, Some(8))
+    try {
+      assert(reads2 === 2)
+      assert(r2.getNumberOfRows === expectRows)
+    } finally r2.close()
+
+    // hint larger than the file is capped, not an error
+    val (r3, reads3) = graft.sources.v2.GraftOrcTailReader.createReader(
+      f, conf, len, Some(len * 100))
+    try { assert(reads3 === 1); assert(r3.getNumberOfRows === expectRows) }
+    finally r3.close()
+
+    // end-to-end: the option routes through the graft-orc connector and
+    // returns the same rows as the built-in source
+    val viaHint = OrcTables.read(spark, dir,
+      Map("orc.metadata_size_hint" -> "65536"))
+    assert(viaHint.queryExecution.analyzed.toString.contains("graft-orc"))
+    assert(viaHint.orderBy("r_regionkey").collect().toSeq ===
+      OrcTables.read(spark, dir).orderBy("r_regionkey").collect().toSeq)
+  }
+
   test("column statistics surface min/max from footers") {
     val p = OrcData.orcPath(spark, TestSpark.sf0001, "region")
     val cs = OrcStatistics.columnStats(spark, p)
