@@ -28,9 +28,14 @@ object Bench {
 
   /** The reference's 10 micro-bench SQL patterns
     * (benches/orc_query_sql.rs:95-171), re-expressed over the ORC lineitem.
+    * `sorted` switches to the range-sorted layout (the `--sorted` flag).
     */
-  private def microPatterns(s: SparkSession, d: String): Seq[(String, () => DataFrame)] = {
-    def li = OrcData.orc(s, d, "lineitem")
+  private def microPatterns(s: SparkSession, d: String,
+                            sorted: Boolean): Seq[(String, () => DataFrame)] = {
+    def li =
+      if (sorted) graft.sources.OrcTables.read(s,
+        OrcData.sortedOrcPath(s, d, "lineitem", "l_orderkey"))
+      else OrcData.orc(s, d, "lineitem")
     Seq(
       "micro_full_table_scan" -> (() => li),
       "micro_projection_single_column" -> (() => li.select("l_orderkey")),
@@ -105,22 +110,43 @@ object Bench {
     // driver timing wants a single pass, so 1 is our default
     val iterations = sys.env.getOrElse("SPARK_GRAFT_ITERATIONS", "1").toInt
     val detailPath = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
-    val spark = SparkSession.builder()
+
+    // Reference runner config toggles (tpcds_bench.rs:277-295, 322-365,
+    // 425-437), mapped to their Spark-native equivalents:
+    //  --partitions      -> SPARK_GRAFT_PARTITIONS   (shuffle partitions)
+    //  prefer_hash_join  -> SPARK_GRAFT_PREFER_SMJ=false
+    //                       (spark.sql.join.preferSortMergeJoin)
+    //  --memory-limit    -> SPARK_GRAFT_MEMORY_FRACTION
+    //                       (spark.memory.fraction of the fixed heap)
+    //  fair/greedy pool  -> SPARK_GRAFT_SCHEDULER=FAIR|FIFO
+    //  --sorted          -> SPARK_GRAFT_SORTED=true (range-sorted lineitem
+    //                       layout for the micro patterns)
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
+    val preferSmj = sys.env.get("SPARK_GRAFT_PREFER_SMJ")
+    val memoryFraction = sys.env.get("SPARK_GRAFT_MEMORY_FRACTION")
+    val schedulerMode = sys.env.get("SPARK_GRAFT_SCHEDULER")
+    val sorted = sys.env.get("SPARK_GRAFT_SORTED").exists(_.trim.toBoolean)
+
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    preferSmj.foreach(v => builder.config("spark.sql.join.preferSortMergeJoin", v))
+    memoryFraction.foreach(v => builder.config("spark.memory.fraction", v))
+    schedulerMode.foreach(v => builder.config("spark.scheduler.mode", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the ORC conversions outside the timed region (data-prep, not query).
     OrcData.orcPath(spark, sfDir, "lineitem")
     OrcData.orcPath(spark, sfDir, "orders")
     OrcData.partitionedOrcPath(spark, sfDir, "lineitem", "l_returnflag")
+    if (sorted) OrcData.sortedOrcPath(spark, sfDir, "lineitem", "l_orderkey")
 
     val all: Seq[(String, () => DataFrame)] =
-      microPatterns(spark, sfDir) ++
+      microPatterns(spark, sfDir, sorted) ++
         Seq("micro_cached_aggregate" ->
           (() => cachedAggregate(spark, sfDir))) ++
         headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
@@ -177,7 +203,11 @@ object Bench {
     detailPath.foreach { p =>
       val ctx = s"""{"spark_version":"${spark.version}","num_cpus":$cpus,""" +
         s""""iterations":$iterations,"sf_dir":"$sfDir",""" +
-        s""""shuffle_partitions":$cpus,"aqe":true,""" +
+        s""""shuffle_partitions":$partitions,"aqe":true,""" +
+        s""""prefer_smj":"${preferSmj.getOrElse("default")}",""" +
+        s""""memory_fraction":"${memoryFraction.getOrElse("default")}",""" +
+        s""""scheduler":"${schedulerMode.getOrElse("default")}",""" +
+        s""""sorted":$sorted,""" +
         s""""graft_scan_metrics":$scanMetricsJson}"""
       val body = detail.map { case (q, is) =>
         val arr = is.map(i =>

@@ -60,6 +60,27 @@ object OrcData {
     name
   }
 
+  /** Range-partitioned, sorted-within-files ORC copy — the data layout the
+    * reference's `--sorted` runner flag declares (tpcds_bench.rs:425-437):
+    * stripe min/max on the sort key become disjoint ranges, so range/point
+    * filters on it prune stripes instead of scanning. The bench's
+    * SPARK_GRAFT_SORTED toggle points the micro patterns here.
+    */
+  def sortedOrcPath(spark: SparkSession, sfDir: String, table: String,
+                    sortCol: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/${table}_sorted_$sortCol"
+    val marker = new java.io.File(s"$out/_SUCCESS")
+    if (!marker.exists()) lock.synchronized {
+      if (!marker.exists()) {
+        val df = spark.read.parquet(s"$sfDir/$table.parquet")
+        df.repartitionByRange(8, df.col(sortCol))
+          .sortWithinPartitions(sortCol)
+          .write.mode("overwrite").option("compression", "snappy").orc(out)
+      }
+    }
+    out
+  }
+
   /** Hive-style partitioned ORC copy (`<out>/<col>=<v>/...`), converting on
     * first use — the layout that makes Catalyst partition-prune scans.
     */
