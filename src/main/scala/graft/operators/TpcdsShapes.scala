@@ -230,6 +230,178 @@ object TpcdsShapes {
              |  AND NOT EXISTS (SELECT 1 FROM lineitem l4
              |        WHERE l4.l_orderkey = o_orderkey
              |          AND l4.l_returnflag = 'R')
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------- q50
+    // TPC-DS q88 shape: eight independent conditional counts that the
+    // original writes as eight self-joined scalar subqueries — fused here
+    // (and by any good optimizer) into ONE scan with conditional
+    // aggregation. At 100 TB this is the difference between 1 and 8 full
+    // table reads; the plan is a single partial+final agg, no join at all.
+    QueryDef("q50_conditional_counts",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def cnt(cond: Column, name: String) =
+          count(when(cond, 1)).as(name)
+        li.agg(
+          cnt(col("l_quantity") <= 10, "q_00_10"),
+          cnt(col("l_quantity") > 10 && col("l_quantity") <= 20, "q_10_20"),
+          cnt(col("l_quantity") > 20 && col("l_quantity") <= 30, "q_20_30"),
+          cnt(col("l_quantity") > 30, "q_30_up"),
+          cnt(col("l_returnflag") === "R", "returned"),
+          cnt(col("l_discount") >= 0.05, "high_disc"),
+          cnt(col("l_tax") < 0.03, "low_tax"),
+          cnt(col("l_linestatus") === "F", "finished"))
+      },
+      Some("""SELECT
+             |  count(*) FILTER (WHERE l_quantity <= 10) AS q_00_10,
+             |  count(*) FILTER (WHERE l_quantity > 10 AND l_quantity <= 20) AS q_10_20,
+             |  count(*) FILTER (WHERE l_quantity > 20 AND l_quantity <= 30) AS q_20_30,
+             |  count(*) FILTER (WHERE l_quantity > 30) AS q_30_up,
+             |  count(*) FILTER (WHERE l_returnflag = 'R') AS returned,
+             |  count(*) FILTER (WHERE l_discount >= 0.05) AS high_disc,
+             |  count(*) FILTER (WHERE l_tax < 0.03) AS low_tax,
+             |  count(*) FILTER (WHERE l_linestatus = 'F') AS finished
+             |FROM lineitem""".stripMargin)),
+
+    // ---------------------------------------------------------------- q51
+    // TPC-DS q4/q11 shape: per-customer yearly totals, then a self-join of
+    // consecutive years keeping customers whose spend grew. The yearly agg
+    // shrinks the fact table BEFORE the self-join (customers x years
+    // rows), and the join is co-partitioned on o_custkey — never a re-scan
+    // of the fact per year as the literal SQL suggests.
+    QueryDef("q51_yoy_growth",
+      (s, d) => {
+        val yearly = Tables.orders(s, d)
+          .groupBy(col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("amt"))
+        val prev = yearly.select(col("o_custkey"), (col("yr") + 1).as("yr"),
+          col("amt").as("prev_amt"))
+        yearly.join(prev, Seq("o_custkey", "yr"))
+          .filter(col("amt") > col("prev_amt"))
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_grew"),
+            decToDouble(sum(col("amt") - col("prev_amt")), "total_growth"))
+          .orderBy(col("yr"))
+      },
+      Some("""WITH yearly AS (
+             |  SELECT o_custkey, year(o_orderdate) AS yr,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT c.yr, count(*) AS n_grew,
+             |  CAST(round(sum(c.amt - p.amt), 2) AS DOUBLE) AS total_growth
+             |FROM yearly c JOIN yearly p
+             |  ON c.o_custkey = p.o_custkey AND c.yr = p.yr + 1
+             |WHERE c.amt > p.amt
+             |GROUP BY c.yr ORDER BY c.yr""".stripMargin)),
+
+    // ---------------------------------------------------------------- q52
+    // TPC-DS q33/q56/q60 shape: three differently-filtered aggregates over
+    // the same fact UNION ALL'd, then re-aggregated by brand. Each branch
+    // partial-aggregates before its shuffle and part broadcasts under all
+    // three — the union costs three scans but zero extra shuffle volume
+    // (branch outputs are already brand-level).
+    QueryDef("q52_union_agg_reagg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val pt = broadcast(Tables.part(s, d))
+        def branch(cond: Column) =
+          li.filter(cond)
+            .join(pt, col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(sum(revDec).as("amt"))
+        branch(col("l_shipdate") < "1994-01-01")
+          .union(branch(col("l_returnflag") === "R"))
+          .union(branch(col("l_discount") >= 0.05))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_channels"),
+            decToDouble(sum(col("amt")), "revenue"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT p_brand, sum($oRev) AS amt FROM lineitem
+              |    JOIN part ON l_partkey = p_partkey
+              |  WHERE l_shipdate < DATE '1994-01-01' GROUP BY 1
+              |  UNION ALL
+              |  SELECT p_brand, sum($oRev) AS amt FROM lineitem
+              |    JOIN part ON l_partkey = p_partkey
+              |  WHERE l_returnflag = 'R' GROUP BY 1
+              |  UNION ALL
+              |  SELECT p_brand, sum($oRev) AS amt FROM lineitem
+              |    JOIN part ON l_partkey = p_partkey
+              |  WHERE l_discount >= 0.05 GROUP BY 1)
+              |SELECT p_brand, count(*) AS n_channels,
+              |  CAST(round(sum(amt), 2) AS DOUBLE) AS revenue
+              |FROM u GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---------------------------------------------------------------- q53
+    // TPC-DS q93 shape: net revenue after subtracting returned quantity —
+    // the "returns" side is derived from the same fact (returnflag = 'R'),
+    // left-joined back on the line identity; non-returned lines keep full
+    // quantity. Both sides shuffle once on the same composite key.
+    QueryDef("q53_net_of_returns",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ret = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("r_orderkey"),
+            col("l_linenumber").as("r_linenumber"),
+            col("l_quantity").as("r_qty"))
+        li.join(ret,
+            col("l_orderkey") === col("r_orderkey") &&
+              col("l_linenumber") === col("r_linenumber"), "left")
+          .withColumn("net_qty",
+            col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
+          .groupBy(col("l_suppkey"))
+          .agg(decToDouble(
+            sum((col("net_qty") * col("l_extendedprice") *
+              (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 8))),
+            "net_revenue"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey,
+             |  CAST(round(sum(CAST((l_quantity - COALESCE(r.r_qty, 0))
+             |    * l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)
+             |    AS DOUBLE) AS net_revenue
+             |FROM lineitem l LEFT JOIN (
+             |  SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+             |    l_quantity AS r_qty
+             |  FROM lineitem WHERE l_returnflag = 'R') r
+             |  ON l.l_orderkey = r.r_orderkey
+             |    AND l.l_linenumber = r.r_linenumber
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q54
+    // TPC-DS q98 shape: each brand's share of its type-class revenue — a
+    // window total over PRE-AGGREGATED (type, brand) rows, so the window
+    // input is dimension-sized no matter the fact size; the share is one
+    // double division of two exactly-converted decimals (IEEE-identical
+    // cross-engine).
+    QueryDef("q54_class_revenue_share",
+      (s, d) => {
+        val agg = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"), col("p_brand"))
+          .agg(sum(revDec).as("amt"))
+        val w = Window.partitionBy(col("p_type"))
+        agg.select(col("p_type"), col("p_brand"),
+            decToDouble(col("amt"), "revenue"),
+            decToDouble(sum(col("amt")).over(w), "class_total"))
+          .withColumn("share", col("revenue") / col("class_total"))
+          .orderBy(col("p_type"), col("p_brand"))
+      },
+      Some(s"""SELECT p_type, p_brand,
+              |  CAST(round(amt, 2) AS DOUBLE) AS revenue,
+              |  CAST(round(sum(amt) OVER (PARTITION BY p_type), 2) AS DOUBLE)
+              |    AS class_total,
+              |  CAST(round(amt, 2) AS DOUBLE)
+              |    / CAST(round(sum(amt) OVER (PARTITION BY p_type), 2) AS DOUBLE)
+              |    AS share
+              |FROM (
+              |  SELECT p_type, p_brand, sum($oRev) AS amt
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  GROUP BY 1, 2) t
+              |ORDER BY p_type, p_brand""".stripMargin))
   )
 }
