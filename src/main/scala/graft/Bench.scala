@@ -85,7 +85,13 @@ object Bench {
     "dd_minhash_lsh", "dd_simhash", "dd_embed_lsh", "pp_sql_functions",
     "ss_topk_bruteforce", "ss_ann_lsh", "ss_ann_ivf", "q29_partition_pruning",
     "q33_graft_orc_partitioned", "q35_grouping_sets_join",
-    "q36_window_rank_join", "q43_asof_join", "q44_interval_join")
+    "q36_window_rank_join", "q43_asof_join", "q44_interval_join",
+    // ported TPC-DS shapes (tpcds_bench.rs macro-loop analogue): the six
+    // covering distinct plan families — rollup-over-union, INTERSECT,
+    // fused conditional counts, yoy self-join, date-arith fact-fact join,
+    // net-of-returns left join
+    "q45_channel_rollup", "q46_intersect_parts", "q48_late_shipments",
+    "q50_conditional_counts", "q51_yoy_growth", "q53_net_of_returns")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -115,6 +115,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q50: eight conditional counts fuse into ONE scan, zero joins") {
+    // TPC-DS q88 writes this as eight self-joined scalar subqueries; the
+    // fused form must stay a single-scan aggregation — at 100 TB that is
+    // 1 table read instead of 8
+    val p = plan("q50_conditional_counts")
+    assert(!p.contains("Join"), p.take(800))
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("q46: INTERSECT probe stays a semi join; part dim broadcasts") {
+    val p = plan("q46_intersect_parts")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q48: date-arithmetic fact-fact join is an equi join with residual, never BNLJ") {
+    val p = plan("q48_late_shipments")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q54: class-share window runs over aggregated rows, not the fact table") {
+    // the window input must be the (type, brand) aggregate — dimension-
+    // sized regardless of fact size; a Window directly over the scan
+    // would single-partition the whole fact at 100 TB
+    val exec = SparkEntry.queries("q54_class_revenue_share")(spark, sf)
+      .queryExecution.executedPlan
+    val s = exec.toString
+    val winIdx = s.indexOf("Window")
+    val aggBelow = s.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      "expected HashAggregate BELOW the Window:\n" + s.take(1500))
+  }
+
   test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
     val p = plan("q35_grouping_sets_join")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
