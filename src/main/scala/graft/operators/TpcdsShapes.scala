@@ -402,6 +402,114 @@ object TpcdsShapes {
               |  SELECT p_type, p_brand, sum($oRev) AS amt
               |  FROM lineitem JOIN part ON l_partkey = p_partkey
               |  GROUP BY 1, 2) t
-              |ORDER BY p_type, p_brand""".stripMargin))
+              |ORDER BY p_type, p_brand""".stripMargin)),
+
+    // ---------------------------------------------------------------- q55
+    // TPC-H q15 shape: supplier(s) whose period revenue equals the global
+    // maximum — aggregate once, take the scalar max OF the aggregate, join
+    // back. The scalar subquery is over supplier-sized rows (never a fact
+    // re-scan) and revenue is exact decimal, so the max-equality join is
+    // deterministic cross-engine.
+    QueryDef("q55_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= "1995-01-01" &&
+            col("l_shipdate") < "1995-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revDec).as("total_rev"))
+        val best = rev.agg(max(col("total_rev")).as("best")) // 1 row
+        rev.join(broadcast(best), col("total_rev") === col("best"))
+          .select(col("l_suppkey"), decToDouble(col("total_rev"), "total_rev"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey, sum($oRev) AS total_rev
+              |  FROM lineitem
+              |  WHERE l_shipdate >= DATE '1995-01-01'
+              |    AND l_shipdate < DATE '1995-04-01'
+              |  GROUP BY 1)
+              |SELECT l_suppkey, CAST(round(total_rev, 2) AS DOUBLE) AS total_rev
+              |FROM rev WHERE total_rev = (SELECT max(total_rev) FROM rev)
+              |ORDER BY l_suppkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q56
+    // TPC-DS q65 shape: items selling at their group's minimum — per-brand
+    // min joined back on equality. p_retailprice is stored data (no
+    // arithmetic), so min and the equality are bit-exact cross-engine; the
+    // min side is brand-sized and broadcasts.
+    QueryDef("q56_min_price_parts",
+      (s, d) => {
+        val pt = Tables.part(s, d)
+        val mins = pt.groupBy(col("p_brand"))
+          .agg(min(col("p_retailprice")).as("min_price"))
+        pt.join(broadcast(mins), Seq("p_brand"))
+          .filter(col("p_retailprice") === col("min_price"))
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("p_partkey"))
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice
+             |FROM part p JOIN (
+             |  SELECT p_brand AS b, min(p_retailprice) AS min_price
+             |  FROM part GROUP BY 1) m
+             |  ON p.p_brand = m.b AND p.p_retailprice = m.min_price
+             |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q57
+    // TPC-H q17 shape: revenue from small-quantity lines, "small" defined
+    // by each part's own average (l_quantity < 0.2 * avg per part). The
+    // per-part aggregate joins back co-partitioned on l_partkey — never a
+    // correlated re-scan. The threshold is rearranged to integer-free
+    // decimal algebra (qty * 5 * cnt < sum_qty) so the comparison is exact
+    // in both engines — a double 0.2*avg would round differently at ties.
+    QueryDef("q57_small_qty_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val perPart = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+            count(lit(1)).as("cnt"))
+        li.join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
+            < col("sum_qty"))
+          .agg(count(lit(1)).as("n_small"),
+            decToDouble(sum(revDec), "small_rev"))
+      },
+      Some(s"""SELECT count(*) AS n_small,
+              |  CAST(round(sum($oRev), 2) AS DOUBLE) AS small_rev
+              |FROM lineitem l JOIN (
+              |  SELECT l_partkey AS pk,
+              |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+              |    count(*) AS cnt
+              |  FROM lineitem GROUP BY 1) p
+              |  ON l.l_partkey = p.pk
+              |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * p.cnt
+              |  < p.sum_qty""".stripMargin)),
+
+    // ---------------------------------------------------------------- q58
+    // TPC-DS q62/q99 shape: shipping-delay day-band counts per order
+    // priority — one fact-fact equi-join (line to its order) then banded
+    // conditional counts; all-BIGINT output, no float anywhere.
+    QueryDef("q58_delay_buckets",
+      (s, d) => {
+        val j = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("delay", datediff(col("l_shipdate"), col("o_orderdate")))
+        j.groupBy(col("o_orderpriority"))
+          .agg(
+            count(when(col("delay") <= 30, 1)).as("d_00_30"),
+            count(when(col("delay") > 30 && col("delay") <= 60, 1)).as("d_31_60"),
+            count(when(col("delay") > 60 && col("delay") <= 90, 1)).as("d_61_90"),
+            count(when(col("delay") > 90, 1)).as("d_91_up"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE delay <= 30) AS d_00_30,
+             |  count(*) FILTER (WHERE delay > 30 AND delay <= 60) AS d_31_60,
+             |  count(*) FILTER (WHERE delay > 60 AND delay <= 90) AS d_61_90,
+             |  count(*) FILTER (WHERE delay > 90) AS d_91_up
+             |FROM (
+             |  SELECT o_orderpriority,
+             |    date_diff('day', o_orderdate, l_shipdate) AS delay
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }
