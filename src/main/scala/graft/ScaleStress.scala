@@ -21,9 +21,11 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val embedMode = args.lift(1).contains("embed")
+    val tpcdsMode = args.lift(1).contains("tpcds")
+    val hasMode = embedMode || tpcdsMode
     val factors =
-      if (args.length > (if (embedMode) 2 else 1))
-        args.drop(if (embedMode) 2 else 1).map(_.toInt).toSeq
+      if (args.length > (if (hasMode) 2 else 1))
+        args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
       else Seq(1, 10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -75,6 +77,59 @@ object ScaleStress {
         }
         time(s"embed_lsh(n=$n,planes=$planes)", k) {
           Dedup.embedLshNearDups(e, 0.8, tables = 8, planesPerTable = planes)
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // TPC-DS fact-fact shape stress: k shifted lineitem copies with the
+    // SAME part/supplier/line-number population — per-part groups and the
+    // line-identity join keys get k-times hotter, the adversarial
+    // direction for q53's left join and q57's aggregate-join-back.
+    // Shapes mirror TpcdsShapes q53/q57 (kept inline so the scaled frame
+    // can be injected).
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 tpcds 1 10
+    if (tpcdsMode) {
+      import org.apache.spark.sql.types.DecimalType
+      factors.foreach { k =>
+        val li0 = Tables.lineitem(spark, sfDir)
+        val li = (0 until k).map { i =>
+          li0.withColumn("l_orderkey",
+            col("l_orderkey") + lit(i.toLong * 100000000L))
+        }.reduce(_ union _).localCheckpoint(true)
+        val n = li.count()
+        time(s"net_of_returns(n=$n)", k) {
+          val ret = li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("r_orderkey"),
+              col("l_linenumber").as("r_linenumber"),
+              col("l_quantity").as("r_qty"))
+          li.join(ret,
+              col("l_orderkey") === col("r_orderkey") &&
+                col("l_linenumber") === col("r_linenumber"), "left")
+            .groupBy(col("l_suppkey"))
+            .agg(sum((col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
+              * col("l_extendedprice")).as("net"))
+        }
+        time(s"small_qty_revenue(n=$n)", k) {
+          val perPart = li.groupBy(col("l_partkey").as("pk"))
+            .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+              count(lit(1)).as("cnt"))
+          li.join(Joins.sizeGatedBroadcast(perPart),
+              col("l_partkey") === col("pk"))
+            .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
+              < col("sum_qty"))
+            .agg(count(lit(1)).as("n_small"))
+        }
+        // same shape with plain double arithmetic — isolates how much of
+        // the cost is the oracle-exact decimal algebra vs the join itself
+        time(s"small_qty_revenue_double(n=$n)", k) {
+          val perPart = li.groupBy(col("l_partkey").as("pk"))
+            .agg(avg(col("l_quantity")).as("avg_qty"))
+          li.join(Joins.sizeGatedBroadcast(perPart),
+              col("l_partkey") === col("pk"))
+            .filter(col("l_quantity") < col("avg_qty") * 0.2)
+            .agg(count(lit(1)).as("n_small"))
         }
       }
       spark.stop()

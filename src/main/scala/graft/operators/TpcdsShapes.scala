@@ -457,17 +457,22 @@ object TpcdsShapes {
     // ---------------------------------------------------------------- q57
     // TPC-H q17 shape: revenue from small-quantity lines, "small" defined
     // by each part's own average (l_quantity < 0.2 * avg per part). The
-    // per-part aggregate joins back co-partitioned on l_partkey — never a
-    // correlated re-scan. The threshold is rearranged to integer-free
+    // per-part aggregate joins back size-gated: while the part population
+    // fits the broadcast threshold the fact never re-shuffles; past it, a
+    // co-partitioned shuffle join on l_partkey — never a correlated
+    // re-scan either way. The threshold is rearranged to integer-free
     // decimal algebra (qty * 5 * cnt < sum_qty) so the comparison is exact
     // in both engines — a double 0.2*avg would round differently at ties.
+    // (ScaleStress tpcds: the decimal compare, not the join, dominates at
+    // 10x — the oracle-exact arithmetic is the price of hash parity; a
+    // production pipeline free of the oracle would compare doubles.)
     QueryDef("q57_small_qty_revenue",
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val perPart = li.groupBy(col("l_partkey").as("pk"))
           .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
             count(lit(1)).as("cnt"))
-        li.join(perPart, col("l_partkey") === col("pk"))
+        li.join(Joins.sizeGatedBroadcast(perPart), col("l_partkey") === col("pk"))
           .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
             < col("sum_qty"))
           .agg(count(lit(1)).as("n_small"),
