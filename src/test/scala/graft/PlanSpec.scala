@@ -151,6 +151,32 @@ class PlanSpec extends AnyFunSuite {
       "expected HashAggregate BELOW the Window:\n" + s.take(1500))
   }
 
+  // Whole-surface scale audit: EVERY SparkEntry query must plan without a
+  // CartesianProduct or an unbounded BroadcastNestedLoopJoin. The
+  // allowlists name the deliberate exceptions and why each is bounded:
+  //  - crossOk: exact-form oracle demos over a hard-bounded id range
+  //    (doc_id < 120 / the full embeddings table at oracle scale), kept as
+  //    correctness twins of the LSH scale paths — never benched;
+  //  - bnljOk: the broadcast side is a constant-size set (5 query vectors,
+  //    16 centroids, band-join demo row, a 1-row scalar aggregate) so cost
+  //    is O(n * k) with k fixed — linear in data.
+  private val crossOk = Set("dd_jaccard_pairs", "dd_clusters",
+    "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_ivf")
+  private val bnljOk = Set("q26_band_join", "ss_topk_bruteforce", "ss_ann_ivf",
+    "q15_subquery_above_avg") // conditionless join against a 1-row broadcast avg
+
+  test("ALL queries plan without cross products (whole-surface audit)") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      if (!crossOk(name))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n${p.take(600)}")
+      if (!bnljOk(name) && !crossOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin:\n${p.take(600)}")
+    }
+  }
+
   test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
     val p = plan("q35_grouping_sets_join")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
