@@ -515,6 +515,153 @@ object TpcdsShapes {
              |  SELECT o_orderpriority,
              |    date_diff('day', o_orderdate, l_shipdate) AS delay
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------- q59
+    // TPC-H q21 shape: suppliers who were the ONLY late supplier in a
+    // multi-supplier order — the hardest correlated-subquery form in the
+    // TPC suites: an EXISTS and a NOT EXISTS both correlated with an
+    // INEQUALITY (other-supplier) condition. Spark plans both as one
+    // semi + one anti join on the order key with the supplier inequality
+    // as residual — co-partitioned equi-joins, no per-row re-scans.
+    QueryDef("q59_lonely_late_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val late = li
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val anyOther = li.select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey"))
+        val lateOther = late.select(col("l_orderkey").as("o3_orderkey"),
+          col("l_suppkey").as("o3_suppkey"))
+        late
+          .join(anyOther,
+            col("l_orderkey") === col("o2_orderkey") &&
+              col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+          .join(lateOther,
+            col("l_orderkey") === col("o3_orderkey") &&
+              col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("l_suppkey"))
+      },
+      Some("""WITH late AS (
+             |  SELECT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |SELECT l_suppkey, count(*) AS numwait
+             |FROM late l1
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |        WHERE l2.l_orderkey = l1.l_orderkey
+             |          AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late l3
+             |        WHERE l3.l_orderkey = l1.l_orderkey
+             |          AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY 1 ORDER BY numwait DESC, l_suppkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q60
+    // TPC-H q20 shape (nested aggregate threshold): suppliers shipping
+    // more than half of some part's total volume. The part total derives
+    // FROM the (part, supplier) aggregate — one fact scan feeds both
+    // levels, and the threshold join is co-partitioned on l_partkey.
+    // Exact decimal algebra (2*sp > total), no division.
+    QueryDef("q60_dominant_suppliers",
+      (s, d) => {
+        val sp = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sp_qty"))
+        val totals = sp.groupBy(col("l_partkey"))
+          .agg(sum(col("sp_qty")).as("p_qty"))
+        sp.join(totals, Seq("l_partkey"))
+          .filter(col("sp_qty") * 2 > col("p_qty"))
+          .select(col("l_suppkey")).distinct()
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sp_qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |totals AS (SELECT l_partkey, sum(sp_qty) AS p_qty
+             |           FROM sp GROUP BY 1)
+             |SELECT DISTINCT l_suppkey
+             |FROM sp JOIN totals USING (l_partkey)
+             |WHERE sp_qty * 2 > p_qty
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- q61
+    // TPC-H q8 shape (market share): one nation's share of yearly revenue.
+    // The fact-fact join shuffles once on the order key; supplier and
+    // nation broadcast; the share is a conditional decimal sum over the
+    // same aggregate pass (no second scan), surfaced as one exact double
+    // division.
+    QueryDef("q61_market_share",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+        base.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(
+            decToDouble(sum(when(col("n_name") === "NATION_3", revDec)
+              .otherwise(lit(0).cast(DecimalType(30, 8)))), "nation_rev"),
+            decToDouble(sum(revDec), "total_rev"))
+          .withColumn("share", col("nation_rev") / col("total_rev"))
+          .orderBy(col("yr"))
+      },
+      Some(s"""SELECT yr, nation_rev, total_rev,
+              |  nation_rev / total_rev AS share
+              |FROM (
+              |  SELECT year(o_orderdate) AS yr,
+              |    CAST(round(sum(CASE WHEN n_name = 'NATION_3' THEN $oRev
+              |      ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+              |      AS nation_rev,
+              |    CAST(round(sum($oRev), 2) AS DOUBLE) AS total_rev
+              |  FROM lineitem
+              |    JOIN orders ON l_orderkey = o_orderkey
+              |    JOIN supplier ON l_suppkey = s_suppkey
+              |    JOIN nation ON s_nationkey = n_nationkey
+              |  GROUP BY 1) t
+              |ORDER BY yr""".stripMargin)),
+
+    // ---------------------------------------------------------------- q62
+    // TPC-H q22 shape: high-balance customers with no recent orders —
+    // scalar-average threshold (rearranged to bal * cnt > sum so the
+    // comparison is exact decimal, never an averaged double) + anti join
+    // against recent orders, bucketed by market segment.
+    QueryDef("q62_idle_rich_customers",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val stats = cust.filter(col("c_acctbal") > 0)
+          .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_bal"),
+            count(lit(1)).as("cnt"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "2000-01-01")
+          .select(col("o_custkey"))
+        cust.join(broadcast(stats))
+          .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("cnt")
+            > col("sum_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            decToDouble(sum(col("c_acctbal").cast(DecimalType(18, 2))),
+              "total_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+             |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             |    AS total_bal
+             |FROM customer c
+             |JOIN (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+             |        count(*) AS cnt
+             |      FROM customer WHERE c_acctbal > 0) s ON TRUE
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > sum_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey
+             |          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

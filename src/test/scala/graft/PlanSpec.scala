@@ -163,7 +163,8 @@ class PlanSpec extends AnyFunSuite {
   private val crossOk = Set("dd_jaccard_pairs", "dd_clusters",
     "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_ivf")
   private val bnljOk = Set("q26_band_join", "ss_topk_bruteforce", "ss_ann_ivf",
-    "q15_subquery_above_avg") // conditionless join against a 1-row broadcast avg
+    // conditionless joins against a 1-row broadcast scalar aggregate
+    "q15_subquery_above_avg", "q62_idle_rich_customers")
 
   test("ALL queries plan without cross products (whole-surface audit)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
