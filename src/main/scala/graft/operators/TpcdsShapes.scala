@@ -563,10 +563,13 @@ object TpcdsShapes {
 
     // ---------------------------------------------------------------- q60
     // TPC-H q20 shape (nested aggregate threshold): suppliers shipping
-    // more than half of some part's total volume. The part total derives
-    // FROM the (part, supplier) aggregate — one fact scan feeds both
-    // levels, and the threshold join is co-partitioned on l_partkey.
-    // Exact decimal algebra (2*sp > total), no division.
+    // more than 20% of some part's total volume (the uniform synthetic
+    // data leaves no supplier above 50%, so the TPC-H original's majority
+    // threshold would select nothing at any SF here). The part total
+    // derives FROM the (part, supplier) aggregate — one fact scan feeds
+    // both levels (AQE reuses the shuffle stage; PlanSpec asserts it) and
+    // the threshold join is co-partitioned on l_partkey. Exact decimal
+    // algebra (5*sp > total), no division.
     QueryDef("q60_dominant_suppliers",
       (s, d) => {
         val sp = Tables.lineitem(s, d)
@@ -575,7 +578,7 @@ object TpcdsShapes {
         val totals = sp.groupBy(col("l_partkey"))
           .agg(sum(col("sp_qty")).as("p_qty"))
         sp.join(totals, Seq("l_partkey"))
-          .filter(col("sp_qty") * 2 > col("p_qty"))
+          .filter(col("sp_qty") * 5 > col("p_qty"))
           .select(col("l_suppkey")).distinct()
           .orderBy(col("l_suppkey"))
       },
@@ -587,7 +590,7 @@ object TpcdsShapes {
              |           FROM sp GROUP BY 1)
              |SELECT DISTINCT l_suppkey
              |FROM sp JOIN totals USING (l_partkey)
-             |WHERE sp_qty * 2 > p_qty
+             |WHERE sp_qty * 5 > p_qty
              |ORDER BY l_suppkey""".stripMargin)),
 
     // ---------------------------------------------------------------- q61

@@ -178,6 +178,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: double-correlated EXISTS plans as one semi + one anti join") {
+    // TPC-H q21's EXISTS/NOT EXISTS with supplier-inequality correlation:
+    // the literal form re-scans lineitem per row; the plan must be exactly
+    // one LeftSemi and one LeftAnti on the order key
+    val p = plan("q59_lonely_late_supplier")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q60: nested aggregate threshold reuses the (part,supplier) shuffle stage") {
+    // the part totals derive from the (part, supplier) aggregate; both
+    // consumers hash-partition the same scan by (l_partkey, l_suppkey),
+    // and AQE must REUSE that shuffle stage — the executed plan reads and
+    // shuffles the fact once, a second scan would double the 100 TB I/O
+    val df = SparkEntry.queries("q60_dominant_suppliers")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedQueryStage") ||
+      executed.contains("ReusedExchange"),
+      "expected shuffle-stage reuse in the final adaptive plan:\n" +
+        executed.take(1500))
+  }
+
   test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
     val p = plan("q35_grouping_sets_join")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
