@@ -665,6 +665,111 @@ object TpcdsShapes {
              |  AND NOT EXISTS (SELECT 1 FROM orders o
              |        WHERE o.o_custkey = c.c_custkey
              |          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---------------------------------------------------------------- q63
+    // TPC-DS q67 shape: rank within a rolled-up hierarchy — top-3 rows per
+    // (grouping level, type) over the ROLLUP(type, brand) revenue. The
+    // window partitions on grouping_id so detail rows and subtotal rows
+    // rank among their own kind; its input is the rollup output
+    // (dimension-sized), never the fact. grouping_id stays OUT of the
+    // output (Spark and DuckDB agree on the bitmask, but the contract is
+    // only that it partitions identically).
+    QueryDef("q63_rollup_rank",
+      (s, d) => {
+        val agg = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .rollup(col("p_type"), col("p_brand"))
+          .agg(sum(revDec).as("amt"), grouping_id().as("gid"))
+        val w = Window.partitionBy(col("gid"), col("p_type"))
+          .orderBy(col("amt").desc, col("p_brand").asc_nulls_first)
+        agg.withColumn("rnk", rank().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("p_type"), col("p_brand"),
+            decToDouble(col("amt"), "amount"), col("rnk"))
+          .orderBy(col("p_type").asc_nulls_first,
+            col("rnk"), col("p_brand").asc_nulls_first)
+      },
+      Some(s"""SELECT p_type, p_brand,
+              |  CAST(round(amt, 2) AS DOUBLE) AS amount, rnk
+              |FROM (
+              |  SELECT p_type, p_brand, sum($oRev) AS amt,
+              |    CAST(rank() OVER (
+              |      PARTITION BY GROUPING(p_type, p_brand), p_type
+              |      ORDER BY sum($oRev) DESC, p_brand ASC NULLS FIRST)
+              |      AS BIGINT) AS rnk
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  GROUP BY ROLLUP(p_type, p_brand)) t
+              |WHERE rnk <= 3
+              |ORDER BY p_type NULLS FIRST, rnk, p_brand NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------- q64
+    // TPC-DS q23 shape: "frequent" items (ordered in >= 4 distinct
+    // months) and the revenue they drive — a distinct-count HAVING
+    // producing a key set, probed as a semi join (the frequent set never
+    // materializes pairs against the fact).
+    QueryDef("q64_frequent_parts",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val frequent = li
+          .groupBy(col("l_partkey"))
+          .agg(countDistinct(date_format(col("l_shipdate"), "yyyy-MM"))
+            .as("n_months"))
+          .filter(col("n_months") >= 4)
+          .select(col("l_partkey"))
+        li.join(frequent, Seq("l_partkey"), "left_semi")
+          .agg(count(lit(1)).as("n_lines"),
+            decToDouble(sum(revDec), "frequent_rev"))
+      },
+      Some(s"""SELECT count(*) AS n_lines,
+              |  CAST(round(sum($oRev), 2) AS DOUBLE) AS frequent_rev
+              |FROM lineitem
+              |WHERE l_partkey IN (
+              |  SELECT l_partkey FROM lineitem
+              |  GROUP BY 1
+              |  HAVING count(DISTINCT strftime(l_shipdate, '%Y-%m')) >= 4)""".stripMargin)),
+
+    // ---------------------------------------------------------------- q65
+    // TPC-DS q58/q83 shape: brands whose returned revenue sits within a
+    // band of their sold revenue — two differently-filtered aggregates of
+    // the same fact compared by a tolerance band. The band test is exact
+    // decimal algebra (10r vs 2s), no division, so membership cannot flip
+    // between engines.
+    QueryDef("q65_balanced_channels",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+        val sales = li.filter(col("l_returnflag") =!= "R")
+          .groupBy(col("p_brand")).agg(sum(revDec).as("sales_rev"))
+        val returns = li.filter(col("l_returnflag") === "R")
+          .groupBy(col("p_brand")).agg(sum(revDec).as("returns_rev"))
+        sales.join(returns, Seq("p_brand"))
+          // returns within [50%, 60%] of sales (the synthetic flag split
+          // puts brand ratios in 0.45-0.57, so this band selects some
+          // brands and rejects others): 10r >= 5s && 10r <= 6s, exact
+          .filter(col("returns_rev") * 10 >= col("sales_rev") * 5 &&
+            col("returns_rev") * 10 <= col("sales_rev") * 6)
+          .select(col("p_brand"),
+            decToDouble(col("sales_rev"), "sales_rev"),
+            decToDouble(col("returns_rev"), "returns_rev"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""WITH sales AS (
+              |  SELECT p_brand, sum($oRev) AS sales_rev
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  WHERE l_returnflag <> 'R' GROUP BY 1),
+              |returns AS (
+              |  SELECT p_brand, sum($oRev) AS returns_rev
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  WHERE l_returnflag = 'R' GROUP BY 1)
+              |SELECT p_brand,
+              |  CAST(round(sales_rev, 2) AS DOUBLE) AS sales_rev,
+              |  CAST(round(returns_rev, 2) AS DOUBLE) AS returns_rev
+              |FROM sales JOIN returns USING (p_brand)
+              |WHERE returns_rev * 10 >= sales_rev * 5
+              |  AND returns_rev * 10 <= sales_rev * 6
+              |ORDER BY p_brand""".stripMargin))
   )
 }
