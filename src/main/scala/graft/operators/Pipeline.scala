@@ -101,6 +101,74 @@ object Pipeline {
               |FROM bench b LEFT JOIN train t ON b.sh = t.sh
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ------------------------------------------------------------ sampling
+    // Deterministic stratified sampling: up to 50 docs per language,
+    // chosen by hash rank (md5Key60 of the text — DuckDB computes the
+    // identical keys, so the SAMPLE ITSELF is oracle-checked, not just
+    // its size). Reproducible across runs/machines/repartitions — never
+    // rand(); the shuffle carries (lang, 8-byte key) only. At 100 TB the
+    // per-stratum top-k is a WindowGroupLimit: partial top-50 per
+    // partition BEFORE the language shuffle.
+    QueryDef("pp_stratified_sample",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.md5Key60
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("key"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), md5Key60(col("text")).as("key"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 50)
+          .select(col("doc_id"), col("lang"), col("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""SELECT doc_id, lang, rk FROM (
+              |  SELECT doc_id, lang,
+              |    CAST(row_number() OVER (PARTITION BY lang
+              |      ORDER BY ${graft.functions.TextHashFunctions.md5Key60Sql("text")},
+              |               doc_id) AS BIGINT) AS rk
+              |  FROM documents) t
+              |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin)),
+
+    // ------------------------------------------------------------ packing
+    // Sequence packing (the pretraining concat-then-chunk shape): docs
+    // are dealt into 8 hash shards, ordered deterministically within each
+    // shard, and assigned to training sequences by integer-dividing the
+    // running token count by the 2048-token budget. Each shard's window
+    // is independent => 8-way parallel; at 100 TB the shard count scales
+    // with the cluster and the running sum stays a single window pass.
+    // All-BIGINT algebra (div, not /) so both engines bin identically.
+    QueryDef("pp_sequence_pack",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.md5Key60
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"),
+          md5Key60(col("text")).as("key"))
+          .withColumn("shard", pmod(col("key"), lit(8)))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("key"), col("doc_id"))
+        docs.withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("seq_id", expr("(cum - n_tokens) div 2048"))
+          .select(col("doc_id"), col("shard"), col("seq_id"), col("n_tokens"))
+          .orderBy(col("shard"), col("seq_id"), col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, shard, (cum - n_tokens) // 2048 AS seq_id,
+              |  n_tokens
+              |FROM (
+              |  SELECT doc_id, n_tokens, shard,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+              |      ORDER BY key, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS cum
+              |  FROM (
+              |    SELECT doc_id,
+              |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+              |        AS n_tokens,
+              |      ${graft.functions.TextHashFunctions.md5Key60Sql("text")} AS key,
+              |      ${graft.functions.TextHashFunctions.md5Key60Sql("text")} % 8
+              |        AS shard
+              |    FROM documents) a) b
+              |ORDER BY shard, seq_id, doc_id""".stripMargin)),
+
     // ------------------------------------------------------------ SQL fns
     // The custom Catalyst expressions through their SQL registration
     // (GraftExtensions), demoed in the shape that survives 100 TB: an
