@@ -194,6 +194,42 @@ object TextAnalysis {
              |  quantile_cont(n_chars, 0.75) AS q75
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ------------------------------------------------------------ repetition
+    // Gopher/C4-style repetition scoring: per-document duplicate-token and
+    // duplicate-3-gram fractions (1 - distinct/total) — the standard
+    // "repetitive document" quality signals a pretraining pipeline
+    // thresholds on. Pure narrow map (set algebra inside the row, no
+    // shuffle); each fraction is ONE int/int division => bit-identical
+    // cross-engine.
+    QueryDef("ta_repetition",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.{shingles, words}
+        val t = words(col("text"))
+        val sh = shingles(col("text"))
+        Tables.documents(s, d).select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          ((size(t) - size(array_distinct(t))).cast("double") / size(t))
+            .as("dup_word_frac"),
+          ((size(sh) - size(array_distinct(sh))).cast("double") / size(sh))
+            .as("dup_3gram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+             |    / len(toks) AS dup_word_frac,
+             |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+             |    / len(sh) AS dup_3gram_frac
+             |FROM (
+             |  SELECT doc_id, toks,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks)-1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |        FROM documents) a) b
+             |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------------ rolling
     // Custom codegen'd Catalyst expression (graft.functions.NativeExpressions
     // .RollingHash): 64-bit FNV-1a rolling hash over UTF-8 bytes — the

@@ -202,6 +202,16 @@ class PlanSpec extends AnyFunSuite {
         executed.take(1500))
   }
 
+  test("pp_stratified_sample: per-stratum top-k is group-limited BEFORE the shuffle") {
+    // row_number() <= 50 must plan as a Partial WindowGroupLimit below
+    // the language exchange — each task forwards at most 50 rows per
+    // stratum, so the shuffle volume is quota-bounded at any corpus size
+    val p = plan("pp_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert("WindowGroupLimit".r.findAllIn(p).size === 2, // Partial + Final
+      p.take(1200))
+  }
+
   test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
     val p = plan("q35_grouping_sets_join")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
