@@ -63,6 +63,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: hash-keyed pipeline ops are invariant to partitioning") {
+    // pp_train_test_split / pp_stratified_sample / pp_sequence_pack claim
+    // reproducibility across runs, machines, and REPARTITIONS (no rand(),
+    // no partition-local state). A partition-count change must not move a
+    // single row — this is what makes the sample/split/packing citable in
+    // a data card.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      df.collect().map(_.toString).toSeq.sorted
+    }
+    try {
+      Seq("pp_train_test_split", "pp_stratified_sample",
+        "pp_sequence_pack").foreach { name =>
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        val a = run(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val b = run(name)
+        assert(a.nonEmpty && a === b, s"$name moved rows under repartitioning")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("property: projection permutation permutes columns, not rows") {
     val others = Seq("o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderpriority")
