@@ -23,6 +23,23 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("timestamp and date columns round-trip identically to the built-in source") {
+    // the alltypes fixture carries date32 but no timestamp; ORC timestamps
+    // are the classic cross-reader divergence (writer-timezone base +
+    // nanos encoding), so pin connector==built-in on them explicitly,
+    // including a value inside a DST transition window
+    val df = spark.range(5).select(col("id"),
+      expr("timestamp'2024-03-10 01:30:00' + " +
+        "make_interval(0,0,0,0,0,0,id*3600)").as("ts"),
+      expr("date'2024-01-01' + CAST(id AS INT)").as("d"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    df.coalesce(1).write.mode("overwrite").orc(dir)
+    val a = spark.read.format("graft-orc").load(dir).orderBy("id").collect().toSeq
+    val b = spark.read.orc(dir).orderBy("id").collect().toSeq
+    assert(a === b)
+    assert(a.map(_.get(1).toString).exists(_.contains("2024-03-10")))
+  }
+
   test("projection is pruned to the requested columns (A6)") {
     val q = v2.select($"l_orderkey", $"l_quantity")
     val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
