@@ -91,7 +91,11 @@ object Bench {
     // fused conditional counts, yoy self-join, date-arith fact-fact join,
     // net-of-returns left join
     "q45_channel_rollup", "q46_intersect_parts", "q48_late_shipments",
-    "q50_conditional_counts", "q51_yoy_growth", "q53_net_of_returns")
+    "q50_conditional_counts", "q51_yoy_growth", "q53_net_of_returns",
+    // pipeline ops: quota-bounded stratified sampling (WindowGroupLimit),
+    // token-budget sequence packing (per-shard running sum), repetition
+    // scoring (narrow map)
+    "pp_stratified_sample", "pp_sequence_pack", "ta_repetition")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -97,4 +97,67 @@ object TextHashImpl {
     }
     mins
   }
+
+  /** Repetition statistics in one pass:
+    * [nTokens, distinctTokens, nShingles, distinctShingles] for k-word
+    * shingles. Distinctness is counted over 64-bit xxhash64 of the token /
+    * shingle byte ranges via an open-addressing set — equal strings always
+    * collide (counts never overestimate distinctness), and a spurious
+    * 64-bit collision (~1e-14 per doc) is the only way to undercount.
+    * Token/shingle definitions match `split(text, " ")` /
+    * `concat_ws(" ", slice(...))` byte-exactly (see the object scaladoc),
+    * so the fractions equal the HOF/oracle formulation.
+    */
+  def repetitionStats(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val n = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0; var start = 0; i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        starts(t) = start; ends(t) = i; t += 1; start = i + 1
+      }
+      i += 1
+    }
+    val nShingles = if (nTokens < k) 1 else nTokens - k + 1
+    // open-addressing set sized for the larger population; 0 marks empty
+    // (a real 0 hash remaps to 1 — only collision semantics, still exact
+    // for equal inputs)
+    var cap = 4
+    while (cap < (math.max(nTokens, nShingles) + 1) * 2) cap <<= 1
+    val set = new Array[Long](cap)
+    val mask = cap - 1
+    var setSize = 0
+    def clear(): Unit = { java.util.Arrays.fill(set, 0L); setSize = 0 }
+    def add(h0: Long): Unit = {
+      val h = if (h0 == 0L) 1L else h0
+      var idx = (h ^ (h >>> 32)).toInt & mask
+      while (set(idx) != 0L && set(idx) != h) idx = (idx + 1) & mask
+      if (set(idx) == 0L) { set(idx) = h; setSize += 1 }
+    }
+    var tok = 0
+    while (tok < nTokens) {
+      add(XXH64.hashUnsafeBytes(bytes, off + starts(tok),
+        ends(tok) - starts(tok), Seed))
+      tok += 1
+    }
+    val distinctTokens = setSize
+    clear()
+    if (nTokens < k) add(XXH64.hashUnsafeBytes(bytes, off, n, Seed))
+    else {
+      var sIdx = 0
+      while (sIdx <= nTokens - k) {
+        add(XXH64.hashUnsafeBytes(bytes, off + starts(sIdx),
+          ends(sIdx + k - 1) - starts(sIdx), Seed))
+        sIdx += 1
+      }
+    }
+    Array(nTokens.toLong, distinctTokens.toLong, nShingles.toLong,
+      setSize.toLong)
+  }
 }

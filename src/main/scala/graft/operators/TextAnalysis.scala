@@ -203,15 +203,22 @@ object TextAnalysis {
     // cross-engine.
     QueryDef("ta_repetition",
       (s, d) => {
-        import graft.functions.TextHashFunctions.{shingles, words}
-        val t = words(col("text"))
-        val sh = shingles(col("text"))
-        Tables.documents(s, d).select(col("doc_id"),
-          size(t).cast("long").as("n_tokens"),
-          ((size(t) - size(array_distinct(t))).cast("double") / size(t))
-            .as("dup_word_frac"),
-          ((size(sh) - size(array_distinct(sh))).cast("double") / size(sh))
-            .as("dup_3gram_frac"))
+        // one native pass (RepetitionStats) instead of materializing token
+        // and shingle arrays for interpreted array_distinct — 3.1s -> sub-
+        // second warm at sf0.1; native == HOF parity pinned in
+        // NativeExpressionsSpec
+        val st = graft.functions.NativeExpressions
+          .repetitionStats(col("text"), 3)
+        Tables.documents(s, d)
+          .select(col("doc_id"), st.as("st"))
+          .select(col("doc_id"),
+            element_at(col("st"), 1).as("n_tokens"),
+            ((element_at(col("st"), 1) - element_at(col("st"), 2))
+              .cast("double") / element_at(col("st"), 1))
+              .as("dup_word_frac"),
+            ((element_at(col("st"), 3) - element_at(col("st"), 4))
+              .cast("double") / element_at(col("st"), 3))
+              .as("dup_3gram_frac"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,

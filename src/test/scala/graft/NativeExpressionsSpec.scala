@@ -92,6 +92,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     rows.foreach { case (n, re) => assert(n === re) }
   }
 
+  test("native repetitionStats == HOF set algebra on all sf0.001 documents") {
+    import graft.functions.TextHashFunctions.{shingles, words}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val t = words($"text"); val sh = shingles($"text")
+    val hof = docs.select($"doc_id",
+      size(t).cast("long").as("a"),
+      size(array_distinct(t)).cast("long").as("b"),
+      size(sh).cast("long").as("c"),
+      size(array_distinct(sh)).cast("long").as("d"))
+      .orderBy($"doc_id").collect().toSeq
+    val nat = docs.select($"doc_id",
+        NativeExpressions.repetitionStats($"text", 3).as("st"))
+      .select($"doc_id", element_at($"st", 1).as("a"),
+        element_at($"st", 2).as("b"), element_at($"st", 3).as("c"),
+        element_at($"st", 4).as("d"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(nat === hof)
+    // edge cases: empty text, all-same tokens, short doc (< k tokens)
+    val edge = Seq((1L, ""), (2L, "a a a a a"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val e = edge.select(NativeExpressions.repetitionStats($"text", 3))
+      .as[Seq[Long]].collect().toSeq
+    assert(e(0) === Seq(1L, 1L, 1L, 1L)) // one empty token, one shingle
+    assert(e(1) === Seq(5L, 1L, 3L, 1L)) // all dup tokens + dup shingles
+    assert(e(2) === Seq(2L, 2L, 1L, 1L)) // < k tokens => whole-text shingle
+  }
+
   test("expressions survive whole-stage codegen (no fallback) in a real plan") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val q = e.select($"vec_id", VectorFunctions.cosine($"embedding", $"embedding").as("c"))
