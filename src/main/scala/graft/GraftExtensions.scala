@@ -47,7 +47,15 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashSignature(es(0), 32, 3)),
     ("graft_cjk_count",
       info("graft_cjk_count", "graft_cjk_count(s) - count of CJK ideographs"),
-      (es: Seq[Expression]) => CjkCharCount(es(0))))
+      (es: Seq[Expression]) => CjkCharCount(es(0))),
+    ("graft_repetition_stats",
+      info("graft_repetition_stats", "graft_repetition_stats(s) - " +
+        "[nTokens, distinctTokens, n3grams, distinct3grams] in one pass"),
+      (es: Seq[Expression]) => RepetitionStats(es(0), 3)),
+    ("graft_hyperplane_buckets",
+      info("graft_hyperplane_buckets", "graft_hyperplane_buckets(vec) - " +
+        "8-table x 6-bit sign-LSH bucket ids for a float array"),
+      (es: Seq[Expression]) => HyperplaneBuckets(es(0), 8, 6, 64)))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

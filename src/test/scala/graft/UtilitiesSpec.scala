@@ -48,9 +48,16 @@ class UtilitiesSpec extends AnyFunSuite {
       "SELECT graft_rolling_hash('abc') AS h, graft_cjk_count('大熊 and cat') AS c")
       .collect().head
     assert(r.getLong(1) === 2L)
+    val rep = spark.sql(
+      "SELECT graft_repetition_stats('a a b') AS st").collect().head
+    assert(rep.getSeq[Long](0) === Seq(3L, 2L, 1L, 1L))
+    val buckets = spark.sql(
+      "SELECT graft_hyperplane_buckets(array(CAST(1.0 AS FLOAT))) AS b")
+      .collect().head
+    assert(buckets.getSeq[Long](0).length === 8)
     // builder-level injection path constructs without error
     val ext = new GraftExtensions
-    assert(GraftExtensions.functions.size === 6)
+    assert(GraftExtensions.functions.size === 8)
     assert(ext != null)
   }
 
