@@ -73,22 +73,31 @@ object TpcdsShapes {
               |ORDER BY channel NULLS FIRST, yr NULLS FIRST""".stripMargin)),
 
     // ---------------------------------------------------------------- q46
-    // TPC-DS q14 shape: INTERSECT of the part keys two "channels"
-    // (customer segments) both sold, then total sales of the common
-    // parts by brand. INTERSECT plans as distinct + co-partitioned join;
-    // the common-part probe is a semi join (never materializes pairs);
-    // part is a broadcast dim.
+    // TPC-DS q14 shape: the part keys two "channels" (customer segments)
+    // BOTH sold, then total sales of the common parts by brand. The
+    // literal SQL is an INTERSECT of two identical-source branches (the
+    // oracle keeps that text); the engine-smart form computes both
+    // segment memberships in ONE li⋈orders⋈customer pass — a conditional
+    // aggregation per part key — instead of scanning the fact once per
+    // branch (2 fact scans total instead of 3; the sets are provably
+    // equal). The common-part probe stays a semi join; part broadcasts.
+    // INTERSECT-the-operator is exercised by q10_setops / q41_setops_all.
     QueryDef("q46_intersect_parts",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val ord = Tables.orders(s, d)
-        def partsIn(seg: String) =
-          li.join(ord, col("l_orderkey") === col("o_orderkey"))
-            .join(broadcast(Tables.customer(s, d)
-              .filter(col("c_mktsegment") === seg)),
-              col("o_custkey") === col("c_custkey"))
-            .select(col("l_partkey"))
-        val common = partsIn("BUILDING").intersect(partsIn("MACHINERY"))
+        val common = li
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_partkey"))
+          .agg(
+            max(when(col("c_mktsegment") === "BUILDING", 1).otherwise(0))
+              .as("in_b"),
+            max(when(col("c_mktsegment") === "MACHINERY", 1).otherwise(0))
+              .as("in_m"))
+          .filter(col("in_b") === 1 && col("in_m") === 1)
+          .select(col("l_partkey"))
         li.join(common, Seq("l_partkey"), "left_semi")
           .join(broadcast(Tables.part(s, d)),
             col("l_partkey") === col("p_partkey"))
