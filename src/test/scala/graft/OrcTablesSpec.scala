@@ -135,6 +135,27 @@ class OrcTablesSpec extends AnyFunSuite {
       OrcTables.read(spark, dir).orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("sorted ORC layout: same rows, range-disjoint files on the sort key") {
+    val dir = OrcData.sortedOrcPath(spark, TestSpark.sf0001,
+      "lineitem", "l_orderkey")
+    val sorted = OrcTables.read(spark, dir)
+    val src = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    assert(sorted.count() === src.count())
+    // per-file [min,max] ranges of the sort key must not overlap — this
+    // is what makes stripe/file min-max pruning selective on range
+    // filters (the --sorted layout's whole point)
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
+    val ranges = sorted
+      .groupBy(input_file_name())
+      .agg(smin("l_orderkey").as("lo"), smax("l_orderkey").as("hi"))
+      .orderBy("lo")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length > 1, "expected multiple range-partitioned files")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $hi > $lo")
+    }
+  }
+
   test("column statistics surface min/max from footers") {
     val p = OrcData.orcPath(spark, TestSpark.sf0001, "region")
     val cs = OrcStatistics.columnStats(spark, p)
