@@ -1031,6 +1031,35 @@ object Relational {
              |  AND c.event_type = 'click' AND e.event_type = 'error'
              |  AND epoch_us(e.ts) >= epoch_us(c.ts)
              |  AND epoch_us(e.ts) <= epoch_us(c.ts) + CAST(21600000000 AS BIGINT)
-             |ORDER BY c_id, e_id""".stripMargin))
+             |ORDER BY c_id, e_id""".stripMargin)),
+
+    // ---------------------------------------------------------------- q66
+    // DYNAMIC partition pruning: the filter lives on the DIM side (its
+    // attribute, not the join key), so static pruning is impossible — the
+    // fact's partition filter is a runtime subquery fed by the broadcast
+    // dim ("dynamicpruning" in the scan's PartitionFilters, asserted in
+    // PlanSpec). At 100 TB this is the star-join feature that turns "scan
+    // every partition" into "scan the partitions the dim selects". The
+    // file-backed dim (written once under the ORC cache root) is what
+    // makes Spark's DPP benefit estimate fire.
+    QueryDef("q66_dynamic_partition_pruning",
+      (s, d) => {
+        val fact = s.read.orc(
+          OrcData.partitionedOrcPath(s, d, "lineitem", "l_returnflag"))
+        val dim = s.read.parquet(OrcData.flagDimPath(s, d))
+          .filter(col("status_name") === "returned")
+        fact.join(broadcast(dim), col("l_returnflag") === col("flag"))
+          .groupBy(col("status_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+          .orderBy(col("status_name"))
+      },
+      Some(s"""SELECT status_name, count(*) AS n,
+              |  ${oDsum("l_quantity", "sum_qty")}
+              |FROM lineitem
+              |JOIN (VALUES ('R', 'returned'), ('A', 'acknowledged'),
+              |      ('N', 'in_flight')) d(flag, status_name)
+              |  ON l_returnflag = flag
+              |WHERE status_name = 'returned'
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -60,6 +60,25 @@ object OrcData {
     name
   }
 
+  /** Tiny file-backed returnflag dimension (flag -> status_name), written
+    * once under the cache root. File-backed (not a LocalRelation) so
+    * Spark's dynamic-partition-pruning planner treats it as a real
+    * broadcast dim feeding the fact's runtime partition filter (q66).
+    */
+  def flagDimPath(spark: SparkSession, sfDir: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/flag_dim"
+    val marker = new java.io.File(s"$out/_SUCCESS")
+    if (!marker.exists()) lock.synchronized {
+      if (!marker.exists()) {
+        import spark.implicits._
+        Seq(("R", "returned"), ("A", "acknowledged"), ("N", "in_flight"))
+          .toDF("flag", "status_name")
+          .coalesce(1).write.mode("overwrite").parquet(out)
+      }
+    }
+    out
+  }
+
   /** Range-partitioned, sorted-within-files ORC copy — the data layout the
     * reference's `--sorted` runner flag declares (tpcds_bench.rs:425-437):
     * stripe min/max on the sort key become disjoint ranges, so range/point

@@ -212,6 +212,15 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("q66: dim-side filter prunes fact partitions DYNAMICALLY at runtime") {
+    // the filter is on the dim's attribute, so no static partition filter
+    // is possible — the fact scan must carry a dynamicpruning subquery
+    // fed by the broadcast dim (the 100 TB star-join feature)
+    val p = plan("q66_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
     val p = plan("q35_grouping_sets_join")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
