@@ -42,6 +42,37 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the automatic complement to SkewJoin.saltedInnerJoin: one hot key
+    // dominating the shuffle must be split by OptimizeSkewedJoin. The
+    // thresholds are lowered so the optimization fires at test scale —
+    // on a real cluster the 256MB defaults play the same role.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 50k rows on ONE key vs 64 spread keys => one partition dwarfs the rest
+      val left = spark.range(50000).select(lit(1L).as("k"), $"id".as("v"))
+        .union(spark.range(64).select(($"id" + 2).as("k"), $"id".as("v")))
+      val right = spark.range(66).select($"id".as("k"), $"id".as("w"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS QueryExecution runs and its final
+      // adaptive plan is inspectable
+      assert(joined.collect().length === 50000 + 64)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("GraftExtensions: functions callable from SQL, builder injection works") {
     GraftExtensions.register(spark)
     val r = spark.sql(
