@@ -107,4 +107,32 @@ object EventStream {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
   }
+
+  /** Stream-stream interval join: each error event joined to the same
+    * user's clicks from the preceding hour. Both sides are watermarked and
+    * the join condition bounds event time in BOTH directions, so the state
+    * store holds only one watermark-window of each side (the condition
+    * Structured Streaming needs to ever evict stream-stream join state —
+    * an unbounded-time join would grow state forever).
+    */
+  def clickErrorJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          timestamp_micros(expr("ts DIV 1000")).as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val errors = side("error", "e_id", "e_user", "e_ts")
+    errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("e_id"), col("c_id"), col("e_user").as("user_id"),
+        col("c_ts"), col("e_ts"))
+  }
 }

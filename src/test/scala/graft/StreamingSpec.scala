@@ -61,6 +61,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select($"event_id").distinct().count() === batch.count())
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val q = EventStream.clickErrorJoin(spark, TestSpark.sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_join")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st_join")
+      .select($"e_id", $"c_id").as[(Long, Long)].collect().toSet
+
+    val e = Tables.events(spark, TestSpark.sf0001)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+        unix_micros($"ts".cast("timestamp")).as("c_us"))
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id".as("e_user"),
+        unix_micros($"ts".cast("timestamp")).as("e_us"))
+    val batch = errors.join(clicks,
+        $"e_user" === $"c_user" && $"e_us" >= $"c_us" &&
+          $"e_us" <= $"c_us" + 3600000000L)
+      .select($"e_id", $"c_id").as[(Long, Long)].collect().toSet
+
+    assert(batch.nonEmpty, "fixture produced no click-error pairs")
+    assert(streamed === batch)
+  }
+
   test("session windows produce per-user sessions") {
     val q = EventStream.sessionCounts(spark, TestSpark.sf0001)
       .writeStream.outputMode("complete")
