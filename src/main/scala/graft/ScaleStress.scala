@@ -86,12 +86,13 @@ object ScaleStress {
     // TPC-DS fact-fact shape stress: k shifted lineitem copies with the
     // SAME part/supplier/line-number population — per-part groups and the
     // line-identity join keys get k-times hotter, the adversarial
-    // direction for q53's left join and q57's aggregate-join-back.
-    // Shapes mirror TpcdsShapes q53/q57 (kept inline so the scaled frame
-    // can be injected).
+    // direction for q53's left join and q57's aggregate-join-back. The
+    // stressed bodies ARE TpcdsShapes.netOfReturns / smallQtyRevenue with
+    // the scaled frame injected, so the measured arithmetic can never
+    // drift from the oracle-checked queries.
     //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 tpcds 1 10
     if (tpcdsMode) {
-      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.TpcdsShapes
       factors.foreach { k =>
         val li0 = Tables.lineitem(spark, sfDir)
         val li = (0 until k).map { i =>
@@ -99,30 +100,10 @@ object ScaleStress {
             col("l_orderkey") + lit(i.toLong * 100000000L))
         }.reduce(_ union _).localCheckpoint(true)
         val n = li.count()
-        time(s"net_of_returns(n=$n)", k) {
-          val ret = li.filter(col("l_returnflag") === "R")
-            .select(col("l_orderkey").as("r_orderkey"),
-              col("l_linenumber").as("r_linenumber"),
-              col("l_quantity").as("r_qty"))
-          li.join(ret,
-              col("l_orderkey") === col("r_orderkey") &&
-                col("l_linenumber") === col("r_linenumber"), "left")
-            .groupBy(col("l_suppkey"))
-            .agg(sum((col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
-              * col("l_extendedprice")).as("net"))
-        }
-        time(s"small_qty_revenue(n=$n)", k) {
-          val perPart = li.groupBy(col("l_partkey").as("pk"))
-            .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-              count(lit(1)).as("cnt"))
-          li.join(Joins.sizeGatedBroadcast(perPart),
-              col("l_partkey") === col("pk"))
-            .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
-              < col("sum_qty"))
-            .agg(count(lit(1)).as("n_small"))
-        }
-        // same shape with plain double arithmetic — isolates how much of
-        // the cost is the oracle-exact decimal algebra vs the join itself
+        time(s"net_of_returns(n=$n)", k) { TpcdsShapes.netOfReturns(li) }
+        time(s"small_qty_revenue(n=$n)", k) { TpcdsShapes.smallQtyRevenue(li) }
+        // same join shape with plain double arithmetic — isolates how much
+        // of the cost is the oracle-exact decimal algebra vs the join
         time(s"small_qty_revenue_double(n=$n)", k) {
           val perPart = li.groupBy(col("l_partkey").as("pk"))
             .agg(avg(col("l_quantity")).as("avg_qty"))

@@ -127,9 +127,16 @@ object TextHashImpl {
     val nShingles = if (nTokens < k) 1 else nTokens - k + 1
     // open-addressing set sized for the larger population; 0 marks empty
     // (a real 0 hash remaps to 1 — only collision semantics, still exact
-    // for equal inputs)
+    // for equal inputs). Long arithmetic for the sizing: Int math would
+    // wrap negative around 2^30 tokens, leaving a 4-slot table whose probe
+    // loop then spins forever once full. Beyond 2^28 tokens the table
+    // alone would be multi-GB — fail loud instead of OOMing the executor.
+    val need = (math.max(nTokens, nShingles).toLong + 1L) * 2L
+    require(need <= (1L << 29),
+      s"repetitionStats: document with $nTokens tokens exceeds the " +
+        "2^28-token limit; split the document upstream")
     var cap = 4
-    while (cap < (math.max(nTokens, nShingles) + 1) * 2) cap <<= 1
+    while (cap < need) cap <<= 1
     val set = new Array[Long](cap)
     val mask = cap - 1
     var setSize = 0

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -27,6 +27,40 @@ object TpcdsShapes {
     .cast(DecimalType(30, 8))
   private val oRev =
     "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))"
+
+  /** q53 body over an injectable lineitem frame — one definition shared by
+    * the QueryDef and ScaleStress's scaled-input twin, so the stressed
+    * arithmetic cannot drift from the oracle-checked query.
+    */
+  private[graft] def netOfReturns(li: DataFrame): DataFrame = {
+    val ret = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_orderkey"),
+        col("l_linenumber").as("r_linenumber"),
+        col("l_quantity").as("r_qty"))
+    li.join(ret,
+        col("l_orderkey") === col("r_orderkey") &&
+          col("l_linenumber") === col("r_linenumber"), "left")
+      .withColumn("net_qty",
+        col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
+      .groupBy(col("l_suppkey"))
+      .agg(decToDouble(
+        sum((col("net_qty") * col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 8))),
+        "net_revenue"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** q57 body over an injectable lineitem frame (see [[netOfReturns]]). */
+  private[graft] def smallQtyRevenue(li: DataFrame): DataFrame = {
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    li.join(Joins.sizeGatedBroadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
+        < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        decToDouble(sum(revDec), "small_rev"))
+  }
 
   // Decimal-accumulated total surfaced as DOUBLE. The scale-8 sum itself
   // is bit-identical across engines, but its double CONVERSION is not
@@ -350,24 +384,7 @@ object TpcdsShapes {
     // left-joined back on the line identity; non-returned lines keep full
     // quantity. Both sides shuffle once on the same composite key.
     QueryDef("q53_net_of_returns",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val ret = li.filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("r_orderkey"),
-            col("l_linenumber").as("r_linenumber"),
-            col("l_quantity").as("r_qty"))
-        li.join(ret,
-            col("l_orderkey") === col("r_orderkey") &&
-              col("l_linenumber") === col("r_linenumber"), "left")
-          .withColumn("net_qty",
-            col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
-          .groupBy(col("l_suppkey"))
-          .agg(decToDouble(
-            sum((col("net_qty") * col("l_extendedprice") *
-              (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 8))),
-            "net_revenue"))
-          .orderBy(col("l_suppkey"))
-      },
+      (s, d) => netOfReturns(Tables.lineitem(s, d)),
       Some("""SELECT l_suppkey,
              |  CAST(round(sum(CAST((l_quantity - COALESCE(r.r_qty, 0))
              |    * l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)
@@ -476,17 +493,7 @@ object TpcdsShapes {
     // 10x — the oracle-exact arithmetic is the price of hash parity; a
     // production pipeline free of the oracle would compare doubles.)
     QueryDef("q57_small_qty_revenue",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val perPart = li.groupBy(col("l_partkey").as("pk"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-            count(lit(1)).as("cnt"))
-        li.join(Joins.sizeGatedBroadcast(perPart), col("l_partkey") === col("pk"))
-          .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
-            < col("sum_qty"))
-          .agg(count(lit(1)).as("n_small"),
-            decToDouble(sum(revDec), "small_rev"))
-      },
+      (s, d) => smallQtyRevenue(Tables.lineitem(s, d)),
       Some(s"""SELECT count(*) AS n_small,
               |  CAST(round(sum($oRev), 2) AS DOUBLE) AS small_rev
               |FROM lineitem l JOIN (
@@ -754,12 +761,19 @@ object TpcdsShapes {
           .groupBy(col("p_brand")).agg(sum(revDec).as("sales_rev"))
         val returns = li.filter(col("l_returnflag") === "R")
           .groupBy(col("p_brand")).agg(sum(revDec).as("returns_rev"))
+        // band test over the scale-2-ROUNDED revenues in DECIMAL(18,2):
+        // multiplying the raw DECIMAL(38,8) sums overflows 38-digit
+        // precision, where Spark rounds the product to a smaller scale but
+        // DuckDB falls back to DOUBLE — membership could then flip at band
+        // edges. At (18,2) the products stay exact in both engines, and
+        // round() is HALF_UP for positives in both.
+        val sr = round(col("sales_rev"), 2).cast(DecimalType(18, 2))
+        val rr = round(col("returns_rev"), 2).cast(DecimalType(18, 2))
         sales.join(returns, Seq("p_brand"))
           // returns within [50%, 60%] of sales (the synthetic flag split
           // puts brand ratios in 0.45-0.57, so this band selects some
-          // brands and rejects others): 10r >= 5s && 10r <= 6s, exact
-          .filter(col("returns_rev") * 10 >= col("sales_rev") * 5 &&
-            col("returns_rev") * 10 <= col("sales_rev") * 6)
+          // brands and rejects others): 10r >= 5s && 10r <= 6s
+          .filter(rr * 10 >= sr * 5 && rr * 10 <= sr * 6)
           .select(col("p_brand"),
             decToDouble(col("sales_rev"), "sales_rev"),
             decToDouble(col("returns_rev"), "returns_rev"))
@@ -777,8 +791,10 @@ object TpcdsShapes {
               |  CAST(round(sales_rev, 2) AS DOUBLE) AS sales_rev,
               |  CAST(round(returns_rev, 2) AS DOUBLE) AS returns_rev
               |FROM sales JOIN returns USING (p_brand)
-              |WHERE returns_rev * 10 >= sales_rev * 5
-              |  AND returns_rev * 10 <= sales_rev * 6
+              |WHERE CAST(round(returns_rev, 2) AS DECIMAL(18,2)) * 10
+              |    >= CAST(round(sales_rev, 2) AS DECIMAL(18,2)) * 5
+              |  AND CAST(round(returns_rev, 2) AS DECIMAL(18,2)) * 10
+              |    <= CAST(round(sales_rev, 2) AS DECIMAL(18,2)) * 6
               |ORDER BY p_brand""".stripMargin))
   )
 }
