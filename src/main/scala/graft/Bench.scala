@@ -36,6 +36,8 @@ object Bench {
       if (sorted) graft.sources.OrcTables.read(s,
         OrcData.sortedOrcPath(s, d, "lineitem", "l_orderkey"))
       else OrcData.orc(s, d, "lineitem")
+    def graftLi =
+      s.read.format("graft-orc").load(OrcData.orcPath(s, d, "lineitem"))
     Seq(
       "micro_full_table_scan" -> (() => li),
       "micro_projection_single_column" -> (() => li.select("l_orderkey")),
@@ -52,6 +54,15 @@ object Bench {
       "micro_limit_100" -> (() => li.limit(100)),
       "micro_projection_filter_limit" ->
         (() => li.select("l_orderkey", "l_quantity")
+          .filter(col("l_quantity") > 20).limit(100)),
+      // the same hot patterns through the graft-orc DSv2 connector — the
+      // reference benches ITS connector, so per-round numbers should show
+      // ours against the built-in source side by side
+      "micro_graft_full_table_scan" -> (() => graftLi),
+      "micro_graft_filter_equality" ->
+        (() => graftLi.filter(col("l_returnflag") === "R")),
+      "micro_graft_projection_filter_limit" ->
+        (() => graftLi.select("l_orderkey", "l_quantity")
           .filter(col("l_quantity") > 20).limit(100)))
   }
 
