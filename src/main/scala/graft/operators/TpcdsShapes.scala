@@ -795,6 +795,31 @@ object TpcdsShapes {
               |    >= CAST(round(sales_rev, 2) AS DECIMAL(18,2)) * 5
               |  AND CAST(round(returns_rev, 2) AS DECIMAL(18,2)) * 10
               |    <= CAST(round(sales_rev, 2) AS DECIMAL(18,2)) * 6
-              |ORDER BY p_brand""".stripMargin))
+              |ORDER BY p_brand""".stripMargin)),
+
+    // ---------------------------------------------------------------- q67
+    // TPC-H q13 shape: the distribution of orders-per-customer INCLUDING
+    // zero-order customers — a left join whose count() over the null side
+    // yields 0, then a second aggregation over the counts (histogram of
+    // counts). Both aggregations are partial-aggregate-friendly; the
+    // second runs over customer-sized rows.
+    QueryDef("q67_order_count_histogram",
+      (s, d) => {
+        val counts = Tables.customer(s, d)
+          .join(Tables.orders(s, d),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+        counts.groupBy(col("n_orders"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("n_customers").desc, col("n_orders").desc)
+      },
+      Some("""SELECT n_orders, count(*) AS n_customers
+             |FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS n_orders
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY n_orders
+             |ORDER BY n_customers DESC, n_orders DESC""".stripMargin))
   )
 }
