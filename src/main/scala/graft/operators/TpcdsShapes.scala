@@ -820,6 +820,78 @@ object TpcdsShapes {
              |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |  GROUP BY c_custkey) t
              |GROUP BY n_orders
-             |ORDER BY n_customers DESC, n_orders DESC""".stripMargin))
+             |ORDER BY n_customers DESC, n_orders DESC""".stripMargin)),
+
+    // ---------------------------------------------------------------- q68
+    // PIVOT: yearly revenue spread across return-flag columns — the
+    // DataFrame .pivot() surface. With the value list given explicitly
+    // the plan is ONE aggregation pass with conditional sums (no distinct
+    // scan to discover pivot keys); the oracle states the same conditional
+    // aggregation directly, so both engines compute identical cells.
+    QueryDef("q68_pivot_returnflag",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .select(year(col("l_shipdate")).cast("long").as("yr"),
+            col("l_returnflag"), revDec.as("amt"))
+          .groupBy(col("yr"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(col("amt")))
+          .select(col("yr"),
+            decToDouble(col("A"), "rev_a"),
+            decToDouble(col("N"), "rev_n"),
+            decToDouble(col("R"), "rev_r"))
+          .orderBy(col("yr"))
+      },
+      Some(s"""SELECT yr,
+              |  CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN amt END), 2)
+              |    AS DOUBLE) AS rev_a,
+              |  CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN amt END), 2)
+              |    AS DOUBLE) AS rev_n,
+              |  CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN amt END), 2)
+              |    AS DOUBLE) AS rev_r
+              |FROM (SELECT year(l_shipdate) AS yr, l_returnflag, $oRev AS amt
+              |      FROM lineitem) t
+              |GROUP BY yr ORDER BY yr""".stripMargin)),
+
+    // ---------------------------------------------------------------- q69
+    // UNPIVOT (melt): the wide per-year revenue columns folded back to
+    // (yr, flag, revenue) rows — the inverse surface, a pure narrow
+    // Expand over the aggregated frame (3 output rows per input row,
+    // never a shuffle). The oracle is the UNION ALL the melt abbreviates.
+    QueryDef("q69_unpivot_returnflag",
+      (s, d) => {
+        val wide = Tables.lineitem(s, d)
+          .select(year(col("l_shipdate")).cast("long").as("yr"),
+            col("l_returnflag"), revDec.as("amt"))
+          .groupBy(col("yr"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(col("amt")))
+          .select(col("yr"),
+            decToDouble(col("A"), "rev_a"),
+            decToDouble(col("N"), "rev_n"),
+            decToDouble(col("R"), "rev_r"))
+        wide.unpivot(Array(col("yr")),
+            Array(col("rev_a"), col("rev_n"), col("rev_r")),
+            "flag", "revenue")
+          .orderBy(col("yr"), col("flag"))
+      },
+      Some(s"""WITH wide AS (
+              |  SELECT yr,
+              |    CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN amt END), 2)
+              |      AS DOUBLE) AS rev_a,
+              |    CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN amt END), 2)
+              |      AS DOUBLE) AS rev_n,
+              |    CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN amt END), 2)
+              |      AS DOUBLE) AS rev_r
+              |  FROM (SELECT year(l_shipdate) AS yr, l_returnflag, $oRev AS amt
+              |        FROM lineitem) t
+              |  GROUP BY yr)
+              |SELECT yr, flag, revenue FROM (
+              |  SELECT yr, 'rev_a' AS flag, rev_a AS revenue FROM wide
+              |  UNION ALL
+              |  SELECT yr, 'rev_n' AS flag, rev_n AS revenue FROM wide
+              |  UNION ALL
+              |  SELECT yr, 'rev_r' AS flag, rev_r AS revenue FROM wide) u
+              |ORDER BY yr, flag""".stripMargin))
   )
 }
