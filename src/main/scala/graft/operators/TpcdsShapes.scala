@@ -892,6 +892,30 @@ object TpcdsShapes {
               |  SELECT yr, 'rev_n' AS flag, rev_n AS revenue FROM wide
               |  UNION ALL
               |  SELECT yr, 'rev_r' AS flag, rev_r AS revenue FROM wide) u
-              |ORDER BY yr, flag""".stripMargin))
+              |ORDER BY yr, flag""".stripMargin)),
+
+    // ---------------------------------------------------------------- q70
+    // Correlated LATERAL subquery with LIMIT: top-3 customers by balance
+    // per nation, written as the SQL-standard lateral form. ONE text runs
+    // on both engines (the pp_sql_functions pattern); Catalyst decorrelates
+    // the per-row subquery into a join + per-group limit instead of
+    // re-running it per nation row.
+    QueryDef("q70_lateral_topn",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql(lateralTopnSql("v_nation", "v_customer"))
+      },
+      Some(lateralTopnSql("nation", "customer")))
   )
+
+  /** One LATERAL-top-n SQL text for both engines. */
+  private def lateralTopnSql(nation: String, customer: String): String =
+    s"""SELECT n_name, c_name, c_acctbal
+       |FROM $nation, LATERAL (
+       |  SELECT c_name, c_acctbal FROM $customer
+       |  WHERE c_nationkey = n_nationkey
+       |  ORDER BY c_acctbal DESC, c_name
+       |  LIMIT 3) t
+       |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
 }
