@@ -7,17 +7,27 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
-/** Real TPC-DS query *shapes* (q5, q14, q51, q72, q95) adapted to the
-  * star schema — the runnable analogue of the reference's q1-99 harness
+/** Ported TPC-DS / TPC-H query *shapes* (q45-q70) adapted to the star
+  * schema — the runnable analogue of the reference's q1-99 harness
   * (`/root/reference/src/bin/tpcds_bench.rs:68-96`; the sandbox lacks the
   * 24-table TPC-DS corpus, so each query keeps the original's
-  * plan-defining structure — rollup-over-union, INTERSECT,
-  * window-over-union, date-arithmetic multi-join, multi-EXISTS — against
-  * the TPC-H-ish tables).
+  * plan-defining structure against the TPC-H-ish tables). Families
+  * covered: rollup-over-union (TPC-DS q5), INTERSECT (q14), cumulative
+  * window (q51), date-arith fact-fact join (q72), multi-EXISTS (q95),
+  * fused conditional counts (q88), year-over-year self-join (q4/q11),
+  * union-agg-reagg (q33/q56/q60), net-of-returns (q93), class-share
+  * window (q98), min-per-group (q65), rollup-rank (q67), frequent-items
+  * semi probe (q23), tolerance band (q58/q83), delay buckets (q62/q99);
+  * TPC-H scalar-max join-back (q15), correlated-avg (q17), double-
+  * correlated EXISTS (q21), nested agg threshold (q20), market share
+  * (q8), idle-rich anti join (q22), histogram-of-counts (q13); plus
+  * PIVOT/UNPIVOT and correlated LATERAL-with-LIMIT surfaces.
   *
   * Oracle-parity conventions (see QueryDef): DECIMAL accumulation
-  * surfaced as DOUBLE, BIGINT counts, total ORDER BY with NULLS FIRST
-  * spelled on both sides.
+  * surfaced as DOUBLE via round-then-cast, BIGINT counts, total ORDER BY
+  * with NULLS FIRST spelled on both sides, threshold algebra rearranged
+  * to exact DECIMAL(18,2) products (never raw (38,8) multiplies — see
+  * q65's comment).
   */
 object TpcdsShapes {
 
