@@ -7,9 +7,10 @@ import graft.sources.OrcData
 
 /** Benchmark main — mirrors the reference's two benchmark tiers
   * (benches/orc_query_sql.rs micro patterns + tpcds_bench.rs macro loop):
-  * the 10 named micro scan patterns run against the ORC copy of lineitem,
-  * and the headline operator queries run from SparkEntry. Prints ONE JSON
-  * line {"metric":...,"queries":{name:sec,...}}.
+  * the 10 named micro scan patterns (plus 3 graft-orc connector twins)
+  * run against the ORC copy of lineitem, and the headline operator
+  * queries run from SparkEntry. Prints ONE JSON line
+  * {"metric":...,"queries":{name:sec,...}}.
   *
   * Queries are forced with a noop datasource write (full materialization,
   * no driver collect, no parquet-metadata count() shortcuts).
@@ -36,8 +37,12 @@ object Bench {
       if (sorted) graft.sources.OrcTables.read(s,
         OrcData.sortedOrcPath(s, d, "lineitem", "l_orderkey"))
       else OrcData.orc(s, d, "lineitem")
+    // same layout as `li` under the sorted toggle, so the graft-vs-builtin
+    // delta measures the CONNECTOR, never a layout difference
     def graftLi =
-      s.read.format("graft-orc").load(OrcData.orcPath(s, d, "lineitem"))
+      s.read.format("graft-orc").load(
+        if (sorted) OrcData.sortedOrcPath(s, d, "lineitem", "l_orderkey")
+        else OrcData.orcPath(s, d, "lineitem"))
     Seq(
       "micro_full_table_scan" -> (() => li),
       "micro_projection_single_column" -> (() => li.select("l_orderkey")),

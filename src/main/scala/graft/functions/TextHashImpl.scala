@@ -115,6 +115,15 @@ object TextHashImpl {
     var nTokens = 1
     var i = 0
     while (i < n) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    // fail loud BEFORE the per-token allocations (offset arrays + hash
+    // table are ~24 bytes/token): Int sizing math would wrap around 2^30
+    // tokens and hang the probe loop, and anything near that OOMs the
+    // executor first. 2^26 tokens (~64M, far beyond any sane document)
+    // caps worst-case scratch memory at ~1.5 GB.
+    val MaxTokens = 1 << 26
+    require(nTokens < MaxTokens,
+      s"repetitionStats: document with $nTokens tokens is at/over the " +
+        s"$MaxTokens-token limit; split the document upstream")
     val starts = new Array[Int](nTokens)
     val ends = new Array[Int](nTokens)
     var t = 0; var start = 0; i = 0
@@ -127,14 +136,8 @@ object TextHashImpl {
     val nShingles = if (nTokens < k) 1 else nTokens - k + 1
     // open-addressing set sized for the larger population; 0 marks empty
     // (a real 0 hash remaps to 1 — only collision semantics, still exact
-    // for equal inputs). Long arithmetic for the sizing: Int math would
-    // wrap negative around 2^30 tokens, leaving a 4-slot table whose probe
-    // loop then spins forever once full. Beyond 2^28 tokens the table
-    // alone would be multi-GB — fail loud instead of OOMing the executor.
-    val need = (math.max(nTokens, nShingles).toLong + 1L) * 2L
-    require(need <= (1L << 29),
-      s"repetitionStats: document with $nTokens tokens exceeds the " +
-        "2^28-token limit; split the document upstream")
+    // for equal inputs)
+    val need = (math.max(nTokens, nShingles) + 1) * 2 // bounded by MaxTokens
     var cap = 4
     while (cap < need) cap <<= 1
     val set = new Array[Long](cap)

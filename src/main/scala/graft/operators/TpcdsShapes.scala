@@ -60,6 +60,33 @@ object TpcdsShapes {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Wide yearly revenue per return flag — the pivot body shared by q68
+    * and q69's unpivot (one definition, so the pair cannot drift), plus
+    * its oracle CTE twin.
+    */
+  private def pivotWide(li: DataFrame): DataFrame =
+    li.select(year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_returnflag"), revDec.as("amt"))
+      .groupBy(col("yr"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("amt")))
+      .select(col("yr"),
+        decToDouble(col("A"), "rev_a"),
+        decToDouble(col("N"), "rev_n"),
+        decToDouble(col("R"), "rev_r"))
+
+  private val oPivotWide =
+    s"""SELECT yr,
+       |  CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN amt END), 2)
+       |    AS DOUBLE) AS rev_a,
+       |  CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN amt END), 2)
+       |    AS DOUBLE) AS rev_n,
+       |  CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN amt END), 2)
+       |    AS DOUBLE) AS rev_r
+       |FROM (SELECT year(l_shipdate) AS yr, l_returnflag, $oRev AS amt
+       |      FROM lineitem) src
+       |GROUP BY yr""".stripMargin
+
   /** q57 body over an injectable lineitem frame (see [[netOfReturns]]). */
   private[graft] def smallQtyRevenue(li: DataFrame): DataFrame = {
     val perPart = li.groupBy(col("l_partkey").as("pk"))
@@ -839,29 +866,8 @@ object TpcdsShapes {
     // scan to discover pivot keys); the oracle states the same conditional
     // aggregation directly, so both engines compute identical cells.
     QueryDef("q68_pivot_returnflag",
-      (s, d) => {
-        Tables.lineitem(s, d)
-          .select(year(col("l_shipdate")).cast("long").as("yr"),
-            col("l_returnflag"), revDec.as("amt"))
-          .groupBy(col("yr"))
-          .pivot("l_returnflag", Seq("A", "N", "R"))
-          .agg(sum(col("amt")))
-          .select(col("yr"),
-            decToDouble(col("A"), "rev_a"),
-            decToDouble(col("N"), "rev_n"),
-            decToDouble(col("R"), "rev_r"))
-          .orderBy(col("yr"))
-      },
-      Some(s"""SELECT yr,
-              |  CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN amt END), 2)
-              |    AS DOUBLE) AS rev_a,
-              |  CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN amt END), 2)
-              |    AS DOUBLE) AS rev_n,
-              |  CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN amt END), 2)
-              |    AS DOUBLE) AS rev_r
-              |FROM (SELECT year(l_shipdate) AS yr, l_returnflag, $oRev AS amt
-              |      FROM lineitem) t
-              |GROUP BY yr ORDER BY yr""".stripMargin)),
+      (s, d) => pivotWide(Tables.lineitem(s, d)).orderBy(col("yr")),
+      Some(s"""SELECT * FROM ($oPivotWide) p ORDER BY yr""".stripMargin)),
 
     // ---------------------------------------------------------------- q69
     // UNPIVOT (melt): the wide per-year revenue columns folded back to
@@ -869,33 +875,13 @@ object TpcdsShapes {
     // Expand over the aggregated frame (3 output rows per input row,
     // never a shuffle). The oracle is the UNION ALL the melt abbreviates.
     QueryDef("q69_unpivot_returnflag",
-      (s, d) => {
-        val wide = Tables.lineitem(s, d)
-          .select(year(col("l_shipdate")).cast("long").as("yr"),
-            col("l_returnflag"), revDec.as("amt"))
-          .groupBy(col("yr"))
-          .pivot("l_returnflag", Seq("A", "N", "R"))
-          .agg(sum(col("amt")))
-          .select(col("yr"),
-            decToDouble(col("A"), "rev_a"),
-            decToDouble(col("N"), "rev_n"),
-            decToDouble(col("R"), "rev_r"))
-        wide.unpivot(Array(col("yr")),
-            Array(col("rev_a"), col("rev_n"), col("rev_r")),
-            "flag", "revenue")
-          .orderBy(col("yr"), col("flag"))
-      },
+      (s, d) => pivotWide(Tables.lineitem(s, d))
+        .unpivot(Array(col("yr")),
+          Array(col("rev_a"), col("rev_n"), col("rev_r")),
+          "flag", "revenue")
+        .orderBy(col("yr"), col("flag")),
       Some(s"""WITH wide AS (
-              |  SELECT yr,
-              |    CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN amt END), 2)
-              |      AS DOUBLE) AS rev_a,
-              |    CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN amt END), 2)
-              |      AS DOUBLE) AS rev_n,
-              |    CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN amt END), 2)
-              |      AS DOUBLE) AS rev_r
-              |  FROM (SELECT year(l_shipdate) AS yr, l_returnflag, $oRev AS amt
-              |        FROM lineitem) t
-              |  GROUP BY yr)
+              |$oPivotWide)
               |SELECT yr, flag, revenue FROM (
               |  SELECT yr, 'rev_a' AS flag, rev_a AS revenue FROM wide
               |  UNION ALL
@@ -919,13 +905,18 @@ object TpcdsShapes {
       Some(lateralTopnSql("nation", "customer")))
   )
 
-  /** One LATERAL-top-n SQL text for both engines. */
+  /** One LATERAL-top-n SQL text for both engines. Null ordering is
+    * spelled EVERYWHERE (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    * LAST) — inside the LIMIT 3 subquery it decides which rows survive,
+    * not just their order.
+    */
   private def lateralTopnSql(nation: String, customer: String): String =
     s"""SELECT n_name, c_name, c_acctbal
        |FROM $nation, LATERAL (
        |  SELECT c_name, c_acctbal FROM $customer
        |  WHERE c_nationkey = n_nationkey
-       |  ORDER BY c_acctbal DESC, c_name
+       |  ORDER BY c_acctbal DESC NULLS LAST, c_name ASC NULLS FIRST
        |  LIMIT 3) t
-       |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+       |ORDER BY n_name ASC NULLS FIRST, c_acctbal DESC NULLS LAST,
+       |  c_name ASC NULLS FIRST""".stripMargin
 }
