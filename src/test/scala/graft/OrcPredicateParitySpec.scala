@@ -94,4 +94,17 @@ class OrcPredicateParitySpec extends AnyFunSuite {
     assert(v2.filter($"int8" >= 0).limit(3).count() === 3)
     assert(v2.filter($"int8" === 50).limit(5).count() === 1)
   }
+
+  test("IN list compiles to a SearchArgument and agrees with built-in") {
+    // IN is the one SARG shape the ported reference suite does not
+    // exercise; Spark's Filter.In converts to SearchArgument.in, so it
+    // must prune and filter identically to the built-in source
+    agree("int8 IN (50, 51, 127)", $"int8".isin(50, 51, 127))
+    agree("utf8 IN (...)", $"utf8".isin("bright blue sky", "nonexistent"))
+    agree("NOT IN with nulls", !$"int8".isin(50, 51))
+  }
+
+  test("BETWEEN agrees with built-in (range SARG)") {
+    agree("int8 BETWEEN 40 AND 60", $"int8".between(40, 60))
+  }
 }
