@@ -217,6 +217,13 @@ object NativeExpressions {
                                planesPerTable: Int, dims: Int)
       extends UnaryExpression with ExpectsInputTypes
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    // plane components are seeded with a fixed stride of 64 (p*64 + j) to
+    // stay byte-identical to hyperplaneBucket's pinned parity; dims > 64
+    // would alias plane p's high dims into plane p+1's low dims — exactly
+    // the correlated-planes bucket collapse the seeding exists to avoid
+    require(dims <= 64,
+      s"HyperplaneBuckets supports at most 64 dims (seed stride), got $dims")
+
     override def inputTypes = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_hyperplane_buckets"

@@ -46,6 +46,11 @@ object VectorFunctions {
     */
   def hyperplaneBucket(vec: Column, planes: Int, dims: Int,
                        planeOffset: Int = 0): Column = {
+    // comp()'s seed stride is fixed at 64 (parity-pinned with the native
+    // HyperplaneBuckets form); dims > 64 would alias adjacent planes'
+    // components and collapse the bucket space
+    require(dims <= 64,
+      s"hyperplaneBucket supports at most 64 dims (seed stride), got $dims")
     // Deterministic pseudo-random component for plane p, dim j in [-1, 1).
     // splitmix64-style finalizer: a linear mix here (tried first) produced
     // LINEARLY CORRELATED planes whose sign-bits collapsed the bucket

@@ -8,6 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.orc.{OrcFile, Reader}
 import org.apache.orc.impl.ReaderImpl
+import org.slf4j.LoggerFactory
 
 /** Honors `orc.metadata_size_hint` (reference src/options.rs:36, 88-90):
   * fetch the file tail in ONE ranged read of the hinted size, parse the
@@ -23,6 +24,8 @@ import org.apache.orc.impl.ReaderImpl
   * hint costs an extra fetch, never an error).
   */
 object GraftOrcTailReader {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   /** (reader, rangedMetadataReads): 1 when the hint covered the tail (or
     * no hint was given — the reader's own footer read), 2 when the hinted
@@ -42,7 +45,15 @@ object GraftOrcTailReader {
             // buffer = last n bytes of the file; parse postscript + footer.
             // mtime -1: the tail is used immediately, never cache-validated
             Some(ReaderImpl.extractFileTail(ByteBuffer.wrap(buf), fileLength, -1))
-          } catch { case NonFatal(_) => None } // hint too small / unparsable
+          } catch { case NonFatal(e) =>
+            // fall back to the reader's own footer read either way, but a
+            // genuine I/O failure (permissions, transient network) must be
+            // distinguishable in the field from a merely-too-small hint
+            log.warn(s"hinted tail read of $n bytes for $path failed " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "falling back to the reader's own footer read")
+            None
+          }
         tail match {
           case Some(t) =>
             (OrcFile.createReader(path,

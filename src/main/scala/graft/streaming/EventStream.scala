@@ -33,12 +33,26 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Session clone with the parquet nanos-as-long flag set. The flag is
+    * consulted at every micro-batch's planning, not at stream construction,
+    * so it must outlive this call — but setting it on the caller's session
+    * would leak into every subsequent parquet read there. `newSession()`
+    * shares the SparkContext and cache but has isolated runtime conf,
+    * giving the flag exactly stream-lifetime scope. The returned stream
+    * (and its memory-sink views) binds to this clone — resolve sink tables
+    * via `df.sparkSession`.
+    */
+  private def nanosSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
   /** Streaming hourly counts per event type with a 2-hour watermark.
     * `dir` is a testdata sf directory; only events.parquet is picked up.
     */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    nanosSession(spark).readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -54,9 +68,9 @@ object EventStream {
     * across micro-batches; output mode must be Update.
     */
   def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
+    val session = nanosSession(spark)
+    import session.implicits._
+    val events = session.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -83,8 +97,7 @@ object EventStream {
     * the property that matters on an infinite stream).
     */
   def dedupedStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    nanosSession(spark).readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -97,8 +110,7 @@ object EventStream {
     * windowing: 30-minute session windows (built-in session_window).
     */
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    nanosSession(spark).readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -116,9 +128,9 @@ object EventStream {
     * an unbounded-time join would grow state forever).
     */
   def clickErrorJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val session = nanosSession(spark)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream
+      session.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)

@@ -13,13 +13,25 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("streaming hourly counts == batch hourly counts") {
-    val q = EventStream.hourlyCounts(spark, TestSpark.sf0001)
+    // the nanos flag must stay scoped to the stream's cloned session —
+    // constructing a stream may not change the caller session's conf
+    // (Tables.events legitimately sets it on the shared session elsewhere,
+    // so assert no CHANGE rather than absence)
+    val flagBefore =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val stream = EventStream.hourlyCounts(spark, TestSpark.sf0001)
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      === flagBefore,
+      "EventStream leaked nanosAsLong into the caller session")
+    assert(stream.sparkSession ne spark)
+    val q = stream
       .writeStream.outputMode("complete")
       .format("memory").queryName("st_hourly")
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    val streamed = spark.table("st_hourly")
+    // memory-sink views register in the stream's (cloned) session
+    val streamed = stream.sparkSession.table("st_hourly")
       .select(date_format($"window.start", "yyyy-MM-dd HH").as("hour_key"),
         $"event_type", $"n")
       .orderBy($"hour_key", $"event_type")
@@ -36,12 +48,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("mapGroupsWithState running totals cover every event exactly once") {
-    val q = EventStream.statefulUserTotals(spark, TestSpark.sf0001)
+    val stream = EventStream.statefulUserTotals(spark, TestSpark.sf0001)
+    val q = stream
       .writeStream.outputMode("update")
       .format("memory").queryName("st_stateful")
       .start()
     try q.processAllAvailable() finally q.stop()
-    val out = spark.table("st_stateful")
+    val out = stream.sparkSession.table("st_stateful")
     val batch = Tables.events(spark, TestSpark.sf0001)
     assert(out.agg(sum($"n_events")).as[Long].collect().head === batch.count())
     assert(out.count() ===
@@ -49,12 +62,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming dedup drops nothing on unique ids and covers every event") {
-    val q = EventStream.dedupedStream(spark, TestSpark.sf0001)
+    val stream = EventStream.dedupedStream(spark, TestSpark.sf0001)
+    val q = stream
       .writeStream.outputMode("append")
       .format("memory").queryName("st_dedup")
       .start()
     try q.processAllAvailable() finally q.stop()
-    val out = spark.table("st_dedup")
+    val out = stream.sparkSession.table("st_dedup")
     val batch = Tables.events(spark, TestSpark.sf0001)
     // event_ids are unique in the testdata: streaming dedup must be lossless
     assert(out.count() === batch.count())
@@ -62,12 +76,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join == batch interval join") {
-    val q = EventStream.clickErrorJoin(spark, TestSpark.sf0001)
+    val stream = EventStream.clickErrorJoin(spark, TestSpark.sf0001)
+    val q = stream
       .writeStream.outputMode("append")
       .format("memory").queryName("st_join")
       .start()
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.table("st_join")
+    val streamed = stream.sparkSession.table("st_join")
       .select($"e_id", $"c_id").as[(Long, Long)].collect().toSet
 
     val e = Tables.events(spark, TestSpark.sf0001)
@@ -87,12 +102,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("session windows produce per-user sessions") {
-    val q = EventStream.sessionCounts(spark, TestSpark.sf0001)
+    val stream = EventStream.sessionCounts(spark, TestSpark.sf0001)
+    val q = stream
       .writeStream.outputMode("complete")
       .format("memory").queryName("st_sessions")
       .start()
     try q.processAllAvailable() finally q.stop()
-    val out = spark.table("st_sessions")
+    val out = stream.sparkSession.table("st_sessions")
     assert(out.count() > 0)
     // session totals must cover every event exactly once
     val total = out.agg(sum($"n_events")).as[Long].collect().head
