@@ -182,9 +182,11 @@ object Pipeline {
       (s, d) => {
         GraftExtensions.register(s)
         Tables.embeddings(s, d).createOrReplaceTempView("v_embeddings")
-        s.sql(signLshSql("v_embeddings", "element_at", "graft_cosine"))
+        s.sql(signLshSql("v_embeddings", "element_at", "graft_cosine",
+          sparkForm = true))
       },
-      Some(signLshSql("embeddings", "list_extract", "list_cosine_similarity")))
+      Some(signLshSql("embeddings", "list_extract", "list_cosine_similarity",
+        sparkForm = false)))
   )
 
   /** One SQL text for both engines (Spark / DuckDB): `extractFn` is the
@@ -193,16 +195,32 @@ object Pipeline {
     * only non-equi predicate is the a<b pair ordering, applied as a
     * residual on the equi-join — the plan is broadcast/shuffle hash join,
     * never BroadcastNestedLoopJoin.
+    *
+    * The buckets CTE differs by engine in FORM only (both expand the same
+    * per-band bit expressions from one generator, so the two engines
+    * cannot drift semantically): the Spark side uses the `stack` generator
+    * — ONE scan of the source emitting 8 (t, bkt) rows per vector, where
+    * the portable UNION ALL form would rescan the source once per band
+    * and twice more through the self-join (16 scans); DuckDB has no
+    * `stack`, and the oracle runs once at a small SF where form is
+    * irrelevant, so it keeps the UNION ALL.
     */
-  private def signLshSql(src: String, extractFn: String, cosineFn: String): String = {
-    val bands = (0 until 8).map { t =>
-      val bits = (1 to 4).map { b =>
-        val dim = t * 4 + b
-        val weight = 1 << (4 - b)
-        s"CAST(($extractFn(embedding, $dim) > 0) AS INT) * $weight"
-      }.mkString(" + ")
-      s"  SELECT vec_id, $t AS t, $bits AS bkt FROM $src"
-    }.mkString("\n  UNION ALL\n")
+  private def signLshSql(src: String, extractFn: String, cosineFn: String,
+                         sparkForm: Boolean): String = {
+    def bktExpr(t: Int): String = (1 to 4).map { b =>
+      val dim = t * 4 + b
+      val weight = 1 << (4 - b)
+      s"CAST(($extractFn(embedding, $dim) > 0) AS INT) * $weight"
+    }.mkString(" + ")
+    val bands =
+      if (sparkForm)
+        s"""  SELECT vec_id, t, bkt FROM (
+           |    SELECT vec_id, stack(8,
+           |${(0 until 8).map(t => s"      $t, ${bktExpr(t)}").mkString(",\n")}
+           |    ) AS (t, bkt) FROM $src)""".stripMargin
+      else
+        (0 until 8).map(t => s"  SELECT vec_id, $t AS t, ${bktExpr(t)} AS bkt FROM $src")
+          .mkString("\n  UNION ALL\n")
     s"""WITH buckets AS (
        |$bands
        |),
