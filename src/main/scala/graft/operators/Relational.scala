@@ -391,6 +391,27 @@ object Relational {
               |  ${oDsum("l_extendedprice", "sum_price")}
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---------------------------------------------------------------- q71
+    // DSv2 sink round trip: supplier written through the graft-orc WRITE
+    // path (staging + driver-rename commit, GraftOrcWrite) and read back
+    // through the graft-orc scan, then aggregated. The oracle aggregates
+    // the parquet original directly — any row lost or mangled by the
+    // writer protocol flips the hash. Write is a per-sfDir overwrite under
+    // the shared conversion cache root, so repeat runs stay idempotent.
+    QueryDef("q71_orc_sink_roundtrip",
+      (s, d) => {
+        val out = OrcData.sinkDir(d, "supplier_sink")
+        s.read.parquet(s"$d/supplier.parquet")
+          .write.format("graft-orc").mode("overwrite").save(out)
+        s.read.format("graft-orc").load(out)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("s_acctbal"), "sum_bal"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS n,
+              |  ${oDsum("s_acctbal", "sum_bal")}
+              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---------------------------------------------------------------- q20
     // ORC scan with pushed filter + pruned projection (the reference's
     // A6+A8+A9 contract): predicate prunes stripes, residual re-filters.

@@ -31,6 +31,17 @@ object OrcData {
     out
   }
 
+  /** Pre-created (empty if new) sink directory under the cache root for
+    * DSv2 write-path queries: the connector's inferSchema lists the target
+    * (a missing path is a read-contract ERROR), so the sink target must
+    * exist before `save`.
+    */
+  def sinkDir(sfDir: String, name: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/$name"
+    new java.io.File(out).mkdirs()
+    out
+  }
+
   /** Read the ORC copy of a testdata table (converting lazily). */
   def orc(spark: SparkSession, sfDir: String, table: String,
           opts: Map[String, String] = Map.empty): DataFrame =

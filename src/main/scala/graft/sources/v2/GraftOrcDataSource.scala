@@ -132,14 +132,25 @@ object GraftOrcDataSource {
 }
 
 class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def schema(): StructType = tableSchema
   override def name(): String =
     "graft-orc:" + props.getOrElse("path", props.getOrElse("paths", "?"))
+  // ACCEPT_ANY_SCHEMA: a first write targets an empty directory whose
+  // inferred table schema is EMPTY — by-name output resolution against it
+  // would reject every query, so writes validate against the query schema
+  // (the listing defines the table, like the reference's directory tables)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftOrcScanBuilder(tableSchema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftOrcWriteBuilder(GraftOrcDataSource.paths(info.options()), info)
 }
 
 /** A5: the pushdown negotiation surface. Filters referencing only partition

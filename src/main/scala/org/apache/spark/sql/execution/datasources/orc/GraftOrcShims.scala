@@ -3,6 +3,8 @@ package org.apache.spark.sql.execution.datasources.orc
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.hive.ql.io.sarg.SearchArgument
 import org.apache.orc.TypeDescription
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -31,6 +33,22 @@ object GraftOrcShims {
     OrcUtils.requestedColumnIds(
       isCaseSensitive, dataSchema, readDataSchema, orcSchema, conf)
       .map { case (ids, canPrune) => (ids, canPrune) }
+
+  /** Driver-side write preparation for the graft-orc DSv2 sink: delegate
+    * to Spark's `OrcFileFormat.prepareWrite` (compression mapping, the
+    * `orc.mapred.output.schema` conf key the row writer reads) and return
+    * BOTH the serializable per-task writer factory and the prepared Hadoop
+    * configuration — the factory's `newInstance` reads its settings from
+    * the TaskAttemptContext conf, so the prepared conf must travel to the
+    * executors with it.
+    */
+  def orcWriteSupport(spark: SparkSession, options: Map[String, String],
+                      dataSchema: StructType): (OutputWriterFactory, Configuration) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val factory = new OrcFileFormat().prepareWrite(spark, job, options, dataSchema)
+    (factory, job.getConfiguration)
+  }
 
   /** Result schema string for the ORC reader conf (also sets the conf key). */
   def orcResultSchemaString(
