@@ -110,8 +110,12 @@ object Bench {
     "q50_conditional_counts", "q51_yoy_growth", "q53_net_of_returns",
     // pipeline ops: quota-bounded stratified sampling (WindowGroupLimit),
     // token-budget sequence packing (per-shard running sum), repetition
-    // scoring (narrow map)
-    "pp_stratified_sample", "pp_sequence_pack", "ta_repetition")
+    // scoring (narrow map), PII redaction (narrow regex map), token-window
+    // chunking (generator fan-out), domain blocklist curation (broadcast
+    // anti join), DSv2 sink round trip (write protocol + read-back)
+    "pp_stratified_sample", "pp_sequence_pack", "ta_repetition",
+    "pp_pii_redact", "ta_chunking", "pp_url_domains",
+    "q71_orc_sink_roundtrip")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -11,6 +11,14 @@ import graft.{GraftExtensions, Tables}
   */
 object Pipeline {
 
+  // PII shapes shared by query and oracle; kept alternation-free and
+  // anchored on \b so Java regex (leftmost-first, backtracking) and RE2
+  // (leftmost-longest) produce the identical match spans
+  private val PiiEmail = "[a-z0-9._]+@[a-z0-9.]+"
+  private val PiiIp =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PiiPhone = "\\b[0-9]{3}-[0-9]{4}\\b"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------ pipeline
@@ -169,6 +177,52 @@ object Pipeline {
               |    FROM documents) a) b
               |ORDER BY shard, seq_id, doc_id""".stripMargin)),
 
+    // ------------------------------------------------------------ domains
+    // URL/domain curation (the provenance-filtering stage of a web-scale
+    // corpus): extract the registrable host from each document's source
+    // URL, drop blocklisted domains with a BROADCAST anti join (the
+    // blocklist is always dim-sized — never shuffle the corpus for it),
+    // and keep per-domain document counts for the mix report. The corpus
+    // has no URL column, so a deterministic pseudo-URL is derived per doc
+    // (md5-seeded host, doc_id-seeded TLD — identical algebra in DuckDB),
+    // making the oracle exact while the operator shape stays the real one:
+    // narrow derive -> regexp_extract -> anti join -> hash agg.
+    QueryDef("pp_url_domains",
+      (s, d) => {
+        import s.implicits._
+        val urls = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("https://www."),
+            substring(md5(col("text").cast("binary")), 1, 1),
+            lit(".example."),
+            when(col("doc_id") % 3 === 0, "com")
+              .when(col("doc_id") % 3 === 1, "org").otherwise("net"),
+            lit("/doc/"), col("doc_id").cast("string")).as("url"))
+        val dom = urls.select(col("doc_id"),
+          regexp_extract(col("url"), "https?://([^/]+)/", 1).as("domain"))
+        val blocked = (for { c <- "abcd"; tld <- Seq("com", "org", "net") }
+          yield s"www.$c.example.$tld").toDF("domain")
+        dom.join(broadcast(blocked), Seq("domain"), "left_anti")
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH urls AS (
+             |  SELECT doc_id,
+             |    'https://www.' || substr(md5(text), 1, 1) || '.example.' ||
+             |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             |        ELSE 'net' END ||
+             |      '/doc/' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents),
+             |dom AS (
+             |  SELECT doc_id,
+             |    regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+             |  FROM urls)
+             |SELECT domain, count(*) AS n_docs,
+             |  CAST(min(doc_id) AS BIGINT) AS sample_doc
+             |FROM dom
+             |WHERE substr(domain, 5, 1) NOT IN ('a', 'b', 'c', 'd')
+             |GROUP BY domain ORDER BY domain""".stripMargin)),
+
     // ------------------------------------------------------------ SQL fns
     // The custom Catalyst expressions through their SQL registration
     // (GraftExtensions), demoed in the shape that survives 100 TB: an
@@ -178,6 +232,65 @@ object Pipeline {
     // fixed dimensions), so DuckDB computes the IDENTICAL candidate set
     // and the oracle stays hash-exact; both query texts come from ONE
     // generator below so the two engines cannot drift.
+    // ------------------------------------------------------------ PII
+    // PII redaction pass (the scrubbing stage every training corpus runs
+    // before release): emails / phone numbers / IPv4 literals replaced by
+    // typed tags, with per-document match counts kept for audit. A narrow
+    // single-pass projection — no shuffle but the output sort — so it
+    // scales linearly and fuses into whole-stage codegen. The synthetic
+    // corpus is pure [a-z ] text, so deterministic PII is INJECTED first
+    // (derived from doc_id with identical integer algebra in both
+    // engines): the oracle is non-vacuous by construction, with varying
+    // per-type counts (emails on even ids, phones on ids % 3 = 0, an IP
+    // always).
+    QueryDef("pp_pii_redact",
+      (s, d) => {
+        val t = concat(
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (expr("doc_id div 7") % 256).cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"))
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              PiiEmail, "[EMAIL]"), PiiIp, "[IP]"), PiiPhone, "[PHONE]")
+              .as("red_text"),
+            regexp_count(col("t"), lit(PiiEmail)).cast("long").as("n_email"),
+            regexp_count(col("t"), lit(PiiIp)).cast("long").as("n_ip"),
+            regexp_count(col("t"), lit(PiiPhone)).cast("long").as("n_phone"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH injected AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||
+             |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ' call 555-' ||
+             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+             |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+             |    CAST((doc_id // 7) % 256 AS VARCHAR) AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             |    '[IP]', 'g'),
+             |    '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS red_text,
+             |  CAST(len(regexp_extract_all(t,
+             |    '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t,
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             |    AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(t,
+             |    '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone
+             |FROM injected ORDER BY doc_id""".stripMargin)),
+
     QueryDef("pp_sql_functions",
       (s, d) => {
         GraftExtensions.register(s)

@@ -237,6 +237,45 @@ object TextAnalysis {
              |        FROM documents) a) b
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----------------------------------------------------------- chunking
+    // Fixed-window token chunking with overlap (the context-window prep
+    // stage: chunk = 64 tokens, stride = 48, so consecutive chunks share
+    // 16 tokens). One tokenize, then a generator fan-out — chunk i of a
+    // doc covers tokens [i*48+1, i*48+64], emitted while the window start
+    // is in range — and a slice+join per chunk. Narrow except the final
+    // sort: the explode multiplies rows ~n_tokens/48 x but never shuffles,
+    // so at 100 TB this is scan-bound with output proportional to the
+    // corpus (the property chunking must keep — no join, no agg).
+    QueryDef("ta_chunking",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+            split(col("text"), " ").as("toks"))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+        docs.select(col("doc_id"), col("toks"), col("n_toks"),
+            explode(sequence(lit(0L), expr("(n_toks - 1) div 48")))
+              .as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            least(lit(64L), col("n_toks") - col("chunk_id") * 48)
+              .as("n_chunk_tokens"),
+            array_join(slice(col("toks"),
+              (col("chunk_id") * 48 + 1).cast("int"), lit(64)), " ")
+              .as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks, n_toks,
+             |    unnest(range(0, (n_toks - 1) // 48 + 1)) AS chunk_id
+             |  FROM docs)
+             |SELECT doc_id, chunk_id,
+             |  least(64, n_toks - chunk_id * 48) AS n_chunk_tokens,
+             |  array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')
+             |    AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ------------------------------------------------------------ rolling
     // Custom codegen'd Catalyst expression (graft.functions.NativeExpressions
     // .RollingHash): 64-bit FNV-1a rolling hash over UTF-8 bytes — the
