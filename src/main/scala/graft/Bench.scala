@@ -68,7 +68,15 @@ object Bench {
         (() => graftLi.filter(col("l_returnflag") === "R")),
       "micro_graft_projection_filter_limit" ->
         (() => graftLi.select("l_orderkey", "l_quantity")
-          .filter(col("l_quantity") > 20).limit(100)))
+          .filter(col("l_quantity") > 20).limit(100)),
+      // footer-statistics aggregate pushdown: the count is answered from
+      // file footers (GraftOrcAggScan), no stripe I/O at all
+      "micro_graft_count_footer" ->
+        (() => s.read.format("graft-orc")
+          .option("orc.aggregate_pushdown", "true")
+          .load(if (sorted) OrcData.sortedOrcPath(s, d, "lineitem", "l_orderkey")
+                else OrcData.orcPath(s, d, "lineitem"))
+          .agg(count(lit(1)).as("n"))))
   }
 
   /** The reference's --mem-table mode (tpcds_bench.rs:525-535): cache the

@@ -412,6 +412,28 @@ object Relational {
               |  ${oDsum("s_acctbal", "sum_bal")}
               |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---------------------------------------------------------------- q72
+    // Footer-statistics aggregate pushdown: a filterless global
+    // COUNT/MIN/MAX through the graft-orc connector is answered from file
+    // footers (GraftOrcAggScan — one partial row per file, zero stripe
+    // I/O; plan-asserted in GraftOrcAggPushdownSpec). At 100 TB this is a
+    // metadata sweep instead of a full read.
+    QueryDef("q72_orc_agg_pushdown",
+      (s, d) => {
+        val path = OrcData.orcPath(s, d, "orders")
+        s.read.format("graft-orc")
+          .option("orc.aggregate_pushdown", "true").load(path)
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            min(col("o_custkey")).as("min_cust"),
+            max(col("o_custkey")).as("max_cust"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+             |FROM orders""".stripMargin)),
+
     // ---------------------------------------------------------------- q20
     // ORC scan with pushed filter + pruned projection (the reference's
     // A6+A8+A9 contract): predicate prunes stripes, residual re-filters.
@@ -1066,6 +1088,33 @@ object Relational {
     QueryDef("q66_dynamic_partition_pruning",
       (s, d) => {
         val fact = s.read.orc(
+          OrcData.partitionedOrcPath(s, d, "lineitem", "l_returnflag"))
+        val dim = s.read.parquet(OrcData.flagDimPath(s, d))
+          .filter(col("status_name") === "returned")
+        fact.join(broadcast(dim), col("l_returnflag") === col("flag"))
+          .groupBy(col("status_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+          .orderBy(col("status_name"))
+      },
+      Some(s"""SELECT status_name, count(*) AS n,
+              |  ${oDsum("l_quantity", "sum_qty")}
+              |FROM lineitem
+              |JOIN (VALUES ('R', 'returned'), ('A', 'acknowledged'),
+              |      ('N', 'in_flight')) d(flag, status_name)
+              |  ON l_returnflag = flag
+              |WHERE status_name = 'returned'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q73
+    // q66's dynamic star-join pruning through the GRAFT-ORC connector:
+    // GraftOrcScan implements SupportsRuntimeFiltering on its partition
+    // attributes, so the dim-side filter reaches the scan as a runtime
+    // In(l_returnflag, ...) and re-prunes the FILE list before input
+    // partitions are planned ("RuntimeFilters: [dynamicpruning..." on the
+    // BatchScan, asserted in PlanSpec).
+    QueryDef("q73_graft_orc_runtime_pruning",
+      (s, d) => {
+        val fact = s.read.format("graft-orc").load(
           OrcData.partitionedOrcPath(s, d, "lineitem", "l_returnflag"))
         val dim = s.read.parquet(OrcData.flagDimPath(s, d))
           .filter(col("status_name") === "returned")

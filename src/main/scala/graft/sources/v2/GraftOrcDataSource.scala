@@ -22,8 +22,10 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.orc.{GraftOrcShims, OrcColumnarBatchReader}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Max, Min}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
@@ -163,7 +165,8 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val optionsMap = options.asCaseSensitiveMap().asScala.toMap
   private[v2] val metaParallelism =
@@ -212,15 +215,145 @@ class GraftOrcScanBuilder(dataSchema: StructType,
   // returning false keeps the global Limit operator above the scan.
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
+  // Aggregate pushdown (extension beyond the reference's A-surface): a
+  // filterless global MIN/MAX/COUNT is answered from footer STATISTICS
+  // alone — one partial row per file, zero stripe I/O; Spark plans the
+  // final merge (min of minima, sum of counts) above the scan. At 100 TB
+  // this turns "SELECT count(*)/min/max FROM t" from a full read into a
+  // metadata sweep. Gated like the built-in source
+  // (spark.sql.orc.aggregatePushdown, overridable per-read via
+  // orc.aggregate_pushdown); refused under any filter or limit (Catalyst
+  // never offers it then — the A9 all-residual contract keeps a Filter
+  // above the scan), for grouped aggregates, and for float/double MIN/MAX
+  // (a NaN-bearing stripe records min/max that silently exclude it — the
+  // OrcStatsEval non-finite lesson applied to results, not pruning).
+  private var pushedAgg: Option[(Aggregation, StructType)] = None
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val enabled = optionsMap.get("orc.aggregate_pushdown") match {
+      case Some(v) => java.lang.Boolean.parseBoolean(v.trim)
+      case None => SparkSession.active.conf
+        .get("spark.sql.orc.aggregatePushdown", "false").toBoolean
+    }
+    if (!enabled || limit.isDefined || partitionFilters.nonEmpty ||
+        dataFilters.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        minMaxOnFloatingPoint(agg)) return false
+    val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    GraftOrcShims.aggSchemaForPushdown(agg, dataSchema, partNames) match {
+      case Some(schema) => pushedAgg = Some((agg, schema)); true
+      case None => false
+    }
+  }
+
+  private def minMaxOnFloatingPoint(agg: Aggregation): Boolean = {
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference => Some(nr.fieldNames.mkString("."))
+      case _ => None
+    }
+    agg.aggregateExpressions.toSeq.flatMap {
+      case m: Min => field(m.column)
+      case m: Max => field(m.column)
+      case _ => Nil
+    }.exists(n => dataSchema.fields.exists(f =>
+      f.name.equalsIgnoreCase(n) &&
+        (f.dataType == FloatType || f.dataType == DoubleType)))
+  }
+
   override def build(): Scan = {
     if (GraftOrcDataSource.paths(options).isEmpty)
       throw new IllegalArgumentException("graft-orc: no path")
+    pushedAgg match {
+      case Some((agg, aggSchema)) =>
+        return new GraftOrcAggScan(dataFileSchema, partitionSchema, agg,
+          aggSchema, fileIndex, metaParallelism, optionsMap)
+      case None =>
+    }
     val part = partitionSchema.fieldNames.map(_.toLowerCase).toSet
     val readData = StructType(requested.fields.filterNot(f => part(f.name.toLowerCase)))
     val readPart = StructType(requested.fields.filter(f => part(f.name.toLowerCase)))
     new GraftOrcScan(dataFileSchema, partitionSchema, readData, readPart,
       partitionFilters, dataFilters, limit, fileIndex, metaParallelism,
       optionsMap)
+  }
+}
+
+/** Footer-statistics aggregate scan: one input partition per file, each
+  * producing ONE partial row from the footer (no stripe I/O); the final
+  * merge runs in Spark above the scan.
+  */
+case class GraftOrcAggPartition(filePath: String, fileLength: Long,
+                                partitionValues: Array[String])
+  extends InputPartition
+
+class GraftOrcAggScan(dataFileSchema: StructType, partitionSchema: StructType,
+                      agg: Aggregation, aggSchema: StructType,
+                      index: GraftOrcFileIndex, metaParallelism: Int,
+                      options: Map[String, String])
+    extends Scan with Batch {
+
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftOrcAggScan files=${index.entries.size}, pushedAggregation=" +
+      agg.aggregateExpressions.map(_.describe).mkString("[", ", ", "]")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    index.entries.map { e =>
+      GraftOrcAggPartition(e.path, e.length,
+        partitionSchema.fields.map { f =>
+          e.partitionValues.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(f.name) => v
+          }.orNull
+        })
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val serConf = org.apache.spark.GraftSparkBridge.serializableConf(
+      spark.sparkContext.hadoopConfiguration)
+    val hint = graft.sources.OrcTables.parseOptions(options).metadataSizeHint
+    new GraftOrcAggReaderFactory(dataFileSchema, partitionSchema, agg,
+      aggSchema, serConf, hint)
+  }
+}
+
+class GraftOrcAggReaderFactory(dataFileSchema: StructType,
+                               partitionSchema: StructType,
+                               agg: Aggregation, aggSchema: StructType,
+                               conf: org.apache.spark.util.SerializableConfiguration,
+                               metadataSizeHint: Option[Long])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[GraftOrcAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          // footer-only open: the metadata hint keeps this to ONE ranged
+          // read per file on object stores
+          val (reader, _) = GraftOrcTailReader.createReader(
+            new Path(ap.filePath), conf.value, ap.fileLength, metadataSizeHint)
+          val partValues = new GenericInternalRow(
+            partitionSchema.fields.zip(ap.partitionValues).map {
+              case (f, raw) =>
+                GraftOrcDataSource.internalPartitionValue(raw, f.dataType)
+            }.toArray[Any])
+          try row = GraftOrcShims.aggRowFromFooter(reader, ap.filePath,
+            dataFileSchema, partitionSchema, agg, aggSchema, partValues)
+          finally reader.close()
+          emitted = true
+          true
+        }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
   }
 }
 
@@ -234,9 +367,31 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
                    partitionFilters: Array[Filter], dataFilters: Array[Filter],
                    limit: Option[Int], index: GraftOrcFileIndex,
                    metaParallelism: Int, options: Map[String, String])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private def spark = SparkSession.active
+
+  // Runtime (dynamic partition) filtering: Catalyst offers filters on the
+  // declared partition attributes once a join's build side has executed —
+  // typically In(part_col, <dim keys>) from a DPP subquery — and the scan
+  // re-prunes its FILE list before planning input partitions. The same
+  // exact single-value-range evaluation as static partition pruning
+  // applies; at 100 TB this is what keeps a star join from reading every
+  // date partition of the fact.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    runtimeFilters = filters.filter(f =>
+      f.references.nonEmpty &&
+        f.references.forall(r => partNames(r.toLowerCase)))
+  }
 
   // DSv2 output order: data columns then partition columns (Catalyst adds
   // a Project above to restore the query's requested order)
@@ -245,10 +400,13 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
 
   /** Files surviving partition pruning: each partition filter is evaluated
     * exactly against the file's typed partition values (single-value
-    * ranges make [[OrcStatsEval]] exact here).
+    * ranges make [[OrcStatsEval]] exact here). A `def`, not a lazy val:
+    * runtime filters can arrive AFTER statistics were estimated, and
+    * planInputPartitions must see the re-pruned list.
     */
-  private[v2] lazy val selectedFiles: Seq[OrcFileEntry] = {
-    if (partitionFilters.isEmpty) index.entries
+  private[v2] def selectedFiles: Seq[OrcFileEntry] = {
+    val pruning = partitionFilters ++ runtimeFilters
+    if (pruning.isEmpty) index.entries
     else index.entries.filter { e =>
       val lookup: String => Option[OrcStatsEval.StatRange] = name => {
         val raw = e.partitionValues.collectFirst {
@@ -261,7 +419,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
           }
         }
       }
-      partitionFilters.forall(f => OrcStatsEval.mayMatch(f, lookup))
+      pruning.forall(f => OrcStatsEval.mayMatch(f, lookup))
     }
   }
 

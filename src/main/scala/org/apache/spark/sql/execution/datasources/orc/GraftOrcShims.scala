@@ -34,6 +34,34 @@ object GraftOrcShims {
       isCaseSensitive, dataSchema, readDataSchema, orcSchema, conf)
       .map { case (ids, canPrune) => (ids, canPrune) }
 
+  /** Aggregate-pushdown eligibility + result schema (MIN/MAX/COUNT over
+    * footer statistics): delegates to the shared
+    * `AggregatePushDownUtils.getSchemaForPushedAggregation`, which rejects
+    * unsupported aggregate functions and un-stats-able column types.
+    */
+  def aggSchemaForPushdown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      dataSchema: StructType,
+      partitionNames: Set[String]): Option[StructType] =
+    org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
+      .getSchemaForPushedAggregation(agg, dataSchema, partitionNames, Nil)
+
+  /** One partial-aggregate row for one file, computed purely from the ORC
+    * footer statistics (no stripe I/O) — Spark's own per-file agg kernel.
+    */
+  def aggRowFromFooter(
+      reader: org.apache.orc.Reader,
+      filePath: String,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      aggSchema: StructType,
+      partitionValues: org.apache.spark.sql.catalyst.InternalRow)
+      : org.apache.spark.sql.catalyst.InternalRow =
+    OrcUtils.createAggInternalRowFromFooter(
+      reader, filePath, dataSchema, partitionSchema, agg, aggSchema,
+      partitionValues)
+
   /** Driver-side write preparation for the graft-orc DSv2 sink: delegate
     * to Spark's `OrcFileFormat.prepareWrite` (compression mapping, the
     * `orc.mapred.output.schema` conf key the row writer reads) and return

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Footer-statistics aggregate pushdown: filterless global MIN/MAX/COUNT
+  * answered from ORC footers (GraftOrcAggScan), verified against the same
+  * aggregates computed the slow way.
+  */
+class GraftOrcAggPushdownSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-agg-orc").toString
+    // two files so the final merge over per-file partials is exercised
+    graft.sources.OrcTables.write(
+      Tables.lineitem(spark, TestSpark.sf0001).repartition(2), d)
+    d
+  }
+
+  private def pushed(dir: String) = spark.read.format("graft-orc")
+    .option("orc.aggregate_pushdown", "true").load(dir)
+
+  // string match: AQE wraps the subtree in a leaf AdaptiveSparkPlanExec,
+  // which defeats a pattern-match collect but not toString
+  private def aggScans(q: DataFrame): Int =
+    "GraftOrcAggScan".r
+      .findAllIn(q.queryExecution.executedPlan.toString).size
+
+  test("count(*) is answered from footers and matches the full scan") {
+    val q = pushed(dir).agg(count(lit(1)).as("n"))
+    assert(aggScans(q) === 1, q.queryExecution.executedPlan.toString)
+    assert(q.as[Long].collect().head ===
+      spark.read.format("graft-orc").load(dir).count())
+  }
+
+  test("min/max on integral columns match the full scan") {
+    val q = pushed(dir).agg(
+      min($"l_orderkey").as("a"), max($"l_orderkey").as("b"),
+      min($"l_linenumber").as("e"), max($"l_linenumber").as("f"),
+      count($"l_tax").as("g"))
+    assert(aggScans(q) === 1, q.queryExecution.executedPlan.toString)
+    val slow = spark.read.format("graft-orc").load(dir).agg(
+      min($"l_orderkey"), max($"l_orderkey"),
+      min($"l_linenumber"), max($"l_linenumber"),
+      count($"l_tax"))
+    assert(q.collect().head === slow.collect().head)
+  }
+
+  test("string and date MIN/MAX are refused (shared-util parity)") {
+    // AggregatePushDownUtils limits min/max to numeric footer stats
+    // (string stats truncate; ORC date stats are not mapped) — the graft
+    // connector inherits the gate, matching the built-in source exactly
+    assert(aggScans(pushed(dir).agg(min($"l_returnflag").as("m"))) === 0)
+    assert(aggScans(pushed(dir).agg(min($"l_shipdate").as("m"))) === 0)
+  }
+
+  test("float/double MIN/MAX is refused (NaN-unsafe footer stats)") {
+    val q = pushed(dir).agg(min($"l_extendedprice").as("m"))
+    assert(aggScans(q) === 0)
+    // still correct through the normal scan
+    assert(q.collect().head.getDouble(0) ===
+      Tables.lineitem(spark, TestSpark.sf0001)
+        .agg(min($"l_extendedprice")).collect().head.getDouble(0))
+  }
+
+  test("a filter keeps the aggregate off the footer path") {
+    val q = pushed(dir).filter($"l_quantity" > 10).agg(count(lit(1)).as("n"))
+    assert(aggScans(q) === 0)
+  }
+
+  test("grouped aggregates are refused") {
+    val q = pushed(dir).groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    assert(aggScans(q) === 0)
+  }
+
+  test("pushdown is off by default, matching the built-in source gate") {
+    val q = spark.read.format("graft-orc").load(dir).agg(count(lit(1)).as("n"))
+    assert(aggScans(q) === 0)
+  }
+}

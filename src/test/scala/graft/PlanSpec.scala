@@ -221,6 +221,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q73: runtime filters reach the graft-orc scan and prune its files") {
+    // v2 DPP: the dim-side filter becomes a dynamicpruning runtime filter
+    // ON THE CONNECTOR SCAN (SupportsRuntimeFiltering), and executing the
+    // query re-prunes the file list — only the l_returnflag=R directory
+    // survives, observable through the scan's graftFilesRead metric
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = SparkEntry.queries("q73_graft_orc_runtime_pruning")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p.take(1500))
+    assert(p.contains("GraftOrcScan"), p.take(1500))
+    df.collect()
+    org.apache.spark.GraftSparkBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+    def findScan(pl: SparkPlan): Option[BatchScanExec] = pl match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: QueryStageExec => findScan(q.plan)
+      case other => other.children.iterator.flatMap(findScan).nextOption()
+    }
+    val scanExec = findScan(df.queryExecution.executedPlan).get
+    val filesRead = scanExec.metrics.collectFirst {
+      case (k, m) if k == "graftFilesRead" => m.value }.get
+    // DSv2 relations report no inputFiles — count the layout on disk
+    val root = java.nio.file.Paths.get(
+      graft.sources.OrcData.partitionedOrcPath(spark, sf, "lineitem",
+        "l_returnflag"))
+    val allFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .count(_.toString.endsWith(".orc"))
+    }
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"expected runtime pruning to read fewer than $allFiles files, read $filesRead")
+  }
+
   test("q35: grouping sets expand once over a broadcast join (one fact shuffle)") {
     val p = plan("q35_grouping_sets_join")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
