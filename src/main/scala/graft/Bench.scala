@@ -122,7 +122,7 @@ object Bench {
     // chunking (generator fan-out), domain blocklist curation (broadcast
     // anti join), DSv2 sink round trip (write protocol + read-back)
     "pp_stratified_sample", "pp_sequence_pack", "ta_repetition",
-    "pp_pii_redact", "ta_chunking", "pp_url_domains",
+    "pp_pii_redact", "ta_chunking", "pp_url_domains", "ta_bigram_lm",
     "q71_orc_sink_roundtrip")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the

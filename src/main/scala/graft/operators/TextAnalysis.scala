@@ -237,6 +237,57 @@ object TextAnalysis {
              |        FROM documents) a) b
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----------------------------------------------------------- bigram LM
+    // Corpus-trained bigram language-model scoring (the statistical
+    // quality filter: documents whose word transitions are rare across
+    // the corpus are boilerplate/garbled candidates). Two-pass shape:
+    // (1) explode per-doc bigrams and count them corpus-wide, (2) join
+    // each doc's bigrams back to the counts and average per doc. Bigrams
+    // ship as md5-derived 60-bit BIGINT fingerprints, never strings
+    // (round-4 fingerprint-join discipline — ~10x fewer shuffled bytes);
+    // the score is a single division of identical integers, so both
+    // engines produce bit-equal doubles. At 100 TB: two hash shuffles on
+    // 8-byte keys + map-side-combinable counts — the canonical
+    // map-reduce pair, no driver state, no broadcast of the (huge)
+    // bigram table.
+    QueryDef("ta_bigram_lm",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.md5Key60
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bi = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bigram"))
+          .select(col("doc_id"), md5Key60(col("bigram")).as("bg"))
+        val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        bi.join(counts, Seq("bg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("freq_sum"))
+          .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+            (col("freq_sum").cast("double") / col("n_bigrams"))
+              .as("avg_bigram_freq"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks
+              |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+              |bi AS (
+              |  SELECT doc_id,
+              |    ${graft.functions.TextHashFunctions.md5Key60Sql("bg")} AS bg
+              |  FROM (SELECT doc_id, unnest(list_transform(
+              |          range(1, len(toks)),
+              |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+              |        FROM docs) t),
+              |counts AS (SELECT bg, count(*) AS c FROM bi GROUP BY bg)
+              |SELECT b.doc_id, count(*) AS n_bigrams,
+              |  CAST(sum(c.c) AS BIGINT) AS freq_sum,
+              |  CAST(CAST(sum(c.c) AS BIGINT) AS DOUBLE) / count(*)
+              |    AS avg_bigram_freq
+              |FROM bi b JOIN counts c ON b.bg = c.bg
+              |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------------- chunking
     // Fixed-window token chunking with overlap (the context-window prep
     // stage: chunk = 64 tokens, stride = 48, so consecutive chunks share
