@@ -22,7 +22,8 @@ object ScaleStress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val embedMode = args.lift(1).contains("embed")
     val tpcdsMode = args.lift(1).contains("tpcds")
-    val hasMode = embedMode || tpcdsMode
+    val bigramMode = args.lift(1).contains("bigram")
+    val hasMode = embedMode || tpcdsMode || bigramMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -78,6 +79,28 @@ object ScaleStress {
         time(s"embed_lsh(n=$n,planes=$planes)", k) {
           Dedup.embedLshNearDups(e, 0.8, tables = 8, planesPerTable = planes)
         }
+      }
+      spark.stop()
+      return
+    }
+
+    // Bigram-LM stress: k copies of documents with disjoint doc_ids but
+    // the SAME texts — every bigram key gets k-times hotter (the
+    // adversarial direction for the corpus-count shuffle) while the doc
+    // side grows linearly. The stressed body IS TextAnalysis.bigramLm, so
+    // the measured arithmetic cannot drift from the oracle-checked query.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 bigram 1 10
+    if (bigramMode) {
+      import graft.operators.TextAnalysis
+      factors.foreach { k =>
+        val d0 = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val docs = (0 until k).map { i =>
+          d0.select((col("doc_id") + lit(i.toLong * 1000000000L))
+            .as("doc_id"), col("text"))
+        }.reduce(_ union _).localCheckpoint(true)
+        val n = docs.count()
+        time(s"bigram_lm(n=$n)", k) { TextAnalysis.bigramLm(docs) }
       }
       spark.stop()
       return

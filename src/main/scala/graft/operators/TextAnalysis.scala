@@ -37,6 +37,34 @@ object TextAnalysis {
       // literal CJK range chars: DuckDB's RE2 rejects \uXXXX escapes
       ("zh" -> "[一-鿿]")
 
+  /** Shared body of ta_bigram_lm (also stressed at 10x by
+    * `graft.ScaleStress bigram`, so the measured arithmetic cannot drift
+    * from the oracle-checked query): score `docs(doc_id, text, ...)` by
+    * average corpus-wide bigram frequency. Bigrams travel as 60-bit md5
+    * fingerprints; the score is a single division of identical integers,
+    * bit-equal across engines.
+    */
+  def bigramLm(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextHashFunctions.md5Key60
+    val docs = docs0
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .select(col("doc_id"), md5Key60(col("bigram")).as("bg"))
+    val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bi.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_bigrams"))
+          .as("avg_bigram_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------ tokens
@@ -251,25 +279,7 @@ object TextAnalysis {
     // map-reduce pair, no driver state, no broadcast of the (huge)
     // bigram table.
     QueryDef("ta_bigram_lm",
-      (s, d) => {
-        import graft.functions.TextHashFunctions.md5Key60
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 2)
-        val bi = docs.select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-            .as("bigram"))
-          .select(col("doc_id"), md5Key60(col("bigram")).as("bg"))
-        val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-        bi.join(counts, Seq("bg"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("freq_sum"))
-          .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
-            (col("freq_sum").cast("double") / col("n_bigrams"))
-              .as("avg_bigram_freq"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => bigramLm(Tables.documents(s, d)),
       Some(s"""WITH docs AS (
               |  SELECT doc_id, string_split(text, ' ') AS toks
               |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -902,7 +902,42 @@ object TpcdsShapes {
         Tables.customer(s, d).createOrReplaceTempView("v_customer")
         s.sql(lateralTopnSql("v_nation", "v_customer"))
       },
-      Some(lateralTopnSql("nation", "customer")))
+      Some(lateralTopnSql("nation", "customer"))),
+
+    // ---------------------------------------------------------------- q74
+    // NTILE quantile banding (TPC-DS customer-segmentation shape):
+    // customers ranked into spend quartiles, then profiled per quartile.
+    // The global ntile window runs over PRE-AGGREGATED per-customer rows
+    // (the q47 discipline: facts are reduced by the groupBy first, so the
+    // single-partition sort sees |customers| rows, not |orders|). The
+    // (spend, custkey) order is TOTAL — ties cannot flip quartile
+    // membership between engines. Spark ntile returns INT, DuckDB BIGINT
+    // => cast.
+    QueryDef("q74_ntile_spend_quartiles",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("spend_dec"))
+        spend.withColumn("quartile",
+            ntile(4).over(Window.orderBy(col("spend_dec"), col("o_custkey")))
+              .cast("long"))
+          .groupBy(col("quartile"))
+          .agg(count(lit(1)).as("n_customers"),
+            decToDouble(sum(col("spend_dec")), "total_spend"))
+          .orderBy(col("quartile"))
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+             |  FROM orders GROUP BY 1),
+             |qt AS (
+             |  SELECT o_custkey, spend_dec,
+             |    ntile(4) OVER (ORDER BY spend_dec, o_custkey) AS q
+             |  FROM spend)
+             |SELECT CAST(q AS BIGINT) AS quartile, count(*) AS n_customers,
+             |  CAST(round(sum(spend_dec), 2) AS DOUBLE) AS total_spend
+             |FROM qt GROUP BY q ORDER BY quartile""".stripMargin))
   )
 
   /** One LATERAL-top-n SQL text for both engines. Null ordering is

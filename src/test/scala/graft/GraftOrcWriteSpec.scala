@@ -56,6 +56,81 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     assert(files == null || files.forall(f => !f.getName.endsWith(".orc")))
   }
 
+  test("an aborted task writer deletes its staged file") {
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val dir = freshDir("graft-orc-w5")
+    // drive the task-side writer protocol directly: open, write, abort
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "t"
+      override def schema() = nation.schema
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir))
+    }
+    val write = new graft.sources.v2.GraftOrcWriteBuilder(Seq(dir), info)
+      .build()
+    val factory = write.toBatch.createBatchWriterFactory(null)
+    val writer = factory.createWriter(0, 0L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      0, org.apache.spark.unsafe.types.UTF8String.fromString("x"), 0)
+    writer.write(row)
+    val staging = new java.io.File(dir, "_staging")
+    assert(staging.listFiles() != null && staging.listFiles().nonEmpty,
+      "expected a staged file while the task is open")
+    writer.abort()
+    assert(staging.listFiles() == null || staging.listFiles().isEmpty,
+      "abort must delete the staged file")
+    // nothing was published
+    val published = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc"))
+    assert(published.isEmpty)
+  }
+
+  test("watermarked streaming aggregation lands finalized windows in ORC") {
+    // end-to-end streaming ETL: file stream -> event-time windowed count
+    // (append mode emits a window only once its watermark passes) ->
+    // graft-orc sink -> connector read-back
+    val src = freshDir("graft-orc-agg-src")
+    val out = freshDir("graft-orc-agg-out")
+    val ckpt = freshDir("graft-orc-agg-ckpt")
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id", $"ts", $"event_type")
+    events.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(events.schema.fields))
+      .parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"event_type", $"n")
+    val q = stream.writeStream.format("graft-orc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(out)
+    try {
+      q.processAllAvailable()
+      // append a far-future event: its arrival advances the watermark past
+      // every fixture window, so all previously-open windows finalize
+      Seq((99999999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        "click"))
+        .toDF("event_id", "ts", "event_type")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      q.processAllAvailable() // one more batch: emit newly-closed windows
+    } finally q.stop()
+
+    val sunk = spark.read.format("graft-orc").load(out)
+    val batch = events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"event_type", $"n")
+    // every fixture window finalized and landed exactly once
+    assert(sunk.count() === batch.count())
+    assert(sunk.as[(java.sql.Timestamp, String, Long)].collect().toSet ===
+      batch.as[(java.sql.Timestamp, String, Long)].collect().toSet)
+  }
+
   test("streaming sink appends each epoch exactly once") {
     val src = freshDir("graft-orc-stream-src")
     val out = freshDir("graft-orc-stream-out")
