@@ -77,10 +77,17 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
     val index = new GraftOrcFileIndex(
       spark.sparkContext.hadoopConfiguration, ps, 32)
     if (index.entries.isEmpty) return new StructType()
-    // A2: merge schemas across ALL paths/files (conflict => AnalysisException);
-    // partitioned layouts get their inferred partition columns appended,
-    // consistent with Spark's partition-type inference.
-    graft.sources.OrcTables.inferSchema(spark, ps)
+    // A2: merge schemas across ALL paths/files (conflict => AnalysisException).
+    // Hive layouts infer through the ROOT paths so Spark's partition-type
+    // discovery appends the k=v columns; everything else infers from the
+    // recursively-indexed FILES — Spark's own root listing is not
+    // recursive, so a plain nested layout (e.g. wave subdirectories under
+    // a streamed table) would otherwise fail inference on files this
+    // connector can read.
+    if (index.partitionColumnNames.nonEmpty)
+      graft.sources.OrcTables.inferSchema(spark, ps)
+    else
+      graft.sources.OrcTables.inferSchema(spark, index.entries.map(_.path))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -145,6 +152,7 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
   // (the listing defines the table, like the reference's directory tables)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -404,10 +412,16 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     * runtime filters can arrive AFTER statistics were estimated, and
     * planInputPartitions must see the re-pruned list.
     */
-  private[v2] def selectedFiles: Seq[OrcFileEntry] = {
-    val pruning = partitionFilters ++ runtimeFilters
-    if (pruning.isEmpty) index.entries
-    else index.entries.filter { e =>
+  private[v2] def selectedFiles: Seq[OrcFileEntry] =
+    pruneEntries(index.entries, partitionFilters ++ runtimeFilters)
+
+  /** Partition-filter pruning over an arbitrary listing (shared with the
+    * micro-batch stream, which re-lists per batch).
+    */
+  private[v2] def pruneEntries(entries: Seq[OrcFileEntry],
+                               pruning: Seq[Filter]): Seq[OrcFileEntry] = {
+    if (pruning.isEmpty) entries
+    else entries.filter { e =>
       val lookup: String => Option[OrcStatsEval.StatRange] = name => {
         val raw = e.partitionValues.collectFirst {
           case (k, v) if k.equalsIgnoreCase(name) => v
@@ -423,6 +437,16 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     }
   }
 
+  private[v2] def staticPartitionFilters: Seq[Filter] = partitionFilters.toSeq
+
+  /** Raw partition-value strings for one file in read-partition order. */
+  private[v2] def partValuesFor(e: OrcFileEntry): Array[String] =
+    readPartitionSchema.fields.map { f =>
+      e.partitionValues.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(f.name) => v
+      }.orNull
+    }
+
   // pruning may use a partition column the query does not project, so the
   // type lookup goes through the FULL partition schema
   private def partitionFieldType(name: String): Option[DataType] =
@@ -431,6 +455,17 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     }
 
   override def toBatch: Batch = this
+
+  /** Micro-batch streaming read: the directory is the stream, each batch
+    * covers the files that appeared since the last (mtime, path)
+    * watermark. See [[GraftOrcMicroBatchStream]] for the contract.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftOrcMicroBatchStream(this,
+      GraftOrcDataSource.paths(
+        new CaseInsensitiveStringMap(options.asJava)),
+      spark.sparkContext.hadoopConfiguration, metaParallelism)
 
   override def description(): String =
     s"GraftOrcScan files=${index.entries.size}, " +
@@ -469,12 +504,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     val conf = spark.sparkContext.hadoopConfiguration
     val targetSplitBytes = options.get("graft.split_size")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    def partValues(e: OrcFileEntry): Array[String] =
-      readPartitionSchema.fields.map { f =>
-        e.partitionValues.collectFirst {
-          case (k, v) if k.equalsIgnoreCase(f.name) => v
-        }.orNull
-      }
+    def partValues(e: OrcFileEntry): Array[String] = partValuesFor(e)
     val (small, big) = selectedFiles.partition(_.length <= targetSplitBytes)
     val smallParts = small.map(e =>
       GraftOrcInputPartition(e.path, 0, e.length, partValues(e), e.length))

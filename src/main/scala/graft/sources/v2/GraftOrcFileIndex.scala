@@ -15,7 +15,8 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * value is mapped to null.
   */
 case class OrcFileEntry(path: String, length: Long,
-                        partitionValues: Map[String, String])
+                        partitionValues: Map[String, String],
+                        mtime: Long = 0L)
 
 /** Driver-side file discovery for the graft-orc connector.
   *
@@ -46,7 +47,8 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
         frontier +:= (p, scala.collection.immutable.ListMap.empty[String, String])
-      else out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty)
+      else out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty,
+        st.getModificationTime)
     }
     while (frontier.nonEmpty) {
       val listed: Seq[(Seq[FileStatus], Map[String, String])] =
@@ -64,7 +66,8 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
                 .map { case (k, v) => parts + (k -> v) }.getOrElse(parts)
               frontier +:= (c.getPath, nextParts)
             } else if (name.endsWith(".orc")) {
-              out += OrcFileEntry(c.getPath.toString, c.getLen, parts)
+              out += OrcFileEntry(c.getPath.toString, c.getLen, parts,
+                c.getModificationTime)
             }
           }
         }

@@ -1,0 +1,84 @@
+package graft.sources.v2
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.hadoop.conf.Configuration
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+
+/** Micro-batch streaming source over a graft-orc directory: the directory
+  * IS the stream, and each batch covers the files that appeared since the
+  * previous watermark.
+  *
+  * Offset = the (mtime, path) key of the newest file consumed so far.
+  * Files sort by that key, so a batch is the half-open key interval
+  * (start, end]; the ordering is total (path tiebreak) and stable across
+  * listings, which makes replanning a committed batch after restart
+  * deterministic. Assumes the append-only immutable-file discipline every
+  * directory-as-table layout needs (the reference's listing tables make
+  * the same assumption): a writer that backdates mtimes below the
+  * consumed watermark would be skipped — use the graft-orc SINK, whose
+  * commit-time renames inherit fresh mtimes.
+  *
+  * Static partition filters (pushed at plan time) keep pruning per batch;
+  * the scan's column pruning and SARG compilation apply unchanged because
+  * the reader factory is the batch one. Files are NOT stripe-split here:
+  * a micro-batch is latency-bound, not throughput-bound, and whole files
+  * keep offsets trivially replayable.
+  */
+class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
+                               conf: Configuration, metaParallelism: Int)
+    extends MicroBatchStream {
+
+  private def listing(): Seq[OrcFileEntry] =
+    scan.pruneEntries(
+      new GraftOrcFileIndex(conf, paths, metaParallelism).entries,
+      scan.staticPartitionFilters)
+      .sortBy(e => (e.mtime, e.path))
+
+  private def after(e: OrcFileEntry, o: GraftOrcStreamOffset): Boolean =
+    e.mtime > o.mtime || (e.mtime == o.mtime && e.path > o.path)
+
+  override def initialOffset(): Offset = GraftOrcStreamOffset(-1L, "")
+
+  override def latestOffset(): Offset = {
+    val l = listing()
+    if (l.isEmpty) initialOffset()
+    else GraftOrcStreamOffset(l.last.mtime, l.last.path)
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOrcStreamOffset]
+    val e = end.asInstanceOf[GraftOrcStreamOffset]
+    listing()
+      .filter(f => after(f, s) && !after(f, e))
+      .map(f => GraftOrcInputPartition(f.path, 0, f.length,
+        scan.partValuesFor(f), f.length))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new ObjectMapper().readTree(json)
+    GraftOrcStreamOffset(node.get("mtime").asLong(),
+      node.get("path").asText())
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Watermark offset: the (mtime, path) key of the newest consumed file. */
+case class GraftOrcStreamOffset(mtime: Long, path: String) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("mtime", mtime)
+    node.put("path", path)
+    m.writeValueAsString(node)
+  }
+}
