@@ -123,7 +123,7 @@ object Bench {
     // anti join), DSv2 sink round trip (write protocol + read-back)
     "pp_stratified_sample", "pp_sequence_pack", "ta_repetition",
     "pp_pii_redact", "ta_chunking", "pp_url_domains", "ta_bigram_lm",
-    "q71_orc_sink_roundtrip")
+    "q71_orc_sink_roundtrip", "q74_ntile_spend_quartiles")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

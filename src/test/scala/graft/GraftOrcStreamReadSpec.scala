@@ -55,6 +55,34 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pipeline: graft-orc source -> transform -> graft-orc sink") {
+    // the full connector streaming story in one query: directory stream in,
+    // incremental transform, exactly-once-per-epoch ORC out
+    val src = Files.createTempDirectory("graft-orc-pipe-src").toString
+    val out = Files.createTempDirectory("graft-orc-pipe-out").toString
+    val ckpt = Files.createTempDirectory("graft-orc-pipe-ckpt").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    graft.sources.OrcTables.write(
+      nation.filter($"n_nationkey" < 10), s"$src/w1", mode = "overwrite")
+    val q = spark.readStream.format("graft-orc").load(src)
+      .withColumn("n_name", lower($"n_name"))
+      .writeStream.format("graft-orc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(out)
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1100) // mtime granularity
+      graft.sources.OrcTables.write(
+        nation.filter($"n_nationkey" >= 10), s"$src/w2", mode = "overwrite")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("graft-orc").load(out)
+    assert(got.count() === nation.count())
+    assert(got.select($"n_name").as[String].collect().sorted.toSeq ===
+      nation.select(lower($"n_name")).as[String].collect().sorted.toSeq)
+  }
+
   test("offsets serialize and deserialize losslessly") {
     import graft.sources.v2.GraftOrcStreamOffset
     val o = GraftOrcStreamOffset(1234L, "/x/a b/part-0.orc")
