@@ -103,7 +103,10 @@ object GraftOrcDataSource {
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap(parseJsonArray)
-    (single ++ multi).distinct
+    // catalog tables (CREATE TABLE ... USING graft-orc LOCATION p) carry
+    // the path as the "location" table property, not a read option
+    val location = Option(options.get("location")).toSeq
+    (single ++ multi ++ location).distinct
   }
 
   private[v2] def parseJsonArray(s: String): Seq[String] = {
@@ -155,12 +158,28 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+  /** Catalog tables (CREATE TABLE ... USING graft-orc LOCATION p) carry
+    * the path in the TABLE properties, while per-scan/write options from
+    * SQL are empty — merge the stored location in so `SELECT`/`INSERT`
+    * resolve the same files as path-based reads.
+    */
+  private def withTablePath(
+      options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val merged = new java.util.HashMap[String, String](
+      options.asCaseSensitiveMap())
+    Seq("path", "paths", "location").foreach { k =>
+      if (!options.containsKey(k)) props.get(k).foreach(v => merged.put(k, v))
+    }
+    new CaseInsensitiveStringMap(merged)
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftOrcScanBuilder(tableSchema, options)
+    new GraftOrcScanBuilder(tableSchema, withTablePath(options))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftOrcWriteBuilder(GraftOrcDataSource.paths(info.options()), info)
+    new GraftOrcWriteBuilder(
+      GraftOrcDataSource.paths(withTablePath(info.options())), info)
 }
 
 /** A5: the pushdown negotiation surface. Filters referencing only partition

@@ -79,6 +79,30 @@ class GraftOrcAggPushdownSpec extends AnyFunSuite {
     assert(aggScans(q) === 0)
   }
 
+  test("property: pushed and unpushed results agree for every eligible column") {
+    // equivalence sweep across the whole schema: COUNT(c) for all columns,
+    // MIN/MAX for the integral ones — footer stats must agree with the
+    // scan on every one (nullability, type mapping, multi-file merge)
+    val full = spark.read.format("graft-orc").load(dir)
+    val integral = full.schema.fields.filter(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    for (f <- full.schema.fields) {
+      val fast = pushed(dir).agg(count(col(f.name)).as("v"))
+      assert(aggScans(fast) === 1, s"count(${f.name}) not pushed")
+      assert(fast.collect().head ===
+        full.agg(count(col(f.name))).collect().head, s"count(${f.name})")
+    }
+    val minMax: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(min(_), max(_))
+    for (f <- integral; fn <- minMax) {
+      val fast = pushed(dir).agg(fn(col(f.name)).as("v"))
+      assert(aggScans(fast) === 1, s"min/max(${f.name}) not pushed")
+      assert(fast.collect().head ===
+        full.agg(fn(col(f.name))).collect().head, s"min/max(${f.name})")
+    }
+  }
+
   test("pushdown is off by default, matching the built-in source gate") {
     val q = spark.read.format("graft-orc").load(dir).agg(count(lit(1)).as("n"))
     assert(aggScans(q) === 0)

@@ -83,6 +83,35 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
       nation.select(lower($"n_name")).as[String].collect().sorted.toSeq)
   }
 
+  test("restart from checkpoint resumes at the committed offset") {
+    val dir = Files.createTempDirectory("graft-orc-restart-src").toString
+    val ckpt = Files.createTempDirectory("graft-orc-restart-ckpt").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    graft.sources.OrcTables.write(
+      nation.filter($"n_nationkey" < 10), s"$dir/w1", mode = "overwrite")
+
+    val out = Files.createTempDirectory("graft-orc-restart-out").toString
+    def start() = spark.readStream.format("graft-orc").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    Thread.sleep(1100)
+    graft.sources.OrcTables.write(
+      nation.filter($"n_nationkey" >= 10), s"$dir/w2", mode = "overwrite")
+
+    // a NEW query on the same checkpoint: the deserialized offset resumes
+    // past wave 1 — every row lands exactly once across the two runs
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === nation.count(),
+      "restart must process wave 2 and never reprocess wave 1")
+    assert(got.select($"n_nationkey").distinct().count() === nation.count())
+  }
+
   test("offsets serialize and deserialize losslessly") {
     import graft.sources.v2.GraftOrcStreamOffset
     val o = GraftOrcStreamOffset(1234L, "/x/a b/part-0.orc")
