@@ -92,7 +92,7 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new GraftOrcTable(schema, properties.asScala.toMap)
+    new GraftOrcTable(schema, properties.asScala.toMap, partitioning)
 }
 
 object GraftOrcDataSource {
@@ -143,10 +143,16 @@ object GraftOrcDataSource {
       Some("UTC")).eval(InternalRow.empty)
 }
 
-class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
+class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
+                    partTransforms: Array[Transform] = Array.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def schema(): StructType = tableSchema
+  // partitionBy on a write reaches the provider as identity transforms;
+  // reporting them back is what passes Spark's requested-vs-table
+  // partitioning check (reads manage hive partitions internally and pass
+  // none)
+  override def partitioning(): Array[Transform] = partTransforms
   override def name(): String =
     "graft-orc:" + props.getOrElse("path", props.getOrElse("paths", "?"))
   // ACCEPT_ANY_SCHEMA: a first write targets an empty directory whose
@@ -177,9 +183,17 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String])
     new GraftOrcScanBuilder(tableSchema, withTablePath(options))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // only identity transforms map to a hive directory layout
+    val partCols = partTransforms.map { t =>
+      require(t.name == "identity",
+        s"graft-orc: unsupported partition transform ${t.describe()}")
+      t.references()(0).fieldNames().mkString(".")
+    }
     new GraftOrcWriteBuilder(
-      GraftOrcDataSource.paths(withTablePath(info.options())), info)
+      GraftOrcDataSource.paths(withTablePath(info.options())), info,
+      partCols.toSeq)
+  }
 }
 
 /** A5: the pushdown negotiation surface. Filters referencing only partition

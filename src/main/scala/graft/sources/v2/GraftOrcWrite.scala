@@ -43,7 +43,8 @@ import org.apache.spark.util.SerializableConfiguration
   * the point of the rebuild is the connector protocol, not a slower
   * re-implementation of the ORC serializer.
   */
-class GraftOrcWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
+class GraftOrcWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
+                           partitionCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var truncateOnCommit = false
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
@@ -52,13 +53,31 @@ class GraftOrcWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     require(paths.size == 1,
       s"graft-orc: write requires exactly one path, got ${paths.size}")
     new GraftOrcWrite(paths.head, info.schema(),
-      info.options().asCaseSensitiveMap().asScala.toMap, truncateOnCommit)
+      info.options().asCaseSensitiveMap().asScala.toMap, truncateOnCommit,
+      partitionCols)
   }
 }
 
 class GraftOrcWrite(path: String, schema: StructType,
-                    options: Map[String, String], truncate: Boolean)
+                    options: Map[String, String], truncate: Boolean,
+                    partitionCols: Seq[String] = Nil)
     extends Write {
+
+  // hive layout: partition columns live in the PATH, not in the data
+  // files (the reader re-materializes them from k=v segments) — the file
+  // schema is the query schema minus partition columns, and each
+  // partition column carries (index in the incoming row, type) for the
+  // task-side splitter
+  private val partSet = partitionCols.map(_.toLowerCase).toSet
+  private val fileSchema = StructType(
+    schema.fields.filterNot(f => partSet(f.name.toLowerCase)))
+  private val partSpecs: Array[GraftPartCol] = partitionCols.map { c =>
+    val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+    require(i >= 0, s"graft-orc: partition column $c not in ${schema.simpleString}")
+    GraftPartCol(schema.fields(i).name, i, schema.fields(i).dataType)
+  }.toArray
+  private val fileFieldIdx: Array[Int] = schema.fields.zipWithIndex
+    .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)
 
   /** Shared factory construction: prepareWrite mutates a fresh job conf
     * (compression codec, output schema string) which must travel to the
@@ -70,9 +89,9 @@ class GraftOrcWrite(path: String, schema: StructType,
     // the reference fixtures (alltypes.snappy.orc)
     val writeOptions = Map(
       "compression" -> options.getOrElse("compression", "snappy"))
-    val (owf, conf) = GraftOrcShims.orcWriteSupport(spark, writeOptions, schema)
-    GraftOrcWriterFactory(path, schema, owf,
-      new SerializableConfiguration(conf))
+    val (owf, conf) = GraftOrcShims.orcWriteSupport(spark, writeOptions, fileSchema)
+    GraftOrcWriterFactory(path, fileSchema, owf,
+      new SerializableConfiguration(conf), partSpecs, fileFieldIdx)
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -80,6 +99,7 @@ class GraftOrcWrite(path: String, schema: StructType,
       taskFactory()
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.publish(path, messages, truncate)
+
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.discard(path, messages)
   }
@@ -101,10 +121,27 @@ class GraftOrcWrite(path: String, schema: StructType,
 object GraftOrcWrite {
   private[v2] val StagingDir = "_staging"
 
-  /** Driver-side commit: move every staged file into the table directory,
-    * truncating the previous contents first when overwriting. Only data
-    * files (`*.orc`) are truncated — checkpoint/metadata subdirectories a
-    * user may have placed next to the data survive an overwrite.
+  /** Hive-style path escaping for partition values — the inverse of
+    * [[GraftOrcFileIndex.unescapePathName]] (%XX for separators, glob
+    * metacharacters and control chars).
+    */
+  private[v2] def escapePathName(s: String): String = {
+    val special = "\"#%'*/:=?\\{[]^"
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c < ' ' || c == '\u007F' || special.indexOf(c) >= 0)
+        sb.append('%').append(f"${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Driver-side commit: move every staged file into the table directory
+    * (keeping any k=v subpath it was staged under), truncating the
+    * previous contents first when overwriting. Truncation removes
+    * top-level data files AND k=v partition directories — a full static
+    * overwrite — but leaves other subdirectories (checkpoints, metadata a
+    * user placed next to the data) alone.
     */
   private def publish(table: String, messages: Array[WriterCommitMessage],
                       truncateExisting: Boolean): Unit = {
@@ -114,16 +151,21 @@ object GraftOrcWrite {
     fs.mkdirs(dir)
     if (truncateExisting) {
       fs.listStatus(dir).filter { st =>
-        st.isFile && st.getPath.getName.endsWith(".orc")
-      }.foreach(st => fs.delete(st.getPath, false))
+        (st.isFile && st.getPath.getName.endsWith(".orc")) ||
+          (st.isDirectory && st.getPath.getName.contains("="))
+      }.foreach(st => fs.delete(st.getPath, st.isDirectory))
     }
+    val stagingMarker = "/" + StagingDir + "/"
     messages.foreach {
       case GraftOrcCommitMessage(staged) =>
         staged.foreach { s =>
           val src = new Path(s)
-          if (!fs.rename(src, new Path(dir, src.getName)))
+          val rel = s.substring(s.indexOf(stagingMarker) + stagingMarker.length)
+          val dest = new Path(dir, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(src, dest))
             throw new java.io.IOException(
-              s"graft-orc: commit failed to publish $src into $dir")
+              s"graft-orc: commit failed to publish $src into $dest")
         }
       case other =>
         throw new IllegalStateException(s"graft-orc: foreign message $other")
@@ -147,10 +189,19 @@ object GraftOrcWrite {
 case class GraftOrcCommitMessage(staged: Seq[String])
     extends WriterCommitMessage
 
-/** Serializable per-task writer factory for both batch and streaming. */
+/** One partition column of the incoming rows: name, ordinal, type. */
+case class GraftPartCol(name: String, index: Int,
+                        dataType: org.apache.spark.sql.types.DataType)
+
+/** Serializable per-task writer factory for both batch and streaming.
+  * `schema` is the FILE schema (partition columns excluded);
+  * `fileFieldIdx` maps file fields to ordinals in the incoming row.
+  */
 case class GraftOrcWriterFactory(table: String, schema: StructType,
                                  owf: OutputWriterFactory,
-                                 conf: SerializableConfiguration)
+                                 conf: SerializableConfiguration,
+                                 partSpecs: Array[GraftPartCol] = Array.empty,
+                                 fileFieldIdx: Array[Int] = Array.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -171,38 +222,74 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
       new org.apache.hadoop.mapreduce.JobID("graft-orc", epochId.toInt),
       TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
 
-  private var writer: OutputWriter = _
-  private var stagedPath: Path = _
-
+  // one open writer per partition-directory suffix ("" when unpartitioned);
   // lazily opened on the first row so empty partitions publish no file
-  private def ensureOpen(): Unit = if (writer == null) {
-    val name = s"part-$epochId-$partitionId-${UUID.randomUUID()}" +
-      f.owf.getFileExtension(context)
-    stagedPath = new Path(new Path(f.table, GraftOrcWrite.StagingDir), name)
-    val fs = stagedPath.getFileSystem(f.conf.value)
-    fs.mkdirs(stagedPath.getParent)
-    writer = f.owf.newInstance(stagedPath.toString, f.schema, context)
+  private val writers =
+    collection.mutable.LinkedHashMap.empty[String, (OutputWriter, Path)]
+
+  private def writerFor(suffix: String): OutputWriter =
+    writers.getOrElseUpdate(suffix, {
+      val name = s"part-$epochId-$partitionId-${UUID.randomUUID()}" +
+        f.owf.getFileExtension(context)
+      val base = new Path(f.table, GraftOrcWrite.StagingDir)
+      val stagedDir = if (suffix.isEmpty) base else new Path(base, suffix)
+      val staged = new Path(stagedDir, name)
+      val fs = staged.getFileSystem(f.conf.value)
+      fs.mkdirs(staged.getParent)
+      (f.owf.newInstance(staged.toString, f.schema, context), staged)
+    })._1
+
+  /** Hive path value for one partition column (reader parity:
+    * GraftOrcFileIndex unescapes and maps the null marker back).
+    */
+  private def pathValue(row: InternalRow, c: GraftPartCol): String = {
+    import org.apache.spark.sql.types._
+    if (row.isNullAt(c.index)) return GraftOrcFileIndex.HiveDefaultPartition
+    val raw = c.dataType match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(row.getInt(c.index).toLong).toString
+      case StringType => row.getUTF8String(c.index).toString
+      case dt => row.get(c.index, dt).toString
+    }
+    GraftOrcWrite.escapePathName(raw)
   }
 
   override def write(record: InternalRow): Unit = {
-    ensureOpen()
-    writer.write(record)
+    if (f.partSpecs.isEmpty) writerFor("").write(record)
+    else {
+      val suffix = f.partSpecs
+        .map(c => c.name + "=" + pathValue(record, c)).mkString("/")
+      // project partition columns OUT of the written row (they live in
+      // the path; the reader re-materializes them)
+      val vals = new Array[Any](f.fileFieldIdx.length)
+      var i = 0
+      while (i < vals.length) {
+        vals(i) = record.get(f.fileFieldIdx(i), f.schema.fields(i).dataType)
+        i += 1
+      }
+      writerFor(suffix).write(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+    }
   }
 
-  override def commit(): WriterCommitMessage =
-    if (writer == null) GraftOrcCommitMessage(Nil)
-    else {
-      writer.close()
-      writer = null
-      GraftOrcCommitMessage(Seq(stagedPath.toString))
-    }
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    val staged = writers.values.map(_._2.toString).toSeq
+    writers.clear()
+    GraftOrcCommitMessage(staged)
+  }
 
   override def abort(): Unit = {
-    if (writer != null) { writer.close(); writer = null }
-    if (stagedPath != null)
-      stagedPath.getFileSystem(f.conf.value).delete(stagedPath, false)
+    writers.values.foreach { case (w, staged) =>
+      try w.close() catch { case _: Throwable => }
+      staged.getFileSystem(f.conf.value).delete(staged, false)
+    }
+    writers.clear()
   }
 
-  override def close(): Unit =
-    if (writer != null) { writer.close(); writer = null }
+  override def close(): Unit = {
+    writers.values.foreach(_._1.close())
+    // keep staged paths: close() after commit() sees an empty map; close()
+    // without commit is followed by abort(), which deletes them
+  }
 }

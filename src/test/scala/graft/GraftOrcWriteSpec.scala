@@ -56,6 +56,53 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     assert(files == null || files.forall(f => !f.getName.endsWith(".orc")))
   }
 
+  test("partitionBy writes a hive layout the connector reads back with pruning") {
+    val dir = freshDir("graft-orc-w6")
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    li.write.format("graft-orc").partitionBy("l_returnflag")
+      .mode("append").save(dir)
+    // k=v directories on disk; partition column NOT in the data files
+    val flagDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("l_returnflag=")).map(_.getName).sorted
+    assert(flagDirs.length === 3, flagDirs.mkString(","))
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.count() === li.count())
+    assert(back.columns.sorted === li.columns.sorted)
+    // per-flag counts survive the round trip
+    val want = li.groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    val got = back.groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    // and a partition filter prunes to one directory's files
+    assert(back.filter($"l_returnflag" === "R").count() === want("R"))
+  }
+
+  test("partitioned overwrite replaces k=v directories") {
+    val dir = freshDir("graft-orc-w7")
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    li.write.format("graft-orc").partitionBy("l_returnflag")
+      .mode("append").save(dir)
+    li.filter($"l_returnflag" === "R")
+      .write.format("graft-orc").partitionBy("l_returnflag")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.count() === li.filter($"l_returnflag" === "R").count())
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains("=")).map(_.getName)
+    assert(dirs.toSeq === Seq("l_returnflag=R"))
+  }
+
+  test("partition values escape path separators and round-trip") {
+    val dir = freshDir("graft-orc-w8")
+    val df = Seq((1L, "a/b"), (2L, "c=d"), (3L, null), (4L, "plain"))
+      .toDF("id", "k")
+    df.write.format("graft-orc").partitionBy("k").mode("append").save(dir)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.select($"id", $"k").as[(Long, String)].collect().toSet ===
+      Set((1L, "a/b"), (2L, "c=d"), (3L, null), (4L, "plain")))
+  }
+
   test("an aborted task writer deletes its staged file") {
     import org.apache.spark.sql.connector.write.LogicalWriteInfo
     val dir = freshDir("graft-orc-w5")
