@@ -412,6 +412,30 @@ object Relational {
               |  ${oDsum("s_acctbal", "sum_bal")}
               |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---------------------------------------------------------------- q75
+    // Partitioned DSv2 sink round trip: orders written through the
+    // graft-orc writer PARTITIONED BY o_orderpriority (k=v layout, hive
+    // escaping, partition column re-materialized from the path on read),
+    // then read back with a partition filter — the scan plans only the
+    // matching directory's files — and aggregated. Oracle aggregates the
+    // parquet original with the same predicate.
+    QueryDef("q75_orc_partitioned_sink",
+      (s, d) => {
+        val out = OrcData.sinkDir(d, "orders_part_sink")
+        s.read.parquet(s"$d/orders.parquet")
+          .write.format("graft-orc").partitionBy("o_orderpriority")
+          .mode("overwrite").save(out)
+        s.read.format("graft-orc").load(out)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+              |  ${oDsum("o_totalprice", "total")}
+              |FROM orders WHERE o_orderpriority = '1-URGENT'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---------------------------------------------------------------- q72
     // Footer-statistics aggregate pushdown: a filterless global
     // COUNT/MIN/MAX through the graft-orc connector is answered from file
