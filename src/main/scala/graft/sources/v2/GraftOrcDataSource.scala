@@ -129,6 +129,7 @@ object GraftOrcDataSource {
       case FloatType | DoubleType => raw.trim.toDouble
       case _: DecimalType => new java.math.BigDecimal(raw.trim)
       case DateType => java.time.LocalDate.parse(raw.trim)
+      case TimestampType => java.sql.Timestamp.valueOf(raw.trim)
       case BooleanType => raw.trim.toBoolean
       case _ => raw
     } catch { case _: RuntimeException => raw }

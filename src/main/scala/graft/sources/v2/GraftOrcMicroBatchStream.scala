@@ -19,7 +19,11 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * directory-as-table layout needs (the reference's listing tables make
   * the same assumption): a writer that backdates mtimes below the
   * consumed watermark would be skipped — use the graft-orc SINK, whose
-  * commit-time renames inherit fresh mtimes.
+  * commit explicitly stamps each published file with a strictly
+  * increasing mtime (rename(2) preserves the source's creation mtime on
+  * HDFS-like stores, so without the stamp a listing taken between one
+  * commit's sequential renames could advance the watermark past a
+  * not-yet-renamed file and drop it forever).
   *
   * Static partition filters (pushed at plan time) keep pruning per batch;
   * the scan's column pruning and SARG compilation apply unchanged because

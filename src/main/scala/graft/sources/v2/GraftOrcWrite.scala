@@ -22,9 +22,13 @@ import org.apache.spark.util.SerializableConfiguration
   * .format("graft-orc")`), extending A14 (the writer the reference stubs,
   * src/file_format.rs:268-274 returns not_impl) to the connector itself.
   *
-  * Protocol: every task writes ONE ORC file under `<table>/_staging/` with
-  * a globally unique name; the driver's commit renames staged files into
-  * the table directory and drops the staging dir. Renames are per-file
+  * Protocol: every task writes ONE ORC file under
+  * `<table>/_staging/<writeId>/` (a per-query UUID subtree, so concurrent
+  * writers to one table never touch each other's staged files) with a
+  * globally unique name; the driver's commit renames staged files into
+  * the table directory, stamps each published file with a strictly
+  * increasing mtime (the streaming source's watermark contract), and
+  * drops this write's staging subtree. Renames are per-file
   * atomic on HDFS-like stores, so readers never observe a partial FILE; a
   * crash between renames can expose a partial COMMIT — the same
   * no-transaction-log tradeoff as the reference's directory tables, where
@@ -52,6 +56,13 @@ class GraftOrcWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
   override def build(): Write = {
     require(paths.size == 1,
       s"graft-orc: write requires exactly one path, got ${paths.size}")
+    // ACCEPT_ANY_SCHEMA turns off Spark's output resolution (needed because
+    // a first write targets an empty listing whose inferred schema is
+    // empty), so appends to a NON-empty table validate here instead — a
+    // mismatched append would otherwise poison every later read with a
+    // schema-merge failure.
+    if (!truncateOnCommit)
+      GraftOrcWrite.validateAppend(paths.head, info.schema(), partitionCols)
     new GraftOrcWrite(paths.head, info.schema(),
       info.options().asCaseSensitiveMap().asScala.toMap, truncateOnCommit,
       partitionCols)
@@ -74,8 +85,18 @@ class GraftOrcWrite(path: String, schema: StructType,
   private val partSpecs: Array[GraftPartCol] = partitionCols.map { c =>
     val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
     require(i >= 0, s"graft-orc: partition column $c not in ${schema.simpleString}")
-    GraftPartCol(schema.fields(i).name, i, schema.fields(i).dataType)
+    val dt = schema.fields(i).dataType
+    // only types whose path text round-trips through read-side inference
+    // (a timestamp written as raw micros would read back as bigint)
+    require(GraftOrcWrite.supportedPartitionType(dt),
+      s"graft-orc: unsupported partition column type ${dt.catalogString} " +
+        s"for $c — supported: string, byte/short/int/long, date, timestamp")
+    GraftPartCol(schema.fields(i).name, i, dt)
   }.toArray
+
+  // per-query staging subtree: concurrent writers to the same table never
+  // see (or delete) each other's staged files
+  private val writeId = UUID.randomUUID().toString
   private val fileFieldIdx: Array[Int] = schema.fields.zipWithIndex
     .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)
 
@@ -91,35 +112,117 @@ class GraftOrcWrite(path: String, schema: StructType,
       "compression" -> options.getOrElse("compression", "snappy"))
     val (owf, conf) = GraftOrcShims.orcWriteSupport(spark, writeOptions, fileSchema)
     GraftOrcWriterFactory(path, fileSchema, owf,
-      new SerializableConfiguration(conf), partSpecs, fileFieldIdx)
+      new SerializableConfiguration(conf), partSpecs, fileFieldIdx, writeId)
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
       taskFactory()
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      GraftOrcWrite.publish(path, messages, truncate)
+      GraftOrcWrite.publish(path, writeId, messages, truncate)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
-      GraftOrcWrite.discard(path, messages)
+      GraftOrcWrite.discard(path, writeId, messages)
   }
 
-  override def toStreaming: StreamingWrite = new StreamingWrite {
-    override def createStreamingWriterFactory(
-        i: PhysicalWriteInfo): StreamingDataWriterFactory = taskFactory()
+  override def toStreaming: StreamingWrite = {
     // epochs append; truncate (Complete output mode) would need per-epoch
-    // overwrite semantics this sink does not promise
-    override def commit(epochId: Long,
-                        messages: Array[WriterCommitMessage]): Unit =
-      GraftOrcWrite.publish(path, messages, truncateExisting = false)
-    override def abort(epochId: Long,
-                       messages: Array[WriterCommitMessage]): Unit =
-      GraftOrcWrite.discard(path, messages)
+    // overwrite semantics this sink does not promise — reject up front
+    // (mirrors FileStreamSink) instead of silently re-appending each epoch
+    if (truncate) throw new UnsupportedOperationException(
+      "graft-orc: the streaming sink supports Append/Update output modes " +
+        "only; Complete mode would re-write the full result every epoch")
+    new StreamingWrite {
+      override def createStreamingWriterFactory(
+          i: PhysicalWriteInfo): StreamingDataWriterFactory = taskFactory()
+      override def commit(epochId: Long,
+                          messages: Array[WriterCommitMessage]): Unit =
+        GraftOrcWrite.publish(path, writeId, messages,
+          truncateExisting = false)
+      override def abort(epochId: Long,
+                         messages: Array[WriterCommitMessage]): Unit =
+        GraftOrcWrite.discard(path, writeId, messages)
+    }
   }
 }
 
 object GraftOrcWrite {
   private[v2] val StagingDir = "_staging"
+
+  /** Partition column types whose hive path text round-trips through
+    * read-side partition-type inference without changing type or value.
+    */
+  private[v2] def supportedPartitionType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => true
+      case _ => false
+    }
+  }
+
+  /** Append-side schema validation (ACCEPT_ANY_SCHEMA disables Spark's):
+    * an append to a non-empty table must carry the same partition layout
+    * and the same data columns (names + types, nullability ignored) as the
+    * existing files, or every later read would fail schema merge.
+    */
+  private[v2] def validateAppend(table: String, incoming: StructType,
+                                 partitionCols: Seq[String]): Unit = {
+    val spark = SparkSession.active
+    val index = try {
+      new GraftOrcFileIndex(
+        spark.sparkContext.hadoopConfiguration, Seq(table), 32)
+    } catch { case _: java.io.FileNotFoundException => return }
+    val existing =
+      try index.entries
+      catch { case _: java.io.FileNotFoundException => return }
+    if (existing.isEmpty) return
+
+    val tableParts = index.partitionColumnNames.map(_.toLowerCase)
+    val newParts = partitionCols.map(_.toLowerCase)
+    if (tableParts != newParts) throw new IllegalArgumentException(
+      s"graft-orc: append partitioned by (${newParts.mkString(", ")}) does " +
+        s"not match the table's layout (${tableParts.mkString(", ")}) at " +
+        s"$table; use overwrite to change the partition layout")
+
+    // data-file schema from a bounded sample of footers (newest files are
+    // listed last; take from both ends to catch drift cheaply)
+    val sample = (existing.take(4) ++ existing.takeRight(4)).map(_.path).distinct
+    val fileSchema = graft.sources.OrcTables.inferSchema(spark, sample)
+    val wantByName = fileSchema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val incomingData =
+      incoming.fields.filterNot(f => newParts.contains(f.name.toLowerCase))
+    val gotNames = incomingData.map(_.name.toLowerCase).toSet
+    val missing = wantByName.keySet -- gotNames
+    val extra = gotNames -- wantByName.keySet
+    if (missing.nonEmpty || extra.nonEmpty) throw new IllegalArgumentException(
+      s"graft-orc: append schema does not match the table at $table — " +
+        s"missing columns: [${missing.toSeq.sorted.mkString(", ")}], " +
+        s"unexpected columns: [${extra.toSeq.sorted.mkString(", ")}]")
+    incomingData.foreach { f =>
+      val want = wantByName(f.name.toLowerCase)
+      if (f.dataType.catalogString != want.catalogString)
+        throw new IllegalArgumentException(
+          s"graft-orc: append column ${f.name} has type " +
+            s"${f.dataType.catalogString} but the table at $table has " +
+            s"${want.catalogString}")
+    }
+  }
+
+  // Published files get driver-assigned, strictly increasing mtimes: a
+  // rename(2) preserves the source's mtime, so without this a streaming
+  // reader's (mtime, path) watermark — advanced from a listing taken
+  // between two sequential renames of one commit — could pass a
+  // not-yet-renamed file carrying an older creation mtime and skip it
+  // forever. Strict monotonicity (not just "now") also covers two files of
+  // one commit landing in the same millisecond, where the path tiebreak
+  // can order the later rename below an already-consumed watermark.
+  private val lastPublishStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[v2] def nextPublishStamp(): Long =
+    lastPublishStamp.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis()))
 
   /** Hive-style path escaping for partition values — the inverse of
     * [[GraftOrcFileIndex.unescapePathName]] (%XX for separators, glob
@@ -143,7 +246,8 @@ object GraftOrcWrite {
     * overwrite — but leaves other subdirectories (checkpoints, metadata a
     * user placed next to the data) alone.
     */
-  private def publish(table: String, messages: Array[WriterCommitMessage],
+  private def publish(table: String, writeId: String,
+                      messages: Array[WriterCommitMessage],
                       truncateExisting: Boolean): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -155,33 +259,53 @@ object GraftOrcWrite {
           (st.isDirectory && st.getPath.getName.contains("="))
       }.foreach(st => fs.delete(st.getPath, st.isDirectory))
     }
-    val stagingMarker = "/" + StagingDir + "/"
+    // lastIndexOf: a table path that itself contains "/_staging/" must not
+    // shift the split point
+    val stagingMarker = "/" + StagingDir + "/" + writeId + "/"
     messages.foreach {
       case GraftOrcCommitMessage(staged) =>
         staged.foreach { s =>
           val src = new Path(s)
-          val rel = s.substring(s.indexOf(stagingMarker) + stagingMarker.length)
+          val at = s.lastIndexOf(stagingMarker)
+          require(at >= 0, s"graft-orc: staged path $s is outside " +
+            s"this write's staging subtree $stagingMarker")
+          val rel = s.substring(at + stagingMarker.length)
           val dest = new Path(dir, rel)
           fs.mkdirs(dest.getParent)
           if (!fs.rename(src, dest))
             throw new java.io.IOException(
               s"graft-orc: commit failed to publish $src into $dest")
+          fs.setTimes(dest, nextPublishStamp(), -1)
         }
       case other =>
         throw new IllegalStateException(s"graft-orc: foreign message $other")
     }
-    fs.delete(new Path(dir, StagingDir), true)
+    dropStaging(fs, dir, writeId)
   }
 
-  private def discard(table: String,
+  private def discard(table: String, writeId: String,
                       messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(table)
     val fs = dir.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    // staged files of THIS attempt only; other writers' staging (a
-    // concurrent epoch) stays untouched
-    messages.collect { case GraftOrcCommitMessage(staged) => staged }
-      .flatten.foreach(s => fs.delete(new Path(s), false))
+    // this write's staging subtree only; a concurrent writer's staged
+    // files live under its own writeId and stay untouched
+    dropStaging(fs, dir, writeId)
+  }
+
+  /** Remove this write's staging subtree, then the shared `_staging` root
+    * if (and only if) no other writer is still staging under it.
+    */
+  private def dropStaging(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                          writeId: String): Unit = {
+    val root = new Path(dir, StagingDir)
+    fs.delete(new Path(root, writeId), true)
+    try {
+      if (fs.listStatus(root).isEmpty) fs.delete(root, false)
+    } catch {
+      case _: java.io.FileNotFoundException => // already gone
+      case _: java.io.IOException => // raced with a concurrent writer
+    }
   }
 }
 
@@ -201,7 +325,8 @@ case class GraftOrcWriterFactory(table: String, schema: StructType,
                                  owf: OutputWriterFactory,
                                  conf: SerializableConfiguration,
                                  partSpecs: Array[GraftPartCol] = Array.empty,
-                                 fileFieldIdx: Array[Int] = Array.empty)
+                                 fileFieldIdx: Array[Int] = Array.empty,
+                                 writeId: String = "adhoc")
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -231,7 +356,7 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
     writers.getOrElseUpdate(suffix, {
       val name = s"part-$epochId-$partitionId-${UUID.randomUUID()}" +
         f.owf.getFileExtension(context)
-      val base = new Path(f.table, GraftOrcWrite.StagingDir)
+      val base = new Path(new Path(f.table, GraftOrcWrite.StagingDir), f.writeId)
       val stagedDir = if (suffix.isEmpty) base else new Path(base, suffix)
       val staged = new Path(stagedDir, name)
       val fs = staged.getFileSystem(f.conf.value)
@@ -248,6 +373,18 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
     val raw = c.dataType match {
       case DateType =>
         java.time.LocalDate.ofEpochDay(row.getInt(c.index).toLong).toString
+      case TimestampType =>
+        // micros since epoch → "uuuu-MM-dd HH:mm:ss[.SSSSSS]" in UTC (the
+        // zone the reader's partition-value cast uses); raw micros would
+        // read back as bigint, silently changing type AND value
+        val micros = row.getLong(c.index)
+        val secs = Math.floorDiv(micros, 1000000L)
+        val frac = Math.floorMod(micros, 1000000L)
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          secs, frac.toInt * 1000, java.time.ZoneOffset.UTC)
+        val base = ldt.format(java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd HH:mm:ss"))
+        if (frac == 0L) base else f"$base.$frac%06d"
       case StringType => row.getUTF8String(c.index).toString
       case dt => row.get(c.index, dt).toString
     }

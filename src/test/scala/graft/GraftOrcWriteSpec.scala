@@ -121,16 +121,151 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     val row = org.apache.spark.sql.catalyst.InternalRow(
       0, org.apache.spark.unsafe.types.UTF8String.fromString("x"), 0)
     writer.write(row)
-    val staging = new java.io.File(dir, "_staging")
-    assert(staging.listFiles() != null && staging.listFiles().nonEmpty,
+    // staged files live under _staging/<writeId>/ — scan recursively
+    def stagedFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      walk(new java.io.File(dir, "_staging"))
+    }
+    assert(stagedFiles().nonEmpty,
       "expected a staged file while the task is open")
     writer.abort()
-    assert(staging.listFiles() == null || staging.listFiles().isEmpty,
-      "abort must delete the staged file")
+    assert(stagedFiles().isEmpty, "abort must delete the staged file")
     // nothing was published
     val published = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".orc"))
     assert(published.isEmpty)
+  }
+
+  test("append with a mismatched schema is rejected; overwrite is not") {
+    val dir = freshDir("graft-orc-w9")
+    nation.write.format("graft-orc").mode("append").save(dir)
+    // dropped column
+    val e1 = intercept[Exception] {
+      nation.drop("n_name").write.format("graft-orc")
+        .mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("missing columns"), e1.getMessage)
+    // changed column type
+    val e2 = intercept[Exception] {
+      nation.withColumn("n_nationkey", $"n_nationkey".cast("string"))
+        .write.format("graft-orc").mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("has type"), e2.getMessage)
+    // changed partition layout
+    val e3 = intercept[Exception] {
+      nation.write.format("graft-orc").partitionBy("n_regionkey")
+        .mode("append").save(dir)
+    }
+    assert(e3.getMessage.contains("partition"), e3.getMessage)
+    // table is unpoisoned: reads still work, matching append still works
+    assert(spark.read.format("graft-orc").load(dir).count() === nation.count())
+    nation.write.format("graft-orc").mode("append").save(dir)
+    // overwrite may change the schema freely
+    nation.drop("n_name").write.format("graft-orc")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.columns.toSet === nation.drop("n_name").columns.toSet)
+  }
+
+  test("timestamp partition values round-trip value-faithfully") {
+    val dir = freshDir("graft-orc-w10")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-08-11 19:33:20")),
+      (2L, java.sql.Timestamp.valueOf("2024-08-11 19:33:20.123456")),
+      (3L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "ts")
+    df.write.format("graft-orc").partitionBy("ts").mode("append").save(dir)
+    // inferred read: value-faithful TEXT, string type — the same contract
+    // as Spark's built-in file sources (raw micros would come back as a
+    // bigint like 1723400000000000, changing both type and value)
+    val inferred = spark.read.format("graft-orc").load(dir)
+    assert(inferred.schema("ts").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(inferred.select($"id", $"ts").as[(Long, String)].collect().toSet
+      === Set((1L, "2024-08-11 19:33:20"),
+              (2L, "2024-08-11 19:33:20.123456"),
+              (3L, null)))
+    // user-supplied schema: full timestamp fidelity, and pruning works
+    val typed = spark.read.format("graft-orc").schema(df.schema).load(dir)
+    assert(typed.as[(Long, java.sql.Timestamp)].collect().toSet ===
+      df.as[(Long, java.sql.Timestamp)].collect().toSet)
+    assert(typed.filter(
+      $"ts" === java.sql.Timestamp.valueOf("2024-08-11 19:33:20")).count() === 1)
+  }
+
+  test("unsupported partition column types are rejected at plan time") {
+    val dir = freshDir("graft-orc-w11")
+    val e = intercept[Exception] {
+      Seq((1L, 1.5d)).toDF("id", "score").write.format("graft-orc")
+        .partitionBy("score").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("unsupported partition column type"),
+      e.getMessage)
+  }
+
+  test("streaming sink rejects Complete output mode up front") {
+    val src = freshDir("graft-orc-complete-src")
+    val out = freshDir("graft-orc-complete-out")
+    val ckpt = freshDir("graft-orc-complete-ckpt")
+    nation.limit(5).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(nation.schema).parquet(src)
+      .groupBy($"n_regionkey").count()
+      .writeStream.format("graft-orc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .start(out)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getCause.getMessage.contains("Append/Update"),
+      e.getCause.getMessage)
+  }
+
+  test("one write's commit leaves a concurrent write's staging untouched") {
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val dir = freshDir("graft-orc-w12")
+    def info = new LogicalWriteInfo {
+      override def queryId(): String = "t"
+      override def schema() = nation.schema
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir))
+    }
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      0, org.apache.spark.unsafe.types.UTF8String.fromString("x"), 0)
+    // writer A stages a file and stays open
+    val writeA = new graft.sources.v2.GraftOrcWriteBuilder(Seq(dir), info)
+      .build()
+    val wA = writeA.toBatch.createBatchWriterFactory(null).createWriter(0, 0L)
+    wA.write(row)
+    // writer B stages, commits and publishes while A is still staging
+    val writeB = new graft.sources.v2.GraftOrcWriteBuilder(Seq(dir), info)
+      .build()
+    val batchB = writeB.toBatch
+    val wB = batchB.createBatchWriterFactory(null).createWriter(0, 1L)
+    wB.write(row)
+    batchB.commit(Array(wB.commit()))
+    // B's file is published; A's staged file survived B's cleanup
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".orc")) === 1)
+    val mA = wA.commit()
+    writeA.toBatch.commit(Array(mA))
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".orc")) === 2)
+    assert(!new java.io.File(dir, "_staging").exists())
+  }
+
+  test("published files carry strictly increasing mtimes") {
+    val dir = freshDir("graft-orc-w13")
+    nation.repartition(4).write.format("graft-orc").mode("append").save(dir)
+    val times = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.lastModified()).toSeq
+    assert(times.size === 4)
+    assert(times.distinct.size === 4,
+      s"expected distinct publish stamps, got $times")
   }
 
   test("watermarked streaming aggregation lands finalized windows in ORC") {
