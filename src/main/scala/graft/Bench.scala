@@ -123,7 +123,12 @@ object Bench {
     // anti join), DSv2 sink round trip (write protocol + read-back)
     "pp_stratified_sample", "pp_sequence_pack", "ta_repetition",
     "pp_pii_redact", "ta_chunking", "pp_url_domains", "ta_bigram_lm",
-    "q71_orc_sink_roundtrip", "q74_ntile_spend_quartiles")
+    "q71_orc_sink_roundtrip", "q74_ntile_spend_quartiles",
+    // second TPC-DS wave: reused-aggregate threshold (q1 family),
+    // fact-to-fact self-join chain (q25/q29), wide conditional-agg pivot
+    // (q66), aggregate-of-aggregate histogram (q54)
+    "q76_returns_above_avg", "q78_sold_then_returned",
+    "q82_monthly_nation_pivot", "q85_revenue_band_histogram")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

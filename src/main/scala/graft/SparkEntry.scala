@@ -15,7 +15,8 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[QueryDef] =
-    Relational.defs ++ TpcdsShapes.defs ++ TextAnalysis.defs ++ Dedup.defs ++
+    Relational.defs ++ TpcdsShapes.defs ++ TpcdsShapes2.defs ++
+      TextAnalysis.defs ++ Dedup.defs ++
       Similarity.defs ++ Multimodal.defs ++ TypedOps.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

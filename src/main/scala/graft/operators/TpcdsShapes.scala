@@ -33,9 +33,9 @@ object TpcdsShapes {
 
   // revenue term: computed double -> DECIMAL(30,8) (scale-2 rounds ties
   // differently across engines; at scale 8 ties are ~1e-8 probable)
-  private def revDec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+  private[operators] def revDec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     .cast(DecimalType(30, 8))
-  private val oRev =
+  private[operators] val oRev =
     "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))"
 
   /** q53 body over an injectable lineitem frame — one definition shared by
@@ -106,7 +106,7 @@ object TpcdsShapes {
   // ...8907003 on the q45 grand total). Rounding the exact decimal to
   // scale 2 first (HALF_UP in both engines for positive values) keeps
   // the scaled integer within 2^53, making the double conversion exact.
-  private def decToDouble(c: Column, alias: String): Column =
+  private[operators] def decToDouble(c: Column, alias: String): Column =
     round(c, 2).cast("double").as(alias)
 
   val defs: Seq[QueryDef] = Seq(
