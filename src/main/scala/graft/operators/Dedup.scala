@@ -261,13 +261,16 @@ object Dedup {
       None),
 
     // ------------------------------------------------------------ embedding
-    // Embedding-cosine near-dup (exact form): all pairs >= 0.45 cosine.
-    // Oracle-checked: threshold sits >1e-3 from any pair's score, so the
-    // float-vs-double engine difference (~1e-6) cannot flip membership;
-    // scores themselves stay out of the output.
+    // Embedding-cosine near-dup (exact form): all pairs >= 0.45 cosine
+    // over a HARD-BOUNDED id range (vec_id < 1000, like the Jaccard
+    // demos' doc_id < 120) — the exact-oracle correctness twin of
+    // dd_embed_lsh, which is the unbounded scale path and the one
+    // benched. Oracle-checked: threshold sits >1e-3 from any pair's
+    // score, so the float-vs-double engine difference (~1e-6) cannot
+    // flip membership; scores themselves stay out of the output.
     QueryDef("dd_embed_cosine",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
         a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -277,7 +280,8 @@ object Dedup {
       },
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id
              |FROM embeddings a, embeddings b
-             |WHERE a.vec_id < b.vec_id
+             |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+             |  AND a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
              |ORDER BY a_id, b_id""".stripMargin)),
 

@@ -499,7 +499,10 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     new GraftOrcMicroBatchStream(this,
       GraftOrcDataSource.paths(
         new CaseInsensitiveStringMap(options.asJava)),
-      spark.sparkContext.hadoopConfiguration, metaParallelism)
+      spark.sparkContext.hadoopConfiguration, metaParallelism,
+      options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.toInt
+      })
 
   override def description(): String =
     s"GraftOrcScan files=${index.entries.size}, " +

@@ -5,7 +5,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 
 /** Micro-batch streaming source over a graft-orc directory: the directory
   * IS the stream, and each batch covers the files that appeared since the
@@ -19,11 +19,16 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * directory-as-table layout needs (the reference's listing tables make
   * the same assumption): a writer that backdates mtimes below the
   * consumed watermark would be skipped — use the graft-orc SINK, whose
-  * commit explicitly stamps each published file with a strictly
-  * increasing mtime (rename(2) preserves the source's creation mtime on
-  * HDFS-like stores, so without the stamp a listing taken between one
-  * commit's sequential renames could advance the watermark past a
-  * not-yet-renamed file and drop it forever).
+  * commit explicitly stamps each staged file with a strictly increasing
+  * mtime and publishes whole waves atomically (one directory rename per
+  * partition), so a listing taken mid-commit sees a stamp-prefix of the
+  * commit and never drops a file.
+  *
+  * Admission control ([[SupportsAdmissionControl]]): a `maxFilesPerTrigger`
+  * read option caps each batch, so a large backfill drains as bounded
+  * micro-batches instead of one giant one. The listing is taken ONCE per
+  * trigger — `latestOffset` caches it and `planInputPartitions` for the
+  * same end offset reuses it rather than re-listing the directory.
   *
   * Static partition filters (pushed at plan time) keep pruning per batch;
   * the scan's column pruning and SARG compilation apply unchanged because
@@ -32,8 +37,9 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * keep offsets trivially replayable.
   */
 class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
-                               conf: Configuration, metaParallelism: Int)
-    extends MicroBatchStream {
+                               conf: Configuration, metaParallelism: Int,
+                               maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listing(): Seq[OrcFileEntry] =
     scan.pruneEntries(
@@ -44,20 +50,47 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
   private def after(e: OrcFileEntry, o: GraftOrcStreamOffset): Boolean =
     e.mtime > o.mtime || (e.mtime == o.mtime && e.path > o.path)
 
+  // one listing per trigger: latestOffset snapshots (listing, end) and
+  // planInputPartitions for that same end reuses it
+  @volatile private var cached: (GraftOrcStreamOffset, Seq[OrcFileEntry]) = null
+
   override def initialOffset(): Offset = GraftOrcStreamOffset(-1L, "")
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOrcStreamOffset]
     val l = listing()
-    if (l.isEmpty) initialOffset()
-    else GraftOrcStreamOffset(l.last.mtime, l.last.path)
+    val pending = l.filter(e => after(e, s))
+    val admitted = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
+    }
+    val end =
+      if (admitted.isEmpty) s
+      else GraftOrcStreamOffset(admitted.last.mtime, admitted.last.path)
+    cached = (end, l)
+    end
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val c = cached
+    if (c == null || c._2.isEmpty) initialOffset()
+    else GraftOrcStreamOffset(c._2.last.mtime, c._2.last.path)
   }
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOrcStreamOffset]
     val e = end.asInstanceOf[GraftOrcStreamOffset]
-    listing()
-      .filter(f => after(f, s) && !after(f, e))
+    val c = cached
+    val l = if (c != null && c._1 == e) c._2 else listing()
+    l.filter(f => after(f, s) && !after(f, e))
       .map(f => GraftOrcInputPartition(f.path, 0, f.length,
         scan.partValuesFor(f), f.length))
       .toArray[InputPartition]

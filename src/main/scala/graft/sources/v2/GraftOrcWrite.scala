@@ -25,16 +25,20 @@ import org.apache.spark.util.SerializableConfiguration
   * Protocol: every task writes ONE ORC file under
   * `<table>/_staging/<writeId>/` (a per-query UUID subtree, so concurrent
   * writers to one table never touch each other's staged files) with a
-  * globally unique name; the driver's commit renames staged files into
-  * the table directory, stamps each published file with a strictly
-  * increasing mtime (the streaming source's watermark contract), and
-  * drops this write's staging subtree. Renames are per-file
-  * atomic on HDFS-like stores, so readers never observe a partial FILE; a
-  * crash between renames can expose a partial COMMIT — the same
-  * no-transaction-log tradeoff as the reference's directory tables, where
-  * the listing defines the table. Task retries are safe: an aborted or
-  * orphaned attempt's staged file is never renamed in, and unique names
-  * mean a retry never collides with the original.
+  * globally unique name; the driver's commit stamps staged files with
+  * strictly increasing mtimes (the streaming source's watermark
+  * contract), then publishes each partition suffix as ONE atomic
+  * directory rename into `<table>[/<k=v>]/w-<commitId>/` — O(partitions)
+  * driver RPCs, not O(files) — and drops this write's staging subtree.
+  * Readers never observe a partial WAVE; a crash between wave renames
+  * can expose a partial COMMIT — the same no-transaction-log tradeoff as
+  * the reference's directory tables, where the listing defines the
+  * table. (On S3A-style stores a "rename" is a copy; a real deployment
+  * would point staging at the same bucket and rely on the store's
+  * server-side rename, or add a metadata log.) Task retries are safe: an
+  * aborted or orphaned attempt's staged file is filtered out of its wave
+  * before the rename, and unique names mean a retry never collides with
+  * the original.
   *
   * Streaming uses the identical machinery per epoch; Spark's checkpoint
   * tracking makes committed epochs never re-execute, so appends are
@@ -246,6 +250,18 @@ object GraftOrcWrite {
     * overwrite — but leaves other subdirectories (checkpoints, metadata a
     * user placed next to the data) alone.
     */
+  /** Wave commit: instead of renaming files one by one (O(files) serial
+    * driver RPCs — minutes at a 100k-file partitioned commit), each
+    * partition suffix publishes as ONE atomic directory rename of its
+    * staged subtree into `<table>[/<suffix>]/w-<commitId>/`. The
+    * per-file work that remains — orphan filtering and mtime stamping —
+    * runs bounded-parallel while the files are still under `_staging/`
+    * (invisible: listings skip `_`-prefixed directories), so readers only
+    * ever observe whole waves. Wave renames run sequentially in stamp
+    * order, keeping the streaming source's (mtime, path) watermark
+    * contract: a listing between two renames sees a stamp-prefix of the
+    * commit, never a later-stamped file before an earlier one.
+    */
   private def publish(table: String, writeId: String,
                       messages: Array[WriterCommitMessage],
                       truncateExisting: Boolean): Unit = {
@@ -256,29 +272,57 @@ object GraftOrcWrite {
     if (truncateExisting) {
       fs.listStatus(dir).filter { st =>
         (st.isFile && st.getPath.getName.endsWith(".orc")) ||
-          (st.isDirectory && st.getPath.getName.contains("="))
+          (st.isDirectory && (st.getPath.getName.contains("=") ||
+            st.getPath.getName.startsWith("w-")))
       }.foreach(st => fs.delete(st.getPath, st.isDirectory))
     }
     // lastIndexOf: a table path that itself contains "/_staging/" must not
     // shift the split point
     val stagingMarker = "/" + StagingDir + "/" + writeId + "/"
-    messages.foreach {
-      case GraftOrcCommitMessage(staged) =>
-        staged.foreach { s =>
-          val src = new Path(s)
-          val at = s.lastIndexOf(stagingMarker)
-          require(at >= 0, s"graft-orc: staged path $s is outside " +
-            s"this write's staging subtree $stagingMarker")
-          val rel = s.substring(at + stagingMarker.length)
-          val dest = new Path(dir, rel)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(src, dest))
-            throw new java.io.IOException(
-              s"graft-orc: commit failed to publish $src into $dest")
-          fs.setTimes(dest, nextPublishStamp(), -1)
-        }
+    val staged: Seq[String] = messages.toSeq.flatMap {
+      case GraftOrcCommitMessage(s) => s
       case other =>
         throw new IllegalStateException(s"graft-orc: foreign message $other")
+    }
+    if (staged.nonEmpty) {
+      val stagingSub = new Path(new Path(dir, StagingDir), writeId)
+      // group staged files by partition suffix ("" when unpartitioned)
+      val bySuffix: Seq[(String, Seq[Path])] = staged.map { s =>
+        val at = s.lastIndexOf(stagingMarker)
+        require(at >= 0, s"graft-orc: staged path $s is outside " +
+          s"this write's staging subtree $stagingMarker")
+        val rel = s.substring(at + stagingMarker.length)
+        val cut = rel.lastIndexOf('/')
+        (if (cut < 0) "" else rel.substring(0, cut)) -> new Path(s)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+      // wave source dirs may carry files NOT in the commit messages (a
+      // task attempt that died without abort); they must not ride along
+      // on the directory rename — the old per-file protocol's
+      // orphans-never-published guarantee, kept wave-wise
+      GraftOrcFileIndex.parallelMap(bySuffix, 32) { case (suffix, files) =>
+        val src = if (suffix.isEmpty) stagingSub else new Path(stagingSub, suffix)
+        val keep = files.map(_.getName).toSet
+        fs.listStatus(src).filterNot(st => keep(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      // stamp files while still staged (invisible), strictly increasing
+      // with suffix groups contiguous in wave-rename order
+      val stamped = bySuffix.flatMap(_._2.sortBy(_.getName))
+        .map(p => p -> nextPublishStamp())
+      GraftOrcFileIndex.parallelMap(stamped, 32) { case (p, t) =>
+        fs.setTimes(p, t, -1)
+      }
+      // one atomic rename per partition suffix, sequential in stamp order
+      val commitId = UUID.randomUUID().toString
+      bySuffix.foreach { case (suffix, _) =>
+        val src = if (suffix.isEmpty) stagingSub else new Path(stagingSub, suffix)
+        val destParent = if (suffix.isEmpty) dir else new Path(dir, suffix)
+        fs.mkdirs(destParent)
+        val dest = new Path(destParent, s"w-$commitId")
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(
+            s"graft-orc: commit failed to publish wave $src into $dest")
+      }
     }
     dropStaging(fs, dir, writeId)
   }
@@ -391,21 +435,23 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
     GraftOrcWrite.escapePathName(raw)
   }
 
+  // projects partition columns OUT of the written row (they live in the
+  // path; the reader re-materializes them) — one codegen'd UnsafeProjection
+  // per writer, zero per-row allocation/boxing (the returned row is a
+  // reused buffer; the ORC serializer consumes it before the next call)
+  private lazy val fileProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      f.fileFieldIdx.zip(f.schema.fields).map { case (ordinal, field) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          ordinal, field.dataType, field.nullable)
+      }.toIndexedSeq)
+
   override def write(record: InternalRow): Unit = {
     if (f.partSpecs.isEmpty) writerFor("").write(record)
     else {
       val suffix = f.partSpecs
         .map(c => c.name + "=" + pathValue(record, c)).mkString("/")
-      // project partition columns OUT of the written row (they live in
-      // the path; the reader re-materializes them)
-      val vals = new Array[Any](f.fileFieldIdx.length)
-      var i = 0
-      while (i < vals.length) {
-        vals(i) = record.get(f.fileFieldIdx(i), f.schema.fields(i).dataType)
-        i += 1
-      }
-      writerFor(suffix).write(
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+      writerFor(suffix).write(fileProj(record))
     }
   }
 

@@ -112,6 +112,36 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
     assert(got.select($"n_nationkey").distinct().count() === nation.count())
   }
 
+  test("maxFilesPerTrigger drains a backfill as bounded micro-batches") {
+    val dir = Files.createTempDirectory("graft-orc-throttle-src").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    // three files already present at stream start (a backfill)
+    graft.sources.OrcTables.write(
+      nation.filter($"n_nationkey" < 8).coalesce(1), s"$dir/w1",
+      mode = "overwrite")
+    graft.sources.OrcTables.write(
+      nation.filter($"n_nationkey" >= 8 && $"n_nationkey" < 16).coalesce(1),
+      s"$dir/w2", mode = "overwrite")
+    graft.sources.OrcTables.write(
+      nation.filter($"n_nationkey" >= 16).coalesce(1), s"$dir/w3",
+      mode = "overwrite")
+    val q = spark.readStream.format("graft-orc")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("orc_throttled")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // every row arrived exactly once...
+      val got = spark.table("orc_throttled")
+      assert(got.count() === nation.count())
+      assert(got.select($"n_nationkey").distinct().count() === nation.count())
+      // ...across at least 3 one-file batches, never one giant batch
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected >=3 bounded batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("offsets serialize and deserialize losslessly") {
     import graft.sources.v2.GraftOrcStreamOffset
     val o = GraftOrcStreamOffset(1234L, "/x/a b/part-0.orc")

@@ -15,6 +15,17 @@ class GraftOrcWriteSpec extends AnyFunSuite {
   private def freshDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Published .orc files anywhere under the table (waves publish into
+    * `w-<commitId>/` subdirectories; staging subtrees excluded).
+    */
+  private def publishedOrcFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f).filter(_.getName.endsWith(".orc"))
+      else if (f.getName.startsWith("_")) Nil
+      else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    walk(new java.io.File(dir))
+  }
+
   private def nation = Tables.nation(spark, TestSpark.sf0001)
 
   test("batch write to an empty dir round-trips through the connector") {
@@ -42,7 +53,7 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     val dir = freshDir("graft-orc-w3")
     nation.write.format("graft-orc").option("compression", "zstd")
       .mode("append").save(dir)
-    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".orc"))
+    val files = publishedOrcFiles(dir)
     assert(files.nonEmpty && files.forall(_.getName.contains("zstd")))
     assert(spark.read.format("graft-orc").load(dir).count() === nation.count())
   }
@@ -52,8 +63,7 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     // 4-partition df with all rows in few partitions after a filter
     nation.repartition(4).filter($"n_nationkey" < 0)
       .write.format("graft-orc").mode("append").save(dir)
-    val files = new java.io.File(dir).listFiles()
-    assert(files == null || files.forall(f => !f.getName.endsWith(".orc")))
+    assert(publishedOrcFiles(dir).isEmpty)
   }
 
   test("partitionBy writes a hive layout the connector reads back with pruning") {
@@ -249,20 +259,45 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     wB.write(row)
     batchB.commit(Array(wB.commit()))
     // B's file is published; A's staged file survived B's cleanup
-    assert(new java.io.File(dir).listFiles()
-      .count(_.getName.endsWith(".orc")) === 1)
+    assert(publishedOrcFiles(dir).size === 1)
     val mA = wA.commit()
     writeA.toBatch.commit(Array(mA))
-    assert(new java.io.File(dir).listFiles()
-      .count(_.getName.endsWith(".orc")) === 2)
+    assert(publishedOrcFiles(dir).size === 2)
+    assert(!new java.io.File(dir, "_staging").exists())
+  }
+
+  test("an orphaned attempt's staged file never rides a wave rename") {
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    val dir = freshDir("graft-orc-w14")
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "t"
+      override def schema() = nation.schema
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir))
+    }
+    val write = new graft.sources.v2.GraftOrcWriteBuilder(Seq(dir), info)
+      .build()
+    val batch = write.toBatch
+    val w = batch.createBatchWriterFactory(null).createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      0, org.apache.spark.unsafe.types.UTF8String.fromString("x"), 0))
+    // simulate a task attempt that died without abort: an extra staged
+    // file in the same write's staging subtree, absent from the messages
+    val sub = new java.io.File(dir, "_staging").listFiles().head
+    val orphan = new java.io.File(sub, "part-0-0-deadattempt.snappy.orc")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    batch.commit(Array(w.commit()))
+    val published = publishedOrcFiles(dir)
+    assert(published.size === 1, published.map(_.getName))
+    assert(!published.head.getName.contains("deadattempt"))
     assert(!new java.io.File(dir, "_staging").exists())
   }
 
   test("published files carry strictly increasing mtimes") {
     val dir = freshDir("graft-orc-w13")
     nation.repartition(4).write.format("graft-orc").mode("append").save(dir)
-    val times = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".orc")).map(_.lastModified()).toSeq
+    val times = publishedOrcFiles(dir).map(_.lastModified())
     assert(times.size === 4)
     assert(times.distinct.size === 4,
       s"expected distinct publish stamps, got $times")

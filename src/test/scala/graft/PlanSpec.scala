@@ -155,8 +155,8 @@ class PlanSpec extends AnyFunSuite {
   // CartesianProduct or an unbounded BroadcastNestedLoopJoin. The
   // allowlists name the deliberate exceptions and why each is bounded:
   //  - crossOk: exact-form oracle demos over a hard-bounded id range
-  //    (doc_id < 120 / the full embeddings table at oracle scale), kept as
-  //    correctness twins of the LSH scale paths — never benched;
+  //    (doc_id < 120 / vec_id < 1000), kept as correctness twins of the
+  //    LSH scale paths — never benched;
   //  - bnljOk: the broadcast side is a constant-size set (5 query vectors,
   //    16 centroids, band-join demo row, a 1-row scalar aggregate) so cost
   //    is O(n * k) with k fixed — linear in data.
