@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -369,6 +370,139 @@ object TpcdsShapes2 {
               |SELECT CAST(floor(CAST(round(rev, 2) AS DOUBLE) / 50000.0)
               |    AS BIGINT) AS band,
               |  count(*) AS n_customers
-              |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------- q86
+    // TPC-DS q47/q57 shape: windowed deviation-from-year-average with
+    // lag/lead context — monthly brand revenue, kept when it deviates
+    // >10% from that brand-year's average, reported with its neighbor
+    // months. Both windows run over the PRE-AGGREGATED (brand, yr, mo)
+    // frame. The deviation predicate is cross-multiplied
+    // (|rev*cnt - yr_sum| > 0.1*yr_sum) so no engine ever divides: every
+    // operand is the same rounded-decimal double on both sides.
+    QueryDef("q86_window_lag_deviation",
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"),
+            year(col("l_shipdate")).cast("long").as("yr"),
+            month(col("l_shipdate")).cast("long").as("mo"))
+          .agg(sum(revDec).as("r"))
+        val wYr = Window.partitionBy(col("p_brand"), col("yr"))
+        val wSeq = Window.partitionBy(col("p_brand"))
+          .orderBy(col("yr"), col("mo"))
+        val revD = round(col("r"), 2).cast("double")
+        m.withColumn("rev", revD)
+          .withColumn("yr_sum_d",
+            round(sum(col("r")).over(wYr), 2).cast("double"))
+          .withColumn("yr_cnt", count(lit(1)).over(wYr))
+          .withColumn("prev_rev", lag(revD, 1).over(wSeq))
+          .withColumn("next_rev", lead(revD, 1).over(wSeq))
+          .filter(abs(col("rev") * col("yr_cnt") - col("yr_sum_d"))
+            > lit(0.1) * col("yr_sum_d"))
+          .select(col("p_brand"), col("yr"), col("mo"), col("rev"),
+            col("prev_rev"), col("next_rev"))
+          .orderBy(col("p_brand"), col("yr"), col("mo"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT p_brand, year(l_shipdate) AS yr,
+              |    month(l_shipdate) AS mo, sum($oRev) AS r
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  GROUP BY 1, 2, 3),
+              |w AS (
+              |  SELECT p_brand, yr, mo,
+              |    CAST(round(r, 2) AS DOUBLE) AS rev,
+              |    CAST(round(sum(r) OVER (PARTITION BY p_brand, yr), 2)
+              |      AS DOUBLE) AS yr_sum_d,
+              |    count(*) OVER (PARTITION BY p_brand, yr) AS yr_cnt,
+              |    lag(CAST(round(r, 2) AS DOUBLE), 1)
+              |      OVER (PARTITION BY p_brand ORDER BY yr, mo) AS prev_rev,
+              |    lead(CAST(round(r, 2) AS DOUBLE), 1)
+              |      OVER (PARTITION BY p_brand ORDER BY yr, mo) AS next_rev
+              |  FROM m)
+              |SELECT p_brand, yr, mo, rev, prev_rev, next_rev
+              |FROM w
+              |WHERE abs(rev * yr_cnt - yr_sum_d) > 0.1 * yr_sum_d
+              |ORDER BY p_brand, yr, mo""".stripMargin)),
+
+    // ---------------------------------------------------------------- q87
+    // TPC-DS q78 shape: sold-without-return share per part type — sales
+    // lines LEFT joined to the DISTINCT returned (order, part) keys, the
+    // null-extended rows being the unreturned sales, both totals from one
+    // conditional-agg pass. The distinct collapses the return side BEFORE
+    // the join (no row multiplication); both fact sides shuffle on the
+    // same (orderkey, partkey) key.
+    QueryDef("q87_unreturned_share",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val rets = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk"))
+          .distinct()
+        li.filter(col("l_returnflag") === "N")
+          .join(rets, col("l_orderkey") === col("r_ok") &&
+            col("l_partkey") === col("r_pk"), "left")
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"))
+          .agg(decToDouble(sum(revDec), "total_rev"),
+            decToDouble(sum(when(col("r_ok").isNull, revDec)
+              .otherwise(lit(0).cast(DecimalType(30, 8)))), "unret_rev"))
+          .withColumn("unret_share", col("unret_rev") / col("total_rev"))
+          .orderBy(col("p_type"))
+      },
+      Some(s"""SELECT p_type,
+              |  CAST(round(sum($oRev), 2) AS DOUBLE) AS total_rev,
+              |  CAST(round(sum(CASE WHEN r.r_ok IS NULL THEN $oRev
+              |    ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+              |    AS unret_rev,
+              |  CAST(round(sum(CASE WHEN r.r_ok IS NULL THEN $oRev
+              |    ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+              |    / CAST(round(sum($oRev), 2) AS DOUBLE) AS unret_share
+              |FROM lineitem s
+              |LEFT JOIN (SELECT DISTINCT l_orderkey AS r_ok,
+              |    l_partkey AS r_pk
+              |  FROM lineitem WHERE l_returnflag = 'R') r
+              |  ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+              |JOIN part ON s.l_partkey = p_partkey
+              |WHERE s.l_returnflag = 'N'
+              |GROUP BY p_type ORDER BY p_type""".stripMargin)),
+
+    // ---------------------------------------------------------------- q88
+    // TPC-DS q64 shape: multi-round fact chain — (customer, part) pairs
+    // bought in consecutive years, via a self-join of the (cust, part,
+    // year) aggregate with its year-shifted twin, rolled up per year.
+    // The fact shuffles ONCE on (custkey, partkey, yr); the self-join
+    // runs on the aggregated frame.
+    QueryDef("q88_repeat_buyers",
+      (s, d) => {
+        val cp = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_partkey"),
+            year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(sum(revDec).as("rev"))
+        val prev = cp.select(col("o_custkey").as("p_ck"),
+          col("l_partkey").as("p_pk"), (col("yr") + 1).as("p_yr"),
+          col("rev").as("prev_rev"))
+        cp.join(prev, col("o_custkey") === col("p_ck") &&
+            col("l_partkey") === col("p_pk") && col("yr") === col("p_yr"))
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_repeat_pairs"),
+            decToDouble(sum(col("rev")), "repeat_rev"),
+            decToDouble(sum(col("prev_rev")), "prior_rev"))
+          .orderBy(col("yr"))
+      },
+      Some(s"""WITH cp AS (
+              |  SELECT o_custkey, l_partkey, year(o_orderdate) AS yr,
+              |    sum($oRev) AS rev
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2, 3)
+              |SELECT a.yr, count(*) AS n_repeat_pairs,
+              |  CAST(round(sum(a.rev), 2) AS DOUBLE) AS repeat_rev,
+              |  CAST(round(sum(b.rev), 2) AS DOUBLE) AS prior_rev
+              |FROM cp a JOIN cp b
+              |  ON a.o_custkey = b.o_custkey AND a.l_partkey = b.l_partkey
+              |  AND a.yr = b.yr + 1
+              |GROUP BY a.yr ORDER BY a.yr""".stripMargin))
   )
 }

@@ -205,6 +205,65 @@ class GraftOrcSourceSpec extends AnyFunSuite {
       Map("zero" -> "0", "one" -> "1"))
   }
 
+  test("struct columns read, prune and filter identically through graft-orc") {
+    // the reference declares STRUCT in its type matrix (src/lib.rs:156);
+    // pin the connector's nested-column handling: whole-struct reads,
+    // nested-field projection (requestedColumnIds on a nested schema),
+    // and a filter over a nested field
+    val dir = java.nio.file.Files.createTempDirectory("graft-struct").toString
+    spark.sql(
+      """SELECT id,
+        |  named_struct('name', concat('n', CAST(id AS STRING)),
+        |               'score', id * 10,
+        |               'tags', array(CAST(id AS STRING), 'x')) AS info
+        |FROM range(0, 100) AS t(id)""".stripMargin)
+      .write.mode("overwrite").orc(dir)
+    val g = spark.read.format("graft-orc").load(dir)
+    val b = spark.read.orc(dir)
+    // whole-struct parity
+    assert(g.orderBy($"id").collect() === b.orderBy($"id").collect())
+    // nested-field projection: only the struct column survives pruning,
+    // and values match the built-in source
+    val gNested = g.select($"id", $"info.score".as("score"))
+    assert(gNested.orderBy($"id").collect() ===
+      b.select($"id", $"info.score".as("score")).orderBy($"id").collect())
+    // filter over a nested field
+    assert(g.filter($"info.score" >= 500).count() ===
+      b.filter($"info.score" >= 500).count())
+    // array-in-struct survives
+    assert(g.select($"info.tags").orderBy($"id").head()
+      .getAs[Seq[String]](0) === Seq("0", "x"))
+  }
+
+  test("CHAR/VARCHAR columns round-trip with Spark's padding semantics") {
+    // reference README.md:116-117 leaves CHAR/VARCHAR pending; pin the
+    // Spark-side contract through the connector: CHAR(n) values compare
+    // blank-padded, VARCHAR(n) truncates nothing on read, and both read
+    // back identically to the built-in ORC source
+    val dir = java.nio.file.Files.createTempDirectory("graft-char").toString
+    spark.sql("DROP TABLE IF EXISTS graft_char_t")
+    spark.sql(
+      s"""CREATE TABLE graft_char_t (id INT, c CHAR(5), v VARCHAR(8))
+         |USING ORC LOCATION '$dir'""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_char_t VALUES
+        |  (1, 'ab', 'short'), (2, 'exact', 'len8len8'), (3, '', 'x')"""
+        .stripMargin)
+    try {
+      val g = spark.read.format("graft-orc").load(dir)
+      val b = spark.read.orc(dir)
+      assert(g.orderBy($"id").collect() === b.orderBy($"id").collect())
+      // CHAR(5) storage is blank-padded to length 5 by the writer
+      val chars = g.orderBy($"id").select($"c").as[String].collect().toSeq
+      assert(chars === Seq("ab   ", "exact", "     "))
+      // VARCHAR reads back exactly what was written
+      assert(g.orderBy($"id").select($"v").as[String].collect().toSeq ===
+        Seq("short", "len8len8", "x"))
+      // a filter on the padded form matches through the connector
+      assert(g.filter($"c" === "ab   ").count() === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_char_t")
+  }
+
   test("stripe-aligned splits: a multi-stripe file fans out to multiple partitions") {
     val hc = spark.sparkContext.hadoopConfiguration
     val dir = java.nio.file.Files.createTempDirectory("graft-stripes").toString
