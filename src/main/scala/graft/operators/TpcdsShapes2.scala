@@ -470,10 +470,14 @@ object TpcdsShapes2 {
 
     // ---------------------------------------------------------------- q88
     // TPC-DS q64 shape: multi-round fact chain — (customer, part) pairs
-    // bought in consecutive years, via a self-join of the (cust, part,
-    // year) aggregate with its year-shifted twin, rolled up per year.
-    // The fact shuffles ONCE on (custkey, partkey, yr); the self-join
-    // runs on the aggregated frame.
+    // bought in consecutive years. The literal SQL self-joins the (cust,
+    // part, year) aggregate with its year-shifted twin (the oracle keeps
+    // that text; two fact passes — Spark's exchange reuse does not unify
+    // the twins because the shifted side canonicalizes differently). The
+    // engine-smart form is a lag() window over the aggregate partitioned
+    // by (cust, part): the immediately preceding year IS the yr-1 match
+    // of the unique-keyed self-join, so the results are provably equal —
+    // ONE fact shuffle plus a window over the aggregated frame.
     QueryDef("q88_repeat_buyers",
       (s, d) => {
         val cp = Tables.lineitem(s, d)
@@ -481,11 +485,11 @@ object TpcdsShapes2 {
           .groupBy(col("o_custkey"), col("l_partkey"),
             year(col("o_orderdate")).cast("long").as("yr"))
           .agg(sum(revDec).as("rev"))
-        val prev = cp.select(col("o_custkey").as("p_ck"),
-          col("l_partkey").as("p_pk"), (col("yr") + 1).as("p_yr"),
-          col("rev").as("prev_rev"))
-        cp.join(prev, col("o_custkey") === col("p_ck") &&
-            col("l_partkey") === col("p_pk") && col("yr") === col("p_yr"))
+        val w = Window.partitionBy(col("o_custkey"), col("l_partkey"))
+          .orderBy(col("yr"))
+        cp.withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+          .filter(col("yr") === col("prev_yr") + 1)
           .groupBy(col("yr"))
           .agg(count(lit(1)).as("n_repeat_pairs"),
             decToDouble(sum(col("rev")), "repeat_rev"),
