@@ -124,11 +124,19 @@ object Bench {
     "pp_stratified_sample", "pp_sequence_pack", "ta_repetition",
     "pp_pii_redact", "ta_chunking", "pp_url_domains", "ta_bigram_lm",
     "q71_orc_sink_roundtrip", "q74_ntile_spend_quartiles",
+    // connector surfaces: footer-stats aggregate pushdown and the
+    // hive-partitioned DSv2 sink (write protocol + partitioned read-back)
+    "q72_orc_agg_pushdown", "q75_orc_partitioned_sink",
     // second TPC-DS wave: reused-aggregate threshold (q1 family),
     // fact-to-fact self-join chain (q25/q29), wide conditional-agg pivot
     // (q66), aggregate-of-aggregate histogram (q54)
     "q76_returns_above_avg", "q78_sold_then_returned",
-    "q82_monthly_nation_pivot", "q85_revenue_band_histogram")
+    "q82_monthly_nation_pivot", "q85_revenue_band_histogram",
+    // fourth TPC-DS wave: multi-channel UNION folded to one fact pass
+    // (q71/q76 triples), flag-conjunction INTERSECT (q38), histogram-read
+    // per-group median threshold (q6 family)
+    "q89_channel_union_report", "q91_triple_intersect",
+    "q93_above_median_customers")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once
@@ -195,9 +203,13 @@ object Bench {
     OrcData.orcPath(spark, sfDir, "orders")
     OrcData.partitionedOrcPath(spark, sfDir, "lineitem", "l_returnflag")
     if (sorted) OrcData.sortedOrcPath(spark, sfDir, "lineitem", "l_orderkey")
-    // dd_embed_lsh_10x input: the 10x expansion is prep, materialized here
-    // so the timed region measures only the LSH search
-    val expanded10x = expand10x(spark, sfDir)
+    // dd_embed_lsh_10x input: the 10x expansion is prep (untimed), but it
+    // is NOT built here — checkpointing it up front would pin ~10x the
+    // embedding table in block-manager memory across all preceding
+    // queries, inflating their GC pressure for a block only the LAST
+    // query reads. The lazy val materializes in the per-query prep hook,
+    // immediately before dd_embed_lsh_10x runs.
+    lazy val expanded10x = expand10x(spark, sfDir)
 
     val all: Seq[(String, () => DataFrame)] =
       microPatterns(spark, sfDir, sorted) ++
@@ -205,6 +217,10 @@ object Bench {
           (() => cachedAggregate(spark, sfDir))) ++
         headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
         Seq("dd_embed_lsh_10x" -> (() => embedLshOver(expanded10x)))
+    // untimed per-query prep, run right before the named query's first
+    // iteration (the localCheckpoint inside expand10x is eager)
+    val prep: Map[String, () => Unit] =
+      Map("dd_embed_lsh_10x" -> (() => { expanded10x; () }))
 
     // per-query: first-iteration seconds (the driver metric) + per-iteration
     // detail {elapsed_ms, row_count} mirroring the reference runner JSON
@@ -212,6 +228,7 @@ object Bench {
     case class Iter(elapsedMs: Double, rows: Long, success: Boolean)
     val detail = collection.mutable.LinkedHashMap[String, Seq[Iter]]()
     val results = all.map { case (name, mk) =>
+      prep.get(name).foreach(_.apply())
       val iters = (1 to iterations).map { it =>
         val t0 = System.nanoTime()
         try {

@@ -22,8 +22,9 @@ object ScaleStress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val embedMode = args.lift(1).contains("embed")
     val tpcdsMode = args.lift(1).contains("tpcds")
-    val bigramMode = args.lift(1).contains("bigram")
-    val hasMode = embedMode || tpcdsMode || bigramMode
+    val bigramSkewMode = args.lift(1).contains("bigramskew")
+    val bigramMode = !bigramSkewMode && args.lift(1).contains("bigram")
+    val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -101,6 +102,52 @@ object ScaleStress {
         }.reduce(_ union _).localCheckpoint(true)
         val n = docs.count()
         time(s"bigram_lm(n=$n)", k) { TextAnalysis.bigramLm(docs) }
+      }
+      spark.stop()
+      return
+    }
+
+    // Hot-KEY bigram stress: a Zipf-adversarial corpus where ~30% of docs
+    // carry one dominant bigram (repeated, so that single join key holds
+    // several percent of ALL bigram occurrences — far past a balanced
+    // partition share). The exposure is bigramLm's bi⋈counts shuffle: one
+    // hash partition would hold the whole hot key. The receipt pins that
+    // AQE's skew-join split keeps the stage balanced. Configs emulate the
+    // 100 TB shape: counts too big to broadcast (threshold -1 — at scale
+    // the distinct-bigram table dwarfs any broadcast budget), advisory/
+    // skew thresholds scaled down so local data crosses the same ratios a
+    // full-size run would.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 bigramskew 1 10
+    if (bigramSkewMode) {
+      import graft.operators.TextAnalysis
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      val hotPhrase = Seq.fill(60)("zzhot zzkey").mkString(" ")
+      factors.foreach { k =>
+        def expand(src: DataFrame): DataFrame = (0 until k).map { i =>
+          src.select((col("doc_id") + lit(i.toLong * 1000000000L))
+            .as("doc_id"), col("text"))
+        }.reduce(_ union _).localCheckpoint(true)
+        val d0 = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val flat = expand(d0)
+        val zipf = expand(d0.withColumn("text",
+          when(col("doc_id") % 10 < 3,
+            concat_ws(" ", col("text"), lit(hotPhrase)))
+            .otherwise(col("text"))))
+        val n = flat.count(); zipf.count()
+        time(s"bigram_lm_flat(n=$n)", k) { TextAnalysis.bigramLm(flat) }
+        val t0 = System.nanoTime()
+        val df = TextAnalysis.bigramLm(zipf)
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val skewSplit =
+          df.queryExecution.executedPlan.toString.contains("skew=true")
+        println(s"""{"op":"bigram_lm_zipf(hot30pct,n=$n)","factor":$k,""" +
+          s""""rows":$rows,"sec":${num(sec)},"skew_split":$skewSplit}""")
       }
       spark.stop()
       return

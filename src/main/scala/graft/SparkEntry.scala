@@ -16,6 +16,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryDef] =
     Relational.defs ++ TpcdsShapes.defs ++ TpcdsShapes2.defs ++
+      TpcdsShapes3.defs ++
       TextAnalysis.defs ++ Dedup.defs ++
       Similarity.defs ++ Multimodal.defs ++ TypedOps.defs ++ Pipeline.defs
 

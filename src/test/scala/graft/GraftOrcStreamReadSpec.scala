@@ -112,6 +112,43 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
     assert(got.select($"n_nationkey").distinct().count() === nation.count())
   }
 
+  test("kill-and-restart: sink commits landing while the query is down " +
+    "arrive exactly once") {
+    // End-to-end restart contract with the WRITER in the loop: waves are
+    // published through the graft-orc batch sink (driver-stamped strictly
+    // increasing mtimes), the reader is killed, MORE sink commits land
+    // while it is down, and a new query on the same checkpoint picks up
+    // exactly the files it has not consumed. No mtime-granularity sleeps:
+    // the publish-stamp counter (seeded from the table listing) guarantees
+    // every new commit stamps strictly above the consumed watermark.
+    val dir = Files.createTempDirectory("graft-orc-restart-sink-src").toString
+    val ckpt = Files.createTempDirectory("graft-orc-restart-sink-ck").toString
+    val out = Files.createTempDirectory("graft-orc-restart-sink-out").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    nation.filter($"n_nationkey" < 10)
+      .write.format("graft-orc").mode("append").save(dir)
+
+    def start() = spark.readStream.format("graft-orc").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the query is DOWN; two separate sink commits land
+    nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 18)
+      .write.format("graft-orc").mode("append").save(dir)
+    nation.filter($"n_nationkey" >= 18)
+      .write.format("graft-orc").mode("append").save(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() === nation.count(),
+      "restart must consume both down-time commits and never replay wave 1")
+    assert(got.select($"n_nationkey").distinct().count() === nation.count(),
+      "exactly-once across restart: no duplicated keys")
+  }
+
   test("maxFilesPerTrigger drains a backfill as bounded micro-batches") {
     val dir = Files.createTempDirectory("graft-orc-throttle-src").toString
     val nation = Tables.nation(spark, TestSpark.sf0001)
@@ -140,6 +177,28 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
       assert(dataBatches >= 3,
         s"expected >=3 bounded batches, got $dataBatches")
     } finally q.stop()
+  }
+
+  test("invalid maxFilesPerTrigger fails fast with the option named") {
+    val dir = Files.createTempDirectory("graft-orc-badopt").toString
+    graft.sources.OrcTables.write(
+      Tables.nation(spark, TestSpark.sf0001), s"$dir/w1", mode = "overwrite")
+    // <= 0 would admit take(0) files every trigger — a stream that stalls
+    // forever; non-numeric would surface as a bare NumberFormatException
+    Seq("0", "-3", "lots").foreach { bad =>
+      val q = spark.readStream.format("graft-orc")
+        .option("maxFilesPerTrigger", bad).load(dir)
+        .writeStream.format("noop")
+      val e = intercept[Throwable] {
+        val started = q.start()
+        try started.processAllAvailable() finally started.stop()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        t +: Option(t.getCause).toSeq.flatMap(chain)
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("maxFilesPerTrigger"))),
+        s"value '$bad' must be rejected naming the option, got: $e")
+    }
   }
 
   test("offsets serialize and deserialize losslessly") {

@@ -376,4 +376,83 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     } finally q.stop()
     assert(!new java.io.File(out, "_staging").exists())
   }
+
+  test("~1k files across ~50 partitions publish as bounded-parallel waves") {
+    // Scale receipt for the wave protocol: 20 tasks x 50 partition values
+    // = 1000 staged files, but the driver-side publish is 50 directory
+    // renames (one per k=v suffix), never 1000 per-file RPCs. On a local
+    // FS this commits in seconds; the same commit on an S3A-style store
+    // pays a server-side COPY per file inside each "rename" — the caveat
+    // documented in GraftOrcWrite's protocol Scaladoc next to the
+    // partial-COMMIT note.
+    val dir = freshDir("graft-orc-scale")
+    // range-partition on the unique id: every ~200-id contiguous slice
+    // covers all 50 id%50 values, so each of the 20 tasks stages ~50 files
+    val df = spark.range(4000)
+      .select(($"id" % 50).cast("int").as("pk"), $"id".as("v"))
+      .repartitionByRange(20, $"v")
+    val t0 = System.nanoTime()
+    df.write.format("graft-orc").partitionBy("pk").mode("append").save(dir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val published = publishedOrcFiles(dir)
+    assert(published.size >= 900 && published.size <= 1000,
+      s"expected ~20 tasks x 50 partitions staged files, got ${published.size}")
+    assert(new java.io.File(dir).listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("pk=")) === 50)
+    assert(!new java.io.File(dir, "_staging").exists(),
+      "commit must leave zero staging residue")
+    // generous local-FS bound — catches an O(files)-serial-RPC regression
+    // (1000 sequential renames + stamps would blow far past this)
+    assert(sec < 60.0, s"1k-file partitioned commit took $sec s")
+    // read-back proves the hive layout stayed consistent at this width
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.count() === 4000)
+    assert(back.filter($"pk" === 7).count() === 80)
+  }
+
+  test("truncate commit sweeps staging subtrees orphaned by dead drivers") {
+    val dir = freshDir("graft-orc-gc")
+    nation.write.format("graft-orc").mode("append").save(dir)
+    // simulate a driver that died mid-write: a staged subtree nobody will
+    // ever commit or abort, older than the GC threshold
+    val orphan = new java.io.File(dir, "_staging/dead-driver-write-id")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-0-0-x.snappy.orc").toPath,
+      Array[Byte](1, 2, 3))
+    val old = System.currentTimeMillis() -
+      graft.sources.v2.GraftOrcWrite.OrphanStagingMaxAgeMs - 60000
+    orphan.setLastModified(old)
+    // an append must NOT touch it (could be a live concurrent writer)...
+    nation.write.format("graft-orc").mode("append").save(dir)
+    assert(orphan.exists(), "append swept a staging subtree it doesn't own")
+    // ...a truncate commit sweeps it
+    nation.write.format("graft-orc").mode("overwrite").save(dir)
+    assert(!orphan.exists(), "overwrite commit must GC stale orphans")
+    assert(spark.read.format("graft-orc").load(dir).count() === nation.count())
+  }
+
+  test("first publish seeds the stamp counter above existing table mtimes") {
+    // cross-JVM watermark monotonicity: a fresh driver's counter starts at
+    // 0, so without seeding its first commit could stamp files at or below
+    // a streaming reader's already-consumed (mtime, path) watermark. A
+    // fresh TABLE path stands in for a fresh JVM here (seeding is
+    // memoized per table): plant a published file with a FUTURE mtime,
+    // then commit — new stamps must land strictly above it.
+    val src = freshDir("graft-orc-seed-src")
+    nation.write.format("graft-orc").mode("append").save(src)
+    val dir = freshDir("graft-orc-seed")
+    val planted = new java.io.File(dir, "w-planted")
+    assert(planted.mkdirs())
+    val donor = publishedOrcFiles(src).head
+    val copy = new java.io.File(planted, donor.getName)
+    java.nio.file.Files.copy(donor.toPath, copy.toPath)
+    val future = System.currentTimeMillis() + 30000
+    assert(copy.setLastModified(future))
+    nation.write.format("graft-orc").mode("append").save(dir)
+    val fresh = publishedOrcFiles(dir).filterNot(_.getName == donor.getName)
+    assert(fresh.nonEmpty)
+    assert(fresh.map(_.lastModified()).min > future,
+      "new publish stamps must exceed the max mtime already in the table")
+  }
 }

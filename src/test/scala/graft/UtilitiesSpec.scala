@@ -116,4 +116,26 @@ class UtilitiesSpec extends AnyFunSuite {
       .orderBy("r_regionkey").collect().toSeq
     assert(back === src)
   }
+
+  test("timestamp partition values parse in UTC regardless of JVM zone") {
+    // the writer formats partition path values in UTC and the reader's
+    // internal cast uses UTC; the external (pruning-side) parse must agree
+    // on a non-UTC JVM or stats pruning drops the wrong files
+    import org.apache.spark.sql.types.TimestampType
+    import graft.sources.v2.GraftOrcDataSource
+    val tz = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      val v = GraftOrcDataSource
+        .externalPartitionValue("2024-03-01 12:34:56", TimestampType)
+        .asInstanceOf[java.sql.Timestamp]
+      assert(v.toInstant === java.time.Instant.parse("2024-03-01T12:34:56Z"))
+      val frac = GraftOrcDataSource
+        .externalPartitionValue("2024-03-01 12:34:56.123456", TimestampType)
+        .asInstanceOf[java.sql.Timestamp]
+      assert(frac.toInstant ===
+        java.time.Instant.parse("2024-03-01T12:34:56.123456Z"))
+    } finally java.util.TimeZone.setDefault(tz)
+  }
 }
