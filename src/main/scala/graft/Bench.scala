@@ -136,7 +136,10 @@ object Bench {
     // (q71/q76 triples), flag-conjunction INTERSECT (q38), histogram-read
     // per-group median threshold (q6 family)
     "q89_channel_union_report", "q91_triple_intersect",
-    "q93_above_median_customers")
+    "q93_above_median_customers",
+    // fifth mini-wave: bidirectional nation-pair trade (TPC-H q7 2-row
+    // broadcast dims), time-RANGE rolling window over a (user, day) frame
+    "q94_nation_trade", "q96_rolling_3day_peak")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -55,10 +55,21 @@ object TextAnalysis {
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
         .as("bigram"))
       .select(col("doc_id"), md5Key60(col("bigram")).as("bg"))
-    val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-    bi.join(counts, Seq("bg"))
+    // collapse per-document repetitions BEFORE anything shuffles on bg:
+    // the (doc_id, bg) aggregate combines map-side (a document's bigrams
+    // are colocated in its input partition), so the corpus-count shuffle
+    // and the count join-back carry one row per (doc, bigram) — a Zipf
+    // corpus that repeats a hot bigram inside documents no longer
+    // amplifies that join key (ScaleStress bigramskew pins this flat).
+    // n_bigrams = sum(o) and freq_sum = sum(o*c) reproduce the
+    // per-occurrence totals exactly.
+    val occ = bi.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("o"))
+    val counts = occ.groupBy(col("bg")).agg(sum(col("o")).as("c"))
+    occ.join(counts, Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("freq_sum"))
+      .agg(sum(col("o")).as("n_bigrams"),
+        sum(col("o") * col("c")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
         (col("freq_sum").cast("double") / col("n_bigrams"))
           .as("avg_bigram_freq"))

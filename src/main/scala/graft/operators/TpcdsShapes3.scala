@@ -216,6 +216,146 @@ object TpcdsShapes3 {
              |FROM oc JOIN med USING (c_nationkey)
              |  JOIN nation ON c_nationkey = n_nationkey
              |WHERE n_orders > med
-             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---------------------------------------------------------------- q94
+    // TPC-H q7 shape: bidirectional trade volume between two nations —
+    // supplier nation on one side, customer nation on the other, keeping
+    // the (A,B) and (B,A) pairs via a disjunctive pair predicate. The
+    // nation filter lands on the DIMENSIONS before broadcast (2-row dims),
+    // so the fact never carries non-participating nations through the
+    // join; the disjunction runs on broadcast-joined columns, not as a
+    // join condition (which would force a nested-loop).
+    QueryDef("q94_nation_trade",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val suppN = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name").isin(pair: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val custN = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name").isin(pair: _*))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_lines"), decToDouble(sum(revDec), "volume"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              |  year(l_shipdate) AS yr, count(*) AS n_lines,
+              |  CAST(round(sum($oRev), 2) AS DOUBLE) AS volume
+              |FROM lineitem
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---------------------------------------------------------------- q95
+    // TPC-DS q31 shape: share-of-total growth — per-REGION revenue share
+    // compared across two consecutive years, keeping regions whose share
+    // GREW. Exercises the 2-hop broadcast dimension chain (customer ->
+    // nation -> region) and a share comparison computed join-free on the
+    // tiny (region, year) aggregate: the per-year total is a window sum,
+    // and the share-growth predicate is cross-multiplied
+    // (rev2*tot1 > rev1*tot2) so no engine ever divides.
+    QueryDef("q95_region_share_growth",
+      (s, d) => {
+        val geo = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("r_name"))
+        // geo carries customer — dimension-sized here but NOT broadcastable
+        // at 100 TB; the join shuffles on custkey (AQE may still broadcast
+        // small instances at runtime)
+        val ry = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(geo, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("r_name"), year(col("l_shipdate")).cast("long").as("yr"))
+          .agg(sum(revDec).as("r"))
+        val w = Window.partitionBy(col("yr"))
+        val cur = ry
+          .withColumn("rev", round(col("r"), 2).cast("double"))
+          .withColumn("tot", round(sum(col("r")).over(w), 2).cast("double"))
+          .select(col("r_name"), col("yr"), col("rev"), col("tot"))
+        val prev = cur.select(col("r_name").as("p_name"),
+          (col("yr") + 1).as("p_yr"), col("rev").as("prev_rev"),
+          col("tot").as("prev_tot"))
+        cur.join(prev,
+            col("r_name") === col("p_name") && col("yr") === col("p_yr"))
+          .filter(col("rev") * col("prev_tot") >
+            col("prev_rev") * col("tot"))
+          .select(col("r_name"), col("yr"), col("rev"), col("prev_rev"))
+          .orderBy(col("r_name"), col("yr"))
+      },
+      Some(s"""WITH ry AS (
+              |  SELECT r_name, year(l_shipdate) AS yr, sum($oRev) AS r
+              |  FROM lineitem
+              |    JOIN orders ON l_orderkey = o_orderkey
+              |    JOIN customer ON o_custkey = c_custkey
+              |    JOIN nation ON c_nationkey = n_nationkey
+              |    JOIN region ON n_regionkey = r_regionkey
+              |  GROUP BY 1, 2),
+              |cur AS (
+              |  SELECT r_name, yr,
+              |    CAST(round(r, 2) AS DOUBLE) AS rev,
+              |    CAST(round(sum(r) OVER (PARTITION BY yr), 2) AS DOUBLE)
+              |      AS tot
+              |  FROM ry)
+              |SELECT a.r_name, a.yr, a.rev, b.rev AS prev_rev
+              |FROM cur a JOIN cur b
+              |  ON a.r_name = b.r_name AND a.yr = b.yr + 1
+              |WHERE a.rev * b.tot > b.rev * a.tot
+              |ORDER BY a.r_name, a.yr""".stripMargin)),
+
+    // ---------------------------------------------------------------- q96
+    // Time-RANGE sliding window (TPC-DS q47 family, range variant): each
+    // user's peak trailing-3-day event count. The rolling sum runs as a
+    // RANGE BETWEEN frame over the PRE-AGGREGATED (user, day) frame —
+    // events-per-user-day rows, not raw events — so the window state is
+    // bounded by active days, never a raw-event self-join. count(*) is
+    // cast to BIGINT inside the rolling sum on the oracle side (DuckDB
+    // sums integers into HUGEINT).
+    QueryDef("q96_rolling_3day_peak",
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .groupBy(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+              .as("epoch_day"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_day"))
+          .rangeBetween(-2, 0)
+        byDay.withColumn("rolling3", sum(col("cnt")).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("rolling3")).as("peak_3day"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH by_day AS (
+             |  SELECT user_id,
+             |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             |      AS epoch_day,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, CAST(max(rolling3) AS BIGINT) AS peak_3day
+             |FROM (
+             |  SELECT user_id, CAST(sum(cnt) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_day
+             |      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS rolling3
+             |  FROM by_day) t
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -281,4 +281,57 @@ class PlanSpec extends AnyFunSuite {
     // before the n_name shuffle) — the plan shape that survives 100x data
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
+
+  test("q89: three-channel UNION folds to ONE fact pass (no union, one scan each)") {
+    val p = plan("q89_channel_union_report")
+    // the CASE channel tag replaces the 3-branch UNION: a union plan would
+    // scan lineitem+orders three times each
+    assert(!p.contains("Union"), p.take(800))
+    assert("FileScan parquet".r.findAllIn(p).size === 2,
+      "exactly one lineitem + one orders scan")
+  }
+
+  test("q90/q91/q92: set-logic reports stay single-pass flag aggregations") {
+    // q90: 8 bucket counts from ONE events scan (the oracle's literal form
+    // is an 8-subquery cross join = 8 scans)
+    val p90 = plan("q90_hour_bucket_report")
+    assert("FileScan parquet".r.findAllIn(p90).size === 1, "one events scan")
+    assert(!p90.contains("CartesianProduct"))
+    // q91: triple INTERSECT as flag conjunction — one orders scan, one
+    // shuffle, no Intersect/join operators at all
+    val p91 = plan("q91_triple_intersect")
+    assert("FileScan parquet".r.findAllIn(p91).size === 1, "one orders scan")
+    assert(!p91.contains("Join"), p91.take(800))
+    // q92: EXCEPT chain = flags + ONE anti join against distinct returners
+    val p92 = plan("q92_except_chain")
+    assert("LeftAnti".r.findAllIn(p92).size === 1, p92.take(800))
+  }
+
+  test("q93: median comes off the tiny histogram; med side broadcasts back") {
+    val p = plan("q93_above_median_customers")
+    // the threshold join-back is a broadcast (25-row med frame), and no
+    // per-group sort of raw counts exists — windows run over the
+    // (nation, n_orders) HISTOGRAM, whose size is bounded by distinct
+    // counts, not customers
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q94: pair predicate prunes dims BEFORE broadcast; fact joins are broadcast") {
+    val p = plan("q94_nation_trade")
+    // nation filtered to the 2-name pair on the dim side (pushed filter),
+    // both enriched dims broadcast to the fact
+    assert(p.contains("In(n_name, [NATION_1,NATION_2])"), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q96: RANGE window runs over the pre-aggregated (user, day) frame") {
+    val p = plan("q96_rolling_3day_peak")
+    // two aggregates (day rollup, user peak) + one window; a raw-event
+    // range self-join would show a join here
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("specifiedwindowframe(RangeFrame, -2, currentrow$())"),
+      p.take(1500))
+  }
 }

@@ -40,7 +40,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q17_events_gaps" -> epochUs, "q21_sessionize" -> epochUs,
       "q43_asof_join" -> epochUs, "q44_interval_join" -> epochUs,
       "q38_datetime_sweep" -> dateDiff, "q48_late_shipments" -> dateDiff,
-      "q58_delay_buckets" -> dateDiff,
+      "q58_delay_buckets" -> dateDiff, "q96_rolling_3day_peak" -> dateDiff,
       "q31_json_extract" ->
         "DuckDB json_extract_string (Spark: get_json_object)",
       "q39_string_sweep" -> "DuckDB strpos (Spark: instr/locate)",
