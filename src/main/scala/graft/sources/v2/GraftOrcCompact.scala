@@ -1,0 +1,138 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.orc.OrcFile
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+/** Small-file compaction for graft-orc tables — the maintenance operation
+  * a streaming-ingested table needs at scale: the sink publishes one file
+  * per task per epoch, so a long-running ingest accumulates millions of
+  * KB-sized files whose per-file open/footer cost eventually dominates
+  * every scan. (The reference's directory tables have the same failure
+  * mode and no answer; its writer is a stub, `src/writer.rs:18-23`.)
+  *
+  * Design for 100 TB:
+  *  - **Stripe copy, not decode**: each bin is merged with
+  *    `OrcFile.mergeFiles` — stripes are byte-copied and the footers
+  *    rewritten, no decompression or row decode. Cost is pure I/O.
+  *  - **Distributed**: bins are packed on the driver from the file
+  *    listing (metadata only), then merged one-bin-per-task via a plain
+  *    `parallelize(bins)` job — compacting a million-file table is a
+  *    normal Spark job, not a driver loop.
+  *  - **Invisible while in flight**: tasks write merged files under the
+  *    table's `_staging/` (skipped by every listing); the driver then
+  *    stamps publish mtimes and renames each merged file into its
+  *    partition directory before deleting that bin's inputs.
+  *
+  * Consistency caveats (the no-manifest tradeoff, same family as the
+  * writer's partial-COMMIT note in [[GraftOrcWrite]]):
+  *  - A reader listing between a bin's publish and its input deletion
+  *    sees that bin's rows TWICE; the window is one rename + N deletes
+  *    per bin. A crash inside the window leaves the duplicates until the
+  *    bin is re-compacted away or cleaned manually.
+  *  - Compacted files carry NEW publish stamps (necessarily above the
+  *    streaming watermark), so a `readStream` consuming the table would
+  *    re-ingest compacted rows as new data. Do NOT compact a table that
+  *    is an ACTIVE streaming source — the same rule file-stream sources
+  *    without a manifest log impose everywhere.
+  *  - Files whose schema/compression/version differ from their bin's
+  *    first file are skipped by the ORC merger (it reports what it
+  *    merged); only actually-merged inputs are deleted.
+  */
+object GraftOrcCompact {
+
+  case class CompactionStats(partitionDirs: Int, bins: Int,
+                             filesCompacted: Int, bytesCompacted: Long) {
+    def filesWritten: Int = bins
+  }
+
+  /** Compact every partition directory of `table`: data files smaller
+    * than `smallFileBytes` are packed first-fit (in listing order) into
+    * bins of up to `targetBytes`, and each bin of 2+ files is merged
+    * into one file. Files at or above `smallFileBytes` are left alone.
+    */
+  def compact(spark: SparkSession, table: String,
+              targetBytes: Long = 128L << 20,
+              smallFileBytes: Long = 32L << 20,
+              parallelism: Int = 16): CompactionStats = {
+    require(smallFileBytes <= targetBytes,
+      "graft-orc compact: smallFileBytes must be <= targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = new GraftOrcFileIndex(conf, Seq(table), 32).entries
+    val byDir = entries
+      .filter(_.length < smallFileBytes)
+      .groupBy(e => e.path.substring(0, e.path.lastIndexOf('/')))
+
+    // first-fit packing per directory; only bins that actually reduce the
+    // file count (2+ inputs) are kept
+    val bins: Seq[(String, Seq[String])] = byDir.toSeq.flatMap {
+      case (dir, files) =>
+        val packed = collection.mutable.ListBuffer.empty[
+          (collection.mutable.ListBuffer[String], Long)]
+        files.sortBy(_.path).foreach { f =>
+          packed.lastOption match {
+            case Some((bin, sz)) if sz + f.length <= targetBytes =>
+              bin += f.path
+              packed(packed.size - 1) = (bin, sz + f.length)
+            case _ =>
+              packed += ((collection.mutable.ListBuffer(f.path), f.length))
+          }
+        }
+        packed.toSeq.collect { case (bin, _) if bin.size >= 2 =>
+          dir -> bin.toSeq
+        }
+    }
+    if (bins.isEmpty)
+      return CompactionStats(byDir.size, 0, 0, 0L)
+
+    // one merge per task, outputs under _staging (invisible to readers)
+    val staging = new Path(new Path(table, GraftOrcWrite.StagingDir),
+      s"compact-${UUID.randomUUID()}")
+    val sconf = new SerializableConfiguration(conf)
+    val stagingStr = staging.toString
+    val merged: Seq[(String, String, Seq[String])] = spark.sparkContext
+      .parallelize(bins, math.min(bins.size, parallelism))
+      .map { case (dir, inputs) =>
+        val out = new Path(stagingStr, s"c-${UUID.randomUUID()}.orc")
+        val done = OrcFile.mergeFiles(out,
+          OrcFile.writerOptions(sconf.value),
+          inputs.map(new Path(_)).asJava)
+        (dir, out.toString, done.asScala.map(_.toString).toSeq)
+      }.collect().toSeq
+
+    // publish: stamp + rename each merged file into its directory, then
+    // delete that bin's merged inputs (the duplicate-visibility window is
+    // per bin, one rename + N deletes wide)
+    val fs = new Path(table).getFileSystem(conf)
+    var nFiles = 0
+    var nBytes = 0L
+    val kept = merged.filter(_._3.size >= 2)
+    kept.foreach { case (dir, stagedStr, inputs) =>
+      val staged = new Path(stagedStr)
+      fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
+      val dest = new Path(dir, staged.getName)
+      if (!fs.rename(staged, dest))
+        throw new java.io.IOException(
+          s"graft-orc compact: failed to publish $staged into $dest")
+      inputs.foreach { in =>
+        nBytes += fs.getFileStatus(new Path(in)).getLen
+        fs.delete(new Path(in), false)
+        nFiles += 1
+      }
+    }
+    // single-input "bins" (merger skipped siblings) leave their staged
+    // output unpublished; drop the whole staging subtree
+    fs.delete(staging, true)
+    try {
+      val root = new Path(table, GraftOrcWrite.StagingDir)
+      if (fs.listStatus(root).isEmpty) fs.delete(root, false)
+    } catch { case _: java.io.IOException => /* concurrent writer */ }
+    CompactionStats(byDir.size, kept.size, nFiles, nBytes)
+  }
+}

@@ -521,6 +521,22 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
             s"Invalid value '$v' for option 'maxFilesPerTrigger', " +
               "must be a positive integer")
           n
+      },
+      options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") =>
+          // accepts size suffixes ("10m", "1g") like FileStreamSource
+          val n =
+            try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"Invalid value '$v' for option 'maxBytesPerTrigger', " +
+                    "must be a positive size (e.g. 10m, 1g)")
+            }
+          if (n <= 0) throw new IllegalArgumentException(
+            s"Invalid value '$v' for option 'maxBytesPerTrigger', " +
+              "must be a positive size (e.g. 10m, 1g)")
+          n
       })
 
   override def description(): String =

@@ -26,9 +26,15 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
   *
   * Admission control ([[SupportsAdmissionControl]]): a `maxFilesPerTrigger`
   * read option caps each batch, so a large backfill drains as bounded
-  * micro-batches instead of one giant one. The listing is taken ONCE per
-  * trigger — `latestOffset` caches it and `planInputPartitions` for the
-  * same end offset reuses it rather than re-listing the directory.
+  * micro-batches instead of one giant one. `maxBytesPerTrigger`
+  * additionally caps the admitted bytes (always admitting at least one
+  * file so the stream can progress past any single oversized file) —
+  * the DSv2 `ReadLimit` vocabulary has no bytes variant, so the byte cap
+  * applies inside `latestOffset`, exactly how Spark's own
+  * `FileStreamSource` implements the same option. The listing is taken
+  * ONCE per trigger — `latestOffset` caches it and `planInputPartitions`
+  * for the same end offset reuses it rather than re-listing the
+  * directory.
   *
   * Static partition filters (pushed at plan time) keep pruning per batch;
   * the scan's column pruning and SARG compilation apply unchanged because
@@ -38,7 +44,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
   */
 class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
                                conf: Configuration, metaParallelism: Int,
-                               maxFilesPerTrigger: Option[Int] = None)
+                               maxFilesPerTrigger: Option[Int] = None,
+                               maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listing(): Seq[OrcFileEntry] =
@@ -67,9 +74,20 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     val s = start.asInstanceOf[GraftOrcStreamOffset]
     val l = listing()
     val pending = l.filter(e => after(e, s))
-    val admitted = limit match {
+    val fileCapped = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _ => pending
+    }
+    val admitted = maxBytesPerTrigger match {
+      case Some(cap) =>
+        // admit files until the cap is crossed, never zero files
+        var bytes = 0L
+        fileCapped.takeWhile { e =>
+          val first = bytes == 0L
+          bytes += e.length
+          first || bytes <= cap
+        }
+      case None => fileCapped
     }
     val end =
       if (admitted.isEmpty) s

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.GraftOrcCompact
+
+/** Small-file compaction: stripe-copy merge of a fragmented (streaming-
+  * ingested) table, bin-packed per partition directory, published through
+  * the staging + stamped-rename protocol.
+  */
+class GraftOrcCompactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def orcFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f).filter(_.getName.endsWith(".orc"))
+      else if (f.getName.startsWith("_")) Nil
+      else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    walk(new java.io.File(dir))
+  }
+
+  test("compaction merges a fragmented partitioned table losslessly") {
+    val dir = Files.createTempDirectory("graft-orc-compact").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    // three appends x 4 tasks -> up to 12 small files per region dir (the
+    // shape a per-epoch streaming sink leaves behind)
+    (1 to 3).foreach { _ =>
+      nation.repartition(4).write.format("graft-orc")
+        .partitionBy("n_regionkey").mode("append").save(dir)
+    }
+    val before = orcFiles(dir)
+    val beforeMaxMtime = before.map(_.lastModified()).max
+    assert(before.size > 10, s"fixture not fragmented: ${before.size} files")
+
+    val stats = GraftOrcCompact.compact(spark, dir)
+    val after = orcFiles(dir)
+    assert(after.size < before.size,
+      s"expected fewer files, got ${before.size} -> ${after.size}")
+    assert(stats.filesCompacted === before.size,
+      "every small file should land in a bin here")
+    assert(after.size === stats.bins, "one output file per merged bin")
+    assert(!new java.io.File(dir, "_staging").exists())
+
+    // lossless: same rows, partition column re-materialized from the path
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.count() === nation.count() * 3)
+    assert(back.groupBy($"n_regionkey").count()
+      .as[(Int, Long)].collect().sorted.toSeq ===
+      nation.groupBy($"n_regionkey").count()
+        .as[(Int, Long)].collect().sorted.toSeq.map { case (k, c) => (k, c * 3) })
+
+    // compacted files carry NEW publish stamps above everything published
+    // before — the documented reason an ACTIVE streaming source must not
+    // be compacted (a reader's (mtime, path) watermark would re-ingest)
+    assert(orcFiles(dir).map(_.lastModified()).min > beforeMaxMtime)
+
+    // a second pass finds nothing worth merging (one file per dir)
+    val again = GraftOrcCompact.compact(spark, dir)
+    assert(again.bins === 0 && again.filesCompacted === 0)
+    assert(orcFiles(dir).size === after.size)
+  }
+
+  test("files at or above the small-file threshold are left untouched") {
+    val dir = Files.createTempDirectory("graft-orc-compact2").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    (1 to 2).foreach { _ =>
+      nation.coalesce(1).write.format("graft-orc").mode("append").save(dir)
+    }
+    val names = orcFiles(dir).map(_.getName).toSet
+    // every file is "large" under a 1-byte threshold -> nothing merges
+    val stats = GraftOrcCompact.compact(spark, dir, smallFileBytes = 1L,
+      targetBytes = 1L)
+    assert(stats.bins === 0)
+    assert(orcFiles(dir).map(_.getName).toSet === names)
+  }
+}

@@ -179,25 +179,52 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger admits at least one file, never a whole backfill") {
+    val dir = Files.createTempDirectory("graft-orc-bytecap-src").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    Seq(0 -> 8, 8 -> 16, 16 -> 25).foreach { case (lo, hi) =>
+      graft.sources.OrcTables.write(
+        nation.filter($"n_nationkey" >= lo && $"n_nationkey" < hi).coalesce(1),
+        s"$dir/w$lo", mode = "overwrite")
+    }
+    // 1-byte cap: every file exceeds it, so each trigger admits exactly
+    // the one guaranteed-progress file — the backfill drains one by one
+    val q = spark.readStream.format("graft-orc")
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("orc_bytecap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("orc_bytecap")
+      assert(got.count() === nation.count())
+      assert(got.select($"n_nationkey").distinct().count() === nation.count())
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected >=3 byte-capped batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("invalid maxFilesPerTrigger fails fast with the option named") {
     val dir = Files.createTempDirectory("graft-orc-badopt").toString
     graft.sources.OrcTables.write(
       Tables.nation(spark, TestSpark.sf0001), s"$dir/w1", mode = "overwrite")
     // <= 0 would admit take(0) files every trigger — a stream that stalls
     // forever; non-numeric would surface as a bare NumberFormatException
-    Seq("0", "-3", "lots").foreach { bad =>
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    for ((opt, bad) <- Seq("maxFilesPerTrigger" -> "0",
+      "maxFilesPerTrigger" -> "-3", "maxFilesPerTrigger" -> "lots",
+      "maxBytesPerTrigger" -> "0", "maxBytesPerTrigger" -> "wide")) {
       val q = spark.readStream.format("graft-orc")
-        .option("maxFilesPerTrigger", bad).load(dir)
+        .option(opt, bad).load(dir)
         .writeStream.format("noop")
       val e = intercept[Throwable] {
         val started = q.start()
         try started.processAllAvailable() finally started.stop()
       }
-      def chain(t: Throwable): Seq[Throwable] =
-        t +: Option(t.getCause).toSeq.flatMap(chain)
       assert(chain(e).exists(c =>
-        Option(c.getMessage).exists(_.contains("maxFilesPerTrigger"))),
-        s"value '$bad' must be rejected naming the option, got: $e")
+        Option(c.getMessage).exists(_.contains(opt))),
+        s"$opt='$bad' must be rejected naming the option, got: $e")
     }
   }
 
