@@ -356,6 +356,134 @@ object TpcdsShapes3 {
              |      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS rolling3
              |  FROM by_day) t
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---------------------------------------------------------------- q97
+    // TPC-DS q51 shape: two per-(brand, month) revenue series (urgent-
+    // vs low-priority channels) FULL OUTER joined, cumulative sums run
+    // AFTER the join over the unified month axis, keeping months where
+    // the urgent cume leads. Everything past the fact aggregation — the
+    // join, both windows, the filter — runs on the (brand, month) frame,
+    // whose size is brands x months regardless of fact volume. Cumulative
+    // sums accumulate in DECIMAL (exact, order-independent); only the
+    // surfaced/compared values round to double.
+    QueryDef("q97_cumulative_channel_lead",
+      (s, d) => {
+        def series(prio: String, revName: String) =
+          Tables.lineitem(s, d)
+            .join(Tables.orders(s, d).filter(col("o_orderpriority") === prio),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(Tables.part(s, d)),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand").as(s"${revName}_brand"),
+              year(col("l_shipdate")).cast("long").as(s"${revName}_yr"),
+              month(col("l_shipdate")).cast("long").as(s"${revName}_mo"))
+            .agg(sum(revDec).as(revName))
+        val u = series("1-URGENT", "u_rev")
+        val l = series("5-LOW", "l_rev")
+        val joined = u.join(l,
+          col("u_rev_brand") === col("l_rev_brand") &&
+            col("u_rev_yr") === col("l_rev_yr") &&
+            col("u_rev_mo") === col("l_rev_mo"), "full_outer")
+          .select(
+            coalesce(col("u_rev_brand"), col("l_rev_brand")).as("brand"),
+            coalesce(col("u_rev_yr"), col("l_rev_yr")).as("yr"),
+            coalesce(col("u_rev_mo"), col("l_rev_mo")).as("mo"),
+            coalesce(col("u_rev"), lit(0).cast(DecimalType30_8)).as("u_rev"),
+            coalesce(col("l_rev"), lit(0).cast(DecimalType30_8)).as("l_rev"))
+        val w = Window.partitionBy(col("brand"))
+          .orderBy(col("yr"), col("mo"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined
+          .withColumn("cum_u", round(sum(col("u_rev")).over(w), 2)
+            .cast("double"))
+          .withColumn("cum_l", round(sum(col("l_rev")).over(w), 2)
+            .cast("double"))
+          .filter(col("cum_u") > col("cum_l"))
+          .groupBy(col("brand"))
+          .agg(count(lit(1)).as("n_leading_months"),
+            max(col("cum_u") - col("cum_l")).as("max_lead"))
+          .orderBy(col("brand"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT p_brand AS brand, year(l_shipdate) AS yr,
+              |    month(l_shipdate) AS mo, sum($oRev) AS u_rev
+              |  FROM lineitem
+              |    JOIN orders ON l_orderkey = o_orderkey
+              |    JOIN part ON l_partkey = p_partkey
+              |  WHERE o_orderpriority = '1-URGENT'
+              |  GROUP BY 1, 2, 3),
+              |l AS (
+              |  SELECT p_brand AS brand, year(l_shipdate) AS yr,
+              |    month(l_shipdate) AS mo, sum($oRev) AS l_rev
+              |  FROM lineitem
+              |    JOIN orders ON l_orderkey = o_orderkey
+              |    JOIN part ON l_partkey = p_partkey
+              |  WHERE o_orderpriority = '5-LOW'
+              |  GROUP BY 1, 2, 3),
+              |joined AS (
+              |  SELECT coalesce(u.brand, l.brand) AS brand,
+              |    coalesce(u.yr, l.yr) AS yr, coalesce(u.mo, l.mo) AS mo,
+              |    coalesce(u.u_rev, CAST(0 AS DECIMAL(30,8))) AS u_rev,
+              |    coalesce(l.l_rev, CAST(0 AS DECIMAL(30,8))) AS l_rev
+              |  FROM u FULL OUTER JOIN l
+              |    ON u.brand = l.brand AND u.yr = l.yr AND u.mo = l.mo),
+              |cum AS (
+              |  SELECT brand, yr, mo,
+              |    CAST(round(sum(u_rev) OVER (PARTITION BY brand
+              |      ORDER BY yr, mo ROWS BETWEEN UNBOUNDED PRECEDING AND
+              |      CURRENT ROW), 2) AS DOUBLE) AS cum_u,
+              |    CAST(round(sum(l_rev) OVER (PARTITION BY brand
+              |      ORDER BY yr, mo ROWS BETWEEN UNBOUNDED PRECEDING AND
+              |      CURRENT ROW), 2) AS DOUBLE) AS cum_l
+              |  FROM joined)
+              |SELECT brand, count(*) AS n_leading_months,
+              |  max(cum_u - cum_l) AS max_lead
+              |FROM cum WHERE cum_u > cum_l
+              |GROUP BY brand ORDER BY brand""".stripMargin)),
+
+    // ---------------------------------------------------------------- q98
+    // TPC-H q11 shape: group total vs a FRACTION of the global total —
+    // nations whose supplier-side revenue exceeds 4% of worldwide
+    // revenue. The oracle keeps the literal scalar subquery (a second
+    // fact scan); the engine-smart form computes the global total as an
+    // empty-partition window over the 25-row nation aggregate — zero
+    // extra fact passes, and the window's "all rows in one partition"
+    // cost is bounded by nation count forever. Both engines compare the
+    // same rounded doubles times the same 0.04 literal.
+    QueryDef("q98_nation_revenue_share",
+      (s, d) => {
+        val byNation = Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(revDec).as("r"))
+        val wAll = Window.partitionBy()
+        byNation
+          .withColumn("rev", round(col("r"), 2).cast("double"))
+          .withColumn("global_rev",
+            round(sum(col("r")).over(wAll), 2).cast("double"))
+          .filter(col("rev") > lit(0.04) * col("global_rev"))
+          .select(col("n_name"), col("rev"), col("global_rev"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""WITH bn AS (
+              |  SELECT n_name, sum($oRev) AS r
+              |  FROM lineitem
+              |    JOIN supplier ON l_suppkey = s_suppkey
+              |    JOIN nation ON s_nationkey = n_nationkey
+              |  GROUP BY 1),
+              |tot AS (SELECT sum(r) AS g FROM bn)
+              |SELECT n_name, CAST(round(r, 2) AS DOUBLE) AS rev,
+              |  CAST(round(g, 2) AS DOUBLE) AS global_rev
+              |FROM bn, tot
+              |WHERE CAST(round(r, 2) AS DOUBLE)
+              |  > 0.04 * CAST(round(g, 2) AS DOUBLE)
+              |ORDER BY n_name""".stripMargin))
   )
+
+  private val DecimalType30_8 =
+    org.apache.spark.sql.types.DecimalType(30, 8)
 }
