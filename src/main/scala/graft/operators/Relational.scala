@@ -939,7 +939,7 @@ object Relational {
              |  lpad(p_name, 12, '_') AS padded,
              |  replace(p_name, 'a', '@') AS replaced,
              |  reverse(p_name) AS rev,
-             |  strpos(p_name, 'e') AS e_pos,
+             |  instr(p_name, 'e') AS e_pos,
              |  substr(p_name, 2, 3) AS mid,
              |  concat(p_brand, '-', p_type) AS brand_type,
              |  len(p_name) AS len

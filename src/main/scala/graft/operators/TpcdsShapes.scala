@@ -749,7 +749,7 @@ object TpcdsShapes {
               |FROM (
               |  SELECT p_type, p_brand, sum($oRev) AS amt,
               |    CAST(rank() OVER (
-              |      PARTITION BY GROUPING(p_type, p_brand), p_type
+              |      PARTITION BY GROUPING_ID(p_type, p_brand), p_type
               |      ORDER BY sum($oRev) DESC, p_brand ASC NULLS FIRST)
               |      AS BIGINT) AS rnk
               |  FROM lineitem JOIN part ON l_partkey = p_partkey

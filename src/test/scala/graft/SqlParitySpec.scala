@@ -43,11 +43,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q58_delay_buckets" -> dateDiff, "q96_rolling_3day_peak" -> dateDiff,
       "q31_json_extract" ->
         "DuckDB json_extract_string (Spark: get_json_object)",
-      "q39_string_sweep" -> "DuckDB strpos (Spark: instr/locate)",
       "q42_array_hof" -> "DuckDB list slice l[1:3] (Spark: slice())",
       "pp_contamination" -> "DuckDB list slice l[1:3] (Spark: slice())",
-      "q63_rollup_rank" ->
-        "DuckDB 2-arg grouping(a,b) (Spark: grouping_id)",
       "dd_embed_cosine" -> listFn, "ss_topk_bruteforce" -> listFn,
       "dd_clusters" -> listFn, "dd_jaccard_pairs" -> listFn,
       "pp_sql_functions" -> listFn, "ta_vocab_topk" ->
