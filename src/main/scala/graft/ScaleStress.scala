@@ -24,7 +24,9 @@ object ScaleStress {
     val tpcdsMode = args.lift(1).contains("tpcds")
     val bigramSkewMode = args.lift(1).contains("bigramskew")
     val bigramMode = !bigramSkewMode && args.lift(1).contains("bigram")
-    val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode
+    val compactMode = args.lift(1).contains("compact")
+    val hasMode =
+      embedMode || tpcdsMode || bigramMode || bigramSkewMode || compactMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -103,6 +105,40 @@ object ScaleStress {
         val n = docs.count()
         time(s"bigram_lm(n=$n)", k) { TextAnalysis.bigramLm(docs) }
       }
+      spark.stop()
+      return
+    }
+
+    // Small-file compaction receipt: a streaming-sink-shaped table (many
+    // per-epoch files) scanned before and after GraftOrcCompact. The
+    // delta isolates per-file overhead (open + footer read + task
+    // schedule) — the cost class that grows unboundedly under continuous
+    // ingest and that stripe-copy compaction removes.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 compact
+    if (compactMode) {
+      import graft.sources.v2.GraftOrcCompact
+      val dir = "/tmp/graft-compact-stress"
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val li = Tables.lineitem(spark, sfDir)
+      (1 to 8).foreach { _ =>
+        li.repartition(64).write.format("graft-orc").mode("append").save(dir)
+      }
+      def scan() = spark.read.format("graft-orc").load(dir)
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+      def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(_.getPath.getName.endsWith(".orc")) +
+        fs.globStatus(new org.apache.hadoop.fs.Path(dir, "w-*/*.orc")).length
+      scan().collect() // JIT/codegen warm
+      time(s"scan_fragmented(files=${files()})", 1) { scan() }
+      val t0 = System.nanoTime()
+      val stats = GraftOrcCompact.compact(spark, dir)
+      println(s"""{"op":"compact","bins":${stats.bins},""" +
+        s""""files_compacted":${stats.filesCompacted},""" +
+        s""""sec":${num((System.nanoTime() - t0) / 1e9)}}""")
+      time(s"scan_compacted(files=${files()})", 1) { scan() }
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       spark.stop()
       return
     }

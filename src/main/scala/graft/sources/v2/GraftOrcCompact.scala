@@ -65,9 +65,18 @@ object GraftOrcCompact {
       "graft-orc compact: smallFileBytes must be <= targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = new GraftOrcFileIndex(conf, Seq(table), 32).entries
+    // group by PARTITION directory: a `w-<commitId>` wave directory is a
+    // publish artifact, not partition identity — files from different
+    // waves of the same partition compact together (their merged output
+    // lands at the partition root, which readers list the same way)
     val byDir = entries
       .filter(_.length < smallFileBytes)
-      .groupBy(e => e.path.substring(0, e.path.lastIndexOf('/')))
+      .groupBy { e =>
+        val parent = e.path.substring(0, e.path.lastIndexOf('/'))
+        val name = parent.substring(parent.lastIndexOf('/') + 1)
+        if (name.startsWith("w-")) parent.substring(0, parent.lastIndexOf('/'))
+        else parent
+      }
 
     // first-fit packing per directory; only bins that actually reduce the
     // file count (2+ inputs) are kept
