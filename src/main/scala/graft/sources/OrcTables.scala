@@ -101,9 +101,17 @@ object OrcTables {
   def inferSchema(spark: SparkSession, path: String): StructType =
     inferSchema(spark, Seq(path))
 
-  /** Multi-path variant: schemas merge across every path's files. */
-  def inferSchema(spark: SparkSession, paths: Seq[String]): StructType =
-    reader(spark, OrcReadOptions(mergeSchema = true)).load(paths: _*).schema
+  /** Multi-path variant: schemas merge across every path's files. With
+    * `ignoreCorrupt`, unreadable footers are skipped during the merge
+    * (forwarded to the built-in source's per-relation option) instead of
+    * failing inference.
+    */
+  def inferSchema(spark: SparkSession, paths: Seq[String],
+                  ignoreCorrupt: Boolean = false): StructType = {
+    val r = reader(spark, OrcReadOptions(mergeSchema = true))
+    (if (ignoreCorrupt) r.option("ignoreCorruptFiles", "true") else r)
+      .load(paths: _*).schema
+  }
 
   /** Register every `<name>.orc` file/dir under `dir` as a temp view —
     * the analogue of ListingTable registration

@@ -84,10 +84,18 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
     // recursive, so a plain nested layout (e.g. wave subdirectories under
     // a streamed table) would otherwise fail inference on files this
     // connector can read.
+    // ignoreCorruptFiles applies to inference too: a truncated upload
+    // must not block reading the rest of the table (option first, session
+    // conf spark.sql.files.ignoreCorruptFiles as the default)
+    val ignoreCorrupt = Option(options.get("ignoreCorruptFiles"))
+      .map(GraftOrcDataSource.parseBooleanOption("ignoreCorruptFiles", _))
+      .getOrElse(
+        spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false").toBoolean)
     if (index.partitionColumnNames.nonEmpty)
-      graft.sources.OrcTables.inferSchema(spark, ps)
+      graft.sources.OrcTables.inferSchema(spark, ps, ignoreCorrupt)
     else
-      graft.sources.OrcTables.inferSchema(spark, index.entries.map(_.path))
+      graft.sources.OrcTables.inferSchema(spark, index.entries.map(_.path),
+        ignoreCorrupt)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -108,6 +116,13 @@ object GraftOrcDataSource {
     val location = Option(options.get("location")).toSeq
     (single ++ multi ++ location).distinct
   }
+
+  private[v2] def parseBooleanOption(name: String, v: String): Boolean =
+    try v.trim.toBoolean catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"Invalid value '$v' for option '$name', must be true or false")
+    }
 
   private[v2] def parseJsonArray(s: String): Seq[String] = {
     val t = s.trim
@@ -615,10 +630,19 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     // drop s3a/gcs settings on a real cluster
     val serConf = org.apache.spark.GraftSparkBridge.serializableConf(
       spark.sparkContext.hadoopConfiguration)
+    // corrupt-file tolerance for lake-scale ingest: a single truncated or
+    // garbage file must not kill a 100 TB scan when the user opts in.
+    // Session conf supplies the default (Spark's own file sources read the
+    // same flag); the per-read option overrides it.
+    val ignoreCorrupt = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("ignoreCorruptFiles") =>
+        GraftOrcDataSource.parseBooleanOption("ignoreCorruptFiles", v)
+    }.getOrElse(
+      spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false").toBoolean)
     new GraftOrcPartitionReaderFactory(dataFileSchema, readDataSchema,
       readPartitionSchema,
       if (parsed.pushdownPredicate) dataFilters else Array.empty,
-      limit, batchSize, serConf, parsed.metadataSizeHint)
+      limit, batchSize, serConf, parsed.metadataSizeHint, ignoreCorrupt)
   }
 
   // A12: custom scan metrics, full parity with the reference's 12
@@ -704,7 +728,8 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                      pushedFilters: Array[Filter],
                                      limit: Option[Int], batchSize: Int,
                                      serConf: org.apache.spark.util.SerializableConfiguration,
-                                     metadataSizeHint: Option[Long] = None)
+                                     metadataSizeHint: Option[Long] = None,
+                                     ignoreCorruptFiles: Boolean = false)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -713,7 +738,46 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     throw new UnsupportedOperationException(
       "graft-orc is a columnar source; Spark should call createColumnarReader")
 
+  /** With `ignoreCorruptFiles` on, a file whose footer or stripes cannot
+    * be read degrades to an empty/truncated read (with a warning) instead
+    * of failing the scan — the exception classes mirror Spark's own
+    * FilePartitionReader tolerance (IOException covers ORC's
+    * FileFormatException; RuntimeException covers protobuf/array decode
+    * failures on garbage bytes).
+    */
   override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    if (!ignoreCorruptFiles) createColumnarReaderUnsafe(partition)
+    else {
+      val path = partition.asInstanceOf[GraftOrcInputPartition].filePath
+      def warn(stage: String, e: Throwable): Unit =
+        System.err.println(s"graft-orc: ignoring corrupt file $path " +
+          s"($stage: ${e.getClass.getSimpleName}: ${e.getMessage})")
+      try {
+        val inner = createColumnarReaderUnsafe(partition)
+        new PartitionReader[ColumnarBatch] {
+          override def next(): Boolean =
+            try inner.next() catch {
+              case e @ (_: java.io.IOException | _: RuntimeException) =>
+                warn("read", e); false // treat the rest of the file as EOF
+            }
+          override def get(): ColumnarBatch = inner.get()
+          override def close(): Unit = inner.close()
+          override def currentMetricsValues() = inner.currentMetricsValues()
+        }
+      } catch {
+        case e @ (_: java.io.IOException | _: RuntimeException) =>
+          warn("open", e)
+          new PartitionReader[ColumnarBatch] {
+            override def next(): Boolean = false
+            override def get(): ColumnarBatch =
+              throw new java.util.NoSuchElementException
+            override def close(): Unit = ()
+          }
+      }
+    }
+
+  private def createColumnarReaderUnsafe(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftOrcInputPartition]
     // per-reader copy of the shipped session conf (mutated below)

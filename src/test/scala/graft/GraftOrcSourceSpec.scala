@@ -315,4 +315,38 @@ class GraftOrcSourceSpec extends AnyFunSuite {
       .filter($"l_quantity" > 40)
     assert(q.count() === builtin.filter($"l_quantity" > 40).count())
   }
+
+  test("ignoreCorruptFiles: garbage file fails the scan by default, " +
+    "skips with a warning when opted in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    graft.sources.OrcTables.write(nation, s"$dir/good", mode = "overwrite")
+    // a file with the .orc suffix but garbage bytes (fails the footer
+    // magic check) — the shape a truncated upload leaves behind
+    java.nio.file.Files.write(dir.resolve("good").resolve("junk.orc"),
+      "this is not an orc file at all, not even close".getBytes)
+
+    // default: the corrupt file is an error (matches Spark's file sources)
+    val failed = intercept[Throwable] {
+      spark.read.format("graft-orc").load(s"$dir/good").count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(failed).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("junk.orc") || m.toLowerCase.contains("malformed"))),
+      s"default read must fail on the corrupt file, got: $failed")
+
+    // opted in: the good file's rows still arrive, the garbage is skipped
+    val tolerant = spark.read.format("graft-orc")
+      .option("ignoreCorruptFiles", "true").load(s"$dir/good")
+    assert(tolerant.count() === nation.count())
+    assert(tolerant.select($"n_nationkey").distinct().count() === nation.count())
+
+    // invalid option value fails fast naming the option
+    val bad = intercept[IllegalArgumentException] {
+      spark.read.format("graft-orc")
+        .option("ignoreCorruptFiles", "maybe").load(s"$dir/good").count()
+    }
+    assert(bad.getMessage.contains("ignoreCorruptFiles"))
+  }
 }
