@@ -331,6 +331,62 @@ object Dedup {
     QueryDef("dd_embed_lsh",
       (s, d) => embedLshNearDups(Tables.embeddings(s, d), 0.45)
         .orderBy(col("a_id"), col("b_id")),
+      None),
+
+    // ------------------------------------------------------------ semdedup
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the cluster-bounded
+    // semantic dedup used for web-scale pretraining corpora: k-means the
+    // embeddings, detect near-dups ONLY within a cluster (pairwise cosine
+    // >= threshold), keep the lowest id of each duplicate relation. At
+    // 100 TB the pairwise work is Σ n_c² over cluster sizes, never global
+    // n² — the cluster-id equi-join replaces the cross join, and the
+    // centroid assignment is one broadcast pass over a constant-size (16
+    // row) model. Engine-specific clustering => rows-only; the
+    // kept+dropped partition and every-drop-has-a-near-dup contracts are
+    // pinned in DedupSimilaritySpec.
+    QueryDef("dd_semdedup",
+      (s, d) => semDedupSummary(Tables.embeddings(s, d), 0.45),
       None)
   )
+
+  /** Per-cluster SemDeDup summary: (cluster, n_vectors, n_dropped). */
+  def semDedupSummary(e: DataFrame, threshold: Double): DataFrame = {
+    val assigned = semDedupAssign(e)
+    val dropped = semDedupDropped(assigned, threshold)
+    assigned.join(dropped, assigned("vec_id") === dropped("d_id"), "left")
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(col("d_id")).as("n_dropped"))
+      .orderBy(col("c_id"))
+  }
+
+  /** Probe-1 centroid assignment over the sampled k-means fit. */
+  def semDedupAssign(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents = Similarity.fitCentroids(e).toDF("c_id", "c_v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", VectorFunctions.cosine(col("embedding"), col("c_v")))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("c_id"), col("embedding"))
+  }
+
+  /** Ids dropped by SemDeDup: vectors with a LOWER-id near-dup (cosine >=
+    * threshold) in the SAME cluster — each drop keeps its lowest-id
+    * witness, so one representative per duplicate relation survives.
+    */
+  def semDedupDropped(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("c_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_v"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"))
+    a.join(b, Seq("c_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= threshold)
+      .select(col("b_id").as("d_id")).distinct()
+  }
 }

@@ -147,6 +147,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(none === (1L to 7L).map(i => i -> i))
   }
 
+  test("SemDeDup: drops partition correctly and catch every same-cluster exact pair") {
+    // 2x expansion plants a perturbed near-identical twin per vector —
+    // guaranteed near-dups; at cosine ~0.99 a twin lands in its
+    // original's cluster, exercising the within-cluster drop path
+    val e = Dedup.expandVectors(
+      Tables.embeddings(spark, TestSpark.sf0001), 2).localCheckpoint(true)
+    val thr = 0.9
+    val assigned = Dedup.semDedupAssign(e).cache()
+    val dropped = Dedup.semDedupDropped(assigned, thr)
+      .as[Long].collect().toSet
+    val total = e.count()
+
+    // the summary partitions the corpus: sum of cluster sizes = corpus,
+    // drops never exceed their cluster
+    val summary = Dedup.semDedupSummary(e, thr)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(summary.map(_._2).sum === total)
+    assert(summary.forall { case (_, n, d) => d <= n })
+    assert(summary.map(_._3).sum === dropped.size)
+
+    // semantics: every exact near-dup pair (cosine >= thr) whose two ends
+    // landed in the SAME cluster must drop its higher id — within-cluster
+    // recall is 1.0 by construction, the method's defining property
+    val byCluster = assigned.select($"vec_id", $"c_id")
+      .as[(Long, Int)].collect().toMap
+    val exactPairs = {
+      val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_v"))
+      val b = e.select($"vec_id".as("b_id"), $"embedding".as("b_v"))
+      a.crossJoin(b).filter($"a_id" < $"b_id")
+        .filter(graft.functions.VectorFunctions
+          .cosine($"a_v", $"b_v") >= thr)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    }
+    val sameCluster = exactPairs.filter { case (a, b) =>
+      byCluster(a) == byCluster(b) }
+    assert(sameCluster.nonEmpty, "fixture needs same-cluster near-dups")
+    sameCluster.foreach { case (_, b) =>
+      assert(dropped.contains(b), s"same-cluster near-dup $b not dropped")
+    }
+    // and precision: a dropped id always has a lower-id near-dup SOMEWHERE
+    val dupIds = exactPairs.map(_._2).toSet
+    assert(dropped.subsetOf(dupIds),
+      "a dropped id must be the higher end of some exact near-dup pair")
+    assigned.unpersist()
+  }
+
   test("embedLshNearDups falls back to a non-broadcast join when the table exceeds the threshold") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

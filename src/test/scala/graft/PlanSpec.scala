@@ -164,7 +164,9 @@ class PlanSpec extends AnyFunSuite {
     "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_ivf")
   private val bnljOk = Set("q26_band_join", "ss_topk_bruteforce", "ss_ann_ivf",
     // conditionless joins against a 1-row broadcast scalar aggregate
-    "q15_subquery_above_avg", "q62_idle_rich_customers")
+    "q15_subquery_above_avg", "q62_idle_rich_customers",
+    // centroid assignment: broadcast of a constant-size (16 row) model
+    "dd_semdedup")
 
   test("ALL queries plan without cross products (whole-surface audit)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
