@@ -139,7 +139,10 @@ object Bench {
     "q93_above_median_customers",
     // fifth mini-wave: bidirectional nation-pair trade (TPC-H q7 2-row
     // broadcast dims), time-RANGE rolling window over a (user, day) frame
-    "q94_nation_trade", "q96_rolling_3day_peak")
+    "q94_nation_trade", "q96_rolling_3day_peak",
+    // cluster-bounded semantic dedup (SemDeDup): the per-round tracking
+    // row for the newest pipeline operator
+    "dd_semdedup")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -147,4 +147,36 @@ object EventStream {
       .select(col("e_id"), col("c_id"), col("e_user").as("user_id"),
         col("c_ts"), col("e_ts"))
   }
+
+  /** Stream-stream LEFT OUTER interval join: every error emits exactly
+    * once — matched errors with their click, unmatched errors with a NULL
+    * click once the watermark passes their join window (the outer row
+    * cannot emit earlier: a matching click might still arrive). Same
+    * two-sided time bounds as [[clickErrorJoin]], so the state store
+    * evicts both match state and outer-candidate state as the watermark
+    * advances — the contract that keeps a left-outer stream join's state
+    * bounded forever. Reads every `*.parquet` under `dir` so tests can
+    * land late waves that advance the watermark.
+    */
+  def clickErrorLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val session = nanosSession(spark)
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+      session.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          timestamp_micros(expr("ts DIV 1000")).as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val errors = side("error", "e_id", "e_user", "e_ts")
+    errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("e_id"), col("c_id"), col("e_user").as("user_id"),
+        col("e_ts"))
+  }
 }

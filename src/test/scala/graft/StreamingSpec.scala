@@ -101,6 +101,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched errors emit NULL once " +
+    "the watermark passes") {
+    // stream dir the test controls: the fixture events plus (later) a
+    // far-future sentinel wave that advances the watermark so held
+    // outer-candidate state flushes
+    val dir = java.nio.file.Files.createTempDirectory("st-leftjoin").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val stream = EventStream.clickErrorLeftJoin(spark, dir)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("st_leftjoin").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark ~8h past every fixture event: one future click
+      // for a user id that matches nothing
+      val session = stream.sparkSession
+      val maxNanos = session.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType))))
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .agg(max($"ts")).head().getLong(0)
+      import session.implicits._
+      // one sentinel per SIDE: the global watermark is the MIN across
+      // both watermark operators, and each side's operator only sees rows
+      // passing its event-type filter. The sentinel error itself stays
+      // held in state (the watermark never passes it), so it cannot leak
+      // into the output.
+      // the source lists only the top level of `dir`: land each wave as a
+      // single FILE there (write to a temp dir, move the part file in)
+      def landWave(rows: Seq[(Long, Long, Long, String, Double, String)],
+                   name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("st-wave").toString
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      }
+      val far = maxNanos + 10L * 3600 * 1000000000L
+      landWave(Seq((-1L, far, -1L, "click", 0.0, "{}"),
+        (-2L, far, -2L, "error", 0.0, "{}")), "late1")
+      q.processAllAvailable()
+      // a watermark computed from a batch applies to the NEXT batch; land
+      // one more tiny wave so eviction runs under the sentinel watermark
+      landWave(Seq((-3L, far + 3600L * 1000000000L, -3L, "click", 0.0, "{}")),
+        "late2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = stream.sparkSession.table("st_leftjoin")
+      .select($"e_id", $"c_id").as[(Long, Option[Long])].collect().toSet
+
+    val e = Tables.events(spark, TestSpark.sf0001)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+        unix_micros($"ts".cast("timestamp")).as("c_us"))
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id".as("e_user"),
+        unix_micros($"ts".cast("timestamp")).as("e_us"))
+    val batch = errors.join(clicks,
+        $"e_user" === $"c_user" && $"e_us" >= $"c_us" &&
+          $"e_us" <= $"c_us" + 3600000000L, "left_outer")
+      .select($"e_id", $"c_id").as[(Long, Option[Long])].collect().toSet
+
+    val streamedNulls = streamed.count(_._2.isEmpty)
+    assert(streamedNulls > 0, "fixture needs unmatched errors")
+    assert(streamed === batch,
+      s"left-outer stream join diverged: ${streamed.size} streamed " +
+        s"($streamedNulls nulls) vs ${batch.size} batch rows")
+  }
+
   test("session windows produce per-user sessions") {
     val stream = EventStream.sessionCounts(spark, TestSpark.sf0001)
     val q = stream
