@@ -193,6 +193,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("WITH RECURSIVE reachability via spark.sql == pointer-jumping " +
+    "connectedComponents") {
+    // the dd_clusters oracle's recursive min-label fixpoint, executed by
+    // SPARK's own recursive CTE support (4.x) over the same chain graph
+    // the unit test uses — the literal-SQL twin of the O(log d)
+    // pointer-jumping implementation
+    val nodes = spark.range(40).select($"id".as("doc_id"))
+    val pairs = spark.range(39).filter($"id" % 8 =!= 7)
+      .select($"id".as("a_id"), ($"id" + 1).as("b_id"))
+    val cc = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toSet
+    nodes.createOrReplaceTempView("cc_nodes")
+    pairs.createOrReplaceTempView("cc_pairs")
+    // Spark's recursion supports UNION ALL only (UNION would be the
+    // fixpoint form DuckDB runs); an explicit depth bound >= the graph
+    // diameter keeps the walk enumeration finite and the min-label
+    // result identical
+    val viaSql = spark.sql(
+      """WITH RECURSIVE reach(doc_id, label, depth) AS (
+        |  SELECT doc_id, doc_id AS label, 0 AS depth FROM cc_nodes
+        |  UNION ALL
+        |  SELECT e.a, r.label, r.depth + 1 FROM reach r
+        |  JOIN (SELECT a_id AS a, b_id AS b FROM cc_pairs
+        |        UNION ALL
+        |        SELECT b_id AS a, a_id AS b FROM cc_pairs) e
+        |    ON e.b = r.doc_id
+        |  WHERE r.depth < 8
+        |)
+        |SELECT doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY doc_id""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql === cc)
+  }
+
   test("embedLshNearDups falls back to a non-broadcast join when the table exceeds the threshold") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
