@@ -96,7 +96,9 @@ class PlanSpec extends AnyFunSuite {
   // is O(n * k) with k fixed — linear in data, survives 100x. Everything
   // else in the headline bench set must be equi-join shaped: a
   // CartesianProduct or an unbounded BNLJ here is an n^2 scale-killer.
-  private val boundedBroadcastOk = Set("ss_topk_bruteforce", "ss_ann_ivf")
+  // dd_semdedup: centroid assignment broadcasts a constant 16-row model
+  private val boundedBroadcastOk =
+    Set("ss_topk_bruteforce", "ss_ann_ivf", "dd_semdedup")
 
   test("headline bench set never cross-products (scale guard, whole set)") {
     val extras = Seq(
@@ -326,6 +328,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("In(n_name, [NATION_1,NATION_2])"), p.take(2000))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("runtime bloom filter prunes the big side of a shuffle join " +
+    "(the 100 TB knob for selective fact-fact joins)") {
+    // When the dim side is too big to broadcast but still selective,
+    // Spark can inject a bloom_filter_agg on the small side and a
+    // might_contain pre-filter on the big side — rows drop BEFORE the big
+    // shuffle. Local fixtures sit under the default size thresholds, so
+    // the test pins the CONF RECIPE a 100 TB deployment would use.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sf)
+      val sel = li.filter(col("l_returnflag") === "R" && col("l_quantity") < 3)
+        .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"))
+      val j = li.join(sel,
+        li("l_orderkey") === sel("k") && li("l_linenumber") === sel("ln"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p.take(1200))
+      assert(p.contains("bloom_filter_agg"), p.take(1200))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("q96: RANGE window runs over the pre-aggregated (user, day) frame") {
