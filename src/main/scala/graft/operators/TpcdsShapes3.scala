@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -481,7 +482,54 @@ object TpcdsShapes3 {
               |FROM bn, tot
               |WHERE CAST(round(r, 2) AS DOUBLE)
               |  > 0.04 * CAST(round(g, 2) AS DOUBLE)
-              |ORDER BY n_name""".stripMargin))
+              |ORDER BY n_name""".stripMargin)),
+
+    // ---------------------------------------------------------------- q99
+    // TPC-DS q39 shape: coefficient-of-variation threshold + consecutive-
+    // period self-join — suppliers whose monthly demand is erratic
+    // (stdev/mean > 0.5763, splitting the fixture's 0.40-0.84 cv range
+    // near its median) in TWO consecutive months. The statistical
+    // aggregate uses exact DECIMAL power sums (n, Σq, Σq²) like q13 —
+    // engine-native stddev would diverge on accumulation order — and the
+    // cv > t predicate is cross-multiplied on the identical rounded
+    // doubles: n·(n·s2 − s1²) > t²·(n−1)·s1² (both sides nonnegative
+    // since n·s2 ≥ s1² by Cauchy-Schwarz). The month-pair self-join runs
+    // on the pre-aggregated (supplier, month) frame.
+    QueryDef("q99_volatile_supplier_pairs",
+      (s, d) => {
+        val qDec = col("l_quantity").cast(DecimalType(28, 6))
+        val m = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"), month(col("l_shipdate")).cast("long").as("mo"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            round(sum(qDec), 2).cast("double").as("s1"),
+            round(sum((col("l_quantity") * col("l_quantity"))
+              .cast(DecimalType(28, 6))), 2).cast("double").as("s2"))
+        val hc = m.filter(col("n") > 1 &&
+          col("n") * (col("n") * col("s2") - col("s1") * col("s1")) >
+            lit(0.3321) * (col("n") - 1) * col("s1") * col("s1"))
+          .select(col("l_suppkey"), col("mo"), col("n").cast("long").as("n"))
+        val nxt = hc.select(col("l_suppkey").as("p_supp"),
+          (col("mo") - 1).as("p_mo"), col("n").as("next_n"))
+        hc.join(nxt,
+            col("l_suppkey") === col("p_supp") && col("mo") === col("p_mo"))
+          .select(col("l_suppkey"), col("mo"), col("n"), col("next_n"))
+          .orderBy(col("l_suppkey"), col("mo"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_suppkey, month(l_shipdate) AS mo,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2)
+             |      AS DOUBLE) AS s1,
+             |    CAST(round(sum(CAST(l_quantity*l_quantity
+             |      AS DECIMAL(28,6))), 2) AS DOUBLE) AS s2
+             |  FROM lineitem GROUP BY 1, 2),
+             |hc AS (
+             |  SELECT l_suppkey, mo, CAST(n AS BIGINT) AS n FROM m
+             |  WHERE n > 1 AND n*(n*s2 - s1*s1) > 0.3321*(n-1)*s1*s1)
+             |SELECT a.l_suppkey, a.mo, a.n, b.n AS next_n
+             |FROM hc a JOIN hc b
+             |  ON a.l_suppkey = b.l_suppkey AND a.mo = b.mo - 1
+             |ORDER BY a.l_suppkey, a.mo""".stripMargin))
   )
 
   private val DecimalType30_8 =
