@@ -316,6 +316,35 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(q.count() === builtin.filter($"l_quantity" > 40).count())
   }
 
+  test("schema evolution: a column added by newer files reads as NULL " +
+    "from older files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve")
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    graft.sources.OrcTables.write(nation, s"$dir/w1", mode = "overwrite")
+    graft.sources.OrcTables.write(
+      nation.withColumn("note", concat(lit("n-"), $"n_nationkey")),
+      s"$dir/w2", mode = "overwrite")
+
+    val df = spark.read.format("graft-orc").load(dir.toString)
+    // merged schema carries the union of columns
+    assert(df.schema.fieldNames.contains("note"))
+    assert(df.count() === nation.count() * 2)
+    // old files surface NULL for the evolved column; new files their value
+    assert(df.filter($"note".isNull).count() === nation.count())
+    assert(df.filter($"note" === "n-3").count() === 1)
+    // pushdown on the evolved column must not break pre-evolution files
+    assert(df.filter($"note".isNotNull).count() === nation.count())
+    // projecting ONLY the evolved column still spans every file
+    assert(df.select($"note").count() === nation.count() * 2)
+    // parity with the built-in merging reader (which cannot list the
+    // nested layout from the root — the recursive listing is one of the
+    // connector's additions — so it gets both subdirs spelled out)
+    val builtinMerged = spark.read.option("mergeSchema", "true")
+      .orc(s"$dir/w1", s"$dir/w2")
+    assert(df.select($"n_nationkey", $"note").collect().toSet ===
+      builtinMerged.select($"n_nationkey", $"note").collect().toSet)
+  }
+
   test("ignoreCorruptFiles: garbage file fails the scan by default, " +
     "skips with a warning when opted in") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
