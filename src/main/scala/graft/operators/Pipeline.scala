@@ -211,7 +211,7 @@ object Pipeline {
              |    'https://www.' || substr(md5(text), 1, 1) || '.example.' ||
              |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
              |        ELSE 'net' END ||
-             |      '/doc/' || CAST(doc_id AS VARCHAR) AS url
+             |      '/doc/' || CAST(doc_id AS STRING) AS url
              |  FROM documents),
              |dom AS (
              |  SELECT doc_id,

@@ -328,7 +328,8 @@ object Relational {
           .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_value"))
           .orderBy(col("hour_key"), col("event_type"))
       },
-      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
+      Some(s"""SELECT printf('%04d-%02d-%02d %02d',
+              |    year(ts), month(ts), day(ts), hour(ts)) AS hour_key,
               |  event_type, count(*) AS n, ${oDsum("value", "sum_value")}
               |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 

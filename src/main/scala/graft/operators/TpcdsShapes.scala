@@ -219,11 +219,13 @@ object TpcdsShapes {
           .orderBy(col("mon"))
       },
       Some(s"""WITH om AS (
-              |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+              |  SELECT printf('%04d-%02d', year(o_orderdate),
+              |      month(o_orderdate)) AS mon,
               |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
               |  FROM orders GROUP BY 1),
               |lm AS (
-              |  SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+              |  SELECT printf('%04d-%02d', year(l_shipdate),
+              |      month(l_shipdate)) AS mon,
               |    sum($oRev) AS amt
               |  FROM lineitem GROUP BY 1),
               |oc AS (SELECT mon, CAST(round(sum(amt) OVER (ORDER BY mon
@@ -781,7 +783,8 @@ object TpcdsShapes {
               |WHERE l_partkey IN (
               |  SELECT l_partkey FROM lineitem
               |  GROUP BY 1
-              |  HAVING count(DISTINCT strftime(l_shipdate, '%Y-%m')) >= 4)""".stripMargin)),
+              |  HAVING count(DISTINCT printf('%04d-%02d', year(l_shipdate),
+              |    month(l_shipdate))) >= 4)""".stripMargin)),
 
     // ---------------------------------------------------------------- q65
     // TPC-DS q58/q83 shape: brands whose returned revenue sits within a

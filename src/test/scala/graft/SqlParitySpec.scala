@@ -27,7 +27,6 @@ class SqlParitySpec extends AnyFunSuite {
     * driver's oracle compare.
     */
   private val divergences: Map[String, String] = {
-    val strftime = "DuckDB strftime (Spark: date_format)"
     val epochUs = "DuckDB epoch_us (Spark: unix_micros)"
     val dateDiff = "DuckDB date_diff('day',..) string unit (Spark: unquoted)"
     val intDiv = "DuckDB // integer division (Spark: div)"
@@ -35,8 +34,6 @@ class SqlParitySpec extends AnyFunSuite {
     val listFn = "DuckDB list_* function family (Spark: array_*)"
     val encode1 = "DuckDB 1-arg encode() (Spark encode needs a charset)"
     Map(
-      "q16_events_hourly" -> strftime, "q47_cumulative_union" -> strftime,
-      "q64_frequent_parts" -> strftime,
       "q17_events_gaps" -> epochUs, "q21_sessionize" -> epochUs,
       "q43_asof_join" -> epochUs, "q44_interval_join" -> epochUs,
       "q38_datetime_sweep" -> dateDiff, "q48_late_shipments" -> dateDiff,
@@ -59,7 +56,6 @@ class SqlParitySpec extends AnyFunSuite {
         "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
       "pp_train_test_split" ->
         "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
-      "pp_url_domains" -> "DuckDB CAST(x AS VARCHAR) without length",
       "ta_bigram_lm" -> "DuckDB string_split (Spark: split)",
       "ta_length_quantiles" ->
         "DuckDB quantile_cont list form (Spark: percentile array form)")
