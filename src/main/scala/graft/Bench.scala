@@ -140,9 +140,9 @@ object Bench {
     // fifth mini-wave: bidirectional nation-pair trade (TPC-H q7 2-row
     // broadcast dims), time-RANGE rolling window over a (user, day) frame
     "q94_nation_trade", "q96_rolling_3day_peak",
-    // cluster-bounded semantic dedup (SemDeDup): the per-round tracking
-    // row for the newest pipeline operator
-    "dd_semdedup")
+    // cluster-bounded semantic dedup (SemDeDup) and bigram-LM perplexity
+    // scoring: per-round tracking rows for the newest pipeline operators
+    "dd_semdedup", "ta_perplexity")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -76,7 +76,67 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity per document — the quality-filtering staple
+    * (CCNet/Gopher-style): train an add-k smoothed bigram model on the
+    * corpus ITSELF, score each document by
+    * `ppl = exp(-mean_i log P(w_i | w_{i-1}))` with
+    * `P(w|u) = (c(u,w) + k) / (c(u) + k*V)`. Unusual/garbled text scores
+    * HIGH perplexity; formulaic text scores low.
+    *
+    * 100 TB shape: two map-side-combined aggregations build the model
+    * (bigram counts; context counts derived from them — never a second
+    * corpus pass); the score join carries one row per DISTINCT
+    * (doc, bigram) — the same per-doc pre-aggregation that skew-hardens
+    * [[bigramLm]] — and V is one scalar aggregate. Tokens hash to 60-bit
+    * keys so nothing wider than 16 bytes crosses a shuffle. Engine-
+    * specific hashing + floating log accumulation => rows-only for the
+    * driver; the arithmetic contract is pinned against a JVM-reference
+    * implementation in TextHashParitySpec.
+    */
+  def perplexity(docs0: org.apache.spark.sql.DataFrame,
+                 k: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextHashFunctions.md5Key60
+    val toks = docs0
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toks.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS u, element_at(toks, i + 1) AS w))"))
+        .as("bg"))
+      .select(col("doc_id"), md5Key60(col("bg.u")).as("u"),
+        md5Key60(col("bg.w")).as("w"))
+    // one row per (doc, bigram): map-side combine collapses in-document
+    // repetition before anything shuffles on the bigram key
+    val occ = bi.groupBy(col("doc_id"), col("u"), col("w"))
+      .agg(count(lit(1)).as("o"))
+    val cb = occ.groupBy(col("u"), col("w")).agg(sum(col("o")).as("cb"))
+    // context counts derive from the bigram model — no second corpus pass
+    val cu = cb.groupBy(col("u")).agg(sum(col("cb")).as("cu"))
+    // vocabulary size: one scalar aggregate (contexts ∪ finals)
+    val v = toks.select(explode(col("toks")).as("t"))
+      .select(md5Key60(col("t")).as("t")).agg(countDistinct(col("t")))
+      .head().getLong(0)
+    occ.join(cb, Seq("u", "w"))
+      .join(cu, Seq("u"))
+      .withColumn("logp",
+        log((col("cb") + lit(k)) / (col("cu") + lit(k * v))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("o")).as("n_bigrams"),
+        (-sum(col("o") * col("logp")) / sum(col("o"))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        exp(col("nll")).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------- perplexity
+    // Bigram-LM perplexity scoring (see perplexity scaladoc). Rows-only:
+    // engine-specific 60-bit token hashing and floating log sums have no
+    // DuckDB twin; the arithmetic is pinned by the JVM-reference test.
+    QueryDef("ta_perplexity",
+      (s, d) => perplexity(Tables.documents(s, d)),
+      None),
 
     // ------------------------------------------------------------ tokens
     // Token counting: whitespace tokenization + a BPE-ish subword estimate

@@ -49,4 +49,45 @@ class TextHashParitySpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().toMap
     nat.keys.foreach(k => assert(nat(k) === hof(k), s"doc $k"))
   }
+
+  test("ta_perplexity matches a JVM-reference bigram-LM computation") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "c c c c"))
+      .toDF("doc_id", "text")
+    val k = 0.5
+    val got = graft.operators.TextAnalysis.perplexity(docs, k)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> (n, p) }.toMap
+
+    // reference: plain-Scala add-k bigram LM over the same corpus (token
+    // HASHING in the operator only relabels distinct tokens, so counts
+    // are identical)
+    val corpus = Seq(0L -> "a b a b", 1L -> "a b c", 2L -> "c c c c")
+    val biPerDoc = corpus.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val cb = biPerDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val cu = cb.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val vocab = corpus.flatMap(_._2.split(" ")).distinct.size
+    biPerDoc.foreach { case (id, bgs) =>
+      val nll = -bgs.map { bg =>
+        math.log((cb(bg) + k) / (cu(bg._1) + k * vocab))
+      }.sum / bgs.size
+      val expected = math.exp(nll)
+      val (n, p) = got(id)
+      assert(n === bgs.size)
+      assert(math.abs(p - expected) < 1e-9,
+        s"doc $id: got $p, reference $expected")
+    }
+    // the repetitive doc is the most predictable, the diverse one least
+    assert(got(2L)._2 < got(0L)._2 && got(0L)._2 < got(1L)._2)
+
+    // fixture sanity: every score finite and > 1 at sf0.001
+    val fixture = graft.operators.TextAnalysis
+      .perplexity(Tables.documents(spark, TestSpark.sf0001))
+      .as[(Long, Long, Double)].collect()
+    assert(fixture.nonEmpty)
+    assert(fixture.forall { case (_, n, p) =>
+      n > 0 && p > 1.0 && !p.isNaN && !p.isInfinite })
+  }
 }
