@@ -25,8 +25,10 @@ object ScaleStress {
     val bigramSkewMode = args.lift(1).contains("bigramskew")
     val bigramMode = !bigramSkewMode && args.lift(1).contains("bigram")
     val compactMode = args.lift(1).contains("compact")
-    val hasMode =
-      embedMode || tpcdsMode || bigramMode || bigramSkewMode || compactMode
+    val semdedupMode = args.lift(1).contains("semdedup")
+    val perplexityMode = args.lift(1).contains("perplexity")
+    val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
+      compactMode || semdedupMode || perplexityMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -104,6 +106,47 @@ object ScaleStress {
         }.reduce(_ union _).localCheckpoint(true)
         val n = docs.count()
         time(s"bigram_lm(n=$n)", k) { TextAnalysis.bigramLm(docs) }
+      }
+      spark.stop()
+      return
+    }
+
+    // SemDeDup stress: k-times the vectors (near-dup twins via
+    // expandVectors) with the CLUSTER COUNT scaled to the corpus —
+    // k_clusters = n/256 (capped by the 512-vector fit sample) — so
+    // per-cluster pairwise work stays bounded. A fixed cluster count
+    // would go quadratic, the same failure mode as fixed LSH buckets.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 semdedup 1 10
+    if (semdedupMode) {
+      import graft.operators.Dedup
+      factors.foreach { k =>
+        val e = Dedup.expandVectors(Tables.embeddings(spark, sfDir), k)
+          .localCheckpoint(true)
+        val n = e.count()
+        val kc = math.max(16, math.min(512, (n / 256).toInt))
+        time(s"semdedup(n=$n,k=$kc)", k) {
+          Dedup.semDedupSummary(e, 0.9, kc)
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // Perplexity stress: k disjoint-id copies of documents with the SAME
+    // texts — the model counts stay constant-size while the scoring side
+    // grows linearly, so the run should scale sub-linearly in k.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 perplexity 1 10
+    if (perplexityMode) {
+      import graft.operators.TextAnalysis
+      factors.foreach { k =>
+        val d0 = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val docs = (0 until k).map { i =>
+          d0.select((col("doc_id") + lit(i.toLong * 1000000000L))
+            .as("doc_id"), col("text"))
+        }.reduce(_ union _).localCheckpoint(true)
+        val n = docs.count()
+        time(s"perplexity(n=$n)", k) { TextAnalysis.perplexity(docs) }
       }
       spark.stop()
       return

@@ -349,9 +349,14 @@ object Dedup {
       None)
   )
 
-  /** Per-cluster SemDeDup summary: (cluster, n_vectors, n_dropped). */
-  def semDedupSummary(e: DataFrame, threshold: Double): DataFrame = {
-    val assigned = semDedupAssign(e)
+  /** Per-cluster SemDeDup summary: (cluster, n_vectors, n_dropped).
+    * `k` must SCALE with the corpus (clusters bound the pairwise work at
+    * sum n_c^2 — a fixed k makes per-cluster pairs quadratic again, the
+    * same lesson as LSH bucket counts; ScaleStress semdedup pins it).
+    */
+  def semDedupSummary(e: DataFrame, threshold: Double,
+                      k: Int = 16): DataFrame = {
+    val assigned = semDedupAssign(e, k)
     val dropped = semDedupDropped(assigned, threshold)
     assigned.join(dropped, assigned("vec_id") === dropped("d_id"), "left")
       .groupBy(col("c_id"))
@@ -361,10 +366,11 @@ object Dedup {
   }
 
   /** Probe-1 centroid assignment over the sampled k-means fit. */
-  def semDedupAssign(e: DataFrame): DataFrame = {
+  def semDedupAssign(e: DataFrame, k: Int = 16): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val cents = Similarity.fitCentroids(e).toDF("c_id", "c_v")
+    val cents = Similarity.fitCentroids(e, k = k,
+      sampleN = math.max(512, k * 8)).toDF("c_id", "c_v")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
     e.select(col("vec_id"), col("embedding"))
