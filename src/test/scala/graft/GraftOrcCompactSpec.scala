@@ -64,6 +64,45 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(orcFiles(dir).size === after.size)
   }
 
+  test("compaction preserves z-order stripe statistics (stripes are " +
+    "byte-copied, min/max stays tight)") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = hc.get("orc.stripe.size")
+    val dir = Files.createTempDirectory("graft-compact-z").toString
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    try {
+      hc.set("orc.stripe.size", "65536")
+      // a fragmented z-ordered table: 6 small sorted files
+      graft.operators.ZOrder
+        .zorderBy(li, Seq("l_orderkey", "l_partkey"), partitions = 6)
+        .write.format("graft-orc").mode("append").save(dir)
+    } finally {
+      if (old == null) hc.unset("orc.stripe.size") else hc.set("orc.stripe.size", old)
+    }
+    val before = orcFiles(dir).size
+    assert(before >= 6)
+    val stats = GraftOrcCompact.compact(spark, dir)
+    assert(stats.bins >= 1 && orcFiles(dir).size < before)
+
+    // stripe pruning on BOTH z columns still engages after the merge:
+    // mergeFiles byte-copies stripes, so each kept its tight min/max
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def pruned(filter: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.format("graft-orc").load(dir).filter(filter)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head
+      scan.metrics.collectFirst {
+        case (k, m) if k == "graftStripesPruned" => m.value }.get
+    }
+    assert(pruned($"l_orderkey" < 50) > 0,
+      "compacted z table must still prune on l_orderkey")
+    assert(pruned($"l_partkey" < 20) > 0,
+      "compacted z table must still prune on l_partkey")
+    // and the data survived intact
+    assert(spark.read.format("graft-orc").load(dir).count() === li.count())
+  }
+
   test("files at or above the small-file threshold are left untouched") {
     val dir = Files.createTempDirectory("graft-orc-compact2").toString
     val nation = Tables.nation(spark, TestSpark.sf0001)
