@@ -112,10 +112,11 @@ object TextAnalysis {
     val cb = occ.groupBy(col("u"), col("w")).agg(sum(col("o")).as("cb"))
     // context counts derive from the bigram model — no second corpus pass
     val cu = cb.groupBy(col("u")).agg(sum(col("cb")).as("cu"))
-    // vocabulary size: one scalar aggregate (contexts ∪ finals)
-    val v = toks.select(explode(col("toks")).as("t"))
-      .select(md5Key60(col("t")).as("t")).agg(countDistinct(col("t")))
-      .head().getLong(0)
+    // vocabulary size from the MODEL, not a corpus re-scan: every token
+    // of a >=2-token doc occurs as a context (u) or a final (w), so
+    // distinct(u) ∪ distinct(w) IS the vocabulary — model-sized work
+    val v = cb.select(col("u").as("t")).union(cb.select(col("w").as("t")))
+      .agg(countDistinct(col("t"))).head().getLong(0)
     occ.join(cb, Seq("u", "w"))
       .join(cu, Seq("u"))
       .withColumn("logp",
