@@ -37,12 +37,19 @@ object TpcdsShapes3 {
     // branches. At 100 TB: 1 fact scan + 1 shuffle vs the naive 3 scans.
     QueryDef("q89_channel_union_report",
       (s, d) => {
+        // explicit when-arms (no otherwise): a NULL or out-of-domain
+        // priority maps to a NULL channel and is filtered, exactly like
+        // the oracle's UNION branches dropping rows outside their
+        // IN-lists — parity no longer depends on the domain staying
+        // exactly these five values
         val channel = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
           "express")
           .when(col("o_orderpriority") === "3-MEDIUM", "standard")
-          .otherwise("economy")
+          .when(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"),
+            "economy")
         Tables.lineitem(s, d)
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(channel.isNotNull)
           .groupBy(channel.as("channel"),
             year(col("l_shipdate")).cast("long").as("yr"))
           .agg(count(lit(1)).as("n_lines"),

@@ -56,6 +56,10 @@ object ZOrder {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty frame or an entirely-null / non-castable column: there is no
+    // range to interleave — return the input unchanged (a no-op layout)
+    // rather than NPE-ing on the null aggregate
+    if ((0 until 2 * zCols.size).exists(row.isNullAt)) return df
     val mins = zCols.indices.map(i => row.getDouble(2 * i))
     val maxs = zCols.indices.map(i => row.getDouble(2 * i + 1))
     val zcol = "__graft_zval"

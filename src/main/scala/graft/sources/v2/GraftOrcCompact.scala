@@ -79,18 +79,22 @@ object GraftOrcCompact {
       }
 
     // first-fit packing per directory; only bins that actually reduce the
-    // file count (2+ inputs) are kept
-    val bins: Seq[(String, Seq[String])] = byDir.toSeq.flatMap {
+    // file count (2+ inputs) are kept. Bins carry (path, length) pairs so
+    // the publish loop never re-fetches file statuses (a 1M-file
+    // compaction would otherwise pay 1M driver RPCs for a byte total the
+    // listing already knew).
+    val bins: Seq[(String, Seq[(String, Long)])] = byDir.toSeq.flatMap {
       case (dir, files) =>
         val packed = collection.mutable.ListBuffer.empty[
-          (collection.mutable.ListBuffer[String], Long)]
+          (collection.mutable.ListBuffer[(String, Long)], Long)]
         files.sortBy(_.path).foreach { f =>
           packed.lastOption match {
             case Some((bin, sz)) if sz + f.length <= targetBytes =>
-              bin += f.path
+              bin += (f.path -> f.length)
               packed(packed.size - 1) = (bin, sz + f.length)
             case _ =>
-              packed += ((collection.mutable.ListBuffer(f.path), f.length))
+              packed += ((collection.mutable.ListBuffer(f.path -> f.length),
+                f.length))
           }
         }
         packed.toSeq.collect { case (bin, _) if bin.size >= 2 =>
@@ -111,13 +115,19 @@ object GraftOrcCompact {
         val out = new Path(stagingStr, s"c-${UUID.randomUUID()}.orc")
         val done = OrcFile.mergeFiles(out,
           OrcFile.writerOptions(sconf.value),
-          inputs.map(new Path(_)).asJava)
+          inputs.map(i => new Path(i._1)).asJava)
         (dir, out.toString, done.asScala.map(_.toString).toSeq)
       }.collect().toSeq
 
     // publish: stamp + rename each merged file into its directory, then
     // delete that bin's merged inputs (the duplicate-visibility window is
-    // per bin, one rename + N deletes wide)
+    // per bin, one rename + N deletes wide). Stamps are seeded from the
+    // table first — a fresh JVM's counter starts at zero, and compacted
+    // files MUST carry mtimes above everything they replace or the
+    // (mtime, path) total order the read protocols assume breaks.
+    GraftOrcWrite.seedPublishStamp(conf, table)
+    val lengthOf: Map[String, Long] =
+      bins.iterator.flatMap(_._2).toMap
     val fs = new Path(table).getFileSystem(conf)
     var nFiles = 0
     var nBytes = 0L
@@ -130,7 +140,7 @@ object GraftOrcCompact {
         throw new java.io.IOException(
           s"graft-orc compact: failed to publish $staged into $dest")
       inputs.foreach { in =>
-        nBytes += fs.getFileStatus(new Path(in)).getLen
+        nBytes += lengthOf.getOrElse(in, 0L)
         fs.delete(new Path(in), false)
         nFiles += 1
       }

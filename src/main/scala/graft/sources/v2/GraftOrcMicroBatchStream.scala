@@ -80,13 +80,15 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     }
     val admitted = maxBytesPerTrigger match {
       case Some(cap) =>
-        // admit files until the cap is crossed, never zero files
+        // admit files until the cap is crossed, never zero files — keyed
+        // off the INDEX, not accumulated bytes (a zero-length first file
+        // would otherwise make the next file look "first" and ride past
+        // the cap unconditionally)
         var bytes = 0L
-        fileCapped.takeWhile { e =>
-          val first = bytes == 0L
+        fileCapped.zipWithIndex.takeWhile { case (e, i) =>
           bytes += e.length
-          first || bytes <= cap
-        }
+          i == 0 || bytes <= cap
+        }.map(_._1)
       case None => fileCapped
     }
     val end =

@@ -243,15 +243,24 @@ object GraftOrcWrite {
     */
   private val seededTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def seedPublishStamp(conf: org.apache.hadoop.conf.Configuration,
-                               table: String): Unit = {
-    if (!seededTables.add(table)) return
-    val maxPublished = try {
-      new GraftOrcFileIndex(conf, Seq(table), 32)
-        .entries.foldLeft(0L)((m, e) => math.max(m, e.mtime))
-    } catch { case _: Exception => 0L } // empty/missing table: nothing published
-    lastPublishStamp.updateAndGet(prev => math.max(prev, maxPublished))
-  }
+  private[v2] def seedPublishStamp(
+      conf: org.apache.hadoop.conf.Configuration, table: String): Unit =
+    // synchronized so a concurrent first committer cannot stamp before
+    // the seed lands; the table is marked seeded only AFTER a successful
+    // listing — a transient listing failure must fail THIS commit loudly,
+    // not silently disable seeding for the JVM's lifetime
+    seededTables.synchronized {
+      if (seededTables.contains(table)) return
+      val maxPublished =
+        try new GraftOrcFileIndex(conf, Seq(table), 32)
+          .entries.foldLeft(0L)((m, e) => math.max(m, e.mtime))
+        catch {
+          // genuinely nothing published yet
+          case _: java.io.FileNotFoundException => 0L
+        }
+      lastPublishStamp.updateAndGet(prev => math.max(prev, maxPublished))
+      seededTables.add(table)
+    }
 
   /** Hive-style path escaping for partition values — the inverse of
     * [[GraftOrcFileIndex.unescapePathName]] (%XX for separators, glob
@@ -378,19 +387,33 @@ object GraftOrcWrite {
     */
   private[graft] val OrphanStagingMaxAgeMs: Long = 60L * 60 * 1000
 
-  /** Delete sibling `_staging/<writeId>` subtrees whose mtime is older
-    * than the threshold. Called on truncate/overwrite commits only — an
-    * append must not guess about concurrent writers' progress.
+  /** Delete sibling `_staging/<writeId>` subtrees whose NEWEST entry is
+    * older than the threshold. Called on truncate/overwrite commits only —
+    * an append must not guess about concurrent writers' progress. Age is
+    * judged from the newest mtime anywhere in the subtree, not the
+    * subtree root's: a long-running partitioned write creates its suffix
+    * directories early and then streams files for potentially hours, so
+    * the root mtime alone would misread a LIVE writer as an orphan (and
+    * object stores report no directory mtime at all). The walk costs no
+    * more than the delete it gates.
     */
   private[v2] def sweepOrphanedStaging(fs: org.apache.hadoop.fs.FileSystem,
                                        dir: Path, exceptWriteId: String,
                                        olderThanMs: Long): Unit = {
     val root = new Path(dir, StagingDir)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    def newestIn(p: Path): Long =
+      try {
+        fs.listStatus(p).foldLeft(fs.getFileStatus(p).getModificationTime) {
+          (m, st) =>
+            math.max(m, if (st.isDirectory) newestIn(st.getPath)
+                        else st.getModificationTime)
+        }
+      } catch { case _: java.io.IOException => Long.MaxValue } // can't tell: keep
     try {
       fs.listStatus(root).foreach { st =>
         if (st.isDirectory && st.getPath.getName != exceptWriteId &&
-          st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+          newestIn(st.getPath) < cutoff) fs.delete(st.getPath, true)
       }
     } catch {
       case _: java.io.FileNotFoundException => // no staging root: nothing staged

@@ -417,18 +417,31 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     // ever commit or abort, older than the GC threshold
     val orphan = new java.io.File(dir, "_staging/dead-driver-write-id")
     assert(orphan.mkdirs())
-    java.nio.file.Files.write(
-      new java.io.File(orphan, "part-0-0-x.snappy.orc").toPath,
-      Array[Byte](1, 2, 3))
+    val staged = new java.io.File(orphan, "part-0-0-x.snappy.orc")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    // age the WHOLE subtree: the sweep judges orphan-ness from the newest
+    // entry anywhere under the writeId dir (a live writer streams fresh
+    // files into old directories)
     val old = System.currentTimeMillis() -
       graft.sources.v2.GraftOrcWrite.OrphanStagingMaxAgeMs - 60000
     orphan.setLastModified(old)
-    // an append must NOT touch it (could be a live concurrent writer)...
+    staged.setLastModified(old)
+    // a LIVE long-running writer: old directory mtime but a freshly
+    // staged file — must never be swept
+    val live = new java.io.File(dir, "_staging/live-writer-id")
+    assert(live.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(live, "part-0-1-y.snappy.orc").toPath,
+      Array[Byte](4, 5, 6))
+    live.setLastModified(old)
+    // an append must NOT touch either (could be a live concurrent writer)
     nation.write.format("graft-orc").mode("append").save(dir)
     assert(orphan.exists(), "append swept a staging subtree it doesn't own")
-    // ...a truncate commit sweeps it
+    // ...a truncate commit sweeps the stale one but keeps the live one
     nation.write.format("graft-orc").mode("overwrite").save(dir)
     assert(!orphan.exists(), "overwrite commit must GC stale orphans")
+    assert(live.exists(),
+      "a subtree with fresh staged files is a live writer, not an orphan")
     assert(spark.read.format("graft-orc").load(dir).count() === nation.count())
   }
 

@@ -34,6 +34,13 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z(1) === 0L, "null ranks first")
   }
 
+  test("empty or all-null input degrades to a no-op layout, not an NPE") {
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    assert(ZOrder.zorderBy(empty, Seq("x", "y"), 2).count() === 0)
+    val allNull = Seq((None: Option[Long], 1L), (None, 2L)).toDF("x", "y")
+    assert(ZOrder.zorderBy(allNull, Seq("x", "y"), 2).count() === 2)
+  }
+
   test("z-ordered layout prunes stripes on BOTH interleaved columns") {
     val hc = spark.sparkContext.hadoopConfiguration
     val old = hc.get("orc.stripe.size")
