@@ -303,8 +303,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Totals go AFTER the queries map: the driver captures a bounded tail of
+    // stdout, and with 70+ queries a totals-first line got its head (and the
+    // headline metric with it) clipped in round 7. Tail truncation now eats
+    // query entries, never the headline. A short totals-only line is printed
+    // last as a second chance that always fits any capture window.
     val line =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":${num(total, 3)},"unit":"sec"}"""
     println(line)
     // When run under sbt, stdout lines get an "[info] " prefix that broke
     // the driver's JSON-line parser in round 1 — also write the clean line
@@ -314,6 +319,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

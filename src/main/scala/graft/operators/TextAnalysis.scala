@@ -114,13 +114,19 @@ object TextAnalysis {
     val cu = cb.groupBy(col("u")).agg(sum(col("cb")).as("cu"))
     // vocabulary size from the MODEL, not a corpus re-scan: every token
     // of a >=2-token doc occurs as a context (u) or a final (w), so
-    // distinct(u) ∪ distinct(w) IS the vocabulary — model-sized work
+    // distinct(u) ∪ distinct(w) IS the vocabulary — model-sized work.
+    // V stays a 1-row frame broadcast into the plan (never a driver-side
+    // head()): construction is lazy, and the occ→cb exchange is reused
+    // across the V / cu / score branches instead of recomputed. The
+    // 1-row broadcast cross is the same bounded scalar-aggregate shape as
+    // q15/q62 (PlanSpec bnljOk): O(n * 1), linear at any corpus size.
     val v = cb.select(col("u").as("t")).union(cb.select(col("w").as("t")))
-      .agg(countDistinct(col("t"))).head().getLong(0)
+      .agg(countDistinct(col("t")).cast("double").as("v"))
     occ.join(cb, Seq("u", "w"))
       .join(cu, Seq("u"))
+      .crossJoin(broadcast(v))
       .withColumn("logp",
-        log((col("cb") + lit(k)) / (col("cu") + lit(k * v))))
+        log((col("cb") + lit(k)) / (col("cu") + lit(k) * col("v"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("o")).as("n_bigrams"),
         (-sum(col("o") * col("logp")) / sum(col("o"))).as("nll"))

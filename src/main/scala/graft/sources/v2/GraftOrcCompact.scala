@@ -121,11 +121,15 @@ object GraftOrcCompact {
 
     // publish: stamp + rename each merged file into its directory, then
     // delete that bin's merged inputs (the duplicate-visibility window is
-    // per bin, one rename + N deletes wide). Stamps are seeded from the
-    // table first — a fresh JVM's counter starts at zero, and compacted
-    // files MUST carry mtimes above everything they replace or the
-    // (mtime, path) total order the read protocols assume breaks.
-    GraftOrcWrite.seedPublishStamp(conf, table)
+    // per bin, one rename + N deletes wide). Compacted files MUST carry
+    // mtimes above everything they replace or the (mtime, path) total
+    // order the read protocols assume breaks — and the per-(JVM, table)
+    // memoized seed is NOT sufficient: a different JVM may have published
+    // higher mtimes after this JVM's seed. Compaction holds its own fresh
+    // listing (`entries`, which includes every live file), so the counter
+    // is raised from that listing's max mtime directly.
+    GraftOrcWrite.bumpPublishStamp(
+      entries.foldLeft(0L)((m, e) => math.max(m, e.mtime)))
     val lengthOf: Map[String, Long] =
       bins.iterator.flatMap(_._2).toMap
     val fs = new Path(table).getFileSystem(conf)

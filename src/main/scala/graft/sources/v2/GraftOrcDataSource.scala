@@ -262,14 +262,20 @@ class GraftOrcScanBuilder(dataSchema: StructType,
   // A8 + A9: keep the convertible conjunction for stripe pruning and the
   // partition-only conjunction for file pruning, but report EVERY filter as
   // residual (inexact pushdown) — Catalyst keeps a Filter above the scan,
-  // mirroring the reference's PushedDown::No.
+  // mirroring the reference's PushedDown::No. With
+  // `orc.pushdown_predicate=false` no data filter is recorded at all (the
+  // reference's options.rs:29-47 toggle): no SARG reaches the reader, and
+  // statistics stay exact — honest, because nothing was pushed.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
     val (onPartition, rest) = filters.partition(f =>
       f.references.nonEmpty && f.references.forall(r => partNames(r.toLowerCase)))
     partitionFilters = onPartition
-    dataFilters = rest.filter(f =>
-      GraftOrcShims.createFilter(dataFileSchema, Seq(f)).isDefined)
+    dataFilters =
+      if (!graft.sources.OrcTables.parseOptions(optionsMap).pushdownPredicate)
+        Array.empty
+      else rest.filter(f =>
+        GraftOrcShims.createFilter(dataFileSchema, Seq(f)).isDefined)
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = partitionFilters ++ dataFilters
@@ -565,21 +571,206 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
   // stats to_inexact() under a filter (src/source.rs:212-230), and an
   // absent count is the honest DSv2 mapping (partition pruning keeps
   // counts exact, so partition filters do not degrade them).
-  private lazy val footerRows: Long =
-    GraftOrcFileIndex.parallelMap(selectedFiles, metaParallelism) { e =>
+  //
+  // The SAME sweep also decodes per-column footer statistics (min/max/
+  // null count) for the projected data columns — the reference marks this
+  // TODO (src/metadata.rs:60-86); here they feed Catalyst CBO through the
+  // DSv2 `columnStats` surface so join ordering / broadcast decisions at
+  // 100 TB see real column ranges, not defaults. One footer read per file
+  // total: column stats ride along with the row count, never a second
+  // sweep.
+  private case class FileFooter(rows: Long,
+      cols: Map[String, (Option[OrcStatsEval.StatRange], Long)])
+
+  private lazy val footerSweep: (Seq[OrcFileEntry], Seq[FileFooter]) = {
+    val files = selectedFiles
+    val footers = GraftOrcFileIndex.parallelMap(files, metaParallelism) { e =>
       val r = OrcFile.createReader(new Path(e.path),
         OrcFile.readerOptions(spark.sparkContext.hadoopConfiguration))
-      try r.getNumberOfRows finally r.close()
-    }.sum
+      try {
+        val rows = r.getNumberOfRows
+        val root = r.getSchema
+        val cols: Map[String, (Option[OrcStatsEval.StatRange], Long)] =
+          if (readDataSchema.isEmpty ||
+              root.getCategory != TypeDescription.Category.STRUCT) Map.empty
+          else {
+            val names = root.getFieldNames.asScala
+            val kids = root.getChildren.asScala
+            val stats = r.getStatistics
+            readDataSchema.fields.iterator.map { f =>
+              val i = names.indexWhere(_.equalsIgnoreCase(f.name))
+              if (i < 0)
+                // column absent from this file (schema evolution): every
+                // row contributes a null; min/max untouched (hasValues
+                // false keeps it out of the merge)
+                f.name.toLowerCase -> (Some(OrcStatsEval.StatRange(
+                  None, None, hasNull = true, hasValues = false)), rows)
+              else {
+                val cs = stats(kids(i).getId)
+                f.name.toLowerCase ->
+                  (OrcStatsEval.fromOrcStats(cs), rows - cs.getNumberOfValues)
+              }
+            }.toMap
+          }
+        FileFooter(rows, cols)
+      } finally r.close()
+    }
+    (files, footers)
+  }
+
+  private def footerRows: Long = footerSweep._2.map(_.rows).sum
+
+  private lazy val columnStatsEnabled: Boolean = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.column_stats") =>
+      GraftOrcDataSource.parseBooleanOption("graft.column_stats", v)
+  }.getOrElse(true)
 
   override def estimateStatistics(): Statistics = {
     val bytes = selectedFiles.map(_.length).sum
     val exactRows = dataFilters.isEmpty
     val rows = if (exactRows) OptionalLong.of(footerRows) else OptionalLong.empty()
+    // column stats share the degrade gate: under a pushed data filter the
+    // scan's OUTPUT rows are unknown, so per-column null counts would lie;
+    // gating both on the same condition also means column stats never add
+    // a footer sweep the row count was not already paying for
+    val colStats =
+      if (exactRows && columnStatsEnabled) v2ColumnStats()
+      else java.util.Collections.emptyMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
+  }
+
+  /** Normalized footer/partition value -> the Catalyst-internal value the
+    * v1 `ColumnStat` surface expects for `dt` (dates as epoch days,
+    * timestamps as micros, decimals as [[Decimal]]); None for types CBO
+    * estimation does not consume numerically (strings, booleans) and for
+    * non-finite doubles (a NaN bound would poison interval arithmetic).
+    */
+  private def catalystBound(v: Any, dt: DataType): Option[Object] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (bd: BigDecimal, ByteType) => Some(java.lang.Byte.valueOf(bd.toByte))
+      case (bd: BigDecimal, ShortType) => Some(java.lang.Short.valueOf(bd.toShort))
+      case (bd: BigDecimal, IntegerType) => Some(java.lang.Integer.valueOf(bd.toInt))
+      case (bd: BigDecimal, LongType) => Some(java.lang.Long.valueOf(bd.toLong))
+      case (bd: BigDecimal, FloatType) => Some(java.lang.Float.valueOf(bd.toFloat))
+      case (bd: BigDecimal, DoubleType) => Some(java.lang.Double.valueOf(bd.toDouble))
+      case (bd: BigDecimal, _: DecimalType) => Some(Decimal(bd))
+      case (OrcStatsEval.EpochDays(d), DateType) =>
+        Some(java.lang.Integer.valueOf(d.toInt))
+      case (OrcStatsEval.EpochMicros(us), TimestampType | TimestampNTZType) =>
+        Some(java.lang.Long.valueOf(us))
+      // Spark's ORC writer stores TIMESTAMP_NTZ as int64 epoch micros
+      // (catalyst-type field metadata carries the logical type), so its
+      // footer stats surface as integer ranges — already the Catalyst
+      // internal representation
+      case (bd: BigDecimal, TimestampType | TimestampNTZType) =>
+        Some(java.lang.Long.valueOf(bd.toLong))
+      case (bd: BigDecimal, DateType) =>
+        Some(java.lang.Integer.valueOf(bd.toInt))
+      case _ => None
+    }
+  }
+
+  /** Merge the per-file footer ranges into one DSv2 ColumnStatistics per
+    * projected column. Data columns come from the footer sweep; partition
+    * columns from the (already-typed) listing values — exact and free.
+    */
+  private def v2ColumnStats(): java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val (files, footers) = footerSweep
+    val out = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+
+    def put(name: String, mn: Option[Object], mx: Option[Object],
+            nulls: Long, nonNull: Long): Unit = {
+      val minV = java.util.Optional.ofNullable(mn.orNull: Object)
+      val maxV = java.util.Optional.ofNullable(mx.orNull: Object)
+      out.put(Expressions.column(name),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def min(): java.util.Optional[Object] = minV
+          override def max(): java.util.Optional[Object] = maxV
+          override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+          // ORC footers carry no NDV; the non-null count is the only sound
+          // bound. CBO range-selectivity does not depend on it, but
+          // FilterEstimation refuses to estimate at all without a distinct
+          // count — reporting the upper bound unlocks min/max-driven
+          // estimates (equality estimates skew selective; documented).
+          override def distinctCount(): OptionalLong =
+            OptionalLong.of(math.max(1L, nonNull))
+        })
+    }
+
+    // three-state merge per column: (no values yet) / (merged range) /
+    // (untracked — a file had values but no usable min/max)
+    def merge(ranges: Seq[(Option[OrcStatsEval.StatRange], Long)],
+              dt: DataType): (Option[Object], Option[Object], Long) = {
+      var nulls = 0L
+      var mn: Option[Any] = None
+      var mx: Option[Any] = None
+      var ok = true
+      ranges.foreach { case (rOpt, n) =>
+        nulls += n
+        rOpt match {
+          case Some(r) if !r.hasValues => // all-null in this file: no-op
+          case Some(r) =>
+            (r.min, r.max) match {
+              case (Some(a), Some(b)) =>
+                mn = mn match {
+                  case None => Some(a)
+                  case Some(cur) => OrcStatsEval.cmp(a, cur) match {
+                    case Some(c) => if (c < 0) Some(a) else Some(cur)
+                    case None => ok = false; None
+                  }
+                }
+                mx = mx match {
+                  case None => Some(b)
+                  case Some(cur) => OrcStatsEval.cmp(b, cur) match {
+                    case Some(c) => if (c > 0) Some(b) else Some(cur)
+                    case None => ok = false; None
+                  }
+                }
+              case _ => ok = false // values present but range untracked
+            }
+          case None => ok = false // untracked column type
+        }
+      }
+      if (!ok) (None, None, nulls)
+      else (mn.flatMap(catalystBound(_, dt)), mx.flatMap(catalystBound(_, dt)),
+        nulls)
+    }
+
+    val totalRows = footers.map(_.rows).sum
+
+    readDataSchema.fields.foreach { f =>
+      val key = f.name.toLowerCase
+      val perFile = footers.map(ff => ff.cols.getOrElse(key, (None, 0L)))
+      val (mn, mx, nulls) = merge(perFile, f.dataType)
+      put(f.name, mn, mx, nulls, totalRows - nulls)
+    }
+
+    readPartitionSchema.fields.foreach { f =>
+      val perFile = files.zip(footers).map { case (e, ff) =>
+        val raw = e.partitionValues.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(f.name) => v
+        }.orNull
+        val ext =
+          if (raw == null) null
+          else GraftOrcDataSource.externalPartitionValue(raw, f.dataType)
+        (Some(OrcStatsEval.valueRange(ext)),
+          if (ext == null) ff.rows else 0L)
+      }
+      val (mn, mx, nulls) = merge(perFile, f.dataType)
+      put(f.name, mn, mx, nulls, totalRows - nulls)
+    }
+    out
   }
 
   // Stripe-aligned input splits: a large ORC file becomes multiple
@@ -654,7 +845,8 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     new GraftStatsEvalNsMetric, new GraftPredicateErrorsMetric,
     new GraftPushdownRowsPrunedMetric, new GraftPushdownRowsMatchedMetric,
     new GraftDecodeNsMetric, new GraftRowsDecodedMetric,
-    new GraftBatchesProducedMetric, new GraftFilesReadMetric)
+    new GraftBatchesProducedMetric, new GraftFilesReadMetric,
+    new GraftCorruptFilesSkippedMetric)
 }
 
 // metric classes need zero-arg constructors (Spark instantiates them by
@@ -716,8 +908,19 @@ class GraftFilesReadMetric extends CustomSumMetric {
   override def name: String = "graftFilesRead"
   override def description: String = "graft: files read"
 }
+class GraftCorruptFilesSkippedMetric extends CustomSumMetric {
+  override def name: String = "graftCorruptFilesSkipped"
+  override def description: String = "graft: corrupt files skipped/truncated"
+}
 
 case class GraftTaskMetric(name: String, value: Long) extends CustomTaskMetric
+
+/** Executor-side logger seat (PartitionReaderFactory is serialized; a
+  * shared object keeps the slf4j handle out of the closure). */
+object GraftOrcLog {
+  @transient lazy val log: org.slf4j.Logger =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.v2.GraftOrc")
+}
 
 /** A10: per-file vectorized reader with metric instrumentation, constant
   * partition-column vectors, and exact limit truncation.
@@ -739,40 +942,58 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       "graft-orc is a columnar source; Spark should call createColumnarReader")
 
   /** With `ignoreCorruptFiles` on, a file whose footer or stripes cannot
-    * be read degrades to an empty/truncated read (with a warning) instead
-    * of failing the scan — the exception classes mirror Spark's own
-    * FilePartitionReader tolerance (IOException covers ORC's
-    * FileFormatException; RuntimeException covers protobuf/array decode
-    * failures on garbage bytes).
+    * be read degrades to an empty/truncated read instead of failing the
+    * scan — the exception classes mirror Spark's own FilePartitionReader
+    * tolerance (IOException covers ORC's FileFormatException;
+    * RuntimeException covers protobuf/array decode failures on garbage
+    * bytes). Clearly-transient interrupt classes (InterruptedIOException,
+    * ClosedByInterruptException — task kill / speculative-duplicate
+    * cancellation, not data corruption) are RETHROWN so a healthy file is
+    * never silently truncated by a cancelled read. Every skip is logged
+    * through the logging framework and counted in the
+    * `graftCorruptFilesSkipped` scan metric.
     */
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
     if (!ignoreCorruptFiles) createColumnarReaderUnsafe(partition)
     else {
       val path = partition.asInstanceOf[GraftOrcInputPartition].filePath
+      def transient_(e: Throwable): Boolean = e match {
+        case _: java.io.InterruptedIOException => true
+        case _: java.nio.channels.ClosedByInterruptException => true
+        case _ => false
+      }
       def warn(stage: String, e: Throwable): Unit =
-        System.err.println(s"graft-orc: ignoring corrupt file $path " +
-          s"($stage: ${e.getClass.getSimpleName}: ${e.getMessage})")
+        GraftOrcLog.log.warn("graft-orc: ignoring corrupt file {} ({}: {}: {})",
+          path, stage, e.getClass.getSimpleName, e.getMessage)
       try {
         val inner = createColumnarReaderUnsafe(partition)
         new PartitionReader[ColumnarBatch] {
+          private var skipped = 0L
           override def next(): Boolean =
             try inner.next() catch {
-              case e @ (_: java.io.IOException | _: RuntimeException) =>
-                warn("read", e); false // treat the rest of the file as EOF
+              case e @ (_: java.io.IOException | _: RuntimeException)
+                  if !transient_(e) =>
+                warn("read", e); skipped = 1L
+                false // treat the rest of the file as EOF
             }
           override def get(): ColumnarBatch = inner.get()
           override def close(): Unit = inner.close()
-          override def currentMetricsValues() = inner.currentMetricsValues()
+          override def currentMetricsValues(): Array[CustomTaskMetric] =
+            inner.currentMetricsValues() :+
+              GraftTaskMetric("graftCorruptFilesSkipped", skipped)
         }
       } catch {
-        case e @ (_: java.io.IOException | _: RuntimeException) =>
+        case e @ (_: java.io.IOException | _: RuntimeException)
+            if !transient_(e) =>
           warn("open", e)
           new PartitionReader[ColumnarBatch] {
             override def next(): Boolean = false
             override def get(): ColumnarBatch =
               throw new java.util.NoSuchElementException
             override def close(): Unit = ()
+            override def currentMetricsValues(): Array[CustomTaskMetric] =
+              Array(GraftTaskMetric("graftCorruptFilesSkipped", 1L))
           }
       }
     }

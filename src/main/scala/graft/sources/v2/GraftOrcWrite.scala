@@ -262,6 +262,18 @@ object GraftOrcWrite {
       seededTables.add(table)
     }
 
+  /** Raise the stamp counter to at least `observedMax` — for callers that
+    * already hold a FRESH listing of the table (compaction). The memoized
+    * per-(JVM, table) seed is not enough there: files published by a
+    * DIFFERENT JVM after this JVM's seed can carry higher mtimes than the
+    * counter, and compacted files stamped below the inputs they replace
+    * would break the (mtime, path) total order compaction itself requires.
+    */
+  private[v2] def bumpPublishStamp(observedMax: Long): Unit = {
+    lastPublishStamp.updateAndGet(prev => math.max(prev, observedMax))
+    ()
+  }
+
   /** Hive-style path escaping for partition values — the inverse of
     * [[GraftOrcFileIndex.unescapePathName]] (%XX for separators, glob
     * metacharacters and control chars).

@@ -84,7 +84,8 @@ class GraftOrcSourceSpec extends AnyFunSuite {
       "graftIoRequests", "graftMetadataLoadNs", "graftStripesPruned",
       "graftStripesMatched", "graftStatsEvalNs", "graftPredicateEvalErrors",
       "graftPushdownRowsPruned", "graftPushdownRowsMatched", "graftDecodeNs",
-      "graftRowsDecoded", "graftBatchesProduced", "graftFilesRead"))
+      "graftRowsDecoded", "graftBatchesProduced", "graftFilesRead",
+      "graftCorruptFilesSkipped"))
     val stats = scans.head.scan
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics()

@@ -97,8 +97,9 @@ class PlanSpec extends AnyFunSuite {
   // else in the headline bench set must be equi-join shaped: a
   // CartesianProduct or an unbounded BNLJ here is an n^2 scale-killer.
   // dd_semdedup: centroid assignment broadcasts a constant 16-row model
+  // ta_perplexity: the vocabulary size V is a 1-row broadcast scalar
   private val boundedBroadcastOk =
-    Set("ss_topk_bruteforce", "ss_ann_ivf", "dd_semdedup")
+    Set("ss_topk_bruteforce", "ss_ann_ivf", "dd_semdedup", "ta_perplexity")
 
   test("headline bench set never cross-products (scale guard, whole set)") {
     val extras = Seq(
@@ -166,7 +167,7 @@ class PlanSpec extends AnyFunSuite {
     "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_ivf")
   private val bnljOk = Set("q26_band_join", "ss_topk_bruteforce", "ss_ann_ivf",
     // conditionless joins against a 1-row broadcast scalar aggregate
-    "q15_subquery_above_avg", "q62_idle_rich_customers",
+    "q15_subquery_above_avg", "q62_idle_rich_customers", "ta_perplexity",
     // centroid assignment: broadcast of a constant-size (16 row) model
     "dd_semdedup")
 

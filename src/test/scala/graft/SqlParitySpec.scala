@@ -70,6 +70,26 @@ class SqlParitySpec extends AnyFunSuite {
       df.createOrReplaceTempView(t)
     }
 
+  /** The same tables registered through the graft-orc connector — the
+    * reference's PRIMARY shape is SQL text over its OWN scan
+    * (tpcds_bench.rs:543-574 registers ORC tables, then runs the texts);
+    * this pass makes every oracle text drive the custom DSv2 scan
+    * end-to-end (pushdown, pruning, vectorized decode) instead of the
+    * built-in parquet source.
+    */
+  private def registerGraftOrcViews(): Unit =
+    Tables.all.foreach { t =>
+      val path =
+        if (t == "events") {
+          // events needs the nanos->micros loader before any ORC write
+          val out = graft.sources.OrcData.sinkDir(sf, "events_ntz_orc")
+          if (!new java.io.File(s"$out/_SUCCESS").exists())
+            graft.sources.OrcTables.write(Tables.events(spark, sf), out)
+          out
+        } else graft.sources.OrcData.orcPath(spark, sf, t)
+      spark.read.format("graft-orc").load(path).createOrReplaceTempView(t)
+    }
+
   /** Engine-neutral rendering: the driver's comparator hashes values after
     * sorting columns by name; this mirrors it (decimal scale normalized,
     * arrays rendered element-wise) while keeping row ORDER — every oracle
@@ -95,9 +115,10 @@ class SqlParitySpec extends AnyFunSuite {
     (cols, proj.collect().toSeq.map(_.toSeq.map(render).mkString("|")))
   }
 
-  test("every oracle SQL text runs through spark.sql and matches the " +
-    "DataFrame implementation") {
-    registerViews()
+  /** Run every non-diverged oracle text through `spark.sql` against the
+    * currently-registered views and compare to `reference(name)`.
+    */
+  private def runParity(reference: String => (Seq[String], Seq[String])): Int = {
     val oracle = SparkEntry.oracleSql
     divergences.keys.foreach(k => assert(oracle.contains(k),
       s"divergence entry $k names no oracle query"))
@@ -108,7 +129,7 @@ class SqlParitySpec extends AnyFunSuite {
       if (!divergences.contains(name)) {
         try {
           val (sqlCols, sqlRows) = canon(spark.sql(oracle(name)))
-          val (dfCols, dfRows) = canon(SparkEntry.queries(name)(spark, sf))
+          val (dfCols, dfRows) = reference(name)
           if (sqlCols != dfCols)
             failures += s"$name: columns $sqlCols (sql) vs $dfCols (df)"
           else if (sqlRows != dfRows) {
@@ -128,7 +149,35 @@ class SqlParitySpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"\n${failures.size} literal-SQL divergences not documented:\n" +
         failures.mkString("\n"))
+    checked
+  }
+
+  test("every oracle SQL text runs through spark.sql and matches the " +
+    "DataFrame implementation") {
+    registerViews()
+    val checked =
+      runParity(name => canon(SparkEntry.queries(name)(spark, sf)))
     // the reference runs its whole harness through SQL text; ours must too
     assert(checked >= 40, s"only $checked oracle texts ran through spark.sql")
+  }
+
+  test("every oracle SQL text runs against graft-orc-registered tables " +
+    "(SQL over the connector's own scan, tpcds_bench.rs:543-574)") {
+    // reference results from the parquet loaders, computed BEFORE the
+    // graft-orc views take over the table names
+    registerViews()
+    val expected: Map[String, (Seq[String], Seq[String])] =
+      SparkEntry.oracleSql.keys.filterNot(divergences.contains).toSeq.map {
+        n => n -> canon(spark.sql(SparkEntry.oracleSql(n)))
+      }.toMap
+    registerGraftOrcViews()
+    try {
+      // sanity: the views really are the custom connector
+      assert(spark.sql("SELECT * FROM lineitem").queryExecution.optimizedPlan
+        .toString.contains("graft-orc"))
+      val checked = runParity(expected)
+      assert(checked >= 40,
+        s"only $checked oracle texts ran against graft-orc views")
+    } finally registerViews() // restore parquet views for later suites
   }
 }
