@@ -31,7 +31,9 @@ import org.apache.spark.util.SerializableConfiguration
   *    partition directory before deleting that bin's inputs.
   *
   * Consistency caveats (the no-manifest tradeoff, same family as the
-  * writer's partial-COMMIT note in [[GraftOrcWrite]]):
+  * writer's partial-COMMIT note in [[GraftOrcWrite]]; BOTH disappear on
+  * manifest tables, where the swap commits as one atomic snapshot —
+  * see [[GraftOrcManifest]]):
   *  - A reader listing between a bin's publish and its input deletion
   *    sees that bin's rows TWICE; the window is one rename + N deletes
   *    per bin. A crash inside the window leaves the duplicates until the
@@ -132,11 +134,43 @@ object GraftOrcCompact {
       entries.foldLeft(0L)((m, e) => math.max(m, e.mtime)))
     val lengthOf: Map[String, Long] =
       bins.iterator.flatMap(_._2).toMap
-    val fs = new Path(table).getFileSystem(conf)
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(conf)
+    val qtable = fs.makeQualified(tablePath)
     var nFiles = 0
     var nBytes = 0L
     val kept = merged.filter(_._3.size >= 2)
-    kept.foreach { case (dir, stagedStr, inputs) =>
+    if (GraftOrcManifest.exists(fs, qtable)) {
+      // manifest table: rename ALL outputs first (unmanifested files are
+      // invisible), commit ONE snapshot swapping inputs for outputs, THEN
+      // delete inputs — at no instant does a reader see a row twice, and
+      // a crash anywhere leaves invisible garbage, never duplicates
+      val entryByPath = entries.map(e => e.path -> e).toMap
+      val placed = kept.map { case (dir, stagedStr, inputs) =>
+        val staged = new Path(stagedStr)
+        val stamp = GraftOrcWrite.nextPublishStamp()
+        fs.setTimes(staged, stamp, -1)
+        val len = fs.getFileStatus(staged).getLen
+        val dest = new Path(dir, staged.getName)
+        if (!fs.rename(staged, dest))
+          throw new java.io.IOException(
+            s"graft-orc compact: failed to publish $staged into $dest")
+        val parts = inputs.headOption.flatMap(entryByPath.get)
+          .map(_.partitionValues).getOrElse(Map.empty)
+        (OrcFileEntry(fs.makeQualified(dest).toString, len, parts, stamp),
+          inputs)
+      }
+      GraftOrcManifest.commitSwap(fs, qtable,
+        remove = placed.flatMap(_._2).toSet, add = placed.map(_._1))
+      GraftOrcManifest.deleteUnreferenced(fs, qtable,
+        placed.flatMap(_._2).flatMap(entryByPath.get))
+      placed.foreach { case (_, inputs) =>
+        inputs.foreach { in =>
+          nBytes += lengthOf.getOrElse(in, 0L)
+          nFiles += 1
+        }
+      }
+    } else kept.foreach { case (dir, stagedStr, inputs) =>
       val staged = new Path(stagedStr)
       fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
       val dest = new Path(dir, staged.getName)

@@ -45,9 +45,16 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        frontier +:= (p, scala.collection.immutable.ListMap.empty[String, String])
-      else out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty,
+      if (st.isDirectory) {
+        // a manifest table's newest snapshot IS the listing — one file
+        // read replaces the whole BFS, and unmanifested files (staged,
+        // crash leftovers) stay invisible by construction
+        GraftOrcManifest.readSnapshot(fs, p) match {
+          case Some(snap) => out ++= snap.entries
+          case None => frontier +:=
+            (p, scala.collection.immutable.ListMap.empty[String, String])
+        }
+      } else out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty,
         st.getModificationTime)
     }
     while (frontier.nonEmpty) {

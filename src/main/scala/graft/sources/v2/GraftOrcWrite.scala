@@ -35,7 +35,11 @@ import org.apache.spark.util.SerializableConfiguration
   * the reference's directory tables, where the listing defines the
   * table. (On S3A-style stores a "rename" is a copy; a real deployment
   * would point staging at the same bucket and rely on the store's
-  * server-side rename, or add a metadata log.) Task retries are safe: an
+  * server-side rename.) Both caveats are closed by the opt-in manifest
+  * mode (`.option("graft.manifest", "true")`, [[GraftOrcManifest]]):
+  * commits then become visible only at ONE atomic snapshot rename, and
+  * a crash at any point leaves invisible garbage, never a partial
+  * commit. Task retries are safe: an
   * aborted or orphaned attempt's staged file is filtered out of its wave
   * before the rename, and unique names mean a retry never collides with
   * the original.
@@ -101,6 +105,12 @@ class GraftOrcWrite(path: String, schema: StructType,
   // per-query staging subtree: concurrent writers to the same table never
   // see (or delete) each other's staged files
   private val writeId = UUID.randomUUID().toString
+  // opt-in manifest commit; once the table HAS a manifest every commit
+  // updates it regardless of this option (see publish)
+  private val wantManifest: Boolean = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.manifest") =>
+      GraftOrcDataSource.parseBooleanOption("graft.manifest", v)
+  }.getOrElse(false)
   private val fileFieldIdx: Array[Int] = schema.fields.zipWithIndex
     .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)
 
@@ -123,7 +133,7 @@ class GraftOrcWrite(path: String, schema: StructType,
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
       taskFactory()
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      GraftOrcWrite.publish(path, writeId, messages, truncate)
+      GraftOrcWrite.publish(path, writeId, messages, truncate, wantManifest)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.discard(path, writeId, messages)
@@ -142,7 +152,7 @@ class GraftOrcWrite(path: String, schema: StructType,
       override def commit(epochId: Long,
                           messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.publish(path, writeId, messages,
-          truncateExisting = false)
+          truncateExisting = false, wantManifest = wantManifest)
       override def abort(epochId: Long,
                          messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.discard(path, writeId, messages)
@@ -310,12 +320,32 @@ object GraftOrcWrite {
     */
   private def publish(table: String, writeId: String,
                       messages: Array[WriterCommitMessage],
-                      truncateExisting: Boolean): Unit = {
+                      truncateExisting: Boolean,
+                      wantManifest: Boolean = false): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    val qdir = fs.makeQualified(dir)
     seedPublishStamp(conf, table)
+    // Manifest state BEFORE any mutation. Once the table has a manifest,
+    // EVERY commit updates it — manifest readers see nothing else, so an
+    // optionless append to a manifest table must not strand its files.
+    // The option only matters for establishing one (bootstrapping any
+    // pre-manifest files through one last BFS listing).
+    val manifestBefore = GraftOrcManifest.readSnapshot(fs, qdir)
+    val manifestActive = manifestBefore.isDefined || wantManifest
+    val priorEntries: Seq[OrcFileEntry] =
+      if (truncateExisting || !manifestActive) Nil
+      else manifestBefore.map(_.entries).getOrElse(
+        new GraftOrcFileIndex(conf, Seq(table), 32).entries)
+    // what a manifest truncate deletes LAST: the previous snapshot's
+    // files, or — when this truncate is establishing the manifest — the
+    // pre-manifest files a BFS still sees (listed now, before any rename)
+    val truncateVictims: Seq[OrcFileEntry] =
+      if (!truncateExisting || !manifestActive) Nil
+      else manifestBefore.map(_.entries).getOrElse(
+        new GraftOrcFileIndex(conf, Seq(table), 32).entries)
     if (truncateExisting) {
       // GC staging subtrees orphaned by crashed drivers (dropStaging only
       // removes a write's OWN subtree, so a driver that died before
@@ -325,11 +355,16 @@ object GraftOrcWrite {
       // spares a concurrent writer mid-stage.
       sweepOrphanedStaging(fs, dir, exceptWriteId = writeId,
         olderThanMs = OrphanStagingMaxAgeMs)
-      fs.listStatus(dir).filter { st =>
-        (st.isFile && st.getPath.getName.endsWith(".orc")) ||
-          (st.isDirectory && (st.getPath.getName.contains("=") ||
-            st.getPath.getName.startsWith("w-")))
-      }.foreach(st => fs.delete(st.getPath, st.isDirectory))
+      // physical truncation happens HERE only on directory tables. A
+      // manifest truncate instead flips the snapshot first and deletes
+      // the old files LAST (see below): a crash then leaves invisible
+      // garbage, never a snapshot pointing at deleted files.
+      if (!manifestActive)
+        fs.listStatus(dir).filter { st =>
+          (st.isFile && st.getPath.getName.endsWith(".orc")) ||
+            (st.isDirectory && (st.getPath.getName.contains("=") ||
+              st.getPath.getName.startsWith("w-")))
+        }.foreach(st => fs.delete(st.getPath, st.isDirectory))
     }
     // lastIndexOf: a table path that itself contains "/_staging/" must not
     // shift the split point
@@ -339,6 +374,7 @@ object GraftOrcWrite {
       case other =>
         throw new IllegalStateException(s"graft-orc: foreign message $other")
     }
+    val newEntries = Seq.newBuilder[OrcFileEntry]
     if (staged.nonEmpty) {
       val stagingSub = new Path(new Path(dir, StagingDir), writeId)
       // group staged files by partition suffix ("" when unpartitioned)
@@ -353,13 +389,18 @@ object GraftOrcWrite {
       // wave source dirs may carry files NOT in the commit messages (a
       // task attempt that died without abort); they must not ride along
       // on the directory rename — the old per-file protocol's
-      // orphans-never-published guarantee, kept wave-wise
-      GraftOrcFileIndex.parallelMap(bySuffix, 32) { case (suffix, files) =>
-        val src = if (suffix.isEmpty) stagingSub else new Path(stagingSub, suffix)
-        val keep = files.map(_.getName).toSet
-        fs.listStatus(src).filterNot(st => keep(st.getPath.getName))
-          .foreach(st => fs.delete(st.getPath, true))
-      }
+      // orphans-never-published guarantee, kept wave-wise. The same
+      // listing yields staged lengths for the manifest (by unique file
+      // name), so the manifest costs no extra metadata RPCs.
+      val stagedLen: Map[String, Long] =
+        GraftOrcFileIndex.parallelMap(bySuffix, 32) { case (suffix, files) =>
+          val src = if (suffix.isEmpty) stagingSub else new Path(stagingSub, suffix)
+          val keep = files.map(_.getName).toSet
+          val (keepSt, orphans) =
+            fs.listStatus(src).partition(st => keep(st.getPath.getName))
+          orphans.foreach(st => fs.delete(st.getPath, true))
+          keepSt.map(st => st.getPath.getName -> st.getLen).toSeq
+        }.flatten.toMap
       // stamp files while still staged (invisible), strictly increasing
       // with suffix groups contiguous in wave-rename order
       val stamped = bySuffix.flatMap(_._2.sortBy(_.getName))
@@ -367,9 +408,11 @@ object GraftOrcWrite {
       GraftOrcFileIndex.parallelMap(stamped, 32) { case (p, t) =>
         fs.setTimes(p, t, -1)
       }
+      val stampOf: Map[String, Long] =
+        stamped.map { case (p, t) => p.getName -> t }.toMap
       // one atomic rename per partition suffix, sequential in stamp order
       val commitId = UUID.randomUUID().toString
-      bySuffix.foreach { case (suffix, _) =>
+      bySuffix.foreach { case (suffix, files) =>
         val src = if (suffix.isEmpty) stagingSub else new Path(stagingSub, suffix)
         val destParent = if (suffix.isEmpty) dir else new Path(dir, suffix)
         fs.mkdirs(destParent)
@@ -377,7 +420,21 @@ object GraftOrcWrite {
         if (!fs.rename(src, dest))
           throw new java.io.IOException(
             s"graft-orc: commit failed to publish wave $src into $dest")
+        files.foreach { p =>
+          val rel = (if (suffix.isEmpty) "" else suffix + "/") +
+            s"w-$commitId/${p.getName}"
+          newEntries += GraftOrcManifest.entryOf(qdir, rel,
+            stagedLen.getOrElse(p.getName, 0L), stampOf(p.getName))
+        }
       }
+    }
+    if (manifestActive) {
+      // THE commit point for manifest tables: one atomic snapshot rename
+      val next = manifestBefore.map(_.seq + 1).getOrElse(1L)
+      GraftOrcManifest.writeSnapshot(fs, qdir, next,
+        priorEntries ++ newEntries.result())
+      if (truncateExisting)
+        GraftOrcManifest.deleteUnreferenced(fs, qdir, truncateVictims)
     }
     dropStaging(fs, dir, writeId)
   }

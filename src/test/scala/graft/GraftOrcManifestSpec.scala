@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftOrcCompact, GraftOrcManifest}
+
+/** Manifest-commit mode: one atomic snapshot file defines the table
+  * (the metadata-log upgrade for object stores — no partial-COMMIT
+  * window, no compaction duplicate window, no rename-is-a-copy
+  * exposure). Opt-in per write; sticky per table once established.
+  */
+class GraftOrcManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def nation = Tables.nation(spark, TestSpark.sf0001)
+
+  private def snapshots(dir: String): Seq[String] = {
+    val d = new java.io.File(dir, "_graft_manifest")
+    Option(d.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json")).sorted
+  }
+
+  private def orcFilesOnDisk(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f).filter(_.getName.endsWith(".orc"))
+      else if (f.getName.startsWith("_")) Nil
+      else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    walk(new java.io.File(dir))
+  }
+
+  test("manifest write commits one snapshot; the manifest IS the listing") {
+    val dir = freshDir("graft-manifest-1")
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)
+    assert(snapshots(dir).size === 1, "one snapshot per commit")
+
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.orderBy($"n_nationkey").collect().toSeq ===
+      nation.orderBy($"n_nationkey").collect().toSeq)
+
+    // a stray file smuggled into the directory is NOT part of the table:
+    // manifest readers never BFS, so crash leftovers/partial commits are
+    // invisible by construction
+    val real = orcFilesOnDisk(dir).head
+    val stray = new java.io.File(dir, "stray-file.orc")
+    java.nio.file.Files.copy(real.toPath, stray.toPath)
+    assert(spark.read.format("graft-orc").load(dir).count() === nation.count(),
+      "unmanifested files must stay invisible")
+  }
+
+  test("manifest is sticky: an optionless append still updates it") {
+    val dir = freshDir("graft-manifest-2")
+    val n = nation.count()
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)
+    // no option here — but the table has a manifest, so the commit must
+    // land in it or manifest readers would silently lose these rows
+    nation.write.format("graft-orc").mode("append").save(dir)
+    assert(spark.read.format("graft-orc").load(dir).count() === 2 * n)
+    assert(snapshots(dir).size === 2)
+    // snapshot seq grows; the newest defines the table
+    assert(snapshots(dir).last > snapshots(dir).head)
+  }
+
+  test("manifest overwrite flips the snapshot first, then deletes") {
+    val dir = freshDir("graft-manifest-3")
+    val n = nation.count()
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)
+    nation.write.format("graft-orc").mode("append").save(dir)
+    assert(spark.read.format("graft-orc").load(dir).count() === 2 * n)
+    nation.limit(5).write.format("graft-orc").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-orc").load(dir).count() === 5)
+    // truncate victims are physically gone (deleted AFTER the snapshot
+    // rename — a crash leaves invisible garbage, never a broken snapshot)
+    assert(orcFilesOnDisk(dir).size === 1,
+      s"old files must be deleted, saw ${orcFilesOnDisk(dir)}")
+  }
+
+  test("append with the option bootstraps existing directory tables") {
+    val dir = freshDir("graft-manifest-4")
+    val n = nation.count()
+    // plain directory-table write first (no manifest)
+    nation.write.format("graft-orc").mode("append").save(dir)
+    assert(snapshots(dir).isEmpty)
+    // establishing append: the first snapshot must carry the old files
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)
+    assert(snapshots(dir).size === 1)
+    assert(spark.read.format("graft-orc").load(dir).count() === 2 * n)
+  }
+
+  test("partitioned manifest table keeps hive pruning and partition " +
+    "columns") {
+    val dir = freshDir("graft-manifest-5")
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .partitionBy("n_regionkey").mode("append").save(dir)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.schema.fieldNames.contains("n_regionkey"))
+    val one = back.filter($"n_regionkey" === 2)
+    assert(one.count() === nation.filter($"n_regionkey" === 2).count())
+    // partition pruning: only the k=v files of the selected region scanned
+    val scans = one.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.inputRDD.getNumPartitions <
+      back.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputRDD.getNumPartitions)
+  }
+
+  test("snapshot history is pruned to the retention bound") {
+    val dir = freshDir("graft-manifest-6")
+    (1 to 5).foreach { _ =>
+      nation.limit(3).write.format("graft-orc")
+        .option("graft.manifest", "true").mode("append").save(dir)
+    }
+    assert(snapshots(dir).size === GraftOrcManifest.RetainSnapshots)
+    assert(spark.read.format("graft-orc").load(dir).count() === 15,
+      "pruning history must not lose the newest state")
+  }
+
+  test("compaction on a manifest table swaps atomically: no duplicate " +
+    "window, inputs deleted, wave dirs pruned") {
+    val dir = freshDir("graft-manifest-compact")
+    (1 to 3).foreach { _ =>
+      nation.repartition(4).write.format("graft-orc")
+        .option("graft.manifest", "true")
+        .partitionBy("n_regionkey").mode("append").save(dir)
+    }
+    val before = orcFilesOnDisk(dir)
+    assert(before.size > 10, s"fixture not fragmented: ${before.size}")
+    val newestBefore = snapshots(dir).last
+
+    val stats = GraftOrcCompact.compact(spark, dir)
+    assert(stats.bins > 0)
+    // ONE new snapshot: the whole compaction commits atomically
+    assert(snapshots(dir).size <= GraftOrcManifest.RetainSnapshots)
+    assert(snapshots(dir).last > newestBefore,
+      "compaction must commit a newer snapshot")
+
+    // lossless, fewer files, inputs physically gone
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.count() === nation.count() * 3)
+    val after = orcFilesOnDisk(dir)
+    assert(after.size < before.size)
+    assert(after.size === stats.bins + (before.size - stats.filesCompacted))
+
+    // the manifest holds exactly the files on disk (modulo staging):
+    // nothing references deleted inputs, nothing on disk is unmanifested
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = GraftOrcManifest.readSnapshot(fs,
+      new org.apache.hadoop.fs.Path(dir)).get
+    val manifested = snap.entries.map(e =>
+      new org.apache.hadoop.fs.Path(e.path).toUri.getPath).toSet
+    val onDisk = after.map(_.getAbsolutePath).toSet
+    assert(manifested === onDisk)
+
+    // partition identity survived the swap
+    assert(back.groupBy($"n_regionkey").count()
+      .as[(Int, Long)].collect().sorted.toSeq ===
+      nation.groupBy($"n_regionkey").count()
+        .as[(Int, Long)].collect().sorted.toSeq
+        .map { case (k, c) => (k, c * 3) })
+  }
+
+  test("streaming sink epochs commit through the manifest") {
+    val dir = freshDir("graft-manifest-stream")
+    val src = freshDir("graft-manifest-stream-src")
+    val ckpt = freshDir("graft-manifest-stream-ckpt")
+    nation.limit(10).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(nation.schema).parquet(src)
+      .writeStream.format("graft-orc").option("graft.manifest", "true")
+      .option("checkpointLocation", ckpt).start(dir)
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots(dir).nonEmpty)
+    assert(spark.read.format("graft-orc").load(dir).count() === 10)
+  }
+}
