@@ -36,8 +36,11 @@ import org.apache.spark.util.SerializableConfiguration
   * see [[GraftOrcManifest]]):
   *  - A reader listing between a bin's publish and its input deletion
   *    sees that bin's rows TWICE; the window is one rename + N deletes
-  *    per bin. A crash inside the window leaves the duplicates until the
-  *    bin is re-compacted away or cleaned manually.
+  *    per bin. A crash inside the window is SELF-HEALING: each bin
+  *    writes a tombstone (output + input paths, under `_compact/`)
+  *    before its publish rename, and [[repair]] — run automatically at
+  *    the start of every [[compact]] — finishes the interrupted deletes
+  *    idempotently instead of merging the duplicates into the table.
   *  - Compacted files carry NEW publish stamps (necessarily above the
   *    streaming watermark), so a `readStream` consuming the table would
   *    re-ingest compacted rows as new data. Do NOT compact a table that
@@ -49,9 +52,61 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object GraftOrcCompact {
 
+  /** Per-bin crash tombstones live here; `_`-prefixed => invisible to
+    * every listing (BFS skips it, manifests never reference it).
+    */
+  val TombstoneDir = "_compact"
+
   case class CompactionStats(partitionDirs: Int, bins: Int,
                              filesCompacted: Int, bytesCompacted: Long) {
     def filesWritten: Int = bins
+  }
+
+  /** Finish the input deletes of any bin interrupted between its publish
+    * rename and its input deletes (the directory-table duplicate window).
+    * A bin's tombstone — first line the published output path, then one
+    * input path per line — is written BEFORE the rename and removed after
+    * the deletes, so a leftover one is an exact repair recipe:
+    *  - output exists  => the bin published; delete surviving inputs
+    *    (the duplicates a crash stranded).
+    *  - output missing => the crash hit before the rename; the inputs
+    *    are still the live truth and the staged output is invisible —
+    *    drop the tombstone, touch nothing else.
+    * Either way dropping the tombstone is safe to re-crash through:
+    * every step is an idempotent delete. Runs automatically at the start
+    * of [[compact]]; callable directly for a read-only-ops repair.
+    * Returns the number of bins whose stranded duplicates were removed.
+    * Manifest tables never need it (their swap commits atomically).
+    */
+  def repair(spark: SparkSession, table: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(conf)
+    val tombs = new Path(tablePath, TombstoneDir)
+    val stones =
+      try fs.listStatus(tombs).toSeq.filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => return 0 }
+    var repaired = 0
+    stones.foreach { st =>
+      val lines =
+        try {
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().map(_.trim).filter(_.nonEmpty).toList
+          finally in.close()
+        } catch { case _: java.io.IOException => Nil }
+      lines match {
+        case dest :: inputs if fs.exists(new Path(dest)) =>
+          val removed = inputs.count(p => fs.delete(new Path(p), false))
+          if (removed > 0) repaired += 1
+        case _ => // empty/partial tombstone or unpublished bin: no-op
+      }
+      fs.delete(st.getPath, false)
+    }
+    try {
+      if (fs.listStatus(tombs).isEmpty) fs.delete(tombs, false)
+    } catch { case _: java.io.IOException => /* concurrent compactor */ }
+    repaired
   }
 
   /** Compact every partition directory of `table`: data files smaller
@@ -66,6 +121,9 @@ object GraftOrcCompact {
     require(smallFileBytes <= targetBytes,
       "graft-orc compact: smallFileBytes must be <= targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
+    // heal any interrupted predecessor FIRST: a crashed bin's stranded
+    // duplicates must be deleted, not merged into the table as real rows
+    repair(spark, table)
     val entries = new GraftOrcFileIndex(conf, Seq(table), 32).entries
     // group by PARTITION directory: a `w-<commitId>` wave directory is a
     // publish artifact, not partition identity — files from different
@@ -170,18 +228,34 @@ object GraftOrcCompact {
           nFiles += 1
         }
       }
-    } else kept.foreach { case (dir, stagedStr, inputs) =>
-      val staged = new Path(stagedStr)
-      fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
-      val dest = new Path(dir, staged.getName)
-      if (!fs.rename(staged, dest))
-        throw new java.io.IOException(
-          s"graft-orc compact: failed to publish $staged into $dest")
-      inputs.foreach { in =>
-        nBytes += lengthOf.getOrElse(in, 0L)
-        fs.delete(new Path(in), false)
-        nFiles += 1
+    } else {
+      val tombs = new Path(tablePath, TombstoneDir)
+      if (kept.nonEmpty) fs.mkdirs(tombs)
+      kept.foreach { case (dir, stagedStr, inputs) =>
+        val staged = new Path(stagedStr)
+        fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
+        val dest = new Path(dir, staged.getName)
+        // tombstone BEFORE the rename: from here to its delete, a crash
+        // anywhere is repairable (see repair). A crash mid-tombstone is
+        // harmless — the bin hasn't published, repair drops the stub.
+        val stone = new Path(tombs, s"t-${staged.getName}.txt")
+        val out = fs.create(stone, true)
+        try out.write((fs.makeQualified(dest).toString +: inputs)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(staged, dest))
+          throw new java.io.IOException(
+            s"graft-orc compact: failed to publish $staged into $dest")
+        inputs.foreach { in =>
+          nBytes += lengthOf.getOrElse(in, 0L)
+          fs.delete(new Path(in), false)
+          nFiles += 1
+        }
+        fs.delete(stone, false)
       }
+      try {
+        if (fs.listStatus(tombs).isEmpty) fs.delete(tombs, false)
+      } catch { case _: java.io.IOException => /* none created */ }
     }
     // single-input "bins" (merger skipped siblings) leave their staged
     // output unpublished; drop the whole staging subtree

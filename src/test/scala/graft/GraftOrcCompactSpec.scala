@@ -103,6 +103,70 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(spark.read.format("graft-orc").load(dir).count() === li.count())
   }
 
+  test("a crash inside the publish window is repaired, not merged in") {
+    val dir = Files.createTempDirectory("graft-orc-repair").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    (1 to 2).foreach { _ =>
+      nation.repartition(2).write.format("graft-orc").mode("append").save(dir)
+    }
+    val base = nation.count() * 2
+    assert(spark.read.format("graft-orc").load(dir).count() === base)
+
+    // recreate the exact crash state: a bin of two inputs whose merged
+    // output HAS published (rename done) but whose input deletes never
+    // ran — inputs still visible, tombstone still present
+    val hc = spark.sparkContext.hadoopConfiguration
+    val inputs = orcFiles(dir).sortBy(_.getName).take(2)
+    val dest = new org.apache.hadoop.fs.Path(dir, "c-crashed.orc")
+    org.apache.orc.OrcFile.mergeFiles(dest,
+      org.apache.orc.OrcFile.writerOptions(hc),
+      java.util.Arrays.asList(
+        inputs.map(f => new org.apache.hadoop.fs.Path(f.getPath)): _*))
+    val fs = dest.getFileSystem(hc)
+    val tombs = new org.apache.hadoop.fs.Path(dir, GraftOrcCompact.TombstoneDir)
+    fs.mkdirs(tombs)
+    val stone = new org.apache.hadoop.fs.Path(tombs, "t-c-crashed.orc.txt")
+    val out = fs.create(stone, true)
+    out.write((fs.makeQualified(dest).toString +:
+      inputs.map(f => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(f.getPath)).toString))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    // the window is visible: the two merged inputs count twice
+    val dupRows = spark.read.format("graft-orc").load(dir).count() - base
+    assert(dupRows > 0, "fixture must exhibit the duplicate window")
+
+    assert(GraftOrcCompact.repair(spark, dir) === 1)
+    assert(spark.read.format("graft-orc").load(dir).count() === base)
+    assert(!new java.io.File(dir, GraftOrcCompact.TombstoneDir).exists(),
+      "tombstones are consumed by repair")
+    // idempotent: nothing left to heal
+    assert(GraftOrcCompact.repair(spark, dir) === 0)
+  }
+
+  test("a tombstone whose output never published is dropped harmlessly") {
+    val dir = Files.createTempDirectory("graft-orc-repair2").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    nation.repartition(2).write.format("graft-orc").mode("append").save(dir)
+    val base = spark.read.format("graft-orc").load(dir).count()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hc)
+    val tombs = new org.apache.hadoop.fs.Path(dir, GraftOrcCompact.TombstoneDir)
+    fs.mkdirs(tombs)
+    // crash BEFORE the rename: dest doesn't exist; inputs are live truth
+    val victim = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(orcFiles(dir).head.getPath))
+    val stone = new org.apache.hadoop.fs.Path(tombs, "t-c-never.orc.txt")
+    val out = fs.create(stone, true)
+    out.write((new org.apache.hadoop.fs.Path(dir, "c-never.orc").toString +
+      "\n" + victim.toString + "\n").getBytes("UTF-8"))
+    out.close()
+    // compact() runs repair automatically; live inputs must survive
+    GraftOrcCompact.compact(spark, dir)
+    assert(spark.read.format("graft-orc").load(dir).count() === base)
+    assert(!new java.io.File(dir, GraftOrcCompact.TombstoneDir).exists())
+  }
+
   test("files at or above the small-file threshold are left untouched") {
     val dir = Files.createTempDirectory("graft-orc-compact2").toString
     val nation = Tables.nation(spark, TestSpark.sf0001)
