@@ -217,7 +217,14 @@ object ScaleStress {
           when(col("doc_id") % 10 < 3,
             concat_ws(" ", col("text"), lit(hotPhrase)))
             .otherwise(col("text"))))
-        val n = flat.count(); zipf.count()
+        // the hot/cold split's own adversary: ONE bigram carried once by
+        // EVERY doc. The per-doc pre-agg cannot deamplify it (one
+        // occurrence per doc already), so without the heavy-hitter
+        // broadcast the count join-back would put all n docs' rows for
+        // that key on a single hash partition.
+        val allhot = expand(d0.withColumn("text",
+          concat_ws(" ", col("text"), lit("zzhot zzkey"))))
+        val n = flat.count(); zipf.count(); allhot.count()
         time(s"bigram_lm_flat(n=$n)", k) { TextAnalysis.bigramLm(flat) }
         val t0 = System.nanoTime()
         val df = TextAnalysis.bigramLm(zipf)
@@ -227,6 +234,10 @@ object ScaleStress {
           df.queryExecution.executedPlan.toString.contains("skew=true")
         println(s"""{"op":"bigram_lm_zipf(hot30pct,n=$n)","factor":$k,""" +
           s""""rows":$rows,"sec":${num(sec)},"skew_split":$skewSplit}""")
+        time(s"bigram_lm_allhot(n=$n)", k) { TextAnalysis.bigramLm(allhot) }
+        time(s"perplexity_allhot(n=$n)", k) {
+          TextAnalysis.perplexity(allhot)
+        }
       }
       spark.stop()
       return

@@ -14,6 +14,15 @@ import graft.Tables
   */
 object TextAnalysis {
 
+  /** Heavy-hitter budget for the bigram/perplexity score joins: the K
+    * highest-count bigram keys join map-side via broadcast (a few KB of
+    * 16-byte keys) instead of shuffling; everything else shuffle-joins.
+    * Covers the residual exposure the per-doc pre-agg cannot: one bigram
+    * carried by ~every document, whose join key would otherwise put the
+    * whole corpus's rows on a single hash partition.
+    */
+  private[graft] val HotKeyK = 1024
+
   /** Non-whitespace token count — identical regex semantics on both engines.
     * Shared with Pipeline's quality gate so token semantics cannot drift.
     */
@@ -66,7 +75,20 @@ object TextAnalysis {
     val occ = bi.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("o"))
     val counts = occ.groupBy(col("bg")).agg(sum(col("o")).as("c"))
-    occ.join(counts, Seq("bg"))
+    // Heavy-hitter hot/cold split for the count join-back. The per-doc
+    // pre-agg above bounds INTRA-doc amplification, but a bigram carried
+    // once by ~every doc still lands n rows on one hash partition — and
+    // AQE's skew split provably does not fire for an agg-inside-join
+    // stage (BASELINE.md). So the top-K heaviest bigrams (a TakeOrdered
+    // over the model-sized counts frame) join map-side via broadcast;
+    // only the de-skewed remainder shuffles on bg. Both aggregates the
+    // final groupBy folds are LONG sums, so the branch order cannot
+    // perturb the oracle-checked results.
+    val hot = counts.orderBy(col("c").desc, col("bg")).limit(HotKeyK)
+    occ.join(broadcast(hot), Seq("bg"))
+      .unionByName(
+        occ.join(broadcast(hot.select(col("bg"))), Seq("bg"), "left_anti")
+          .join(counts, Seq("bg")))
       .groupBy(col("doc_id"))
       .agg(sum(col("o")).as("n_bigrams"),
         sum(col("o") * col("c")).as("freq_sum"))
@@ -122,11 +144,27 @@ object TextAnalysis {
     // q15/q62 (PlanSpec bnljOk): O(n * 1), linear at any corpus size.
     val v = cb.select(col("u").as("t")).union(cb.select(col("w").as("t")))
       .agg(countDistinct(col("t")).cast("double").as("v"))
-    occ.join(cb, Seq("u", "w"))
-      .join(cu, Seq("u"))
+    // Fold the model to one per-bigram logp frame BEFORE touching the
+    // corpus-sized occ: cb⋈cu is model-sized (skew on u bounded by
+    // bigrams-per-context, i.e. vocabulary, never corpus rows), so the
+    // only corpus-scale join left is occ⋈model on (u, w) — which gets
+    // the same heavy-hitter hot/cold split as [[bigramLm]]: the top-K
+    // bigrams by count broadcast and join map-side, the de-skewed rest
+    // shuffles. One bigram spanning ~every doc stays off any single
+    // reducer (ScaleStress bigramskew allhot receipt).
+    val model = cb.join(cu, Seq("u"))
       .crossJoin(broadcast(v))
-      .withColumn("logp",
-        log((col("cb") + lit(k)) / (col("cu") + lit(k) * col("v"))))
+      .select(col("u"), col("w"), col("cb"),
+        log((col("cb") + lit(k)) / (col("cu") + lit(k) * col("v")))
+          .as("logp"))
+    val hot = model.orderBy(col("cb").desc, col("u"), col("w"))
+      .limit(HotKeyK).select(col("u"), col("w"), col("logp"))
+    occ.join(broadcast(hot), Seq("u", "w"))
+      .unionByName(
+        occ.join(broadcast(hot.select(col("u"), col("w"))),
+            Seq("u", "w"), "left_anti")
+          .join(model.select(col("u"), col("w"), col("logp")),
+            Seq("u", "w")))
       .groupBy(col("doc_id"))
       .agg(sum(col("o")).as("n_bigrams"),
         (-sum(col("o") * col("logp")) / sum(col("o"))).as("nll"))
