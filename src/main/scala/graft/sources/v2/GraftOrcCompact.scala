@@ -58,24 +58,26 @@ object GraftOrcCompact {
   val TombstoneDir = "_compact"
 
   case class CompactionStats(partitionDirs: Int, bins: Int,
-                             filesCompacted: Int, bytesCompacted: Long) {
-    def filesWritten: Int = bins
+                             filesCompacted: Int, bytesCompacted: Long,
+                             filesOut: Int) {
+    def filesWritten: Int = filesOut
   }
 
-  /** Finish the input deletes of any bin interrupted between its publish
-    * rename and its input deletes (the directory-table duplicate window).
-    * A bin's tombstone — first line the published output path, then one
-    * input path per line — is written BEFORE the rename and removed after
-    * the deletes, so a leftover one is an exact repair recipe:
-    *  - output exists  => the bin published; delete surviving inputs
-    *    (the duplicates a crash stranded).
-    *  - output missing => the crash hit before the rename; the inputs
-    *    are still the live truth and the staged output is invisible —
-    *    drop the tombstone, touch nothing else.
+  /** Finish the input deletes of any merge group interrupted between its
+    * publish renames and its input deletes (the directory-table duplicate
+    * window). A group's tombstone — first line the output COUNT n, then
+    * n published-output paths, then one input path per line — is written
+    * BEFORE the first rename and removed after the deletes, so a
+    * leftover one is an exact repair recipe:
+    *  - every output exists => the group published; delete surviving
+    *    inputs (the duplicates a crash stranded).
+    *  - any output missing  => the crash hit mid-publish; the inputs are
+    *    still the live truth, so ROLL BACK — delete whatever outputs did
+    *    land (pure derived data) and keep the inputs.
     * Either way dropping the tombstone is safe to re-crash through:
     * every step is an idempotent delete. Runs automatically at the start
     * of [[compact]]; callable directly for a read-only-ops repair.
-    * Returns the number of bins whose stranded duplicates were removed.
+    * Returns the number of groups whose stranded duplicates were removed.
     * Manifest tables never need it (their swap commits atomically).
     */
   def repair(spark: SparkSession, table: String): Int = {
@@ -96,10 +98,19 @@ object GraftOrcCompact {
           finally in.close()
         } catch { case _: java.io.IOException => Nil }
       lines match {
-        case dest :: inputs if fs.exists(new Path(dest)) =>
-          val removed = inputs.count(p => fs.delete(new Path(p), false))
-          if (removed > 0) repaired += 1
-        case _ => // empty/partial tombstone or unpublished bin: no-op
+        case head :: rest =>
+          val (outs, inputs) = head.toIntOption match {
+            case Some(n) if n >= 1 && rest.size >= n =>
+              (rest.take(n), rest.drop(n))
+            case _ => (Nil, Nil) // truncated mid-write: nothing published
+          }
+          if (outs.nonEmpty && outs.forall(o => fs.exists(new Path(o)))) {
+            val removed = inputs.count(p => fs.delete(new Path(p), false))
+            if (removed > 0) repaired += 1
+          } else {
+            outs.foreach(o => fs.delete(new Path(o), false))
+          }
+        case Nil => // empty stub: crash before any content
       }
       fs.delete(st.getPath, false)
     }
@@ -113,11 +124,21 @@ object GraftOrcCompact {
     * than `smallFileBytes` are packed first-fit (in listing order) into
     * bins of up to `targetBytes`, and each bin of 2+ files is merged
     * into one file. Files at or above `smallFileBytes` are left alone.
+    *
+    * `zorderCols` switches the merge from stripe copy to a LAYOUT
+    * REWRITE: each partition directory's small files are decoded,
+    * re-laid along the z-curve of those columns ([[graft.operators
+    * .ZOrder.zorderBy]]), and rewritten in ~`targetBytes` chunks — so a
+    * fragmented streaming table gains multi-column stripe pruning at
+    * compaction time. Costlier than stripe copy (pays decode + encode +
+    * one range shuffle per directory); layout is per-directory, which is
+    * exactly the scope stripe pruning acts on.
     */
   def compact(spark: SparkSession, table: String,
               targetBytes: Long = 128L << 20,
               smallFileBytes: Long = 32L << 20,
-              parallelism: Int = 16): CompactionStats = {
+              parallelism: Int = 16,
+              zorderCols: Seq[String] = Nil): CompactionStats = {
     require(smallFileBytes <= targetBytes,
       "graft-orc compact: smallFileBytes must be <= targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -162,22 +183,55 @@ object GraftOrcCompact {
         }
     }
     if (bins.isEmpty)
-      return CompactionStats(byDir.size, 0, 0, 0L)
+      return CompactionStats(byDir.size, 0, 0, 0L, 0)
 
-    // one merge per task, outputs under _staging (invisible to readers)
+    // outputs under _staging (invisible to readers). Each merge group is
+    // (partition dir, staged outputs, merged inputs).
     val staging = new Path(new Path(table, GraftOrcWrite.StagingDir),
       s"compact-${UUID.randomUUID()}")
     val sconf = new SerializableConfiguration(conf)
     val stagingStr = staging.toString
-    val merged: Seq[(String, String, Seq[String])] = spark.sparkContext
-      .parallelize(bins, math.min(bins.size, parallelism))
-      .map { case (dir, inputs) =>
-        val out = new Path(stagingStr, s"c-${UUID.randomUUID()}.orc")
-        val done = OrcFile.mergeFiles(out,
-          OrcFile.writerOptions(sconf.value),
-          inputs.map(i => new Path(i._1)).asJava)
-        (dir, out.toString, done.asScala.map(_.toString).toSeq)
-      }.collect().toSeq
+    val merged: Seq[(String, Seq[String], Seq[String])] =
+      if (zorderCols.isEmpty) {
+        // stripe copy, one bin per task
+        spark.sparkContext
+          .parallelize(bins, math.min(bins.size, parallelism))
+          .map { case (dir, inputs) =>
+            val out = new Path(stagingStr, s"c-${UUID.randomUUID()}.orc")
+            val done = OrcFile.mergeFiles(out,
+              OrcFile.writerOptions(sconf.value),
+              inputs.map(i => new Path(i._1)).asJava)
+            (dir, Seq(out.toString), done.asScala.map(_.toString).toSeq)
+          }.collect().toSeq
+      } else {
+        // layout rewrite: one read -> z-order -> write job per partition
+        // directory (the job itself is distributed; the per-dir loop is
+        // metadata-only). Bin files are read directly as data-column
+        // frames — partition values stay path-derived, exactly like the
+        // stripe-copy outputs.
+        val fsS = staging.getFileSystem(conf)
+        bins.groupBy(_._1).toSeq.map { case (dir, dirBins) =>
+          val inputs = dirBins.flatMap(_._2)
+          val nOut = math.max(1, math.ceil(
+            inputs.map(_._2).sum.toDouble / targetBytes).toInt)
+          val tmp = new Path(staging, s"z-${UUID.randomUUID()}")
+          graft.operators.ZOrder.zorderBy(
+              spark.read.format("graft-orc").load(inputs.map(_._1): _*),
+              zorderCols, nOut)
+            .write.mode("overwrite").format("orc").save(tmp.toString)
+          val outs = fsS.listStatus(tmp).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
+            .map { st =>
+              val out = new Path(stagingStr, s"c-${UUID.randomUUID()}.orc")
+              if (!fsS.rename(st.getPath, out))
+                throw new java.io.IOException(
+                  s"graft-orc compact: failed to stage ${st.getPath}")
+              out.toString
+            }
+          fsS.delete(tmp, true)
+          (dir, outs, inputs.map(_._1))
+        }
+      }
 
     // publish: stamp + rename each merged file into its directory, then
     // delete that bin's merged inputs (the duplicate-visibility window is
@@ -197,32 +251,45 @@ object GraftOrcCompact {
     val qtable = fs.makeQualified(tablePath)
     var nFiles = 0
     var nBytes = 0L
+    var nOut = 0
     val kept = merged.filter(_._3.size >= 2)
+    def publishOne(dir: String, stagedStr: String): Path = {
+      val staged = new Path(stagedStr)
+      fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
+      val dest = new Path(dir, staged.getName)
+      if (!fs.rename(staged, dest))
+        throw new java.io.IOException(
+          s"graft-orc compact: failed to publish $staged into $dest")
+      dest
+    }
     if (GraftOrcManifest.exists(fs, qtable)) {
       // manifest table: rename ALL outputs first (unmanifested files are
       // invisible), commit ONE snapshot swapping inputs for outputs, THEN
       // delete inputs — at no instant does a reader see a row twice, and
       // a crash anywhere leaves invisible garbage, never duplicates
       val entryByPath = entries.map(e => e.path -> e).toMap
-      val placed = kept.map { case (dir, stagedStr, inputs) =>
-        val staged = new Path(stagedStr)
-        val stamp = GraftOrcWrite.nextPublishStamp()
-        fs.setTimes(staged, stamp, -1)
-        val len = fs.getFileStatus(staged).getLen
-        val dest = new Path(dir, staged.getName)
-        if (!fs.rename(staged, dest))
-          throw new java.io.IOException(
-            s"graft-orc compact: failed to publish $staged into $dest")
+      val placed = kept.map { case (dir, outs, inputs) =>
         val parts = inputs.headOption.flatMap(entryByPath.get)
-          .map(_.partitionValues).getOrElse(Map.empty)
-        (OrcFileEntry(fs.makeQualified(dest).toString, len, parts, stamp),
-          inputs)
+          .map(_.partitionValues).getOrElse(Map.empty[String, String])
+        val destEntries = outs.map { o =>
+          val stamp = GraftOrcWrite.nextPublishStamp()
+          val staged = new Path(o)
+          fs.setTimes(staged, stamp, -1)
+          val len = fs.getFileStatus(staged).getLen
+          val dest = new Path(dir, staged.getName)
+          if (!fs.rename(staged, dest))
+            throw new java.io.IOException(
+              s"graft-orc compact: failed to publish $staged into $dest")
+          OrcFileEntry(fs.makeQualified(dest).toString, len, parts, stamp)
+        }
+        (destEntries, inputs)
       }
       GraftOrcManifest.commitSwap(fs, qtable,
-        remove = placed.flatMap(_._2).toSet, add = placed.map(_._1))
+        remove = placed.flatMap(_._2).toSet, add = placed.flatMap(_._1))
       GraftOrcManifest.deleteUnreferenced(fs, qtable,
         placed.flatMap(_._2).flatMap(entryByPath.get))
-      placed.foreach { case (_, inputs) =>
+      placed.foreach { case (destEntries, inputs) =>
+        nOut += destEntries.size
         inputs.foreach { in =>
           nBytes += lengthOf.getOrElse(in, 0L)
           nFiles += 1
@@ -231,21 +298,20 @@ object GraftOrcCompact {
     } else {
       val tombs = new Path(tablePath, TombstoneDir)
       if (kept.nonEmpty) fs.mkdirs(tombs)
-      kept.foreach { case (dir, stagedStr, inputs) =>
-        val staged = new Path(stagedStr)
-        fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
-        val dest = new Path(dir, staged.getName)
-        // tombstone BEFORE the rename: from here to its delete, a crash
-        // anywhere is repairable (see repair). A crash mid-tombstone is
-        // harmless — the bin hasn't published, repair drops the stub.
-        val stone = new Path(tombs, s"t-${staged.getName}.txt")
-        val out = fs.create(stone, true)
-        try out.write((fs.makeQualified(dest).toString +: inputs)
+      kept.foreach { case (dir, outs, inputs) =>
+        val dests = outs.map(o => new Path(dir, new Path(o).getName))
+        // tombstone BEFORE the first rename: from here to its delete, a
+        // crash anywhere is repairable (see repair). A crash
+        // mid-tombstone is harmless — nothing has published, repair
+        // drops the stub.
+        val stone = new Path(tombs, s"t-${dests.head.getName}.txt")
+        val os = fs.create(stone, true)
+        try os.write((outs.size.toString +:
+          (dests.map(d => fs.makeQualified(d).toString) ++ inputs))
           .mkString("", "\n", "\n").getBytes("UTF-8"))
-        finally out.close()
-        if (!fs.rename(staged, dest))
-          throw new java.io.IOException(
-            s"graft-orc compact: failed to publish $staged into $dest")
+        finally os.close()
+        outs.foreach(o => publishOne(dir, o))
+        nOut += outs.size
         inputs.foreach { in =>
           nBytes += lengthOf.getOrElse(in, 0L)
           fs.delete(new Path(in), false)
@@ -264,6 +330,6 @@ object GraftOrcCompact {
       val root = new Path(table, GraftOrcWrite.StagingDir)
       if (fs.listStatus(root).isEmpty) fs.delete(root, false)
     } catch { case _: java.io.IOException => /* concurrent writer */ }
-    CompactionStats(byDir.size, kept.size, nFiles, nBytes)
+    CompactionStats(byDir.size, kept.size, nFiles, nBytes, nOut)
   }
 }

@@ -103,6 +103,53 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(spark.read.format("graft-orc").load(dir).count() === li.count())
   }
 
+  test("z-order rewrite compaction gains pruning on a non-sort column") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = hc.get("orc.stripe.size")
+    val dir = Files.createTempDirectory("graft-compact-zrw").toString
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    try {
+      hc.set("orc.stripe.size", "65536")
+      // a fragmented table laid out by ONE column only (the streaming-
+      // ingest reality: per-epoch files roughly time-ordered) — filters
+      // on l_partkey get no stripe locality at all
+      (1 to 3).foreach { _ =>
+        li.sort("l_orderkey").coalesce(2)
+          .write.format("graft-orc").mode("append").save(dir)
+      }
+      val before = orcFiles(dir).size
+      assert(before >= 3)
+
+      val stats = GraftOrcCompact.compact(spark, dir,
+        zorderCols = Seq("l_orderkey", "l_partkey"))
+      assert(stats.bins >= 1 && stats.filesOut >= 1)
+      assert(orcFiles(dir).size < before)
+
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def pruned(filter: org.apache.spark.sql.Column): Long = {
+        val q = spark.read.format("graft-orc").load(dir).filter(filter)
+        q.collect()
+        val scan = q.queryExecution.executedPlan.collect {
+          case b: BatchScanExec => b }.head
+        scan.metrics.collectFirst {
+          case (k, m) if k == "graftStripesPruned" => m.value }.get
+      }
+      // the rewrite bought locality on BOTH z columns — including
+      // l_partkey, which the original layout had no order on
+      assert(pruned($"l_partkey" < 20) > 0,
+        "z-rewrite must prune stripes on the non-sort column")
+      assert(pruned($"l_orderkey" < 50) > 0)
+      // lossless
+      assert(spark.read.format("graft-orc").load(dir).count() ===
+        li.count() * 3)
+      assert(!new java.io.File(dir, "_staging").exists())
+      assert(!new java.io.File(dir, GraftOrcCompact.TombstoneDir).exists())
+    } finally {
+      if (old == null) hc.unset("orc.stripe.size")
+      else hc.set("orc.stripe.size", old)
+    }
+  }
+
   test("a crash inside the publish window is repaired, not merged in") {
     val dir = Files.createTempDirectory("graft-orc-repair").toString
     val nation = Tables.nation(spark, TestSpark.sf0001)
@@ -127,7 +174,7 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     fs.mkdirs(tombs)
     val stone = new org.apache.hadoop.fs.Path(tombs, "t-c-crashed.orc.txt")
     val out = fs.create(stone, true)
-    out.write((fs.makeQualified(dest).toString +:
+    out.write(("1" +: fs.makeQualified(dest).toString +:
       inputs.map(f => fs.makeQualified(
         new org.apache.hadoop.fs.Path(f.getPath)).toString))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -158,7 +205,7 @@ class GraftOrcCompactSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(orcFiles(dir).head.getPath))
     val stone = new org.apache.hadoop.fs.Path(tombs, "t-c-never.orc.txt")
     val out = fs.create(stone, true)
-    out.write((new org.apache.hadoop.fs.Path(dir, "c-never.orc").toString +
+    out.write(("1\n" + new org.apache.hadoop.fs.Path(dir, "c-never.orc") +
       "\n" + victim.toString + "\n").getBytes("UTF-8"))
     out.close()
     // compact() runs repair automatically; live inputs must survive
