@@ -346,7 +346,34 @@ object Dedup {
     // pinned in DedupSimilaritySpec.
     QueryDef("dd_semdedup",
       (s, d) => semDedupSummary(Tables.embeddings(s, d), 0.45),
-      None)
+      None),
+
+    // Deterministic-assignment SemDeDup: a fixed 3x3 grid over the first
+    // two embedding dims stands in for the k-means fit, so the
+    // kept/dropped accounting — the part of SemDeDup that matters for a
+    // training corpus — runs under the FULL hash oracle (dd_semdedup
+    // itself stays rows-only because k-means centroids are
+    // engine-specific). Same cluster-bounded pairwise plan: the grid id
+    // is the equi-join key, work is still sum n_c^2, never global n^2.
+    QueryDef("dd_semdedup_det",
+      (s, d) => semDedupDetSummary(Tables.embeddings(s, d), 0.45),
+      Some("""WITH assigned AS (
+             |  SELECT vec_id, embedding,
+             |    (CASE WHEN embedding[1] < -0.1 THEN 0
+             |          WHEN embedding[1] < 0.1 THEN 1 ELSE 2 END) * 3 +
+             |    (CASE WHEN embedding[2] < -0.1 THEN 0
+             |          WHEN embedding[2] < 0.1 THEN 1 ELSE 2 END) AS c_id
+             |  FROM embeddings
+             |), dropped AS (
+             |  SELECT DISTINCT b.vec_id AS d_id
+             |  FROM assigned a JOIN assigned b
+             |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+             |   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+             |)
+             |SELECT c_id, count(*) AS n_vectors, count(d_id) AS n_dropped
+             |FROM assigned LEFT JOIN dropped ON vec_id = d_id
+             |GROUP BY c_id
+             |ORDER BY c_id""".stripMargin))
   )
 
   /** Per-cluster SemDeDup summary: (cluster, n_vectors, n_dropped).
@@ -357,6 +384,27 @@ object Dedup {
   def semDedupSummary(e: DataFrame, threshold: Double,
                       k: Int = 16): DataFrame = {
     val assigned = semDedupAssign(e, k)
+    val dropped = semDedupDropped(assigned, threshold)
+    assigned.join(dropped, assigned("vec_id") === dropped("d_id"), "left")
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(col("d_id")).as("n_dropped"))
+      .orderBy(col("c_id"))
+  }
+
+  /** Deterministic SemDeDup summary (dd_semdedup_det): grid-cell
+    * assignment over the first two dims replaces the k-means fit; the
+    * within-cluster pairwise drop logic is [[semDedupDropped]] verbatim.
+    * Every comparison is a float-vs-constant or the oracle-shared cosine,
+    * so DuckDB reproduces the result bit-for-bit (full hash oracle).
+    */
+  def semDedupDetSummary(e: DataFrame, threshold: Double): DataFrame = {
+    def bin(i: Int) = {
+      val v = element_at(col("embedding"), i).cast("double")
+      when(v < -0.1, 0).when(v < 0.1, 1).otherwise(2)
+    }
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      (bin(1) * 3 + bin(2)).as("c_id"))
     val dropped = semDedupDropped(assigned, threshold)
     assigned.join(dropped, assigned("vec_id") === dropped("d_id"), "left")
       .groupBy(col("c_id"))

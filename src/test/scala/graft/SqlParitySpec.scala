@@ -44,6 +44,7 @@ class SqlParitySpec extends AnyFunSuite {
       "pp_contamination" -> "DuckDB list slice l[1:3] (Spark: slice())",
       "dd_embed_cosine" -> listFn, "ss_topk_bruteforce" -> listFn,
       "dd_clusters" -> listFn, "dd_jaccard_pairs" -> listFn,
+      "dd_semdedup_det" -> listFn,
       "pp_sql_functions" -> listFn, "ta_vocab_topk" ->
         "DuckDB bare unnest in SELECT (Spark: LATERAL VIEW explode)",
       "mm_binary_meta" -> encode1, "ta_token_stats" -> encode1,
