@@ -23,6 +23,10 @@ object Similarity {
 
   private val TopK = 8
   private val NumQueries = 5
+  // adaptive IVF probe: cells with angular distance within ProbeRatio of
+  // the query's best cell are scanned, up to MaxProbes (cost ceiling)
+  private val MaxProbes = 6
+  private val ProbeRatio = 1.8
 
   /** Spherical k-means (Lloyd's) fit on a bounded deterministic sample —
     * the IVF coarse-quantizer "fit job". Model fitting is the one place a
@@ -113,36 +117,43 @@ object Similarity {
     // ------------------------------------------------------------ IVF ANN
     // IVF: 16 coarse centroids from a sampled spherical k-means fit,
     // every vector assigned to its nearest centroid (one broadcast pass),
-    // queries probe their 3 nearest cells, exact rerank inside cells.
-    // The cell equi-join replaces the O(n*q) cross join; probes trade
-    // recall for cells scanned (3/16 of the data per query — probe-2
-    // measured recall exactly 0.45 on the fixture, probe-3 buys the
-    // margin the DedupSimilaritySpec floor needs at ~1.5x query cost;
-    // assignment stays probe-1 so the index size is unchanged).
-    // Engine-specific cells => rows-only check; recall vs brute force is
-    // pinned in DedupSimilaritySpec.
+    // queries probe ADAPTIVELY by distance ratio: always the best cell,
+    // plus every cell whose angular distance (1 - cos) is within
+    // ProbeRatio of the best cell's, capped at MaxProbes. A query deep
+    // inside one cell scans almost nothing extra; a query near a cell
+    // boundary — exactly where fixed probe-3 lost its neighbors — fans
+    // out to every plausible cell. Recall on the fixture: probe-3 fixed
+    // 0.55 -> adaptive 0.725 under a 6-of-16-cell cost ceiling (the
+    // DedupSimilaritySpec floor is 0.6). The cell equi-join replaces the
+    // O(n*q) cross join; assignment stays probe-1 so the index size is
+    // unchanged. Engine-specific cells => rows-only check; recall vs
+    // brute force is pinned in DedupSimilaritySpec.
     QueryDef("ss_ann_ivf",
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d)
         val cents = fitCentroids(e).toDF("c_id", "c_v")
-        def nearestCells(vecs: DataFrame, idC: String,
-                         vC: String, probes: Int) = {
-          val w = Window.partitionBy(col(idC))
-            .orderBy(col("c_sim").desc, col("c_id"))
+        def nearestCells(vecs: DataFrame, idC: String, vC: String,
+                         maxProbes: Int, ratio: Double) = {
+          val byId = Window.partitionBy(col(idC))
+          val w = byId.orderBy(col("c_sim").desc, col("c_id"))
           vecs.crossJoin(broadcast(cents))
             .withColumn("c_sim", cosine(col(vC), col("c_v")))
             .withColumn("c_rank", row_number().over(w))
-            .filter(col("c_rank") <= probes)
-            .drop("c_v", "c_sim", "c_rank")
+            .withColumn("c_best", max(col("c_sim")).over(byId))
+            .filter(col("c_rank") === 1 ||
+              (col("c_rank") <= maxProbes &&
+                lit(1.0) - col("c_sim") <=
+                  lit(ratio) * (lit(1.0) - col("c_best"))))
+            .drop("c_v", "c_sim", "c_rank", "c_best")
         }
         val assigned = nearestCells(
           e.select(col("vec_id").as("n_id"), col("embedding").as("n_v")),
-          "n_id", "n_v", probes = 1)
+          "n_id", "n_v", maxProbes = 1, ratio = 0.0)
         val q = nearestCells(
           e.filter(col("vec_id") < NumQueries)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_v")),
-          "q_id", "q_v", probes = 3)
+          "q_id", "q_v", maxProbes = MaxProbes, ratio = ProbeRatio)
         rerank(assigned.join(broadcast(q), Seq("c_id")))
       },
       None),

@@ -111,15 +111,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.45, s"LSH ANN recall $recall < 0.45")
   }
 
-  test("ANN recall: IVF probe-3 with fitted k-means centroids recalls >=45%") {
+  test("ANN recall: IVF adaptive distance-ratio probe recalls >=60%") {
     val brute = SparkEntry.queries("ss_topk_bruteforce")(spark, TestSpark.sf0001)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val ivf = SparkEntry.queries("ss_ann_ivf")(spark, TestSpark.sf0001)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     assert(brute.nonEmpty)
+    // fixed probe-3 measured 0.55 on this fixture; the adaptive probe
+    // (scan cells within 1.8x the best cell's angular distance, max 6)
+    // measures 0.725 — boundary queries fan out, confident ones don't.
+    // Deterministic: centroids fit from a keyed sample, data fixed.
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     info(f"IVF ANN recall: $recall%.3f")
-    assert(recall >= 0.45, s"IVF ANN recall $recall < 0.45")
+    assert(recall >= 0.6, s"IVF ANN recall $recall < 0.6")
   }
 
   test("k-means fit: centroids are finite, distinct-ish, and cells are populated") {
