@@ -25,10 +25,11 @@ object ScaleStress {
     val bigramSkewMode = args.lift(1).contains("bigramskew")
     val bigramMode = !bigramSkewMode && args.lift(1).contains("bigram")
     val compactMode = args.lift(1).contains("compact")
+    val manifestMode = args.lift(1).contains("manifest")
     val semdedupMode = args.lift(1).contains("semdedup")
     val perplexityMode = args.lift(1).contains("perplexity")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
-      compactMode || semdedupMode || perplexityMode
+      compactMode || semdedupMode || perplexityMode || manifestMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -148,6 +149,60 @@ object ScaleStress {
         val n = docs.count()
         time(s"perplexity(n=$n)", k) { TextAnalysis.perplexity(docs) }
       }
+      spark.stop()
+      return
+    }
+
+    // Manifest listing receipt: metadata cost of planning a scan over a
+    // fragmented (streaming-ingested, hive-partitioned) table, directory
+    // BFS vs one manifest-snapshot read. On a real object store every
+    // BFS wave is a LIST round-trip and each file a metadata RPC; the
+    // manifest replaces all of it with ONE ranged read, and makes
+    // commits atomic on stores where rename is a copy.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 manifest
+    if (manifestMode) {
+      import graft.sources.v2.GraftOrcFileIndex
+      val dir = "/tmp/graft-manifest-stress"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val li = Tables.lineitem(spark, sfDir)
+        .withColumn("l_part", (col("l_orderkey") % 8).cast("int"))
+      (1 to 3).foreach { _ =>
+        li.repartition(32).write.format("graft-orc")
+          .partitionBy("l_part").mode("append").save(dir)
+      }
+      def listOnce() = new GraftOrcFileIndex(hconf, Seq(dir), 32).entries
+      // metadata ROUND-TRIPS, the number that matters on an object store
+      // (each directory is one LIST call; local-fs wall time hides the
+      // 10-100 ms/RPC a real store charges): BFS lists every directory
+      // under the root; a manifest listing is one dir LIST + one read.
+      def bfsRpcs(): Int = {
+        val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        listOnce().map(_.path).flatMap { p =>
+          Iterator.iterate(new org.apache.hadoop.fs.Path(p).getParent)(
+            _.getParent).takeWhile(d => d != null &&
+            d.toUri.getPath.startsWith(root)).map(_.toString).toSeq
+        }.distinct.size
+      }
+      def timeMeta(name: String, rpcs: Int)(body: => Int): Unit = {
+        val reps = 20
+        val t0 = System.nanoTime()
+        var n = 0
+        (1 to reps).foreach(_ => n = body)
+        println(s"""{"op":"$name","files":$n,"list_round_trips":$rpcs,""" +
+          s""""sec_per_listing":${num((System.nanoTime() - t0) / 1e9 / reps)}}""")
+      }
+      timeMeta(s"list_bfs(files=${listOnce().size})", bfsRpcs())(
+        listOnce().size)
+      // adopt a manifest (the establishing append bootstraps the old
+      // files through one last BFS), then re-time the same listing call
+      li.repartition(32).write.format("graft-orc")
+        .option("graft.manifest", "true")
+        .partitionBy("l_part").mode("append").save(dir)
+      timeMeta(s"list_manifest(files=${listOnce().size})", 2)(
+        listOnce().size)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       spark.stop()
       return
     }
