@@ -32,8 +32,10 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Consistency caveats (the no-manifest tradeoff, same family as the
   * writer's partial-COMMIT note in [[GraftOrcWrite]]; BOTH disappear on
-  * manifest tables, where the swap commits as one atomic snapshot —
-  * see [[GraftOrcManifest]]):
+  * manifest tables, where the swap commits as one atomic snapshot and
+  * the inputs are only UNREFERENCED — still readable through retained
+  * pre-compaction snapshots (time travel), physically deleted at
+  * snapshot expiry — see [[GraftOrcManifest]]):
   *  - A reader listing between a bin's publish and its input deletion
   *    sees that bin's rows TWICE; the window is one rename + N deletes
   *    per bin. A crash inside the window is SELF-HEALING: each bin

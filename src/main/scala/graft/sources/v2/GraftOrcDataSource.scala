@@ -75,7 +75,9 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
     // .orc files merges to an EMPTY schema, not an inference error. A
     // nonexistent path still errors (FileNotFound from the listing).
     val index = new GraftOrcFileIndex(
-      spark.sparkContext.hadoopConfiguration, ps, 32)
+      spark.sparkContext.hadoopConfiguration, ps, 32,
+      GraftOrcDataSource.snapshotSelector(options),
+      GraftOrcDataSource.startSnapshotId(options))
     if (index.entries.isEmpty) return new StructType()
     // A2: merge schemas across ALL paths/files (conflict => AnalysisException).
     // Hive layouts infer through the ROOT paths so Spark's partition-type
@@ -123,6 +125,56 @@ object GraftOrcDataSource {
         throw new IllegalArgumentException(
           s"Invalid value '$v' for option '$name', must be true or false")
     }
+
+  private def parseLongOption(name: String, v: String): Long =
+    try v.trim.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"Invalid value '$v' for option '$name', must be a long")
+    }
+
+  /** Time-travel read options (manifest tables only):
+    * `graft.snapshot_id` addresses a retained snapshot by sequence
+    * number; `graft.as_of_timestamp` (epoch millis, ISO-8601 instant, or
+    * `yyyy-MM-dd HH:mm:ss` local time) addresses the newest snapshot
+    * committed at or before that instant. Mutually exclusive.
+    */
+  private[v2] def snapshotSelector(options: CaseInsensitiveStringMap)
+      : Option[GraftOrcManifest.Selector] = {
+    val byId = Option(options.get("graft.snapshot_id"))
+      .map(parseLongOption("graft.snapshot_id", _))
+    val asOf = Option(options.get("graft.as_of_timestamp"))
+      .map(parseTimestampMillis)
+    require(byId.isEmpty || asOf.isEmpty,
+      "graft-orc: graft.snapshot_id and graft.as_of_timestamp are " +
+        "mutually exclusive")
+    byId.map(GraftOrcManifest.Selector.ById(_))
+      .orElse(asOf.map(GraftOrcManifest.Selector.AsOf(_)))
+  }
+
+  /** Incremental-read option: `graft.start_snapshot_id` restricts the
+    * scan to files appended AFTER that retained snapshot (0 = everything;
+    * files a compaction rewrote reappear as their merged outputs).
+    * Composes with the time-travel options, which pick the END snapshot.
+    */
+  private[v2] def startSnapshotId(options: CaseInsensitiveStringMap)
+      : Option[Long] =
+    Option(options.get("graft.start_snapshot_id"))
+      .map(parseLongOption("graft.start_snapshot_id", _))
+
+  private def parseTimestampMillis(v0: String): Long = {
+    val v = v0.trim
+    if (v.nonEmpty && v.forall(_.isDigit)) return v.toLong
+    try java.time.Instant.parse(v).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.sql.Timestamp.valueOf(v).getTime
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"Invalid value '$v0' for option 'graft.as_of_timestamp', must " +
+            "be epoch millis, an ISO-8601 instant, or 'yyyy-MM-dd HH:mm:ss'")
+      }
+    }
+  }
 
   private[v2] def parseJsonArray(s: String): Seq[String] = {
     val t = s.trim
@@ -237,7 +289,9 @@ class GraftOrcScanBuilder(dataSchema: StructType,
 
   private[v2] lazy val fileIndex = new GraftOrcFileIndex(
     SparkSession.active.sparkContext.hadoopConfiguration,
-    GraftOrcDataSource.paths(options), metaParallelism)
+    GraftOrcDataSource.paths(options), metaParallelism,
+    GraftOrcDataSource.snapshotSelector(options),
+    GraftOrcDataSource.startSnapshotId(options))
 
   // partition columns = discovered k=v keys that exist in the table schema
   private lazy val partitionSchema: StructType = {

@@ -31,7 +31,10 @@ case class OrcFileEntry(path: String, length: Long,
   *    sequential RPCs.
   */
 class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
-                        parallelism: Int) {
+                        parallelism: Int,
+                        snapshot: Option[GraftOrcManifest.Selector] = None,
+                        changesFromSnapshot: Option[Long] = None,
+                        ignoreManifest: Boolean = false) {
 
   lazy val entries: Seq[OrcFileEntry] = {
     // BFS frontier of (directory, partition values accumulated on its
@@ -46,16 +49,50 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
       if (st.isDirectory) {
-        // a manifest table's newest snapshot IS the listing — one file
-        // read replaces the whole BFS, and unmanifested files (staged,
-        // crash leftovers) stay invisible by construction
-        GraftOrcManifest.readSnapshot(fs, p) match {
-          case Some(snap) => out ++= snap.entries
-          case None => frontier +:=
-            (p, scala.collection.immutable.ListMap.empty[String, String])
+        // a manifest table's snapshot IS the listing — one file read
+        // replaces the whole BFS, and unmanifested files (staged, crash
+        // leftovers) stay invisible by construction. Time travel /
+        // incremental reads resolve against the retained history here.
+        val snapOpt = if (ignoreManifest) None
+          else GraftOrcManifest.readSnapshot(fs, p)
+        snapOpt match {
+          case Some(newest) =>
+            val end = snapshot match {
+              case None => newest
+              case Some(sel) => GraftOrcManifest.resolveSnapshot(fs, p, sel)
+            }
+            out ++= (changesFromSnapshot match {
+              case None => end.entries
+              case Some(startSeq) =>
+                require(startSeq <= end.seq,
+                  s"graft-orc: graft.start_snapshot_id $startSeq is newer " +
+                    s"than the read snapshot ${end.seq} of $p")
+                // appended = in the end snapshot but not the start one;
+                // a file compaction rewrote appears as its merged output.
+                // start 0 = "before the first snapshot" (first consumption
+                // of an incremental feed): everything is new
+                val startPaths = if (startSeq == 0L) Set.empty[String]
+                  else GraftOrcManifest.resolveSnapshot(fs, p,
+                    GraftOrcManifest.Selector.ById(startSeq))
+                    .entries.map(_.path).toSet
+                end.entries.filterNot(e => startPaths(e.path))
+            })
+          case None =>
+            require(ignoreManifest ||
+              (snapshot.isEmpty && changesFromSnapshot.isEmpty),
+              s"graft-orc: time travel options require a manifest table, " +
+                s"but $p has no ${GraftOrcManifest.Dir} (write with " +
+                ".option(\"graft.manifest\", \"true\") to establish one)")
+            frontier +:=
+              (p, scala.collection.immutable.ListMap.empty[String, String])
         }
-      } else out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty,
-        st.getModificationTime)
+      } else {
+        require(snapshot.isEmpty && changesFromSnapshot.isEmpty,
+          s"graft-orc: time travel options apply to manifest tables, not " +
+            s"single files ($p)")
+        out += OrcFileEntry(st.getPath.toString, st.getLen, Map.empty,
+          st.getModificationTime)
+      }
     }
     while (frontier.nonEmpty) {
       val listed: Seq[(Seq[FileStatus], Map[String, String])] =

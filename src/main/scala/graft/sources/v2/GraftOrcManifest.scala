@@ -25,10 +25,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    rename is a copy loop; manifest readers only flip to the new state
   *    at the single snapshot rename (a one-file PUT).
   *  - **No compaction duplicate window**: the compactor publishes merged
-  *    outputs, commits one snapshot that swaps inputs for outputs, THEN
-  *    deletes inputs — at no instant does a manifest reader see a row
-  *    twice. A crash mid-sequence leaves invisible garbage (vacuumable),
-  *    never duplicates.
+  *    outputs, then commits one snapshot that swaps inputs for outputs —
+  *    at no instant does a manifest reader see a row twice. A crash
+  *    mid-sequence leaves invisible garbage (vacuumable), never
+  *    duplicates.
+  *  - **Time travel**: every retained snapshot stays readable —
+  *    `.option("graft.snapshot_id", n)` / `.option("graft.as_of_timestamp",
+  *    ts)` address history, `.option("graft.start_snapshot_id", n)` reads
+  *    incrementally (files appended since snapshot n). Truncates and
+  *    compactions only UNREFERENCE files; the bytes die at snapshot
+  *    expiry ([[writeSnapshot]]), so a retained snapshot never dangles.
+  *    History depth is the per-commit `graft.manifest.retain` (default
+  *    [[RetainSnapshots]]); [[vacuum]] sweeps crash garbage no snapshot
+  *    references.
   *
   * Mode activation: a write with `.option("graft.manifest", "true")`
   * establishes the manifest (bootstrapping existing files via one BFS
@@ -53,6 +62,22 @@ object GraftOrcManifest {
   private[graft] val RetainSnapshots = 3
 
   case class Snapshot(seq: Long, entries: Seq[OrcFileEntry])
+
+  /** One retained snapshot file: its sequence number, its commit time
+    * (the snapshot file's mtime — stamped by the atomic publish rename,
+    * so it IS the instant the state became visible), and its path.
+    */
+  case class SnapshotRef(seq: Long, commitMs: Long, path: Path)
+
+  /** Which snapshot a read addresses. Parsed from the read options
+    * `graft.snapshot_id` / `graft.as_of_timestamp` in
+    * [[GraftOrcDataSource.snapshotSelector]].
+    */
+  sealed trait Selector
+  object Selector {
+    final case class ById(seq: Long) extends Selector
+    final case class AsOf(ms: Long) extends Selector
+  }
 
   private def manifestDir(table: Path) = new Path(table, Dir)
 
@@ -86,45 +111,113 @@ object GraftOrcManifest {
     try fs.getFileStatus(manifestDir(table)).isDirectory
     catch { case _: java.io.FileNotFoundException => false }
 
-  /** Newest snapshot of `table`, or None when the table has no manifest.
-    * A manifest directory that exists but holds no snapshot yet (a crash
-    * between mkdirs and the first snapshot rename) reads as seq 0 with no
-    * files — the manifest IS the table once established.
+  /** Retained snapshot history of `table`, oldest first, or None when the
+    * table has no manifest directory at all. An established-but-empty
+    * manifest dir (a crash between mkdirs and the first snapshot rename)
+    * returns Some(Nil) — the manifest IS the table once established.
     */
-  def readSnapshot(fs: FileSystem, table: Path): Option[Snapshot] = {
-    // qualified root so entry paths match BFS listings (file: scheme etc.)
-    val qt = fs.makeQualified(table)
-    val dir = manifestDir(qt)
+  def listSnapshots(fs: FileSystem, table: Path): Option[Seq[SnapshotRef]] = {
+    val dir = manifestDir(fs.makeQualified(table))
     val snaps =
       try fs.listStatus(dir).filter(st => st.isFile &&
         st.getPath.getName.startsWith(SnapPrefix) &&
         st.getPath.getName.endsWith(".json"))
       catch { case _: java.io.FileNotFoundException => return None }
-    if (snaps.isEmpty) return Some(Snapshot(0L, Nil))
-    // snap-%020d-<uuid>.json: lexicographic max = numeric max seq, with a
-    // deterministic uuid tiebreak should two writers ever race one seq
-    val newest = snaps.maxBy(_.getPath.getName).getPath
-    val name = newest.getName
-    val seq = name.substring(SnapPrefix.length, SnapPrefix.length + 20).toLong
-    val in = fs.open(newest)
+    // snap-%020d-<uuid>.json: lexicographic order = numeric seq order,
+    // with a deterministic uuid tiebreak should two writers race one seq;
+    // on a seq tie only the lexicographic-max file is live (the loser's
+    // files are vacuumable garbage) — keep just the winner per seq
+    Some(snaps.sortBy(_.getPath.getName)
+      .map(st => SnapshotRef(
+        st.getPath.getName
+          .substring(SnapPrefix.length, SnapPrefix.length + 20).toLong,
+        st.getModificationTime, st.getPath))
+      .groupBy(_.seq).values.map(_.last).toSeq.sortBy(_.seq))
+  }
+
+  /** Read the entries of one snapshot file. */
+  private def entriesOfFile(fs: FileSystem, qt: Path,
+                            snap: Path): Seq[OrcFileEntry] = {
+    val in = fs.open(snap)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    val entries = lines.filter(_.nonEmpty).map { line =>
+    lines.filter(_.nonEmpty).map { line =>
       val rel = jsonString(line, "p")
       val len = jsonLong(line, "l")
       val mt = jsonLong(line, "t")
       entryOf(qt, rel, len, mt)
     }
-    Some(Snapshot(seq, entries))
+  }
+
+  /** Newest snapshot of `table`, or None when the table has no manifest.
+    * A manifest directory that exists but holds no snapshot yet reads as
+    * seq 0 with no files.
+    */
+  def readSnapshot(fs: FileSystem, table: Path): Option[Snapshot] = {
+    // qualified root so entry paths match BFS listings (file: scheme etc.)
+    val qt = fs.makeQualified(table)
+    listSnapshots(fs, qt).map { refs =>
+      refs.lastOption match {
+        case None => Snapshot(0L, Nil)
+        case Some(r) => Snapshot(r.seq, entriesOfFile(fs, qt, r.path))
+      }
+    }
+  }
+
+  /** Time-travel resolution: the snapshot `sel` addresses, from the
+    * RETAINED history (expired snapshots are gone along with any files
+    * only they referenced — raise the write option `graft.manifest.retain`
+    * to keep more history). Typed errors name the available range.
+    */
+  def resolveSnapshot(fs: FileSystem, table: Path,
+                      sel: Selector): Snapshot = {
+    val qt = fs.makeQualified(table)
+    val refs = listSnapshots(fs, qt).getOrElse(throw new IllegalArgumentException(
+      s"graft-orc: time travel requires a manifest table, but $table has " +
+        "no _graft_manifest (write with .option(\"graft.manifest\", \"true\") " +
+        "to establish one)"))
+    def available = if (refs.isEmpty) "none"
+      else s"seqs ${refs.head.seq}..${refs.last.seq}, commit times " +
+        s"${refs.head.commitMs}..${refs.last.commitMs}"
+    val ref = sel match {
+      case Selector.ById(seq) => refs.find(_.seq == seq).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-orc: snapshot $seq of $table is not retained " +
+            s"(available: $available); raise graft.manifest.retain at " +
+            "write time to keep more history"))
+      case Selector.AsOf(ms) => refs.filter(_.commitMs <= ms).lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-orc: no snapshot of $table at or before timestamp $ms " +
+            s"(available: $available)"))
+    }
+    Snapshot(ref.seq, entriesOfFile(fs, qt, ref.path))
+  }
+
+  /** Every data-file path referenced by ANY retained snapshot — the set a
+    * physical delete must never touch (a retained snapshot is always
+    * readable; that is the invariant time travel stands on).
+    */
+  def retainedPaths(fs: FileSystem, table: Path): Set[String] = {
+    val qt = fs.makeQualified(table)
+    listSnapshots(fs, qt).getOrElse(Nil)
+      .flatMap(r => entriesOfFile(fs, qt, r.path)).map(_.path).toSet
   }
 
   /** Write snapshot `seq` listing exactly `entries` (absolute paths under
-    * `table`), atomically: dot-temp file, then one rename. Prunes history
-    * beyond [[RetainSnapshots]] best-effort afterwards.
+    * `table`), atomically: dot-temp file, then one rename. Afterwards,
+    * best-effort snapshot EXPIRY: history is pruned to the newest
+    * `retain` snapshots, and data files referenced ONLY by the expired
+    * snapshots are physically deleted with them. This is the single
+    * point where manifest-table data files die — a truncate or
+    * compaction only unreferences files in the new snapshot; the bytes
+    * survive until every retained snapshot that references them has
+    * expired, so any retained snapshot is always readable (time travel),
+    * at a space cost bounded by `retain` commits of churn.
     */
   def writeSnapshot(fs: FileSystem, table: Path, seq: Long,
-                    entries: Seq[OrcFileEntry]): Unit = {
+                    entries: Seq[OrcFileEntry],
+                    retain: Int = RetainSnapshots): Unit = {
     val qt = fs.makeQualified(table)
     val dir = manifestDir(qt)
     fs.mkdirs(dir)
@@ -150,12 +243,23 @@ object GraftOrcManifest {
       throw new java.io.IOException(
         s"graft-orc manifest: failed to publish snapshot $dest")
     }
-    // prune old snapshots; never fail the commit over housekeeping
+    // expire old snapshots + the files only they referenced; never fail
+    // the commit over housekeeping (a skipped expiry is retried by the
+    // next commit, or by an explicit vacuum)
     try {
       val all = fs.listStatus(dir).map(_.getPath)
         .filter(p => p.getName.startsWith(SnapPrefix) &&
           p.getName.endsWith(".json")).sortBy(_.getName)
-      all.dropRight(RetainSnapshots).foreach(p => fs.delete(p, false))
+      val (expired, retained) = all.splitAt(all.length - math.max(1, retain))
+      if (expired.nonEmpty) {
+        val live = retained.flatMap(p => entriesOfFile(fs, qt, p))
+          .map(_.path).toSet
+        val victims = expired.flatMap(p => entriesOfFile(fs, qt, p))
+          .filterNot(e => live(e.path))
+          .groupBy(_.path).values.map(_.head).toSeq
+        deleteFiles(fs, qt, victims)
+        expired.foreach(p => fs.delete(p, false))
+      }
     } catch { case _: java.io.IOException => }
   }
 
@@ -173,19 +277,32 @@ object GraftOrcManifest {
   }
 
   /** Delete files the new snapshot no longer references (truncate
-    * victims, compacted inputs), then best-effort prune their now-empty
-    * parent directories up to — never including — the table root. Always
-    * runs AFTER the snapshot rename, so a crash mid-delete leaves
-    * invisible garbage, never a snapshot pointing at missing files.
+    * victims, compacted inputs) — UNLESS a retained snapshot still
+    * references them, in which case they stay readable for time travel
+    * and die later at snapshot expiry ([[writeSnapshot]]). Only files in
+    * NO snapshot at all (e.g. pre-manifest files displaced by an
+    * establishing truncate) are deleted here. Always runs AFTER the
+    * snapshot rename, so a crash mid-delete leaves invisible garbage,
+    * never a snapshot pointing at missing files.
     */
   def deleteUnreferenced(fs: FileSystem, table: Path,
                          victims: Seq[OrcFileEntry]): Unit = {
+    if (victims.isEmpty) return
+    val live = retainedPaths(fs, table)
+    deleteFiles(fs, fs.makeQualified(table), victims.filterNot(e => live(e.path)))
+  }
+
+  /** Physically delete `victims`, then best-effort prune their now-empty
+    * parent directories up to — never including — the table root.
+    */
+  private def deleteFiles(fs: FileSystem, table: Path,
+                          victims: Seq[OrcFileEntry]): Unit = {
     if (victims.isEmpty) return
     GraftOrcFileIndex.parallelMap(victims, 32) { e =>
       try fs.delete(new Path(e.path), false)
       catch { case _: java.io.IOException => false }
     }
-    val tableStr = fs.makeQualified(table).toString
+    val tableStr = table.toString
     var parents = victims.map(e => new Path(e.path).getParent).distinct
     while (parents.nonEmpty) {
       parents = parents.flatMap { p =>
@@ -198,6 +315,33 @@ object GraftOrcManifest {
         }
       }.distinct
     }
+  }
+
+  /** Garbage-collect a manifest table: physically delete every visible
+    * `.orc` file that NO retained snapshot references — the leftovers of
+    * crashed commits (waves renamed into place but never manifested),
+    * lost-race snapshots, and expiries the best-effort pass skipped.
+    * Returns the number of files deleted. Single-driver scope like every
+    * mutation here: do not run concurrently with a commit (an in-flight
+    * commit's just-renamed waves are not yet manifested and would be
+    * swept). Typed error on non-manifest tables, where a BFS listing IS
+    * the table and everything visible is live by definition.
+    */
+  def vacuum(conf: org.apache.hadoop.conf.Configuration,
+             table: String): Int = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    require(exists(fs, qt),
+      s"graft-orc: vacuum requires a manifest table, but $table has no " +
+        Dir)
+    val live = retainedPaths(fs, qt)
+    // manifest-blind BFS: list what's physically visible on disk
+    val visible = new GraftOrcFileIndex(conf, Seq(table), 32,
+      ignoreManifest = true).entries
+    val victims = visible.filterNot(e => live(e.path))
+    deleteFiles(fs, qt, victims)
+    victims.size
   }
 
   // ---- minimal JSON helpers (fixed flat schema; no library available) ----

@@ -111,6 +111,19 @@ class GraftOrcWrite(path: String, schema: StructType,
     case (k, v) if k.equalsIgnoreCase("graft.manifest") =>
       GraftOrcDataSource.parseBooleanOption("graft.manifest", v)
   }.getOrElse(false)
+  // snapshots (and the data files only they reference) retained for time
+  // travel; a per-commit knob — the latest commit's value governs expiry
+  private val manifestRetain: Int = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.manifest.retain") =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"Invalid value '$v' for option 'graft.manifest.retain', must " +
+            "be a positive int")
+      }
+      require(n >= 1,
+        s"graft.manifest.retain must be >= 1, got $n")
+      n
+  }.getOrElse(GraftOrcManifest.RetainSnapshots)
   private val fileFieldIdx: Array[Int] = schema.fields.zipWithIndex
     .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)
 
@@ -133,7 +146,8 @@ class GraftOrcWrite(path: String, schema: StructType,
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
       taskFactory()
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      GraftOrcWrite.publish(path, writeId, messages, truncate, wantManifest)
+      GraftOrcWrite.publish(path, writeId, messages, truncate, wantManifest,
+        manifestRetain)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.discard(path, writeId, messages)
@@ -152,7 +166,8 @@ class GraftOrcWrite(path: String, schema: StructType,
       override def commit(epochId: Long,
                           messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.publish(path, writeId, messages,
-          truncateExisting = false, wantManifest = wantManifest)
+          truncateExisting = false, wantManifest = wantManifest,
+          retain = manifestRetain)
       override def abort(epochId: Long,
                          messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.discard(path, writeId, messages)
@@ -321,7 +336,8 @@ object GraftOrcWrite {
   private def publish(table: String, writeId: String,
                       messages: Array[WriterCommitMessage],
                       truncateExisting: Boolean,
-                      wantManifest: Boolean = false): Unit = {
+                      wantManifest: Boolean = false,
+                      retain: Int = GraftOrcManifest.RetainSnapshots): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
@@ -432,7 +448,7 @@ object GraftOrcWrite {
       // THE commit point for manifest tables: one atomic snapshot rename
       val next = manifestBefore.map(_.seq + 1).getOrElse(1L)
       GraftOrcManifest.writeSnapshot(fs, qdir, next,
-        priorEntries ++ newEntries.result())
+        priorEntries ++ newEntries.result(), retain)
       if (truncateExisting)
         GraftOrcManifest.deleteUnreferenced(fs, qdir, truncateVictims)
     }

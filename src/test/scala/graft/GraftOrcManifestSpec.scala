@@ -69,19 +69,30 @@ class GraftOrcManifestSpec extends AnyFunSuite {
     assert(snapshots(dir).last > snapshots(dir).head)
   }
 
-  test("manifest overwrite flips the snapshot first, then deletes") {
+  test("manifest overwrite unreferences old files; the bytes expire with " +
+    "the snapshots that still read them") {
     val dir = freshDir("graft-manifest-3")
     val n = nation.count()
     nation.write.format("graft-orc").option("graft.manifest", "true")
-      .mode("append").save(dir)
-    nation.write.format("graft-orc").mode("append").save(dir)
+      .mode("append").save(dir)                                   // snap 1
+    nation.write.format("graft-orc").mode("append").save(dir)     // snap 2
     assert(spark.read.format("graft-orc").load(dir).count() === 2 * n)
-    nation.limit(5).write.format("graft-orc").mode("overwrite").save(dir)
+    nation.limit(5).coalesce(1).write.format("graft-orc")
+      .mode("overwrite").save(dir)                                // snap 3
     assert(spark.read.format("graft-orc").load(dir).count() === 5)
-    // truncate victims are physically gone (deleted AFTER the snapshot
-    // rename — a crash leaves invisible garbage, never a broken snapshot)
-    assert(orcFilesOnDisk(dir).size === 1,
-      s"old files must be deleted, saw ${orcFilesOnDisk(dir)}")
+    // truncate victims stay on disk: snapshots 1-2 are retained and still
+    // reference them (a retained snapshot is always readable — the time-
+    // travel invariant), even though the newest snapshot no longer does
+    assert(orcFilesOnDisk(dir).size > 1,
+      "retained-snapshot files must survive the truncate")
+    // two more commits expire snapshots 1-2; their files die with them
+    nation.limit(5).coalesce(1).write.format("graft-orc")
+      .mode("append").save(dir)                                   // snap 4
+    nation.limit(5).coalesce(1).write.format("graft-orc")
+      .mode("append").save(dir)                                   // snap 5
+    assert(orcFilesOnDisk(dir).size === 3,
+      s"expiry must delete pre-truncate files, saw ${orcFilesOnDisk(dir)}")
+    assert(spark.read.format("graft-orc").load(dir).count() === 15)
   }
 
   test("append with the option bootstraps existing directory tables") {
@@ -128,7 +139,7 @@ class GraftOrcManifestSpec extends AnyFunSuite {
   }
 
   test("compaction on a manifest table swaps atomically: no duplicate " +
-    "window, inputs deleted, wave dirs pruned") {
+    "window, inputs retained until expiry, then swept with wave dirs") {
     val dir = freshDir("graft-manifest-compact")
     (1 to 3).foreach { _ =>
       nation.repartition(4).write.format("graft-orc")
@@ -146,23 +157,18 @@ class GraftOrcManifestSpec extends AnyFunSuite {
     assert(snapshots(dir).last > newestBefore,
       "compaction must commit a newer snapshot")
 
-    // lossless, fewer files, inputs physically gone
+    // lossless, and the LIVE file set shrank; the input bytes stay on
+    // disk while pre-compaction snapshots retain them (time travel)
     val back = spark.read.format("graft-orc").load(dir)
     assert(back.count() === nation.count() * 3)
-    val after = orcFilesOnDisk(dir)
-    assert(after.size < before.size)
-    assert(after.size === stats.bins + (before.size - stats.filesCompacted))
-
-    // the manifest holds exactly the files on disk (modulo staging):
-    // nothing references deleted inputs, nothing on disk is unmanifested
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = GraftOrcManifest.readSnapshot(fs,
-      new org.apache.hadoop.fs.Path(dir)).get
-    val manifested = snap.entries.map(e =>
+    def manifested: Set[String] = GraftOrcManifest.readSnapshot(fs,
+      new org.apache.hadoop.fs.Path(dir)).get.entries.map(e =>
       new org.apache.hadoop.fs.Path(e.path).toUri.getPath).toSet
-    val onDisk = after.map(_.getAbsolutePath).toSet
-    assert(manifested === onDisk)
+    assert(manifested.size === stats.bins +
+      (before.size - stats.filesCompacted))
+    assert(manifested.subsetOf(orcFilesOnDisk(dir).map(_.getAbsolutePath).toSet))
 
     // partition identity survived the swap
     assert(back.groupBy($"n_regionkey").count()
@@ -170,6 +176,17 @@ class GraftOrcManifestSpec extends AnyFunSuite {
       nation.groupBy($"n_regionkey").count()
         .as[(Int, Long)].collect().sorted.toSeq
         .map { case (k, c) => (k, c * 3) })
+
+    // three more commits expire every pre-compaction snapshot; the
+    // compacted inputs die with them and the manifest matches the disk
+    // exactly again — the table is self-cleaning, no vacuum needed
+    (1 to GraftOrcManifest.RetainSnapshots).foreach { _ =>
+      nation.limit(2).coalesce(1).write.format("graft-orc")
+        .partitionBy("n_regionkey").mode("append").save(dir)
+    }
+    val onDisk = orcFilesOnDisk(dir).map(_.getAbsolutePath).toSet
+    assert(manifested === onDisk,
+      s"expired inputs must be deleted; extra: ${onDisk -- manifested}")
   }
 
   test("streaming sink epochs commit through the manifest") {
