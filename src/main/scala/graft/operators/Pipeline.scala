@@ -291,6 +291,136 @@ object Pipeline {
              |    '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone
              |FROM injected ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------------------ mixture
+    // Temperature-based domain mixture resampling (the data-mixing stage
+    // of pretraining: upweight tail domains, downweight the head — the
+    // alpha=0.5 "square-root temperature" used by multilingual/multi-
+    // source corpora). Per-domain acceptance rate = target * w_s / (S *
+    // cnt_s) with w_s = floor(sqrt(cnt_s)*1e6) as an exact BIGINT, so the
+    // cross-domain sum S is integer arithmetic in both engines (a raw
+    // double fold's order is engine-dependent); acceptance is a
+    // deterministic per-doc hash draw (md5Key60 / 2^60 — never rand()).
+    // Shape at 100 TB: one dim-sized count agg, rates broadcast back,
+    // narrow accept — the corpus is never shuffled.
+    QueryDef("pp_domain_mixture",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.md5Key60
+        val docs = Tables.documents(s, d)
+        val all = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val rates = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("wgt",
+            floor(sqrt(col("cnt").cast("double")) * 1e6).cast("long"))
+          .withColumn("s_wgt", sum(col("wgt")).over(all))
+          .withColumn("total", sum(col("cnt")).over(all))
+          // target corpus size: half the docs, re-mixed toward the tail
+          .withColumn("rate",
+            (expr("(total div 2) * wgt").cast("double") /
+              expr("s_wgt * cnt").cast("double")))
+          .select(col("source"), col("rate"))
+        docs.select(col("doc_id"), col("source"),
+            md5Key60(col("text")).as("key"))
+          .join(broadcast(rates), "source")
+          .select(col("doc_id"), col("source"),
+            ((col("key").cast("double") /
+              lit(1152921504606846976L).cast("double")) < col("rate"))
+              .cast("long").as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH counts AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+              |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+              |      AS wgt
+              |  FROM documents GROUP BY 1),
+              |rates AS (
+              |  SELECT source,
+              |    CAST((CAST(sum(cnt) OVER () AS BIGINT) // 2) * wgt AS DOUBLE)
+              |      / CAST(CAST(sum(wgt) OVER () AS BIGINT) * cnt AS DOUBLE)
+              |      AS rate
+              |  FROM counts)
+              |SELECT d.doc_id, d.source,
+              |  CAST((CAST(${graft.functions.TextHashFunctions.md5Key60Sql("d.text")} AS DOUBLE)
+              |    / CAST(1152921504606846976 AS DOUBLE)) < r.rate AS BIGINT)
+              |    AS kept
+              |FROM documents d JOIN rates r USING (source)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------ budget
+    // Token-budget corpus selection: keep the highest-quality docs until a
+    // global token budget (half the corpus) is spent — greedy prefix of
+    // the (quality DESC, doc_id) order. The 100 TB shape is the point: NO
+    // global sort. Quality is bucketed (integer ppm stopword density div
+    // 1000); one dim-sized bucket agg + a tiny cumulative decide each
+    // bucket as keep-all / drop-all / partial, and only the SINGLE
+    // partial bucket's docs pay a window — 1/buckets of the corpus
+    // through one partition, everything else a narrow broadcast-tagged
+    // map. The DuckDB oracle runs the global-window form, so the
+    // equivalence of the bucketed plan to the global greedy prefix is
+    // itself hash-checked. All-BIGINT quality/budget algebra.
+    QueryDef("pp_token_budget",
+      (s, d) => {
+        val t = col("text")
+        val stops = size(regexp_extract_all(t,
+          lit("\\b(the|a|and|of|to|in|is|it)\\b"), lit(0))).cast("long")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.nTokens(t).as("n_tokens"),
+            stops.as("n_stop"))
+          .withColumn("q", coalesce(
+            expr("(n_stop * 1000000) div nullif(n_tokens, 0)"), lit(-1L)))
+          .withColumn("bkt", expr("q div 1000"))
+        val all = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val wDesc = Window.orderBy(col("bkt").desc)
+        val cls = base.groupBy(col("bkt"))
+          .agg(sum(col("n_tokens")).as("btok"))
+          .withColumn("cum", sum(col("btok")).over(wDesc))
+          .withColumn("budget", expr("sum(btok) over () div 2"))
+          .withColumn("above", col("cum") - col("btok"))
+          .select(col("bkt"),
+            when(col("cum") <= col("budget"), lit("all"))
+              .when(col("above") >= col("budget"), lit("none"))
+              .otherwise(lit("partial")).as("cls"),
+            (col("budget") - col("above")).as("remaining"))
+        val tagged = base.join(broadcast(cls), "bkt")
+        val wIn = Window.partitionBy(col("bkt"))
+          .orderBy(col("q").desc, col("doc_id"))
+        val outCols = Seq(col("doc_id"), col("q"), col("n_tokens"),
+          col("kept"))
+        tagged.filter(col("cls") === "partial")
+          .withColumn("cumin", sum(col("n_tokens")).over(wIn))
+          .withColumn("kept",
+            (col("cumin") <= col("remaining")).cast("long"))
+          .select(outCols: _*)
+          .unionByName(tagged.filter(col("cls") =!= "partial")
+            .withColumn("kept", (col("cls") === "all").cast("long"))
+            .select(outCols: _*))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_tokens,
+             |    coalesce(
+             |      (CAST(len(regexp_extract_all(text,
+             |         '\b(the|a|and|of|to|in|is|it)\b')) AS BIGINT) * 1000000)
+             |      // nullif(CAST(len(regexp_extract_all(text, '\S+'))
+             |                AS BIGINT), 0),
+             |      -1) AS q
+             |  FROM documents),
+             |budget AS (
+             |  SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS b FROM scored),
+             |ranked AS (
+             |  SELECT doc_id, q, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM scored)
+             |SELECT r.doc_id, r.q, r.n_tokens,
+             |  CAST(r.cum <= b.b AS BIGINT) AS kept
+             |FROM ranked r, budget b
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("pp_sql_functions",
       (s, d) => {
         GraftExtensions.register(s)
