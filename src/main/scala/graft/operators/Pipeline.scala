@@ -335,7 +335,8 @@ object Pipeline {
               |  FROM documents GROUP BY 1),
               |rates AS (
               |  SELECT source,
-              |    CAST((CAST(sum(cnt) OVER () AS BIGINT) // 2) * wgt AS DOUBLE)
+              |    CAST(CAST(floor(CAST(sum(cnt) OVER () AS DOUBLE) / 2)
+              |           AS BIGINT) * wgt AS DOUBLE)
               |      / CAST(CAST(sum(wgt) OVER () AS BIGINT) * cnt AS DOUBLE)
               |      AS rate
               |  FROM counts)
