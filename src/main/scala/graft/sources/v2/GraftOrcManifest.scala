@@ -50,22 +50,36 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * compactor is what keeps that bound (a delta log would amortize writes
   * further but needs log replay + checkpointing; out of scope, like
   * Iceberg's manifest-reuse tree). Snapshot history is pruned to the
-  * newest [[RetainSnapshots]]. Concurrent commits to ONE table remain
-  * single-driver scope, as everywhere in this connector: two drivers
-  * racing the same seq would both publish and the lexicographic-max
-  * snapshot wins (the loser's files become vacuumable garbage, not
-  * corruption).
+  * newest retain count, which is PERSISTED in the snapshot header — the
+  * last explicit `graft.manifest.retain` governs every later commit
+  * (including compaction) until overridden, so a compact can never
+  * silently shrink the time-travel history a writer configured.
+  * Concurrent commits to ONE table are detected, not merged: after the
+  * publish rename, [[writeSnapshot]] re-lists and verifies this snapshot
+  * is its seq's lexicographic winner; a loser deletes its own snapshot
+  * and throws `ConcurrentModificationException` — its data files are
+  * vacuumable garbage, never silently-dropped rows. (A true multi-writer
+  * story needs a conditional-rename/CAS primitive; this makes the race
+  * LOUD, which is the safety property.)
   */
 object GraftOrcManifest {
   private[v2] val Dir = "_graft_manifest"
   private val SnapPrefix = "snap-"
   private[graft] val RetainSnapshots = 3
 
-  case class Snapshot(seq: Long, entries: Seq[OrcFileEntry])
+  /** `retain` is the snapshot-header retention setting (None on
+    * pre-header snapshots) — the persisted policy the NEXT commit
+    * inherits unless its writer overrides it explicitly.
+    */
+  case class Snapshot(seq: Long, entries: Seq[OrcFileEntry],
+                      retain: Option[Int] = None)
 
   /** One retained snapshot file: its sequence number, its commit time
-    * (the snapshot file's mtime — stamped by the atomic publish rename,
-    * so it IS the instant the state became visible), and its path.
+    * (the snapshot file's mtime — re-stamped by a best-effort `setTimes`
+    * right after the atomic publish rename, so it is the publish instant
+    * up to that call's own latency; on a store that rejects `setTimes` it
+    * degrades to the staging-write time, slightly BEFORE visibility),
+    * and its path.
     */
   case class SnapshotRef(seq: Long, commitMs: Long, path: Path)
 
@@ -135,20 +149,31 @@ object GraftOrcManifest {
       .groupBy(_.seq).values.map(_.last).toSeq.sortBy(_.seq))
   }
 
-  /** Read the entries of one snapshot file. */
-  private def entriesOfFile(fs: FileSystem, qt: Path,
-                            snap: Path): Seq[OrcFileEntry] = {
+  /** Read one snapshot file: optional `{"retain":N}` header line (absent
+    * on pre-header snapshots), then one entry line per file. Entry lines
+    * always open with the `p` key, which is what distinguishes them.
+    */
+  private def parseFile(fs: FileSystem, qt: Path,
+                        snap: Path): (Seq[OrcFileEntry], Option[Int]) = {
     val in = fs.open(snap)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    lines.filter(_.nonEmpty).map { line =>
+    val retain = lines.find(_.startsWith("{\"retain\":"))
+      .map(l => jsonLong(l, "retain").toInt)
+    val entries = lines.filter(_.startsWith("{\"p\":")).map { line =>
       val rel = jsonString(line, "p")
       val len = jsonLong(line, "l")
       val mt = jsonLong(line, "t")
       entryOf(qt, rel, len, mt)
     }
+    (entries, retain)
   }
+
+  /** Read the entries of one snapshot file. */
+  private def entriesOfFile(fs: FileSystem, qt: Path,
+                            snap: Path): Seq[OrcFileEntry] =
+    parseFile(fs, qt, snap)._1
 
   /** Newest snapshot of `table`, or None when the table has no manifest.
     * A manifest directory that exists but holds no snapshot yet reads as
@@ -160,7 +185,9 @@ object GraftOrcManifest {
     listSnapshots(fs, qt).map { refs =>
       refs.lastOption match {
         case None => Snapshot(0L, Nil)
-        case Some(r) => Snapshot(r.seq, entriesOfFile(fs, qt, r.path))
+        case Some(r) =>
+          val (entries, retain) = parseFile(fs, qt, r.path)
+          Snapshot(r.seq, entries, retain)
       }
     }
   }
@@ -226,6 +253,10 @@ object GraftOrcManifest {
     try {
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, "UTF-8"))
+      // header persists the retention policy with the state it governs:
+      // the next committer (writer OR compactor) inherits it (commitSwap)
+      w.write(s"""{"retain":${math.max(1, retain)}}""")
+      w.newLine()
       entries.sortBy(_.path).foreach { e =>
         val rel = relativize(qt, e.path)
         w.write(s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}}""")
@@ -243,37 +274,74 @@ object GraftOrcManifest {
       throw new java.io.IOException(
         s"graft-orc manifest: failed to publish snapshot $dest")
     }
+    // commit time = publish instant (best-effort; without it the mtime
+    // degrades to staging-write time, slightly before visibility)
+    try fs.setTimes(dest, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => }
+    // single-winner detection: two drivers racing the same seq both get
+    // their rename to succeed (rename-to-distinct-names cannot conflict),
+    // but only the lexicographic-max file is live to readers. The loser
+    // must find out — otherwise its COMMITTED rows silently vanish from
+    // the table. Re-list and verify this snapshot won its seq; a loser
+    // withdraws its own snapshot file and fails the commit loudly so the
+    // caller can re-read the winner's state and retry.
+    val rivalNames = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))
+    if (rivalNames.nonEmpty && rivalNames.max != dest.getName) {
+      fs.delete(dest, false)
+      throw new java.util.ConcurrentModificationException(
+        s"graft-orc manifest: concurrent commit race on snapshot seq $seq " +
+          s"of $table — ${rivalNames.max} won, this commit lost and was " +
+          "withdrawn (its data files are unpublished garbage; vacuum " +
+          "reclaims them). Re-read the table state and retry the write.")
+    }
     // expire old snapshots + the files only they referenced; never fail
     // the commit over housekeeping (a skipped expiry is retried by the
-    // next commit, or by an explicit vacuum)
+    // next commit, or by an explicit vacuum). Retention counts distinct
+    // SEQS via their lexicographic winners — a duplicate-seq file left by
+    // a crashed race loser is plain garbage and must not consume a
+    // retention slot (it would silently shorten the retained history).
     try {
       val all = fs.listStatus(dir).map(_.getPath)
         .filter(p => p.getName.startsWith(SnapPrefix) &&
           p.getName.endsWith(".json")).sortBy(_.getName)
-      val (expired, retained) = all.splitAt(all.length - math.max(1, retain))
-      if (expired.nonEmpty) {
+      val winners = all.groupBy(seqOfName).toSeq.sortBy(_._1)
+        .map(_._2.maxBy(_.getName))
+      val losers = all.diff(winners)
+      val (expired, retained) =
+        winners.splitAt(winners.length - math.max(1, retain))
+      val dead = expired ++ losers
+      if (dead.nonEmpty) {
         val live = retained.flatMap(p => entriesOfFile(fs, qt, p))
           .map(_.path).toSet
-        val victims = expired.flatMap(p => entriesOfFile(fs, qt, p))
+        val victims = dead.flatMap(p => entriesOfFile(fs, qt, p))
           .filterNot(e => live(e.path))
           .groupBy(_.path).values.map(_.head).toSeq
         deleteFiles(fs, qt, victims)
-        expired.foreach(p => fs.delete(p, false))
+        dead.foreach(p => fs.delete(p, false))
       }
-    } catch { case _: java.io.IOException => }
+    } catch { case scala.util.control.NonFatal(_) => }
   }
+
+  private def seqOfName(p: Path): Long =
+    p.getName.substring(SnapPrefix.length, SnapPrefix.length + 20).toLong
 
   /** Swap `remove` (absolute paths) for `add` on top of the current
     * snapshot and commit the result as the next snapshot. The one
     * metadata primitive both the writer and the compactor need.
+    * Retention: an explicit `retain` wins; otherwise the policy PERSISTED
+    * in the current snapshot's header carries forward — so a compact on a
+    * table kept at retain=10 expires nothing the writer configured.
     */
   def commitSwap(fs: FileSystem, table: Path, remove: Set[String],
-                 add: Seq[OrcFileEntry], truncate: Boolean = false): Unit = {
+                 add: Seq[OrcFileEntry], truncate: Boolean = false,
+                 retain: Option[Int] = None): Unit = {
     val cur = readSnapshot(fs, table).getOrElse(Snapshot(0L, Nil))
     val base = if (truncate) Nil else cur.entries.filterNot(e => remove(e.path))
     val addPaths = add.map(_.path).toSet
     writeSnapshot(fs, table, cur.seq + 1,
-      base.filterNot(e => addPaths(e.path)) ++ add)
+      base.filterNot(e => addPaths(e.path)) ++ add,
+      retain.orElse(cur.retain).getOrElse(RetainSnapshots))
   }
 
   /** Delete files the new snapshot no longer references (truncate

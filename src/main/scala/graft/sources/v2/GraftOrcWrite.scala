@@ -112,8 +112,10 @@ class GraftOrcWrite(path: String, schema: StructType,
       GraftOrcDataSource.parseBooleanOption("graft.manifest", v)
   }.getOrElse(false)
   // snapshots (and the data files only they reference) retained for time
-  // travel; a per-commit knob — the latest commit's value governs expiry
-  private val manifestRetain: Int = options.collectFirst {
+  // travel. An EXPLICIT option (re)sets the table's persisted policy;
+  // absent, the commit inherits the policy from the current snapshot's
+  // header (so an optionless append or a compact never shrinks history).
+  private val manifestRetain: Option[Int] = options.collectFirst {
     case (k, v) if k.equalsIgnoreCase("graft.manifest.retain") =>
       val n = try v.trim.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -123,7 +125,7 @@ class GraftOrcWrite(path: String, schema: StructType,
       require(n >= 1,
         s"graft.manifest.retain must be >= 1, got $n")
       n
-  }.getOrElse(GraftOrcManifest.RetainSnapshots)
+  }
   private val fileFieldIdx: Array[Int] = schema.fields.zipWithIndex
     .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)
 
@@ -337,7 +339,7 @@ object GraftOrcWrite {
                       messages: Array[WriterCommitMessage],
                       truncateExisting: Boolean,
                       wantManifest: Boolean = false,
-                      retain: Int = GraftOrcManifest.RetainSnapshots): Unit = {
+                      retain: Option[Int] = None): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
@@ -439,8 +441,15 @@ object GraftOrcWrite {
         files.foreach { p =>
           val rel = (if (suffix.isEmpty) "" else suffix + "/") +
             s"w-$commitId/${p.getName}"
+          // a committed file absent from the staging listing is an
+          // inconsistency — re-stat the published copy rather than
+          // record a permanently wrong length 0 in the manifest (skews
+          // split planning + sizeInBytes); a missing file fails the
+          // commit here, which is the correct loud outcome
+          val len = stagedLen.getOrElse(p.getName,
+            fs.getFileStatus(new Path(dest, p.getName)).getLen)
           newEntries += GraftOrcManifest.entryOf(qdir, rel,
-            stagedLen.getOrElse(p.getName, 0L), stampOf(p.getName))
+            len, stampOf(p.getName))
         }
       }
     }
@@ -448,7 +457,9 @@ object GraftOrcWrite {
       // THE commit point for manifest tables: one atomic snapshot rename
       val next = manifestBefore.map(_.seq + 1).getOrElse(1L)
       GraftOrcManifest.writeSnapshot(fs, qdir, next,
-        priorEntries ++ newEntries.result(), retain)
+        priorEntries ++ newEntries.result(),
+        retain.orElse(manifestBefore.flatMap(_.retain))
+          .getOrElse(GraftOrcManifest.RetainSnapshots))
       if (truncateExisting)
         GraftOrcManifest.deleteUnreferenced(fs, qdir, truncateVictims)
     }

@@ -189,6 +189,70 @@ class GraftOrcManifestSpec extends AnyFunSuite {
       s"expired inputs must be deleted; extra: ${onDisk -- manifested}")
   }
 
+  test("a commit that loses a same-seq race throws instead of silently " +
+    "vanishing; the winner sweeps the loser's snapshot file") {
+    val dir = freshDir("graft-manifest-race")
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = GraftOrcManifest.readSnapshot(fs, table).get
+
+    // ---- loser path: a rival already published seq 2 with a
+    // lexicographically-max name (the tiebreak readers resolve toward),
+    // so OUR seq-2 publish must detect the race and fail LOUDLY — the
+    // alternative is this commit's rows silently missing from the table
+    val mdir = new java.io.File(dir, "_graft_manifest")
+    val winnerName = f"snap-${2L}%020d-ffffffff-ffff-ffff-ffff-ffffffffffff.json"
+    val curSnapFile = mdir.listFiles().filter(_.getName.startsWith("snap-")).head
+    java.nio.file.Files.copy(curSnapFile.toPath,
+      new java.io.File(mdir, winnerName).toPath)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      GraftOrcManifest.writeSnapshot(fs, table, 2L, cur.entries)
+    }
+    assert(ex.getMessage.contains("race"))
+    assert(snapshots(dir).count(_.startsWith(f"snap-${2L}%020d")) === 1,
+      "the loser must withdraw its own snapshot file")
+
+    // ---- winner path: a stale duplicate with a lexicographically-MIN
+    // name (a crashed loser's leftover) must neither fail our commit nor
+    // consume a retention slot — expiry treats it as plain garbage
+    val loserName = f"snap-${3L}%020d-00000000-0000-0000-0000-000000000000.json"
+    java.nio.file.Files.copy(curSnapFile.toPath,
+      new java.io.File(mdir, loserName).toPath)
+    GraftOrcManifest.writeSnapshot(fs, table, 3L, cur.entries)
+    assert(snapshots(dir).count(_.startsWith(f"snap-${3L}%020d")) === 1,
+      "expiry must sweep the duplicate-seq loser file")
+    assert(!snapshots(dir).contains(loserName))
+    assert(spark.read.format("graft-orc").load(dir).count() === nation.count())
+  }
+
+  test("graft.manifest.retain persists in the snapshot header: optionless " +
+    "appends and compaction inherit it instead of resetting to the default") {
+    val dir = freshDir("graft-manifest-retain")
+    nation.limit(3).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.manifest.retain", "5").mode("append").save(dir)
+    // six optionless commits: retention must stay 5 (not the default 3)
+    (1 to 6).foreach { _ =>
+      nation.limit(3).repartition(2).write.format("graft-orc")
+        .mode("append").save(dir)
+    }
+    assert(snapshots(dir).size === 5,
+      s"persisted retain=5 must govern optionless commits: ${snapshots(dir)}")
+    // compaction commits through commitSwap — it must inherit retain=5
+    // too, NOT expire snapshots 4..5 (and the time travel they carry)
+    val stats = GraftOrcCompact.compact(spark, dir)
+    assert(stats.bins > 0)
+    assert(snapshots(dir).size === 5,
+      s"compact must honor the persisted retain: ${snapshots(dir)}")
+    // an explicit option RE-sets the policy
+    nation.limit(3).write.format("graft-orc")
+      .option("graft.manifest.retain", "2").mode("append").save(dir)
+    assert(snapshots(dir).size === 2,
+      s"explicit retain=2 must take over: ${snapshots(dir)}")
+  }
+
   test("streaming sink epochs commit through the manifest") {
     val dir = freshDir("graft-manifest-stream")
     val src = freshDir("graft-manifest-stream-src")
