@@ -278,11 +278,21 @@ object GraftOrcCompact {
           val staged = new Path(o)
           fs.setTimes(staged, stamp, -1)
           val len = fs.getFileStatus(staged).getLen
+          // footer-stat sidecar for the merged output, captured while
+          // the footer is hot (just written); best-effort like the
+          // writer's — a miss costs a later plan-time footer read
+          val sidecar =
+            try {
+              val r = org.apache.orc.OrcFile.createReader(staged,
+                org.apache.orc.OrcFile.readerOptions(conf))
+              try OrcStatsEval.sidecarOf(r) finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
           val dest = new Path(dir, staged.getName)
           if (!fs.rename(staged, dest))
             throw new java.io.IOException(
               s"graft-orc compact: failed to publish $staged into $dest")
-          OrcFileEntry(fs.makeQualified(dest).toString, len, parts, stamp)
+          OrcFileEntry(fs.makeQualified(dest).toString, len, parts, stamp,
+            sidecar)
         }
         (destEntries, inputs)
       }

@@ -14,9 +14,16 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * only guarantees that up to 4 entries); a `__HIVE_DEFAULT_PARTITION__`
   * value is mapped to null.
   */
+/** `stats` is an optional footer-statistics sidecar
+  * ([[OrcStatsEval.sidecarOf]]) carried by manifest entries so plan-time
+  * row counts / CBO column stats need no footer reads; None on
+  * BFS-listed entries and pre-sidecar snapshots (the scan then reads the
+  * footer as before).
+  */
 case class OrcFileEntry(path: String, length: Long,
                         partitionValues: Map[String, String],
-                        mtime: Long = 0L)
+                        mtime: Long = 0L,
+                        stats: Option[String] = None)
 
 /** Driver-side file discovery for the graft-orc connector.
   *

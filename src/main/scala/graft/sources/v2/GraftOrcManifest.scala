@@ -101,14 +101,15 @@ object GraftOrcManifest {
     * keeps path order, the hive null marker maps to null).
     */
   private[v2] def entryOf(table: Path, rel: String, length: Long,
-                          mtime: Long): OrcFileEntry = {
+                          mtime: Long,
+                          stats: Option[String] = None): OrcFileEntry = {
     val segs = rel.split('/')
     var parts = scala.collection.immutable.ListMap.empty[String, String]
     segs.dropRight(1).foreach { s =>
       GraftOrcFileIndex.parsePartitionSegment(s)
         .foreach { case (k, v) => parts = parts + (k -> v) }
     }
-    OrcFileEntry(new Path(table, rel).toString, length, parts, mtime)
+    OrcFileEntry(new Path(table, rel).toString, length, parts, mtime, stats)
   }
 
   /** Table-relative path of `abs` under `table`, or an error: manifest
@@ -165,7 +166,11 @@ object GraftOrcManifest {
       val rel = jsonString(line, "p")
       val len = jsonLong(line, "l")
       val mt = jsonLong(line, "t")
-      entryOf(qt, rel, len, mt)
+      // optional footer-stat sidecar; "s" cannot occur as an unescaped
+      // key inside the p value (quotes inside JSON strings are escaped)
+      val stats =
+        if (line.contains("\"s\":\"")) Some(jsonString(line, "s")) else None
+      entryOf(qt, rel, len, mt, stats)
     }
     (entries, retain)
   }
@@ -259,7 +264,9 @@ object GraftOrcManifest {
       w.newLine()
       entries.sortBy(_.path).foreach { e =>
         val rel = relativize(qt, e.path)
-        w.write(s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}}""")
+        val side = e.stats.map(s => s""","s":${jsonQuote(s)}""").getOrElse("")
+        w.write(
+          s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}$side}""")
         w.newLine()
       }
       w.flush()

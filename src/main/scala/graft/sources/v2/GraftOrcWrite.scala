@@ -388,10 +388,16 @@ object GraftOrcWrite {
     // shift the split point
     val stagingMarker = "/" + StagingDir + "/" + writeId + "/"
     val staged: Seq[String] = messages.toSeq.flatMap {
-      case GraftOrcCommitMessage(s) => s
+      case GraftOrcCommitMessage(s, _) => s
       case other =>
         throw new IllegalStateException(s"graft-orc: foreign message $other")
     }
+    // footer-stat sidecars by staged file name (names are unique per
+    // write: part-<epoch>-<partition>-<uuid>)
+    val sidecars: Map[String, String] = messages.toSeq.flatMap {
+      case GraftOrcCommitMessage(_, st) => st
+      case _ => Nil
+    }.toMap
     val newEntries = Seq.newBuilder[OrcFileEntry]
     if (staged.nonEmpty) {
       val stagingSub = new Path(new Path(dir, StagingDir), writeId)
@@ -449,7 +455,7 @@ object GraftOrcWrite {
           val len = stagedLen.getOrElse(p.getName,
             fs.getFileStatus(new Path(dest, p.getName)).getLen)
           newEntries += GraftOrcManifest.entryOf(qdir, rel,
-            len, stampOf(p.getName))
+            len, stampOf(p.getName), sidecars.get(p.getName))
         }
       }
     }
@@ -533,8 +539,14 @@ object GraftOrcWrite {
   }
 }
 
-/** One staged file per non-empty task (empty tasks stage nothing). */
-case class GraftOrcCommitMessage(staged: Seq[String])
+/** One staged file per non-empty task (empty tasks stage nothing).
+  * `stats` maps staged file NAME -> footer-statistics sidecar
+  * ([[OrcStatsEval.sidecarOf]]), read executor-side from the just-written
+  * file (a local-disk footer hit at write time) so manifest entries carry
+  * plan-time statistics for free.
+  */
+case class GraftOrcCommitMessage(staged: Seq[String],
+                                 stats: Map[String, String] = Map.empty)
     extends WriterCommitMessage
 
 /** One partition column of the incoming rows: name, ordinal, type. */
@@ -638,8 +650,21 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._1.close())
     val staged = writers.values.map(_._2.toString).toSeq
+    // footer-stat sidecars for the manifest: the footer was just written
+    // by this task, so reading it back is a local hit — the cheapest
+    // point in the file's life to capture statistics (best-effort: a
+    // capture failure costs a plan-time footer read later, never the
+    // commit)
+    val stats = writers.values.flatMap { case (_, staged) =>
+      try {
+        val r = org.apache.orc.OrcFile.createReader(staged,
+          org.apache.orc.OrcFile.readerOptions(f.conf.value))
+        try OrcStatsEval.sidecarOf(r).map(staged.getName -> _)
+        finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
     writers.clear()
-    GraftOrcCommitMessage(staged)
+    GraftOrcCommitMessage(staged, stats)
   }
 
   override def abort(): Unit = {

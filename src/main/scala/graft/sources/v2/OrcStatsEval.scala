@@ -200,4 +200,115 @@ object OrcStatsEval {
       case _ => None
     }
   }
+
+  // ---- manifest stat sidecars ----------------------------------------
+  // A compact serialization of one file's footer statistics, captured at
+  // WRITE time (the writer just produced the footer; reading it back is a
+  // local-disk hit) and carried in the manifest entry line — so CBO
+  // column stats / exact row counts on a 100k-file manifest table cost
+  // ZERO footer round-trips at plan time. Format: 0x1e-separated
+  // records of '|'-separated k=v fields; names and values are
+  // base64(UTF-8)-armored, so no character of a column name or a string
+  // min/max can ever break the framing. First record carries the row
+  // count; one record per top-level column follows.
+  //   r=<rows>
+  //   c=<b64 name>|v=<nValues>|h=<0/1>|k=<d|s|b|e|u|x>[|a=<b64 min>][|z=<b64 max>]
+  // Kinds: d decimal/numeric, s string, b boolean, e epoch-days,
+  // u epoch-micros, x untracked (nested/binary — range unknown).
+
+  private val B64 = java.util.Base64.getEncoder
+  private val B64d = java.util.Base64.getDecoder
+  private def b64(s: String): String =
+    B64.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String = new String(B64d.decode(s), "UTF-8")
+
+  private def kindAndText(v: Any): Option[(String, String)] = v match {
+    case n: BigDecimal => Some("d" -> n.bigDecimal.toString)
+    case s: String => Some("s" -> s)
+    case b: Boolean => Some("b" -> (if (b) "t" else "f"))
+    case EpochDays(d) => Some("e" -> d.toString)
+    case EpochMicros(us) => Some("u" -> us.toString)
+    case _ => None
+  }
+
+  private def valueOf(kind: String, text: String): Any = kind match {
+    case "d" => BigDecimal(new java.math.BigDecimal(text))
+    case "s" => text
+    case "b" => text == "t"
+    case "e" => EpochDays(text.toLong)
+    case "u" => EpochMicros(text.toLong)
+  }
+
+  /** Serialize the footer statistics of an open ORC reader (rows + every
+    * top-level column) into a sidecar string; None when the file's root
+    * is not a struct (nothing usable to carry).
+    */
+  def sidecarOf(r: org.apache.orc.Reader): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = r.getSchema
+    if (root.getCategory !=
+      org.apache.orc.TypeDescription.Category.STRUCT) return None
+    val rows = r.getNumberOfRows
+    val names = root.getFieldNames.asScala
+    val kids = root.getChildren.asScala
+    val stats = r.getStatistics
+    val sb = new StringBuilder(s"r=$rows")
+    names.zip(kids).foreach { case (name, kid) =>
+      val cs = stats(kid.getId)
+      sb.append('\u001e').append("c=").append(b64(name))
+        .append("|v=").append(cs.getNumberOfValues)
+      fromOrcStats(cs) match {
+        case None => sb.append("|h=1|k=x")
+        case Some(rg) =>
+          sb.append("|h=").append(if (rg.hasNull) "1" else "0").append("|k=")
+          val tagged = for {
+            mn <- rg.min; mx <- rg.max
+            (kMin, aTxt) <- kindAndText(mn)
+            (kMax, zTxt) <- kindAndText(mx) if kMin == kMax
+          } yield (kMin, aTxt, zTxt)
+          tagged match {
+            case Some((k, a, z)) =>
+              sb.append(k).append("|a=").append(b64(a))
+                .append("|z=").append(b64(z))
+            case None =>
+              // no range to carry: either genuinely no values, or a
+              // value kind the codec does not tag. Distinguish — an
+              // empty range with hasValues=false is EXACT (all-null
+              // column), untracked is unknown.
+              sb.append(if (rg.hasValues) "x" else "n")
+          }
+      }
+    }
+    Some(sb.toString)
+  }
+
+  /** Decode a sidecar: (rows, per-column (range, nValues) by lowercased
+    * name). None when the string does not parse (treat as no sidecar —
+    * the scan falls back to a real footer read, never fails).
+    */
+  def decodeSidecar(s: String):
+      Option[(Long, Map[String, (Option[StatRange], Long)])] =
+    try {
+      val recs = s.split('\u001e')
+      require(recs.nonEmpty && recs(0).startsWith("r="))
+      val rows = recs(0).substring(2).toLong
+      val cols = recs.iterator.drop(1).map { rec =>
+        val kv = rec.split('|').iterator
+          .map { f => val i = f.indexOf('='); f.substring(0, i) -> f.substring(i + 1) }
+          .toMap
+        val name = unb64(kv("c")).toLowerCase
+        val nValues = kv("v").toLong
+        val range: Option[StatRange] = kv("k") match {
+          case "x" => None
+          case "n" => Some(StatRange(None, None,
+            hasNull = kv("h") == "1", hasValues = nValues > 0))
+          case k => Some(StatRange(
+            kv.get("a").map(a => valueOf(k, unb64(a))),
+            kv.get("z").map(z => valueOf(k, unb64(z))),
+            hasNull = kv("h") == "1", hasValues = nValues > 0))
+        }
+        name -> (range, nValues)
+      }.toMap
+      Some((rows, cols))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

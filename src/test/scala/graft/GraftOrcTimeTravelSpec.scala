@@ -112,6 +112,21 @@ class GraftOrcTimeTravelSpec extends AnyFunSuite {
     // wanting append-only feeds should read between pre-compaction
     // snapshots or dedup downstream)
     assert(keysAt(dir, "graft.start_snapshot_id" -> "2").nonEmpty)
+
+    // ...until expiry: two more commits push snaps 1-2 out of the
+    // default retention, the compacted INPUT files die with them, and a
+    // time travel to the pre-compaction state now fails with the typed
+    // not-retained error — while the current table stays complete
+    nation.filter($"n_nationkey" === 0).coalesce(1).write
+      .format("graft-orc").mode("append").save(dir)               // snap 4
+    nation.filter($"n_nationkey" === 1).coalesce(1).write
+      .format("graft-orc").mode("append").save(dir)               // snap 5
+    assert(history(dir).map(_.seq) === Seq(3L, 4L, 5L))
+    val e = intercept[Exception] { keysAt(dir, "graft.snapshot_id" -> "2") }
+    assert(e.getMessage.contains("not retained") &&
+      e.getMessage.contains("graft.manifest.retain"), e.getMessage)
+    assert(keysAt(dir) === Seq(0, 0, 1) ++ (1 until 25),
+      "the live table must be untouched by pre-compaction expiry")
   }
 
   test("expired snapshots are gone and unreadable; raising " +
