@@ -20,17 +20,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default; read it as raw nanos and truncate to microseconds (exactly
-    * what DuckDB does when loading nanos into its us-precision TIMESTAMP,
-    * so oracle comparisons stay aligned).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) and as
+    * TIMESTAMP(MICROS) across driver testdata generations. Normalize
+    * either to a session-zone TIMESTAMP at microsecond precision — the
+    * nanos generation reads as raw long nanos (legacy flag) and truncates
+    * to micros, exactly what DuckDB does loading nanos into its
+    * us-precision TIMESTAMP; the micros generation reads as TIMESTAMP_NTZ
+    * and re-types to the session zone (UTC everywhere here), so oracle
+    * comparisons stay aligned in both worlds.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) as raw nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

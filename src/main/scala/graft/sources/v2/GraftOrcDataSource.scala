@@ -119,6 +119,20 @@ object GraftOrcDataSource {
     (single ++ multi ++ location).distinct
   }
 
+  /** Test hook: records plan-time footer OPENS by the statistics sweep
+    * while `recordPlanFooterReads` is on (suites run concurrently, so a
+    * bare counter could not be attributed — the spec filters by path).
+    * Manifest tables carry stat sidecars in their snapshot entries, so
+    * their sweeps should not open footers at all — an assertion only a
+    * hook like this can make. Off by default: zero footprint outside
+    * tests beyond one volatile read per (already rare) footer open.
+    */
+  @volatile private[graft] var recordPlanFooterReads = false
+  private[graft] val planFooterReads =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[v2] def notePlanFooterRead(path: String): Unit =
+    if (recordPlanFooterReads) planFooterReads.add(path)
+
   private[v2] def parseBooleanOption(name: String, v: String): Boolean =
     try v.trim.toBoolean catch {
       case _: IllegalArgumentException =>
@@ -639,35 +653,60 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
   private lazy val footerSweep: (Seq[OrcFileEntry], Seq[FileFooter]) = {
     val files = selectedFiles
     val footers = GraftOrcFileIndex.parallelMap(files, metaParallelism) { e =>
-      val r = OrcFile.createReader(new Path(e.path),
-        OrcFile.readerOptions(spark.sparkContext.hadoopConfiguration))
-      try {
-        val rows = r.getNumberOfRows
-        val root = r.getSchema
-        val cols: Map[String, (Option[OrcStatsEval.StatRange], Long)] =
-          if (readDataSchema.isEmpty ||
-              root.getCategory != TypeDescription.Category.STRUCT) Map.empty
-          else {
-            val names = root.getFieldNames.asScala
-            val kids = root.getChildren.asScala
-            val stats = r.getStatistics
-            readDataSchema.fields.iterator.map { f =>
-              val i = names.indexWhere(_.equalsIgnoreCase(f.name))
-              if (i < 0)
-                // column absent from this file (schema evolution): every
-                // row contributes a null; min/max untouched (hasValues
-                // false keeps it out of the merge)
-                f.name.toLowerCase -> (Some(OrcStatsEval.StatRange(
-                  None, None, hasNull = true, hasValues = false)), rows)
-              else {
-                val cs = stats(kids(i).getId)
-                f.name.toLowerCase ->
-                  (OrcStatsEval.fromOrcStats(cs), rows - cs.getNumberOfValues)
+      // manifest stat sidecar first: a snapshot entry written by the
+      // graft-orc writer/compactor already carries this file's footer
+      // statistics, so a 100k-file manifest table prices its row count
+      // AND its CBO column stats with ZERO footer round-trips — the
+      // footer open below is the fallback for BFS listings, pre-sidecar
+      // snapshots, and unparseable sidecars
+      e.stats.flatMap(OrcStatsEval.decodeSidecar) match {
+        case Some((rows, sideCols)) =>
+          val cols: Map[String, (Option[OrcStatsEval.StatRange], Long)] =
+            if (readDataSchema.isEmpty) Map.empty
+            else readDataSchema.fields.iterator.map { f =>
+              sideCols.get(f.name.toLowerCase) match {
+                case Some((range, nValues)) =>
+                  f.name.toLowerCase -> (range, rows - nValues)
+                case None =>
+                  // column absent from this file (schema evolution):
+                  // every row contributes a null; min/max untouched
+                  f.name.toLowerCase -> (Some(OrcStatsEval.StatRange(
+                    None, None, hasNull = true, hasValues = false)), rows)
               }
             }.toMap
-          }
-        FileFooter(rows, cols)
-      } finally r.close()
+          FileFooter(rows, cols)
+        case None =>
+          GraftOrcDataSource.notePlanFooterRead(e.path)
+          val r = OrcFile.createReader(new Path(e.path),
+            OrcFile.readerOptions(spark.sparkContext.hadoopConfiguration))
+          try {
+            val rows = r.getNumberOfRows
+            val root = r.getSchema
+            val cols: Map[String, (Option[OrcStatsEval.StatRange], Long)] =
+              if (readDataSchema.isEmpty ||
+                  root.getCategory != TypeDescription.Category.STRUCT) Map.empty
+              else {
+                val names = root.getFieldNames.asScala
+                val kids = root.getChildren.asScala
+                val stats = r.getStatistics
+                readDataSchema.fields.iterator.map { f =>
+                  val i = names.indexWhere(_.equalsIgnoreCase(f.name))
+                  if (i < 0)
+                    // column absent from this file (schema evolution): every
+                    // row contributes a null; min/max untouched (hasValues
+                    // false keeps it out of the merge)
+                    f.name.toLowerCase -> (Some(OrcStatsEval.StatRange(
+                      None, None, hasNull = true, hasValues = false)), rows)
+                  else {
+                    val cs = stats(kids(i).getId)
+                    f.name.toLowerCase ->
+                      (OrcStatsEval.fromOrcStats(cs), rows - cs.getNumberOfValues)
+                  }
+                }.toMap
+              }
+            FileFooter(rows, cols)
+          } finally r.close()
+      }
     }
     (files, footers)
   }

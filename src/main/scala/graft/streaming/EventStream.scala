@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
 
-/** Raw events row (nanos kept as long). */
+/** Raw events row (ts normalized to epoch micros). */
 case class RawEvent(event_id: Long, ts: Long, user_id: Long,
                     event_type: String, value: Double, props: String)
 
@@ -22,16 +22,19 @@ case class UserRunning(nEvents: Long, sumValue: Double)
   */
 object EventStream {
 
-  /** Raw schema of events.parquet with nanos read as long (the file-source
-    * stream needs an explicit schema).
+  /** Raw schema of events.parquet given the on-disk `ts` type (the
+    * file-source stream needs an explicit schema, and driver testdata
+    * generations have shipped `ts` as TIMESTAMP(NANOS) — read as raw long
+    * nanos — and as TIMESTAMP(MICROS) — read as TIMESTAMP_NTZ).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Session clone with the parquet nanos-as-long flag set. The flag is
     * consulted at every micro-batch's planning, not at stream construction,
@@ -48,15 +51,33 @@ object EventStream {
     s
   }
 
+  /** Streaming read of the events files under `dir` matching `glob`, with
+    * `ts` normalized to a session-zone TIMESTAMP at microsecond precision
+    * whatever the on-disk generation. The actual `ts` type is probed ONCE
+    * from the files (one driver-side footer read) because the explicit
+    * stream schema must match the files exactly.
+    */
+  private def rawEvents(session: SparkSession, dir: String,
+                        glob: String): DataFrame = {
+    val tsType = session.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType
+    val stream = session.readStream
+      .schema(rawSchema(tsType))
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    tsType match {
+      case LongType => // TIMESTAMP(NANOS) as raw nanos
+        stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => stream
+      case _ => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   /** Streaming hourly counts per event type with a 2-hour watermark.
     * `dir` is a testdata sf directory; only events.parquet is picked up.
     */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    nanosSession(spark).readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    rawEvents(nanosSession(spark), dir, "events.parquet")
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -70,10 +91,8 @@ object EventStream {
   def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
     val session = nanosSession(spark)
     import session.implicits._
-    val events = session.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = rawEvents(session, dir, "events.parquet")
+      .withColumn("ts", unix_micros(col("ts")))
       .as[RawEvent]
     events.groupByKey(_.user_id)
       .mapGroupsWithState[UserRunning, (Long, Long, Double)](
@@ -97,11 +116,7 @@ object EventStream {
     * the property that matters on an infinite stream).
     */
   def dedupedStream(spark: SparkSession, dir: String): DataFrame = {
-    nanosSession(spark).readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    rawEvents(nanosSession(spark), dir, "events.parquet")
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
   }
@@ -110,11 +125,7 @@ object EventStream {
     * windowing: 30-minute session windows (built-in session_window).
     */
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
-    nanosSession(spark).readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    rawEvents(nanosSession(spark), dir, "events.parquet")
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -130,13 +141,10 @@ object EventStream {
   def clickErrorJoin(spark: SparkSession, dir: String): DataFrame = {
     val session = nanosSession(spark)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
-      session.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      rawEvents(session, dir, "events.parquet")
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
-          timestamp_micros(expr("ts DIV 1000")).as(tsAs))
+          col("ts").as(tsAs))
         .withWatermark(tsAs, "2 hours")
     val clicks = side("click", "c_id", "c_user", "c_ts")
     val errors = side("error", "e_id", "e_user", "e_ts")
@@ -161,13 +169,10 @@ object EventStream {
   def clickErrorLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     val session = nanosSession(spark)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
-      session.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(dir)
+      rawEvents(session, dir, "*.parquet")
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
-          timestamp_micros(expr("ts DIV 1000")).as(tsAs))
+          col("ts").as(tsAs))
         .withWatermark(tsAs, "2 hours")
     val clicks = side("click", "c_id", "c_user", "c_ts")
     val errors = side("error", "e_id", "e_user", "e_ts")

@@ -95,6 +95,56 @@ class GraftOrcColumnStatsSpec extends AnyFunSuite {
     assert(b.nullCount().getAsLong === 0L)
   }
 
+  test("manifest tables price row count AND column stats with ZERO footer " +
+    "reads (stat sidecars in the snapshot)") {
+    import graft.sources.v2.GraftOrcDataSource
+    val dir = java.nio.file.Files.createTempDirectory("graft-colstats-manifest")
+      .toString
+    spark.read.format("graft-orc").load(orcPath)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(dir)
+
+    GraftOrcDataSource.planFooterReads.clear()
+    GraftOrcDataSource.recordPlanFooterReads = true
+    try {
+      val q = spark.read.format("graft-orc").load(dir)
+        .select($"l_orderkey", $"l_quantity", $"l_shipdate")
+      val stats = scanOf(q).estimateStatistics()
+      // exact rows + real column bounds, priced from the manifest alone
+      assert(stats.numRows().isPresent && stats.numRows().getAsLong > 0)
+      import scala.jdk.CollectionConverters._
+      val m = stats.columnStats().asScala
+        .map { case (k, v) => k.fieldNames.mkString(".") -> v }
+      val q10 = m("l_quantity")
+      assert(q10.min().isPresent && q10.max().isPresent)
+      assert(BigDecimal(q10.min().get.toString) === BigDecimal(1))
+      assert(BigDecimal(q10.max().get.toString) === BigDecimal(50))
+      val opened = GraftOrcDataSource.planFooterReads.asScala
+        .filter(_.contains(dir))
+      assert(opened.isEmpty,
+        s"stats sweep on a manifest table opened footers: $opened")
+    } finally {
+      GraftOrcDataSource.recordPlanFooterReads = false
+      GraftOrcDataSource.planFooterReads.clear()
+    }
+
+    // the same table through a manifest-blind BFS listing must still
+    // answer (fallback path pays the footer reads the sidecar saved)
+    GraftOrcDataSource.planFooterReads.clear()
+    GraftOrcDataSource.recordPlanFooterReads = true
+    try {
+      val ignoreManifest = new graft.sources.v2.GraftOrcFileIndex(
+        spark.sparkContext.hadoopConfiguration, Seq(dir), 32,
+        ignoreManifest = true)
+      assert(ignoreManifest.entries.nonEmpty &&
+        ignoreManifest.entries.forall(_.stats.isEmpty),
+        "BFS-listed entries must carry no sidecar")
+    } finally {
+      GraftOrcDataSource.recordPlanFooterReads = false
+      GraftOrcDataSource.planFooterReads.clear()
+    }
+  }
+
   test("CBO broadcast decision is driven by the reported column stats") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     // the filter must stay a residual above an UNPUSHED scan (exact rows +

@@ -117,14 +117,19 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       // push the watermark ~8h past every fixture event: one future click
-      // for a user id that matches nothing
+      // for a user id that matches nothing. Waves must carry the SAME
+      // on-disk ts type as the fixture file (the stream's explicit schema
+      // was probed from it): raw long nanos for the TIMESTAMP(NANOS)
+      // testdata generation, TIMESTAMP_NTZ for the micros one.
       val session = stream.sparkSession
-      val maxNanos = session.read
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.LongType))))
+      val fixture = session.read
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .agg(max($"ts")).head().getLong(0)
+      val tsIsLong =
+        fixture.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val maxUs =
+        (if (tsIsLong) fixture.select(expr("max(ts) DIV 1000"))
+         else fixture.select(max(unix_micros($"ts".cast("timestamp")))))
+        .head().getLong(0)
       import session.implicits._
       // one sentinel per SIDE: the global watermark is the MIN across
       // both watermark operators, and each side's operator only sees rows
@@ -133,23 +138,29 @@ class StreamingSpec extends AnyFunSuite {
       // into the output.
       // the source lists only the top level of `dir`: land each wave as a
       // single FILE there (write to a temp dir, move the part file in)
+      // wave rows carry ts in MICROS; landWave re-types to the fixture's
+      // on-disk generation
       def landWave(rows: Seq[(Long, Long, Long, String, Double, String)],
                    name: String): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("st-wave").toString
-        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val df = rows
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        (if (tsIsLong) df.withColumn("ts", $"ts" * 1000L)
+         else df.withColumn("ts",
+           timestamp_micros($"ts").cast("timestamp_ntz")))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(s"$dir/$name.parquet"))
       }
-      val far = maxNanos + 10L * 3600 * 1000000000L
+      val far = maxUs + 10L * 3600 * 1000000L
       landWave(Seq((-1L, far, -1L, "click", 0.0, "{}"),
         (-2L, far, -2L, "error", 0.0, "{}")), "late1")
       q.processAllAvailable()
       // a watermark computed from a batch applies to the NEXT batch; land
       // one more tiny wave so eviction runs under the sentinel watermark
-      landWave(Seq((-3L, far + 3600L * 1000000000L, -3L, "click", 0.0, "{}")),
+      landWave(Seq((-3L, far + 3600L * 1000000L, -3L, "click", 0.0, "{}")),
         "late2")
       q.processAllAvailable()
     } finally q.stop()
