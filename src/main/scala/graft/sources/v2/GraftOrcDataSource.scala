@@ -587,7 +587,9 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
 
   /** Micro-batch streaming read: the directory is the stream, each batch
     * covers the files that appeared since the last (mtime, path)
-    * watermark. See [[GraftOrcMicroBatchStream]] for the contract.
+    * watermark — or, with `graft.snapshot_offsets` on a manifest table,
+    * since the last consumed manifest snapshot seq. See
+    * [[GraftOrcMicroBatchStream]] for the contract.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -595,7 +597,11 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       GraftOrcDataSource.paths(
         new CaseInsensitiveStringMap(options.asJava)),
       spark.sparkContext.hadoopConfiguration, metaParallelism,
-      options.collectFirst {
+      snapshotOffsets = options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.snapshot_offsets") =>
+          GraftOrcDataSource.parseBooleanOption("graft.snapshot_offsets", v)
+      }.getOrElse(false),
+      maxFilesPerTrigger = options.collectFirst {
         case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") =>
           // fail fast on bad values: a raw NumberFormatException names
           // nothing, and <= 0 would admit zero files every trigger — a
@@ -611,7 +617,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
               "must be a positive integer")
           n
       },
-      options.collectFirst {
+      maxBytesPerTrigger = options.collectFirst {
         case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") =>
           // accepts size suffixes ("10m", "1g") like FileStreamSource
           val n =

@@ -3,6 +3,7 @@ package graft.sources.v2
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
@@ -45,7 +46,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
                                conf: Configuration, metaParallelism: Int,
                                maxFilesPerTrigger: Option[Int] = None,
-                               maxBytesPerTrigger: Option[Long] = None)
+                               maxBytesPerTrigger: Option[Long] = None,
+                               snapshotOffsets: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listing(): Seq[OrcFileEntry] =
@@ -61,7 +63,98 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
   // planInputPartitions for that same end reuses it
   @volatile private var cached: (GraftOrcStreamOffset, Seq[OrcFileEntry]) = null
 
-  override def initialOffset(): Offset = GraftOrcStreamOffset(-1L, "")
+  // ---- snapshot-offset mode (graft.snapshot_offsets on a manifest table):
+  // the offset is the consumed manifest snapshot SEQ, and each batch is
+  // the file diff between two retained snapshots — the same diffing the
+  // batch `graft.start_snapshot_id` incremental read uses. A snapshot seq
+  // is a cleaner exactly-once watermark than (mtime, path): commit order
+  // is explicit in the metadata log, so no clock is trusted at all, and a
+  // listing can never observe a half-published wave. Retention bounds the
+  // restart window: resuming from an EXPIRED seq fails with the typed
+  // not-retained error (raise graft.manifest.retain to widen it).
+  // Compaction note (same contract as the batch incremental read): merged
+  // outputs reappear as new files; consumers wanting append-only feeds
+  // should compact outside retention or dedup downstream.
+
+  private lazy val manifestTable: Path = {
+    require(paths.length == 1,
+      "graft-orc: graft.snapshot_offsets requires a single table path, " +
+        s"got ${paths.length}")
+    val p = new Path(paths.head)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    require(GraftOrcManifest.exists(fs, qt),
+      s"graft-orc: graft.snapshot_offsets requires a manifest table, but " +
+        s"$p has no ${GraftOrcManifest.Dir} (write with " +
+        ".option(\"graft.manifest\", \"true\") to establish one)")
+    qt
+  }
+
+  private def snapshotEntries(seq: Long): Seq[OrcFileEntry] =
+    if (seq == 0L) Nil
+    else GraftOrcManifest.resolveSnapshot(
+      manifestTable.getFileSystem(conf), manifestTable,
+      GraftOrcManifest.Selector.ById(seq)).entries
+
+  private def snapshotSeqOf(start: Offset): Long = start match {
+    case o: GraftOrcSnapshotOffset => o.seq
+    case o => throw new IllegalStateException(
+      "graft-orc: graft.snapshot_offsets is set but the checkpoint holds " +
+        s"a (mtime, path) offset ($o); snapshot offsets need a fresh " +
+        "checkpoint (or unset the option to keep consuming by mtime)")
+  }
+
+  // trigger-scoped cache, same discipline as the listing cache
+  @volatile private var cachedSnap: (GraftOrcSnapshotOffset, Seq[OrcFileEntry]) = null
+  @volatile private var newestSeenSeq: Long = 0L
+
+  private def latestSnapshotOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = snapshotSeqOf(start)
+    val fs = manifestTable.getFileSystem(conf)
+    val refs = GraftOrcManifest.listSnapshots(fs, manifestTable)
+      .getOrElse(Nil).filter(_.seq > s)
+    newestSeenSeq = refs.lastOption.map(_.seq).getOrElse(s)
+    if (refs.isEmpty) {
+      cachedSnap = (GraftOrcSnapshotOffset(s), Nil)
+      return start
+    }
+    val maxFiles = limit match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case _ => None
+    }
+    // admission control at snapshot granularity: walk the pending
+    // snapshots in commit order, admitting each one's appended files,
+    // until a cap is crossed — but always at least ONE snapshot, so the
+    // stream can progress past any oversized commit
+    var consumed = snapshotEntries(s).map(_.path).toSet
+    var admitted = Vector.empty[OrcFileEntry]
+    var endSeq = s
+    var bytes = 0L
+    refs.iterator.takeWhile { ref =>
+      val fresh = GraftOrcManifest.resolveSnapshot(fs, manifestTable,
+        GraftOrcManifest.Selector.ById(ref.seq))
+        .entries.filterNot(e => consumed(e.path))
+      val over = endSeq != s &&
+        (maxFiles.exists(cap => admitted.size + fresh.size > cap) ||
+          maxBytesPerTrigger.exists(cap =>
+            bytes + fresh.map(_.length).sum > cap))
+      if (!over) {
+        admitted ++= fresh
+        consumed ++= fresh.map(_.path)
+        bytes += fresh.map(_.length).sum
+        endSeq = ref.seq
+      }
+      !over
+    }.foreach(_ => ())
+    val end = GraftOrcSnapshotOffset(endSeq)
+    cachedSnap = (end,
+      scan.pruneEntries(admitted, scan.staticPartitionFilters))
+    end
+  }
+
+  override def initialOffset(): Offset =
+    if (snapshotOffsets) GraftOrcSnapshotOffset(0L)
+    else GraftOrcStreamOffset(-1L, "")
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles)
@@ -71,6 +164,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    if (snapshotOffsets) return latestSnapshotOffset(start, limit)
     val s = start.asInstanceOf[GraftOrcStreamOffset]
     val l = listing()
     val pending = l.filter(e => after(e, s))
@@ -99,6 +193,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
   }
 
   override def reportLatestOffset(): Offset = {
+    if (snapshotOffsets) return GraftOrcSnapshotOffset(newestSeenSeq)
     val c = cached
     if (c == null || c._2.isEmpty) initialOffset()
     else GraftOrcStreamOffset(c._2.last.mtime, c._2.last.path)
@@ -106,6 +201,23 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
+    if (snapshotOffsets) {
+      val e = end.asInstanceOf[GraftOrcSnapshotOffset]
+      val c = cachedSnap
+      val files =
+        if (c != null && c._1 == e) c._2
+        else {
+          // replanning a committed batch after restart: re-diff the two
+          // retained snapshots (both must still be within retention)
+          val startPaths = snapshotEntries(snapshotSeqOf(start))
+            .map(_.path).toSet
+          scan.pruneEntries(
+            snapshotEntries(e.seq).filterNot(f => startPaths(f.path)),
+            scan.staticPartitionFilters)
+        }
+      return files.map(f => GraftOrcInputPartition(f.path, 0, f.length,
+        scan.partValuesFor(f), f.length)).toArray[InputPartition]
+    }
     val s = start.asInstanceOf[GraftOrcStreamOffset]
     val e = end.asInstanceOf[GraftOrcStreamOffset]
     val c = cached
@@ -121,8 +233,11 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
 
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)
-    GraftOrcStreamOffset(node.get("mtime").asLong(),
-      node.get("path").asText())
+    if (node.has("snapshot_seq"))
+      GraftOrcSnapshotOffset(node.get("snapshot_seq").asLong())
+    else
+      GraftOrcStreamOffset(node.get("mtime").asLong(),
+        node.get("path").asText())
   }
 
   override def commit(end: Offset): Unit = ()
@@ -136,6 +251,18 @@ case class GraftOrcStreamOffset(mtime: Long, path: String) extends Offset {
     val node = m.createObjectNode()
     node.put("mtime", mtime)
     node.put("path", path)
+    m.writeValueAsString(node)
+  }
+}
+
+/** Snapshot-offset mode watermark: the newest consumed manifest snapshot
+  * seq (0 = nothing consumed yet).
+  */
+case class GraftOrcSnapshotOffset(seq: Long) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("snapshot_seq", seq)
     m.writeValueAsString(node)
   }
 }

@@ -229,11 +229,106 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
   }
 
   test("offsets serialize and deserialize losslessly") {
-    import graft.sources.v2.GraftOrcStreamOffset
-    val o = GraftOrcStreamOffset(1234L, "/x/a b/part-0.orc")
-    val back = new graft.sources.v2.GraftOrcMicroBatchStream(
+    import graft.sources.v2.{GraftOrcSnapshotOffset, GraftOrcStreamOffset}
+    val stream = new graft.sources.v2.GraftOrcMicroBatchStream(
       null, Nil, spark.sparkContext.hadoopConfiguration, 4)
-      .deserializeOffset(o.json())
-    assert(back === o)
+    val o = GraftOrcStreamOffset(1234L, "/x/a b/part-0.orc")
+    assert(stream.deserializeOffset(o.json()) === o)
+    val so = GraftOrcSnapshotOffset(7L)
+    assert(stream.deserializeOffset(so.json()) === so)
+  }
+
+  test("snapshot offsets: a manifest table streams by snapshot seq " +
+    "across kill-and-restart, exactly once") {
+    // the offset is the consumed manifest snapshot SEQ — commit order
+    // from the metadata log, no clock trusted. Kill the query, land MORE
+    // snapshot commits while it is down, restart from the checkpoint:
+    // every row arrives exactly once and the checkpointed offsets are
+    // snapshot seqs, not (mtime, path) watermarks.
+    val dir = Files.createTempDirectory("graft-orc-snapoff-src").toString
+    val ckpt = Files.createTempDirectory("graft-orc-snapoff-ck").toString
+    val out = Files.createTempDirectory("graft-orc-snapoff-out").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    nation.filter($"n_nationkey" < 10)
+      .write.format("graft-orc").mode("append")
+      .option("graft.manifest", "true").save(dir)               // snap 1
+
+    def start() = spark.readStream.format("graft-orc")
+      .option("graft.snapshot_offsets", "true").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // down: two more commits -> snapshots 2 and 3
+    nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 18)
+      .write.format("graft-orc").mode("append").save(dir)       // snap 2
+    nation.filter($"n_nationkey" >= 18)
+      .write.format("graft-orc").mode("append").save(dir)       // snap 3
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() === nation.count(),
+      "restart must consume both down-time snapshots and never replay snap 1")
+    assert(got.select($"n_nationkey").distinct().count() === nation.count(),
+      "exactly-once across restart: no duplicated keys")
+
+    // the checkpoint really holds snapshot seqs
+    val offsetFiles = new java.io.File(s"$ckpt/offsets").listFiles()
+    assert(offsetFiles != null && offsetFiles.nonEmpty)
+    val texts = offsetFiles.filterNot(_.getName.startsWith("."))
+      .map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(texts.exists(_.contains("snapshot_seq")),
+      s"checkpointed offsets must be snapshot seqs:\n${texts.mkString}")
+    assert(!texts.exists(_.contains("\"mtime\"")),
+      "no (mtime, path) offset may appear in snapshot-offset mode")
+  }
+
+  test("snapshot offsets: maxFilesPerTrigger admits whole snapshots, " +
+    "at least one per trigger") {
+    val dir = Files.createTempDirectory("graft-orc-snapoff-cap").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    // three commits of one file each -> snapshots 1..3 before the stream
+    nation.filter($"n_nationkey" < 8).coalesce(1)
+      .write.format("graft-orc").mode("append")
+      .option("graft.manifest", "true").save(dir)
+    nation.filter($"n_nationkey" >= 8 && $"n_nationkey" < 16).coalesce(1)
+      .write.format("graft-orc").mode("append").save(dir)
+    nation.filter($"n_nationkey" >= 16).coalesce(1)
+      .write.format("graft-orc").mode("append").save(dir)
+    val q = spark.readStream.format("graft-orc")
+      .option("graft.snapshot_offsets", "true")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("orc_snap_throttled")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("orc_snap_throttled")
+      assert(got.count() === nation.count())
+      assert(got.select($"n_nationkey").distinct().count() === nation.count())
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected >=3 snapshot-granular batches, got $dataBatches")
+    } finally q.stop()
+  }
+
+  test("snapshot offsets require a manifest table (typed error)") {
+    val dir = Files.createTempDirectory("graft-orc-snapoff-nomani").toString
+    graft.sources.OrcTables.write(
+      Tables.nation(spark, TestSpark.sf0001), s"$dir/w1", mode = "overwrite")
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    val q = spark.readStream.format("graft-orc")
+      .option("graft.snapshot_offsets", "true").load(dir)
+      .writeStream.format("noop")
+    val e = intercept[Throwable] {
+      val started = q.start()
+      try started.processAllAvailable() finally started.stop()
+    }
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("graft.snapshot_offsets") && m.contains("manifest"))),
+      s"non-manifest table must be rejected naming the option, got: $e")
   }
 }
