@@ -467,6 +467,28 @@ object TextAnalysis {
             pmod(rh, lit(1024L)).as("bucket"))
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------ rolling (det)
+    // Deterministic cross-engine variant of the fingerprint-and-shard
+    // shape: same (key, bucket) assignment as ta_rolling_hash but keyed
+    // on the md5-derived 60-bit key BOTH engines compute byte-identically
+    // (TextHashFunctions.md5Key60 / md5Key60Sql) — putting shard
+    // assignment under the FULL hash oracle the way dd_semdedup_det does
+    // for SemDeDup accounting. The FNV-1a rolling hash itself stays
+    // pinned by its JVM-reference unit test (NativeExpressionsSpec).
+    QueryDef("ta_rolling_hash_det",
+      (s, d) => {
+        val key = graft.functions.TextHashFunctions.md5Key60(col("text"))
+        Tables.documents(s, d).select(
+            col("doc_id"), key.as("rkey"),
+            pmod(key, lit(1024L)).as("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  ${graft.functions.TextHashFunctions.md5Key60Sql("text")} AS rkey,
+              |  ${graft.functions.TextHashFunctions.md5Key60Sql("text")} % 1024
+              |    AS bucket
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

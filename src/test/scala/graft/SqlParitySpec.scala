@@ -61,6 +61,8 @@ class SqlParitySpec extends AnyFunSuite {
         "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
       "pp_train_test_split" ->
         "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
+      "ta_rolling_hash_det" ->
+        "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
       "ta_bigram_lm" -> "DuckDB string_split (Spark: split)",
       "ta_length_quantiles" ->
         "DuckDB quantile_cont list form (Spark: percentile array form)")
