@@ -111,7 +111,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.45, s"LSH ANN recall $recall < 0.45")
   }
 
-  test("ANN recall: IVF adaptive distance-ratio probe recalls >=60%") {
+  test("ANN recall: IVF adaptive probe + boundary assignment recalls >=80%, " +
+    "index growth stays under 1.5x") {
     val brute = SparkEntry.queries("ss_topk_bruteforce")(spark, TestSpark.sf0001)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val ivf = SparkEntry.queries("ss_ann_ivf")(spark, TestSpark.sf0001)
@@ -119,11 +120,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     // fixed probe-3 measured 0.55 on this fixture; the adaptive probe
     // (scan cells within 1.8x the best cell's angular distance, max 6)
-    // measures 0.725 — boundary queries fan out, confident ones don't.
+    // measured 0.725 — the residual misses were ASSIGNMENT-side: true
+    // neighbors indexed just across a cell boundary the probe never
+    // crossed. Boundary vectors now index in their second cell too.
     // Deterministic: centroids fit from a keyed sample, data fixed.
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     info(f"IVF ANN recall: $recall%.3f")
-    assert(recall >= 0.6, s"IVF ANN recall $recall < 0.6")
+    assert(recall >= 0.8, s"IVF ANN recall $recall < 0.8")
+    // the recall is bought with boundary duplication only: the index
+    // frame must stay well under 2 entries per vector
+    val nVectors = Tables.embeddings(spark, TestSpark.sf0001).count()
+    val indexRows = graft.operators.Similarity
+      .ivfAssigned(spark, TestSpark.sf0001).count()
+    info(f"IVF index growth: ${indexRows.toDouble / nVectors}%.3f x")
+    assert(indexRows < 1.5 * nVectors,
+      s"IVF index grew to $indexRows rows for $nVectors vectors (>=1.5x)")
   }
 
   test("k-means fit: centroids are finite, distinct-ish, and cells are populated") {
