@@ -133,6 +133,39 @@ object GraftOrcDataSource {
   private[v2] def notePlanFooterRead(path: String): Unit =
     if (recordPlanFooterReads) planFooterReads.add(path)
 
+  /** Normalized footer/partition value -> the Catalyst-internal value for
+    * `dt` (dates as epoch days, timestamps as micros, decimals as
+    * [[Decimal]]); None for types CBO estimation does not consume
+    * numerically (strings, booleans) and for non-finite doubles (a NaN
+    * bound would poison interval arithmetic). Shared by the CBO column
+    * stats and the sidecar aggregate kernel.
+    */
+  private[v2] def catalystBound(v: Any, dt: DataType): Option[Object] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (bd: BigDecimal, ByteType) => Some(java.lang.Byte.valueOf(bd.toByte))
+      case (bd: BigDecimal, ShortType) => Some(java.lang.Short.valueOf(bd.toShort))
+      case (bd: BigDecimal, IntegerType) => Some(java.lang.Integer.valueOf(bd.toInt))
+      case (bd: BigDecimal, LongType) => Some(java.lang.Long.valueOf(bd.toLong))
+      case (bd: BigDecimal, FloatType) => Some(java.lang.Float.valueOf(bd.toFloat))
+      case (bd: BigDecimal, DoubleType) => Some(java.lang.Double.valueOf(bd.toDouble))
+      case (bd: BigDecimal, _: DecimalType) => Some(Decimal(bd))
+      case (OrcStatsEval.EpochDays(d), DateType) =>
+        Some(java.lang.Integer.valueOf(d.toInt))
+      case (OrcStatsEval.EpochMicros(us), TimestampType | TimestampNTZType) =>
+        Some(java.lang.Long.valueOf(us))
+      // Spark's ORC writer stores TIMESTAMP_NTZ as int64 epoch micros
+      // (catalyst-type field metadata carries the logical type), so its
+      // footer stats surface as integer ranges — already the Catalyst
+      // internal representation
+      case (bd: BigDecimal, TimestampType | TimestampNTZType) =>
+        Some(java.lang.Long.valueOf(bd.toLong))
+      case (bd: BigDecimal, DateType) =>
+        Some(java.lang.Integer.valueOf(bd.toInt))
+      case _ => None
+    }
+  }
+
   private[v2] def parseBooleanOption(name: String, v: String): Boolean =
     try v.trim.toBoolean catch {
       case _: IllegalArgumentException =>
@@ -415,12 +448,82 @@ class GraftOrcScanBuilder(dataSchema: StructType,
   }
 }
 
+/** Partial-aggregate row from a manifest stat sidecar — the zero-I/O
+  * answer for MIN/MAX/COUNT pushdown on manifest tables (the footer the
+  * sidecar serialized is the same footer the kernel would read). Returns
+  * None whenever ANY pushed expression cannot be answered from the
+  * sidecar byte-identically to the footer kernel — distinct counts,
+  * partition/nested columns, untracked or all-null ranges, value kinds
+  * with no exact Catalyst mapping — and the caller then opens the footer
+  * as before. Conservative by construction; pinned by the
+  * directory-vs-manifest parity case in `GraftOrcAggPushdownSpec`.
+  */
+private[v2] object GraftOrcAggSidecar {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+  import org.apache.spark.sql.types._
+
+  private def topLevelName(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def internalValue(v: Any, dt: DataType): Option[Any] =
+    GraftOrcDataSource.catalystBound(v, dt).map(identity[Any]).orElse {
+      (v, dt) match {
+        case (s: String, StringType) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case (b: Boolean, BooleanType) => Some(java.lang.Boolean.valueOf(b))
+        case _ => None
+      }
+    }
+
+  def aggRow(sidecar: String, dataFileSchema: StructType,
+             agg: Aggregation): Option[InternalRow] =
+    OrcStatsEval.decodeSidecar(sidecar).flatMap { case (rows, cols) =>
+      def colType(n: String): Option[DataType] =
+        dataFileSchema.fields.collectFirst {
+          case f if f.name.equalsIgnoreCase(n) => f.dataType
+        }
+      def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+                 pick: OrcStatsEval.StatRange => Option[Any]): Option[Any] =
+        for {
+          n <- topLevelName(col)
+          dt <- colType(n)
+          (rangeOpt, _) <- cols.get(n.toLowerCase)
+          r <- rangeOpt // untracked kind ("x") => footer fallback
+          if r.hasValues // all-null column => let the kernel decide
+          v <- pick(r)
+          out <- internalValue(v, dt)
+        } yield out
+      val vals: Seq[Option[Any]] = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(java.lang.Long.valueOf(rows))
+        case c: Count if !c.isDistinct =>
+          for {
+            n <- topLevelName(c.column)
+            if colType(n).isDefined // partition columns fall back
+            (_, nValues) <- cols.get(n.toLowerCase)
+          } yield java.lang.Long.valueOf(nValues)
+        case m: Min => minMax(m.column, _.min)
+        case m: Max => minMax(m.column, _.max)
+        case _ => None
+      }
+      if (vals.forall(_.isDefined))
+        Some(new GenericInternalRow(vals.map(_.get).toArray))
+      else None
+    }
+}
+
 /** Footer-statistics aggregate scan: one input partition per file, each
-  * producing ONE partial row from the footer (no stripe I/O); the final
-  * merge runs in Spark above the scan.
+  * producing ONE partial row from the footer (no stripe I/O) — or, on a
+  * manifest table, straight from the entry's stat sidecar (no I/O at
+  * all); the final merge runs in Spark above the scan.
   */
 case class GraftOrcAggPartition(filePath: String, fileLength: Long,
-                                partitionValues: Array[String])
+                                partitionValues: Array[String],
+                                sidecar: Option[String] = None)
   extends InputPartition
 
 class GraftOrcAggScan(dataFileSchema: StructType, partitionSchema: StructType,
@@ -444,7 +547,7 @@ class GraftOrcAggScan(dataFileSchema: StructType, partitionSchema: StructType,
           e.partitionValues.collectFirst {
             case (k, v) if k.equalsIgnoreCase(f.name) => v
           }.orNull
-        })
+        }, e.stats)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -472,18 +575,26 @@ class GraftOrcAggReaderFactory(dataFileSchema: StructType,
       override def next(): Boolean =
         if (emitted) false
         else {
-          // footer-only open: the metadata hint keeps this to ONE ranged
-          // read per file on object stores
-          val (reader, _) = GraftOrcTailReader.createReader(
-            new Path(ap.filePath), conf.value, ap.fileLength, metadataSizeHint)
-          val partValues = new GenericInternalRow(
-            partitionSchema.fields.zip(ap.partitionValues).map {
-              case (f, raw) =>
-                GraftOrcDataSource.internalPartitionValue(raw, f.dataType)
-            }.toArray[Any])
-          try row = GraftOrcShims.aggRowFromFooter(reader, ap.filePath,
-            dataFileSchema, partitionSchema, agg, aggSchema, partValues)
-          finally reader.close()
+          // manifest sidecar first: zero I/O when it answers every
+          // pushed expression exactly (GraftOrcAggSidecar contract)
+          row = ap.sidecar
+            .flatMap(GraftOrcAggSidecar.aggRow(_, dataFileSchema, agg))
+            .getOrElse {
+              GraftOrcDataSource.notePlanFooterRead(ap.filePath)
+              // footer-only open: the metadata hint keeps this to ONE
+              // ranged read per file on object stores
+              val (reader, _) = GraftOrcTailReader.createReader(
+                new Path(ap.filePath), conf.value, ap.fileLength,
+                metadataSizeHint)
+              val partValues = new GenericInternalRow(
+                partitionSchema.fields.zip(ap.partitionValues).map {
+                  case (f, raw) =>
+                    GraftOrcDataSource.internalPartitionValue(raw, f.dataType)
+                }.toArray[Any])
+              try GraftOrcShims.aggRowFromFooter(reader, ap.filePath,
+                dataFileSchema, partitionSchema, agg, aggSchema, partValues)
+              finally reader.close()
+            }
           emitted = true
           true
         }
@@ -745,37 +856,8 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     }
   }
 
-  /** Normalized footer/partition value -> the Catalyst-internal value the
-    * v1 `ColumnStat` surface expects for `dt` (dates as epoch days,
-    * timestamps as micros, decimals as [[Decimal]]); None for types CBO
-    * estimation does not consume numerically (strings, booleans) and for
-    * non-finite doubles (a NaN bound would poison interval arithmetic).
-    */
-  private def catalystBound(v: Any, dt: DataType): Option[Object] = {
-    import org.apache.spark.sql.types._
-    (v, dt) match {
-      case (bd: BigDecimal, ByteType) => Some(java.lang.Byte.valueOf(bd.toByte))
-      case (bd: BigDecimal, ShortType) => Some(java.lang.Short.valueOf(bd.toShort))
-      case (bd: BigDecimal, IntegerType) => Some(java.lang.Integer.valueOf(bd.toInt))
-      case (bd: BigDecimal, LongType) => Some(java.lang.Long.valueOf(bd.toLong))
-      case (bd: BigDecimal, FloatType) => Some(java.lang.Float.valueOf(bd.toFloat))
-      case (bd: BigDecimal, DoubleType) => Some(java.lang.Double.valueOf(bd.toDouble))
-      case (bd: BigDecimal, _: DecimalType) => Some(Decimal(bd))
-      case (OrcStatsEval.EpochDays(d), DateType) =>
-        Some(java.lang.Integer.valueOf(d.toInt))
-      case (OrcStatsEval.EpochMicros(us), TimestampType | TimestampNTZType) =>
-        Some(java.lang.Long.valueOf(us))
-      // Spark's ORC writer stores TIMESTAMP_NTZ as int64 epoch micros
-      // (catalyst-type field metadata carries the logical type), so its
-      // footer stats surface as integer ranges — already the Catalyst
-      // internal representation
-      case (bd: BigDecimal, TimestampType | TimestampNTZType) =>
-        Some(java.lang.Long.valueOf(bd.toLong))
-      case (bd: BigDecimal, DateType) =>
-        Some(java.lang.Integer.valueOf(bd.toInt))
-      case _ => None
-    }
-  }
+  private def catalystBound(v: Any, dt: DataType): Option[Object] =
+    GraftOrcDataSource.catalystBound(v, dt)
 
   /** Merge the per-file footer ranges into one DSv2 ColumnStatistics per
     * projected column. Data columns come from the footer sweep; partition

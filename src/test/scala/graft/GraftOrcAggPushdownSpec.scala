@@ -107,4 +107,55 @@ class GraftOrcAggPushdownSpec extends AnyFunSuite {
     val q = spark.read.format("graft-orc").load(dir).agg(count(lit(1)).as("n"))
     assert(aggScans(q) === 0)
   }
+
+  test("manifest tables answer pushed aggregates from stat sidecars with " +
+    "ZERO footer opens, byte-identical to the footer kernel") {
+    import graft.sources.v2.GraftOrcDataSource
+    val mdir = Files.createTempDirectory("graft-agg-manifest").toString
+    // same rows as `dir`, but committed through the manifest writer so
+    // every entry carries its footer-stat sidecar
+    spark.read.format("graft-orc").load(dir)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(mdir)
+
+    val full = spark.read.format("graft-orc").load(dir)
+    val integral = full.schema.fields.filter(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    GraftOrcDataSource.planFooterReads.clear()
+    GraftOrcDataSource.recordPlanFooterReads = true
+    try {
+      // the full eligible surface: count(*), count(c) for every column,
+      // min/max for the integral ones — sidecar answers must equal the
+      // directory table's footer-kernel answers exactly
+      val star = pushed(mdir).agg(count(lit(1)).as("n"))
+      assert(aggScans(star) === 1)
+      assert(star.collect().head === pushed(dir).agg(count(lit(1)).as("n"))
+        .collect().head)
+      for (f <- full.schema.fields) {
+        val fast = pushed(mdir).agg(count(col(f.name)).as("v"))
+        assert(aggScans(fast) === 1, s"count(${f.name}) not pushed")
+        assert(fast.collect().head ===
+          pushed(dir).agg(count(col(f.name)).as("v")).collect().head,
+          s"count(${f.name}) sidecar != footer")
+      }
+      val minMax: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+        Seq(min(_), max(_))
+      for (f <- integral; fn <- minMax) {
+        val fast = pushed(mdir).agg(fn(col(f.name)).as("v"))
+        assert(aggScans(fast) === 1, s"min/max(${f.name}) not pushed")
+        assert(fast.collect().head ===
+          pushed(dir).agg(fn(col(f.name)).as("v")).collect().head,
+          s"min/max(${f.name}) sidecar != footer")
+      }
+      import scala.jdk.CollectionConverters._
+      val opened = GraftOrcDataSource.planFooterReads.asScala
+        .filter(_.contains(mdir))
+      assert(opened.isEmpty,
+        s"manifest agg pushdown opened footers: $opened")
+    } finally {
+      GraftOrcDataSource.recordPlanFooterReads = false
+      GraftOrcDataSource.planFooterReads.clear()
+    }
+  }
 }
