@@ -54,13 +54,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * last explicit `graft.manifest.retain` governs every later commit
   * (including compaction) until overridden, so a compact can never
   * silently shrink the time-travel history a writer configured.
-  * Concurrent commits to ONE table are detected, not merged: after the
-  * publish rename, [[writeSnapshot]] re-lists and verifies this snapshot
-  * is its seq's lexicographic winner; a loser deletes its own snapshot
-  * and throws `ConcurrentModificationException` — its data files are
-  * vacuumable garbage, never silently-dropped rows. (A true multi-writer
-  * story needs a conditional-rename/CAS primitive; this makes the race
-  * LOUD, which is the safety property.)
+  * Concurrent commits to ONE table are detected, not merged:
+  * [[writeSnapshot]] refuses a seq that already has a committed snapshot
+  * (pre-rename occupancy check), and after its own publish rename
+  * re-lists and verifies it is the seq's lexicographic winner; a loser
+  * deletes its own snapshot and throws
+  * `ConcurrentModificationException` — the WRITER then retries the
+  * append on top of the winner (GraftOrcWrite's optimistic commit loop),
+  * so concurrent appends serialize instead of failing. The residual
+  * exposure is two publishes interleaving inside one list->rename
+  * window (at least one side still fails loudly); a true multi-writer
+  * story needs a conditional-rename/CAS store primitive.
   */
 object GraftOrcManifest {
   private[v2] val Dir = "_graft_manifest"
@@ -274,6 +278,23 @@ object GraftOrcManifest {
     } catch { case t: Throwable =>
       try { out.close(); fs.delete(tmp, false) } catch { case _: Throwable => }
       throw t
+    }
+    // pre-rename occupancy check: if the seq already has a committed
+    // snapshot, fail BEFORE publishing a rival file — a later publisher
+    // with a lexicographically larger name would otherwise retroactively
+    // steal the seq from a writer whose own post-rename verify already
+    // passed (silent loss, the one outcome this protocol must not have).
+    // The residual exposure is two writers interleaving inside this
+    // list->rename window; the post-rename verify below makes that case
+    // loud for at least one of them, and a conditional-rename/CAS store
+    // primitive is the real fix (documented scope).
+    if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
+        n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"graft-orc manifest: lost a commit race on snapshot seq $seq of " +
+          s"$table — a concurrent writer already committed it. Re-read " +
+          "the table state and retry the write at the next seq.")
     }
     val dest = new Path(dir, f"$SnapPrefix$seq%020d-${UUID.randomUUID()}.json")
     if (!fs.rename(tmp, dest)) {

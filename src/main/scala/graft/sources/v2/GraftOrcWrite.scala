@@ -460,17 +460,53 @@ object GraftOrcWrite {
       }
     }
     if (manifestActive) {
-      // THE commit point for manifest tables: one atomic snapshot rename
-      val next = manifestBefore.map(_.seq + 1).getOrElse(1L)
-      GraftOrcManifest.writeSnapshot(fs, qdir, next,
-        priorEntries ++ newEntries.result(),
-        retain.orElse(manifestBefore.flatMap(_.retain))
-          .getOrElse(GraftOrcManifest.RetainSnapshots))
+      // THE commit point for manifest tables: one atomic snapshot rename.
+      // An APPEND that loses a same-seq race RETRIES on top of the winner
+      // (optimistic concurrency, the Iceberg commit loop): its waves are
+      // already published but invisible to manifest readers until a
+      // snapshot references them, so the retry is metadata-only — re-read
+      // the winner's state and re-commit the union at the next seq.
+      // Concurrent appends to one table thereby serialize instead of
+      // failing. A TRUNCATE keeps the loud failure: silently re-running
+      // it would physically delete rows a concurrent commit just
+      // published, which needs a human (or at least an explicit retry).
+      val added = newEntries.result()
+      var base = priorEntries
+      var next = manifestBefore.map(_.seq + 1).getOrElse(1L)
+      var chosenRetain = retain.orElse(manifestBefore.flatMap(_.retain))
+        .getOrElse(GraftOrcManifest.RetainSnapshots)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        try {
+          GraftOrcManifest.writeSnapshot(fs, qdir, next, base ++ added,
+            chosenRetain)
+          committed = true
+        } catch {
+          case _: java.util.ConcurrentModificationException
+              if !truncateExisting && attempt < ManifestCommitRetries =>
+            attempt += 1
+            val winner = GraftOrcManifest.readSnapshot(fs, qdir)
+              .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+            base = winner.entries
+            next = winner.seq + 1
+            // an explicit retain option still wins; otherwise inherit
+            // the policy the WINNER persisted (it is the newest state)
+            chosenRetain = retain.orElse(winner.retain)
+              .getOrElse(GraftOrcManifest.RetainSnapshots)
+        }
+      }
       if (truncateExisting)
         GraftOrcManifest.deleteUnreferenced(fs, qdir, truncateVictims)
     }
     dropStaging(fs, dir, writeId)
   }
+
+  /** Same-seq race retries before an append commit gives up — each retry
+    * re-reads the winner and re-commits at the next seq, so this bounds
+    * pathological contention, not correctness.
+    */
+  private[graft] val ManifestCommitRetries = 5
 
   private def discard(table: String, writeId: String,
                       messages: Array[WriterCommitMessage]): Unit = {

@@ -214,17 +214,65 @@ class GraftOrcManifestSpec extends AnyFunSuite {
     assert(snapshots(dir).count(_.startsWith(f"snap-${2L}%020d")) === 1,
       "the loser must withdraw its own snapshot file")
 
-    // ---- winner path: a stale duplicate with a lexicographically-MIN
-    // name (a crashed loser's leftover) must neither fail our commit nor
+    // ---- winner path: a stale DUPLICATE of an already-won seq with a
+    // lexicographically-MIN name (a crashed loser's leftover, next to
+    // the real seq-2 winner) must neither fail the next commit nor
     // consume a retention slot — expiry treats it as plain garbage
-    val loserName = f"snap-${3L}%020d-00000000-0000-0000-0000-000000000000.json"
+    val loserName = f"snap-${2L}%020d-00000000-0000-0000-0000-000000000000.json"
     java.nio.file.Files.copy(curSnapFile.toPath,
       new java.io.File(mdir, loserName).toPath)
     GraftOrcManifest.writeSnapshot(fs, table, 3L, cur.entries)
-    assert(snapshots(dir).count(_.startsWith(f"snap-${3L}%020d")) === 1,
+    assert(snapshots(dir).count(_.startsWith(f"snap-${2L}%020d")) === 1,
       "expiry must sweep the duplicate-seq loser file")
     assert(!snapshots(dir).contains(loserName))
     assert(spark.read.format("graft-orc").load(dir).count() === nation.count())
+  }
+
+  test("an append that loses a commit race retries on top of the winner " +
+    "(optimistic concurrency), not fails") {
+    val dir = freshDir("graft-manifest-retry")
+    nation.filter(org.apache.spark.sql.functions.col("n_nationkey") < 10)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)                                   // snap 1
+    // plant a rival seq-2 winner: simulates a concurrent commit that
+    // republished snap 1's state under the lexicographic-max name, so
+    // the NEXT writer's seq-2 attempt loses its race
+    val mdir = new java.io.File(dir, "_graft_manifest")
+    val winnerName =
+      f"snap-${2L}%020d-ffffffff-ffff-ffff-ffff-ffffffffffff.json"
+    val curSnapFile = mdir.listFiles()
+      .filter(_.getName.startsWith("snap-")).head
+    java.nio.file.Files.copy(curSnapFile.toPath,
+      new java.io.File(mdir, winnerName).toPath)
+    // the writer loses seq 2 and must retry at seq 3 on top of the
+    // "winner" — no exception, no lost rows
+    nation.filter(org.apache.spark.sql.functions.col("n_nationkey") >= 10)
+      .write.format("graft-orc").mode("append").save(dir)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(GraftOrcManifest.readSnapshot(fs, table).get.seq === 3L)
+    assert(spark.read.format("graft-orc").load(dir).count() === nation.count(),
+      "the retried append must union the winner's state with its own rows")
+  }
+
+  test("a committer of an occupied seq fails BEFORE publishing a rival " +
+    "file (pre-rename occupancy check)") {
+    val dir = freshDir("graft-manifest-precheck")
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)                                   // snap 1
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = GraftOrcManifest.readSnapshot(fs, table).get
+    // seq 1 is already committed: a second committer must fail before
+    // its rename — were it to publish a lexicographically larger seq-1
+    // file, it would retroactively STEAL the seq from the writer whose
+    // own post-rename verify already passed (silent row loss)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      GraftOrcManifest.writeSnapshot(fs, table, 1L, cur.entries)
+    }
+    assert(ex.getMessage.contains("race"))
+    assert(snapshots(dir).count(_.startsWith(f"snap-${1L}%020d")) === 1,
+      "the refused committer must not have published any seq-1 file")
   }
 
   test("graft.manifest.retain persists in the snapshot header: optionless " +
