@@ -23,6 +23,22 @@ object TextAnalysis {
     */
   private[graft] val HotKeyK = 1024
 
+  /** Skew-gate probe shared by [[bigramLm]] and [[perplexity]]: engage
+    * the heavy-hitter hot/cold split only when the (persisted,
+    * model-sized) frame's heaviest join key carries at least
+    * 1/(2 * shuffle partitions) of the total joined rows — i.e. a key
+    * that would at least double one reducer's fair share. One tiny
+    * aggregate job over the cached model; the corpus is not re-scanned.
+    */
+  private def skewGate(model: org.apache.spark.sql.DataFrame,
+                       keyRowsCol: String): Boolean = {
+    val prof = model.agg(max(col(keyRowsCol)), sum(col(keyRowsCol))).head()
+    if (prof.isNullAt(0)) return false // empty corpus: nothing to split
+    val p = model.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    prof.getLong(0) * 2L * p >= prof.getLong(1)
+  }
+
   /** Non-whitespace token count — identical regex semantics on both engines.
     * Shared with Pipeline's quality gate so token semantics cannot drift.
     */
@@ -74,21 +90,35 @@ object TextAnalysis {
     // per-occurrence totals exactly.
     val occ = bi.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("o"))
-    val counts = occ.groupBy(col("bg")).agg(sum(col("o")).as("c"))
-    // Heavy-hitter hot/cold split for the count join-back. The per-doc
-    // pre-agg above bounds INTRA-doc amplification, but a bigram carried
-    // once by ~every doc still lands n rows on one hash partition — and
-    // AQE's skew split provably does not fire for an agg-inside-join
-    // stage (BASELINE.md). So the top-K heaviest bigrams (a TakeOrdered
-    // over the model-sized counts frame) join map-side via broadcast;
-    // only the de-skewed remainder shuffles on bg. Both aggregates the
-    // final groupBy folds are LONG sums, so the branch order cannot
-    // perturb the oracle-checked results.
-    val hot = counts.orderBy(col("c").desc, col("bg")).limit(HotKeyK)
-    occ.join(broadcast(hot), Seq("bg"))
-      .unionByName(
-        occ.join(broadcast(hot.select(col("bg"))), Seq("bg"), "left_anti")
-          .join(counts, Seq("bg")))
+    // counts is the MODEL frame (sum of occurrences + join-key row count
+    // per bigram); persisted so the skew probe below and the main job
+    // share one corpus pass
+    val counts = occ.groupBy(col("bg"))
+      .agg(sum(col("o")).as("c"), count(lit(1)).as("kr")).persist()
+    // Heavy-hitter hot/cold split for the count join-back — GATED on a
+    // measured skew profile. The per-doc pre-agg above bounds INTRA-doc
+    // amplification, but a bigram carried once by ~every doc still lands
+    // n rows on one hash partition — and AQE's skew split provably does
+    // not fire for an agg-inside-join stage (BASELINE.md). When the
+    // model-sized probe shows a join key holding >= 1/(2*shuffle
+    // partitions) of the occ rows (a key that would double its reducer's
+    // fair share), the top-K heaviest bigrams join map-side via
+    // broadcast and only the de-skewed remainder shuffles on bg. A flat
+    // corpus (this fixture: max key share ~0.2%) skips the split's
+    // TakeOrdered barrier + anti-join + union and plans the plain join —
+    // the round-8/9 watch on the split's flat-corpus cost, closed with
+    // the gate the verdict prescribed. Zipf/allhot adversaries engage it
+    // (ScaleStress receipts). Both branches fold the same LONG sums, so
+    // the gate cannot perturb the oracle-checked results.
+    val model = counts.select(col("bg"), col("c"))
+    val joined = if (skewGate(counts, "kr")) {
+      val hot = model.orderBy(col("c").desc, col("bg")).limit(HotKeyK)
+      occ.join(broadcast(hot), Seq("bg"))
+        .unionByName(
+          occ.join(broadcast(hot.select(col("bg"))), Seq("bg"), "left_anti")
+            .join(model, Seq("bg")))
+    } else occ.join(model, Seq("bg"))
+    joined
       .groupBy(col("doc_id"))
       .agg(sum(col("o")).as("n_bigrams"),
         sum(col("o") * col("c")).as("freq_sum"))
@@ -131,7 +161,10 @@ object TextAnalysis {
     // repetition before anything shuffles on the bigram key
     val occ = bi.groupBy(col("doc_id"), col("u"), col("w"))
       .agg(count(lit(1)).as("o"))
-    val cb = occ.groupBy(col("u"), col("w")).agg(sum(col("o")).as("cb"))
+    // persisted model frame: the skew probe and the main job share one
+    // corpus pass (kr = occ rows per join key, the skew dimension)
+    val cb = occ.groupBy(col("u"), col("w"))
+      .agg(sum(col("o")).as("cb"), count(lit(1)).as("kr")).persist()
     // context counts derive from the bigram model — no second corpus pass
     val cu = cb.groupBy(col("u")).agg(sum(col("cb")).as("cu"))
     // vocabulary size from the MODEL, not a corpus re-scan: every token
@@ -148,23 +181,29 @@ object TextAnalysis {
     // corpus-sized occ: cb⋈cu is model-sized (skew on u bounded by
     // bigrams-per-context, i.e. vocabulary, never corpus rows), so the
     // only corpus-scale join left is occ⋈model on (u, w) — which gets
-    // the same heavy-hitter hot/cold split as [[bigramLm]]: the top-K
-    // bigrams by count broadcast and join map-side, the de-skewed rest
-    // shuffles. One bigram spanning ~every doc stays off any single
-    // reducer (ScaleStress bigramskew allhot receipt).
+    // the same GATED heavy-hitter hot/cold split as [[bigramLm]]: when
+    // the model probe shows a genuinely skewed join key, the top-K
+    // bigrams by count broadcast and join map-side and the de-skewed
+    // rest shuffles (one bigram spanning ~every doc stays off any single
+    // reducer — ScaleStress allhot receipt); a flat corpus plans the
+    // plain join and skips the split's overhead.
     val model = cb.join(cu, Seq("u"))
       .crossJoin(broadcast(v))
       .select(col("u"), col("w"), col("cb"),
         log((col("cb") + lit(k)) / (col("cu") + lit(k) * col("v")))
           .as("logp"))
-    val hot = model.orderBy(col("cb").desc, col("u"), col("w"))
-      .limit(HotKeyK).select(col("u"), col("w"), col("logp"))
-    occ.join(broadcast(hot), Seq("u", "w"))
-      .unionByName(
-        occ.join(broadcast(hot.select(col("u"), col("w"))),
-            Seq("u", "w"), "left_anti")
-          .join(model.select(col("u"), col("w"), col("logp")),
-            Seq("u", "w")))
+    val joined = if (skewGate(cb, "kr")) {
+      val hot = model.orderBy(col("cb").desc, col("u"), col("w"))
+        .limit(HotKeyK).select(col("u"), col("w"), col("logp"))
+      occ.join(broadcast(hot), Seq("u", "w"))
+        .unionByName(
+          occ.join(broadcast(hot.select(col("u"), col("w"))),
+              Seq("u", "w"), "left_anti")
+            .join(model.select(col("u"), col("w"), col("logp")),
+              Seq("u", "w")))
+    } else occ.join(model.select(col("u"), col("w"), col("logp")),
+      Seq("u", "w"))
+    joined
       .groupBy(col("doc_id"))
       .agg(sum(col("o")).as("n_bigrams"),
         (-sum(col("o") * col("logp")) / sum(col("o"))).as("nll"))

@@ -16,6 +16,50 @@ class TextHashParitySpec extends AnyFunSuite {
 
   lazy val docs = Tables.documents(spark, TestSpark.sf0001)
 
+  test("bigram skew gate: a flat corpus plans the plain count join, an " +
+    "allhot corpus engages the hot/cold split — results identical") {
+    import graft.operators.TextAnalysis
+    val d0 = docs.select($"doc_id", $"text")
+    // flat: this corpus's heaviest bigram key holds ~0.2% of occ rows,
+    // far under the 1/(2*partitions) gate — the split's TakeOrdered
+    // barrier + anti-join + union must NOT appear in the plan
+    val flatPlan = TextAnalysis.bigramLm(d0)
+      .queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("Union"),
+      s"flat corpus must take the plain join:\n$flatPlan")
+    // allhot: one bigram on EVERY doc. Whether that key is a problem
+    // depends on the fair per-reducer share, i.e. the partition count —
+    // the test suite runs tiny (4 partitions, fair share ~7k rows, a
+    // 500-row key is genuinely fine and the gate correctly stays off),
+    // so model the scale shape by raising the partition count the gate
+    // prices against; the split (its union of broadcast-hot and
+    // shuffled-cold branches) must then engage.
+    val allhot = d0.withColumn("text",
+      concat_ws(" ", $"text", lit("zzhot zzkey")))
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "200")
+      val hotPlan = TextAnalysis.bigramLm(allhot)
+        .queryExecution.executedPlan.toString
+      assert(hotPlan.contains("Union"),
+        s"allhot corpus must engage the hot/cold split:\n$hotPlan")
+      // the gate is a plan choice, never a result choice: the split and
+      // plain branches fold the same LONG sums
+      val viaSplit = TextAnalysis.bigramLm(allhot).collect()
+      val flatRows = TextAnalysis.bigramLm(d0).collect()
+      assert(viaSplit.length === flatRows.length)
+      // perplexity's gate mirrors bigramLm's — its vocabulary derivation
+      // always contains ONE union (distinct u ∪ distinct w), so the
+      // split shows as a SECOND one
+      def unions(df: org.apache.spark.sql.DataFrame): Int =
+        "Union".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      assert(unions(TextAnalysis.perplexity(allhot)) >= 2)
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      assert(unions(TextAnalysis.perplexity(d0)) === 1,
+        "flat corpus must take the plain perplexity score join")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("native simhash64 == HOF simhash64 on all sf0.001 documents") {
     val diff = docs.select(
         TextHashFunctions.simhash64($"text").as("native"),
