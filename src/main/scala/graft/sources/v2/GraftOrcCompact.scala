@@ -296,8 +296,30 @@ object GraftOrcCompact {
         }
         (destEntries, inputs)
       }
-      GraftOrcManifest.commitSwap(fs, qtable,
-        remove = placed.flatMap(_._2).toSet, add = placed.flatMap(_._1))
+      // a compaction racing an APPEND retries on top of the winner: the
+      // swap recomputes against the winner's state, and is still valid
+      // as long as every input it replaces is live there. If an input is
+      // GONE from the winner (a concurrent compactor/truncate already
+      // swapped it), retrying would resurrect replaced rows — rethrow.
+      val removeSet = placed.flatMap(_._2).toSet
+      val addEntries = placed.flatMap(_._1)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        try {
+          GraftOrcManifest.commitSwap(fs, qtable,
+            remove = removeSet, add = addEntries)
+          committed = true
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            val winner = GraftOrcManifest.readSnapshot(fs, qtable)
+              .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+            if (attempt >= GraftOrcWrite.ManifestCommitRetries ||
+                !removeSet.subsetOf(winner.entries.map(_.path).toSet))
+              throw e
+            attempt += 1
+        }
+      }
       GraftOrcManifest.deleteUnreferenced(fs, qtable,
         placed.flatMap(_._2).flatMap(entryByPath.get))
       placed.foreach { case (destEntries, inputs) =>

@@ -275,6 +275,39 @@ class GraftOrcManifestSpec extends AnyFunSuite {
       "the refused committer must not have published any seq-1 file")
   }
 
+  test("a compaction that loses its commit race to an append retries on " +
+    "top of the winner while its inputs stay live") {
+    val dir = freshDir("graft-manifest-compact-race")
+    // fragmented manifest table: several single-row commits -> many files
+    (0 until 4).foreach { i =>
+      nation.filter(org.apache.spark.sql.functions.col("n_nationkey") === i)
+        .coalesce(1).write.format("graft-orc")
+        .option("graft.manifest", "true").mode("append").save(dir)
+    }
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = GraftOrcManifest.readSnapshot(fs, table).get
+    // plant a rival winner for the seq the compactor will target,
+    // simulating an append that commits between the compactor's read and
+    // its snapshot publish; the planted state re-asserts cur's entries,
+    // so every compaction input is still live in the "winner"
+    val mdir = new java.io.File(dir, "_graft_manifest")
+    val winnerName =
+      f"snap-${cur.seq + 1}%020d-ffffffff-ffff-ffff-ffff-ffffffffffff.json"
+    val curSnapFile = mdir.listFiles().filter(_.getName.startsWith("snap-"))
+      .sortBy(_.getName).last
+    java.nio.file.Files.copy(curSnapFile.toPath,
+      new java.io.File(mdir, winnerName).toPath)
+    val stats = GraftOrcCompact.compact(spark, dir)
+    assert(stats.bins > 0, "fixture must actually compact")
+    assert(GraftOrcManifest.readSnapshot(fs, table).get.seq === cur.seq + 2,
+      "the compaction must land at the seq after the race winner")
+    val got = spark.read.format("graft-orc").load(dir)
+    assert(got.count() === 4)
+    assert(got.select(org.apache.spark.sql.functions.col("n_nationkey"))
+      .distinct().count() === 4, "no duplicate rows after the retried swap")
+  }
+
   test("graft.manifest.retain persists in the snapshot header: optionless " +
     "appends and compaction inherit it instead of resetting to the default") {
     val dir = freshDir("graft-manifest-retain")
