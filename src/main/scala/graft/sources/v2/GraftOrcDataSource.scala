@@ -5,7 +5,7 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.hadoop.mapreduce.TaskType
 import org.apache.hadoop.mapreduce.lib.input.FileSplit
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -267,7 +267,8 @@ object GraftOrcDataSource {
 class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
                     partTransforms: Array[Transform] = Array.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def schema(): StructType = tableSchema
   // partitionBy on a write reaches the provider as identity transforms;
   // reporting them back is what passes Spark's requested-vs-table
@@ -302,6 +303,80 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftOrcScanBuilder(tableSchema, withTablePath(options))
+
+  // ---- DELETE FROM ... WHERE <partition predicate> -----------------
+  // Metadata-only row-level delete for MANIFEST tables: a partition-
+  // predicate delete unreferences every fully-matching file in ONE
+  // atomic snapshot commit — no data file is read or rewritten, and the
+  // pre-delete snapshot stays time-travelable until expiry (the
+  // Iceberg-v1 partition-delete shape). Hive partition values make the
+  // match exact per file (a file either wholly matches or wholly
+  // doesn't), which is precisely the granularity a file-unreference
+  // delete can honor; anything finer is refused so Spark reports the
+  // unsupported predicate instead of silently deleting too much/little.
+
+  private def tablePaths: Seq[String] =
+    Seq("path", "paths", "location").flatMap(props.get).distinct
+
+  private def deleteTarget: (FileSystem, Path) = {
+    val ps = tablePaths
+    require(ps.length == 1,
+      s"graft-orc: DELETE targets exactly one table path, got $ps")
+    val p = new Path(ps.head)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  /** Some(true)=every row of the entry matches `f`; Some(false)=none;
+    * None=undecidable at file granularity.
+    */
+  private def entryMatches(e: OrcFileEntry,
+                           f: Filter): Option[Boolean] = {
+    val lookup: String => Option[OrcStatsEval.StatRange] = name =>
+      tableSchema.fields.collectFirst {
+        case sf if sf.name.equalsIgnoreCase(name) => sf.dataType
+      }.flatMap { dt =>
+        e.partitionValues.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(name) => v
+        }.map(raw => OrcStatsEval.valueRange(
+          GraftOrcDataSource.externalPartitionValue(raw, dt)))
+      }
+    OrcStatsEval.eval(f, lookup)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val (fs, qt) = deleteTarget
+    if (!GraftOrcManifest.exists(fs, qt)) return false
+    // partition columns of the CURRENT snapshot's layout
+    val partCols = GraftOrcManifest.readSnapshot(fs, qt)
+      .map(_.entries.flatMap(_.partitionValues.keys).distinct)
+      .getOrElse(Nil).map(_.toLowerCase).toSet
+    filters.forall(f => f.references.nonEmpty &&
+      f.references.forall(r => partCols(r.toLowerCase)))
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (fs, qt) = deleteTarget
+    require(GraftOrcManifest.exists(fs, qt),
+      s"graft-orc: DELETE requires a manifest table, but ${name()} has " +
+        s"no ${GraftOrcManifest.Dir} (write with " +
+        ".option(\"graft.manifest\", \"true\") to establish one)")
+    val cur = GraftOrcManifest.readSnapshot(fs, qt)
+      .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+    val undecided = cur.entries.filter(e =>
+      filters.exists(f => entryMatches(e, f).isEmpty))
+    require(undecided.isEmpty,
+      "graft-orc: DELETE predicate is not decidable at file granularity " +
+        s"for ${undecided.take(3).map(_.path).mkString(", ")}" +
+        (if (undecided.size > 3) s" (+${undecided.size - 3} more)" else ""))
+    val victims = cur.entries.filter(e =>
+      filters.forall(f => entryMatches(e, f).contains(true)))
+    if (victims.isEmpty) return
+    GraftOrcManifest.commitSwap(fs, qt,
+      remove = victims.map(_.path).toSet, add = Nil)
+    GraftOrcManifest.deleteUnreferenced(fs, qt, victims)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -650,10 +725,35 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     * exactly against the file's typed partition values (single-value
     * ranges make [[OrcStatsEval]] exact here). A `def`, not a lazy val:
     * runtime filters can arrive AFTER statistics were estimated, and
-    * planInputPartitions must see the re-pruned list.
+    * planInputPartitions must see the re-pruned list. Data filters
+    * additionally prune whole FILES through manifest stat sidecars
+    * ([[sidecarPrune]]) — free metadata, zero footer reads.
     */
   private[v2] def selectedFiles: Seq[OrcFileEntry] =
-    pruneEntries(index.entries, partitionFilters ++ runtimeFilters)
+    sidecarPrune(
+      pruneEntries(index.entries, partitionFilters ++ runtimeFilters))
+
+  /** File-level DATA-filter pruning from manifest stat sidecars: a file
+    * whose sidecar ranges prove no row can match every pushed data
+    * filter never becomes an input partition — the A9 stripe-statistics
+    * prune lifted to whole files, at zero I/O (the ranges ride in the
+    * snapshot). Same conservative tri-state evaluator as stripe pruning
+    * and partition pruning, so semantics cannot drift between levels;
+    * files without a sidecar (BFS listings, pre-sidecar snapshots) are
+    * always kept, and `orc.pushdown_predicate=false` empties
+    * `dataFilters`, which disables this along with the SARG push.
+    */
+  private def sidecarPrune(entries: Seq[OrcFileEntry]): Seq[OrcFileEntry] =
+    if (dataFilters.isEmpty) entries
+    else entries.filter { e =>
+      e.stats.flatMap(OrcStatsEval.decodeSidecar) match {
+        case None => true
+        case Some((_, cols)) =>
+          val lookup: String => Option[OrcStatsEval.StatRange] =
+            n => cols.get(n.toLowerCase).flatMap(_._1)
+          dataFilters.forall(f => OrcStatsEval.mayMatch(f, lookup))
+      }
+    }
 
   /** Partition-filter pruning over an arbitrary listing (shared with the
     * micro-batch stream, which re-lists per batch).

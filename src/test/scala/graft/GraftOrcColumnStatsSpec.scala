@@ -145,6 +145,49 @@ class GraftOrcColumnStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest sidecars prune whole FILES under a pushed data filter " +
+    "(zero-I/O file-level statistics pruning)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecar-prune")
+      .toString
+    // four files with DISJOINT l_orderkey ranges, committed through the
+    // manifest writer so every entry carries min/max sidecars
+    spark.read.format("graft-orc").load(orcPath)
+      .repartitionByRange(4, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(dir)
+    val minKey = spark.read.format("graft-orc").load(dir)
+      .agg(org.apache.spark.sql.functions.min($"l_orderkey"))
+      .head().getLong(0)
+
+    def partitionsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // force planning
+      df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head
+        .scan.asInstanceOf[graft.sources.v2.GraftOrcScan]
+        .planInputPartitions().length
+    }
+    val all = spark.read.format("graft-orc").load(dir)
+      .select($"l_orderkey", $"l_quantity")
+    assert(partitionsOf(all) === 4, "fixture must have 4 files")
+    // a predicate satisfiable only in the first range: 3 of 4 files are
+    // provably row-free from their sidecar ranges and never planned
+    val selective = spark.read.format("graft-orc").load(dir)
+      .filter($"l_orderkey" <= minKey).select($"l_orderkey", $"l_quantity")
+    assert(partitionsOf(selective) === 1,
+      "sidecar ranges must prune the 3 non-matching files at plan time")
+    // and of course the pruned plan returns the same rows
+    assert(selective.count() ===
+      spark.read.format("graft-orc").load(orcPath)
+        .filter($"l_orderkey" <= minKey).count())
+    // pushdown off disables the file prune along with the SARG push
+    val unpushed = spark.read.format("graft-orc")
+      .option("orc.pushdown_predicate", "false").load(dir)
+      .filter($"l_orderkey" <= minKey).select($"l_orderkey")
+    assert(partitionsOf(unpushed) === 4)
+  }
+
   test("CBO broadcast decision is driven by the reported column stats") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     // the filter must stay a residual above an UNPUSHED scan (exact rows +
