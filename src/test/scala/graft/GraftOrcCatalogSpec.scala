@@ -36,4 +36,60 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
         .collect().head.getLong(0) === 5)
     } finally spark.sql("DROP TABLE IF EXISTS g_cat_nation")
   }
+
+  test("DELETE FROM with a partition predicate is one atomic metadata " +
+    "commit on a manifest table; the pre-delete snapshot stays readable") {
+    import graft.sources.v2.GraftOrcManifest
+    val dir = Files.createTempDirectory("graft-orc-delete").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    nation.write.format("graft-orc").option("graft.manifest", "true")
+      .partitionBy("n_regionkey").mode("append").save(dir)        // snap 1
+    val n = nation.count()
+    val inR0 = nation.filter("n_regionkey = 0").count()
+    spark.sql(s"CREATE TABLE g_del_nation USING `graft-orc` LOCATION '$dir'")
+    try {
+      spark.sql("DELETE FROM g_del_nation WHERE n_regionkey = 0")
+      assert(spark.sql("SELECT count(*) FROM g_del_nation")
+        .collect().head.getLong(0) === n - inR0)
+      // one snapshot commit, no data file read or rewritten
+      val table = new org.apache.hadoop.fs.Path(dir)
+      val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(GraftOrcManifest.readSnapshot(fs, table).get.seq === 2L)
+      // the pre-delete snapshot stays time-travelable until expiry
+      assert(spark.read.format("graft-orc")
+        .option("graft.snapshot_id", "1").load(dir).count() === n)
+      // a non-partition predicate cannot be honored at file granularity:
+      // Spark must refuse it (canDeleteWhere false), not delete wrongly
+      val e = intercept[Throwable] {
+        spark.sql("DELETE FROM g_del_nation WHERE n_nationkey = 3")
+      }
+      assert(Option(e.getMessage).exists(m =>
+        m.toLowerCase.contains("delete")), s"got: $e")
+      assert(spark.sql("SELECT count(*) FROM g_del_nation")
+        .collect().head.getLong(0) === n - inR0,
+        "the refused delete must not have removed anything")
+      // deleting everything left: TRUNCATE-equivalent via predicate
+      spark.sql("DELETE FROM g_del_nation WHERE n_regionkey >= 0")
+      assert(spark.sql("SELECT count(*) FROM g_del_nation")
+        .collect().head.getLong(0) === 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS g_del_nation")
+  }
+
+  test("DELETE FROM a directory (non-manifest) table is refused with a " +
+    "typed error") {
+    val dir = Files.createTempDirectory("graft-orc-delete-dir").toString
+    Tables.nation(spark, TestSpark.sf0001)
+      .write.format("graft-orc").partitionBy("n_regionkey")
+      .mode("append").save(dir)
+    spark.sql(s"CREATE TABLE g_del_plain USING `graft-orc` LOCATION '$dir'")
+    try {
+      val e = intercept[Throwable] {
+        spark.sql("DELETE FROM g_del_plain WHERE n_regionkey = 0")
+      }
+      assert(Option(e.getMessage).exists(m =>
+        m.toLowerCase.contains("delete")), s"got: $e")
+      assert(spark.sql("SELECT count(*) FROM g_del_plain").collect()
+        .head.getLong(0) === Tables.nation(spark, TestSpark.sf0001).count())
+    } finally spark.sql("DROP TABLE IF EXISTS g_del_plain")
+  }
 }
