@@ -304,16 +304,22 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftOrcScanBuilder(tableSchema, withTablePath(options))
 
-  // ---- DELETE FROM ... WHERE <partition predicate> -----------------
-  // Metadata-only row-level delete for MANIFEST tables: a partition-
-  // predicate delete unreferences every fully-matching file in ONE
-  // atomic snapshot commit — no data file is read or rewritten, and the
-  // pre-delete snapshot stays time-travelable until expiry (the
-  // Iceberg-v1 partition-delete shape). Hive partition values make the
-  // match exact per file (a file either wholly matches or wholly
-  // doesn't), which is precisely the granularity a file-unreference
-  // delete can honor; anything finer is refused so Spark reports the
-  // unsupported predicate instead of silently deleting too much/little.
+  // ---- DELETE FROM ... WHERE <predicate> ---------------------------
+  // Row-level delete for MANIFEST tables, file-classified from free
+  // metadata (hive partition values + stat sidecars), committed as ONE
+  // atomic snapshot swap:
+  //  - files where the predicate provably matches EVERY row drop as
+  //    pure metadata (the Iceberg-v1 partition-delete shape — a
+  //    partition-predicate delete reads and writes nothing);
+  //  - files where it provably matches NO row keep their identity
+  //    (never rewritten, never re-uploaded);
+  //  - only the partial files pay copy-on-write: read, rewritten
+  //    without the matching rows (GraftOrcDelete), swapped in.
+  // A crash anywhere leaves unmanifested garbage for vacuum, never a
+  // half-deleted table; the pre-delete snapshot stays time-travelable
+  // until expiry. Predicates with no exact Column re-evaluation are
+  // refused via canDeleteWhere, so Spark reports them unsupported
+  // instead of running a wrong delete.
 
   private def tablePaths: Seq[String] =
     Seq("path", "paths", "location").flatMap(props.get).distinct
@@ -329,12 +335,17 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
   }
 
   /** Some(true)=every row of the entry matches `f`; Some(false)=none;
-    * None=undecidable at file granularity.
+    * None=undecidable at file granularity. Partition columns evaluate
+    * exactly (single-value ranges); data columns through the entry's
+    * stat sidecar when present.
     */
   private def entryMatches(e: OrcFileEntry,
                            f: Filter): Option[Boolean] = {
-    val lookup: String => Option[OrcStatsEval.StatRange] = name =>
-      tableSchema.fields.collectFirst {
+    lazy val sidecarCols = e.stats.flatMap(OrcStatsEval.decodeSidecar)
+      .map(_._2).getOrElse(Map.empty[String,
+        (Option[OrcStatsEval.StatRange], Long)])
+    val lookup: String => Option[OrcStatsEval.StatRange] = name => {
+      val part = tableSchema.fields.collectFirst {
         case sf if sf.name.equalsIgnoreCase(name) => sf.dataType
       }.flatMap { dt =>
         e.partitionValues.collectFirst {
@@ -342,18 +353,15 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         }.map(raw => OrcStatsEval.valueRange(
           GraftOrcDataSource.externalPartitionValue(raw, dt)))
       }
+      part.orElse(sidecarCols.get(name.toLowerCase).flatMap(_._1))
+    }
     OrcStatsEval.eval(f, lookup)
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     val (fs, qt) = deleteTarget
-    if (!GraftOrcManifest.exists(fs, qt)) return false
-    // partition columns of the CURRENT snapshot's layout
-    val partCols = GraftOrcManifest.readSnapshot(fs, qt)
-      .map(_.entries.flatMap(_.partitionValues.keys).distinct)
-      .getOrElse(Nil).map(_.toLowerCase).toSet
-    filters.forall(f => f.references.nonEmpty &&
-      f.references.forall(r => partCols(r.toLowerCase)))
+    GraftOrcManifest.exists(fs, qt) &&
+      filters.forall(f => GraftOrcDelete.toColumn(f).isDefined)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -364,18 +372,24 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         ".option(\"graft.manifest\", \"true\") to establish one)")
     val cur = GraftOrcManifest.readSnapshot(fs, qt)
       .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
-    val undecided = cur.entries.filter(e =>
-      filters.exists(f => entryMatches(e, f).isEmpty))
-    require(undecided.isEmpty,
-      "graft-orc: DELETE predicate is not decidable at file granularity " +
-        s"for ${undecided.take(3).map(_.path).mkString(", ")}" +
-        (if (undecided.size > 3) s" (+${undecided.size - 3} more)" else ""))
-    val victims = cur.entries.filter(e =>
+    // conjunction classification per file
+    val fullDrops = cur.entries.filter(e =>
       filters.forall(f => entryMatches(e, f).contains(true)))
-    if (victims.isEmpty) return
+    val fullSet = fullDrops.map(_.path).toSet
+    val partials = cur.entries.filter(e => !fullSet(e.path) &&
+      // the conjunction MAY match: no filter is provably false
+      filters.forall(f => !entryMatches(e, f).contains(false)))
+    if (fullDrops.isEmpty && partials.isEmpty) return
+    val pred = filters.flatMap(GraftOrcDelete.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(throw new IllegalStateException(
+        "graft-orc: deleteWhere offered an untranslatable filter " +
+          "canDeleteWhere should have refused"))
+    val rewritten = GraftOrcDelete.rewriteWithout(
+      SparkSession.active, fs, qt, partials, pred, tableSchema)
     GraftOrcManifest.commitSwap(fs, qt,
-      remove = victims.map(_.path).toSet, add = Nil)
-    GraftOrcManifest.deleteUnreferenced(fs, qt, victims)
+      remove = fullSet ++ partials.map(_.path), add = rewritten)
+    GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops ++ partials)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -58,21 +58,57 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
       // the pre-delete snapshot stays time-travelable until expiry
       assert(spark.read.format("graft-orc")
         .option("graft.snapshot_id", "1").load(dir).count() === n)
-      // a non-partition predicate cannot be honored at file granularity:
-      // Spark must refuse it (canDeleteWhere false), not delete wrongly
-      val e = intercept[Throwable] {
-        spark.sql("DELETE FROM g_del_nation WHERE n_nationkey = 3")
-      }
-      assert(Option(e.getMessage).exists(m =>
-        m.toLowerCase.contains("delete")), s"got: $e")
+      // a NON-partition predicate pays copy-on-write on exactly the
+      // touched files: untouched partitions keep their file identity
+      val before = GraftOrcManifest.readSnapshot(fs, table).get.entries
+        .map(e => e.path -> e.mtime).toMap
+      spark.sql("DELETE FROM g_del_nation WHERE n_name = 'NATION_1'")
       assert(spark.sql("SELECT count(*) FROM g_del_nation")
-        .collect().head.getLong(0) === n - inR0,
-        "the refused delete must not have removed anything")
+        .collect().head.getLong(0) === n - inR0 - 1)
+      assert(spark.sql(
+        "SELECT count(*) FROM g_del_nation WHERE n_name = 'NATION_1'")
+        .collect().head.getLong(0) === 0L)
+      val after = GraftOrcManifest.readSnapshot(fs, table).get.entries
+        .map(e => e.path -> e.mtime).toMap
+      // NATION_1 lives in region 1: every file of the other regions must
+      // be byte-identical (same path, same mtime — never rewritten)
+      val untouched = before.keys.filterNot(_.contains("n_regionkey=1"))
+      assert(untouched.nonEmpty)
+      untouched.foreach { p =>
+        assert(after.get(p) === before.get(p),
+          s"file outside the touched partition was rewritten: $p")
+      }
+      assert(after.keys.exists(p => p.contains("n_regionkey=1") &&
+        p.contains("w-del-")), "region 1 must hold a rewrite wave")
       // deleting everything left: TRUNCATE-equivalent via predicate
       spark.sql("DELETE FROM g_del_nation WHERE n_regionkey >= 0")
       assert(spark.sql("SELECT count(*) FROM g_del_nation")
         .collect().head.getLong(0) === 0L)
     } finally spark.sql("DROP TABLE IF EXISTS g_del_nation")
+  }
+
+  test("copy-on-write DELETE: NULL predicate rows survive, results match " +
+    "the logical minus") {
+    val dir = Files.createTempDirectory("graft-orc-delete-cow").toString
+    val spark2 = spark
+    import spark2.implicits._
+    // unpartitioned manifest table with a nullable column in play
+    val src = Seq((1L, "a", java.lang.Double.valueOf(1.0)),
+      (2L, "b", null.asInstanceOf[java.lang.Double]),
+      (3L, "c", java.lang.Double.valueOf(3.0)),
+      (4L, "d", java.lang.Double.valueOf(4.0)))
+      .toDF("id", "s", "v")
+    src.coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir)
+    spark.sql(s"CREATE TABLE g_del_cow USING `graft-orc` LOCATION '$dir'")
+    try {
+      // DELETE WHERE v > 2: NULL v is not TRUE, so row 2 must SURVIVE
+      spark.sql("DELETE FROM g_del_cow WHERE v > 2")
+      val got = spark.sql("SELECT id FROM g_del_cow ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(1L, 2L),
+        "NULL-predicate rows must survive a DELETE (SQL semantics)")
+    } finally spark.sql("DROP TABLE IF EXISTS g_del_cow")
   }
 
   test("DELETE FROM a directory (non-manifest) table is refused with a " +
