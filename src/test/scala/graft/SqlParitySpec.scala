@@ -70,8 +70,9 @@ class SqlParitySpec extends AnyFunSuite {
 
   private def registerViews(): Unit =
     Tables.all.foreach { t =>
-      // events goes through the nanos->micros loader (raw parquet
-      // TIMESTAMP(NANOS) is rejected by Spark and truncated by DuckDB)
+      // events goes through the generation-adaptive ts loader (nanos
+      // generations are rejected raw by Spark; micros generations read
+      // as TIMESTAMP_NTZ — both normalize to a UTC-session TIMESTAMP)
       val df = if (t == "events") Tables.events(spark, sf)
                else Tables.load(spark, sf, t)
       df.createOrReplaceTempView(t)
@@ -88,7 +89,7 @@ class SqlParitySpec extends AnyFunSuite {
     Tables.all.foreach { t =>
       val path =
         if (t == "events") {
-          // events needs the nanos->micros loader before any ORC write
+          // events needs the adaptive ts loader before any ORC write
           val out = graft.sources.OrcData.sinkDir(sf, "events_ntz_orc")
           if (!new java.io.File(s"$out/_SUCCESS").exists())
             graft.sources.OrcTables.write(Tables.events(spark, sf), out)
