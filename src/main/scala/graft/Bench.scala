@@ -127,6 +127,9 @@ object Bench {
     // connector surfaces: footer-stats aggregate pushdown and the
     // hive-partitioned DSv2 sink (write protocol + partitioned read-back)
     "q72_orc_agg_pushdown", "q75_orc_partitioned_sink",
+    // manifest-table metadata surfaces: sidecar-answered aggregates
+    // (zero file opens) and sidecar file-level pruning
+    "q100_manifest_metadata_count", "q101_manifest_file_prune",
     // second TPC-DS wave: reused-aggregate threshold (q1 family),
     // fact-to-fact self-join chain (q25/q29), wide conditional-agg pivot
     // (q66), aggregate-of-aggregate histogram (q54)

@@ -459,6 +459,46 @@ object Relational {
              |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
              |FROM orders""".stripMargin)),
 
+    // --------------------------------------------------------------- q100
+    // Metadata-only aggregates on a MANIFEST table: the pushed
+    // MIN/MAX/COUNT partials answer from the snapshot's stat sidecars —
+    // at 100 TB this query touches NO data file at all (not even
+    // footers; zero-open asserted in GraftOrcAggPushdownSpec). The
+    // oracle runs the same aggregates over the source parquet.
+    QueryDef("q100_manifest_metadata_count",
+      (s, d) => {
+        val path = OrcData.manifestOrcPath(s, d, "orders", "o_orderkey")
+        s.read.format("graft-orc")
+          .option("orc.aggregate_pushdown", "true").load(path)
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            min(col("o_custkey")).as("min_cust"),
+            max(col("o_custkey")).as("max_cust"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+             |FROM orders""".stripMargin)),
+
+    // --------------------------------------------------------------- q101
+    // File-level statistics pruning on a manifest table: the pushed
+    // range predicate eliminates 7 of the 8 disjoint-range files from
+    // the sidecar ranges BEFORE planning (GraftOrcColumnStatsSpec pins
+    // the partition count); only the surviving file pays stripes.
+    QueryDef("q101_manifest_file_prune",
+      (s, d) => {
+        val path = OrcData.manifestOrcPath(s, d, "orders", "o_orderkey")
+        s.read.format("graft-orc").load(path)
+          .filter(col("o_orderkey") <= 1000L)
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_p"),
+            max(col("o_totalprice")).as("max_p"))
+      },
+      Some("""SELECT count(*) AS n, min(o_totalprice) AS min_p,
+             |  max(o_totalprice) AS max_p
+             |FROM orders WHERE o_orderkey <= 1000""".stripMargin)),
+
     // ---------------------------------------------------------------- q20
     // ORC scan with pushed filter + pruned projection (the reference's
     // A6+A8+A9 contract): predicate prunes stripes, residual re-filters.

@@ -111,6 +111,29 @@ object OrcData {
     out
   }
 
+  /** MANIFEST-table copy: committed through the graft-orc writer with
+    * `graft.manifest`, range-partitioned on `rangeCol` so the files carry
+    * disjoint sidecar ranges — the layout where plan-time statistics,
+    * aggregate pushdown, and file-level pruning all answer from the
+    * snapshot alone (zero footer reads).
+    */
+  def manifestOrcPath(spark: SparkSession, sfDir: String, table: String,
+                      rangeCol: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/${table}_manifest"
+    val marker = new java.io.File(s"$out/_graft_manifest")
+    if (!marker.exists()) lock.synchronized {
+      if (!marker.exists()) {
+        new java.io.File(out).mkdirs()
+        val df = spark.read.parquet(s"$sfDir/$table.parquet")
+        df.repartitionByRange(8, df.col(rangeCol))
+          .sortWithinPartitions(rangeCol)
+          .write.format("graft-orc").option("graft.manifest", "true")
+          .mode("append").save(out)
+      }
+    }
+    out
+  }
+
   /** Hive-style partitioned ORC copy (`<out>/<col>=<v>/...`), converting on
     * first use — the layout that makes Catalyst partition-prune scans.
     */
