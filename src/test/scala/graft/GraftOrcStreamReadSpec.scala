@@ -314,6 +314,51 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifest-to-manifest pipeline: snapshot-offset source -> " +
+    "transform -> manifest sink, exactly once across commits") {
+    // the full metadata-log streaming story: the source consumes by
+    // snapshot seq (no clock trust), the sink commits each epoch as a
+    // manifest snapshot — both ends atomic, so the pipeline is
+    // exactly-once end to end with no mtime assumptions anywhere
+    val src = Files.createTempDirectory("graft-orc-m2m-src").toString
+    val out = Files.createTempDirectory("graft-orc-m2m-out").toString
+    val ckpt = Files.createTempDirectory("graft-orc-m2m-ck").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    nation.filter($"n_nationkey" < 10)
+      .write.format("graft-orc").mode("append")
+      .option("graft.manifest", "true").save(src)                 // snap 1
+    // establish the sink as a manifest table up front
+    nation.limit(0).write.format("graft-orc").mode("append")
+      .option("graft.manifest", "true").save(out)
+    def run() = spark.readStream.format("graft-orc")
+      .option("graft.snapshot_offsets", "true").load(src)
+      .withColumn("n_name", lower($"n_name"))
+      .writeStream.format("graft-orc")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .start(out)
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    nation.filter($"n_nationkey" >= 10)
+      .write.format("graft-orc").mode("append").save(src)         // snap 2
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.format("graft-orc").load(out)
+    assert(got.count() === nation.count())
+    assert(got.select($"n_name").as[String].collect().sorted.toSeq ===
+      nation.select(lower($"n_name")).as[String].collect().sorted.toSeq)
+    // both ends really ran on the metadata log
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.v2.GraftOrcManifest.exists(fs,
+      new org.apache.hadoop.fs.Path(out)))
+    val offsets = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filterNot(_.getName.startsWith("."))
+      .map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(offsets.exists(_.contains("snapshot_seq")))
+  }
+
   test("snapshot offsets require a manifest table (typed error)") {
     val dir = Files.createTempDirectory("graft-orc-snapoff-nomani").toString
     graft.sources.OrcTables.write(
