@@ -268,7 +268,8 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
                     partTransforms: Array[Transform] = Array.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def schema(): StructType = tableSchema
   // partitionBy on a write reaches the provider as identity transforms;
   // reporting them back is what passes Spark's requested-vs-table
@@ -277,15 +278,24 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
   override def partitioning(): Array[Transform] = partTransforms
   override def name(): String =
     "graft-orc:" + props.getOrElse("path", props.getOrElse("paths", "?"))
-  // ACCEPT_ANY_SCHEMA: a first write targets an empty directory whose
-  // inferred table schema is EMPTY — by-name output resolution against it
-  // would reject every query, so writes validate against the query schema
-  // (the listing defines the table, like the reference's directory tables)
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  // ACCEPT_ANY_SCHEMA — but only while the table is EMPTY: a first write
+  // targets a directory whose inferred table schema is empty, and by-name
+  // output resolution against an empty schema would reject every query,
+  // so those writes validate against the query schema instead (the
+  // listing defines the table, like the reference's directory tables).
+  // Once the table HAS a schema the capability must NOT be reported:
+  // Spark marks ACCEPT_ANY_SCHEMA tables `skipSchemaResolution`, which
+  // silently disables row-level assignment alignment — UPDATE/MERGE
+  // would never rewrite (append validation is unaffected: validateAppend
+  // performs the schema check either way).
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    if (tableSchema.isEmpty) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    base
+  }
   /** Catalog tables (CREATE TABLE ... USING graft-orc LOCATION p) carry
     * the path in the TABLE properties, while per-scan/write options from
     * SQL are empty — merge the stored location in so `SELECT`/`INSERT`
@@ -303,6 +313,26 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftOrcScanBuilder(tableSchema, withTablePath(options))
+
+  // ---- UPDATE / MERGE INTO (group-based copy-on-write) -------------
+  // See [[GraftOrcRowLevelOperation]]: the operation's scan defines the
+  // replaced group set; its write swaps those files atomically.
+  // DELETE keeps the richer [[SupportsDelete]] path below (Spark's
+  // metadata-delete optimization prefers it when canDeleteWhere holds).
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val ps = tablePaths
+    require(ps.length == 1,
+      s"graft-orc: UPDATE/MERGE targets exactly one table path, got $ps")
+    val partCols = partTransforms.map { t =>
+      require(t.name == "identity",
+        s"graft-orc: unsupported partition transform ${t.describe()}")
+      t.references()(0).fieldNames().mkString(".")
+    }.toSeq
+    () => new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
+      info.command())
+  }
 
   // ---- DELETE FROM ... WHERE <predicate> ---------------------------
   // Row-level delete for MANIFEST tables, file-classified from free
@@ -519,6 +549,11 @@ class GraftOrcScanBuilder(dataSchema: StructType,
         (f.dataType == FloatType || f.dataType == DoubleType)))
   }
 
+  /** The scan `build()` produced — the row-level operation reads its
+    * post-pruning file list off this to define the replaced group set.
+    */
+  private[v2] var lastBuiltScan: GraftOrcScan = _
+
   override def build(): Scan = {
     if (GraftOrcDataSource.paths(options).isEmpty)
       throw new IllegalArgumentException("graft-orc: no path")
@@ -531,9 +566,10 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     val part = partitionSchema.fieldNames.map(_.toLowerCase).toSet
     val readData = StructType(requested.fields.filterNot(f => part(f.name.toLowerCase)))
     val readPart = StructType(requested.fields.filter(f => part(f.name.toLowerCase)))
-    new GraftOrcScan(dataFileSchema, partitionSchema, readData, readPart,
+    lastBuiltScan = new GraftOrcScan(dataFileSchema, partitionSchema, readData, readPart,
       partitionFilters, dataFilters, limit, fileIndex, metaParallelism,
       optionsMap)
+    lastBuiltScan
   }
 }
 
@@ -1125,9 +1161,18 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
         GraftOrcDataSource.parseBooleanOption("ignoreCorruptFiles", v)
     }.getOrElse(
       spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false").toBoolean)
+    // row-level (UPDATE/MERGE) scans: data filters prune FILES (group
+    // granularity) during planning but must not reach the reader — a
+    // SARG-skipped stripe inside a surviving file would silently drop
+    // its rows from the group rewrite
+    val rowLevelScan = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.row_level_scan") =>
+        v.trim.toBoolean
+    }.getOrElse(false)
     new GraftOrcPartitionReaderFactory(dataFileSchema, readDataSchema,
       readPartitionSchema,
-      if (parsed.pushdownPredicate) dataFilters else Array.empty,
+      if (parsed.pushdownPredicate && !rowLevelScan) dataFilters
+      else Array.empty,
       limit, batchSize, serConf, parsed.metadataSizeHint, ignoreCorrupt)
   }
 

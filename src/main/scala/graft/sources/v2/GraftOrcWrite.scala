@@ -77,10 +77,24 @@ class GraftOrcWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
   }
 }
 
+/** `replaceScanned`: row-level-operation mode (UPDATE/MERGE rewrites) —
+  * evaluated at COMMIT time, it yields the files the operation's scan
+  * planned; the commit then swaps exactly those files for this write's
+  * output in one snapshot (instead of appending).
+  */
 class GraftOrcWrite(path: String, schema: StructType,
                     options: Map[String, String], truncate: Boolean,
-                    partitionCols: Seq[String] = Nil)
+                    partitionCols: Seq[String] = Nil,
+                    replaceScanned: () => Option[Set[String]] = () => None,
+                    rowLevelMode: Boolean = false)
     extends Write {
+
+  // Group-based row-level rewrites (UPDATE/MERGE) deliver rows with a
+  // leading __row_operation metadata column that `schema` does NOT
+  // carry (Spark only strips it for connectors with required metadata
+  // attributes) — every schema ordinal shifts by one, and the file
+  // writer must always project (never pass the raw row through).
+  private val fieldBase = if (rowLevelMode) 1 else 0
 
   // hive layout: partition columns live in the PATH, not in the data
   // files (the reader re-materializes them from k=v segments) — the file
@@ -99,7 +113,7 @@ class GraftOrcWrite(path: String, schema: StructType,
     require(GraftOrcWrite.supportedPartitionType(dt),
       s"graft-orc: unsupported partition column type ${dt.catalogString} " +
         s"for $c — supported: string, byte/short/int/long, date, timestamp")
-    GraftPartCol(schema.fields(i).name, i, dt)
+    GraftPartCol(schema.fields(i).name, i + fieldBase, dt)
   }.toArray
 
   // per-query staging subtree: concurrent writers to the same table never
@@ -127,7 +141,8 @@ class GraftOrcWrite(path: String, schema: StructType,
       n
   }
   private val fileFieldIdx: Array[Int] = schema.fields.zipWithIndex
-    .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)
+    .filterNot { case (f, _) => partSet(f.name.toLowerCase) }
+    .map(_._2 + fieldBase)
 
   /** Shared factory construction: prepareWrite mutates a fresh job conf
     * (compression codec, output schema string) which must travel to the
@@ -141,7 +156,8 @@ class GraftOrcWrite(path: String, schema: StructType,
       "compression" -> options.getOrElse("compression", "snappy"))
     val (owf, conf) = GraftOrcShims.orcWriteSupport(spark, writeOptions, fileSchema)
     GraftOrcWriterFactory(path, fileSchema, owf,
-      new SerializableConfiguration(conf), partSpecs, fileFieldIdx, writeId)
+      new SerializableConfiguration(conf), partSpecs, fileFieldIdx, writeId,
+      alwaysProject = rowLevelMode)
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -149,7 +165,7 @@ class GraftOrcWrite(path: String, schema: StructType,
       taskFactory()
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.publish(path, writeId, messages, truncate, wantManifest,
-        manifestRetain)
+        manifestRetain, replaceScanned(), partitionCols)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.discard(path, writeId, messages)
@@ -339,7 +355,9 @@ object GraftOrcWrite {
                       messages: Array[WriterCommitMessage],
                       truncateExisting: Boolean,
                       wantManifest: Boolean = false,
-                      retain: Option[Int] = None): Unit = {
+                      retain: Option[Int] = None,
+                      replacePaths: Option[Set[String]] = None,
+                      writerPartitionCols: Seq[String] = Nil): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
@@ -353,6 +371,13 @@ object GraftOrcWrite {
     // pre-manifest files through one last BFS listing).
     val manifestBefore = GraftOrcManifest.readSnapshot(fs, qdir)
     val manifestActive = manifestBefore.isDefined || wantManifest
+    // row-level rewrite (UPDATE/MERGE): the commit REPLACES the files
+    // the operation's scan read — manifest tables only, because the
+    // replace must be one atomic metadata operation
+    require(replacePaths.isEmpty || manifestActive,
+      s"graft-orc: UPDATE/MERGE requires a manifest table, but $table " +
+        s"has no ${GraftOrcManifest.Dir} (write with " +
+        ".option(\"graft.manifest\", \"true\") to establish one)")
     val priorEntries: Seq[OrcFileEntry] =
       if (truncateExisting || !manifestActive) Nil
       else manifestBefore.map(_.entries).getOrElse(
@@ -471,7 +496,23 @@ object GraftOrcWrite {
       // it would physically delete rows a concurrent commit just
       // published, which needs a human (or at least an explicit retry).
       val added = newEntries.result()
-      var base = priorEntries
+      val replaced = replacePaths.getOrElse(Set.empty)
+      // a row-level rewrite of a hive-DISCOVERED layout would write its
+      // rows without k=v placement (partition values would read back
+      // null) — refuse unless the table declared its partitioning so
+      // this write splits by it
+      if (replaced.nonEmpty && writerPartitionCols.isEmpty) {
+        val part = priorEntries.find(e =>
+          replaced(e.path) && e.partitionValues.nonEmpty)
+        require(part.isEmpty,
+          "graft-orc: UPDATE/MERGE on a hive-partitioned table requires " +
+            "the partitioning to be DECLARED (CREATE TABLE ... " +
+            "PARTITIONED BY ...) so the rewrite keeps the layout; " +
+            s"discovered-only partitions on ${part.map(_.path).orNull}")
+      }
+      def minusReplaced(es: Seq[OrcFileEntry]) =
+        if (replaced.isEmpty) es else es.filterNot(e => replaced(e.path))
+      var base = minusReplaced(priorEntries)
       var next = manifestBefore.map(_.seq + 1).getOrElse(1L)
       var chosenRetain = retain.orElse(manifestBefore.flatMap(_.retain))
         .getOrElse(GraftOrcManifest.RetainSnapshots)
@@ -483,12 +524,19 @@ object GraftOrcWrite {
             chosenRetain)
           committed = true
         } catch {
-          case _: java.util.ConcurrentModificationException
+          case e: java.util.ConcurrentModificationException
               if !truncateExisting && attempt < ManifestCommitRetries =>
             attempt += 1
             val winner = GraftOrcManifest.readSnapshot(fs, qdir)
               .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
-            base = winner.entries
+            // a row-level rewrite is only valid against the state its
+            // scan read: if the winner no longer references some file
+            // this commit replaces (concurrent compact/delete), retrying
+            // would resurrect or double rows — rethrow
+            if (replaced.nonEmpty &&
+                !replaced.subsetOf(winner.entries.map(_.path).toSet))
+              throw e
+            base = minusReplaced(winner.entries)
             next = winner.seq + 1
             // an explicit retain option still wins; otherwise inherit
             // the policy the WINNER persisted (it is the newest state)
@@ -498,6 +546,9 @@ object GraftOrcWrite {
       }
       if (truncateExisting)
         GraftOrcManifest.deleteUnreferenced(fs, qdir, truncateVictims)
+      if (replaced.nonEmpty)
+        GraftOrcManifest.deleteUnreferenced(fs, qdir,
+          priorEntries.filter(e => replaced(e.path)))
     }
     dropStaging(fs, dir, writeId)
   }
@@ -598,7 +649,8 @@ case class GraftOrcWriterFactory(table: String, schema: StructType,
                                  conf: SerializableConfiguration,
                                  partSpecs: Array[GraftPartCol] = Array.empty,
                                  fileFieldIdx: Array[Int] = Array.empty,
-                                 writeId: String = "adhoc")
+                                 writeId: String = "adhoc",
+                                 alwaysProject: Boolean = false)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -675,10 +727,14 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
       }.toIndexedSeq)
 
   override def write(record: InternalRow): Unit = {
-    if (f.partSpecs.isEmpty) writerFor("").write(record)
+    // alwaysProject: row-level rewrites carry metadata columns the file
+    // schema excludes, so even unpartitioned writes must project
+    if (f.partSpecs.isEmpty && !f.alwaysProject) writerFor("").write(record)
     else {
-      val suffix = f.partSpecs
-        .map(c => c.name + "=" + pathValue(record, c)).mkString("/")
+      val suffix =
+        if (f.partSpecs.isEmpty) ""
+        else f.partSpecs
+          .map(c => c.name + "=" + pathValue(record, c)).mkString("/")
       writerFor(suffix).write(fileProj(record))
     }
   }
