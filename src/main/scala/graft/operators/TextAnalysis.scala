@@ -30,6 +30,27 @@ object TextAnalysis {
     * that would at least double one reducer's fair share. One tiny
     * aggregate job over the cached model; the corpus is not re-scanned.
     */
+  /** Per-query slot for the persisted model frame: each new invocation
+    * unpersists the PREVIOUS run's cache (by then its result has been
+    * materialized — and unpersist only drops cached blocks, a stale
+    * handle still recomputes lazily and correctly). Without this,
+    * repeated bench iterations leak one cached RDD per call and evict
+    * under storage-memory pressure.
+    */
+  private final class ModelSlot {
+    private val ref = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+    def persistRotating(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val out = df.persist()
+      val prev = ref.getAndSet(out)
+      if (prev != null) prev.unpersist(blocking = false)
+      out
+    }
+  }
+  private val bigramModelSlot = new ModelSlot
+  private val perplexityModelSlot = new ModelSlot
+
   private def skewGate(model: org.apache.spark.sql.DataFrame,
                        keyRowsCol: String): Boolean = {
     val prof = model.agg(max(col(keyRowsCol)), sum(col(keyRowsCol))).head()
@@ -93,8 +114,8 @@ object TextAnalysis {
     // counts is the MODEL frame (sum of occurrences + join-key row count
     // per bigram); persisted so the skew probe below and the main job
     // share one corpus pass
-    val counts = occ.groupBy(col("bg"))
-      .agg(sum(col("o")).as("c"), count(lit(1)).as("kr")).persist()
+    val counts = bigramModelSlot.persistRotating(occ.groupBy(col("bg"))
+      .agg(sum(col("o")).as("c"), count(lit(1)).as("kr")))
     // Heavy-hitter hot/cold split for the count join-back — GATED on a
     // measured skew profile. The per-doc pre-agg above bounds INTRA-doc
     // amplification, but a bigram carried once by ~every doc still lands
@@ -163,8 +184,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("o"))
     // persisted model frame: the skew probe and the main job share one
     // corpus pass (kr = occ rows per join key, the skew dimension)
-    val cb = occ.groupBy(col("u"), col("w"))
-      .agg(sum(col("o")).as("cb"), count(lit(1)).as("kr")).persist()
+    val cb = perplexityModelSlot.persistRotating(occ.groupBy(col("u"), col("w"))
+      .agg(sum(col("o")).as("cb"), count(lit(1)).as("kr")))
     // context counts derive from the bigram model — no second corpus pass
     val cu = cb.groupBy(col("u")).agg(sum(col("cb")).as("cu"))
     // vocabulary size from the MODEL, not a corpus re-scan: every token

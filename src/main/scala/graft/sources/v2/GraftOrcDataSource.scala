@@ -389,6 +389,9 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    // multi-path relations can't DELETE atomically — refuse so Spark
+    // falls back to the row-level plan instead of aborting mid-optimize
+    if (tablePaths.length != 1) return false
     val (fs, qt) = deleteTarget
     GraftOrcManifest.exists(fs, qt) &&
       filters.forall(f => GraftOrcDelete.toColumn(f).isDefined)
@@ -862,6 +865,10 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
         case (k, v) if k.equalsIgnoreCase("graft.snapshot_offsets") =>
           GraftOrcDataSource.parseBooleanOption("graft.snapshot_offsets", v)
       }.getOrElse(false),
+      onRewrite = options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.stream.on_rewrite") =>
+          v.toLowerCase(java.util.Locale.ROOT)
+      }.getOrElse("replay"),
       maxFilesPerTrigger = options.collectFirst {
         case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") =>
           // fail fast on bad values: a raw NumberFormatException names

@@ -47,7 +47,8 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
                                conf: Configuration, metaParallelism: Int,
                                maxFilesPerTrigger: Option[Int] = None,
                                maxBytesPerTrigger: Option[Long] = None,
-                               snapshotOffsets: Boolean = false)
+                               snapshotOffsets: Boolean = false,
+                               onRewrite: String = "replay")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listing(): Seq[OrcFileEntry] =
@@ -72,9 +73,23 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
   // listing can never observe a half-published wave. Retention bounds the
   // restart window: resuming from an EXPIRED seq fails with the typed
   // not-retained error (raise graft.manifest.retain to widen it).
-  // Compaction note (same contract as the batch incremental read): merged
-  // outputs reappear as new files; consumers wanting append-only feeds
-  // should compact outside retention or dedup downstream.
+  // Rewrite note (same contract as the batch incremental read): ANY
+  // copy-on-write snapshot — compaction, DELETE, UPDATE, MERGE — removes
+  // files and re-adds their surviving rows under new paths, and a
+  // path-set diff cannot tell a rewritten row from an appended one. The
+  // `graft.stream.on_rewrite` option picks the policy when the diff walk
+  // meets such a snapshot (detected structurally: it REMOVES paths
+  // present in its parent):
+  //   - "replay" (default): the new files flow through; surviving rows
+  //     of rewritten files appear again — dedup downstream, or schedule
+  //     compaction/row-level ops outside the stream's retention window;
+  //   - "fail": stop the stream with a typed error naming the snapshot
+  //     (the Iceberg-default posture for append-only consumers);
+  //   - "skip": drop the non-append snapshot's files from the feed
+  //     entirely (its paths still advance the consumed watermark, so a
+  //     later append cannot resurrect them) — NOTE rows INSERTED by
+  //     MERGE or appended in the same commit as a rewrite are skipped
+  //     with it; use only for feeds that treat rewrites as noise.
 
   private lazy val manifestTable: Path = {
     require(paths.length == 1,
@@ -88,6 +103,28 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
         s"$p has no ${GraftOrcManifest.Dir} (write with " +
         ".option(\"graft.manifest\", \"true\") to establish one)")
     qt
+  }
+
+  require(Set("replay", "fail", "skip")(onRewrite),
+    "graft-orc: invalid value '" + onRewrite + "' for option " +
+      "'graft.stream.on_rewrite', must be one of replay, fail, skip")
+
+  /** One diff-walk step's admitted files under the on_rewrite policy:
+    * pass-through for pure appends; for a snapshot that removes parent
+    * paths, replay passes the fresh files, fail throws, skip drops them.
+    */
+  private def policyFiles(seq: Long, prevPaths: Set[String],
+                          curPaths: Set[String],
+                          fresh: Seq[OrcFileEntry]): Seq[OrcFileEntry] = {
+    val isAppend = prevPaths.subsetOf(curPaths)
+    if (isAppend || onRewrite == "replay") fresh
+    else if (onRewrite == "skip") Nil
+    else throw new IllegalStateException(
+      s"graft-orc: manifest snapshot $seq of $manifestTable is not " +
+        "append-only (a compaction or copy-on-write DELETE/UPDATE/MERGE " +
+        "removed files); graft.stream.on_rewrite=fail stops the stream " +
+        "here. Set the option to 'replay' to re-emit surviving rows or " +
+        "'skip' to drop this snapshot's files from the feed.")
   }
 
   private def snapshotEntries(seq: Long): Seq[OrcFileEntry] =
@@ -125,23 +162,31 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     // admission control at snapshot granularity: walk the pending
     // snapshots in commit order, admitting each one's appended files,
     // until a cap is crossed — but always at least ONE snapshot, so the
-    // stream can progress past any oversized commit
-    var consumed = snapshotEntries(s).map(_.path).toSet
+    // stream can progress past any oversized commit. A snapshot that
+    // REMOVES paths present in its parent is a rewrite (compaction /
+    // DELETE / UPDATE / MERGE) and goes through the on_rewrite policy.
+    var prevPaths = snapshotEntries(s).map(_.path).toSet
+    var consumed = prevPaths
     var admitted = Vector.empty[OrcFileEntry]
     var endSeq = s
     var bytes = 0L
     refs.iterator.takeWhile { ref =>
-      val fresh = GraftOrcManifest.resolveSnapshot(fs, manifestTable,
-        GraftOrcManifest.Selector.ById(ref.seq))
-        .entries.filterNot(e => consumed(e.path))
+      val cur = GraftOrcManifest.resolveSnapshot(fs, manifestTable,
+        GraftOrcManifest.Selector.ById(ref.seq)).entries
+      val curPaths = cur.map(_.path).toSet
+      val fresh0 = cur.filterNot(e => consumed(e.path))
+      val fresh = policyFiles(ref.seq, prevPaths, curPaths, fresh0)
       val over = endSeq != s &&
         (maxFiles.exists(cap => admitted.size + fresh.size > cap) ||
           maxBytesPerTrigger.exists(cap =>
             bytes + fresh.map(_.length).sum > cap))
       if (!over) {
         admitted ++= fresh
-        consumed ++= fresh.map(_.path)
+        // skipped files still advance the consumed watermark, so a later
+        // append cannot resurrect them
+        consumed ++= fresh0.map(_.path)
         bytes += fresh.map(_.length).sum
+        prevPaths = curPaths
         endSeq = ref.seq
       }
       !over
@@ -208,12 +253,35 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
         if (c != null && c._1 == e) c._2
         else {
           // replanning a committed batch after restart: re-diff the two
-          // retained snapshots (both must still be within retention)
-          val startPaths = snapshotEntries(snapshotSeqOf(start))
-            .map(_.path).toSet
-          scan.pruneEntries(
-            snapshotEntries(e.seq).filterNot(f => startPaths(f.path)),
-            scan.staticPartitionFilters)
+          // retained snapshots (both must still be within retention).
+          // Under a non-replay on_rewrite policy the endpoint diff is not
+          // enough — re-walk the intermediate snapshots in commit order
+          // so skipped rewrite snapshots drop the same files they did
+          // when the batch was first planned (admission never splits a
+          // snapshot, so the uncapped walk reproduces the capped one).
+          val sSeq = snapshotSeqOf(start)
+          val picked =
+            if (onRewrite == "replay") {
+              val startPaths = snapshotEntries(sSeq).map(_.path).toSet
+              snapshotEntries(e.seq).filterNot(f => startPaths(f.path))
+            } else {
+              val fs = manifestTable.getFileSystem(conf)
+              val refs = GraftOrcManifest.listSnapshots(fs, manifestTable)
+                .getOrElse(Nil).filter(r => r.seq > sSeq && r.seq <= e.seq)
+              var prevPaths = snapshotEntries(sSeq).map(_.path).toSet
+              var consumed = prevPaths
+              var admitted = Vector.empty[OrcFileEntry]
+              refs.foreach { ref =>
+                val cur = snapshotEntries(ref.seq)
+                val curPaths = cur.map(_.path).toSet
+                val fresh0 = cur.filterNot(f => consumed(f.path))
+                admitted ++= policyFiles(ref.seq, prevPaths, curPaths, fresh0)
+                consumed ++= fresh0.map(_.path)
+                prevPaths = curPaths
+              }
+              admitted
+            }
+          scan.pruneEntries(picked, scan.staticPartitionFilters)
         }
       return files.map(f => GraftOrcInputPartition(f.path, 0, f.length,
         scan.partValuesFor(f), f.length)).toArray[InputPartition]

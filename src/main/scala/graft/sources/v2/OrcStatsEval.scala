@@ -143,7 +143,20 @@ object OrcStatsEval {
           case (Some(false), Some(false)) => Some(false)
           case _ => None
         }
-      case Not(inner) => eval(inner, stats).map(!_)
+      case Not(inner) =>
+        eval(inner, stats) match {
+          // every row satisfies inner ⇒ no row satisfies NOT(inner)
+          case Some(true) => Some(false)
+          // "no row matches inner" inverts to "every row matches
+          // NOT(inner)" only under two-valued logic: a NULL input makes
+          // inner evaluate to NULL, and NOT(NULL) is NULL — the row does
+          // NOT match. Promote only when every referenced column is
+          // provably null-free; otherwise stay unknown (mayMatch-based
+          // pruning is unaffected — it only consumes Some(false) above).
+          case Some(false) if inner.references.forall(c =>
+            stats(c).exists(r => !r.hasNull)) => Some(true)
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -111,6 +111,53 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS g_del_cow")
   }
 
+  test("metadata full-drop DELETE with a negated predicate keeps NULL " +
+    "rows (r10 ADVICE: tri-state NOT must not promote to all-match)") {
+    val dir = Files.createTempDirectory("graft-orc-delete-notnull").toString
+    val spark2 = spark
+    import spark2.implicits._
+    // ONE file whose stat range {1.0} excludes the literal 5 AND which
+    // holds a NULL: c <> 5 is provably-false under two-valued stats, so
+    // a naive NOT promotes "no row matches c=5" to "every row matches
+    // c<>5" and full-drops the file — deleting the NULL row, which SQL
+    // KEEPS (NULL <> 5 is NULL, not TRUE). The fixed evaluator must
+    // classify the file as a partial and copy-on-write it instead.
+    Seq((1L, java.lang.Double.valueOf(1.0)),
+      (2L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "v").coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir)
+    spark.sql(s"CREATE TABLE g_del_not USING `graft-orc` LOCATION '$dir'")
+    try {
+      spark.sql("DELETE FROM g_del_not WHERE v <> 5")
+      val got = spark.sql("SELECT id FROM g_del_not ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(2L),
+        "row with NULL v must survive DELETE WHERE v <> 5")
+      // and the dual still full-drops as pure metadata when every row
+      // provably matches: same shape, null-free file
+      val dir2 = Files.createTempDirectory("graft-orc-delete-not2").toString
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1)
+        .write.format("graft-orc")
+        .option("graft.manifest", "true").mode("append").save(dir2)
+      spark.sql(s"CREATE TABLE g_del_not2 USING `graft-orc` LOCATION '$dir2'")
+      try {
+        spark.sql("DELETE FROM g_del_not2 WHERE v <> 5")
+        assert(spark.sql("SELECT count(*) FROM g_del_not2")
+          .collect().head.getLong(0) === 0L)
+      } finally spark.sql("DROP TABLE IF EXISTS g_del_not2")
+    } finally spark.sql("DROP TABLE IF EXISTS g_del_not")
+  }
+
+  test("canDeleteWhere on a multi-path relation refuses (row-level " +
+    "fallback) instead of aborting the optimizer") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val t = new graft.sources.v2.GraftOrcTable(
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType),
+      Map("path" -> "/tmp/a", "location" -> "/tmp/b"))
+    assert(!t.canDeleteWhere(Array[Filter](EqualTo("id", 1L))))
+  }
+
   test("DELETE FROM a directory (non-manifest) table is refused with a " +
     "typed error") {
     val dir = Files.createTempDirectory("graft-orc-delete-dir").toString

@@ -359,6 +359,70 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
     assert(offsets.exists(_.contains("snapshot_seq")))
   }
 
+  test("graft.stream.on_rewrite: fail stops at a copy-on-write snapshot, " +
+    "skip drops its files, replay re-emits survivors (r10 ADVICE)") {
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    // memory sinks cannot recover a checkpoint, so each policy writes to
+    // its own parquet sink and the second run resumes from the committed
+    // snapshot offset
+    def build(policy: String): (String, () => org.apache.spark.sql
+        .streaming.StreamingQuery) = {
+      val dir = Files.createTempDirectory(s"graft-orc-onrw-$policy").toString
+      val ckpt = Files.createTempDirectory(s"graft-orc-onrw-ck-$policy")
+        .toString
+      val out = Files.createTempDirectory(s"graft-orc-onrw-out-$policy")
+        .toString
+      val nation = Tables.nation(spark, TestSpark.sf0001)
+      nation.filter($"n_nationkey" < 10).coalesce(1)
+        .write.format("graft-orc").mode("append")
+        .option("graft.manifest", "true").save(dir)               // snap 1
+      val run = () => spark.readStream.format("graft-orc")
+        .option("graft.snapshot_offsets", "true")
+        .option("graft.stream.on_rewrite", policy).load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(spark.read.parquet(out).count() === 10)
+      // snap 2: copy-on-write DELETE rewrites the single file (9 survive)
+      spark.sql(s"CREATE TABLE g_onrw_$policy USING `graft-orc` " +
+        s"LOCATION '$dir'")
+      spark.sql(s"DELETE FROM g_onrw_$policy WHERE n_nationkey = 3")
+      spark.sql(s"DROP TABLE g_onrw_$policy")
+      // snap 3: a pure append behind the rewrite
+      nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 15)
+        .coalesce(1).write.format("graft-orc").mode("append").save(dir)
+      (out, run)
+    }
+
+    val (_, runFail) = build("fail")
+    val e = intercept[Throwable] {
+      val q = runFail()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("append-only") && m.contains("graft.stream.on_rewrite"))),
+      s"fail policy must name the option and the non-append snapshot: $e")
+
+    val (skipOut, runSkip) = build("skip")
+    val q2 = runSkip()
+    try q2.processAllAvailable() finally q2.stop()
+    // batch 1 emitted 0..9 BEFORE the delete (a sink is not rewound by a
+    // source-side rewrite); the rewrite's files are dropped, so nothing
+    // is emitted twice, and the snap-3 append flows through
+    val skipKeys = spark.read.parquet(skipOut)
+      .select($"n_nationkey").as[Int].collect().sorted.toSeq
+    assert(skipKeys === (0 until 15).toSeq, s"skip policy: got $skipKeys")
+
+    val (replayOut, runReplay) = build("replay")
+    val q3 = runReplay()
+    try q3.processAllAvailable() finally q3.stop()
+    // documented replay semantics: the rewrite's 9 surviving rows re-enter
+    val replayCount = spark.read.parquet(replayOut).count()
+    assert(replayCount === 10 + 9 + 5, s"replay policy: got $replayCount")
+  }
+
   test("snapshot offsets require a manifest table (typed error)") {
     val dir = Files.createTempDirectory("graft-orc-snapoff-nomani").toString
     graft.sources.OrcTables.write(

@@ -16,23 +16,39 @@ import graft.sources.v2.OrcStatsEval.StatRange
   */
 class OrcStatsEvalSpec extends AnyFunSuite {
 
-  // direct evaluation of a filter against one concrete row value
-  private def rowMatches(f: Filter, v: Option[Long]): Boolean = f match {
-    case EqualTo(_, x) => v.contains(x.asInstanceOf[Long])
-    case EqualNullSafe(_, null) => v.isEmpty
-    case EqualNullSafe(_, x) => v.contains(x.asInstanceOf[Long])
-    case GreaterThan(_, x) => v.exists(_ > x.asInstanceOf[Long])
-    case GreaterThanOrEqual(_, x) => v.exists(_ >= x.asInstanceOf[Long])
-    case LessThan(_, x) => v.exists(_ < x.asInstanceOf[Long])
-    case LessThanOrEqual(_, x) => v.exists(_ <= x.asInstanceOf[Long])
-    case In(_, xs) => v.exists(vv => xs.contains(vv))
-    case IsNull(_) => v.isEmpty
-    case IsNotNull(_) => v.nonEmpty
-    case And(l, r) => rowMatches(l, v) && rowMatches(r, v)
-    case Or(l, r) => rowMatches(l, v) || rowMatches(r, v)
-    case Not(inner) => !rowMatches(inner, v)
-    case _ => true
+  // SQL three-valued evaluation of a filter against one concrete row
+  // value: a NULL operand makes a comparison NULL (None), NOT(NULL) is
+  // NULL, AND/OR follow Kleene logic. A row MATCHES only when the
+  // predicate is true — NOT merely "not false". The earlier two-valued
+  // model here hid exactly the Not-promotion bug the round-10 ADVICE
+  // flagged (NOT(c = v) "matching" NULL rows).
+  private def sqlEval(f: Filter, v: Option[Long]): Option[Boolean] = f match {
+    case EqualTo(_, x) => v.map(_ == x.asInstanceOf[Long])
+    case EqualNullSafe(_, null) => Some(v.isEmpty)
+    case EqualNullSafe(_, x) => Some(v.contains(x.asInstanceOf[Long]))
+    case GreaterThan(_, x) => v.map(_ > x.asInstanceOf[Long])
+    case GreaterThanOrEqual(_, x) => v.map(_ >= x.asInstanceOf[Long])
+    case LessThan(_, x) => v.map(_ < x.asInstanceOf[Long])
+    case LessThanOrEqual(_, x) => v.map(_ <= x.asInstanceOf[Long])
+    case In(_, xs) => v.map(vv => xs.contains(vv))
+    case IsNull(_) => Some(v.isEmpty)
+    case IsNotNull(_) => Some(v.nonEmpty)
+    case And(l, r) => (sqlEval(l, v), sqlEval(r, v)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (sqlEval(l, v), sqlEval(r, v)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(inner) => sqlEval(inner, v).map(!_)
+    case _ => Some(true)
   }
+
+  private def rowMatches(f: Filter, v: Option[Long]): Boolean =
+    sqlEval(f, v).contains(true)
 
   private val genValue: Gen[Option[Long]] =
     Gen.frequency(9 -> Gen.choose(-50L, 50L).map(Some(_)), 1 -> Gen.const(None))
@@ -52,7 +68,9 @@ class OrcStatsEvalSpec extends AnyFunSuite {
     for {
       a <- leaf; b <- leaf
       f <- Gen.oneOf(Gen.const(a), Gen.const(And(a, b)),
-        Gen.const(Or(a, b)), Gen.const(Not(a)))
+        Gen.const(Or(a, b)), Gen.const(Not(a)),
+        Gen.const(Not(And(a, b))), Gen.const(Not(Or(a, b))),
+        Gen.const(Not(Not(a))))
     } yield f
   }
 
@@ -100,6 +118,26 @@ class OrcStatsEvalSpec extends AnyFunSuite {
         assert(!verdict.contains(false),
           s"FALSE PARTITION PRUNE: filter=$f value=$v")
     }
+  }
+
+  test("NOT over a null-bearing range never claims all-match (r10 ADVICE)") {
+    // file holds {1, NULL}; range excludes 5 so EqualTo(c,5) is a clean
+    // prune — but NOT(c = 5) is NULL for the NULL row (row NOT matched),
+    // so "every row matches" would misclassify the file as a full drop
+    // in metadata DELETE and physically delete the NULL row SQL keeps.
+    val withNull = StatRange(Some(OrcStatsEval.norm(1L)),
+      Some(OrcStatsEval.norm(1L)), hasNull = true, hasValues = true)
+    assert(OrcStatsEval.eval(Not(EqualTo("c", 5L)), _ => Some(withNull)) === None)
+    // prune direction unaffected: every row equals 5 ⇒ NOT(c=5) matches none
+    val allFive = StatRange(Some(OrcStatsEval.norm(5L)),
+      Some(OrcStatsEval.norm(5L)), hasNull = false, hasValues = true)
+    assert(OrcStatsEval.eval(Not(EqualTo("c", 5L)), _ => Some(allFive)) === Some(false))
+    // null-free ranges keep the exact inversion
+    val noNull = withNull.copy(hasNull = false)
+    assert(OrcStatsEval.eval(Not(EqualTo("c", 5L)), _ => Some(noNull)) === Some(true))
+    // references of a NESTED filter are all checked, not just the top
+    assert(OrcStatsEval.eval(Not(Or(EqualTo("c", 5L), EqualTo("d", 5L))),
+      c => if (c == "c") Some(noNull) else Some(withNull)) === None)
   }
 
   test("string and date ranges compare correctly") {

@@ -134,4 +134,20 @@ class TextHashParitySpec extends AnyFunSuite {
     assert(fixture.forall { case (_, n, p) =>
       n > 0 && p > 1.0 && !p.isNaN && !p.isInfinite })
   }
+
+  test("repeated bigramLm/perplexity runs do not leak cached model RDDs " +
+    "(r10 ADVICE: each run unpersists its predecessor's model frame)") {
+    import graft.operators.TextAnalysis
+    val d0 = docs.select($"doc_id", $"text")
+    def cachedCount = spark.sparkContext.getPersistentRDDs.size
+    TextAnalysis.bigramLm(d0).collect()
+    TextAnalysis.perplexity(d0).collect()
+    val afterOne = cachedCount
+    (1 to 3).foreach { _ =>
+      TextAnalysis.bigramLm(d0).collect()
+      TextAnalysis.perplexity(d0).collect()
+    }
+    assert(cachedCount <= afterOne,
+      s"cached RDDs grew from $afterOne to $cachedCount across reruns")
+  }
 }
