@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.defs ++ TpcdsShapes.defs ++ TpcdsShapes2.defs ++
       TpcdsShapes3.defs ++
       TextAnalysis.defs ++ Dedup.defs ++
-      Similarity.defs ++ Multimodal.defs ++ TypedOps.defs ++ Pipeline.defs
+      Similarity.defs ++ Multimodal.defs ++ TypedOps.defs ++
+      Pipeline.defs ++ RowLevelOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregate + ordering over the ORC round-trip scan path —

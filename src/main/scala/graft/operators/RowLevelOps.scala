@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SQL row-level mutations (DELETE / UPDATE / MERGE INTO) under the
+  * driver's full hash oracle.
+  *
+  * The reference's directory tables are read-only (its writer is a stub,
+  * src/physical_exec.rs); this connector's manifest tables support the
+  * full SQL mutation surface, and these queries put that surface under
+  * the same DuckDB hash-compare as every read operator: each one
+  * materializes a fresh single-use manifest-table COPY of `customer`
+  * under the JVM tmpdir, mutates it through a real `spark.sql` command
+  * (file classification, copy-on-write rewrite, atomic snapshot commit —
+  * the whole path), and returns the table's final content. The oracle is
+  * the equivalent pure SELECT over the original parquet — so what gets
+  * hash-checked is the MUTATION'S semantics, including SQL three-valued
+  * predicate logic over a NULL-bearing column (a DELETE predicate that
+  * evaluates NULL must KEEP the row; see the round-10/11 tri-state NOT
+  * hazard in [[graft.sources.v2.OrcStatsEval]]).
+  *
+  * Scale shape: the mutated copy is small here, but every step is the
+  * scale path — classification is metadata-only over manifest stat
+  * sidecars, untouched files keep their identity (never rewritten), and
+  * only predicate-intersecting files pay copy-on-write.
+  */
+object RowLevelOps {
+
+  /** The seeded copy: (c_custkey, seg, bal) with bal NULL on every 7th
+    * key, so three-valued predicate semantics are actually exercised.
+    */
+  private def seeded(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      col("c_mktsegment").as("seg"),
+      when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("bal"))
+
+  private val seededSql =
+    """SELECT c_custkey, c_mktsegment AS seg,
+      |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+      |FROM customer""".stripMargin
+
+  /** Write `src` as a fresh manifest table and register it under a
+    * run-unique catalog name; returns (dir, tableName).
+    */
+  private def freshTable(s: SparkSession, src: DataFrame,
+                         tag: String): (String, String) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-rl-$tag").toString
+    src.repartition(4).write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir)
+    val name = s"g_rl_${tag}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.sql(s"CREATE TABLE $name USING `graft-orc` LOCATION '$dir'")
+    (dir, name)
+  }
+
+  /** Final table content, path-read (independent of the catalog entry,
+    * which is dropped before this plan runs).
+    */
+  private def finalState(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-orc").load(dir)
+      .select(col("c_custkey"), col("seg"), col("bal"))
+      .orderBy(col("c_custkey"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ DELETE (CoW)
+    // The predicate deletes a row only when it is TRUE: `seg <> 'X'`
+    // reaches the connector as Not(EqualTo) — the exact shape of the
+    // tri-state NOT hazard — and a NULL bal makes the conjunction NULL,
+    // so those rows must all SURVIVE. Survivors are therefore
+    // seg = 'BUILDING' OR bal >= 5000 OR bal IS NULL.
+    QueryDef("rl_delete_cow",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "del")
+        try s.sql(s"DELETE FROM $t WHERE seg <> 'BUILDING' AND bal < 5000")
+        finally s.sql(s"DROP TABLE IF EXISTS $t")
+        finalState(s, dir)
+      },
+      Some(s"""SELECT c_custkey, seg, bal FROM ($seededSql)
+              |WHERE seg = 'BUILDING' OR bal >= 5000 OR bal IS NULL
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------ UPDATE (CoW)
+    // Group-based copy-on-write UPDATE: only files whose stat range
+    // intersects the condition are replaced; a NULL bal is not > 7500,
+    // so those rows keep their segment.
+    QueryDef("rl_update_cow",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "upd")
+        try s.sql(s"UPDATE $t SET seg = 'PRIME' WHERE bal > 7500")
+        finally s.sql(s"DROP TABLE IF EXISTS $t")
+        finalState(s, dir)
+      },
+      Some(s"""SELECT c_custkey,
+              |  CASE WHEN bal > 7500 THEN 'PRIME' ELSE seg END AS seg, bal
+              |FROM ($seededSql)
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // -------------------------------------------------- MERGE INTO (CoW)
+    // Upsert: target = even keys, source = keys divisible by 3 with
+    // doubled balance and a new segment. Matched rows take the source
+    // values; unmatched source rows insert. The oracle is the equivalent
+    // FULL OUTER JOIN of the two sides.
+    QueryDef("rl_merge_cow",
+      (s, d) => {
+        val all = seeded(s, d)
+        val (dir, t) = freshTable(s, all.filter(col("c_custkey") % 2 === 0),
+          "mrg")
+        val srcView = t + "_src"
+        all.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), lit("MERGED").as("seg"),
+            (col("bal") * 2).as("bal"))
+          .createOrReplaceTempView(srcView)
+        try s.sql(
+          s"""MERGE INTO $t t USING $srcView s
+             |ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED THEN UPDATE SET seg = s.seg, bal = s.bal
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        finally {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          s.catalog.dropTempView(srcView)
+        }
+        finalState(s, dir)
+      },
+      Some(s"""WITH seeded AS ($seededSql),
+              |t AS (SELECT * FROM seeded WHERE c_custkey % 2 = 0),
+              |s AS (SELECT c_custkey, 'MERGED' AS seg, bal * 2 AS bal
+              |      FROM seeded WHERE c_custkey % 3 = 0)
+              |SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.seg ELSE t.seg
+              |    END AS seg,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal
+              |    END AS bal
+              |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+              |ORDER BY c_custkey""".stripMargin)))
+}
