@@ -130,6 +130,8 @@ object Bench {
     // manifest-table metadata surfaces: sidecar-answered aggregates
     // (zero file opens) and sidecar file-level pruning
     "q100_manifest_metadata_count", "q101_manifest_file_prune",
+    // storage-partitioned join: co-partitioned tables join shuffle-free
+    "q102_spj_nation_trade",
     // second TPC-DS wave: reused-aggregate threshold (q1 family),
     // fact-to-fact self-join chain (q25/q29), wide conditional-agg pivot
     // (q66), aggregate-of-aggregate histogram (q54)
@@ -199,6 +201,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins: co-partitioned graft-orc tables join
+      // with zero shuffle (GraftOrcScan reports KeyGroupedPartitioning)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     preferSmj.foreach(v => builder.config("spark.sql.join.preferSortMergeJoin", v))

@@ -806,6 +806,31 @@ object Relational {
               |FROM lineitem WHERE l_returnflag = 'R'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --------------------------------------------------------------- q102
+    // Storage-partitioned join: customer and supplier hive-partitioned on
+    // their nation keys report KeyGroupedPartitioning from the connector
+    // scan, and with spark.sql.sources.v2.bucketing.enabled the join (and
+    // the group-by above it) plans with ZERO shuffle exchanges — the
+    // co-located-join scale path the survey's partitioning strategy calls
+    // for, as a first-class connector feature (GraftOrcSpjSpec pins the
+    // exchange-free plan; this entry pins the results under the oracle).
+    QueryDef("q102_spj_nation_trade",
+      (s, d) => {
+        val cp = OrcData.partitionedOrcPath(s, d, "customer", "c_nationkey")
+        val sp = OrcData.partitionedOrcPath(s, d, "supplier", "s_nationkey")
+        s.read.format("graft-orc").load(cp)
+          .join(s.read.format("graft-orc").load(sp),
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("pairs"),
+            dsum(col("s_acctbal"), "sum_s_bal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(s"""SELECT c_nationkey, count(*) AS pairs,
+              |  ${oDsum("s_acctbal", "sum_s_bal")}
+              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---------------------------------------------------------------- q34
     // TPC-DS q87-shaped multi-CTE + EXCEPT: customers active in one order
     // status but not the other, aggregated by segment. EXCEPT plans as a

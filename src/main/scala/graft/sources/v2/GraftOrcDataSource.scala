@@ -735,8 +735,21 @@ class GraftOrcAggReaderFactory(dataFileSchema: StructType,
 
 case class GraftOrcInputPartition(filePath: String, start: Long, length: Long,
                                   partitionValues: Array[String],
-                                  fileLength: Long)
-  extends InputPartition
+                                  fileLength: Long,
+                                  partitionTypes: Array[DataType] = Array.empty)
+  extends InputPartition with HasPartitionKey {
+  // Storage-partitioned joins: Spark groups splits of hive-partitioned
+  // tables by this key (driver-side, InternalRow equality/ordering), so
+  // co-partitioned joins plan with ZERO shuffle. Types ride alongside the
+  // raw strings; an empty-typed partition (streaming constructs) yields
+  // an empty key, which is never consulted — SPJ only engages when the
+  // scan reports KeyGroupedPartitioning.
+  @transient private lazy val key: InternalRow = new GenericInternalRow(
+    partitionValues.zip(partitionTypes).map { case (raw, dt) =>
+      GraftOrcDataSource.internalPartitionValue(raw, dt)
+    }.toArray[Any])
+  override def partitionKey(): InternalRow = key
+}
 
 class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
                    readDataSchema: StructType, readPartitionSchema: StructType,
@@ -744,7 +757,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
                    limit: Option[Int], index: GraftOrcFileIndex,
                    metaParallelism: Int, options: Map[String, String])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   private def spark = SparkSession.active
 
@@ -848,6 +861,36 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     }
 
   override def toBatch: Batch = this
+
+  /** Storage-partitioned joins (SPJ): a hive-partitioned table whose
+    * partition columns are all in the output reports
+    * `KeyGroupedPartitioning(identity(partCols))`. With
+    * `spark.sql.sources.v2.bucketing.enabled`, Spark groups this scan's
+    * splits by [[GraftOrcInputPartition.partitionKey]] and a join of two
+    * graft-orc tables co-partitioned on the join keys plans with NO
+    * Exchange on either side — at 100 TB that deletes the single
+    * largest cost of a fact-to-fact join (the reference's directory
+    * tables have no analogue; this is Iceberg's SPJ shape on the same
+    * layout). Tables without partition columns in the projection report
+    * unknown partitioning and plan exactly as before.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (readPartitionSchema.fields.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    else {
+      val keys = readPartitionSchema.fields
+        .map(f => Expressions.identity(f.name)
+          : org.apache.spark.sql.connector.expressions.Expression)
+      // advisory: the planner regroups actual splits by key and uses
+      // that count; selectedFiles here reflects static pruning only
+      val n = selectedFiles.map(e => partValuesFor(e).toSeq).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(keys, math.max(n, 1))
+    }
+  }
 
   /** Micro-batch streaming read: the directory is the stream, each batch
     * covers the files that appeared since the last (mtime, path)
@@ -1121,9 +1164,11 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     val targetSplitBytes = options.get("graft.split_size")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     def partValues(e: OrcFileEntry): Array[String] = partValuesFor(e)
+    val partTypes = readPartitionSchema.fields.map(_.dataType)
     val (small, big) = selectedFiles.partition(_.length <= targetSplitBytes)
     val smallParts = small.map(e =>
-      GraftOrcInputPartition(e.path, 0, e.length, partValues(e), e.length))
+      GraftOrcInputPartition(e.path, 0, e.length, partValues(e), e.length,
+        partTypes))
     val bigParts = GraftOrcFileIndex.parallelMap(big, metaParallelism) { e =>
       val r = OrcFile.createReader(new Path(e.path), OrcFile.readerOptions(conf))
       val stripes =
@@ -1142,9 +1187,10 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       if (start >= 0) splits += ((start, end - start))
       val vs = partValues(e)
       if (splits.isEmpty)
-        Seq(GraftOrcInputPartition(e.path, 0, e.length, vs, e.length))
+        Seq(GraftOrcInputPartition(e.path, 0, e.length, vs, e.length,
+          partTypes))
       else splits.map { case (s, l) =>
-        GraftOrcInputPartition(e.path, s, l, vs, e.length)
+        GraftOrcInputPartition(e.path, s, l, vs, e.length, partTypes)
       }
     }.flatten
     (smallParts ++ bigParts).toArray

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins: two graft-orc tables hive-partitioned on
+  * their join key report `KeyGroupedPartitioning`, and with
+  * `spark.sql.sources.v2.bucketing.enabled` Spark groups each scan's
+  * splits by partition key and plans the join with NO shuffle Exchange
+  * on either side. At 100 TB this is the difference between a
+  * fact-to-fact join that moves both tables over the network and one
+  * that moves nothing.
+  */
+class GraftOrcSpjSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withSpjConf[A](body: => A): A = {
+    val keep = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled"
+    ).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // the fixture tables are tiny; keep the join a real SMJ so the
+      // exchange elision is observable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private lazy val dirs: (String, String) = {
+    val cust = Files.createTempDirectory("graft-spj-cust").toString
+    val supp = Files.createTempDirectory("graft-spj-supp").toString
+    Tables.customer(spark, TestSpark.sf0001)
+      .write.format("graft-orc").partitionBy("c_nationkey")
+      .mode("append").save(cust)
+    Tables.supplier(spark, TestSpark.sf0001)
+      .write.format("graft-orc").partitionBy("s_nationkey")
+      .mode("append").save(supp)
+    (cust, supp)
+  }
+
+  test("co-partitioned join on the partition key plans with zero " +
+    "shuffle exchanges") {
+    withSpjConf {
+      val (cust, supp) = dirs
+      val c = spark.read.format("graft-orc").load(cust)
+      val s = spark.read.format("graft-orc").load(supp)
+      val joined = c.join(s, $"c_nationkey" === $"s_nationkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy($"c_nationkey")
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"SPJ must elide both join-side shuffles:\n$plan")
+      // correctness against the built-in join of the same parquet
+      val expect = Tables.customer(spark, TestSpark.sf0001)
+        .join(Tables.supplier(spark, TestSpark.sf0001),
+          $"c_nationkey" === $"s_nationkey")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("pairs"))
+        .orderBy($"c_nationkey").collect()
+      assert(rows.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("without v2 bucketing the same join still answers correctly " +
+    "(shuffled), so SPJ is purely an optimization") {
+    val (cust, supp) = dirs
+    val c = spark.read.format("graft-orc").load(cust)
+    val s = spark.read.format("graft-orc").load(supp)
+    val got = c.join(s, $"c_nationkey" === $"s_nationkey")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("pairs"))
+      .orderBy($"c_nationkey").collect()
+    val expect = Tables.customer(spark, TestSpark.sf0001)
+      .join(Tables.supplier(spark, TestSpark.sf0001),
+        $"c_nationkey" === $"s_nationkey")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("pairs"))
+      .orderBy($"c_nationkey").collect()
+    assert(got.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+  }
+}

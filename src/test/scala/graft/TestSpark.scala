@@ -9,6 +9,9 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // storage-partitioned joins: co-partitioned graft-orc tables join
+      // with zero shuffle (GraftOrcScan reports KeyGroupedPartitioning)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
