@@ -373,7 +373,63 @@ object Dedup {
              |SELECT c_id, count(*) AS n_vectors, count(d_id) AS n_dropped
              |FROM assigned LEFT JOIN dropped ON vec_id = d_id
              |GROUP BY c_id
-             |ORDER BY c_id""".stripMargin))
+             |ORDER BY c_id""".stripMargin)),
+
+    // ------------------------------------------------- duplicated n-grams
+    // Substring-level duplication scoring (the Lee et al. 2021
+    // "Deduplicating Training Data" ExactSubstr signal, at window
+    // granularity): every 8-token window hashes to a 60-bit key; a window
+    // occurring more than once ANYWHERE in the corpus is duplicated, and
+    // each document reports the fraction of its windows that are. The
+    // pipeline drops or trims high-dup_frac documents.
+    //
+    // 100 TB shape: the per-(doc, window) pre-aggregation combines
+    // map-side before anything shuffles on the window key (a doc's
+    // windows are colocated in its input partition — the same
+    // skew-bounding as the bigram LM); global counts are model-sized;
+    // the join back carries one row per distinct (doc, window). md5-60
+    // keys keep the shuffle at 16 bytes/row and the DuckDB oracle
+    // hash-exact.
+    QueryDef("dd_dup_ngram_fraction",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 8)
+        val wins = toks.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 7), " +
+            "i -> concat_ws(' ', slice(toks, i, 8)))")).as("w"))
+          .select(col("doc_id"), md5Key60(col("w")).as("h"))
+        val occ = wins.groupBy(col("doc_id"), col("h"))
+          .agg(count(lit(1)).as("o"))
+        val global = occ.groupBy(col("h")).agg(sum(col("o")).as("tot"))
+        occ.join(global, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("o")).as("n_windows"),
+            sum(when(col("tot") >= 2, col("o")).otherwise(lit(0L)))
+              .as("n_dup"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_windows"))
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, unnest(list_transform(
+              |      range(1, len(toks) - 6),
+              |      i -> ${md5Key60Sql("array_to_string(toks[i:i+7], ' ')")}))
+              |    AS h
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |        FROM documents) t
+              |  WHERE len(toks) >= 8),
+              |occ AS (SELECT doc_id, h, count(*) AS o FROM w GROUP BY 1, 2),
+              |g AS (SELECT h, sum(o) AS tot FROM occ GROUP BY 1)
+              |SELECT occ.doc_id, CAST(sum(occ.o) AS BIGINT) AS n_windows,
+              |  CAST(sum(CASE WHEN g.tot >= 2 THEN occ.o ELSE 0 END)
+              |    AS BIGINT) AS n_dup,
+              |  CAST(sum(CASE WHEN g.tot >= 2 THEN occ.o ELSE 0 END)
+              |      AS DOUBLE)
+              |    / sum(occ.o) AS dup_frac
+              |FROM occ JOIN g ON occ.h = g.h
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Per-cluster SemDeDup summary: (cluster, n_vectors, n_dropped).

@@ -430,7 +430,44 @@ object Pipeline {
           sparkForm = true))
       },
       Some(signLshSql("embeddings", "list_extract", "list_cosine_similarity",
-        sparkForm = false)))
+        sparkForm = false))),
+
+    // ------------------------------------------------------------ sharding
+    // Deterministic global shuffle + sharding — the last step of every
+    // training-data pipeline: each document lands in a content-addressed
+    // shard and a pseudo-random (but fully reproducible) position within
+    // it. Never rand(): the order is a hash of (doc_id, text), so any
+    // re-run, any partitioning, any engine produces the identical layout
+    // (the oracle checks the SHUFFLE itself, not just shard sizes).
+    //
+    // 100 TB shape: shard assignment is a narrow map; the within-shard
+    // ordering is one window per shard — in the writer this is
+    // repartition(shard) + sortWithinPartitions(key), a single shuffle
+    // carrying (doc_id, 8-byte key) per row, then shard files stream out
+    // in order. Skew-free by construction: md5 spreads keys uniformly.
+    QueryDef("pp_shard_shuffle",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.md5Key60
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("key"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5Key60(concat(col("doc_id").cast("string"), lit(":"),
+              col("text"))).as("key"))
+          .withColumn("shard", pmod(col("key"), lit(16L)))
+          .withColumn("ord", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("ord"))
+          .orderBy(col("shard"), col("ord"))
+      },
+      Some(s"""SELECT doc_id, shard, ord FROM (
+              |  SELECT doc_id, key % 16 AS shard,
+              |    CAST(row_number() OVER (PARTITION BY key % 16
+              |      ORDER BY key, doc_id) AS BIGINT) AS ord
+              |  FROM (SELECT doc_id,
+              |    ${graft.functions.TextHashFunctions
+                      .md5Key60Sql("doc_id || ':' || text")} AS key
+              |    FROM documents) t) u
+              |ORDER BY shard, ord""".stripMargin))
   )
 
   /** One SQL text for both engines (Spark / DuckDB): `extractFn` is the

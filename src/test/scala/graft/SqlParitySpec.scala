@@ -63,6 +63,11 @@ class SqlParitySpec extends AnyFunSuite {
         "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
       "ta_rolling_hash_det" ->
         "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
+      "pp_shard_shuffle" ->
+        "DuckDB '0x..'::BIGINT hex-literal cast (Spark: conv())",
+      "dd_dup_ngram_fraction" ->
+        ("DuckDB list slice l[i:j] + '0x..'::BIGINT hex cast " +
+          "(Spark: slice()/conv())"),
       "ta_bigram_lm" -> "DuckDB string_split (Spark: split)",
       "ta_length_quantiles" ->
         "DuckDB quantile_cont list form (Spark: percentile array form)")
