@@ -132,6 +132,8 @@ object Bench {
     "q100_manifest_metadata_count", "q101_manifest_file_prune",
     // storage-partitioned join: co-partitioned tables join shuffle-free
     "q102_spj_nation_trade",
+    // grouped aggregate pushdown: per-partition stats as a metadata sweep
+    "q103_agg_pushdown_grouped",
     // second TPC-DS wave: reused-aggregate threshold (q1 family),
     // fact-to-fact self-join chain (q25/q29), wide conditional-agg pivot
     // (q66), aggregate-of-aggregate histogram (q54)

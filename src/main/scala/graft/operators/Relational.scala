@@ -459,6 +459,28 @@ object Relational {
              |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
              |FROM orders""".stripMargin)),
 
+    // --------------------------------------------------------------- q103
+    // Aggregate pushdown WITH GROUP BY partition columns: each file
+    // contributes one partial row (its partition value + footer stats) —
+    // "per-partition row counts / key ranges" over a 100 TB table is a
+    // metadata sweep, no data I/O (zero footer opens on manifest tables;
+    // GraftOrcAggPushdownSpec). The per-file partials merge exactly
+    // because every file belongs to exactly one group.
+    QueryDef("q103_agg_pushdown_grouped",
+      (s, d) => {
+        val p = OrcData.partitionedOrcPath(s, d, "lineitem", "l_returnflag")
+        s.read.format("graft-orc")
+          .option("orc.aggregate_pushdown", "true").load(p)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --------------------------------------------------------------- q100
     // Metadata-only aggregates on a MANIFEST table: the pushed
     // MIN/MAX/COUNT partials answer from the snapshot's stat sidecars —

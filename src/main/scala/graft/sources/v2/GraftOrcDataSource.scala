@@ -512,12 +512,16 @@ class GraftOrcScanBuilder(dataSchema: StructType,
   // alone — one partial row per file, zero stripe I/O; Spark plans the
   // final merge (min of minima, sum of counts) above the scan. At 100 TB
   // this turns "SELECT count(*)/min/max FROM t" from a full read into a
-  // metadata sweep. Gated like the built-in source
-  // (spark.sql.orc.aggregatePushdown, overridable per-read via
-  // orc.aggregate_pushdown); refused under any filter or limit (Catalyst
-  // never offers it then — the A9 all-residual contract keeps a Filter
-  // above the scan), for grouped aggregates, and for float/double MIN/MAX
-  // (a NaN-bearing stripe records min/max that silently exclude it — the
+  // metadata sweep — and with GROUP BY over partition columns, one
+  // partial row per (file, its partition value): "SELECT dt, count(*)
+  // GROUP BY dt" never touches data either (AggregatePushDownUtils
+  // validates the group list is all partition columns; each file belongs
+  // to exactly one group, so per-file rows merge exactly). Gated like
+  // the built-in source (spark.sql.orc.aggregatePushdown, overridable
+  // per-read via orc.aggregate_pushdown); refused under any filter or
+  // limit (Catalyst never offers it then — the A9 all-residual contract
+  // keeps a Filter above the scan) and for float/double MIN/MAX (a
+  // NaN-bearing stripe records min/max that silently exclude it — the
   // OrcStatsEval non-finite lesson applied to results, not pruning).
   private var pushedAgg: Option[(Aggregation, StructType)] = None
 
@@ -528,8 +532,7 @@ class GraftOrcScanBuilder(dataSchema: StructType,
         .get("spark.sql.orc.aggregatePushdown", "false").toBoolean
     }
     if (!enabled || limit.isDefined || partitionFilters.nonEmpty ||
-        dataFilters.nonEmpty || agg.groupByExpressions.nonEmpty ||
-        minMaxOnFloatingPoint(agg)) return false
+        dataFilters.nonEmpty || minMaxOnFloatingPoint(agg)) return false
     val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
     GraftOrcShims.aggSchemaForPushdown(agg, dataSchema, partNames) match {
       case Some(schema) => pushedAgg = Some((agg, schema)); true
@@ -609,7 +612,8 @@ private[v2] object GraftOrcAggSidecar {
     }
 
   def aggRow(sidecar: String, dataFileSchema: StructType,
-             agg: Aggregation): Option[InternalRow] =
+             agg: Aggregation,
+             groupPrefix: Array[Any] = Array.empty): Option[InternalRow] =
     OrcStatsEval.decodeSidecar(sidecar).flatMap { case (rows, cols) =>
       def colType(n: String): Option[DataType] =
         dataFileSchema.fields.collectFirst {
@@ -639,7 +643,7 @@ private[v2] object GraftOrcAggSidecar {
         case _ => None
       }
       if (vals.forall(_.isDefined))
-        Some(new GenericInternalRow(vals.map(_.get).toArray))
+        Some(new GenericInternalRow(groupPrefix ++ vals.map(_.get)))
       else None
     }
 }
@@ -705,8 +709,28 @@ class GraftOrcAggReaderFactory(dataFileSchema: StructType,
         else {
           // manifest sidecar first: zero I/O when it answers every
           // pushed expression exactly (GraftOrcAggSidecar contract)
+          // GROUP BY partition columns: the group values (this file's
+          // partition values, in group order) prefix the partial row —
+          // same layout the footer kernel produces. A group expression
+          // that is not a plain column reference falls back to the
+          // kernel.
+          lazy val groupPrefix: Option[Array[Any]] = {
+            val vs = agg.groupByExpressions.toSeq.map {
+              case nr: org.apache.spark.sql.connector.expressions
+                  .NamedReference if nr.fieldNames.length == 1 =>
+                partitionSchema.fields.zip(ap.partitionValues).collectFirst {
+                  case (f, raw) if f.name.equalsIgnoreCase(
+                    nr.fieldNames.head) =>
+                    GraftOrcDataSource.internalPartitionValue(raw, f.dataType)
+                }
+              case _ => None
+            }
+            if (vs.forall(_.isDefined)) Some(vs.map(_.get).toArray)
+            else None
+          }
           row = ap.sidecar
-            .flatMap(GraftOrcAggSidecar.aggRow(_, dataFileSchema, agg))
+            .flatMap(sc => groupPrefix.flatMap(gp =>
+              GraftOrcAggSidecar.aggRow(sc, dataFileSchema, agg, gp)))
             .getOrElse {
               GraftOrcDataSource.notePlanFooterRead(ap.filePath)
               // footer-only open: the metadata hint keeps this to ONE

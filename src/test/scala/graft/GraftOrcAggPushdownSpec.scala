@@ -74,9 +74,55 @@ class GraftOrcAggPushdownSpec extends AnyFunSuite {
     assert(aggScans(q) === 0)
   }
 
-  test("grouped aggregates are refused") {
+  test("grouped aggregates on DATA columns are refused") {
+    // l_returnflag is a data column here (unpartitioned table): grouped
+    // footer stats don't exist, the full scan must run
     val q = pushed(dir).groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
     assert(aggScans(q) === 0)
+  }
+
+  test("GROUP BY partition columns answers from metadata — footers on a " +
+    "directory table, sidecars at ZERO footer opens on a manifest table") {
+    import graft.sources.v2.GraftOrcDataSource
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val slow = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), min($"l_orderkey").as("mn"),
+        max($"l_linenumber").as("mx"))
+      .orderBy($"l_returnflag").collect()
+
+    // directory table: one partial row per (file, its partition value)
+    val pdir = Files.createTempDirectory("graft-agg-part").toString
+    li.write.format("graft-orc").partitionBy("l_returnflag")
+      .mode("append").save(pdir)
+    val q = pushed(pdir).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), min($"l_orderkey").as("mn"),
+        max($"l_linenumber").as("mx"))
+      .orderBy($"l_returnflag")
+    assert(aggScans(q) === 1, q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(_.toSeq).toSeq === slow.map(_.toSeq).toSeq)
+
+    // manifest table: the same grouped aggregate with zero footer opens
+    val mdir = Files.createTempDirectory("graft-agg-part-mani").toString
+    li.write.format("graft-orc").partitionBy("l_returnflag")
+      .option("graft.manifest", "true").mode("append").save(mdir)
+    GraftOrcDataSource.planFooterReads.clear()
+    GraftOrcDataSource.recordPlanFooterReads = true
+    try {
+      val qm = pushed(mdir).groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), min($"l_orderkey").as("mn"),
+          max($"l_linenumber").as("mx"))
+        .orderBy($"l_returnflag")
+      assert(aggScans(qm) === 1, qm.queryExecution.executedPlan.toString)
+      assert(qm.collect().map(_.toSeq).toSeq === slow.map(_.toSeq).toSeq)
+      import scala.jdk.CollectionConverters._
+      val opened = GraftOrcDataSource.planFooterReads.asScala
+        .filter(_.contains(mdir))
+      assert(opened.isEmpty,
+        s"grouped sidecar pushdown opened footers: $opened")
+    } finally {
+      GraftOrcDataSource.recordPlanFooterReads = false
+      GraftOrcDataSource.planFooterReads.clear()
+    }
   }
 
   test("property: pushed and unpushed results agree for every eligible column") {
