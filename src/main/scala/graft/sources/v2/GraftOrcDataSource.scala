@@ -106,6 +106,13 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftOrcDataSource {
+
+  /** Metadata column names (see [[GraftOrcTable.metadataColumns]]). */
+  val FileMetaCol = "_file"
+  val PosMetaCol = "_pos"
+  private[v2] def isMetaCol(name: String): Boolean =
+    name.equalsIgnoreCase(FileMetaCol) || name.equalsIgnoreCase(PosMetaCol)
+
   /** Resolve load paths: Spark passes `load(p1, p2, ...)` as a JSON string
     * array under the "paths" option (DataSourceV2Utils.getOptionsWithPaths)
     * and a single `load(p)` under "path".
@@ -269,8 +276,36 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def schema(): StructType = tableSchema
+
+  /** Metadata columns (Iceberg-shape): `_file` is the source file path,
+    * `_pos` the row's ordinal within that file — the lineage/debugging
+    * handles a 100 TB table needs ("which files feed this bad row",
+    * "sample every file's first rows") at zero storage cost. A data
+    * column with the same name shadows the metadata column (the
+    * SupportsMetadataColumns contract), so they are not advertised then.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    def mc(n: String, dt: DataType, doc: String): MetadataColumn =
+      new MetadataColumn {
+        override def name(): String = n
+        override def dataType(): DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = doc
+      }
+    Array[MetadataColumn](
+      mc(GraftOrcDataSource.FileMetaCol, StringType,
+        "source ORC file path"),
+      mc(GraftOrcDataSource.PosMetaCol,
+        org.apache.spark.sql.types.LongType,
+        "row position within the source file"))
+      .filterNot(m => tableSchema.fieldNames
+        .exists(_.equalsIgnoreCase(m.name)))
+  }
   // partitionBy on a write reaches the provider as identity transforms;
   // reporting them back is what passes Spark's requested-vs-table
   // partitioning check (reads manage hive partitions internally and pass
@@ -480,7 +515,10 @@ class GraftOrcScanBuilder(dataSchema: StructType,
   // A6: column pruning
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = StructType(requiredSchema.fields.filter(f =>
-      dataSchema.fieldNames.contains(f.name)))
+      dataSchema.fieldNames.contains(f.name) ||
+        // requested metadata columns (_file/_pos) survive pruning — the
+        // reader synthesizes them (see GraftOrcTable.metadataColumns)
+        GraftOrcDataSource.isMetaCol(f.name)))
 
   // A8 + A9: keep the convertible conjunction for stripe pruning and the
   // partition-only conjunction for file pruning, but report EVERY filter as
@@ -570,11 +608,19 @@ class GraftOrcScanBuilder(dataSchema: StructType,
       case None =>
     }
     val part = partitionSchema.fieldNames.map(_.toLowerCase).toSet
-    val readData = StructType(requested.fields.filterNot(f => part(f.name.toLowerCase)))
-    val readPart = StructType(requested.fields.filter(f => part(f.name.toLowerCase)))
+    // requested _file/_pos (when not shadowed by real columns) are
+    // metadata columns the READER synthesizes, never ORC columns
+    def isMeta(f: org.apache.spark.sql.types.StructField): Boolean =
+      GraftOrcDataSource.isMetaCol(f.name) &&
+        !dataFileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)) &&
+        !partitionSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))
+    val metaFields = requested.fields.filter(isMeta)
+    val plain = requested.fields.filterNot(isMeta)
+    val readData = StructType(plain.filterNot(f => part(f.name.toLowerCase)))
+    val readPart = StructType(plain.filter(f => part(f.name.toLowerCase)))
     lastBuiltScan = new GraftOrcScan(dataFileSchema, partitionSchema, readData, readPart,
       partitionFilters, dataFilters, limit, fileIndex, metaParallelism,
-      optionsMap)
+      optionsMap, metaFields)
     lastBuiltScan
   }
 }
@@ -779,7 +825,9 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
                    readDataSchema: StructType, readPartitionSchema: StructType,
                    partitionFilters: Array[Filter], dataFilters: Array[Filter],
                    limit: Option[Int], index: GraftOrcFileIndex,
-                   metaParallelism: Int, options: Map[String, String])
+                   metaParallelism: Int, options: Map[String, String],
+                   metadataFields: Array[
+                     org.apache.spark.sql.types.StructField] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -806,10 +854,19 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
         f.references.forall(r => partNames(r.toLowerCase)))
   }
 
-  // DSv2 output order: data columns then partition columns (Catalyst adds
-  // a Project above to restore the query's requested order)
+  // DSv2 output order: data columns, partition columns, then any
+  // requested metadata columns — _file before _pos, matching the
+  // reader's emission order (a constant-vector slot after the partition
+  // constants, then the appended position vector); Catalyst's Project
+  // above restores the query's requested order
+  private[v2] def orderedMetaFields
+      : Array[org.apache.spark.sql.types.StructField] =
+    metadataFields.sortBy(f =>
+      if (f.name.equalsIgnoreCase(GraftOrcDataSource.FileMetaCol)) 0 else 1)
+
   override def readSchema(): StructType =
-    StructType(readDataSchema.fields ++ readPartitionSchema.fields)
+    StructType(readDataSchema.fields ++ readPartitionSchema.fields ++
+      orderedMetaFields)
 
   /** Files surviving partition pruning: each partition filter is evaluated
     * exactly against the file's typed partition values (single-value
@@ -1250,7 +1307,11 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       readPartitionSchema,
       if (parsed.pushdownPredicate && !rowLevelScan) dataFilters
       else Array.empty,
-      limit, batchSize, serConf, parsed.metadataSizeHint, ignoreCorrupt)
+      limit, batchSize, serConf, parsed.metadataSizeHint, ignoreCorrupt,
+      emitFilePath = metadataFields.exists(
+        _.name.equalsIgnoreCase(GraftOrcDataSource.FileMetaCol)),
+      emitRowPos = metadataFields.exists(
+        _.name.equalsIgnoreCase(GraftOrcDataSource.PosMetaCol)))
   }
 
   // A12: custom scan metrics, full parity with the reference's 12
@@ -1349,7 +1410,9 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                      limit: Option[Int], batchSize: Int,
                                      serConf: org.apache.spark.util.SerializableConfiguration,
                                      metadataSizeHint: Option[Long] = None,
-                                     ignoreCorruptFiles: Boolean = false)
+                                     ignoreCorruptFiles: Boolean = false,
+                                     emitFilePath: Boolean = false,
+                                     emitRowPos: Boolean = false)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1433,6 +1496,15 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     var rowsMatched = 0L
     var predicateErrors = 0L
     var prunedBytes = 0L
+    // rows in stripes before this split's start: the file-ordinal base
+    // for the _pos metadata column
+    var splitStartRow = 0L
+
+    // _pos derives from a running count of decoded rows, so row groups
+    // must not be skipped mid-split: SARG push (and its metrics mirror)
+    // is disabled for this read — Catalyst's residual Filter keeps the
+    // results identical, the scan just decodes the whole split
+    val sargFilters = if (emitRowPos) Array.empty[Filter] else pushedFilters
 
     val filePath = new Path(p.filePath)
     // orc.metadata_size_hint: one ranged tail read of the hinted size
@@ -1452,7 +1524,7 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
         // decision the ORC reader makes internally when it skips stripes.
         // (The skipping itself is done by the reader via the SARG below;
         // this pass makes pruned/matched counts and rows visible.)
-        if (pushedFilters.nonEmpty) {
+        if (sargFilters.nonEmpty) {
           val t0 = System.nanoTime()
           ioRequests += 1 // stripe-statistics metadata read
           try {
@@ -1464,6 +1536,8 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
               }.toMap
             val stripeStats = orcReader.getStripeStatistics.asScala
             orcReader.getStripes.asScala.zipWithIndex.foreach {
+              case (s, _) if s.getOffset < p.start =>
+                splitStartRow += s.getNumberOfRows
               case (s, i) if s.getOffset >= p.start &&
                 s.getOffset < p.start + p.length =>
                 val mayMatch =
@@ -1472,7 +1546,7 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                     val lookup: String => Option[OrcStatsEval.StatRange] =
                       name => fieldIds.get(name.toLowerCase)
                         .flatMap(id => OrcStatsEval.fromOrcStats(colStats(id)))
-                    pushedFilters.forall(f => OrcStatsEval.mayMatch(f, lookup))
+                    sargFilters.forall(f => OrcStatsEval.mayMatch(f, lookup))
                   } catch {
                     case _: RuntimeException =>
                       predicateErrors += 1
@@ -1493,8 +1567,8 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
         } else {
           // no filters: every overlapping stripe will be read
           orcReader.getStripes.asScala.foreach { s =>
-            if (s.getOffset >= p.start && s.getOffset < p.start + p.length)
-              stripesMatched += 1
+            if (s.getOffset < p.start) splitStartRow += s.getNumberOfRows
+            else if (s.getOffset < p.start + p.length) stripesMatched += 1
           }
         }
         (ids, cp)
@@ -1509,13 +1583,21 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       }
     }
 
+    // _file rides the constant-vector machinery exactly like a partition
+    // column: one more synthetic field bound to this file's path
+    val constSchema =
+      if (emitFilePath)
+        StructType(readPartitionSchema.fields :+
+          org.apache.spark.sql.types.StructField(
+            GraftOrcDataSource.FileMetaCol, StringType, nullable = false))
+      else readPartitionSchema
     val resultSchema =
-      StructType(readDataSchema.fields ++ readPartitionSchema.fields)
+      StructType(readDataSchema.fields ++ constSchema.fields)
     val resultSchemaString = GraftOrcShims.orcResultSchemaString(
-      canPrune, dataFileSchema, resultSchema, readPartitionSchema, conf)
+      canPrune, dataFileSchema, resultSchema, constSchema, conf)
 
-    if (pushedFilters.nonEmpty) {
-      GraftOrcShims.createFilter(dataFileSchema, pushedFilters).foreach { sarg =>
+    if (sargFilters.nonEmpty) {
+      GraftOrcShims.createFilter(dataFileSchema, sargFilters).foreach { sarg =>
         OrcInputFormat.setSearchArgument(conf, sarg, dataFileSchema.fieldNames)
       }
     }
@@ -1523,11 +1605,14 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     // constant partition vectors: cast the raw path values to the
     // partition column types (hive `__HIVE_DEFAULT_PARTITION__` -> null)
     val partitionValuesRow = {
-      val row = new GenericInternalRow(readPartitionSchema.length)
+      val row = new GenericInternalRow(constSchema.length)
       readPartitionSchema.fields.zipWithIndex.foreach { case (f, i) =>
         row.update(i, GraftOrcDataSource.internalPartitionValue(
           p.partitionValues(i), f.dataType))
       }
+      if (emitFilePath)
+        row.update(readPartitionSchema.length,
+          UTF8String.fromString(p.filePath))
       row
     }
 
@@ -1539,9 +1624,9 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     reader.initBatch(
       TypeDescription.fromString(resultSchemaString),
       resultSchema.fields,
-      colIds ++ Array.fill(readPartitionSchema.length)(-1),
+      colIds ++ Array.fill(constSchema.length)(-1),
       Array.fill(readDataSchema.length)(-1) ++
-        readPartitionSchema.indices.toArray,
+        constSchema.indices.toArray,
       partitionValuesRow)
     val metadataNs = System.nanoTime() - metaT0
     // one ranged read per stripe actually decoded (post-prune)
@@ -1554,6 +1639,15 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       private var decodeNs = 0L
       private var done = false
       private var current: ColumnarBatch = _
+      // _pos metadata column: one reused long vector, refilled per batch
+      // with the file-ordinal range [posCursor, posCursor + numRows)
+      private var posCursor = splitStartRow
+      private val posVec: org.apache.spark.sql.execution.vectorized
+          .OnHeapColumnVector =
+        if (emitRowPos)
+          new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+            batchSize, org.apache.spark.sql.types.LongType)
+        else null
 
       override def next(): Boolean = {
         if (done) return false
@@ -1568,13 +1662,26 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
           val remaining = l - rowsOut
           if (current.numRows() > remaining) current.setNumRows(remaining.toInt)
         }
+        if (emitRowPos) {
+          val n = current.numRows()
+          var i = 0
+          while (i < n) { posVec.putLong(i, posCursor + i); i += 1 }
+          posCursor += n
+          val cols = Array.tabulate[org.apache.spark.sql.vectorized
+            .ColumnVector](current.numCols())(current.column) :+
+            (posVec: org.apache.spark.sql.vectorized.ColumnVector)
+          current = new ColumnarBatch(cols, n)
+        }
         rowsOut += current.numRows()
         batches += 1
         true
       }
 
       override def get(): ColumnarBatch = current
-      override def close(): Unit = reader.close()
+      override def close(): Unit = {
+        if (posVec != null) posVec.close()
+        reader.close()
+      }
 
       override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
         GraftTaskMetric("graftBytesScanned", p.length - prunedBytes),
