@@ -77,7 +77,8 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
     val index = new GraftOrcFileIndex(
       spark.sparkContext.hadoopConfiguration, ps, 32,
       GraftOrcDataSource.snapshotSelector(options),
-      GraftOrcDataSource.startSnapshotId(options))
+      GraftOrcDataSource.startSnapshotId(options),
+      onRewrite = GraftOrcDataSource.onRewritePolicy(options))
     if (index.entries.isEmpty) return new StructType()
     // A2: merge schemas across ALL paths/files (conflict => AnalysisException).
     // Hive layouts infer through the ROOT paths so Spark's partition-type
@@ -215,6 +216,12 @@ object GraftOrcDataSource {
       : Option[Long] =
     Option(options.get("graft.start_snapshot_id"))
       .map(parseLongOption("graft.start_snapshot_id", _))
+
+  /** Policy when an incremental read's snapshot walk meets a
+    * copy-on-write rewrite — see [[GraftOrcFileIndex]]. */
+  private[v2] def onRewritePolicy(options: CaseInsensitiveStringMap): String =
+    Option(options.get("graft.on_rewrite"))
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).getOrElse("replay")
 
   private def parseTimestampMillis(v0: String): Long = {
     val v = v0.trim
@@ -495,7 +502,8 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     SparkSession.active.sparkContext.hadoopConfiguration,
     GraftOrcDataSource.paths(options), metaParallelism,
     GraftOrcDataSource.snapshotSelector(options),
-    GraftOrcDataSource.startSnapshotId(options))
+    GraftOrcDataSource.startSnapshotId(options),
+    onRewrite = GraftOrcDataSource.onRewritePolicy(options))
 
   // partition columns = discovered k=v keys that exist in the table schema
   private lazy val partitionSchema: StructType = {

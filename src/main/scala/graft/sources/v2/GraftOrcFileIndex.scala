@@ -41,7 +41,12 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
                         parallelism: Int,
                         snapshot: Option[GraftOrcManifest.Selector] = None,
                         changesFromSnapshot: Option[Long] = None,
-                        ignoreManifest: Boolean = false) {
+                        ignoreManifest: Boolean = false,
+                        onRewrite: String = "replay") {
+
+  require(Set("replay", "fail", "skip")(onRewrite),
+    "graft-orc: invalid value '" + onRewrite + "' for option " +
+      "'graft.on_rewrite', must be one of replay, fail, skip")
 
   lazy val entries: Seq[OrcFileEntry] = {
     // BFS frontier of (directory, partition values accumulated on its
@@ -75,14 +80,54 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
                   s"graft-orc: graft.start_snapshot_id $startSeq is newer " +
                     s"than the read snapshot ${end.seq} of $p")
                 // appended = in the end snapshot but not the start one;
-                // a file compaction rewrote appears as its merged output.
                 // start 0 = "before the first snapshot" (first consumption
-                // of an incremental feed): everything is new
+                // of an incremental feed): everything is new. A snapshot
+                // that REMOVES parent paths is a copy-on-write rewrite
+                // (compaction, DELETE, UPDATE, MERGE); `graft.on_rewrite`
+                // picks the policy — replay (default): rewritten files'
+                // surviving rows reappear as appends; fail: typed error;
+                // skip: the rewrite's files drop from the feed (their
+                // paths still count as consumed).
                 val startPaths = if (startSeq == 0L) Set.empty[String]
                   else GraftOrcManifest.resolveSnapshot(fs, p,
                     GraftOrcManifest.Selector.ById(startSeq))
                     .entries.map(_.path).toSet
-                end.entries.filterNot(e => startPaths(e.path))
+                if (onRewrite == "replay")
+                  end.entries.filterNot(e => startPaths(e.path))
+                else {
+                  // per-snapshot walk, same classification as the
+                  // snapshot-offset stream's diff walk
+                  val refs = GraftOrcManifest.listSnapshots(fs, p)
+                    .getOrElse(Nil)
+                    .filter(rf => rf.seq > startSeq && rf.seq <= end.seq)
+                  var prevPaths = startPaths
+                  var consumed = startPaths
+                  val admitted = Seq.newBuilder[OrcFileEntry]
+                  refs.foreach { ref =>
+                    val cur = GraftOrcManifest.resolveSnapshot(fs, p,
+                      GraftOrcManifest.Selector.ById(ref.seq)).entries
+                    val curPaths = cur.map(_.path).toSet
+                    val fresh = cur.filterNot(e => consumed(e.path))
+                    val isAppend = prevPaths.subsetOf(curPaths)
+                    if (isAppend) admitted ++= fresh
+                    else if (onRewrite == "fail")
+                      throw new IllegalStateException(
+                        s"graft-orc: manifest snapshot ${ref.seq} of $p " +
+                          "is not append-only (a compaction or " +
+                          "copy-on-write DELETE/UPDATE/MERGE removed " +
+                          "files); graft.on_rewrite=fail stops the " +
+                          "incremental read here. Use 'replay' to " +
+                          "re-emit surviving rows or 'skip' to drop " +
+                          "this snapshot's files.")
+                    // skip: fresh files dropped, but marked consumed
+                    consumed ++= fresh.map(_.path)
+                    prevPaths = curPaths
+                  }
+                  // only files still present at the END snapshot are
+                  // readable (intermediate files may be vacuumed)
+                  val endPaths = end.entries.map(_.path).toSet
+                  admitted.result().filter(e => endPaths(e.path))
+                }
             })
           case None =>
             require(ignoreManifest ||

@@ -71,6 +71,35 @@ class GraftOrcSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched partition sets: a side missing partitions still " +
+    "joins shuffle-free (pushed partition values) and exactly") {
+    withSpjConf {
+      val (cust, _) = dirs
+      // supplier subset: only 10 of the 25 nations exist on this side
+      val supp10 = Files.createTempDirectory("graft-spj-supp10").toString
+      Tables.supplier(spark, TestSpark.sf0001)
+        .filter($"s_nationkey" < 10)
+        .write.format("graft-orc").partitionBy("s_nationkey")
+        .mode("append").save(supp10)
+      val c = spark.read.format("graft-orc").load(cust)
+      val s = spark.read.format("graft-orc").load(supp10)
+      val joined = c.join(s, $"c_nationkey" === $"s_nationkey")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("pairs"))
+        .orderBy($"c_nationkey")
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"partition-value pushdown must keep the join shuffle-free:\n$plan")
+      val expect = Tables.customer(spark, TestSpark.sf0001)
+        .join(Tables.supplier(spark, TestSpark.sf0001)
+            .filter($"s_nationkey" < 10),
+          $"c_nationkey" === $"s_nationkey")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("pairs"))
+        .orderBy($"c_nationkey").collect()
+      assert(rows.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+    }
+  }
+
   test("without v2 bucketing the same join still answers correctly " +
     "(shuffled), so SPJ is purely an optimization") {
     val (cust, supp) = dirs

@@ -48,6 +48,44 @@ class GraftOrcTimeTravelSpec extends AnyFunSuite {
     dir
   }
 
+  test("graft.on_rewrite governs the batch incremental read at a " +
+    "copy-on-write snapshot: replay re-emits survivors, fail stops, " +
+    "skip drops the rewrite's files") {
+    val dir = freshDir("graft-timetravel-onrw")
+    nation.filter($"n_nationkey" < 10).coalesce(1)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(dir)                              // snap 1
+    // snap 2: CoW DELETE rewrites the single file (key 3 removed)
+    spark.sql(s"CREATE TABLE g_ttonrw USING `graft-orc` LOCATION '$dir'")
+    try spark.sql("DELETE FROM g_ttonrw WHERE n_nationkey = 3")
+    finally spark.sql("DROP TABLE IF EXISTS g_ttonrw")
+    // snap 3: pure append
+    nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 15).coalesce(1)
+      .write.format("graft-orc").mode("append").save(dir)
+    // default (replay): endpoint diff — the rewrite's survivors reappear
+    assert(keysAt(dir, "graft.start_snapshot_id" -> "1") ===
+      ((0 until 10).filterNot(_ == 3) ++ (10 until 15)))
+    // skip: only the append flows
+    assert(keysAt(dir, "graft.start_snapshot_id" -> "1",
+      "graft.on_rewrite" -> "skip") === (10 until 15))
+    // fail: typed error naming the snapshot and the option
+    val e = intercept[Exception] {
+      keysAt(dir, "graft.start_snapshot_id" -> "1",
+        "graft.on_rewrite" -> "fail")
+    }
+    assert(e.getMessage.contains("graft.on_rewrite") &&
+      e.getMessage.contains("append-only"), e.getMessage)
+    // an invalid policy value is refused up front
+    val e2 = intercept[Exception] {
+      keysAt(dir, "graft.start_snapshot_id" -> "1",
+        "graft.on_rewrite" -> "bogus")
+    }
+    assert(e2.getMessage.contains("graft.on_rewrite"), e2.getMessage)
+    // full reads ignore the policy (it scopes to incremental diffs)
+    assert(keysAt(dir, "graft.on_rewrite" -> "fail") ===
+      ((0 until 10).filterNot(_ == 3) ++ (10 until 15)))
+  }
+
   test("graft.snapshot_id reads a retained snapshot; default reads the " +
     "newest") {
     val dir = threeCommits()
