@@ -840,8 +840,10 @@ object Relational {
       (s, d) => {
         val cp = OrcData.partitionedOrcPath(s, d, "customer", "c_nationkey")
         val sp = OrcData.partitionedOrcPath(s, d, "supplier", "s_nationkey")
-        s.read.format("graft-orc").load(cp)
-          .join(s.read.format("graft-orc").load(sp),
+        s.read.format("graft-orc")
+          .option("graft.preserve_partitioning", "true").load(cp)
+          .join(s.read.format("graft-orc")
+              .option("graft.preserve_partitioning", "true").load(sp),
             col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).as("pairs"),

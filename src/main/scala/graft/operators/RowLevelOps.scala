@@ -44,6 +44,21 @@ object RowLevelOps {
       |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
       |FROM customer""".stripMargin
 
+  /** Single-use table dirs, swept at JVM exit — repeated bench/verify
+    * iterations must not accumulate table copies under tmpdir.
+    */
+  private val tempDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.io.File]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => p.toFile.delete())
+      } catch { case _: Throwable => () }
+    }))
+
   /** Write `src` as a fresh manifest table and register it under a
     * run-unique catalog name; returns (dir, tableName).
     */
@@ -51,6 +66,7 @@ object RowLevelOps {
                          tag: String): (String, String) = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft-rl-$tag").toString
+    tempDirs.add(new java.io.File(dir))
     src.repartition(4).write.format("graft-orc")
       .option("graft.manifest", "true").mode("append").save(dir)
     val name = s"g_rl_${tag}_" +

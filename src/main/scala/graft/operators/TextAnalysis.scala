@@ -42,18 +42,17 @@ object TextAnalysis {
     * the underlying files are not observed until the slot rotates.
     */
   private final class ModelSlot {
-    private val ref = new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.sql.DataFrame](null)
+    // all access under the monitor — the sameResult check and the
+    // rotation must be one atomic step
+    private var cached: org.apache.spark.sql.DataFrame = null
     def persistRotating(df: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = synchronized {
-      val prev = ref.get()
-      if (prev != null &&
-          prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
-        return prev
-      val out = df.persist()
-      val old = ref.getAndSet(out)
-      if (old != null) old.unpersist(blocking = false)
-      out
+      if (cached != null &&
+          cached.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        return cached
+      if (cached != null) cached.unpersist(blocking = false)
+      cached = df.persist()
+      cached
     }
   }
   private val bigramModelSlot = new ModelSlot

@@ -951,31 +951,43 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
 
   override def toBatch: Batch = this
 
-  /** Storage-partitioned joins (SPJ): a hive-partitioned table whose
-    * partition columns are all in the output reports
-    * `KeyGroupedPartitioning(identity(partCols))`. With
-    * `spark.sql.sources.v2.bucketing.enabled`, Spark groups this scan's
+  /** Storage-partitioned joins (SPJ): with
+    * `.option("graft.preserve_partitioning", true)`, a hive-partitioned
+    * table whose partition columns are all in the output reports
+    * `KeyGroupedPartitioning(identity(partCols))`; Spark (under
+    * `spark.sql.sources.v2.bucketing.enabled`) then groups this scan's
     * splits by [[GraftOrcInputPartition.partitionKey]] and a join of two
     * graft-orc tables co-partitioned on the join keys plans with NO
     * Exchange on either side — at 100 TB that deletes the single
     * largest cost of a fact-to-fact join (the reference's directory
     * tables have no analogue; this is Iceberg's SPJ shape on the same
-    * layout). Tables without partition columns in the projection report
-    * unknown partitioning and plan exactly as before.
+    * layout, behind the same explicit opt-in Iceberg uses —
+    * `preserve-data-grouping`). The opt-in matters because grouping is
+    * unconditional once reported: EVERY query projecting the partition
+    * columns would collapse to one task per partition value, which is
+    * right for a co-partitioned join and wrong for a plain scan of a
+    * 365-partition table on a 1000-executor cluster. Default off ⇒
+    * plans exactly as before.
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    if (readPartitionSchema.fields.isEmpty)
+    val optIn = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.preserve_partitioning") =>
+        GraftOrcDataSource.parseBooleanOption(
+          "graft.preserve_partitioning", v)
+    }.getOrElse(false)
+    if (!optIn || readPartitionSchema.fields.isEmpty)
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
     else {
       val keys = readPartitionSchema.fields
         .map(f => Expressions.identity(f.name)
           : org.apache.spark.sql.connector.expressions.Expression)
-      // advisory: the planner regroups actual splits by key and uses
-      // that count; selectedFiles here reflects static pruning only
-      val n = selectedFiles.map(e => partValuesFor(e).toSeq).distinct.size
+      // advisory count from the raw listing (the exec regroups the
+      // actual post-pruning splits and uses ITS count): no sidecar
+      // decode, no second pruning pass at plan time
+      val n = index.entries.map(e => partValuesFor(e).toSeq).distinct.size
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(keys, math.max(n, 1))
     }

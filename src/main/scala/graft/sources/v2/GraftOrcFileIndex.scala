@@ -123,10 +123,16 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
                     consumed ++= fresh.map(_.path)
                     prevPaths = curPaths
                   }
-                  // only files still present at the END snapshot are
-                  // readable (intermediate files may be vacuumed)
-                  val endPaths = end.entries.map(_.path).toSet
-                  admitted.result().filter(e => endPaths(e.path))
+                  // every admitted file is referenced by a RETAINED
+                  // snapshot in the walked range, so it is still on disk
+                  // (vacuum only removes files no retained snapshot
+                  // references) — appends later compacted inside the
+                  // range are delivered from their ORIGINAL files, the
+                  // same rows the stream's skip policy delivered before
+                  // the rewrite existed. Skip therefore shows PRE-rewrite
+                  // content for rows a later rewrite changed; that is the
+                  // documented nature of skip.
+                  admitted.result()
                 }
             })
           case None =>

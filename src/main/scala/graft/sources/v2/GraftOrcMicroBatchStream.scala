@@ -175,21 +175,29 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
         GraftOrcManifest.Selector.ById(ref.seq)).entries
       val curPaths = cur.map(_.path).toSet
       val fresh0 = cur.filterNot(e => consumed(e.path))
-      val fresh = policyFiles(ref.seq, prevPaths, curPaths, fresh0)
-      val over = endSeq != s &&
-        (maxFiles.exists(cap => admitted.size + fresh.size > cap) ||
-          maxBytesPerTrigger.exists(cap =>
-            bytes + fresh.map(_.length).sum > cap))
-      if (!over) {
-        admitted ++= fresh
-        // skipped files still advance the consumed watermark, so a later
-        // append cannot resurrect them
-        consumed ++= fresh0.map(_.path)
-        bytes += fresh.map(_.length).sum
-        prevPaths = curPaths
-        endSeq = ref.seq
+      // fail policy: a rewrite snapshot first ENDS the in-flight batch so
+      // appends committed before it are still delivered; only when it
+      // heads the batch (nothing admitted yet) does the stream stop with
+      // the typed error — the Iceberg posture
+      val isRewrite = !prevPaths.subsetOf(curPaths)
+      if (isRewrite && onRewrite == "fail" && endSeq != s) false
+      else {
+        val fresh = policyFiles(ref.seq, prevPaths, curPaths, fresh0)
+        val over = endSeq != s &&
+          (maxFiles.exists(cap => admitted.size + fresh.size > cap) ||
+            maxBytesPerTrigger.exists(cap =>
+              bytes + fresh.map(_.length).sum > cap))
+        if (!over) {
+          admitted ++= fresh
+          // skipped files still advance the consumed watermark, so a later
+          // append cannot resurrect them
+          consumed ++= fresh0.map(_.path)
+          bytes += fresh.map(_.length).sum
+          prevPaths = curPaths
+          endSeq = ref.seq
+        }
+        !over
       }
-      !over
     }.foreach(_ => ())
     val end = GraftOrcSnapshotOffset(endSeq)
     cachedSnap = (end,

@@ -51,8 +51,10 @@ class GraftOrcSpjSpec extends AnyFunSuite {
     "shuffle exchanges") {
     withSpjConf {
       val (cust, supp) = dirs
-      val c = spark.read.format("graft-orc").load(cust)
-      val s = spark.read.format("graft-orc").load(supp)
+      val c = spark.read.format("graft-orc")
+        .option("graft.preserve_partitioning", "true").load(cust)
+      val s = spark.read.format("graft-orc")
+        .option("graft.preserve_partitioning", "true").load(supp)
       val joined = c.join(s, $"c_nationkey" === $"s_nationkey")
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("pairs"))
@@ -81,8 +83,10 @@ class GraftOrcSpjSpec extends AnyFunSuite {
         .filter($"s_nationkey" < 10)
         .write.format("graft-orc").partitionBy("s_nationkey")
         .mode("append").save(supp10)
-      val c = spark.read.format("graft-orc").load(cust)
-      val s = spark.read.format("graft-orc").load(supp10)
+      val c = spark.read.format("graft-orc")
+        .option("graft.preserve_partitioning", "true").load(cust)
+      val s = spark.read.format("graft-orc")
+        .option("graft.preserve_partitioning", "true").load(supp10)
       val joined = c.join(s, $"c_nationkey" === $"s_nationkey")
         .groupBy($"c_nationkey").agg(count(lit(1)).as("pairs"))
         .orderBy($"c_nationkey")

@@ -423,6 +423,44 @@ class GraftOrcStreamReadSpec extends AnyFunSuite {
     assert(replayCount === 10 + 9 + 5, s"replay policy: got $replayCount")
   }
 
+  test("on_rewrite=fail delivers appends committed BEFORE the rewrite, " +
+    "then stops with the rewrite heading the next batch") {
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    val dir = Files.createTempDirectory("graft-orc-onrw-order").toString
+    val ckpt = Files.createTempDirectory("graft-orc-onrw-order-ck").toString
+    val out = Files.createTempDirectory("graft-orc-onrw-order-out").toString
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    nation.filter($"n_nationkey" < 10).coalesce(1)
+      .write.format("graft-orc").mode("append")
+      .option("graft.manifest", "true").save(dir)                 // snap 1
+    def run() = spark.readStream.format("graft-orc")
+      .option("graft.snapshot_offsets", "true")
+      .option("graft.stream.on_rewrite", "fail").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    // while down: snap 2 APPEND, snap 3 copy-on-write DELETE
+    nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 15).coalesce(1)
+      .write.format("graft-orc").mode("append").save(dir)         // snap 2
+    spark.sql(s"CREATE TABLE g_onrw_order USING `graft-orc` LOCATION '$dir'")
+    try spark.sql("DELETE FROM g_onrw_order WHERE n_nationkey = 3") // snap 3
+    finally spark.sql("DROP TABLE IF EXISTS g_onrw_order")
+    val e = intercept[Throwable] {
+      val q = run()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(chain(e).exists(c => Option(c.getMessage).exists(
+      _.contains("graft.stream.on_rewrite"))), s"got: $e")
+    // the snap-2 append must have been delivered before the stop — the
+    // rewrite ends the in-flight batch instead of starving it
+    val got = spark.read.parquet(out)
+      .select($"n_nationkey").as[Int].collect().sorted.toSeq
+    assert(got === (0 until 15).toSeq,
+      s"appends before the rewrite must not be starved: $got")
+  }
+
   test("snapshot offsets require a manifest table (typed error)") {
     val dir = Files.createTempDirectory("graft-orc-snapoff-nomani").toString
     graft.sources.OrcTables.write(
