@@ -28,8 +28,10 @@ object ScaleStress {
     val manifestMode = args.lift(1).contains("manifest")
     val semdedupMode = args.lift(1).contains("semdedup")
     val perplexityMode = args.lift(1).contains("perplexity")
+    val spjMode = args.lift(1).contains("spj")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
-      compactMode || semdedupMode || perplexityMode || manifestMode
+      compactMode || semdedupMode || perplexityMode || manifestMode ||
+      spjMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -84,6 +86,81 @@ object ScaleStress {
         }
         time(s"embed_lsh(n=$n,planes=$planes)", k) {
           Dedup.embedLshNearDups(e, 0.8, tables = 8, planesPerTable = planes)
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // Storage-partitioned-join receipt: the SAME co-partitioned
+    // fact-to-fact join (two k-scaled lineitem derivatives, hive-
+    // partitioned on an order bucket, joined on (bucket, orderkey))
+    // measured with SPJ reporting ON vs OFF, recording wall time AND the
+    // total shuffle bytes the job wrote. The claim under test is not
+    // "faster at sf0.1" (local disk shuffles are cheap) but "the join
+    // sides move ZERO bytes" — the quantity that dominates at 100 TB.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 spj 1 4
+    if (spjMode) {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit =
+            shuffleBytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // join keys (ob, l_orderkey) are a SUPERSET of the partition keys
+      // (ob) — the standard lake shape (partition by day, join on
+      // (day, id)); the strict default refuses co-partitioning unless
+      // every join key is a partition key, so relax it for this shape
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      factors.foreach { k =>
+        val li0 = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        val li = (0 until k).map { i =>
+          li0.select(
+            (col("l_orderkey") + lit(i.toLong * 1000000000L))
+              .as("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"))
+        }.reduce(_ union _)
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft-spj-stress-$k").toString
+        val a = s"$base/a"; val b = s"$base/b"
+        li.withColumn("ob", pmod(col("l_orderkey"), lit(64)))
+          .write.format("graft-orc").partitionBy("ob")
+          .mode("append").save(a)
+        li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+          .withColumn("ob", pmod(col("l_orderkey"), lit(64)))
+          .write.format("graft-orc").partitionBy("ob")
+          .mode("append").save(b)
+        def read(p: String, spj: Boolean) = {
+          val r = spark.read.format("graft-orc")
+          (if (spj) r.option("graft.preserve_partitioning", "true") else r)
+            .load(p)
+        }
+        def joined(spj: Boolean) =
+          read(a, spj).join(read(b, spj).withColumnRenamed("ob", "ob2")
+              .withColumnRenamed("l_orderkey", "ok2"),
+            col("ob") === col("ob2") && col("l_orderkey") === col("ok2"))
+            .groupBy(col("ob"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_extendedprice") * col("qty")).as("v"))
+        Seq(true, false).foreach { spj =>
+          // settle the listener, then isolate this run's shuffle bytes
+          Thread.sleep(1500)
+          val before = shuffleBytes.get()
+          val t0 = System.nanoTime()
+          val rows = joined(spj).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1500) // stageCompleted events drain async
+          val bytes = shuffleBytes.get() - before
+          println(s"""{"op":"spj_join","spj":$spj,"factor":$k,""" +
+            s""""rows":$rows,"sec":${num(sec)},"shuffle_bytes":$bytes}""")
         }
       }
       spark.stop()
