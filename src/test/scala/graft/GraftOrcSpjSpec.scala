@@ -104,6 +104,55 @@ class GraftOrcSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("join keys a SUPERSET of the partition keys (partition by " +
+    "bucket, join on (bucket, key)) stay shuffle-free with " +
+    "requireAllClusterKeysForCoPartition=false") {
+    withSpjConf {
+      val prev = spark.conf
+        .getOption("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.set(
+        "spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val d = Files.createTempDirectory("graft-spj-superset").toString
+        val li = Tables.lineitem(spark, TestSpark.sf0001)
+          .select($"l_orderkey", $"l_quantity")
+        li.withColumn("ob", pmod($"l_orderkey", lit(8)))
+          .write.format("graft-orc").partitionBy("ob")
+          .mode("append").save(s"$d/a")
+        li.groupBy($"l_orderkey").agg(sum($"l_quantity").as("qty"))
+          .withColumn("ob", pmod($"l_orderkey", lit(8)))
+          .write.format("graft-orc").partitionBy("ob")
+          .mode("append").save(s"$d/b")
+        def rd(p: String) = spark.read.format("graft-orc")
+          .option("graft.preserve_partitioning", "true").load(p)
+        val joined = rd(s"$d/a")
+          .join(rd(s"$d/b").withColumnRenamed("ob", "ob2")
+              .withColumnRenamed("l_orderkey", "ok2"),
+            $"ob" === $"ob2" && $"l_orderkey" === $"ok2")
+          .groupBy($"ob").agg(count(lit(1)).as("n"))
+          .orderBy($"ob")
+        val rows = joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        // join sides AND the per-bucket aggregate ride the key-grouped
+        // clustering: no exchange anywhere
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"superset-key SPJ must be exchange-free:\n$plan")
+        val expect = li
+          .join(li.groupBy($"l_orderkey").agg(sum($"l_quantity").as("qty"))
+              .withColumnRenamed("l_orderkey", "ok2"),
+            $"l_orderkey" === $"ok2")
+          .groupBy(pmod($"l_orderkey", lit(8)).as("ob"))
+          .agg(count(lit(1)).as("n")).orderBy($"ob").collect()
+        assert(rows.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+      } finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None => spark.conf.unset(
+          "spark.sql.requireAllClusterKeysForCoPartition")
+      }
+    }
+  }
+
   test("without v2 bucketing the same join still answers correctly " +
     "(shuffled), so SPJ is purely an optimization") {
     val (cust, supp) = dirs
