@@ -62,8 +62,8 @@ object RowLevelOps {
   /** Write `src` as a fresh manifest table and register it under a
     * run-unique catalog name; returns (dir, tableName).
     */
-  private def freshTable(s: SparkSession, src: DataFrame,
-                         tag: String): (String, String) = {
+  private def freshTable(s: SparkSession, src: DataFrame, tag: String,
+                         tblProps: String = ""): (String, String) = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft-rl-$tag").toString
     tempDirs.add(new java.io.File(dir))
@@ -71,7 +71,8 @@ object RowLevelOps {
       .option("graft.manifest", "true").mode("append").save(dir)
     val name = s"g_rl_${tag}_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    s.sql(s"CREATE TABLE $name USING `graft-orc` LOCATION '$dir'")
+    s.sql(s"CREATE TABLE $name USING `graft-orc` LOCATION '$dir'" +
+      (if (tblProps.isEmpty) "" else s" TBLPROPERTIES($tblProps)"))
     (dir, name)
   }
 
@@ -96,6 +97,45 @@ object RowLevelOps {
         val (dir, t) = freshTable(s, seeded(s, d), "del")
         try s.sql(s"DELETE FROM $t WHERE seg <> 'BUILDING' AND bal < 5000")
         finally s.sql(s"DROP TABLE IF EXISTS $t")
+        finalState(s, dir)
+      },
+      Some(s"""SELECT c_custkey, seg, bal FROM ($seededSql)
+              |WHERE seg = 'BUILDING' OR bal >= 5000 OR bal IS NULL
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------ DELETE (MoR)
+    // The SAME tri-state DELETE under graft.delete_mode=mor: nothing is
+    // rewritten — the commit adds position-delete sidecars and the READ
+    // path subtracts them (row-wise scan, per-file sorted position sets).
+    // Hash-identical final state to the CoW form is exactly the
+    // merge-on-read contract. Scale shape: DELETE cost ∝ rows deleted
+    // (sidecar bytes), not bytes rewritten — the right trade for sparse
+    // deletes across a 100 TB table; a purge compaction later restores
+    // the vectorized path.
+    QueryDef("rl_delete_mor",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "mord",
+          "'graft.delete_mode'='mor'")
+        try s.sql(s"DELETE FROM $t WHERE seg <> 'BUILDING' AND bal < 5000")
+        finally s.sql(s"DROP TABLE IF EXISTS $t")
+        finalState(s, dir)
+      },
+      Some(s"""SELECT c_custkey, seg, bal FROM ($seededSql)
+              |WHERE seg = 'BUILDING' OR bal >= 5000 OR bal IS NULL
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------- DELETE (MoR) + purge
+    // The maintenance half of the contract: purge rewrites exactly the
+    // sidecar-affected files without their deleted rows, retires every
+    // sidecar in one snapshot, and the table reads vectorized again —
+    // with the same hash as the un-purged MoR read.
+    QueryDef("rl_delete_mor_purge",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "morp",
+          "'graft.delete_mode'='mor'")
+        try s.sql(s"DELETE FROM $t WHERE seg <> 'BUILDING' AND bal < 5000")
+        finally s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sources.v2.GraftOrcMor.purge(s, dir)
         finalState(s, dir)
       },
       Some(s"""SELECT c_custkey, seg, bal FROM ($seededSql)

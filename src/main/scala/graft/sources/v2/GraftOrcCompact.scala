@@ -147,6 +147,18 @@ object GraftOrcCompact {
     // heal any interrupted predecessor FIRST: a crashed bin's stranded
     // duplicates must be deleted, not merged into the table as real rows
     repair(spark, table)
+    // apply any live merge-on-read delete sidecars BEFORE binning: the
+    // stripe-copy merge is a byte copy — it would resurrect deleted rows
+    // (merged outputs have new paths the position sidecars don't
+    // reference). The purge rewrites affected files without their
+    // deleted rows and retires every sidecar in one snapshot; it is also
+    // what restores the vectorized read path after MoR deletes.
+    locally {
+      val tp = new Path(table)
+      val tfs = tp.getFileSystem(conf)
+      if (GraftOrcManifest.exists(tfs, tfs.makeQualified(tp)))
+        GraftOrcMor.purge(spark, table)
+    }
     val entries = new GraftOrcFileIndex(conf, Seq(table), 32).entries
     // group by PARTITION directory: a `w-<commitId>` wave directory is a
     // publish artifact, not partition identity — files from different

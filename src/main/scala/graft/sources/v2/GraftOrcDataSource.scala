@@ -439,6 +439,26 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       filters.forall(f => GraftOrcDelete.toColumn(f).isDefined)
   }
 
+  /** DELETE strategy for partial files: `cow` (default) rewrites them
+    * without the matching rows; `mor` writes position-delete sidecars
+    * readers subtract at scan time ([[GraftOrcMor]] — rows-deleted cost
+    * instead of bytes-rewritten cost). Table property first (CREATE
+    * TABLE ... TBLPROPERTIES('graft.delete_mode'='mor')), session conf
+    * `spark.graft.delete_mode` as the default. Full-file drops are pure
+    * metadata either way.
+    */
+  private def deleteMode: String = {
+    val m = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.delete_mode") => v
+    }.getOrElse(
+      SparkSession.active.conf.get("spark.graft.delete_mode", "cow"))
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    require(m == "cow" || m == "mor",
+      s"graft-orc: invalid value '$m' for graft.delete_mode, must be " +
+        "cow or mor")
+    m
+  }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (fs, qt) = deleteTarget
     require(GraftOrcManifest.exists(fs, qt),
@@ -460,11 +480,23 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       .getOrElse(throw new IllegalStateException(
         "graft-orc: deleteWhere offered an untranslatable filter " +
           "canDeleteWhere should have refused"))
-    val rewritten = GraftOrcDelete.rewriteWithout(
-      SparkSession.active, fs, qt, partials, pred, tableSchema)
-    GraftOrcManifest.commitSwap(fs, qt,
-      remove = fullSet ++ partials.map(_.path), add = rewritten)
-    GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops ++ partials)
+    if (deleteMode == "mor") {
+      // merge-on-read: partial files gain position sidecars, nothing is
+      // rewritten; full drops stay metadata-only. Existing sidecars
+      // carry forward (a second MoR delete stacks).
+      val sidecars = GraftOrcMor.writeDeletes(
+        SparkSession.active, fs, qt, partials, pred, tableSchema)
+      GraftOrcManifest.commitSwap(fs, qt, remove = fullSet, add = Nil,
+        addDeletes = sidecars)
+      GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops)
+    } else {
+      val rewritten = GraftOrcDelete.rewriteWithout(
+        SparkSession.active, fs, qt, partials, pred, tableSchema,
+        liveDeletes = cur.deletes)
+      GraftOrcManifest.commitSwap(fs, qt,
+        remove = fullSet ++ partials.map(_.path), add = rewritten)
+      GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops ++ partials)
+    }
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -579,6 +611,10 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     }
     if (!enabled || limit.isDefined || partitionFilters.nonEmpty ||
         dataFilters.nonEmpty || minMaxOnFloatingPoint(agg)) return false
+    // live MoR delete sidecars: footer/sidecar totals include deleted
+    // rows, so a stats-answered aggregate would be WRONG — refuse until
+    // a purge retires them
+    if (fileIndex.deleteEntries.nonEmpty) return false
     val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
     GraftOrcShims.aggSchemaForPushdown(agg, dataSchema, partNames) match {
       case Some(schema) => pushedAgg = Some((agg, schema)); true
@@ -840,6 +876,15 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   private def spark = SparkSession.active
+
+  /** Live merge-on-read position-delete sidecars ([[GraftOrcMor]]) of
+    * the resolved snapshot, as (sidecar path, table-root prefix) pairs.
+    * Non-empty flips the scan to row-wise reads that subtract the
+    * deleted positions per file; empty (the overwhelmingly common case)
+    * leaves the vectorized path untouched.
+    */
+  private[v2] lazy val liveDeleteSidecars: Seq[(String, String)] =
+    index.deleteEntries.map { case (e, root) => (e.path, root) }
 
   // Runtime (dynamic partition) filtering: Catalyst offers filters on the
   // declared partition attributes once a join's build side has executed —
@@ -1138,7 +1183,9 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
 
   override def estimateStatistics(): Statistics = {
     val bytes = selectedFiles.map(_.length).sum
-    val exactRows = dataFilters.isEmpty
+    // live MoR delete sidecars make footer row counts upper bounds, so
+    // they degrade exactly like a pushed data filter (and purge restores)
+    val exactRows = dataFilters.isEmpty && liveDeleteSidecars.isEmpty
     val rows = if (exactRows) OptionalLong.of(footerRows) else OptionalLong.empty()
     // column stats share the degrade gate: under a pushed data filter the
     // scan's OUTPUT rows are unknown, so per-column null counts would lie;
@@ -1297,7 +1344,20 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     (smallParts ++ bigParts).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory(applyDeletes = true)
+
+  /** The STREAMING factory never applies MoR position sidecars: a
+    * streamed row is the admitted file's content at admission time, and
+    * a later sidecar is a policy event ([[GraftOrcMicroBatchStream]]
+    * `graft.stream.on_rewrite`), not a retraction — applying the
+    * CURRENT sidecar set to old batches would make replays
+    * non-deterministic.
+    */
+  private[v2] def streamReaderFactory(): PartitionReaderFactory =
+    readerFactory(applyDeletes = false)
+
+  private def readerFactory(applyDeletes: Boolean): PartitionReaderFactory = {
     // same typed option semantics as the A13 contract (OrcTables)
     val parsed = graft.sources.OrcTables.parseOptions(options)
     val batchSize = parsed.batchSize.getOrElse(4096)
@@ -1331,7 +1391,9 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       emitFilePath = metadataFields.exists(
         _.name.equalsIgnoreCase(GraftOrcDataSource.FileMetaCol)),
       emitRowPos = metadataFields.exists(
-        _.name.equalsIgnoreCase(GraftOrcDataSource.PosMetaCol)))
+        _.name.equalsIgnoreCase(GraftOrcDataSource.PosMetaCol)),
+      deleteSidecars =
+        if (applyDeletes) liveDeleteSidecars.toArray else Array.empty)
   }
 
   // A12: custom scan metrics, full parity with the reference's 12
@@ -1422,6 +1484,16 @@ object GraftOrcLog {
 
 /** A10: per-file vectorized reader with metric instrumentation, constant
   * partition-column vectors, and exact limit truncation.
+  *
+  * `deleteSidecars` non-empty (live merge-on-read position deletes,
+  * [[GraftOrcMor]]) flips the WHOLE scan to row-wise reads — Spark's
+  * DSv2 exec requires partitions to agree on columnar-ness, and the
+  * Iceberg readers made the same trade before vectorized delete
+  * application. The row reader wraps the vectorized one (forcing the
+  * `_pos` machinery on so positions stay exact — which also disables
+  * SARG row-group skipping, like any `_pos` read) and subtracts each
+  * file's sorted position set with a single advancing pointer; a purge
+  * compaction retires the sidecars and restores pure-columnar scans.
   */
 class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                      readDataSchema: StructType,
@@ -1432,14 +1504,75 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                      metadataSizeHint: Option[Long] = None,
                                      ignoreCorruptFiles: Boolean = false,
                                      emitFilePath: Boolean = false,
-                                     emitRowPos: Boolean = false)
+                                     emitRowPos: Boolean = false,
+                                     deleteSidecars: Array[(String, String)] =
+                                       Array.empty)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  private def morMode: Boolean = deleteSidecars.nonEmpty
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    throw new UnsupportedOperationException(
-      "graft-orc is a columnar source; Spark should call createColumnarReader")
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !morMode
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    if (!morMode)
+      throw new UnsupportedOperationException(
+        "graft-orc is a columnar source; Spark should call createColumnarReader")
+    val p = partition.asInstanceOf[GraftOrcInputPartition]
+    val deleted = GraftOrcMor.positionsFor(serConf.value,
+      deleteSidecars.toSeq, p.filePath)
+    // batch layout in morMode: readData ++ readPart ++ (_file?) ++ pos
+    // (forced last); Spark's expected output drops the forced pos unless
+    // the query asked for _pos itself
+    val batchCols = readDataSchema.length + readPartitionSchema.length +
+      (if (emitFilePath) 1 else 0) + 1
+    val posIdx = batchCols - 1
+    val outSchema = StructType(
+      readDataSchema.fields ++ readPartitionSchema.fields ++
+        (if (emitFilePath) Array(org.apache.spark.sql.types.StructField(
+          GraftOrcDataSource.FileMetaCol, StringType, nullable = false))
+         else Array.empty[org.apache.spark.sql.types.StructField]) ++
+        (if (emitRowPos) Array(org.apache.spark.sql.types.StructField(
+          GraftOrcDataSource.PosMetaCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+         else Array.empty[org.apache.spark.sql.types.StructField]))
+    val inner = createColumnarReader(partition)
+    new PartitionReader[InternalRow] {
+      private val project =
+        if (emitRowPos) null // forced pos IS the requested _pos: identity
+        else org.apache.spark.sql.catalyst.ProjectingInternalRow(outSchema,
+          (0 until posIdx).toIndexedSeq)
+      private var rowIter: java.util.Iterator[InternalRow] =
+        java.util.Collections.emptyIterator()
+      private var cur: InternalRow = _
+      private var emitted = 0L
+      private var di = 0 // advancing pointer into the sorted position set
+
+      override def next(): Boolean = {
+        if (limit.exists(emitted >= _)) return false
+        while (true) {
+          while (rowIter.hasNext) {
+            val row = rowIter.next()
+            val pos = row.getLong(posIdx)
+            while (di < deleted.length && deleted(di) < pos) di += 1
+            if (di >= deleted.length || deleted(di) != pos) {
+              cur = if (project == null) row else { project.project(row); project }
+              emitted += 1
+              return true
+            }
+          }
+          if (!inner.next()) return false
+          rowIter = inner.get().rowIterator()
+        }
+        false // unreachable
+      }
+
+      override def get(): InternalRow = cur
+      override def close(): Unit = inner.close()
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        inner.currentMetricsValues()
+    }
+  }
 
   /** With `ignoreCorruptFiles` on, a file whose footer or stripes cannot
     * be read degrades to an empty/truncated read instead of failing the
@@ -1523,8 +1656,13 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     // _pos derives from a running count of decoded rows, so row groups
     // must not be skipped mid-split: SARG push (and its metrics mirror)
     // is disabled for this read — Catalyst's residual Filter keeps the
-    // results identical, the scan just decodes the whole split
-    val sargFilters = if (emitRowPos) Array.empty[Filter] else pushedFilters
+    // results identical, the scan just decodes the whole split. morMode
+    // forces the pos machinery on (the row wrapper consumes it) and
+    // moves the limit to the wrapper (a pre-subtraction truncation
+    // would under-produce surviving rows).
+    val emitRowPosEff = emitRowPos || morMode
+    val limitEff = if (morMode) None else limit
+    val sargFilters = if (emitRowPosEff) Array.empty[Filter] else pushedFilters
 
     val filePath = new Path(p.filePath)
     // orc.metadata_size_hint: one ranged tail read of the hinted size
@@ -1664,25 +1802,25 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       private var posCursor = splitStartRow
       private val posVec: org.apache.spark.sql.execution.vectorized
           .OnHeapColumnVector =
-        if (emitRowPos)
+        if (emitRowPosEff)
           new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
             batchSize, org.apache.spark.sql.types.LongType)
         else null
 
       override def next(): Boolean = {
         if (done) return false
-        if (limit.exists(rowsOut >= _)) { done = true; return false }
+        if (limitEff.exists(rowsOut >= _)) { done = true; return false }
         val t0 = System.nanoTime()
         val has = reader.nextKeyValue()
         decodeNs += System.nanoTime() - t0
         if (!has) { done = true; return false }
         current = reader.getCurrentValue
         // A7: slice the straddling batch to exactly `limit` rows
-        limit.foreach { l =>
+        limitEff.foreach { l =>
           val remaining = l - rowsOut
           if (current.numRows() > remaining) current.setNumRows(remaining.toInt)
         }
-        if (emitRowPos) {
+        if (emitRowPosEff) {
           val n = current.numRows()
           var i = 0
           while (i < n) { posVec.putLong(i, posCursor + i); i += 1 }

@@ -52,20 +52,25 @@ private[v2] object GraftOrcDelete {
     * deleted when the predicate is TRUE; NULL keeps the row. `schema` is
     * the table schema — partition columns (absent from the bare data
     * files) bind as per-group literals so mixed predicates resolve.
+    * `liveDeletes` are the table's merge-on-read position sidecars
+    * ([[GraftOrcMor]]): their rows are subtracted BEFORE the predicate
+    * runs, so a copy-on-write rewrite of a file with live sidecars never
+    * resurrects previously-deleted rows.
     */
   def rewriteWithout(spark: SparkSession, fs: FileSystem, table: Path,
                      partials: Seq[OrcFileEntry], pred: Column,
-                     schema: org.apache.spark.sql.types.StructType)
+                     schema: org.apache.spark.sql.types.StructType,
+                     liveDeletes: Seq[OrcFileEntry] = Nil)
       : Seq[OrcFileEntry] = {
     if (partials.isEmpty) return Nil
-    val conf = spark.sparkContext.hadoopConfiguration
     // partition values are constant per file; rewrite per partition
     // group so the surviving rows keep their hive placement
     val byParts = partials.groupBy(_.partitionValues).toSeq
     GraftOrcWrite.bumpPublishStamp(partials.map(_.mtime).max)
     byParts.flatMap { case (parts, files) =>
-      val raw = spark.read.format("graft-orc")
-        .load(files.map(_.path): _*)
+      val raw = GraftOrcMor.minusDeleted(spark,
+        spark.read.format("graft-orc").load(files.map(_.path): _*),
+        table, liveDeletes)
       // bind this group's partition values as typed literal columns (the
       // same string->type cast the reader's constant partition vectors
       // use), filter, then drop them again — the rewrite stores only
@@ -78,40 +83,52 @@ private[v2] object GraftOrcDelete {
       }
       val keep = bound.filter(!coalesce(pred, lit(false)))
         .drop(parts.keys.toSeq: _*)
-      val staging = new Path(table,
-        s"${GraftOrcWrite.StagingDir}/del-${UUID.randomUUID()}")
-      // the staged rewrite carries only DATA columns (partition values
-      // live in the path); written with the plain ORC writer, then
-      // moved into a wave directory under the file's partition path
-      graft.sources.OrcTables.write(keep, staging.toString)
-      val waveRel = (parts.map { case (k, v) =>
-        GraftOrcWrite.escapePathName(k) + "=" +
-          (if (v == null) GraftOrcFileIndex.HiveDefaultPartition
-           else GraftOrcWrite.escapePathName(v))
-      }.toSeq :+ s"w-del-${UUID.randomUUID()}").mkString("/")
-      val waveDir = new Path(table, waveRel)
-      fs.mkdirs(waveDir)
-      val staged = fs.listStatus(staging)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
-        .sortBy(_.getPath.getName)
-      val entries = staged.toSeq.map { st =>
-        val stamp = GraftOrcWrite.nextPublishStamp()
-        fs.setTimes(st.getPath, stamp, -1)
-        val sidecar =
-          try {
-            val r = org.apache.orc.OrcFile.createReader(st.getPath,
-              org.apache.orc.OrcFile.readerOptions(conf))
-            try OrcStatsEval.sidecarOf(r) finally r.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
-        val dest = new Path(waveDir, st.getPath.getName)
-        if (!fs.rename(st.getPath, dest))
-          throw new java.io.IOException(
-            s"graft-orc delete: failed to publish rewrite ${st.getPath}")
-        OrcFileEntry(fs.makeQualified(dest).toString, st.getLen, parts,
-          stamp, sidecar)
-      }
-      fs.delete(staging, true)
-      entries
+      publishGroupRewrite(spark, fs, table, parts, keep, "del")
     }
+  }
+
+  /** Stage `keep` (data columns only — placement stays in the path),
+    * then stamp + rename each produced file into a fresh wave directory
+    * under the group's partition path, capturing footer-stat sidecars
+    * while the footers are hot. Shared by the CoW DELETE rewrite and the
+    * MoR delete purge ([[GraftOrcMor.purge]]).
+    */
+  private[v2] def publishGroupRewrite(spark: SparkSession, fs: FileSystem,
+                                      table: Path,
+                                      parts: Map[String, String],
+                                      keep: org.apache.spark.sql.DataFrame,
+                                      tag: String): Seq[OrcFileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = new Path(table,
+      s"${GraftOrcWrite.StagingDir}/$tag-${UUID.randomUUID()}")
+    graft.sources.OrcTables.write(keep, staging.toString)
+    val waveRel = (parts.map { case (k, v) =>
+      GraftOrcWrite.escapePathName(k) + "=" +
+        (if (v == null) GraftOrcFileIndex.HiveDefaultPartition
+         else GraftOrcWrite.escapePathName(v))
+    }.toSeq :+ s"w-$tag-${UUID.randomUUID()}").mkString("/")
+    val waveDir = new Path(table, waveRel)
+    fs.mkdirs(waveDir)
+    val staged = fs.listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
+      .sortBy(_.getPath.getName)
+    val entries = staged.toSeq.map { st =>
+      val stamp = GraftOrcWrite.nextPublishStamp()
+      fs.setTimes(st.getPath, stamp, -1)
+      val sidecar =
+        try {
+          val r = org.apache.orc.OrcFile.createReader(st.getPath,
+            org.apache.orc.OrcFile.readerOptions(conf))
+          try OrcStatsEval.sidecarOf(r) finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val dest = new Path(waveDir, st.getPath.getName)
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(
+          s"graft-orc delete: failed to publish rewrite ${st.getPath}")
+      OrcFileEntry(fs.makeQualified(dest).toString, st.getLen, parts,
+        stamp, sidecar)
+    }
+    fs.delete(staging, true)
+    entries
   }
 }

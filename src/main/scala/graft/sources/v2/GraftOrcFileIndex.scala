@@ -48,7 +48,20 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
     "graft-orc: invalid value '" + onRewrite + "' for option " +
       "'graft.on_rewrite', must be one of replay, fail, skip")
 
-  lazy val entries: Seq[OrcFileEntry] = {
+  lazy val entries: Seq[OrcFileEntry] = listed._1
+
+  /** Live position-delete sidecars ([[GraftOrcMor]]) of the resolved
+    * snapshot, paired with their table root (qualified — the prefix that
+    * turns the sidecar's relative data paths back into the absolute paths
+    * the scan plans). Empty for BFS/directory tables, non-manifest roots,
+    * and INCREMENTAL reads (a snapshot-range read admits files from
+    * append snapshots; MoR deletes on them are policy events — see the
+    * `graft.on_rewrite` classification below — not row filters).
+    */
+  lazy val deleteEntries: Seq[(OrcFileEntry, String)] = listed._2
+
+  private lazy val listed
+      : (Seq[OrcFileEntry], Seq[(OrcFileEntry, String)]) = {
     // BFS frontier of (directory, partition values accumulated on its
     // path). ListMap so key iteration order stays path order past the
     // 4-entry specialization of immutable.Map (partitionColumnNames
@@ -56,6 +69,7 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
     // ListMap update never matters.
     var frontier: Seq[(Path, Map[String, String])] = Nil
     val out = Seq.newBuilder[OrcFileEntry]
+    val dels = Seq.newBuilder[(OrcFileEntry, String)]
     roots.foreach { r =>
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
@@ -73,6 +87,8 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
               case None => newest
               case Some(sel) => GraftOrcManifest.resolveSnapshot(fs, p, sel)
             }
+            if (changesFromSnapshot.isEmpty)
+              dels ++= end.deletes.map(_ -> fs.makeQualified(p).toString)
             out ++= (changesFromSnapshot match {
               case None => end.entries
               case Some(startSeq) =>
@@ -88,40 +104,55 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
                 // surviving rows reappear as appends; fail: typed error;
                 // skip: the rewrite's files drop from the feed (their
                 // paths still count as consumed).
-                val startPaths = if (startSeq == 0L) Set.empty[String]
-                  else GraftOrcManifest.resolveSnapshot(fs, p,
-                    GraftOrcManifest.Selector.ById(startSeq))
-                    .entries.map(_.path).toSet
+                val startSnap = if (startSeq == 0L) None
+                  else Some(GraftOrcManifest.resolveSnapshot(fs, p,
+                    GraftOrcManifest.Selector.ById(startSeq)))
+                val startPaths =
+                  startSnap.map(_.entries.map(_.path).toSet)
+                    .getOrElse(Set.empty[String])
                 if (onRewrite == "replay")
                   end.entries.filterNot(e => startPaths(e.path))
                 else {
                   // per-snapshot walk, same classification as the
-                  // snapshot-offset stream's diff walk
+                  // snapshot-offset stream's diff walk. A snapshot that
+                  // removes parent paths is a copy-on-write rewrite;
+                  // one that changes the DELETE-SIDECAR set is a
+                  // merge-on-read mutation (rows already admitted are
+                  // not retractable) — both are non-append events.
                   val refs = GraftOrcManifest.listSnapshots(fs, p)
                     .getOrElse(Nil)
                     .filter(rf => rf.seq > startSeq && rf.seq <= end.seq)
                   var prevPaths = startPaths
+                  var prevDels =
+                    startSnap.map(_.deletes.map(_.path).toSet)
+                      .getOrElse(Set.empty[String])
                   var consumed = startPaths
                   val admitted = Seq.newBuilder[OrcFileEntry]
                   refs.foreach { ref =>
-                    val cur = GraftOrcManifest.resolveSnapshot(fs, p,
-                      GraftOrcManifest.Selector.ById(ref.seq)).entries
+                    val snap = GraftOrcManifest.resolveSnapshot(fs, p,
+                      GraftOrcManifest.Selector.ById(ref.seq))
+                    val cur = snap.entries
                     val curPaths = cur.map(_.path).toSet
+                    val curDels = snap.deletes.map(_.path).toSet
                     val fresh = cur.filterNot(e => consumed(e.path))
-                    val isAppend = prevPaths.subsetOf(curPaths)
+                    val isAppend = prevPaths.subsetOf(curPaths) &&
+                      curDels == prevDels
                     if (isAppend) admitted ++= fresh
                     else if (onRewrite == "fail")
                       throw new IllegalStateException(
                         s"graft-orc: manifest snapshot ${ref.seq} of $p " +
                           "is not append-only (a compaction or " +
                           "copy-on-write DELETE/UPDATE/MERGE removed " +
-                          "files); graft.on_rewrite=fail stops the " +
+                          "files, or a merge-on-read DELETE changed the " +
+                          "position-delete sidecars); " +
+                          "graft.on_rewrite=fail stops the " +
                           "incremental read here. Use 'replay' to " +
                           "re-emit surviving rows or 'skip' to drop " +
                           "this snapshot's files.")
                     // skip: fresh files dropped, but marked consumed
                     consumed ++= fresh.map(_.path)
                     prevPaths = curPaths
+                    prevDels = curDels
                   }
                   // every admitted file is referenced by a RETAINED
                   // snapshot in the walked range, so it is still on disk
@@ -175,7 +206,7 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
         }
       }
     }
-    out.result()
+    (out.result(), dels.result())
   }
 
   /** Partition column names in path order (outermost first), taken from the

@@ -73,10 +73,15 @@ object GraftOrcManifest {
 
   /** `retain` is the snapshot-header retention setting (None on
     * pre-header snapshots) — the persisted policy the NEXT commit
-    * inherits unless its writer overrides it explicitly.
+    * inherits unless its writer overrides it explicitly. `deletes` are
+    * the snapshot's live position-delete sidecars (merge-on-read DELETE,
+    * [[GraftOrcMor]]): plain ORC files of (data-file relative path, row
+    * position) pairs under `_graft_deletes/` that readers subtract at
+    * scan time; empty on tables that never ran a MoR delete.
     */
   case class Snapshot(seq: Long, entries: Seq[OrcFileEntry],
-                      retain: Option[Int] = None)
+                      retain: Option[Int] = None,
+                      deletes: Seq[OrcFileEntry] = Nil)
 
   /** One retained snapshot file: its sequence number, its commit time
     * (the snapshot file's mtime — re-stamped by a best-effort `setTimes`
@@ -155,11 +160,12 @@ object GraftOrcManifest {
   }
 
   /** Read one snapshot file: optional `{"retain":N}` header line (absent
-    * on pre-header snapshots), then one entry line per file. Entry lines
-    * always open with the `p` key, which is what distinguishes them.
+    * on pre-header snapshots), then one entry line per file. Data-file
+    * lines open with the `p` key; position-delete sidecar lines with the
+    * `d` key — which is what distinguishes the three.
     */
-  private def parseFile(fs: FileSystem, qt: Path,
-                        snap: Path): (Seq[OrcFileEntry], Option[Int]) = {
+  private def parseFile(fs: FileSystem, qt: Path, snap: Path)
+      : (Seq[OrcFileEntry], Option[Int], Seq[OrcFileEntry]) = {
     val in = fs.open(snap)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -176,13 +182,21 @@ object GraftOrcManifest {
         if (line.contains("\"s\":\"")) Some(jsonString(line, "s")) else None
       entryOf(qt, rel, len, mt, stats)
     }
-    (entries, retain)
+    val deletes = lines.filter(_.startsWith("{\"d\":")).map { line =>
+      entryOf(qt, jsonString(line, "d"), jsonLong(line, "l"),
+        jsonLong(line, "t"))
+    }
+    (entries, retain, deletes)
   }
 
-  /** Read the entries of one snapshot file. */
-  private def entriesOfFile(fs: FileSystem, qt: Path,
-                            snap: Path): Seq[OrcFileEntry] =
-    parseFile(fs, qt, snap)._1
+  /** Every file path one snapshot accounts for — data files AND delete
+    * sidecars (the set retention/expiry/vacuum must reason over).
+    */
+  private def allEntriesOfFile(fs: FileSystem, qt: Path,
+                               snap: Path): Seq[OrcFileEntry] = {
+    val (entries, _, deletes) = parseFile(fs, qt, snap)
+    entries ++ deletes
+  }
 
   /** Newest snapshot of `table`, or None when the table has no manifest.
     * A manifest directory that exists but holds no snapshot yet reads as
@@ -195,8 +209,8 @@ object GraftOrcManifest {
       refs.lastOption match {
         case None => Snapshot(0L, Nil)
         case Some(r) =>
-          val (entries, retain) = parseFile(fs, qt, r.path)
-          Snapshot(r.seq, entries, retain)
+          val (entries, retain, deletes) = parseFile(fs, qt, r.path)
+          Snapshot(r.seq, entries, retain, deletes)
       }
     }
   }
@@ -227,17 +241,19 @@ object GraftOrcManifest {
           s"graft-orc: no snapshot of $table at or before timestamp $ms " +
             s"(available: $available)"))
     }
-    Snapshot(ref.seq, entriesOfFile(fs, qt, ref.path))
+    val (entries, retain, deletes) = parseFile(fs, qt, ref.path)
+    Snapshot(ref.seq, entries, retain, deletes)
   }
 
-  /** Every data-file path referenced by ANY retained snapshot — the set a
-    * physical delete must never touch (a retained snapshot is always
-    * readable; that is the invariant time travel stands on).
+  /** Every file path referenced by ANY retained snapshot — data files and
+    * delete sidecars — the set a physical delete must never touch (a
+    * retained snapshot is always readable; that is the invariant time
+    * travel stands on).
     */
   def retainedPaths(fs: FileSystem, table: Path): Set[String] = {
     val qt = fs.makeQualified(table)
     listSnapshots(fs, qt).getOrElse(Nil)
-      .flatMap(r => entriesOfFile(fs, qt, r.path)).map(_.path).toSet
+      .flatMap(r => allEntriesOfFile(fs, qt, r.path)).map(_.path).toSet
   }
 
   /** Write snapshot `seq` listing exactly `entries` (absolute paths under
@@ -253,7 +269,8 @@ object GraftOrcManifest {
     */
   def writeSnapshot(fs: FileSystem, table: Path, seq: Long,
                     entries: Seq[OrcFileEntry],
-                    retain: Int = RetainSnapshots): Unit = {
+                    retain: Int = RetainSnapshots,
+                    deletes: Seq[OrcFileEntry] = Nil): Unit = {
     val qt = fs.makeQualified(table)
     val dir = manifestDir(qt)
     fs.mkdirs(dir)
@@ -271,6 +288,11 @@ object GraftOrcManifest {
         val side = e.stats.map(s => s""","s":${jsonQuote(s)}""").getOrElse("")
         w.write(
           s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}$side}""")
+        w.newLine()
+      }
+      deletes.sortBy(_.path).foreach { e =>
+        val rel = relativize(qt, e.path)
+        w.write(s"""{"d":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}}""")
         w.newLine()
       }
       w.flush()
@@ -340,9 +362,9 @@ object GraftOrcManifest {
         winners.splitAt(winners.length - math.max(1, retain))
       val dead = expired ++ losers
       if (dead.nonEmpty) {
-        val live = retained.flatMap(p => entriesOfFile(fs, qt, p))
+        val live = retained.flatMap(p => allEntriesOfFile(fs, qt, p))
           .map(_.path).toSet
-        val victims = dead.flatMap(p => entriesOfFile(fs, qt, p))
+        val victims = dead.flatMap(p => allEntriesOfFile(fs, qt, p))
           .filterNot(e => live(e.path))
           .groupBy(_.path).values.map(_.head).toSeq
         deleteFiles(fs, qt, victims)
@@ -363,13 +385,21 @@ object GraftOrcManifest {
     */
   def commitSwap(fs: FileSystem, table: Path, remove: Set[String],
                  add: Seq[OrcFileEntry], truncate: Boolean = false,
-                 retain: Option[Int] = None): Unit = {
+                 retain: Option[Int] = None,
+                 addDeletes: Seq[OrcFileEntry] = Nil,
+                 dropDeletes: Set[String] = Set.empty): Unit = {
     val cur = readSnapshot(fs, table).getOrElse(Snapshot(0L, Nil))
     val base = if (truncate) Nil else cur.entries.filterNot(e => remove(e.path))
     val addPaths = add.map(_.path).toSet
+    // delete sidecars carry forward by default (their positions for
+    // removed data files are inert); a truncate or an explicit
+    // dropDeletes (delete purge, [[GraftOrcMor.purge]]) retires them
+    val baseDeletes =
+      if (truncate) Nil else cur.deletes.filterNot(e => dropDeletes(e.path))
     writeSnapshot(fs, table, cur.seq + 1,
       base.filterNot(e => addPaths(e.path)) ++ add,
-      retain.orElse(cur.retain).getOrElse(RetainSnapshots))
+      retain.orElse(cur.retain).getOrElse(RetainSnapshots),
+      deletes = baseDeletes ++ addDeletes)
   }
 
   /** Delete files the new snapshot no longer references (truncate
@@ -435,7 +465,15 @@ object GraftOrcManifest {
     // manifest-blind BFS: list what's physically visible on disk
     val visible = new GraftOrcFileIndex(conf, Seq(table), 32,
       ignoreManifest = true).entries
-    val victims = visible.filterNot(e => live(e.path))
+    // delete sidecars live under `_graft_deletes/` which the BFS skips
+    // (`_` prefix) — sweep crashed MoR-delete leftovers explicitly
+    val staleSidecars =
+      try fs.listStatus(new Path(qt, GraftOrcMor.DeletesDir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
+        .map(st => OrcFileEntry(fs.makeQualified(st.getPath).toString,
+          st.getLen, Map.empty, st.getModificationTime))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val victims = (visible ++ staleSidecars).filterNot(e => live(e.path))
     deleteFiles(fs, qt, victims)
     victims.size
   }

@@ -110,28 +110,33 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
       "'graft.stream.on_rewrite', must be one of replay, fail, skip")
 
   /** One diff-walk step's admitted files under the on_rewrite policy:
-    * pass-through for pure appends; for a snapshot that removes parent
-    * paths, replay passes the fresh files, fail throws, skip drops them.
+    * pass-through for pure appends; for a non-append snapshot (removes
+    * parent paths, OR changes the merge-on-read position-delete sidecar
+    * set — already-emitted rows are not retractable, [[GraftOrcMor]]),
+    * replay passes the fresh files, fail throws, skip drops them.
     */
-  private def policyFiles(seq: Long, prevPaths: Set[String],
-                          curPaths: Set[String],
+  private def policyFiles(seq: Long, isAppend: Boolean,
                           fresh: Seq[OrcFileEntry]): Seq[OrcFileEntry] = {
-    val isAppend = prevPaths.subsetOf(curPaths)
     if (isAppend || onRewrite == "replay") fresh
     else if (onRewrite == "skip") Nil
     else throw new IllegalStateException(
       s"graft-orc: manifest snapshot $seq of $manifestTable is not " +
         "append-only (a compaction or copy-on-write DELETE/UPDATE/MERGE " +
-        "removed files); graft.stream.on_rewrite=fail stops the stream " +
-        "here. Set the option to 'replay' to re-emit surviving rows or " +
-        "'skip' to drop this snapshot's files from the feed.")
+        "removed files, or a merge-on-read DELETE changed the " +
+        "position-delete sidecars); graft.stream.on_rewrite=fail stops " +
+        "the stream here. Set the option to 'replay' to re-emit " +
+        "surviving rows or 'skip' to drop this snapshot's files from " +
+        "the feed.")
   }
 
-  private def snapshotEntries(seq: Long): Seq[OrcFileEntry] =
-    if (seq == 0L) Nil
+  private def snapshotAt(seq: Long): GraftOrcManifest.Snapshot =
+    if (seq == 0L) GraftOrcManifest.Snapshot(0L, Nil)
     else GraftOrcManifest.resolveSnapshot(
       manifestTable.getFileSystem(conf), manifestTable,
-      GraftOrcManifest.Selector.ById(seq)).entries
+      GraftOrcManifest.Selector.ById(seq))
+
+  private def snapshotEntries(seq: Long): Seq[OrcFileEntry] =
+    snapshotAt(seq).entries
 
   private def snapshotSeqOf(start: Offset): Long = start match {
     case o: GraftOrcSnapshotOffset => o.seq
@@ -165,24 +170,28 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     // stream can progress past any oversized commit. A snapshot that
     // REMOVES paths present in its parent is a rewrite (compaction /
     // DELETE / UPDATE / MERGE) and goes through the on_rewrite policy.
-    var prevPaths = snapshotEntries(s).map(_.path).toSet
+    val startSnap = snapshotAt(s)
+    var prevPaths = startSnap.entries.map(_.path).toSet
+    var prevDels = startSnap.deletes.map(_.path).toSet
     var consumed = prevPaths
     var admitted = Vector.empty[OrcFileEntry]
     var endSeq = s
     var bytes = 0L
     refs.iterator.takeWhile { ref =>
-      val cur = GraftOrcManifest.resolveSnapshot(fs, manifestTable,
-        GraftOrcManifest.Selector.ById(ref.seq)).entries
+      val snap = GraftOrcManifest.resolveSnapshot(fs, manifestTable,
+        GraftOrcManifest.Selector.ById(ref.seq))
+      val cur = snap.entries
       val curPaths = cur.map(_.path).toSet
+      val curDels = snap.deletes.map(_.path).toSet
       val fresh0 = cur.filterNot(e => consumed(e.path))
       // fail policy: a rewrite snapshot first ENDS the in-flight batch so
       // appends committed before it are still delivered; only when it
       // heads the batch (nothing admitted yet) does the stream stop with
       // the typed error — the Iceberg posture
-      val isRewrite = !prevPaths.subsetOf(curPaths)
-      if (isRewrite && onRewrite == "fail" && endSeq != s) false
+      val isAppend = prevPaths.subsetOf(curPaths) && curDels == prevDels
+      if (!isAppend && onRewrite == "fail" && endSeq != s) false
       else {
-        val fresh = policyFiles(ref.seq, prevPaths, curPaths, fresh0)
+        val fresh = policyFiles(ref.seq, isAppend, fresh0)
         val over = endSeq != s &&
           (maxFiles.exists(cap => admitted.size + fresh.size > cap) ||
             maxBytesPerTrigger.exists(cap =>
@@ -194,6 +203,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
           consumed ++= fresh0.map(_.path)
           bytes += fresh.map(_.length).sum
           prevPaths = curPaths
+          prevDels = curDels
           endSeq = ref.seq
         }
         !over
@@ -276,16 +286,23 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
               val fs = manifestTable.getFileSystem(conf)
               val refs = GraftOrcManifest.listSnapshots(fs, manifestTable)
                 .getOrElse(Nil).filter(r => r.seq > sSeq && r.seq <= e.seq)
-              var prevPaths = snapshotEntries(sSeq).map(_.path).toSet
+              val startSnap = snapshotAt(sSeq)
+              var prevPaths = startSnap.entries.map(_.path).toSet
+              var prevDels = startSnap.deletes.map(_.path).toSet
               var consumed = prevPaths
               var admitted = Vector.empty[OrcFileEntry]
               refs.foreach { ref =>
-                val cur = snapshotEntries(ref.seq)
+                val snap = snapshotAt(ref.seq)
+                val cur = snap.entries
                 val curPaths = cur.map(_.path).toSet
+                val curDels = snap.deletes.map(_.path).toSet
                 val fresh0 = cur.filterNot(f => consumed(f.path))
-                admitted ++= policyFiles(ref.seq, prevPaths, curPaths, fresh0)
+                val isAppend = prevPaths.subsetOf(curPaths) &&
+                  curDels == prevDels
+                admitted ++= policyFiles(ref.seq, isAppend, fresh0)
                 consumed ++= fresh0.map(_.path)
                 prevPaths = curPaths
+                prevDels = curDels
               }
               admitted
             }
@@ -305,7 +322,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    scan.createReaderFactory()
+    scan.streamReaderFactory()
 
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)

@@ -1,0 +1,235 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read row-level DELETE for manifest tables — the Iceberg-v2
+  * position-delete shape, opt-in per table via
+  * `TBLPROPERTIES('graft.delete_mode'='mor')` (or the session default
+  * `spark.graft.delete_mode`).
+  *
+  * Copy-on-write ([[GraftOrcDelete]]) prices a DELETE at a full rewrite
+  * of every file the predicate touches. At 100 TB that is the wrong
+  * trade for the common case — a GDPR-style delete hitting 0.01% of the
+  * rows of EVERY file would rewrite the entire table. Merge-on-read
+  * instead writes tiny POSITION-DELETE sidecars — plain ORC files of
+  * `(f: data-file path relative to the table, pos: row ordinal)` pairs
+  * under `_graft_deletes/` — and commits them in the next manifest
+  * snapshot; readers subtract the positions at scan time
+  * ([[GraftOrcPartitionReaderFactory]] flips the affected scan to
+  * row-wise reads, filtering each file's rows against its sorted
+  * position set). DELETE cost becomes proportional to the rows DELETED,
+  * not the bytes they sit in.
+  *
+  * The read-side tax (row-wise instead of vectorized batches, one
+  * sidecar read per task) accrues until [[purge]] — run automatically by
+  * [[GraftOrcCompact.compact]] — rewrites the affected files without
+  * their deleted rows and retires every sidecar in one atomic snapshot,
+  * restoring the pure-columnar path. That bounds sidecar accumulation by
+  * the compaction cadence, the same contract Iceberg's
+  * rewrite-data-files maintenance provides.
+  *
+  * Interactions kept consistent elsewhere: aggregate pushdown and
+  * plan-time row counts are refused/degraded while sidecars are live
+  * (footer totals include deleted rows); copy-on-write rewrites of files
+  * with live sidecars subtract positions first (no resurrection);
+  * time-travel reads apply exactly the addressed snapshot's sidecars;
+  * incremental/streaming reads classify a sidecar-set change under the
+  * `graft.on_rewrite` policy (already-emitted rows are not retractable).
+  */
+object GraftOrcMor {
+
+  /** Sidecars live here; the `_` prefix keeps them invisible to BFS
+    * listings (only manifest snapshots reference them).
+    */
+  val DeletesDir = "_graft_deletes"
+
+  private def prefixOf(table: Path): String =
+    table.toString.stripSuffix("/") + "/"
+
+  /** Evaluate `pred` over the still-live rows of `partials` and publish
+    * the matching `(f, pos)` pairs as position-delete sidecars; returns
+    * their manifest entries (the caller commits them). Partition values
+    * bind as per-group literals exactly like the CoW rewrite, so mixed
+    * predicates resolve. Sidecar row count = rows deleted — the whole
+    * point: no data file is read beyond predicate evaluation, none is
+    * rewritten.
+    */
+  def writeDeletes(spark: SparkSession, fs: FileSystem, table: Path,
+                   partials: Seq[OrcFileEntry], pred: Column,
+                   schema: org.apache.spark.sql.types.StructType)
+      : Seq[OrcFileEntry] = {
+    if (partials.isEmpty) return Nil
+    val prefix = prefixOf(table)
+    GraftOrcWrite.bumpPublishStamp(partials.map(_.mtime).max)
+    val frames = partials.groupBy(_.partitionValues).toSeq.map {
+      case (parts, files) =>
+        val raw = spark.read.format("graft-orc")
+          .load(files.map(_.path): _*)
+          .select(col("*"), col(GraftOrcDataSource.FileMetaCol)
+            .as("__mor_file"),
+            col(GraftOrcDataSource.PosMetaCol).as("__mor_pos"))
+        val bound = parts.foldLeft(raw) { case (df, (k, v)) =>
+          val dt = schema.fields.collectFirst {
+            case f if f.name.equalsIgnoreCase(k) => f.dataType
+          }.getOrElse(org.apache.spark.sql.types.StringType)
+          df.withColumn(k, lit(v).cast(dt))
+        }
+        // DELETE semantics: a row is deleted when the predicate is TRUE;
+        // NULL keeps the row (so it never enters a sidecar)
+        bound.filter(coalesce(pred, lit(false)))
+          .select(
+            expr(s"substring(__mor_file, ${prefix.length + 1})").as("f"),
+            col("__mor_pos").as("pos"))
+    }
+    val del = frames.reduce(_ union _)
+    // bounded sidecar count, contiguous (f, pos) ranges per file: a
+    // range partition by the pair, sorted within — readers scan sorted
+    // position runs per data file
+    val nOut = math.max(1, math.ceil(partials.size / 64.0).toInt)
+    val sorted = del.repartitionByRange(nOut, col("f"), col("pos"))
+      .sortWithinPartitions("f", "pos")
+    publishSidecars(spark, fs, table, sorted)
+  }
+
+  /** Stage a `(f, pos)` frame under `_staging/`, then stamp + move each
+    * produced file into `_graft_deletes/`; returns the manifest entries.
+    * A crash mid-move leaves unmanifested sidecars [[GraftOrcManifest
+    * .vacuum]] reclaims — never a half-applied delete.
+    */
+  private def publishSidecars(spark: SparkSession, fs: FileSystem,
+                              table: Path,
+                              del: DataFrame): Seq[OrcFileEntry] = {
+    val staging = new Path(table,
+      s"${GraftOrcWrite.StagingDir}/mor-${UUID.randomUUID()}")
+    graft.sources.OrcTables.write(del, staging.toString)
+    val delDir = new Path(table, DeletesDir)
+    fs.mkdirs(delDir)
+    val staged = fs.listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
+      .sortBy(_.getPath.getName)
+    val entries = staged.toSeq.map { st =>
+      val stamp = GraftOrcWrite.nextPublishStamp()
+      fs.setTimes(st.getPath, stamp, -1)
+      val dest = new Path(delDir, s"d-${UUID.randomUUID()}.orc")
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(
+          s"graft-orc mor: failed to publish delete sidecar ${st.getPath}")
+      OrcFileEntry(fs.makeQualified(dest).toString, st.getLen,
+        Map.empty, stamp)
+    }
+    fs.delete(staging, true)
+    entries
+  }
+
+  /** Subtract live position deletes from `df` (rows of data files under
+    * `table`): anti-join on the `_file`/`_pos` metadata columns against
+    * the union of the sidecars. Identity when there are none — the
+    * common case pays nothing.
+    */
+  def minusDeleted(spark: SparkSession, df: DataFrame, table: Path,
+                   deletes: Seq[OrcFileEntry]): DataFrame = {
+    if (deletes.isEmpty) return df
+    val withMeta = df.select(col("*"),
+      col(GraftOrcDataSource.FileMetaCol).as("__mor_file"),
+      col(GraftOrcDataSource.PosMetaCol).as("__mor_pos"))
+    val dels = spark.read.orc(deletes.map(_.path): _*)
+      .select(concat(lit(prefixOf(table)), col("f")).as("__del_file"),
+        col("pos").as("__del_pos"))
+    withMeta.join(dels,
+        withMeta("__mor_file") === dels("__del_file") &&
+          withMeta("__mor_pos") === dels("__del_pos"), "left_anti")
+      .drop("__mor_file", "__mor_pos")
+  }
+
+  /** Executor-side: the sorted, distinct deleted positions of
+    * `targetAbs` across `sidecars` (each paired with its table-root
+    * prefix). Sidecars are small by construction — rows deleted since
+    * the last purge — so each task reads them whole; the per-file ORC
+    * min/max on `f` would allow skipping, left as a refinement.
+    */
+  def positionsFor(conf: Configuration,
+                   sidecars: Seq[(String, String)],
+                   targetAbs: String): Array[Long] = {
+    import scala.jdk.CollectionConverters._
+    val out = collection.mutable.ArrayBuffer.empty[Long]
+    sidecars.foreach { case (side, root) =>
+      val prefix = root.stripSuffix("/") + "/"
+      if (targetAbs.startsWith(prefix)) {
+        val rel = targetAbs.substring(prefix.length)
+        val p = new Path(side)
+        val reader = org.apache.orc.OrcFile.createReader(p,
+          org.apache.orc.OrcFile.readerOptions(conf))
+        try {
+          val names = reader.getSchema.getFieldNames.asScala
+          val fIdx = names.indexWhere(_.equalsIgnoreCase("f"))
+          val posIdx = names.indexWhere(_.equalsIgnoreCase("pos"))
+          require(fIdx >= 0 && posIdx >= 0,
+            s"graft-orc mor: sidecar $side lacks (f, pos) columns")
+          val rows = reader.rows()
+          try {
+            val batch = reader.getSchema.createRowBatch()
+            while (rows.nextBatch(batch)) {
+              val f = batch.cols(fIdx)
+                .asInstanceOf[org.apache.hadoop.hive.ql.exec.vector
+                  .BytesColumnVector]
+              val pos = batch.cols(posIdx)
+                .asInstanceOf[org.apache.hadoop.hive.ql.exec.vector
+                  .LongColumnVector]
+              var i = 0
+              while (i < batch.size) {
+                val fi = if (f.isRepeating) 0 else i
+                val pi = if (pos.isRepeating) 0 else i
+                if (f.toString(fi) == rel) out += pos.vector(pi)
+                i += 1
+              }
+            }
+          } finally rows.close()
+        } finally reader.close()
+      }
+    }
+    out.distinct.sorted.toArray
+  }
+
+  /** Apply every live sidecar physically: rewrite each affected data
+    * file without its deleted rows and commit ONE snapshot that swaps
+    * the files and retires ALL sidecars — the maintenance step that
+    * restores the vectorized read path. Idempotent; returns the number
+    * of data files rewritten. Positions referencing files no longer in
+    * the snapshot (already replaced by CoW/UPDATE/MERGE) are inert and
+    * simply retire with their sidecar.
+    */
+  def purge(spark: SparkSession, table: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(table)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    val snap = GraftOrcManifest.readSnapshot(fs, qt)
+      .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+    if (snap.deletes.isEmpty) return 0
+    val affectedRel = spark.read.orc(snap.deletes.map(_.path): _*)
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val affected = snap.entries.filter(e =>
+      affectedRel(GraftOrcManifest.relativize(qt, e.path)))
+    GraftOrcWrite.bumpPublishStamp(
+      (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
+    val rewritten = affected.groupBy(_.partitionValues).toSeq.flatMap {
+      case (parts, files) =>
+        val keep = minusDeleted(spark,
+          spark.read.format("graft-orc").load(files.map(_.path): _*),
+          qt, snap.deletes)
+        GraftOrcDelete.publishGroupRewrite(spark, fs, qt, parts, keep,
+          "purge")
+    }
+    GraftOrcManifest.commitSwap(fs, qt,
+      remove = affected.map(_.path).toSet, add = rewritten,
+      dropDeletes = snap.deletes.map(_.path).toSet)
+    GraftOrcManifest.deleteUnreferenced(fs, qt, affected ++ snap.deletes)
+    affected.size
+  }
+}
