@@ -29,9 +29,10 @@ object ScaleStress {
     val semdedupMode = args.lift(1).contains("semdedup")
     val perplexityMode = args.lift(1).contains("perplexity")
     val spjMode = args.lift(1).contains("spj")
+    val morMode = args.lift(1).contains("mor")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
-      spjMode
+      spjMode || morMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -161,6 +162,82 @@ object ScaleStress {
           val bytes = shuffleBytes.get() - before
           println(s"""{"op":"spj_join","spj":$spj,"factor":$k,""" +
             s""""rows":$rows,"sec":${num(sec)},"shuffle_bytes":$bytes}""")
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // Merge-on-read vs copy-on-write DELETE receipt: the SAME sparse
+    // DELETE (~0.1% of rows, hash-spread so it intersects EVERY file) on
+    // two identical k-scaled manifest tables, one per delete mode. The
+    // claim under test: CoW write amplification is ~the whole table
+    // (every file is partial), MoR's is ~the rows deleted (KB sidecars)
+    // — the quantity that decides the strategy at 100 TB — priced
+    // against MoR's read tax (row-wise scan until purge) and the purge
+    // that retires it.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 mor 1 4
+    if (morMode) {
+      def orcBytes(dir: String): Map[String, Long] = {
+        val out = Map.newBuilder[String, Long]
+        def walk(f: java.io.File): Unit =
+          if (f.isFile) {
+            if (f.getName.endsWith(".orc")) out += f.getPath -> f.length()
+          } else if (f.isDirectory) f.listFiles().foreach(walk)
+        walk(new java.io.File(dir))
+        out.result()
+      }
+      factors.foreach { k =>
+        val li0 = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        val li = (0 until k).map { i =>
+          li0.select(
+            (col("l_orderkey") + lit(i.toLong * 1000000000L))
+              .as("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"))
+        }.reduce(_ union _)
+        Seq("cow", "mor").foreach { mode =>
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-mor-stress-$mode-$k").toString
+          li.repartition(16).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("append").save(dir)
+          val t = s"g_stress_${mode}_$k"
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
+            s"TBLPROPERTIES('graft.delete_mode'='$mode')")
+          val before = orcBytes(dir)
+          val t0 = System.nanoTime()
+          // rows are hash-spread by the repartition, so this narrow price
+          // band (~0.1% of rows) intersects every file's sidecar range:
+          // no file full-drops, every file classifies partial
+          spark.sql(s"DELETE FROM $t WHERE l_extendedprice >= 50000 " +
+            "AND l_extendedprice < 50100")
+          val delSec = (System.nanoTime() - t0) / 1e9
+          val after = orcBytes(dir)
+          val fresh = after.view.filterKeys(p => !before.contains(p)).toMap
+          val t1 = System.nanoTime()
+          val rows = spark.read.format("graft-orc").load(dir)
+            .agg(sum(col("l_quantity"))).collect()
+          val readSec = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val purged =
+            if (mode == "mor") graft.sources.v2.GraftOrcMor.purge(spark, dir)
+            else 0
+          val purgeSec = (System.nanoTime() - t2) / 1e9
+          println(s"""{"op":"mor_delete","mode":"$mode","factor":$k,""" +
+            s""""table_bytes":${before.values.sum},""" +
+            s""""bytes_written":${fresh.values.sum},""" +
+            s""""files_written":${fresh.size},""" +
+            s""""delete_sec":${num(delSec)},"read_sec":${num(readSec)},""" +
+            s""""purged_files":$purged,"purge_sec":${num(purgeSec)}}""")
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          // reclaim the temp tables (factor-k lineitem copies add up)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(dir))
         }
       }
       spark.stop()

@@ -87,7 +87,83 @@ class GraftOrcWrite(path: String, schema: StructType,
                     partitionCols: Seq[String] = Nil,
                     replaceScanned: () => Option[Set[String]] = () => None,
                     rowLevelMode: Boolean = false)
-    extends Write {
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  // ---- writer-requested distribution / ordering ---------------------
+  // The 100 TB failure mode this closes: a partitioned INSERT from T
+  // tasks writes up to T x P files (every task holds rows of every
+  // partition) — a 1000-task job into a 365-partition table floods the
+  // table with ~365k small files per batch, and compaction pays to undo
+  // it. `graft.distribution_mode=hash` asks Spark to CLUSTER rows by the
+  // partition columns before the write (the Iceberg
+  // write.distribution-mode=hash posture): each partition value lands in
+  // exactly one task, so a batch writes exactly one file per partition.
+  // `graft.write_sort=c1,c2` additionally requests a within-task sort —
+  // written stripes then carry tight min/max ranges on those columns, so
+  // the layout feeds the A3/A9 stripe-statistics pruning with zero extra
+  // passes. `graft.advisory_partition_bytes` sizes AQE's shuffle
+  // partitions (= output files) toward a target, the knob that turns
+  // "shuffle partitions" into "file size" at scale. All default OFF:
+  // plans are byte-identical to before unless asked.
+  private val distributionMode: String = {
+    val m = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.distribution_mode") =>
+        v.trim.toLowerCase(java.util.Locale.ROOT)
+    }.getOrElse("none")
+    require(m == "none" || m == "hash",
+      s"graft-orc: invalid value '$m' for option " +
+        "'graft.distribution_mode', must be none or hash")
+    require(m == "none" || partitionCols.nonEmpty,
+      "graft-orc: graft.distribution_mode=hash requires a partitioned " +
+        "table (it clusters rows by the partition columns)")
+    m
+  }
+  private val writeSortCols: Seq[String] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.write_sort") =>
+      v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+  }.getOrElse(Nil)
+  writeSortCols.foreach { c =>
+    require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+      s"graft-orc: graft.write_sort column $c not in ${schema.simpleString}")
+  }
+  private val advisoryBytes: Long = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.advisory_partition_bytes") =>
+      val n = try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(v) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"Invalid value '$v' for option " +
+            "'graft.advisory_partition_bytes', must be a size (e.g. 128m)")
+      }
+      require(n > 0, "graft.advisory_partition_bytes must be positive")
+      n
+  }.getOrElse(0L)
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (distributionMode == "hash")
+      Distributions.clustered(partitionCols.toArray.map(c =>
+        Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression))
+    else Distributions.unspecified()
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    // under hash distribution the partition columns lead the ordering, so
+    // each task emits its partitions as contiguous runs (one open file at
+    // a time in the splitter, not P)
+    val lead = if (distributionMode == "hash") partitionCols else Nil
+    (lead ++ writeSortCols.filterNot(c =>
+      lead.exists(_.equalsIgnoreCase(c))))
+      .toArray.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING))
+  }
+
+  override def advisoryPartitionSizeInBytes(): Long = advisoryBytes
 
   // Group-based row-level rewrites (UPDATE/MERGE) deliver rows with a
   // leading __row_operation metadata column that `schema` does NOT

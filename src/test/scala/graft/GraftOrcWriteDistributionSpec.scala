@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Writer-requested distribution and ordering
+  * (RequiresDistributionAndOrdering): `graft.distribution_mode=hash`
+  * clusters rows by the partition columns before the write — a
+  * partitioned INSERT from T tasks writes one file per partition instead
+  * of up to T x P small files; `graft.write_sort` requests a within-task
+  * sort so written stripes carry tight min/max ranges for pruning.
+  */
+class GraftOrcWriteDistributionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def filesPerPartition(dir: String): Map[String, Int] = {
+    val root = new java.io.File(dir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map { d =>
+        def orcs(f: java.io.File): Int =
+          if (f.isFile) (if (f.getName.endsWith(".orc")) 1 else 0)
+          else if (f.getName.startsWith("_")) 0
+          else f.listFiles().map(orcs).sum
+        d.getName -> orcs(d)
+      }.toMap
+  }
+
+  private def src = spark.range(3000)
+    .select(($"id" % 3).cast("string").as("p"), $"id".as(("v")))
+    .repartition(8) // every task holds rows of every partition value
+
+  test("hash distribution writes exactly one file per partition; " +
+    "default mode writes one per (task, partition)") {
+    val plain = Files.createTempDirectory("graft-dist-none").toString
+    src.write.format("graft-orc").partitionBy("p")
+      .mode("append").save(plain)
+    val plainCounts = filesPerPartition(plain)
+    assert(plainCounts.size === 3)
+    assert(plainCounts.values.forall(_ > 1),
+      s"unclustered write should produce one file per (task, partition): " +
+        s"$plainCounts")
+
+    val hashed = Files.createTempDirectory("graft-dist-hash").toString
+    src.write.format("graft-orc").partitionBy("p")
+      .option("graft.distribution_mode", "hash")
+      .mode("append").save(hashed)
+    val hashedCounts = filesPerPartition(hashed)
+    assert(hashedCounts.size === 3)
+    assert(hashedCounts.values.forall(_ === 1),
+      s"hash-clustered write must produce ONE file per partition: " +
+        s"$hashedCounts")
+    // content identical either way
+    val a = spark.read.format("graft-orc").load(plain)
+      .select($"v").as[Long].collect().sorted
+    val b = spark.read.format("graft-orc").load(hashed)
+      .select($"v").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("graft.write_sort lays rows out sorted within every written file") {
+    val dir = Files.createTempDirectory("graft-dist-sort").toString
+    spark.range(10000).select(($"id" * 2654435761L % 9973).as("k"),
+        $"id".as("v"))
+      .repartition(4)
+      .write.format("graft-orc").option("graft.write_sort", "k")
+      .mode("append").save(dir)
+    val byFile = spark.read.format("graft-orc").load(dir)
+      .select($"_file", $"_pos", $"k").collect()
+      .groupBy(_.getString(0))
+    assert(byFile.size > 1)
+    byFile.foreach { case (_, rows) =>
+      val ks = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(ks.sameElements(ks.sorted),
+        "rows must be sorted by k within each written file")
+    }
+  }
+
+  test("hash distribution composes with write_sort and a partitioned " +
+    "manifest table; typed errors on bad options") {
+    val dir = Files.createTempDirectory("graft-dist-both").toString
+    src.write.format("graft-orc").partitionBy("p")
+      .option("graft.manifest", "true")
+      .option("graft.distribution_mode", "hash")
+      .option("graft.write_sort", "v")
+      .mode("append").save(dir)
+    assert(filesPerPartition(dir).values.forall(_ === 1))
+    val got = spark.read.format("graft-orc").load(dir)
+    assert(got.count() === 3000)
+    // sorted within the (single) file of each partition
+    got.select($"p", $"_pos", $"v").collect()
+      .groupBy(_.getAs[Any](0).toString)
+      .foreach { case (_, rows) =>
+        val vs = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+        assert(vs.sameElements(vs.sorted))
+      }
+    val e1 = intercept[IllegalArgumentException] {
+      spark.range(5).toDF("v").write.format("graft-orc")
+        .option("graft.distribution_mode", "hash")
+        .mode("append")
+        .save(Files.createTempDirectory("graft-dist-err").toString)
+    }
+    assert(e1.getMessage.contains("requires a partitioned table"))
+    val e2 = intercept[IllegalArgumentException] {
+      src.write.format("graft-orc").partitionBy("p")
+        .option("graft.distribution_mode", "range")
+        .mode("append")
+        .save(Files.createTempDirectory("graft-dist-err2").toString)
+    }
+    assert(e2.getMessage.contains("none or hash"))
+  }
+}
