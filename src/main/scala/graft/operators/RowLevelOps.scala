@@ -158,6 +158,27 @@ object RowLevelOps {
               |FROM ($seededSql)
               |ORDER BY c_custkey""".stripMargin)),
 
+    // ------------------------------------------------------ UPDATE (MoR)
+    // The SAME UPDATE as a position-DELTA (SupportsDelta,
+    // graft.update_mode=mor): the plan reads ONLY the matching rows and
+    // commits position-delete sidecars for their old copies plus new
+    // data files holding the updated values — no pre-existing file is
+    // rewritten. Hash-identical to the CoW form is the merge-on-read
+    // contract; at 100 TB this turns "update 0.01% of rows" from a
+    // table rewrite into work ∝ rows changed.
+    QueryDef("rl_update_mor",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "updm",
+          "'graft.update_mode'='mor'")
+        try s.sql(s"UPDATE $t SET seg = 'PRIME' WHERE bal > 7500")
+        finally s.sql(s"DROP TABLE IF EXISTS $t")
+        finalState(s, dir)
+      },
+      Some(s"""SELECT c_custkey,
+              |  CASE WHEN bal > 7500 THEN 'PRIME' ELSE seg END AS seg, bal
+              |FROM ($seededSql)
+              |ORDER BY c_custkey""".stripMargin)),
+
     // -------------------------------------------------- MERGE INTO (CoW)
     // Upsert: target = even keys, source = keys divisible by 3 with
     // doubled balance and a new segment. Matched rows take the source
@@ -168,6 +189,44 @@ object RowLevelOps {
         val all = seeded(s, d)
         val (dir, t) = freshTable(s, all.filter(col("c_custkey") % 2 === 0),
           "mrg")
+        val srcView = t + "_src"
+        all.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), lit("MERGED").as("seg"),
+            (col("bal") * 2).as("bal"))
+          .createOrReplaceTempView(srcView)
+        try s.sql(
+          s"""MERGE INTO $t t USING $srcView s
+             |ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED THEN UPDATE SET seg = s.seg, bal = s.bal
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        finally {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          s.catalog.dropTempView(srcView)
+        }
+        finalState(s, dir)
+      },
+      Some(s"""WITH seeded AS ($seededSql),
+              |t AS (SELECT * FROM seeded WHERE c_custkey % 2 = 0),
+              |s AS (SELECT c_custkey, 'MERGED' AS seg, bal * 2 AS bal
+              |      FROM seeded WHERE c_custkey % 3 = 0)
+              |SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.seg ELSE t.seg
+              |    END AS seg,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal
+              |    END AS bal
+              |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // -------------------------------------------------- MERGE INTO (MoR)
+    // The SAME upsert as a position-delta (graft.merge_mode=mor):
+    // matched rows become (position-delete, insert) pairs, unmatched
+    // source rows plain inserts — MERGE cost ∝ rows changed, and the
+    // final state hashes identically to the CoW plan's.
+    QueryDef("rl_merge_mor",
+      (s, d) => {
+        val all = seeded(s, d)
+        val (dir, t) = freshTable(s, all.filter(col("c_custkey") % 2 === 0),
+          "mrgm", "'graft.merge_mode'='mor'")
         val srcView = t + "_src"
         all.filter(col("c_custkey") % 3 === 0)
           .select(col("c_custkey"), lit("MERGED").as("seg"),

@@ -372,8 +372,39 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         s"graft-orc: unsupported partition transform ${t.describe()}")
       t.references()(0).fieldNames().mkString(".")
     }.toSeq
-    () => new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
-      info.command())
+    // strategy per command: `cow` (default) plans the group-based
+    // copy-on-write rewrite; `mor` plans a position-delta
+    // ([[GraftOrcDeltaOperation]] via SupportsDelta) — cost ∝ rows
+    // changed. DELETE reaches here only when the metadata/CoW
+    // SupportsDelete path refused (untranslatable predicate), and then
+    // honors graft.delete_mode the same way.
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val mode = rowLevelMode(info.command() match {
+      case Command.UPDATE => "update_mode"
+      case Command.MERGE => "merge_mode"
+      case _ => "delete_mode"
+    })
+    () =>
+      if (mode == "mor")
+        new GraftOrcDeltaOperation(tableSchema, ps.head, partCols,
+          info.command())
+      else new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
+        info.command())
+  }
+
+  /** `cow` | `mor` for one row-level command: table property
+    * `graft.<key>` first, session conf `spark.graft.<key>` as the
+    * default.
+    */
+  private def rowLevelMode(key: String): String = {
+    val m = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(s"graft.$key") => v
+    }.getOrElse(
+      SparkSession.active.conf.get(s"spark.graft.$key", "cow"))
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    require(m == "cow" || m == "mor",
+      s"graft-orc: invalid value '$m' for graft.$key, must be cow or mor")
+    m
   }
 
   // ---- DELETE FROM ... WHERE <predicate> ---------------------------
@@ -447,17 +478,7 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     * `spark.graft.delete_mode` as the default. Full-file drops are pure
     * metadata either way.
     */
-  private def deleteMode: String = {
-    val m = props.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("graft.delete_mode") => v
-    }.getOrElse(
-      SparkSession.active.conf.get("spark.graft.delete_mode", "cow"))
-      .trim.toLowerCase(java.util.Locale.ROOT)
-    require(m == "cow" || m == "mor",
-      s"graft-orc: invalid value '$m' for graft.delete_mode, must be " +
-        "cow or mor")
-    m
-  }
+  private def deleteMode: String = rowLevelMode("delete_mode")
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (fs, qt) = deleteTarget

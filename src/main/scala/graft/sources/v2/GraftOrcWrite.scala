@@ -427,13 +427,15 @@ object GraftOrcWrite {
     * contract: a listing between two renames sees a stamp-prefix of the
     * commit, never a later-stamped file before an earlier one.
     */
-  private def publish(table: String, writeId: String,
+  private[v2] def publish(table: String, writeId: String,
                       messages: Array[WriterCommitMessage],
                       truncateExisting: Boolean,
                       wantManifest: Boolean = false,
                       retain: Option[Int] = None,
                       replacePaths: Option[Set[String]] = None,
-                      writerPartitionCols: Seq[String] = Nil): Unit = {
+                      writerPartitionCols: Seq[String] = Nil,
+                      deltaDeletes: Seq[String] = Nil,
+                      deltaRefs: Option[Set[String]] = None): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
@@ -450,7 +452,7 @@ object GraftOrcWrite {
     // row-level rewrite (UPDATE/MERGE): the commit REPLACES the files
     // the operation's scan read — manifest tables only, because the
     // replace must be one atomic metadata operation
-    require(replacePaths.isEmpty || manifestActive,
+    require((replacePaths.isEmpty && deltaRefs.isEmpty) || manifestActive,
       s"graft-orc: UPDATE/MERGE requires a manifest table, but $table " +
         s"has no ${GraftOrcManifest.Dir} (write with " +
         ".option(\"graft.manifest\", \"true\") to establish one)")
@@ -463,7 +465,7 @@ object GraftOrcWrite {
     // pre-manifest files a BFS still sees (listed now, before any rename)
     val truncateVictims: Seq[OrcFileEntry] =
       if (!truncateExisting || !manifestActive) Nil
-      else manifestBefore.map(_.entries).getOrElse(
+      else manifestBefore.map(s => s.entries ++ s.deletes).getOrElse(
         new GraftOrcFileIndex(conf, Seq(table), 32).entries)
     if (truncateExisting) {
       // GC staging subtrees orphaned by crashed drivers (dropStaging only
@@ -484,6 +486,24 @@ object GraftOrcWrite {
             (st.isDirectory && (st.getPath.getName.contains("=") ||
               st.getPath.getName.startsWith("w-")))
         }.foreach(st => fs.delete(st.getPath, st.isDirectory))
+    }
+    // delta commits (merge-on-read UPDATE/MERGE/DELETE): move each staged
+    // position sidecar into `_graft_deletes/` (stamped, invisible to BFS
+    // listings) BEFORE wave processing — staged under `__deletes/`, they
+    // must not ride a wave rename or be swept as wave orphans. Visible to
+    // readers only once the snapshot below references them.
+    val addedDeletes: Seq[OrcFileEntry] = deltaDeletes.map { s =>
+      val src = new Path(s)
+      val delDir = new Path(qdir, GraftOrcMor.DeletesDir)
+      fs.mkdirs(delDir)
+      val len = fs.getFileStatus(src).getLen
+      val stamp = nextPublishStamp()
+      fs.setTimes(src, stamp, -1)
+      val dest = new Path(delDir, s"d-${UUID.randomUUID()}.orc")
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(
+          s"graft-orc delta: failed to publish delete sidecar $src")
+      OrcFileEntry(fs.makeQualified(dest).toString, len, Map.empty, stamp)
     }
     // lastIndexOf: a table path that itself contains "/_staging/" must not
     // shift the split point
@@ -573,13 +593,30 @@ object GraftOrcWrite {
       // published, which needs a human (or at least an explicit retry).
       val added = newEntries.result()
       val replaced = replacePaths.getOrElse(Set.empty)
+      // positions against a file a CONCURRENT compaction/rewrite already
+      // replaced would be inert — the delete would silently vanish.
+      // Fail loudly instead; the caller re-runs the operation against
+      // the new state. (Re-checked after every same-seq race retry.)
+      def validateDeltaRefs(entries: Seq[OrcFileEntry]): Unit =
+        deltaRefs.foreach { refs =>
+          val live = entries.map(e =>
+            GraftOrcManifest.relativize(qdir, e.path)).toSet
+          val gone = refs.diff(live)
+          if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"graft-orc delta: commit deletes rows of files no longer in " +
+              s"the table (concurrently compacted or rewritten): " +
+              s"${gone.take(3).mkString(", ")} — re-run the operation")
+        }
+      validateDeltaRefs(priorEntries)
       // a row-level rewrite of a hive-DISCOVERED layout would write its
       // rows without k=v placement (partition values would read back
       // null) — refuse unless the table declared its partitioning so
       // this write splits by it
-      if (replaced.nonEmpty && writerPartitionCols.isEmpty) {
+      if ((replaced.nonEmpty || (deltaRefs.isDefined && added.nonEmpty)) &&
+          writerPartitionCols.isEmpty) {
         val part = priorEntries.find(e =>
-          replaced(e.path) && e.partitionValues.nonEmpty)
+          (replaced(e.path) || deltaRefs.isDefined) &&
+            e.partitionValues.nonEmpty)
         require(part.isEmpty,
           "graft-orc: UPDATE/MERGE on a hive-partitioned table requires " +
             "the partitioning to be DECLARED (CREATE TABLE ... " +
@@ -589,6 +626,18 @@ object GraftOrcWrite {
       def minusReplaced(es: Seq[OrcFileEntry]) =
         if (replaced.isEmpty) es else es.filterNot(e => replaced(e.path))
       var base = minusReplaced(priorEntries)
+      // live position-delete sidecars (merge-on-read DELETE) carry
+      // forward through EVERY non-truncate commit — an append or a
+      // row-level rewrite that dropped them from the snapshot would
+      // silently RESURRECT the deleted rows of every untouched file.
+      // (Positions referencing files this commit replaces are inert, the
+      // same contract as commitSwap; the rewrite's scan already
+      // subtracted them from the rows it re-wrote.) A truncate replaces
+      // the table's contents, so its sidecars retire with its data
+      // files (both are in truncateVictims).
+      var baseDeletes: Seq[OrcFileEntry] =
+        if (truncateExisting) Nil
+        else manifestBefore.map(_.deletes).getOrElse(Nil)
       var next = manifestBefore.map(_.seq + 1).getOrElse(1L)
       var chosenRetain = retain.orElse(manifestBefore.flatMap(_.retain))
         .getOrElse(GraftOrcManifest.RetainSnapshots)
@@ -597,7 +646,7 @@ object GraftOrcWrite {
       while (!committed) {
         try {
           GraftOrcManifest.writeSnapshot(fs, qdir, next, base ++ added,
-            chosenRetain)
+            chosenRetain, deletes = baseDeletes ++ addedDeletes)
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException
@@ -612,7 +661,9 @@ object GraftOrcWrite {
             if (replaced.nonEmpty &&
                 !replaced.subsetOf(winner.entries.map(_.path).toSet))
               throw e
+            validateDeltaRefs(winner.entries)
             base = minusReplaced(winner.entries)
+            baseDeletes = winner.deletes
             next = winner.seq + 1
             // an explicit retain option still wins; otherwise inherit
             // the policy the WINNER persisted (it is the newest state)
@@ -635,7 +686,7 @@ object GraftOrcWrite {
     */
   private[graft] val ManifestCommitRetries = 5
 
-  private def discard(table: String, writeId: String,
+  private[v2] def discard(table: String, writeId: String,
                       messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(table)
     val fs = dir.getFileSystem(

@@ -207,6 +207,52 @@ class GraftOrcMorSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS g_mor_meta")
   }
 
+  test("an append AFTER a MoR delete carries the sidecars forward — " +
+    "deleted rows must not resurrect") {
+    val (dir, t) = morTable("appendafter", seeded)
+    try {
+      spark.sql(s"DELETE FROM $t WHERE bal < 50")
+      val afterDelete = spark.read.format("graft-orc").load(dir)
+        .select($"id").as[Long].collect().toSet
+      // plain append (no MoR options at all — the common case)
+      spark.range(1000, 1010).select($"id",
+          ($"id" % 100).cast("double").as("bal"))
+        .write.format("graft-orc").mode("append").save(dir)
+      val snap = snapshot(dir)
+      assert(snap.deletes.nonEmpty,
+        "append snapshot dropped the live position-delete sidecars")
+      val got = spark.read.format("graft-orc").load(dir)
+        .select($"id").as[Long].collect().toSet
+      assert(got === afterDelete ++ (1000L until 1010L),
+        "append resurrected MoR-deleted rows")
+    } finally spark.sql(s"DROP TABLE IF EXISTS g_mor_appendafter")
+  }
+
+  test("a CoW UPDATE of one file after a MoR delete on another keeps " +
+    "the untouched file's deletions") {
+    val (dir, t) = morTable("updafter", seeded)
+    try {
+      // MoR delete hits rows spread across all files
+      spark.sql(s"DELETE FROM $t WHERE bal >= 90")
+      val afterDelete = spark.read.format("graft-orc").load(dir)
+        .select($"id", $"bal").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // group-based CoW UPDATE: rewrites only files where id < 10 may
+      // live; every other file keeps its identity AND its sidecars
+      spark.sql(s"UPDATE $t SET bal = 0.5 WHERE id < 10 AND bal < 5")
+      val got = spark.read.format("graft-orc").load(dir)
+        .select($"id", $"bal").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      val expect = afterDelete.map {
+        case (id, Some(b)) if id < 10 &&
+          b.asInstanceOf[Double] < 5 => (id, Some(0.5: Any))
+        case other => other
+      }
+      assert(got === expect,
+        "CoW rewrite commit resurrected MoR-deleted rows")
+    } finally spark.sql(s"DROP TABLE IF EXISTS g_mor_updafter")
+  }
+
   test("incremental read with graft.on_rewrite=fail stops at a MoR " +
     "delete snapshot; replay/skip proceed") {
     val (dir, t) = morTable("incr", seeded)
