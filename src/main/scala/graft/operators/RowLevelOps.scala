@@ -63,12 +63,15 @@ object RowLevelOps {
     * run-unique catalog name; returns (dir, tableName).
     */
   private def freshTable(s: SparkSession, src: DataFrame, tag: String,
-                         tblProps: String = ""): (String, String) = {
+                         tblProps: String = "", retain: Int = 3)
+      : (String, String) = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft-rl-$tag").toString
     tempDirs.add(new java.io.File(dir))
     src.repartition(4).write.format("graft-orc")
-      .option("graft.manifest", "true").mode("append").save(dir)
+      .option("graft.manifest", "true")
+      .option("graft.manifest.retain", retain.toString)
+      .mode("append").save(dir)
     val name = s"g_rl_${tag}_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     s.sql(s"CREATE TABLE $name USING `graft-orc` LOCATION '$dir'" +
@@ -253,5 +256,52 @@ object RowLevelOps {
               |  CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal
               |    END AS bal
               |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
-              |ORDER BY c_custkey""".stripMargin)))
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------- CDC changelog
+    // Row-level change feed between snapshots (GraftOrcChangelog): a MoR
+    // DELETE (seq 2), a MoR UPDATE (seq 3 — delete of the old image +
+    // insert of the new), then an append (seq 4), read back as the
+    // table's columns + _change_type/_change_seq. The oracle constructs
+    // the expected change rows from the base data directly — what gets
+    // hash-checked is the reconstruction: appends as inserts, sidecars
+    // as deletes, and the snapshot attribution. Scale shape: each
+    // snapshot's changes are read from only the files that snapshot
+    // touched — the changelog never scans the table.
+    QueryDef("rl_cdc_changelog",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "cdc",
+          "'graft.delete_mode'='mor','graft.update_mode'='mor'",
+          retain = 10)
+        try {
+          s.sql(s"DELETE FROM $t WHERE bal < 2000")            // seq 2
+          s.sql(s"UPDATE $t SET seg = 'PRIME' WHERE bal > 7500") // seq 3
+          seeded(s, d).filter(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit("NEW").as("seg"), lit(1.0).as("bal"))
+            .write.format("graft-orc").mode("append").save(dir) // seq 4
+        } finally s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sources.v2.GraftOrcChangelog.between(s, dir, 1L)
+          .select(col("c_custkey"), col("seg"), col("bal"),
+            col("_change_type"), col("_change_seq"))
+          .orderBy(col("_change_seq"), col("_change_type"),
+            col("c_custkey"))
+      },
+      Some(s"""WITH seeded AS ($seededSql),
+              |chg AS (
+              |  SELECT c_custkey, seg, bal, 'delete' AS _change_type,
+              |    CAST(2 AS BIGINT) AS _change_seq
+              |  FROM seeded WHERE bal < 2000
+              |  UNION ALL
+              |  SELECT c_custkey, seg, bal, 'delete', CAST(3 AS BIGINT)
+              |  FROM seeded WHERE bal > 7500
+              |  UNION ALL
+              |  SELECT c_custkey, 'PRIME', bal, 'insert', CAST(3 AS BIGINT)
+              |  FROM seeded WHERE bal > 7500
+              |  UNION ALL
+              |  SELECT c_custkey + 1000000, 'NEW', CAST(1.0 AS DOUBLE),
+              |    'insert', CAST(4 AS BIGINT)
+              |  FROM seeded WHERE c_custkey % 97 = 0)
+              |SELECT * FROM chg
+              |ORDER BY _change_seq, _change_type, c_custkey""".stripMargin)))
 }

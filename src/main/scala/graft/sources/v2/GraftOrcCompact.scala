@@ -320,7 +320,7 @@ object GraftOrcCompact {
       while (!committed) {
         try {
           GraftOrcManifest.commitSwap(fs, qtable,
-            remove = removeSet, add = addEntries)
+            remove = removeSet, add = addEntries, op = "compact")
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException =>

@@ -508,14 +508,15 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       val sidecars = GraftOrcMor.writeDeletes(
         SparkSession.active, fs, qt, partials, pred, tableSchema)
       GraftOrcManifest.commitSwap(fs, qt, remove = fullSet, add = Nil,
-        addDeletes = sidecars)
+        addDeletes = sidecars, op = "delta")
       GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops)
     } else {
       val rewritten = GraftOrcDelete.rewriteWithout(
         SparkSession.active, fs, qt, partials, pred, tableSchema,
         liveDeletes = cur.deletes)
       GraftOrcManifest.commitSwap(fs, qt,
-        remove = fullSet ++ partials.map(_.path), add = rewritten)
+        remove = fullSet ++ partials.map(_.path), add = rewritten,
+        op = "replace")
       GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops ++ partials)
     }
   }

@@ -81,7 +81,8 @@ object GraftOrcManifest {
     */
   case class Snapshot(seq: Long, entries: Seq[OrcFileEntry],
                       retain: Option[Int] = None,
-                      deletes: Seq[OrcFileEntry] = Nil)
+                      deletes: Seq[OrcFileEntry] = Nil,
+                      op: Option[String] = None)
 
   /** One retained snapshot file: its sequence number, its commit time
     * (the snapshot file's mtime — re-stamped by a best-effort `setTimes`
@@ -165,13 +166,17 @@ object GraftOrcManifest {
     * `d` key — which is what distinguishes the three.
     */
   private def parseFile(fs: FileSystem, qt: Path, snap: Path)
-      : (Seq[OrcFileEntry], Option[Int], Seq[OrcFileEntry]) = {
+      : (Seq[OrcFileEntry], Option[Int], Seq[OrcFileEntry],
+         Option[String]) = {
     val in = fs.open(snap)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    val retain = lines.find(_.startsWith("{\"retain\":"))
-      .map(l => jsonLong(l, "retain").toInt)
+    val header = lines.find(_.startsWith("{\"retain\":"))
+    val retain = header.map(l => jsonLong(l, "retain").toInt)
+    // operation hint recorded by the committer (append / truncate /
+    // replace / delta / compact / purge); absent on older snapshots
+    val op = header.filter(_.contains("\"op\":\"")).map(l => jsonString(l, "op"))
     val entries = lines.filter(_.startsWith("{\"p\":")).map { line =>
       val rel = jsonString(line, "p")
       val len = jsonLong(line, "l")
@@ -186,7 +191,7 @@ object GraftOrcManifest {
       entryOf(qt, jsonString(line, "d"), jsonLong(line, "l"),
         jsonLong(line, "t"))
     }
-    (entries, retain, deletes)
+    (entries, retain, deletes, op)
   }
 
   /** Every file path one snapshot accounts for — data files AND delete
@@ -194,7 +199,7 @@ object GraftOrcManifest {
     */
   private def allEntriesOfFile(fs: FileSystem, qt: Path,
                                snap: Path): Seq[OrcFileEntry] = {
-    val (entries, _, deletes) = parseFile(fs, qt, snap)
+    val (entries, _, deletes, _) = parseFile(fs, qt, snap)
     entries ++ deletes
   }
 
@@ -209,8 +214,8 @@ object GraftOrcManifest {
       refs.lastOption match {
         case None => Snapshot(0L, Nil)
         case Some(r) =>
-          val (entries, retain, deletes) = parseFile(fs, qt, r.path)
-          Snapshot(r.seq, entries, retain, deletes)
+          val (entries, retain, deletes, op) = parseFile(fs, qt, r.path)
+          Snapshot(r.seq, entries, retain, deletes, op)
       }
     }
   }
@@ -241,8 +246,8 @@ object GraftOrcManifest {
           s"graft-orc: no snapshot of $table at or before timestamp $ms " +
             s"(available: $available)"))
     }
-    val (entries, retain, deletes) = parseFile(fs, qt, ref.path)
-    Snapshot(ref.seq, entries, retain, deletes)
+    val (entries, retain, deletes, op) = parseFile(fs, qt, ref.path)
+    Snapshot(ref.seq, entries, retain, deletes, op)
   }
 
   /** Every file path referenced by ANY retained snapshot — data files and
@@ -270,7 +275,8 @@ object GraftOrcManifest {
   def writeSnapshot(fs: FileSystem, table: Path, seq: Long,
                     entries: Seq[OrcFileEntry],
                     retain: Int = RetainSnapshots,
-                    deletes: Seq[OrcFileEntry] = Nil): Unit = {
+                    deletes: Seq[OrcFileEntry] = Nil,
+                    op: String = "unknown"): Unit = {
     val qt = fs.makeQualified(table)
     val dir = manifestDir(qt)
     fs.mkdirs(dir)
@@ -281,7 +287,7 @@ object GraftOrcManifest {
         new java.io.OutputStreamWriter(out, "UTF-8"))
       // header persists the retention policy with the state it governs:
       // the next committer (writer OR compactor) inherits it (commitSwap)
-      w.write(s"""{"retain":${math.max(1, retain)}}""")
+      w.write(s"""{"retain":${math.max(1, retain)},"op":${jsonQuote(op)}}""")
       w.newLine()
       entries.sortBy(_.path).foreach { e =>
         val rel = relativize(qt, e.path)
@@ -387,7 +393,8 @@ object GraftOrcManifest {
                  add: Seq[OrcFileEntry], truncate: Boolean = false,
                  retain: Option[Int] = None,
                  addDeletes: Seq[OrcFileEntry] = Nil,
-                 dropDeletes: Set[String] = Set.empty): Unit = {
+                 dropDeletes: Set[String] = Set.empty,
+                 op: String = "unknown"): Unit = {
     val cur = readSnapshot(fs, table).getOrElse(Snapshot(0L, Nil))
     val base = if (truncate) Nil else cur.entries.filterNot(e => remove(e.path))
     val addPaths = add.map(_.path).toSet
@@ -399,7 +406,7 @@ object GraftOrcManifest {
     writeSnapshot(fs, table, cur.seq + 1,
       base.filterNot(e => addPaths(e.path)) ++ add,
       retain.orElse(cur.retain).getOrElse(RetainSnapshots),
-      deletes = baseDeletes ++ addDeletes)
+      deletes = baseDeletes ++ addDeletes, op = op)
   }
 
   /** Delete files the new snapshot no longer references (truncate

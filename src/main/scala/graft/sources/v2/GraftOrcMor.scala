@@ -228,7 +228,7 @@ object GraftOrcMor {
     }
     GraftOrcManifest.commitSwap(fs, qt,
       remove = affected.map(_.path).toSet, add = rewritten,
-      dropDeletes = snap.deletes.map(_.path).toSet)
+      dropDeletes = snap.deletes.map(_.path).toSet, op = "purge")
     GraftOrcManifest.deleteUnreferenced(fs, qt, affected ++ snap.deletes)
     affected.size
   }

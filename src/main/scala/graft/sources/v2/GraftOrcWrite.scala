@@ -646,7 +646,11 @@ object GraftOrcWrite {
       while (!committed) {
         try {
           GraftOrcManifest.writeSnapshot(fs, qdir, next, base ++ added,
-            chosenRetain, deletes = baseDeletes ++ addedDeletes)
+            chosenRetain, deletes = baseDeletes ++ addedDeletes,
+            op = if (truncateExisting) "truncate"
+                 else if (replacePaths.isDefined) "replace"
+                 else if (deltaRefs.isDefined) "delta"
+                 else "append")
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException

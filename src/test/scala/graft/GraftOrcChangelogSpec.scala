@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.v2.{GraftOrcChangelog, GraftOrcCompact, GraftOrcManifest, GraftOrcMor}
+
+/** CDC changelog reads: row-level insert/delete changes between manifest
+  * snapshots, reconstructed structurally — appends emit inserts, new
+  * position sidecars emit deletes, file swaps emit the multiset
+  * net-diff (so compaction and purge are change-neutral), and the
+  * committer's op hint skips neutral pairs without reading them.
+  */
+class GraftOrcChangelogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def seqOf(dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftOrcManifest.readSnapshot(fs, p).get.seq
+  }
+
+  private def seeded: DataFrame =
+    spark.range(200).select($"id",
+      when($"id" % 7 === 0, lit(null).cast("double"))
+        .otherwise(($"id" % 100).cast("double")).as("bal"))
+
+  private def fresh(tag: String, props: String = ""): (String, String) = {
+    val dir = Files.createTempDirectory(s"graft-cdc-$tag").toString
+    seeded.repartition(4).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.manifest.retain", "10").mode("append").save(dir)
+    val name = s"g_cdc_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING `graft-orc` LOCATION '$dir'" +
+      (if (props.isEmpty) "" else s" TBLPROPERTIES($props)"))
+    (dir, name)
+  }
+
+  private def changes(dir: String, from: Long,
+                      to: Option[Long] = None): DataFrame =
+    GraftOrcChangelog.between(spark, dir, from, to)
+
+  test("appends emit exactly the added rows as inserts") {
+    val (dir, t) = fresh("append")
+    try {
+      val base = seqOf(dir)
+      spark.range(1000, 1020).select($"id", lit(1.0).as("bal"))
+        .write.format("graft-orc").mode("append").save(dir)
+      val c = changes(dir, base)
+      assert(c.filter($"_change_type" =!= "insert").count() === 0L)
+      assert(c.select($"id").as[Long].collect().sorted.toSeq ===
+        (1000L until 1020L))
+      assert(c.select($"_change_seq").distinct().as[Long].collect()
+        .toSeq === Seq(base + 1))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a MoR delete emits exactly the deleted row images as deletes") {
+    val (dir, t) = fresh("mordel", "'graft.delete_mode'='mor'")
+    try {
+      val base = seqOf(dir)
+      spark.sql(s"DELETE FROM $t WHERE bal < 30")
+      val c = changes(dir, base)
+      assert(c.filter($"_change_type" =!= "delete").count() === 0L)
+      val want = seeded.filter($"bal" < 30).select($"id").as[Long]
+        .collect().sorted.toSeq
+      assert(c.select($"id").as[Long].collect().sorted.toSeq === want)
+      // NULL bal rows survive the delete and must not appear
+      assert(c.filter($"bal".isNull).count() === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a CoW UPDATE emits its net delete+insert pairs — copied-through " +
+    "rows cancel in the multiset diff") {
+    val (dir, t) = fresh("cowupd")
+    try {
+      val base = seqOf(dir)
+      spark.sql(s"UPDATE $t SET bal = bal + 1000 WHERE bal >= 95")
+      val c = changes(dir, base)
+      val n = seeded.filter($"bal" >= 95).count()
+      assert(c.filter($"_change_type" === "delete").count() === n)
+      assert(c.filter($"_change_type" === "insert").count() === n)
+      // old images carry the pre-update value, new images the post-update
+      assert(c.filter($"_change_type" === "delete" && $"bal" >= 1000)
+        .count() === 0L)
+      assert(c.filter($"_change_type" === "insert" && $"bal" < 1000)
+        .count() === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("compaction and purge are change-neutral (op hint skips the " +
+    "pair); the delete that preceded the purge still reads correctly") {
+    val (dir, t) = fresh("neutral", "'graft.delete_mode'='mor'")
+    try {
+      val base = seqOf(dir)
+      spark.sql(s"DELETE FROM $t WHERE bal < 10")
+      val afterDelete = seqOf(dir)
+      GraftOrcMor.purge(spark, dir)                 // op=purge snapshot
+      GraftOrcCompact.compact(spark, dir)           // op=compact (if any)
+      val tail = changes(dir, afterDelete)
+      assert(tail.count() === 0L,
+        "purge/compact rewrites must produce no logical changes")
+      // and the full range still reports exactly the MoR delete
+      val all = changes(dir, base)
+      assert(all.filter($"_change_type" === "insert").count() === 0L)
+      assert(all.select($"id").as[Long].collect().sorted.toSeq ===
+        seeded.filter($"bal" < 10).select($"id").as[Long]
+          .collect().sorted.toSeq)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("delta MERGE changes emit deletes of old images and inserts of " +
+    "new ones in one snapshot") {
+    val (dir, t) = fresh("delta", "'graft.merge_mode'='mor'")
+    spark.range(0, 300, 10).select($"id", lit(5.0).as("bal"))
+      .createOrReplaceTempView("cdc_mrg_src")
+    try {
+      val base = seqOf(dir)
+      spark.sql(
+        s"""MERGE INTO $t t USING cdc_mrg_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET bal = s.bal
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val c = changes(dir, base)
+      val matched = seeded.filter($"id" % 10 === 0).count()
+      assert(c.filter($"_change_type" === "delete").count() === matched)
+      // inserts: updated images (matched) + brand-new keys (200..290)
+      assert(c.filter($"_change_type" === "insert").count() ===
+        matched + 10)
+      assert(c.filter($"_change_type" === "insert" && $"id" === 290L)
+        .count() === 1L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.dropTempView("cdc_mrg_src")
+    }
+  }
+
+  test("an expired range raises the typed time-travel error") {
+    val dir = Files.createTempDirectory("graft-cdc-expired").toString
+    // retain=2: after three commits, snapshot 1 is gone
+    seeded.write.format("graft-orc").option("graft.manifest", "true")
+      .option("graft.manifest.retain", "2").mode("append").save(dir)
+    seeded.limit(5).write.format("graft-orc").mode("append").save(dir)
+    seeded.limit(5).write.format("graft-orc").mode("append").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      changes(dir, 1L).count()
+    }
+    assert(e.getMessage.contains("retained") ||
+      e.getMessage.contains("expired"), e.getMessage)
+  }
+}
