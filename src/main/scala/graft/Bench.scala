@@ -149,7 +149,12 @@ object Bench {
     "q94_nation_trade", "q96_rolling_3day_peak",
     // cluster-bounded semantic dedup (SemDeDup) and bigram-LM perplexity
     // scoring: per-round tracking rows for the newest pipeline operators
-    "dd_semdedup", "ta_perplexity")
+    "dd_semdedup", "ta_perplexity",
+    // schema evolution (metadata-only DDL + per-file-version read
+    // resolution over mixed files) and the catalog DDL+DML composition —
+    // each iteration builds a FRESH table copy, so the timing covers the
+    // whole mutation loop, not a warmed read
+    "ev_schema_evolution", "cat_sql_pipeline")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -30,9 +30,10 @@ object ScaleStress {
     val perplexityMode = args.lift(1).contains("perplexity")
     val spjMode = args.lift(1).contains("spj")
     val morMode = args.lift(1).contains("mor")
+    val evoMode = args.lift(1).contains("evo")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
-      spjMode || morMode
+      spjMode || morMode || evoMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -314,6 +315,56 @@ object ScaleStress {
     // manifest replaces all of it with ONE ranged read, and makes
     // commits atomic on stores where rename is a copy.
     //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 manifest
+    // Schema-evolution receipt (GraftOrcSchema): a DDL on an N-file,
+    // multi-GB table is ONE snapshot write — metadata bytes proportional
+    // to the live-file count, ZERO data bytes touched — and the
+    // post-DDL read pays nothing extra: plan-time row counts + CBO
+    // stats on the RENAMED column come from per-file-version translated
+    // stat sidecars (the footer-read hook must stay at zero), and the
+    // full read still returns every row under the new name. This is the
+    // 100 TB contract: renaming a column on a petabyte table costs the
+    // same one-file commit as on a megabyte table.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 evo
+    if (evoMode) {
+      import graft.sources.v2.{GraftOrcDataSource, GraftOrcFileIndex,
+        GraftOrcSchema}
+      val dir = "/tmp/graft-evo-stress"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables.lineitem(spark, sfDir).repartition(64)
+        .write.format("graft-orc").option("graft.manifest", "true")
+        .mode("append").save(dir)
+      val entries = new GraftOrcFileIndex(hconf, Seq(dir), 32).entries
+      val dataMb = entries.map(_.length).sum / 1e6
+      val t0 = System.nanoTime()
+      GraftOrcSchema.alter(hconf, dir)(
+        GraftOrcSchema.renameColumn(_, "l_quantity", "qty"))
+      val ddlSec = (System.nanoTime() - t0) / 1e9
+      val snapBytes = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir, "_graft_manifest"))
+        .map(_.getLen).max
+      println(s"""{"op":"evo_rename_ddl","files":${entries.size},""" +
+        s""""data_mb":${num(dataMb)},"sec":${num(ddlSec)},""" +
+        s""""snapshot_bytes":$snapBytes,"data_bytes_touched":0}""")
+      GraftOrcDataSource.planFooterReads.clear()
+      GraftOrcDataSource.recordPlanFooterReads = true
+      try {
+        val t1 = System.nanoTime()
+        val rows = spark.read.format("graft-orc").load(dir)
+          .select(sum(col("qty"))).collect()(0)
+        val readSec = (System.nanoTime() - t1) / 1e9
+        import scala.jdk.CollectionConverters._
+        val footerReads = GraftOrcDataSource.planFooterReads.asScala
+          .count(_.contains("graft-evo-stress"))
+        println(s"""{"op":"evo_read_renamed","sum_qty":"$rows",""" +
+          s""""sec":${num(readSec)},"plan_footer_reads":$footerReads}""")
+      } finally GraftOrcDataSource.recordPlanFooterReads = false
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.stop()
+      return
+    }
+
     if (manifestMode) {
       import graft.sources.v2.GraftOrcFileIndex
       val dir = "/tmp/graft-manifest-stress"

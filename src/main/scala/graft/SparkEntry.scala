@@ -19,7 +19,7 @@ object SparkEntry {
       TpcdsShapes3.defs ++
       TextAnalysis.defs ++ Dedup.defs ++
       Similarity.defs ++ Multimodal.defs ++ TypedOps.defs ++
-      Pipeline.defs ++ RowLevelOps.defs
+      Pipeline.defs ++ RowLevelOps.defs ++ CatalogOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregate + ordering over the ORC round-trip scan path —

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Schema evolution + the graft-orc `TableCatalog`, under the driver's
+  * full hash oracle.
+  *
+  * `ev_schema_evolution` drives the [[graft.sources.v2.GraftOrcSchema]]
+  * DDL surface against a fresh manifest-table copy of `customer`:
+  * rename / widen / add as METADATA-ONLY snapshot commits, an append
+  * under the evolved schema, and a final read that must resolve every
+  * pre-DDL file per its own schema version (renames follow the data,
+  * widened columns decode through ORC conversion, added columns
+  * null-fill). `cat_sql_pipeline` runs the same class of flow end-to-end
+  * through pure SQL against the catalog (`CREATE TABLE` → `INSERT` →
+  * `DELETE` → `ALTER` → `INSERT` → `UPDATE` → final `SELECT`) — what
+  * gets hash-checked is the composition of every mutation's semantics.
+  *
+  * Scale shape: every DDL is one snapshot write regardless of table
+  * size (no data touched); the post-DDL read path translates names
+  * per-file from metadata already in the snapshot — zero extra I/O.
+  */
+object CatalogOps {
+
+  /** Seed: (c_custkey, seg, bal, score) — an int score column so the
+    * int->bigint widening is actually exercised.
+    */
+  private def seeded(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal"),
+      (col("c_custkey") % 100).cast("int").as("score"))
+
+  private val tempDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.io.File]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempDirs.forEach { dir =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => p.toFile.delete())
+      } catch { case _: Throwable => () }
+    }))
+
+  private def freshDir(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-cat-$tag").toString
+    tempDirs.add(new java.io.File(dir))
+    dir
+  }
+
+  /** One warehouse per JVM (Spark caches catalog instances with their
+    * init-time options, so the warehouse cannot rotate per query);
+    * per-invocation uniqueness comes from the table names.
+    */
+  private lazy val warehouse: String = freshDir("wh")
+
+  private def catalogName(s: SparkSession): String = {
+    s.conf.set("spark.sql.catalog.gverify",
+      "graft.sources.v2.GraftOrcCatalog")
+    s.conf.set("spark.sql.catalog.gverify.warehouse", warehouse)
+    "gverify"
+  }
+
+  private def uniq(tag: String): String =
+    tag + "_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------- schema evolution (API)
+    // rename seg->segment, widen score int->bigint, add bonus — three
+    // metadata-only commits — then an append WITH bonus, then one read
+    // spanning pre-DDL files (old physical names, narrow score, no
+    // bonus column) and the post-DDL file. The oracle reconstructs the
+    // same final state from the parquet source.
+    QueryDef("ev_schema_evolution",
+      (s, d) => {
+        import graft.sources.v2.GraftOrcSchema
+        val dir = freshDir("evo")
+        seeded(s, d).repartition(4).write.format("graft-orc")
+          .option("graft.manifest", "true").mode("append").save(dir)
+        val conf = s.sparkContext.hadoopConfiguration
+        GraftOrcSchema.alter(conf, dir)(
+          GraftOrcSchema.renameColumn(_, "seg", "segment"))
+        GraftOrcSchema.alter(conf, dir)(
+          GraftOrcSchema.widenColumn(_, "score",
+            org.apache.spark.sql.types.LongType))
+        GraftOrcSchema.alter(conf, dir)(
+          GraftOrcSchema.addColumn(_, "bonus",
+            org.apache.spark.sql.types.DoubleType))
+        seeded(s, d).filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + 2000000).as("c_custkey"),
+            lit("EVOLVED").as("segment"), col("bal"),
+            col("score").cast("bigint").as("score"),
+            (col("bal") / 10).as("bonus"))
+          .repartition(2)
+          .write.format("graft-orc").mode("append").save(dir)
+        s.read.format("graft-orc").load(dir)
+          .select(col("c_custkey"), col("segment"), col("bal"),
+            col("score"), col("bonus"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH seeded AS (
+             |  SELECT c_custkey, c_mktsegment AS segment,
+             |    c_acctbal AS bal,
+             |    CAST(c_custkey % 100 AS BIGINT) AS score
+             |  FROM customer)
+             |SELECT c_custkey, segment, bal, score,
+             |  CAST(NULL AS DOUBLE) AS bonus FROM seeded
+             |UNION ALL
+             |SELECT c_custkey + 2000000, 'EVOLVED', bal, score,
+             |  bal / 10 AS bonus
+             |FROM seeded WHERE c_custkey % 10 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------- catalog SQL (DDL+DML)
+    // The whole lakehouse loop in pure SQL against the catalog. DELETE
+    // runs BEFORE the rename (classification under the original name),
+    // UPDATE after (predicate + assignment under the evolved schema,
+    // old and new files mixed).
+    QueryDef("cat_sql_pipeline",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = s"$cat.default.${uniq("pipe")}"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("cust_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"CREATE TABLE $t (c_custkey BIGINT, segment STRING, " +
+          "bal DOUBLE)")
+        try {
+          s.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(4) */ * " +
+            s"FROM $srcView")
+          s.sql(s"DELETE FROM $t WHERE bal < 1000")
+          s.sql(s"ALTER TABLE $t RENAME COLUMN segment TO seg")
+          s.sql(s"ALTER TABLE $t ADD COLUMN tag STRING")
+          s.sql(s"INSERT INTO $t SELECT c_custkey + 3000000, 'NEW', " +
+            s"bal, 'tagged' FROM $srcView WHERE c_custkey % 50 = 0")
+          s.sql(s"UPDATE $t SET tag = 'hot' WHERE bal > 9000")
+          // the table is NOT dropped: the returned plan executes lazily
+          // (and possibly repeatedly, under bench iterations) against
+          // the resolved path — run-unique names + the JVM-exit sweep
+          // of the warehouse handle cleanup
+          s.sql(s"SELECT c_custkey, seg, bal, tag FROM $t " +
+            "ORDER BY c_custkey")
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+             |  FROM customer),
+             |survivors AS (
+             |  SELECT c_custkey, seg, bal, CAST(NULL AS STRING) AS tag
+             |  FROM src WHERE bal >= 1000
+             |  UNION ALL
+             |  SELECT c_custkey + 3000000, 'NEW', bal, 'tagged'
+             |  FROM src WHERE c_custkey % 50 = 0)
+             |SELECT c_custkey, seg, bal,
+             |  CASE WHEN bal > 9000 THEN 'hot' ELSE tag END AS tag
+             |FROM survivors
+             |ORDER BY c_custkey""".stripMargin)))
+}

@@ -1,0 +1,336 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A real `TableCatalog` over graft-orc manifest tables — the missing
+  * piece between path-based reads and a lakehouse surface: named tables,
+  * SQL DDL, and catalog-resolved DML, all backed by the SAME atomic
+  * manifest commits the path API uses.
+  *
+  * Register:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gorc",
+  *     "graft.sources.v2.GraftOrcCatalog")
+  *   spark.conf.set("spark.sql.catalog.gorc.warehouse", "/data/warehouse")
+  * }}}
+  *
+  * Then the full SQL surface works against `gorc.<ns...>.<table>`:
+  *  - `CREATE TABLE gorc.db.t (a INT, b STRING) PARTITIONED BY (p INT)
+  *    TBLPROPERTIES('graft.delete_mode'='mor')` — creates the directory
+  *    and commits snapshot 1 with the PERSISTED schema (field IDs
+  *    assigned, [[GraftOrcSchema]]); `LOCATION` makes it external.
+  *  - `ALTER TABLE ... ADD COLUMN / RENAME COLUMN ... TO / DROP COLUMN /
+  *    ALTER COLUMN ... TYPE / SET TBLPROPERTIES` — metadata-only
+  *    snapshot commits with exact per-file resolution afterwards.
+  *  - `INSERT INTO / INSERT OVERWRITE`, `DELETE/UPDATE/MERGE` — the
+  *    existing row-level machinery, resolved by name.
+  *  - `SELECT ... FROM gorc.db.t VERSION AS OF 3` /
+  *    `TIMESTAMP AS OF '...'` — time travel through the catalog
+  *    ([[loadTable]] overloads map to the snapshot selectors).
+  *
+  * Layout: `<warehouse>/<ns...>/<table>`; a directory is a TABLE when it
+  * has a `_graft_manifest`, a NAMESPACE otherwise — one listing
+  * distinguishes them, no extra metastore state to keep consistent (the
+  * manifest IS the metastore, per table). Concurrency: all mutations are
+  * manifest commits, so the same-seq race detection serializes
+  * concurrent DDL/DML exactly like concurrent writes.
+  */
+class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def conf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def fs: FileSystem = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"graft-orc catalog '$name' requires spark.sql.catalog.$name" +
+        ".warehouse")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(warehouse)((p, seg) => new Path(p, seg))
+
+  private def dirOf(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, seg) => new Path(p, seg))
+
+  /** External tables live at their LOCATION; the managed warehouse dir
+    * then holds only a pointer file naming it (one line, UTF-8). The
+    * manifest at the location is the table; the pointer is how the
+    * catalog finds it.
+    */
+  private val LocationPointer = "_graft_location"
+
+  private def pointerTarget(dir: Path): Option[Path] = {
+    val pf = new Path(dir, LocationPointer)
+    try {
+      val in = fs.open(pf)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (txt.nonEmpty) Some(new Path(txt)) else None
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** The directory the table's data+manifest actually live in. */
+  private def resolveDir(ident: Identifier): Path = {
+    val dir = dirOf(ident)
+    pointerTarget(dir).getOrElse(dir)
+  }
+
+  private def isTableDir(p: Path): Boolean =
+    pointerTarget(p).map(t => GraftOrcManifest.exists(fs, fs.makeQualified(t)))
+      .getOrElse(GraftOrcManifest.exists(fs, fs.makeQualified(p)))
+
+  /** The table path: LOCATION property (external tables) or the managed
+    * warehouse directory.
+    */
+  private def locationOf(ident: Identifier,
+                         props: Map[String, String]): Path =
+    props.get("location").map(new Path(_)).getOrElse(dirOf(ident))
+
+  // ---- tables ----------------------------------------------------------
+
+  override def loadTable(ident: Identifier): Table =
+    loadTableWith(ident, Nil)
+
+  /** `VERSION AS OF <seq>` through the catalog. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTableWith(ident, Seq("graft.snapshot_id" -> version))
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTableWith(ident,
+      Seq("graft.as_of_timestamp" -> (timestamp / 1000L).toString))
+
+  private def loadTableWith(ident: Identifier,
+                            extra: Seq[(String, String)]): Table = {
+    val dir = resolveDir(ident)
+    val snap =
+      try GraftOrcManifest.readSnapshot(fs, dir)
+      catch { case _: java.io.FileNotFoundException => None }
+    val meta = snap.flatMap(_.meta)
+    if (snap.isEmpty) throw new NoSuchTableException(ident)
+    val tableDir = meta.flatMap(_.props.get("location"))
+      .getOrElse(dir.toString)
+    val options = new java.util.HashMap[String, String]()
+    options.put("path", tableDir)
+    extra.foreach { case (k, v) => options.put(k, v) }
+    val cism = new CaseInsensitiveStringMap(options)
+    // time travel resolves the ADDRESSED snapshot's schema; the latest
+    // snapshot's meta schema otherwise; inference for pre-meta tables
+    val schema = new GraftOrcDataSource().inferSchema(cism)
+    val partCols: Seq[String] = meta.map(_.parts).getOrElse(Nil)
+    val transforms: Array[Transform] = partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c)).toArray
+    val props = meta.map(_.props).getOrElse(Map.empty) ++
+      extra.toMap + ("path" -> tableDir)
+    new GraftOrcTable(schema, props, transforms)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(dirOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace)
+    val listing =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new NoSuchNamespaceException(namespace) }
+    if (namespace.nonEmpty && isTableDir(dir))
+      throw new NoSuchNamespaceException(namespace)
+    listing.filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft-orc: unsupported partition transform ${t.describe()}")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-orc: partition column $c not in ${schema.simpleString}"))
+      require(GraftOrcWrite.supportedPartitionType(f.dataType),
+        s"graft-orc: unsupported partition column type " +
+          s"${f.dataType.catalogString} for $c")
+    }
+    // drop the engine-managed properties Spark passes along; keep user
+    // TBLPROPERTIES (and `location` for external tables)
+    val keep = properties.asScala.toMap.filterNot { case (k, _) =>
+      Set("provider", "owner", "external", "option.path",
+        "path")(k.toLowerCase) }
+    val target = locationOf(ident, keep)
+    val tfs = target.getFileSystem(conf)
+    tfs.mkdirs(target)
+    val meta = GraftOrcManifest.TableMeta(1L,
+      GraftOrcSchema.assignIds(schema), partCols, keep)
+    // seq 1, empty listing — atomic establishment; a racing CREATE of
+    // the same table loses the seq race and fails loudly
+    GraftOrcManifest.writeSnapshot(tfs, target, 1L, Nil,
+      deletes = Nil, op = "create", meta = Some(meta))
+    // external tables: the managed dir carries a pointer to the LOCATION
+    if (keep.contains("location")) {
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, LocationPointer), true)
+      try out.write(target.toString.getBytes("UTF-8")) finally out.close()
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    import TableChange._
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    GraftOrcSchema.alter(conf, dir.toString) { meta0 =>
+      changes.foldLeft(meta0) { (m, ch) =>
+        ch match {
+          case a: AddColumn =>
+            require(a.fieldNames().length == 1,
+              "graft-orc: nested ADD COLUMN is not supported")
+            GraftOrcSchema.addColumn(m, a.fieldNames()(0), a.dataType(),
+              Option(a.comment()))
+          case r: RenameColumn =>
+            require(r.fieldNames().length == 1,
+              "graft-orc: nested RENAME COLUMN is not supported")
+            GraftOrcSchema.renameColumn(m, r.fieldNames()(0), r.newName())
+          case d: DeleteColumn =>
+            require(d.fieldNames().length == 1,
+              "graft-orc: nested DROP COLUMN is not supported")
+            GraftOrcSchema.dropColumn(m, d.fieldNames()(0))
+          case t: UpdateColumnType =>
+            require(t.fieldNames().length == 1,
+              "graft-orc: nested ALTER COLUMN is not supported")
+            GraftOrcSchema.widenColumn(m, t.fieldNames()(0), t.newDataType())
+          case n: UpdateColumnNullability =>
+            require(n.nullable(),
+              "graft-orc: cannot add NOT NULL to an existing column " +
+                "(already-written files are not re-validated)")
+            m // all columns are nullable already
+          case c: UpdateColumnComment =>
+            val i = m.schema.fieldIndex(c.fieldNames()(0))
+            m.copy(schemaV = m.schemaV + 1, schema = StructType(
+              m.schema.fields.updated(i,
+                m.schema.fields(i).withComment(c.newComment()))))
+          case p: SetProperty =>
+            m.copy(schemaV = m.schemaV + 1,
+              props = m.props + (p.property() -> p.value()))
+          case p: RemoveProperty =>
+            m.copy(schemaV = m.schemaV + 1, props = m.props - p.property())
+          case other => throw new UnsupportedOperationException(
+            s"graft-orc: unsupported table change $other")
+        }
+      }
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) return false
+    // external tables: drop the pointer, never the external data (the
+    // standard EXTERNAL contract)
+    fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val src = dirOf(oldIdent)
+    val dst = dirOf(newIdent)
+    if (!isTableDir(src)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(dst)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"graft-orc: failed to rename table $src to $dst")
+  }
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = dirOf(namespace)
+    val listing =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new NoSuchNamespaceException(namespace) }
+    listing.filter(st => st.isDirectory && !isTableDir(st.getPath) &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = dirOf(namespace)
+      try fs.getFileStatus(dir).isDirectory && !isTableDir(dir)
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val dir = dirOf(namespace)
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-orc: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = dirOf(namespace)
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"graft-orc: namespace ${namespace.mkString(".")} is not empty " +
+          "(use CASCADE)")
+    fs.delete(dir, true)
+  }
+}

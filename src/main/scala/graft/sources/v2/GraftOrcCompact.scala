@@ -164,13 +164,19 @@ object GraftOrcCompact {
     // publish artifact, not partition identity — files from different
     // waves of the same partition compact together (their merged output
     // lands at the partition root, which readers list the same way)
+    // ... and by SCHEMA VERSION: files written under different versions
+    // of an evolved table (GraftOrcSchema) may disagree on physical
+    // column names/types — a stripe-copy across versions would splice
+    // bytes with different meanings, and a rewrite would merge-conflict.
+    // Same-version files compact together; outputs inherit the version.
     val byDir = entries
       .filter(_.length < smallFileBytes)
       .groupBy { e =>
         val parent = e.path.substring(0, e.path.lastIndexOf('/'))
         val name = parent.substring(parent.lastIndexOf('/') + 1)
-        if (name.startsWith("w-")) parent.substring(0, parent.lastIndexOf('/'))
-        else parent
+        (if (name.startsWith("w-"))
+          parent.substring(0, parent.lastIndexOf('/'))
+        else parent, e.schemaV)
       }
 
     // first-fit packing per directory; only bins that actually reduce the
@@ -178,8 +184,8 @@ object GraftOrcCompact {
     // the publish loop never re-fetches file statuses (a 1M-file
     // compaction would otherwise pay 1M driver RPCs for a byte total the
     // listing already knew).
-    val bins: Seq[(String, Seq[(String, Long)])] = byDir.toSeq.flatMap {
-      case (dir, files) =>
+    val bins: Seq[((String, Long), Seq[(String, Long)])] = byDir.toSeq.flatMap {
+      case (dirV, files) =>
         val packed = collection.mutable.ListBuffer.empty[
           (collection.mutable.ListBuffer[(String, Long)], Long)]
         files.sortBy(_.path).foreach { f =>
@@ -193,7 +199,7 @@ object GraftOrcCompact {
           }
         }
         packed.toSeq.collect { case (bin, _) if bin.size >= 2 =>
-          dir -> bin.toSeq
+          dirV -> bin.toSeq
         }
     }
     if (bins.isEmpty)
@@ -205,17 +211,17 @@ object GraftOrcCompact {
       s"compact-${UUID.randomUUID()}")
     val sconf = new SerializableConfiguration(conf)
     val stagingStr = staging.toString
-    val merged: Seq[(String, Seq[String], Seq[String])] =
+    val merged: Seq[(String, Long, Seq[String], Seq[String])] =
       if (zorderCols.isEmpty) {
         // stripe copy, one bin per task
         spark.sparkContext
           .parallelize(bins, math.min(bins.size, parallelism))
-          .map { case (dir, inputs) =>
+          .map { case ((dir, v), inputs) =>
             val out = new Path(stagingStr, s"c-${UUID.randomUUID()}.orc")
             val done = OrcFile.mergeFiles(out,
               OrcFile.writerOptions(sconf.value),
               inputs.map(i => new Path(i._1)).asJava)
-            (dir, Seq(out.toString), done.asScala.map(_.toString).toSeq)
+            (dir, v, Seq(out.toString), done.asScala.map(_.toString).toSeq)
           }.collect().toSeq
       } else {
         // layout rewrite: one read -> z-order -> write job per partition
@@ -224,7 +230,7 @@ object GraftOrcCompact {
         // frames — partition values stay path-derived, exactly like the
         // stripe-copy outputs.
         val fsS = staging.getFileSystem(conf)
-        bins.groupBy(_._1).toSeq.map { case (dir, dirBins) =>
+        bins.groupBy(_._1).toSeq.map { case ((dir, v), dirBins) =>
           val inputs = dirBins.flatMap(_._2)
           val nOut = math.max(1, math.ceil(
             inputs.map(_._2).sum.toDouble / targetBytes).toInt)
@@ -243,7 +249,7 @@ object GraftOrcCompact {
               out.toString
             }
           fsS.delete(tmp, true)
-          (dir, outs, inputs.map(_._1))
+          (dir, v, outs, inputs.map(_._1))
         }
       }
 
@@ -266,7 +272,7 @@ object GraftOrcCompact {
     var nFiles = 0
     var nBytes = 0L
     var nOut = 0
-    val kept = merged.filter(_._3.size >= 2)
+    val kept = merged.filter(_._4.size >= 2)
     def publishOne(dir: String, stagedStr: String): Path = {
       val staged = new Path(stagedStr)
       fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
@@ -282,7 +288,7 @@ object GraftOrcCompact {
       // delete inputs — at no instant does a reader see a row twice, and
       // a crash anywhere leaves invisible garbage, never duplicates
       val entryByPath = entries.map(e => e.path -> e).toMap
-      val placed = kept.map { case (dir, outs, inputs) =>
+      val placed = kept.map { case (dir, v, outs, inputs) =>
         val parts = inputs.headOption.flatMap(entryByPath.get)
           .map(_.partitionValues).getOrElse(Map.empty[String, String])
         val destEntries = outs.map { o =>
@@ -304,7 +310,7 @@ object GraftOrcCompact {
             throw new java.io.IOException(
               s"graft-orc compact: failed to publish $staged into $dest")
           OrcFileEntry(fs.makeQualified(dest).toString, len, parts, stamp,
-            sidecar)
+            sidecar, schemaV = v)
         }
         (destEntries, inputs)
       }
@@ -344,7 +350,7 @@ object GraftOrcCompact {
     } else {
       val tombs = new Path(tablePath, TombstoneDir)
       if (kept.nonEmpty) fs.mkdirs(tombs)
-      kept.foreach { case (dir, outs, inputs) =>
+      kept.foreach { case (dir, _, outs, inputs) =>
         val dests = outs.map(o => new Path(dir, new Path(o).getName))
         // tombstone BEFORE the first rename: from here to its delete, a
         // crash anywhere is repairable (see repair). A crash

@@ -79,6 +79,12 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
       GraftOrcDataSource.snapshotSelector(options),
       GraftOrcDataSource.startSnapshotId(options),
       onRewrite = GraftOrcDataSource.onRewritePolicy(options))
+    // a persisted schema (catalog table / post-DDL manifest,
+    // GraftOrcSchema) IS the table schema: zero footer reads, correct
+    // answers on evolved tables (old footers carry pre-rename names),
+    // and a declared-but-empty table keeps its columns. Time travel
+    // resolves the ADDRESSED snapshot's schema.
+    index.tableMeta.foreach(m => return m.schema)
     if (index.entries.isEmpty) return new StructType()
     // A2: merge schemas across ALL paths/files (conflict => AnalysisException).
     // Hive layouts infer through the ROOT paths so Spark's partition-type
@@ -347,7 +353,11 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
     val merged = new java.util.HashMap[String, String](
       options.asCaseSensitiveMap())
-    Seq("path", "paths", "location").foreach { k =>
+    // time-travel selectors ride table props when the CATALOG loads a
+    // `VERSION AS OF` / `TIMESTAMP AS OF` relation — the scan must see
+    // them exactly like read options
+    Seq("path", "paths", "location",
+        "graft.snapshot_id", "graft.as_of_timestamp").foreach { k =>
       if (!options.containsKey(k)) props.get(k).foreach(v => merged.put(k, v))
     }
     new CaseInsensitiveStringMap(merged)
@@ -456,7 +466,20 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         }.map(raw => OrcStatsEval.valueRange(
           GraftOrcDataSource.externalPartitionValue(raw, dt)))
       }
-      part.orElse(sidecarCols.get(name.toLowerCase).flatMap(_._1))
+      part.orElse {
+        // schema evolution: sidecars are keyed by write-time names —
+        // resolve per file version; a field the file predates is
+        // all-null there (exact, not a guess)
+        tableSchema.fields.find(_.name.equalsIgnoreCase(name)) match {
+          case Some(field) if !GraftOrcSchema.visibleIn(field, e.schemaV) =>
+            Some(OrcStatsEval.StatRange(None, None,
+              hasNull = true, hasValues = false))
+          case Some(field) =>
+            val phys = GraftOrcSchema.nameAt(field, math.max(e.schemaV, 1L))
+            sidecarCols.get(phys.toLowerCase).flatMap(_._1)
+          case None => sidecarCols.get(name.toLowerCase).flatMap(_._1)
+        }
+      }
     }
     OrcStatsEval.eval(f, lookup)
   }
@@ -513,7 +536,8 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     } else {
       val rewritten = GraftOrcDelete.rewriteWithout(
         SparkSession.active, fs, qt, partials, pred, tableSchema,
-        liveDeletes = cur.deletes)
+        liveDeletes = cur.deletes,
+        curV = cur.meta.map(_.schemaV).getOrElse(0L))
       GraftOrcManifest.commitSwap(fs, qt,
         remove = fullSet ++ partials.map(_.path), add = rewritten,
         op = "replace")
@@ -637,6 +661,16 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     // rows, so a stats-answered aggregate would be WRONG — refuse until
     // a purge retires them
     if (fileIndex.deleteEntries.nonEmpty) return false
+    // schema evolution: the footer kernel and the sidecar fast path are
+    // keyed by name against write-time file schemas — only sound when
+    // every selected file's version is name/type-stable for every
+    // column. Refuse otherwise; the data-reading plan stays correct,
+    // and a compaction (which rewrites to the current schema) restores
+    // pushdown.
+    if (GraftOrcSchema.hasEvolution(dataSchema) &&
+        !fileIndex.entries.map(_.schemaV).distinct.forall(v =>
+          dataSchema.fields.forall(f => GraftOrcSchema.statsSafe(f, v))))
+      return false
     val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
     GraftOrcShims.aggSchemaForPushdown(agg, dataSchema, partNames) match {
       case Some(schema) => pushedAgg = Some((agg, schema)); true
@@ -872,7 +906,8 @@ class GraftOrcAggReaderFactory(dataFileSchema: StructType,
 case class GraftOrcInputPartition(filePath: String, start: Long, length: Long,
                                   partitionValues: Array[String],
                                   fileLength: Long,
-                                  partitionTypes: Array[DataType] = Array.empty)
+                                  partitionTypes: Array[DataType] = Array.empty,
+                                  schemaV: Long = 0L)
   extends InputPartition with HasPartitionKey {
   // Storage-partitioned joins: Spark groups splits of hive-partitioned
   // tables by this key (driver-side, InternalRow equality/ordering), so
@@ -971,9 +1006,17 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       e.stats.flatMap(OrcStatsEval.decodeSidecar) match {
         case None => true
         case Some((_, cols)) =>
+          // schema evolution: filters reference TABLE names, sidecars
+          // the file's write-time names — translate per file version.
+          // A field this file predates maps to an absent name: the
+          // lookup misses and the file is conservatively kept.
+          val filters =
+            if (!evolved) dataFilters.toSeq
+            else dataFilters.toSeq.flatMap(GraftOrcSchema.translateFilter(
+              _, GraftOrcSchema.renameMap(dataFileSchema, e.schemaV)))
           val lookup: String => Option[OrcStatsEval.StatRange] =
             n => cols.get(n.toLowerCase).flatMap(_._1)
-          dataFilters.forall(f => OrcStatsEval.mayMatch(f, lookup))
+          filters.forall(f => OrcStatsEval.mayMatch(f, lookup))
       }
     }
 
@@ -1135,6 +1178,24 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
   private case class FileFooter(rows: Long,
       cols: Map[String, (Option[OrcStatsEval.StatRange], Long)])
 
+  /** Schema evolution ([[GraftOrcSchema]]): whether any field carries
+    * history a per-file consumer must resolve. False on never-altered
+    * tables — every translation below is then the identity and the
+    * paths stay byte-identical to before. STRICT val, deliberately: the
+    * footer sweep's worker threads read it while the footerSweep lazy
+    * val holds this object's initialization monitor — a lazy val here
+    * deadlocks the sweep (worker parks on the monitor the coordinator
+    * holds).
+    */
+  private val evolved = GraftOrcSchema.hasEvolution(dataFileSchema)
+
+  /** (physical column name in a file of version `v`, field existed). */
+  private def resolveField(f: org.apache.spark.sql.types.StructField,
+                           v: Long): (String, Boolean) =
+    if (!evolved) (f.name, true)
+    else if (!GraftOrcSchema.visibleIn(f, v)) (f.name, false)
+    else (GraftOrcSchema.nameAt(f, math.max(v, 1L)), true)
+
   private lazy val footerSweep: (Seq[OrcFileEntry], Seq[FileFooter]) = {
     val files = selectedFiles
     val footers = GraftOrcFileIndex.parallelMap(files, metaParallelism) { e =>
@@ -1149,7 +1210,11 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
           val cols: Map[String, (Option[OrcStatsEval.StatRange], Long)] =
             if (readDataSchema.isEmpty) Map.empty
             else readDataSchema.fields.iterator.map { f =>
-              sideCols.get(f.name.toLowerCase) match {
+              // sidecars are keyed by the names CURRENT at write time:
+              // resolve this field's physical name under the file's
+              // schema version (exact — never alias guessing)
+              val (phys, vis) = resolveField(f, e.schemaV)
+              (if (vis) sideCols.get(phys.toLowerCase) else None) match {
                 case Some((range, nValues)) =>
                   f.name.toLowerCase -> (range, rows - nValues)
                 case None =>
@@ -1175,7 +1240,9 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
                 val kids = root.getChildren.asScala
                 val stats = r.getStatistics
                 readDataSchema.fields.iterator.map { f =>
-                  val i = names.indexWhere(_.equalsIgnoreCase(f.name))
+                  val (phys, vis) = resolveField(f, e.schemaV)
+                  val i = if (!vis) -1
+                    else names.indexWhere(_.equalsIgnoreCase(phys))
                   if (i < 0)
                     // column absent from this file (schema evolution): every
                     // row contributes a null; min/max untouched (hasValues
@@ -1338,7 +1405,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     val (small, big) = selectedFiles.partition(_.length <= targetSplitBytes)
     val smallParts = small.map(e =>
       GraftOrcInputPartition(e.path, 0, e.length, partValues(e), e.length,
-        partTypes))
+        partTypes, e.schemaV))
     val bigParts = GraftOrcFileIndex.parallelMap(big, metaParallelism) { e =>
       val r = OrcFile.createReader(new Path(e.path), OrcFile.readerOptions(conf))
       val stripes =
@@ -1358,9 +1425,10 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       val vs = partValues(e)
       if (splits.isEmpty)
         Seq(GraftOrcInputPartition(e.path, 0, e.length, vs, e.length,
-          partTypes))
+          partTypes, e.schemaV))
       else splits.map { case (s, l) =>
-        GraftOrcInputPartition(e.path, s, l, vs, e.length, partTypes)
+        GraftOrcInputPartition(e.path, s, l, vs, e.length, partTypes,
+          e.schemaV)
       }
     }.flatten
     (smallParts ++ bigParts).toArray
@@ -1684,7 +1752,47 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     // would under-produce surviving rows).
     val emitRowPosEff = emitRowPos || morMode
     val limitEff = if (morMode) None else limit
-    val sargFilters = if (emitRowPosEff) Array.empty[Filter] else pushedFilters
+
+    // ---- schema evolution (GraftOrcSchema): per-file resolution -------
+    // Translate TABLE column names to this file's PHYSICAL names (the
+    // names current at the file's schema version). Fields the file
+    // predates map to a guaranteed-absent name, so the column-id mapping
+    // below yields -1 and the reader null-fills — the exact machinery
+    // plain schema merge already uses for missing columns. On
+    // never-altered tables every map below is empty and the path is
+    // byte-identical to before.
+    val evolved = GraftOrcSchema.hasEvolution(dataFileSchema)
+    val renameM: Map[String, String] =
+      if (!evolved) Map.empty
+      else GraftOrcSchema.renameMap(dataFileSchema, p.schemaV)
+    def phys(n: String): String = renameM.getOrElse(n.toLowerCase, n)
+    val physDataFileSchema =
+      if (renameM.isEmpty) dataFileSchema
+      else StructType(dataFileSchema.fields.map(f => f.copy(name = phys(f.name))))
+    val physReadDataSchema =
+      if (renameM.isEmpty) readDataSchema
+      else StructType(readDataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    // a column TYPE-WIDENED after this file was written has the narrower
+    // physical type here: decode converts (ORC schema evolution), but a
+    // SearchArgument must not be pushed against it — drop those filters
+    // for THIS file (they are all residual anyway, the A9 contract)
+    val widenedCols: Set[String] =
+      if (!evolved) Set.empty
+      else dataFileSchema.fields.iterator
+        .filter(f => GraftOrcSchema.widenedV(f)
+          .exists(_ > math.max(p.schemaV, 1L)))
+        .map(f => phys(f.name).toLowerCase).toSet
+    val sargFilters =
+      if (emitRowPosEff) Array.empty[Filter]
+      else {
+        val translated =
+          if (renameM.isEmpty) pushedFilters
+          else pushedFilters.flatMap(
+            GraftOrcSchema.translateFilter(_, renameM))
+        if (widenedCols.isEmpty) translated
+        else translated.filter(_.references.forall(r =>
+          !widenedCols(r.toLowerCase)))
+      }
 
     val filePath = new Path(p.filePath)
     // orc.metadata_size_hint: one ranged tail read of the hinted size
@@ -1696,7 +1804,7 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     val (colIds, canPrune) =
       try {
         val (ids, cp) = GraftOrcShims.requestedColumnIds(isCaseSensitive = false,
-            dataFileSchema, readDataSchema, orcReader.getSchema, conf)
+            physDataFileSchema, physReadDataSchema, orcReader.getSchema, conf)
           .getOrElse((Array.empty[Int], true))
 
         // A12 stripe-pruning observability: re-evaluate the pushed
@@ -1772,13 +1880,14 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
             GraftOrcDataSource.FileMetaCol, StringType, nullable = false))
       else readPartitionSchema
     val resultSchema =
-      StructType(readDataSchema.fields ++ constSchema.fields)
+      StructType(physReadDataSchema.fields ++ constSchema.fields)
     val resultSchemaString = GraftOrcShims.orcResultSchemaString(
-      canPrune, dataFileSchema, resultSchema, constSchema, conf)
+      canPrune, physDataFileSchema, resultSchema, constSchema, conf)
 
     if (sargFilters.nonEmpty) {
-      GraftOrcShims.createFilter(dataFileSchema, sargFilters).foreach { sarg =>
-        OrcInputFormat.setSearchArgument(conf, sarg, dataFileSchema.fieldNames)
+      GraftOrcShims.createFilter(physDataFileSchema, sargFilters).foreach { sarg =>
+        OrcInputFormat.setSearchArgument(conf, sarg,
+          physDataFileSchema.fieldNames)
       }
     }
 

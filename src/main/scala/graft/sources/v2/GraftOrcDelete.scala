@@ -60,17 +60,29 @@ private[v2] object GraftOrcDelete {
   def rewriteWithout(spark: SparkSession, fs: FileSystem, table: Path,
                      partials: Seq[OrcFileEntry], pred: Column,
                      schema: org.apache.spark.sql.types.StructType,
-                     liveDeletes: Seq[OrcFileEntry] = Nil)
+                     liveDeletes: Seq[OrcFileEntry] = Nil,
+                     curV: Long = 0L)
       : Seq[OrcFileEntry] = {
     if (partials.isEmpty) return Nil
     // partition values are constant per file; rewrite per partition
-    // group so the surviving rows keep their hive placement
-    val byParts = partials.groupBy(_.partitionValues).toSeq
+    // group so the surviving rows keep their hive placement. Files of
+    // different SCHEMA VERSIONS (GraftOrcSchema) group separately —
+    // their physical schemas may disagree — and each group projects to
+    // the current schema, so a rewrite upgrades its files.
+    val evolved = GraftOrcSchema.hasEvolution(schema)
+    val byParts = partials.groupBy(e =>
+      (e.partitionValues, if (evolved) e.schemaV else 0L)).toSeq
     GraftOrcWrite.bumpPublishStamp(partials.map(_.mtime).max)
-    byParts.flatMap { case (parts, files) =>
-      val raw = GraftOrcMor.minusDeleted(spark,
-        spark.read.format("graft-orc").load(files.map(_.path): _*),
-        table, liveDeletes)
+    byParts.flatMap { case ((parts, fileV), files) =>
+      val loaded = spark.read.format("graft-orc").load(files.map(_.path): _*)
+      // subtract MoR positions FIRST (metadata columns resolve only on
+      // the raw relation), then project to the current schema
+      val raw0 = GraftOrcMor.minusDeleted(spark, loaded, table, liveDeletes)
+      val raw =
+        if (!evolved) raw0
+        else GraftOrcSchema.projectToCurrent(raw0,
+          schema.fields.toSeq.filterNot(f =>
+            parts.keys.exists(_.equalsIgnoreCase(f.name))), fileV)
       // bind this group's partition values as typed literal columns (the
       // same string->type cast the reader's constant partition vectors
       // use), filter, then drop them again — the rewrite stores only
@@ -83,7 +95,8 @@ private[v2] object GraftOrcDelete {
       }
       val keep = bound.filter(!coalesce(pred, lit(false)))
         .drop(parts.keys.toSeq: _*)
-      publishGroupRewrite(spark, fs, table, parts, keep, "del")
+      publishGroupRewrite(spark, fs, table, parts, keep, "del",
+        schemaV = if (evolved) curV else 0L)
     }
   }
 
@@ -97,7 +110,8 @@ private[v2] object GraftOrcDelete {
                                       table: Path,
                                       parts: Map[String, String],
                                       keep: org.apache.spark.sql.DataFrame,
-                                      tag: String): Seq[OrcFileEntry] = {
+                                      tag: String,
+                                      schemaV: Long = 0L): Seq[OrcFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val staging = new Path(table,
       s"${GraftOrcWrite.StagingDir}/$tag-${UUID.randomUUID()}")
@@ -126,7 +140,7 @@ private[v2] object GraftOrcDelete {
         throw new java.io.IOException(
           s"graft-orc delete: failed to publish rewrite ${st.getPath}")
       OrcFileEntry(fs.makeQualified(dest).toString, st.getLen, parts,
-        stamp, sidecar)
+        stamp, sidecar, schemaV = schemaV)
     }
     fs.delete(staging, true)
     entries

@@ -18,12 +18,16 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * ([[OrcStatsEval.sidecarOf]]) carried by manifest entries so plan-time
   * row counts / CBO column stats need no footer reads; None on
   * BFS-listed entries and pre-sidecar snapshots (the scan then reads the
-  * footer as before).
+  * footer as before). `schemaV` is the table schema version the file was
+  * written under ([[GraftOrcSchema]] evolution); 0 on BFS-listed entries
+  * and pre-evolution snapshots ("bootstrap": the file carries every
+  * original field under its original name).
   */
 case class OrcFileEntry(path: String, length: Long,
                         partitionValues: Map[String, String],
                         mtime: Long = 0L,
-                        stats: Option[String] = None)
+                        stats: Option[String] = None,
+                        schemaV: Long = 0L)
 
 /** Driver-side file discovery for the graft-orc connector.
   *
@@ -50,6 +54,14 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
 
   lazy val entries: Seq[OrcFileEntry] = listed._1
 
+  /** Persisted table metadata ([[GraftOrcSchema]] evolution) of the
+    * RESOLVED snapshot — the addressed one under time travel, so an old
+    * snapshot reads under ITS schema. None for BFS/directory tables,
+    * multi-root reads, and manifests that never persisted a schema.
+    */
+  lazy val tableMeta: Option[GraftOrcManifest.TableMeta] =
+    if (roots.length != 1) None else listed._3
+
   /** Live position-delete sidecars ([[GraftOrcMor]]) of the resolved
     * snapshot, paired with their table root (qualified — the prefix that
     * turns the sidecar's relative data paths back into the absolute paths
@@ -61,7 +73,8 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
   lazy val deleteEntries: Seq[(OrcFileEntry, String)] = listed._2
 
   private lazy val listed
-      : (Seq[OrcFileEntry], Seq[(OrcFileEntry, String)]) = {
+      : (Seq[OrcFileEntry], Seq[(OrcFileEntry, String)],
+         Option[GraftOrcManifest.TableMeta]) = {
     // BFS frontier of (directory, partition values accumulated on its
     // path). ListMap so key iteration order stays path order past the
     // 4-entry specialization of immutable.Map (partitionColumnNames
@@ -70,6 +83,7 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
     var frontier: Seq[(Path, Map[String, String])] = Nil
     val out = Seq.newBuilder[OrcFileEntry]
     val dels = Seq.newBuilder[(OrcFileEntry, String)]
+    var meta: Option[GraftOrcManifest.TableMeta] = None
     roots.foreach { r =>
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
@@ -87,6 +101,7 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
               case None => newest
               case Some(sel) => GraftOrcManifest.resolveSnapshot(fs, p, sel)
             }
+            meta = end.meta
             if (changesFromSnapshot.isEmpty)
               dels ++= end.deletes.map(_ -> fs.makeQualified(p).toString)
             out ++= (changesFromSnapshot match {
@@ -206,7 +221,7 @@ class GraftOrcFileIndex(conf: Configuration, roots: Seq[String],
         }
       }
     }
-    (out.result(), dels.result())
+    (out.result(), dels.result(), meta)
   }
 
   /** Partition column names in path order (outermost first), taken from the

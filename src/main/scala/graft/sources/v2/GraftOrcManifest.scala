@@ -71,18 +71,35 @@ object GraftOrcManifest {
   private val SnapPrefix = "snap-"
   private[graft] val RetainSnapshots = 3
 
+  /** Persisted table metadata ([[GraftOrcSchema]] evolution +
+    * [[GraftOrcCatalog]] DDL): the CURRENT table schema (field IDs,
+    * rename history and added-versions in the field metadata), the
+    * schema version the next data file is stamped with, the declared
+    * partition columns, and catalog table properties. None on tables
+    * that never persisted a schema (pre-evolution manifests, plain
+    * directory-established manifests) — those keep inferring from
+    * footers exactly as before.
+    */
+  case class TableMeta(schemaV: Long,
+                       schema: org.apache.spark.sql.types.StructType,
+                       parts: Seq[String],
+                       props: Map[String, String])
+
   /** `retain` is the snapshot-header retention setting (None on
     * pre-header snapshots) — the persisted policy the NEXT commit
     * inherits unless its writer overrides it explicitly. `deletes` are
     * the snapshot's live position-delete sidecars (merge-on-read DELETE,
     * [[GraftOrcMor]]): plain ORC files of (data-file relative path, row
     * position) pairs under `_graft_deletes/` that readers subtract at
-    * scan time; empty on tables that never ran a MoR delete.
+    * scan time; empty on tables that never ran a MoR delete. `meta` is
+    * the persisted table metadata (schema evolution / catalog DDL),
+    * inherited by every later commit until a DDL replaces it.
     */
   case class Snapshot(seq: Long, entries: Seq[OrcFileEntry],
                       retain: Option[Int] = None,
                       deletes: Seq[OrcFileEntry] = Nil,
-                      op: Option[String] = None)
+                      op: Option[String] = None,
+                      meta: Option[TableMeta] = None)
 
   /** One retained snapshot file: its sequence number, its commit time
     * (the snapshot file's mtime — re-stamped by a best-effort `setTimes`
@@ -167,7 +184,7 @@ object GraftOrcManifest {
     */
   private def parseFile(fs: FileSystem, qt: Path, snap: Path)
       : (Seq[OrcFileEntry], Option[Int], Seq[OrcFileEntry],
-         Option[String]) = {
+         Option[String], Option[TableMeta]) = {
     val in = fs.open(snap)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -177,21 +194,34 @@ object GraftOrcManifest {
     // operation hint recorded by the committer (append / truncate /
     // replace / delta / compact / purge); absent on older snapshots
     val op = header.filter(_.contains("\"op\":\"")).map(l => jsonString(l, "op"))
+    // persisted table metadata rides a DEDICATED header line (the schema
+    // JSON can be large and contains arbitrary keys, so it must not share
+    // a line the flat key scan above parses)
+    val meta = lines.find(_.startsWith("{\"schemaV\":")).map { l =>
+      TableMeta(
+        jsonLong(l, "schemaV"),
+        org.apache.spark.sql.types.DataType.fromJson(jsonString(l, "schema"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        jsonString(l, "parts").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq,
+        parseProps(jsonString(l, "props")))
+    }
     val entries = lines.filter(_.startsWith("{\"p\":")).map { line =>
       val rel = jsonString(line, "p")
       val len = jsonLong(line, "l")
       val mt = jsonLong(line, "t")
+      val v = if (line.contains("\"v\":")) jsonLong(line, "v") else 0L
       // optional footer-stat sidecar; "s" cannot occur as an unescaped
       // key inside the p value (quotes inside JSON strings are escaped)
       val stats =
         if (line.contains("\"s\":\"")) Some(jsonString(line, "s")) else None
-      entryOf(qt, rel, len, mt, stats)
+      entryOf(qt, rel, len, mt, stats).copy(schemaV = v)
     }
     val deletes = lines.filter(_.startsWith("{\"d\":")).map { line =>
       entryOf(qt, jsonString(line, "d"), jsonLong(line, "l"),
         jsonLong(line, "t"))
     }
-    (entries, retain, deletes, op)
+    (entries, retain, deletes, op, meta)
   }
 
   /** Every file path one snapshot accounts for — data files AND delete
@@ -199,7 +229,7 @@ object GraftOrcManifest {
     */
   private def allEntriesOfFile(fs: FileSystem, qt: Path,
                                snap: Path): Seq[OrcFileEntry] = {
-    val (entries, _, deletes, _) = parseFile(fs, qt, snap)
+    val (entries, _, deletes, _, _) = parseFile(fs, qt, snap)
     entries ++ deletes
   }
 
@@ -214,8 +244,8 @@ object GraftOrcManifest {
       refs.lastOption match {
         case None => Snapshot(0L, Nil)
         case Some(r) =>
-          val (entries, retain, deletes, op) = parseFile(fs, qt, r.path)
-          Snapshot(r.seq, entries, retain, deletes, op)
+          val (entries, retain, deletes, op, meta) = parseFile(fs, qt, r.path)
+          Snapshot(r.seq, entries, retain, deletes, op, meta)
       }
     }
   }
@@ -246,8 +276,8 @@ object GraftOrcManifest {
           s"graft-orc: no snapshot of $table at or before timestamp $ms " +
             s"(available: $available)"))
     }
-    val (entries, retain, deletes, op) = parseFile(fs, qt, ref.path)
-    Snapshot(ref.seq, entries, retain, deletes, op)
+    val (entries, retain, deletes, op, meta) = parseFile(fs, qt, ref.path)
+    Snapshot(ref.seq, entries, retain, deletes, op, meta)
   }
 
   /** Every file path referenced by ANY retained snapshot — data files and
@@ -276,7 +306,8 @@ object GraftOrcManifest {
                     entries: Seq[OrcFileEntry],
                     retain: Int = RetainSnapshots,
                     deletes: Seq[OrcFileEntry] = Nil,
-                    op: String = "unknown"): Unit = {
+                    op: String = "unknown",
+                    meta: Option[TableMeta] = None): Unit = {
     val qt = fs.makeQualified(table)
     val dir = manifestDir(qt)
     fs.mkdirs(dir)
@@ -289,11 +320,19 @@ object GraftOrcManifest {
       // the next committer (writer OR compactor) inherits it (commitSwap)
       w.write(s"""{"retain":${math.max(1, retain)},"op":${jsonQuote(op)}}""")
       w.newLine()
+      meta.foreach { m =>
+        w.write(s"""{"schemaV":${m.schemaV},"parts":${
+          jsonQuote(m.parts.mkString(","))},"props":${
+          jsonQuote(writeProps(m.props))},"schema":${
+          jsonQuote(m.schema.json)}}""")
+        w.newLine()
+      }
       entries.sortBy(_.path).foreach { e =>
         val rel = relativize(qt, e.path)
         val side = e.stats.map(s => s""","s":${jsonQuote(s)}""").getOrElse("")
+        val ver = if (e.schemaV > 0) s""","v":${e.schemaV}""" else ""
         w.write(
-          s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}$side}""")
+          s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}$ver$side}""")
         w.newLine()
       }
       deletes.sortBy(_.path).foreach { e =>
@@ -394,7 +433,8 @@ object GraftOrcManifest {
                  retain: Option[Int] = None,
                  addDeletes: Seq[OrcFileEntry] = Nil,
                  dropDeletes: Set[String] = Set.empty,
-                 op: String = "unknown"): Unit = {
+                 op: String = "unknown",
+                 meta: Option[TableMeta] = None): Unit = {
     val cur = readSnapshot(fs, table).getOrElse(Snapshot(0L, Nil))
     val base = if (truncate) Nil else cur.entries.filterNot(e => remove(e.path))
     val addPaths = add.map(_.path).toSet
@@ -406,7 +446,8 @@ object GraftOrcManifest {
     writeSnapshot(fs, table, cur.seq + 1,
       base.filterNot(e => addPaths(e.path)) ++ add,
       retain.orElse(cur.retain).getOrElse(RetainSnapshots),
-      deletes = baseDeletes ++ addDeletes, op = op)
+      deletes = baseDeletes ++ addDeletes, op = op,
+      meta = meta.orElse(cur.meta))
   }
 
   /** Delete files the new snapshot no longer references (truncate
@@ -484,6 +525,18 @@ object GraftOrcManifest {
     deleteFiles(fs, qt, victims)
     victims.size
   }
+
+  // table properties ride ONE quoted string: pairs joined with NUL (a
+  // char jsonQuote escapes and jsonString restores, and which cannot
+  // occur in a property key or value that came through SQL)
+  private def writeProps(props: Map[String, String]): String =
+    props.toSeq.sortBy(_._1)
+      .map { case (k, v) => k + "\u0000" + v }.mkString("\u0000")
+
+  private def parseProps(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split("\u0000", -1).grouped(2)
+      .collect { case Array(k, v) => k -> v }.toMap
 
   // ---- minimal JSON helpers (fixed flat schema; no library available) ----
 

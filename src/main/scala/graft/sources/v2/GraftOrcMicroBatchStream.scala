@@ -309,7 +309,8 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
           scan.pruneEntries(picked, scan.staticPartitionFilters)
         }
       return files.map(f => GraftOrcInputPartition(f.path, 0, f.length,
-        scan.partValuesFor(f), f.length)).toArray[InputPartition]
+        scan.partValuesFor(f), f.length,
+        schemaV = f.schemaV)).toArray[InputPartition]
     }
     val s = start.asInstanceOf[GraftOrcStreamOffset]
     val e = end.asInstanceOf[GraftOrcStreamOffset]
@@ -317,7 +318,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     val l = if (c != null && c._1 == e) c._2 else listing()
     l.filter(f => after(f, s) && !after(f, e))
       .map(f => GraftOrcInputPartition(f.path, 0, f.length,
-        scan.partValuesFor(f), f.length))
+        scan.partValuesFor(f), f.length, schemaV = f.schemaV))
       .toArray[InputPartition]
   }
 

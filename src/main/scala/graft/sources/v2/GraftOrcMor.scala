@@ -67,13 +67,24 @@ object GraftOrcMor {
     if (partials.isEmpty) return Nil
     val prefix = prefixOf(table)
     GraftOrcWrite.bumpPublishStamp(partials.map(_.mtime).max)
-    val frames = partials.groupBy(_.partitionValues).toSeq.map {
-      case (parts, files) =>
-        val raw = spark.read.format("graft-orc")
+    // schema-version groups like the CoW rewrite: files of different
+    // versions have different physical schemas, and the predicate
+    // references CURRENT names — project each group before evaluating
+    val evolved = GraftOrcSchema.hasEvolution(schema)
+    val frames = partials.groupBy(e =>
+      (e.partitionValues, if (evolved) e.schemaV else 0L)).toSeq.map {
+      case ((parts, fileV), files) =>
+        val loaded = spark.read.format("graft-orc")
           .load(files.map(_.path): _*)
           .select(col("*"), col(GraftOrcDataSource.FileMetaCol)
             .as("__mor_file"),
             col(GraftOrcDataSource.PosMetaCol).as("__mor_pos"))
+        val raw =
+          if (!evolved) loaded
+          else GraftOrcSchema.projectToCurrent(loaded,
+            schema.fields.toSeq.filterNot(f =>
+              parts.keys.exists(_.equalsIgnoreCase(f.name))), fileV,
+            extraCols = Seq("__mor_file", "__mor_pos"))
         val bound = parts.foldLeft(raw) { case (df, (k, v)) =>
           val dt = schema.fields.collectFirst {
             case f if f.name.equalsIgnoreCase(k) => f.dataType
@@ -218,13 +229,22 @@ object GraftOrcMor {
       affectedRel(GraftOrcManifest.relativize(qt, e.path)))
     GraftOrcWrite.bumpPublishStamp(
       (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
-    val rewritten = affected.groupBy(_.partitionValues).toSeq.flatMap {
-      case (parts, files) =>
-        val keep = minusDeleted(spark,
-          spark.read.format("graft-orc").load(files.map(_.path): _*),
-          qt, snap.deletes)
+    val evolved = snap.meta.exists(m => GraftOrcSchema.hasEvolution(m.schema))
+    val curV = snap.meta.map(_.schemaV).getOrElse(0L)
+    val rewritten = affected.groupBy(e =>
+      (e.partitionValues, if (evolved) e.schemaV else 0L)).toSeq.flatMap {
+      case ((parts, fileV), files) =>
+        val loaded = spark.read.format("graft-orc").load(files.map(_.path): _*)
+        // subtract positions FIRST (metadata columns resolve only on the
+        // raw relation), then project to the current schema
+        val keep0 = minusDeleted(spark, loaded, qt, snap.deletes)
+        val keep =
+          if (!evolved) keep0
+          else GraftOrcSchema.projectToCurrent(keep0,
+            snap.meta.get.schema.fields.toSeq.filterNot(f =>
+              parts.keys.exists(_.equalsIgnoreCase(f.name))), fileV)
         GraftOrcDelete.publishGroupRewrite(spark, fs, qt, parts, keep,
-          "purge")
+          "purge", schemaV = if (evolved) curV else 0L)
     }
     GraftOrcManifest.commitSwap(fs, qt,
       remove = affected.map(_.path).toSet, add = rewritten,

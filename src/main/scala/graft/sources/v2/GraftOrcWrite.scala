@@ -241,7 +241,8 @@ class GraftOrcWrite(path: String, schema: StructType,
       taskFactory()
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.publish(path, writeId, messages, truncate, wantManifest,
-        manifestRetain, replaceScanned(), partitionCols)
+        manifestRetain, replaceScanned(), partitionCols,
+        writeSchema = Some(schema))
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.discard(path, writeId, messages)
@@ -261,7 +262,7 @@ class GraftOrcWrite(path: String, schema: StructType,
                           messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.publish(path, writeId, messages,
           truncateExisting = false, wantManifest = wantManifest,
-          retain = manifestRetain)
+          retain = manifestRetain, writeSchema = Some(schema))
       override def abort(epochId: Long,
                          messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.discard(path, writeId, messages)
@@ -309,10 +310,18 @@ object GraftOrcWrite {
         s"not match the table's layout (${tableParts.mkString(", ")}) at " +
         s"$table; use overwrite to change the partition layout")
 
-    // data-file schema from a bounded sample of footers (newest files are
-    // listed last; take from both ends to catch drift cheaply)
-    val sample = (existing.take(4) ++ existing.takeRight(4)).map(_.path).distinct
-    val fileSchema = graft.sources.OrcTables.inferSchema(spark, sample)
+    // the persisted table schema (catalog / post-DDL manifest tables)
+    // wins: footer samples of an EVOLVED table carry pre-rename names
+    // and would reject a correctly-shaped append. Fallback: data-file
+    // schema from a bounded sample of footers (newest files are listed
+    // last; take from both ends to catch drift cheaply)
+    val fileSchema = index.tableMeta.map(m =>
+      StructType(m.schema.fields.filterNot(f =>
+        tableParts.contains(f.name.toLowerCase)))).getOrElse {
+      val sample =
+        (existing.take(4) ++ existing.takeRight(4)).map(_.path).distinct
+      graft.sources.OrcTables.inferSchema(spark, sample)
+    }
     val wantByName = fileSchema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     val incomingData =
@@ -435,7 +444,8 @@ object GraftOrcWrite {
                       replacePaths: Option[Set[String]] = None,
                       writerPartitionCols: Seq[String] = Nil,
                       deltaDeletes: Seq[String] = Nil,
-                      deltaRefs: Option[Set[String]] = None): Unit = {
+                      deltaRefs: Option[Set[String]] = None,
+                      writeSchema: Option[StructType] = None): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
@@ -460,6 +470,28 @@ object GraftOrcWrite {
       if (truncateExisting || !manifestActive) Nil
       else manifestBefore.map(_.entries).getOrElse(
         new GraftOrcFileIndex(conf, Seq(table), 32).entries)
+    // persisted table metadata (schema evolution, [[GraftOrcSchema]]):
+    // carried forward on append/replace/delta; REPLACED on a truncate
+    // whose schema differs (overwrite-with-new-schema — old retained
+    // snapshots keep reading through their own persisted meta). It is
+    // NEVER established implicitly here: only a DDL
+    // ([[GraftOrcSchema.alter]] bootstrap) or the catalog's createTable
+    // persists a schema, so plain manifest tables keep inferring exactly
+    // as before (same column order, zero behavior change).
+    def sameCols(a: StructType, b: StructType): Boolean =
+      a.fields.length == b.fields.length &&
+        a.fields.zip(b.fields).forall { case (x, y) =>
+          x.name.equalsIgnoreCase(y.name) && x.dataType == y.dataType }
+    val metaBefore = manifestBefore.flatMap(_.meta)
+    var chosenMeta: Option[GraftOrcManifest.TableMeta] =
+      (metaBefore, writeSchema) match {
+        case (Some(m), Some(ws)) if truncateExisting && !sameCols(ws, m.schema) =>
+          Some(GraftOrcManifest.TableMeta(m.schemaV + 1,
+            GraftOrcSchema.assignIds(ws), writerPartitionCols, m.props))
+        case (m, _) => m
+      }
+    // every file of this commit was written under the CURRENT schema
+    val stampV: Long = chosenMeta.map(_.schemaV).getOrElse(0L)
     // what a manifest truncate deletes LAST: the previous snapshot's
     // files, or — when this truncate is establishing the manifest — the
     // pre-manifest files a BFS still sees (listed now, before any rename)
@@ -577,6 +609,7 @@ object GraftOrcWrite {
             fs.getFileStatus(new Path(dest, p.getName)).getLen)
           newEntries += GraftOrcManifest.entryOf(qdir, rel,
             len, stampOf(p.getName), sidecars.get(p.getName))
+            .copy(schemaV = stampV)
         }
       }
     }
@@ -650,7 +683,8 @@ object GraftOrcWrite {
             op = if (truncateExisting) "truncate"
                  else if (replacePaths.isDefined) "replace"
                  else if (deltaRefs.isDefined) "delta"
-                 else "append")
+                 else "append",
+            meta = chosenMeta)
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException
@@ -673,6 +707,11 @@ object GraftOrcWrite {
             // the policy the WINNER persisted (it is the newest state)
             chosenRetain = retain.orElse(winner.retain)
               .getOrElse(GraftOrcManifest.RetainSnapshots)
+            // a concurrent DDL's meta is newer than ours — inherit it
+            // (this commit's files keep their own stamp: they WERE
+            // written under the older schema version, which is exactly
+            // what per-file resolution needs)
+            chosenMeta = winner.meta.orElse(chosenMeta)
         }
       }
       if (truncateExisting)

@@ -2,177 +2,191 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.hadoop.fs.Path
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pure-SQL surface of the connector: CREATE TABLE ... USING graft-orc
-  * LOCATION, then SELECT / INSERT INTO / INSERT OVERWRITE through the
-  * session catalog (the table's stored location feeds both the scan and
-  * the write builder).
+import graft.sources.v2.GraftOrcManifest
+
+/** The graft-orc `TableCatalog` ([[graft.sources.v2.GraftOrcCatalog]]):
+  * SQL DDL + DML + time travel against named tables, all resolving to
+  * the same atomic manifest commits as the path API. One catalog per
+  * spec run, warehoused in a temp dir.
   */
 class GraftOrcCatalogSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
 
-  test("CREATE TABLE USING graft-orc: SELECT, INSERT INTO, INSERT OVERWRITE") {
-    val dir = Files.createTempDirectory("graft-orc-catalog").toString
-    val nation = Tables.nation(spark, TestSpark.sf0001)
-    graft.sources.OrcTables.write(nation, dir)
-    val n = nation.count()
-    spark.sql(s"CREATE TABLE g_cat_nation USING `graft-orc` LOCATION '$dir'")
-    try {
-      assert(spark.sql("SELECT count(*) FROM g_cat_nation")
-        .collect().head.getLong(0) === n)
-      // predicate through the catalog path still prunes/pushes
-      assert(spark.sql(
-        "SELECT n_name FROM g_cat_nation WHERE n_nationkey = 0")
-        .collect().map(_.getString(0)).toSeq.nonEmpty)
-      spark.sql(
-        "INSERT INTO g_cat_nation SELECT * FROM g_cat_nation WHERE n_nationkey < 3")
-      assert(spark.sql("SELECT count(*) FROM g_cat_nation")
-        .collect().head.getLong(0) === n + 3)
-      spark.sql(
-        "INSERT OVERWRITE TABLE g_cat_nation SELECT * FROM g_cat_nation WHERE n_nationkey >= 20")
-      // 25 nations with key >= 20: 5 original + 0 of the 3 dup keys (0,1,2)
-      assert(spark.sql("SELECT count(*) FROM g_cat_nation")
-        .collect().head.getLong(0) === 5)
-    } finally spark.sql("DROP TABLE IF EXISTS g_cat_nation")
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-catalog-wh").toString
+    spark.conf.set("spark.sql.catalog.gcat",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    dir
   }
 
-  test("DELETE FROM with a partition predicate is one atomic metadata " +
-    "commit on a manifest table; the pre-delete snapshot stays readable") {
-    import graft.sources.v2.GraftOrcManifest
-    val dir = Files.createTempDirectory("graft-orc-delete").toString
-    val nation = Tables.nation(spark, TestSpark.sf0001)
-    nation.write.format("graft-orc").option("graft.manifest", "true")
-      .partitionBy("n_regionkey").mode("append").save(dir)        // snap 1
-    val n = nation.count()
-    val inR0 = nation.filter("n_regionkey = 0").count()
-    spark.sql(s"CREATE TABLE g_del_nation USING `graft-orc` LOCATION '$dir'")
-    try {
-      spark.sql("DELETE FROM g_del_nation WHERE n_regionkey = 0")
-      assert(spark.sql("SELECT count(*) FROM g_del_nation")
-        .collect().head.getLong(0) === n - inR0)
-      // one snapshot commit, no data file read or rewritten
-      val table = new org.apache.hadoop.fs.Path(dir)
-      val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(GraftOrcManifest.readSnapshot(fs, table).get.seq === 2L)
-      // the pre-delete snapshot stays time-travelable until expiry
-      assert(spark.read.format("graft-orc")
-        .option("graft.snapshot_id", "1").load(dir).count() === n)
-      // a NON-partition predicate pays copy-on-write on exactly the
-      // touched files: untouched partitions keep their file identity
-      val before = GraftOrcManifest.readSnapshot(fs, table).get.entries
-        .map(e => e.path -> e.mtime).toMap
-      spark.sql("DELETE FROM g_del_nation WHERE n_name = 'NATION_1'")
-      assert(spark.sql("SELECT count(*) FROM g_del_nation")
-        .collect().head.getLong(0) === n - inR0 - 1)
-      assert(spark.sql(
-        "SELECT count(*) FROM g_del_nation WHERE n_name = 'NATION_1'")
-        .collect().head.getLong(0) === 0L)
-      val after = GraftOrcManifest.readSnapshot(fs, table).get.entries
-        .map(e => e.path -> e.mtime).toMap
-      // NATION_1 lives in region 1: every file of the other regions must
-      // be byte-identical (same path, same mtime — never rewritten)
-      val untouched = before.keys.filterNot(_.contains("n_regionkey=1"))
-      assert(untouched.nonEmpty)
-      untouched.foreach { p =>
-        assert(after.get(p) === before.get(p),
-          s"file outside the touched partition was rewritten: $p")
-      }
-      assert(after.keys.exists(p => p.contains("n_regionkey=1") &&
-        p.contains("w-del-")), "region 1 must hold a rewrite wave")
-      // deleting everything left: TRUNCATE-equivalent via predicate
-      spark.sql("DELETE FROM g_del_nation WHERE n_regionkey >= 0")
-      assert(spark.sql("SELECT count(*) FROM g_del_nation")
-        .collect().head.getLong(0) === 0L)
-    } finally spark.sql("DROP TABLE IF EXISTS g_del_nation")
+  private def sql(s: String) = spark.sql(s)
+
+  test("create / insert / select / drop round trip, and SHOW TABLES") {
+    wh
+    sql("CREATE NAMESPACE gcat.db1")
+    sql("CREATE TABLE gcat.db1.t1 (a INT, b STRING)")
+    sql("INSERT INTO gcat.db1.t1 VALUES (1, 'x'), (2, 'y')")
+    assert(sql("SELECT a, b FROM gcat.db1.t1 ORDER BY a")
+      .as[(Int, String)].collect().toSeq == Seq((1, "x"), (2, "y")))
+    assert(sql("SHOW TABLES IN gcat.db1").select("tableName")
+      .as[String].collect().toSeq == Seq("t1"))
+    // the manifest IS the metastore: the directory carries a snapshot
+    // with the persisted schema
+    val fs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = GraftOrcManifest.readSnapshot(fs,
+      new Path(s"$wh/db1/t1")).get
+    assert(snap.meta.exists(_.schema.fieldNames.toSeq == Seq("a", "b")))
+    sql("DROP TABLE gcat.db1.t1")
+    assert(sql("SHOW TABLES IN gcat.db1").count() == 0)
   }
 
-  test("copy-on-write DELETE: NULL predicate rows survive, results match " +
-    "the logical minus") {
-    val dir = Files.createTempDirectory("graft-orc-delete-cow").toString
-    val spark2 = spark
-    import spark2.implicits._
-    // unpartitioned manifest table with a nullable column in play
-    val src = Seq((1L, "a", java.lang.Double.valueOf(1.0)),
-      (2L, "b", null.asInstanceOf[java.lang.Double]),
-      (3L, "c", java.lang.Double.valueOf(3.0)),
-      (4L, "d", java.lang.Double.valueOf(4.0)))
-      .toDF("id", "s", "v")
-    src.coalesce(1).write.format("graft-orc")
-      .option("graft.manifest", "true").mode("append").save(dir)
-    spark.sql(s"CREATE TABLE g_del_cow USING `graft-orc` LOCATION '$dir'")
-    try {
-      // DELETE WHERE v > 2: NULL v is not TRUE, so row 2 must SURVIVE
-      spark.sql("DELETE FROM g_del_cow WHERE v > 2")
-      val got = spark.sql("SELECT id FROM g_del_cow ORDER BY id")
-        .collect().map(_.getLong(0)).toSeq
-      assert(got === Seq(1L, 2L),
-        "NULL-predicate rows must survive a DELETE (SQL semantics)")
-    } finally spark.sql("DROP TABLE IF EXISTS g_del_cow")
+  test("partitioned create + insert lays out hive directories; a " +
+    "partition filter prunes files") {
+    wh
+    sql("CREATE TABLE gcat.pt (v INT, p INT) PARTITIONED BY (p)")
+    sql("INSERT INTO gcat.pt VALUES (1, 10), (2, 10), (3, 20)")
+    assert(sql("SELECT v FROM gcat.pt WHERE p = 20").as[Int]
+      .collect().toSeq == Seq(3))
+    val fs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$wh/pt/p=10")) &&
+      fs.exists(new Path(s"$wh/pt/p=20")))
+    val plan = sql("SELECT v FROM gcat.pt WHERE p = 20")
+    plan.collect()
+    val leaf = plan.queryExecution.executedPlan.collectLeaves().head
+    val filesRead = leaf.metrics.find(_._1 == "graftFilesRead").map(_._2.value)
+    assert(filesRead.contains(1L), s"partition pruning: got $filesRead")
   }
 
-  test("metadata full-drop DELETE with a negated predicate keeps NULL " +
-    "rows (r10 ADVICE: tri-state NOT must not promote to all-match)") {
-    val dir = Files.createTempDirectory("graft-orc-delete-notnull").toString
-    val spark2 = spark
-    import spark2.implicits._
-    // ONE file whose stat range {1.0} excludes the literal 5 AND which
-    // holds a NULL: c <> 5 is provably-false under two-valued stats, so
-    // a naive NOT promotes "no row matches c=5" to "every row matches
-    // c<>5" and full-drops the file — deleting the NULL row, which SQL
-    // KEEPS (NULL <> 5 is NULL, not TRUE). The fixed evaluator must
-    // classify the file as a partial and copy-on-write it instead.
-    Seq((1L, java.lang.Double.valueOf(1.0)),
-      (2L, null.asInstanceOf[java.lang.Double]))
-      .toDF("id", "v").coalesce(1).write.format("graft-orc")
-      .option("graft.manifest", "true").mode("append").save(dir)
-    spark.sql(s"CREATE TABLE g_del_not USING `graft-orc` LOCATION '$dir'")
-    try {
-      spark.sql("DELETE FROM g_del_not WHERE v <> 5")
-      val got = spark.sql("SELECT id FROM g_del_not ORDER BY id")
-        .collect().map(_.getLong(0)).toSeq
-      assert(got === Seq(2L),
-        "row with NULL v must survive DELETE WHERE v <> 5")
-      // and the dual still full-drops as pure metadata when every row
-      // provably matches: same shape, null-free file
-      val dir2 = Files.createTempDirectory("graft-orc-delete-not2").toString
-      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1)
-        .write.format("graft-orc")
-        .option("graft.manifest", "true").mode("append").save(dir2)
-      spark.sql(s"CREATE TABLE g_del_not2 USING `graft-orc` LOCATION '$dir2'")
-      try {
-        spark.sql("DELETE FROM g_del_not2 WHERE v <> 5")
-        assert(spark.sql("SELECT count(*) FROM g_del_not2")
-          .collect().head.getLong(0) === 0L)
-      } finally spark.sql("DROP TABLE IF EXISTS g_del_not2")
-    } finally spark.sql("DROP TABLE IF EXISTS g_del_not")
+  test("the full ALTER TABLE DDL surface: ADD, RENAME, DROP, widen TYPE, " +
+    "comment, properties — with old files resolving per version") {
+    wh
+    sql("CREATE TABLE gcat.ev (a INT, b INT)")
+    sql("INSERT INTO gcat.ev VALUES (1, 100), (2, 200)")
+    sql("ALTER TABLE gcat.ev RENAME COLUMN b TO metric")
+    sql("ALTER TABLE gcat.ev ADD COLUMN note STRING")
+    sql("ALTER TABLE gcat.ev ALTER COLUMN a TYPE BIGINT")
+    sql("INSERT INTO gcat.ev VALUES (3, 300, 'new')")
+    val rows = sql(
+      "SELECT a, metric, note FROM gcat.ev ORDER BY a")
+      .as[(Long, Int, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, 100, None), (2L, 200, None),
+      (3L, 300, Some("new"))))
+    sql("ALTER TABLE gcat.ev DROP COLUMN note")
+    assert(sql("SELECT * FROM gcat.ev").schema.fieldNames.toSeq ==
+      Seq("a", "metric"))
+    sql("ALTER TABLE gcat.ev SET TBLPROPERTIES ('owner.team'='graft')")
+    val fs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = GraftOrcManifest.readSnapshot(fs,
+      new Path(s"$wh/ev")).get.meta.get
+    assert(meta.props.get("owner.team").contains("graft"))
+    // illegal evolutions fail loudly
+    assertThrows[Exception] {
+      sql("ALTER TABLE gcat.ev ALTER COLUMN a TYPE INT") // narrowing
+    }
   }
 
-  test("canDeleteWhere on a multi-path relation refuses (row-level " +
-    "fallback) instead of aborting the optimizer") {
-    import org.apache.spark.sql.sources.{EqualTo, Filter}
-    val t = new graft.sources.v2.GraftOrcTable(
-      new org.apache.spark.sql.types.StructType()
-        .add("id", org.apache.spark.sql.types.LongType),
-      Map("path" -> "/tmp/a", "location" -> "/tmp/b"))
-    assert(!t.canDeleteWhere(Array[Filter](EqualTo("id", 1L))))
+  test("catalog DML: DELETE / UPDATE / MERGE resolve through the " +
+    "catalog; MoR via TBLPROPERTIES") {
+    wh
+    sql("CREATE TABLE gcat.dml (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete_mode'='mor')")
+    // one file, so the k=2 delete is PARTIAL (a multi-file VALUES insert
+    // would let the classifier full-drop a single-row file as metadata —
+    // correct, but then there is no sidecar to assert on)
+    sql("INSERT INTO gcat.dml SELECT /*+ REPARTITION(1) */ * FROM VALUES " +
+      "(1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    sql("DELETE FROM gcat.dml WHERE k = 2")
+    assert(sql("SELECT k FROM gcat.dml ORDER BY k").as[Int]
+      .collect().toSeq == Seq(1, 3, 4))
+    // MoR: the delete produced a position sidecar, not a rewrite
+    val fs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(GraftOrcManifest.readSnapshot(fs, new Path(s"$wh/dml")).get
+      .deletes.nonEmpty)
+    sql("UPDATE gcat.dml SET v = 'updated' WHERE k = 3")
+    assert(sql("SELECT v FROM gcat.dml WHERE k = 3").as[String]
+      .collect().toSeq == Seq("updated"))
+    sql("CREATE TABLE gcat.dml_src (k INT, v STRING)")
+    sql("INSERT INTO gcat.dml_src VALUES (4, 'merged'), (9, 'fresh')")
+    sql("""MERGE INTO gcat.dml t USING gcat.dml_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(sql("SELECT k, v FROM gcat.dml ORDER BY k")
+      .as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (3, "updated"), (4, "merged"), (9, "fresh")))
   }
 
-  test("DELETE FROM a directory (non-manifest) table is refused with a " +
-    "typed error") {
-    val dir = Files.createTempDirectory("graft-orc-delete-dir").toString
-    Tables.nation(spark, TestSpark.sf0001)
-      .write.format("graft-orc").partitionBy("n_regionkey")
-      .mode("append").save(dir)
-    spark.sql(s"CREATE TABLE g_del_plain USING `graft-orc` LOCATION '$dir'")
-    try {
-      val e = intercept[Throwable] {
-        spark.sql("DELETE FROM g_del_plain WHERE n_regionkey = 0")
-      }
-      assert(Option(e.getMessage).exists(m =>
-        m.toLowerCase.contains("delete")), s"got: $e")
-      assert(spark.sql("SELECT count(*) FROM g_del_plain").collect()
-        .head.getLong(0) === Tables.nation(spark, TestSpark.sf0001).count())
-    } finally spark.sql("DROP TABLE IF EXISTS g_del_plain")
+  test("time travel through the catalog: VERSION AS OF and " +
+    "TIMESTAMP AS OF") {
+    wh
+    sql("CREATE TABLE gcat.tt (x INT)")                  // snap 1
+    sql("INSERT INTO gcat.tt VALUES (1)")                // snap 2
+    val tsBetween = java.time.Instant.now()
+    Thread.sleep(15)
+    sql("INSERT INTO gcat.tt VALUES (2)")                // snap 3
+    assert(sql("SELECT x FROM gcat.tt VERSION AS OF 2").as[Int]
+      .collect().toSeq == Seq(1))
+    assert(sql("SELECT x FROM gcat.tt ORDER BY x").as[Int]
+      .collect().toSeq == Seq(1, 2))
+    val asOf = sql(
+      s"SELECT x FROM gcat.tt TIMESTAMP AS OF '$tsBetween'")
+      .as[Int].collect().toSeq
+    assert(asOf == Seq(1), s"TIMESTAMP AS OF read $asOf")
+  }
+
+  test("time travel reads an old snapshot under its OLD schema after " +
+    "a rename (catalog surface of the evolution contract)") {
+    wh
+    sql("CREATE TABLE gcat.ttevo (a INT, b INT)")        // snap 1
+    sql("INSERT INTO gcat.ttevo VALUES (1, 10)")         // snap 2
+    sql("ALTER TABLE gcat.ttevo RENAME COLUMN b TO m")   // snap 3
+    assert(sql("SELECT a, m FROM gcat.ttevo").as[(Int, Int)]
+      .collect().toSeq == Seq((1, 10)))
+    val old = sql("SELECT * FROM gcat.ttevo VERSION AS OF 2")
+    assert(old.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(old.as[(Int, Int)].collect().toSeq == Seq((1, 10)))
+  }
+
+  test("ALTER TABLE RENAME TO moves the directory; external LOCATION " +
+    "tables create where told") {
+    wh
+    sql("CREATE TABLE gcat.rn_src (x INT)")
+    sql("INSERT INTO gcat.rn_src VALUES (7)")
+    sql("ALTER TABLE gcat.rn_src RENAME TO rn_dst")
+    assert(sql("SELECT x FROM gcat.rn_dst").as[Int].collect().toSeq ==
+      Seq(7))
+    assert(!spark.catalog.tableExists("gcat.rn_src"))
+    val ext = Files.createTempDirectory("graft-cat-ext").toString
+    sql(s"CREATE TABLE gcat.ext_t (y INT) LOCATION '$ext'")
+    sql("INSERT INTO gcat.ext_t VALUES (42)")
+    val fs = new Path(ext).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(GraftOrcManifest.exists(fs, new Path(ext)))
+    assert(sql("SELECT y FROM gcat.ext_t").as[Int].collect().toSeq ==
+      Seq(42))
+  }
+
+  test("INSERT OVERWRITE replaces contents atomically; CREATE of an " +
+    "existing table and reads of a missing one raise typed errors") {
+    wh
+    sql("CREATE TABLE gcat.ow (x INT)")
+    sql("INSERT INTO gcat.ow VALUES (1), (2)")
+    sql("INSERT OVERWRITE gcat.ow VALUES (9)")
+    assert(sql("SELECT x FROM gcat.ow").as[Int].collect().toSeq == Seq(9))
+    assertThrows[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException] {
+      sql("CREATE TABLE gcat.ow (z INT)")
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT * FROM gcat.no_such_table").collect()
+    }
   }
 }
