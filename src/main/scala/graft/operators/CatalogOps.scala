@@ -165,5 +165,70 @@ object CatalogOps {
              |SELECT c_custkey, seg, bal,
              |  CASE WHEN bal > 9000 THEN 'hot' ELSE tag END AS tag
              |FROM survivors
-             |ORDER BY c_custkey""".stripMargin)))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------- partitions metadata table
+    // `t.partitions` answered purely from manifest state: per-partition
+    // row counts come from the per-file stat sidecars — the oracle is
+    // the full GROUP BY over the source, so what gets hash-checked is
+    // that a ZERO-data-read metadata query equals the real aggregation.
+    // At 100 TB this is "which partitions are skewed/missing" priced as
+    // one log read instead of a table scan.
+    QueryDef("q104_partitions_metadata",
+      (s, d) => {
+        val dir = freshDir("pmeta")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg"))
+          .repartition(4).write.format("graft-orc")
+          .option("graft.manifest", "true")
+          .partitionBy("seg").mode("append").save(dir)
+        graft.sources.v2.GraftOrcMetadata.partitions(s, dir)
+          .select(col("seg"), col("row_count"))
+          .orderBy(col("seg"))
+      },
+      Some("""SELECT c_mktsegment AS seg,
+             |  CAST(COUNT(*) AS BIGINT) AS row_count
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY seg""".stripMargin)),
+
+    // ------------------------------------------------ snapshot tag pin
+    // Reproducibility contract under the hash oracle: tag the pristine
+    // snapshot, run destructive mutations (a DELETE and an append),
+    // then read THROUGH THE TAG — the result must hash-equal the
+    // original source even though the live table moved on, and even
+    // though retention would have expired the snapshot without the
+    // tag. This is "pin the corpus a training run used".
+    QueryDef("rl_snapshot_tag",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        val dir = freshDir("tagpin")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+          .repartition(4).write.format("graft-orc")
+          .option("graft.manifest", "true")
+          .option("graft.manifest.retain", "1")
+          .mode("append").save(dir)                               // seq 1
+        val fs = new Path(dir).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        graft.sources.v2.GraftOrcManifest.createTag(
+          fs, new Path(dir), "pristine", 1L)
+        val t = "g_tagpin_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        s.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir'")
+        try {
+          s.sql(s"DELETE FROM $t WHERE bal < 5000")               // seq 2
+          Tables.customer(s, d).limit(10)
+            .select((col("c_custkey") + 900000).as("c_custkey"),
+              lit("X").as("seg"), lit(0.0).as("bal"))
+            .write.format("graft-orc").mode("append").save(dir)   // seq 3
+        } finally s.sql(s"DROP TABLE IF EXISTS $t")
+        s.read.format("graft-orc").option("graft.tag", "pristine")
+          .load(dir)
+          .select(col("c_custkey"), col("seg"), col("bal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+             |FROM customer ORDER BY c_custkey""".stripMargin)))
 }

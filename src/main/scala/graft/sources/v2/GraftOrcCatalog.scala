@@ -116,9 +116,15 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     loadTableWith(ident, Nil)
 
-  /** `VERSION AS OF <seq>` through the catalog. */
+  /** `VERSION AS OF <seq-or-tag>` through the catalog: a numeric
+    * version addresses a snapshot seq, anything else a TAG (the
+    * Iceberg convention for named refs in VERSION AS OF).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadTableWith(ident, Seq("graft.snapshot_id" -> version))
+    loadTableWith(ident,
+      if (version.nonEmpty && version.forall(_.isDigit))
+        Seq("graft.snapshot_id" -> version)
+      else Seq("graft.tag" -> version))
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -132,7 +138,23 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
       try GraftOrcManifest.readSnapshot(fs, dir)
       catch { case _: java.io.FileNotFoundException => None }
     val meta = snap.flatMap(_.meta)
-    if (snap.isEmpty) throw new NoSuchTableException(ident)
+    if (snap.isEmpty) {
+      // metadata tables (Iceberg multipart-identifier shape):
+      // `db.t.snapshots|files|partitions` — the trailing name selects
+      // the view, the prefix must be a real manifest table
+      if (ident.namespace().nonEmpty &&
+          GraftOrcMetadataTable.Kinds(
+            ident.name().toLowerCase(java.util.Locale.ROOT))) {
+        val parent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        val pdir = resolveDir(parent)
+        if (GraftOrcManifest.exists(fs, fs.makeQualified(pdir)))
+          return new GraftOrcMetadataTable(
+            ident.name().toLowerCase(java.util.Locale.ROOT),
+            pdir.toString)
+      }
+      throw new NoSuchTableException(ident)
+    }
     val tableDir = meta.flatMap(_.props.get("location"))
       .getOrElse(dir.toString)
     val options = new java.util.HashMap[String, String]()

@@ -206,11 +206,13 @@ object GraftOrcDataSource {
       .map(parseLongOption("graft.snapshot_id", _))
     val asOf = Option(options.get("graft.as_of_timestamp"))
       .map(parseTimestampMillis)
-    require(byId.isEmpty || asOf.isEmpty,
-      "graft-orc: graft.snapshot_id and graft.as_of_timestamp are " +
-        "mutually exclusive")
+    val byTag = Option(options.get("graft.tag"))
+    require(Seq(byId, asOf, byTag).count(_.isDefined) <= 1,
+      "graft-orc: graft.snapshot_id, graft.as_of_timestamp and " +
+        "graft.tag are mutually exclusive")
     byId.map(GraftOrcManifest.Selector.ById(_))
       .orElse(asOf.map(GraftOrcManifest.Selector.AsOf(_)))
+      .orElse(byTag.map(GraftOrcManifest.Selector.ByTag(_)))
   }
 
   /** Incremental-read option: `graft.start_snapshot_id` restricts the
@@ -357,7 +359,8 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     // `VERSION AS OF` / `TIMESTAMP AS OF` relation — the scan must see
     // them exactly like read options
     Seq("path", "paths", "location",
-        "graft.snapshot_id", "graft.as_of_timestamp").foreach { k =>
+        "graft.snapshot_id", "graft.as_of_timestamp", "graft.tag")
+      .foreach { k =>
       if (!options.containsKey(k)) props.get(k).foreach(v => merged.put(k, v))
     }
     new CaseInsensitiveStringMap(merged)

@@ -118,6 +118,7 @@ object GraftOrcManifest {
   object Selector {
     final case class ById(seq: Long) extends Selector
     final case class AsOf(ms: Long) extends Selector
+    final case class ByTag(name: String) extends Selector
   }
 
   private def manifestDir(table: Path) = new Path(table, Dir)
@@ -266,6 +267,13 @@ object GraftOrcManifest {
       else s"seqs ${refs.head.seq}..${refs.last.seq}, commit times " +
         s"${refs.head.commitMs}..${refs.last.commitMs}"
     val ref = sel match {
+      case Selector.ByTag(name) =>
+        val seq = resolveTag(fs, qt, name)
+        refs.find(_.seq == seq).getOrElse(
+          throw new IllegalStateException(
+            s"graft-orc: tag '$name' of $table pins snapshot $seq, " +
+              "which is missing from the manifest directory — the tag " +
+              "file outlived its snapshot (manual deletion?)"))
       case Selector.ById(seq) => refs.find(_.seq == seq).getOrElse(
         throw new IllegalArgumentException(
           s"graft-orc: snapshot $seq of $table is not retained " +
@@ -405,9 +413,17 @@ object GraftOrcManifest {
       val losers = all.diff(winners)
       val (expired, retained) =
         winners.splitAt(winners.length - math.max(1, retain))
-      val dead = expired ++ losers
+      // TAGGED snapshots are exempt from expiry: the tag is the user's
+      // promise that this snapshot must stay readable (reproducible
+      // training runs); it — and the files only it references — live
+      // until the tag is dropped
+      val taggedSeqs = listTags(fs, qt).map(_._2).toSet
+      val (pinned, reallyExpired) =
+        expired.partition(p => taggedSeqs(seqOfName(p)))
+      val dead = reallyExpired ++ losers
       if (dead.nonEmpty) {
-        val live = retained.flatMap(p => allEntriesOfFile(fs, qt, p))
+        val live = (retained ++ pinned)
+          .flatMap(p => allEntriesOfFile(fs, qt, p))
           .map(_.path).toSet
         val victims = dead.flatMap(p => allEntriesOfFile(fs, qt, p))
           .filterNot(e => live(e.path))
@@ -489,6 +505,106 @@ object GraftOrcManifest {
         }
       }.distinct
     }
+  }
+
+  // ---- tags ------------------------------------------------------------
+
+  /** Named snapshot TAGS (`_graft_manifest/tag-<name>.json`, one line
+    * `{"seq":N}`): a tagged snapshot — and every file it references —
+    * is EXEMPT from retention expiry until the tag is dropped, so
+    * `.option("graft.tag", "name")` reads it byte-identically forever.
+    * The reproducibility handle a training pipeline needs: tag the
+    * corpus snapshot a run trained on, and the run can be replayed
+    * long after the table moved on, at a space cost of exactly the
+    * files that snapshot pinned. Tag files are atomic (tmp + rename)
+    * and live beside the snapshots they pin, so vacuum/retention
+    * reason over one directory.
+    */
+  private val TagPrefix = "tag-"
+
+  private def tagPath(table: Path, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"graft-orc: invalid tag name '$name' (letters, digits, '-', " +
+        "'_', '.')")
+    new Path(manifestDir(table), s"$TagPrefix$name.json")
+  }
+
+  def createTag(fs: FileSystem, table: Path, name: String,
+                seq: Long): Unit = {
+    val qt = fs.makeQualified(table)
+    // must address a RETAINED snapshot (typed error otherwise)
+    resolveSnapshot(fs, qt, Selector.ById(seq))
+    val dest = tagPath(qt, name)
+    if (fs.exists(dest)) throw new IllegalArgumentException(
+      s"graft-orc: tag '$name' already exists on $table (drop it first)")
+    val tmp = new Path(manifestDir(qt), s".tmp-tag-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"seq":$seq}""".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"graft-orc: failed to publish tag $dest")
+    }
+  }
+
+  /** Drop a tag; the pinned snapshot becomes an ordinary retained (or
+    * expired-on-next-commit) snapshot. Returns whether it existed.
+    */
+  def dropTag(fs: FileSystem, table: Path, name: String): Boolean =
+    fs.delete(tagPath(fs.makeQualified(table), name), false)
+
+  /** (tag name, pinned seq), sorted by name. */
+  def listTags(fs: FileSystem, table: Path): Seq[(String, Long)] = {
+    val dir = manifestDir(fs.makeQualified(table))
+    val files =
+      try fs.listStatus(dir).filter(st => st.isFile &&
+        st.getPath.getName.startsWith(TagPrefix) &&
+        st.getPath.getName.endsWith(".json"))
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    files.map { st =>
+      val name = st.getPath.getName
+        .stripPrefix(TagPrefix).stripSuffix(".json")
+      val in = fs.open(st.getPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      name -> jsonLong(txt, "seq")
+    }.toSeq.sortBy(_._1)
+  }
+
+  def resolveTag(fs: FileSystem, table: Path, name: String): Long =
+    listTags(fs, table).collectFirst { case (n, s) if n == name => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-orc: no tag '$name' on $table (available: " +
+          s"${listTags(fs, table).map(_._1).mkString(", ")})"))
+
+  /** Roll the table back to retained snapshot `seq` — as a NEW commit
+    * whose content (files, delete sidecars, schema) is that snapshot's,
+    * never by rewriting history: the rolled-past snapshots stay
+    * readable until expiry, concurrent readers never see a seq vanish,
+    * and the rollback itself is one atomic snapshot rename that the
+    * same-seq race detection serializes against concurrent writers.
+    * The schema rolls back WITH the data (a rollback across a DDL
+    * restores the pre-DDL schema — the Iceberg contract), while the
+    * persisted retention policy of the CURRENT snapshot carries
+    * forward. Typed error when `seq` is not retained.
+    */
+  def rollback(conf: org.apache.hadoop.conf.Configuration,
+               table: String, seq: Long): Unit = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    val cur = readSnapshot(fs, qt).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-orc: rollback requires a manifest table, but $table " +
+          s"has no $Dir"))
+    require(seq != cur.seq,
+      s"graft-orc: table $table is already at snapshot $seq")
+    val target = resolveSnapshot(fs, qt, Selector.ById(seq))
+    writeSnapshot(fs, qt, cur.seq + 1, target.entries,
+      cur.retain.getOrElse(RetainSnapshots),
+      deletes = target.deletes, op = "rollback", meta = target.meta)
   }
 
   /** Garbage-collect a manifest table: physically delete every visible

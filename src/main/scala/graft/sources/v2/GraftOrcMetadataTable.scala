@@ -1,0 +1,197 @@
+package graft.sources.v2
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES over a graft-orc manifest table — the
+  * observability surface a 100 TB table needs, answered entirely from
+  * manifest state (zero data-file I/O):
+  *
+  *  - `SELECT * FROM cat.db.t.snapshots` — the retained history: seq,
+  *    commit time, operation, file/byte accounting, schema version.
+  *  - `... FROM cat.db.t.files` — the live files of the current
+  *    snapshot: path, size, partition, per-file schema version, row
+  *    count (from the stat sidecar when present).
+  *  - `... FROM cat.db.t.partitions` — per-partition rollup: file
+  *    count, row count, bytes. At scale this is the "which partitions
+  *    are bloated / skewed / missing" query, priced as one metadata
+  *    read instead of a full scan.
+  *
+  * Resolution: [[GraftOrcCatalog.loadTable]] maps `db.t.<kind>` to this
+  * table when `db.t` is a manifest table (the same multipart-identifier
+  * trick Iceberg uses). Execution is a DSv2 [[LocalScan]]: the rows are
+  * computed on the driver from the snapshot log — they ARE driver-side
+  * metadata; shipping a scan to executors would only add scheduling.
+  * Path users get the same three frames via [[GraftOrcMetadata]].
+  */
+object GraftOrcMetadataTable {
+
+  val Kinds: Set[String] = Set("snapshots", "files", "partitions")
+
+  private[v2] def snapshotsSchema = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("op", StringType, nullable = true),
+    StructField("data_files", IntegerType, nullable = false),
+    StructField("delete_files", IntegerType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("schema_v", LongType, nullable = true)))
+
+  private[v2] def filesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("mtime_ms", LongType, nullable = false),
+    StructField("schema_v", LongType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("row_count", LongType, nullable = true),
+    StructField("has_stats", BooleanType, nullable = false)))
+
+  /** Partition key columns (as raw strings, path order) + rollup. */
+  private[v2] def partitionsSchema(partCols: Seq[String]) = StructType(
+    partCols.map(c => StructField(c, StringType, nullable = true)) ++ Seq(
+      StructField("file_count", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("total_bytes", LongType, nullable = false)))
+
+  private def rowsOf(e: OrcFileEntry): Option[Long] =
+    e.stats.flatMap(OrcStatsEval.decodeSidecar).map(_._1)
+
+  private[v2] def partColsOf(fs: org.apache.hadoop.fs.FileSystem,
+                             table: Path): Seq[String] = {
+    val snap = GraftOrcManifest.readSnapshot(fs, table)
+    snap.flatMap(_.meta).map(_.parts).filter(_.nonEmpty).getOrElse(
+      snap.map(_.entries).getOrElse(Nil)
+        .map(_.partitionValues.keys.toSeq)
+        .maxByOption(_.length).getOrElse(Nil))
+  }
+
+  private[v2] def computeRows(kind: String, conf: Configuration,
+                              table: Path): (StructType, Seq[Seq[Any]]) = {
+    val fs = table.getFileSystem(conf)
+    val qt = fs.makeQualified(table)
+    kind match {
+      case "snapshots" =>
+        val refs = GraftOrcManifest.listSnapshots(fs, qt).getOrElse(Nil)
+        val rows = refs.map { r =>
+          val s = GraftOrcManifest.resolveSnapshot(fs, qt,
+            GraftOrcManifest.Selector.ById(r.seq))
+          Seq[Any](r.seq, r.commitMs * 1000L, s.op.orNull,
+            s.entries.size, s.deletes.size,
+            (s.entries ++ s.deletes).map(_.length).sum,
+            s.meta.map(_.schemaV).orNull)
+        }
+        (snapshotsSchema, rows)
+      case "files" =>
+        val s = GraftOrcManifest.readSnapshot(fs, qt)
+          .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+        val rows = s.entries.map { e =>
+          Seq[Any](GraftOrcManifest.relativize(qt, e.path), e.length,
+            e.mtime, e.schemaV,
+            e.partitionValues.map { case (k, v) => s"$k=$v" }
+              .mkString("/"),
+            rowsOf(e).orNull, e.stats.isDefined)
+        }
+        (filesSchema, rows)
+      case "partitions" =>
+        val s = GraftOrcManifest.readSnapshot(fs, qt)
+          .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+        val partCols = partColsOf(fs, qt)
+        val rows = s.entries.groupBy(e =>
+          partCols.map(c => e.partitionValues.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(c) => v
+          }.orNull)).toSeq.map { case (vals, es) =>
+          val perFile = es.map(rowsOf)
+          val rowCount =
+            if (perFile.forall(_.isDefined)) perFile.flatten.sum else null
+          vals ++ Seq[Any](es.size.toLong, rowCount,
+            es.map(_.length).sum)
+        }
+        (partitionsSchema(partCols), rows)
+      case other => throw new IllegalArgumentException(
+        s"graft-orc: unknown metadata table '$other' " +
+          s"(supported: ${Kinds.mkString(", ")})")
+    }
+  }
+
+  private def toInternal(schema: StructType, row: Seq[Any]): InternalRow =
+    new GenericInternalRow(row.zip(schema.fields).map {
+      case (null, _) => null
+      case (v: String, _) => UTF8String.fromString(v)
+      case (v: Int, f) if f.dataType == LongType => v.toLong
+      case (v, _) => v
+    }.toArray[Any])
+
+  private[v2] def internalRows(kind: String, conf: Configuration,
+                               table: Path): (StructType, Array[InternalRow]) = {
+    val (schema, rows) = computeRows(kind, conf, table)
+    (schema, rows.map(toInternal(schema, _)).toArray)
+  }
+}
+
+class GraftOrcMetadataTable(kind: String, tableDir: String)
+    extends Table with SupportsRead {
+
+  private def conf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  // schema computed on load (partitions columns are table-dependent)
+  private lazy val tableSchema: StructType =
+    GraftOrcMetadataTable.internalRows(kind, conf, new Path(tableDir))._1
+
+  override def schema(): StructType = tableSchema
+  override def name(): String = s"graft-orc-meta:$tableDir#$kind"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new LocalScan {
+      // computed at EXECUTION, not load: a SELECT sees the state as of
+      // the query, and repeated queries re-read the (one-file) log
+      override def rows(): Array[InternalRow] =
+        GraftOrcMetadataTable.internalRows(kind, conf,
+          new Path(tableDir))._2
+      override def readSchema(): StructType = tableSchema
+      override def description(): String = name()
+    }
+  }
+}
+
+/** Path-API access to the same three metadata frames (no catalog
+  * required): `GraftOrcMetadata.partitions(spark, dir)` etc.
+  */
+object GraftOrcMetadata {
+  private def frame(spark: SparkSession, kind: String,
+                    table: String): DataFrame = {
+    val (schema, rows) = GraftOrcMetadataTable.computeRows(kind,
+      spark.sparkContext.hadoopConfiguration, new Path(table))
+    // timestamps were produced as epoch MICROS for InternalRow; convert
+    // to java.sql.Timestamp for the external Row constructor
+    val ext = rows.map { r =>
+      Row.fromSeq(r.zip(schema.fields).map {
+        case (us: Long, f) if f.dataType == TimestampType =>
+          new java.sql.Timestamp(us / 1000L)
+        case (v, _) => v
+      })
+    }
+    spark.createDataFrame(ext.asJava, schema)
+  }
+
+  def snapshots(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "snapshots", table)
+  def files(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "files", table)
+  def partitions(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "partitions", table)
+}
