@@ -258,6 +258,38 @@ object RowLevelOps {
               |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
               |ORDER BY c_custkey""".stripMargin)),
 
+    // ------------------------------------------- blind UPSERT (equality)
+    // The SAME upsert as rl_merge_* but through GraftOrcEqDelete.upsert:
+    // the target is NEVER read — the commit is the new rows plus one
+    // equality sidecar of their keys, and readers resolve newest-wins
+    // per key. Hash-identical to the MERGE plans' final state is the
+    // whole contract: at 100 TB this turns CDC apply from a per-batch
+    // target scan into work ∝ the batch.
+    QueryDef("rl_upsert_eq",
+      (s, d) => {
+        val all = seeded(s, d)
+        val (dir, t) = freshTable(s, all.filter(col("c_custkey") % 2 === 0),
+          "upse")
+        try graft.sources.v2.GraftOrcEqDelete.upsert(s, dir,
+          all.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), lit("MERGED").as("seg"),
+              (col("bal") * 2).as("bal")),
+          Seq("c_custkey"))
+        finally s.sql(s"DROP TABLE IF EXISTS $t")
+        finalState(s, dir)
+      },
+      Some(s"""WITH seeded AS ($seededSql),
+              |t AS (SELECT * FROM seeded WHERE c_custkey % 2 = 0),
+              |s AS (SELECT c_custkey, 'MERGED' AS seg, bal * 2 AS bal
+              |      FROM seeded WHERE c_custkey % 3 = 0)
+              |SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.seg ELSE t.seg
+              |    END AS seg,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal
+              |    END AS bal
+              |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+              |ORDER BY c_custkey""".stripMargin)),
+
     // ------------------------------------------------- CDC changelog
     // Row-level change feed between snapshots (GraftOrcChangelog): a MoR
     // DELETE (seq 2), a MoR UPDATE (seq 3 — delete of the old image +

@@ -89,12 +89,54 @@ object GraftOrcChangelog {
       GraftOrcManifest.resolveSnapshot(fs, qt,
         GraftOrcManifest.Selector.ById(seq))
 
-    // (absolute file, position) pairs of a sidecar set
-    def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] =
-      if (sidecars.isEmpty) None
-      else Some(spark.read.orc(sidecars.map(_.path): _*)
+    def posOnly(sidecars: Seq[OrcFileEntry]): Seq[OrcFileEntry] =
+      sidecars.filterNot(e => GraftOrcEqDelete.isEqualitySidecar(e.path))
+    def eqOnly(sidecars: Seq[OrcFileEntry]): Seq[OrcFileEntry] =
+      sidecars.filter(e => GraftOrcEqDelete.isEqualitySidecar(e.path))
+
+    // (absolute file, position) pairs of a POSITION sidecar set
+    def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] = {
+      val pos = posOnly(sidecars)
+      if (pos.isEmpty) None
+      else Some(spark.read.orc(pos.map(_.path): _*)
         .select(concat(lit(prefix), col("f")).as("__cdc_dfile"),
           col("pos").as("__cdc_dpos")).distinct())
+    }
+
+    // drop rows whose key tuple matches an EQUALITY sidecar newer than
+    // the row's file (GraftOrcEqDelete applicability); file mtimes come
+    // from the snapshot entries via the __cdc_file lineage column
+    def minusEq(df: DataFrame, eqDels: Seq[OrcFileEntry],
+                entries: Seq[OrcFileEntry]): DataFrame = {
+      if (eqDels.isEmpty) return df
+      import spark.implicits._
+      val mtimes = entries.map(e => (e.path, e.mtime))
+        .toDF("__cdc_file", "__cdc_mtime")
+      var acc = df.join(broadcast(mtimes), Seq("__cdc_file"), "left")
+      eqDels.foreach { sdel =>
+        val keys = spark.read.orc(sdel.path).distinct()
+        val keyCols = keys.columns.toSeq
+        val renamed = keys.toDF(keyCols.map("__eqk_" + _): _*)
+          .withColumn("__eq_hit", lit(true))
+        // plain === (not null-safe): a NULL key never matches a delete
+        val cond = keyCols.map(c =>
+          acc(c) === renamed("__eqk_" + c)).reduce(_ && _)
+        acc = acc.join(broadcast(renamed), cond, "left_outer")
+          .filter(!(coalesce(col("__eq_hit"), lit(false)) &&
+            col("__cdc_mtime") < lit(sdel.mtime)))
+          .drop("__eq_hit")
+        keyCols.foreach(c => acc = acc.drop("__eqk_" + c))
+      }
+      acc.drop("__cdc_mtime")
+    }
+
+    // live rows of `files` AS OF the state `snap` describes: position
+    // pairs subtracted, equality tuples subtracted per applicability
+    def liveRows(files: Seq[OrcFileEntry],
+                 snap: GraftOrcManifest.Snapshot): Option[DataFrame] =
+      loadWithMeta(files).map(df =>
+        minusEq(minusPairs(df, pairsOf(snap.deletes)),
+          eqOnly(snap.deletes), snap.entries))
 
     // rows of `files` with bound partition values, normalized to
     // tableCols, plus (__cdc_file, __cdc_pos) lineage
@@ -148,14 +190,14 @@ object GraftOrcChangelog {
         // merge-on-read deletes: rows of the referenced parent files hit
         // by the NEW sidecar positions (minus positions already deleted
         // at the parent — re-recorded pairs must not double-emit)
-        if (newSidecars.nonEmpty) {
-          val refRel = spark.read.orc(newSidecars.map(_.path): _*)
+        val posNew = posOnly(newSidecars)
+        if (posNew.nonEmpty) {
+          val refRel = spark.read.orc(posNew.map(_.path): _*)
             .select("f").distinct().collect().map(_.getString(0)).toSet
           val refFiles = parent.entries.filter(e =>
             refRel(GraftOrcManifest.relativize(qt, e.path)))
-          loadWithMeta(refFiles).zip(pairsOf(newSidecars)).foreach {
-            case (rows, fresh) =>
-              val freshOnly = minusPairs(rows, pairsOf(parent.deletes))
+          liveRows(refFiles, parent).zip(pairsOf(posNew)).foreach {
+            case (freshOnly, fresh) =>
               val deleted = freshOnly.join(fresh,
                 freshOnly("__cdc_file") === fresh("__cdc_dfile") &&
                   freshOnly("__cdc_pos") === fresh("__cdc_dpos"),
@@ -164,9 +206,39 @@ object GraftOrcChangelog {
           }
         }
 
-        // file swaps: multiset net-diff; pure appends short-circuit
-        val removedLive = loadWithMeta(removed)
-          .map(df => dropMeta(minusPairs(df, pairsOf(parent.deletes))))
+        // equality deletes (upserts, GraftOrcEqDelete): the delete
+        // images are the parent's LIVE rows matching the new sidecar's
+        // key tuples across every file older than it. A single-column
+        // key with a small set pushes an IN filter, so the scan prunes
+        // by stripe range/bloom instead of reading every older file.
+        eqOnly(newSidecars).foreach { sdel =>
+          val affected = parent.entries.filter(_.mtime < sdel.mtime)
+          liveRows(affected, parent).foreach { live0 =>
+            val keys = spark.read.orc(sdel.path).distinct()
+            val keyCols = keys.columns.toSeq
+            val live = keyCols match {
+              case Seq(single) =>
+                val vals = keys.limit(10001).collect()
+                if (vals.length <= 10000)
+                  live0.filter(col(single).isInCollection(
+                    vals.map(_.get(0)).toSeq))
+                else live0
+              case _ => live0
+            }
+            val renamed = keys.toDF(keyCols.map("__eqk_" + _): _*)
+            val cond = keyCols.map(c =>
+              live(c) === renamed("__eqk_" + c)).reduce(_ && _)
+            val deleted = live.join(broadcast(renamed), cond, "left_semi")
+            changes += finalize(dropMeta(deleted), "delete", seq)
+          }
+        }
+
+        // file swaps: multiset net-diff; pure appends short-circuit.
+        // Removed files' live rows subtract the PARENT's full delete
+        // state (positions + applicable equality tuples); added files
+        // are newer than any pre-existing equality sidecar by the stamp
+        // order, so only the child's position pairs can touch them.
+        val removedLive = liveRows(removed, parent).map(dropMeta)
         val addedRows = loadWithMeta(added)
           .map(df => dropMeta(minusPairs(df, pairsOf(child.deletes))))
         (removedLive, addedRows) match {

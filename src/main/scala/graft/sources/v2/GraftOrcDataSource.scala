@@ -910,7 +910,8 @@ case class GraftOrcInputPartition(filePath: String, start: Long, length: Long,
                                   partitionValues: Array[String],
                                   fileLength: Long,
                                   partitionTypes: Array[DataType] = Array.empty,
-                                  schemaV: Long = 0L)
+                                  schemaV: Long = 0L,
+                                  fileMtime: Long = 0L)
   extends InputPartition with HasPartitionKey {
   // Storage-partitioned joins: Spark groups splits of hive-partitioned
   // tables by this key (driver-side, InternalRow equality/ordering), so
@@ -944,7 +945,42 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     * leaves the vectorized path untouched.
     */
   private[v2] lazy val liveDeleteSidecars: Seq[(String, String)] =
-    index.deleteEntries.map { case (e, root) => (e.path, root) }
+    index.deleteEntries.collect {
+      case (e, root) if !GraftOrcEqDelete.isEqualitySidecar(e.path) =>
+        (e.path, root)
+    }
+
+  /** Live EQUALITY-delete sidecars ([[GraftOrcEqDelete]]): (path, table
+    * root, sidecar mtime) — the mtime is the applicability watermark (a
+    * sidecar deletes only from files strictly OLDER than it).
+    */
+  private[v2] lazy val liveEqSidecars: Seq[(String, String, Long)] =
+    index.deleteEntries.collect {
+      case (e, root) if GraftOrcEqDelete.isEqualitySidecar(e.path) =>
+        (e.path, root, e.mtime)
+    }
+
+  /** The key columns the live equality sidecars delete by (union of the
+    * sidecar schemas, resolved to table fields). Read from the sidecar
+    * footers once at plan time — they are tiny by the purge contract.
+    */
+  private[v2] lazy val eqKeyFields: Array[
+      org.apache.spark.sql.types.StructField] =
+    if (liveEqSidecars.isEmpty) Array.empty
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      import scala.jdk.CollectionConverters._
+      liveEqSidecars.flatMap { case (p, _, _) =>
+        val r = OrcFile.createReader(new Path(p),
+          OrcFile.readerOptions(conf))
+        try r.getSchema.getFieldNames.asScala.toSeq finally r.close()
+      }.distinct.map { n =>
+        dataFileSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalStateException(
+            s"graft-orc: equality sidecar key column $n is not in the " +
+              s"table schema ${dataFileSchema.simpleString}"))
+      }.toArray
+    }
 
   // Runtime (dynamic partition) filtering: Catalyst offers filters on the
   // declared partition attributes once a join's build side has executed —
@@ -1275,9 +1311,11 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
 
   override def estimateStatistics(): Statistics = {
     val bytes = selectedFiles.map(_.length).sum
-    // live MoR delete sidecars make footer row counts upper bounds, so
-    // they degrade exactly like a pushed data filter (and purge restores)
-    val exactRows = dataFilters.isEmpty && liveDeleteSidecars.isEmpty
+    // live MoR delete sidecars — position AND equality — make footer row
+    // counts upper bounds, so they degrade exactly like a pushed data
+    // filter (and purge restores)
+    val exactRows = dataFilters.isEmpty && liveDeleteSidecars.isEmpty &&
+      liveEqSidecars.isEmpty
     val rows = if (exactRows) OptionalLong.of(footerRows) else OptionalLong.empty()
     // column stats share the degrade gate: under a pushed data filter the
     // scan's OUTPUT rows are unknown, so per-column null counts would lie;
@@ -1408,7 +1446,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     val (small, big) = selectedFiles.partition(_.length <= targetSplitBytes)
     val smallParts = small.map(e =>
       GraftOrcInputPartition(e.path, 0, e.length, partValues(e), e.length,
-        partTypes, e.schemaV))
+        partTypes, e.schemaV, e.mtime))
     val bigParts = GraftOrcFileIndex.parallelMap(big, metaParallelism) { e =>
       val r = OrcFile.createReader(new Path(e.path), OrcFile.readerOptions(conf))
       val stripes =
@@ -1428,10 +1466,10 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       val vs = partValues(e)
       if (splits.isEmpty)
         Seq(GraftOrcInputPartition(e.path, 0, e.length, vs, e.length,
-          partTypes, e.schemaV))
+          partTypes, e.schemaV, e.mtime))
       else splits.map { case (s, l) =>
         GraftOrcInputPartition(e.path, s, l, vs, e.length, partTypes,
-          e.schemaV)
+          e.schemaV, e.mtime)
       }
     }.flatten
     (smallParts ++ bigParts).toArray
@@ -1476,7 +1514,20 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       case (k, v) if k.equalsIgnoreCase("graft.row_level_scan") =>
         v.trim.toBoolean
     }.getOrElse(false)
-    new GraftOrcPartitionReaderFactory(dataFileSchema, readDataSchema,
+    // equality deletes force-read their key columns when the query did
+    // not project them; the row wrapper drops the forced columns before
+    // emitting (same pattern as the forced _pos machinery)
+    val eqActive = applyDeletes && liveEqSidecars.nonEmpty
+    val forcedEq: Array[org.apache.spark.sql.types.StructField] =
+      if (!eqActive) Array.empty
+      else eqKeyFields.filterNot(f =>
+        readDataSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    val extendedReadData = StructType(readDataSchema.fields ++ forcedEq)
+    val eqOrdinals: Array[Int] =
+      if (!eqActive) Array.empty
+      else eqKeyFields.map(f => extendedReadData.fields.indexWhere(
+        _.name.equalsIgnoreCase(f.name)))
+    new GraftOrcPartitionReaderFactory(dataFileSchema, extendedReadData,
       readPartitionSchema,
       if (parsed.pushdownPredicate && !rowLevelScan) dataFilters
       else Array.empty,
@@ -1486,7 +1537,11 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       emitRowPos = metadataFields.exists(
         _.name.equalsIgnoreCase(GraftOrcDataSource.PosMetaCol)),
       deleteSidecars =
-        if (applyDeletes) liveDeleteSidecars.toArray else Array.empty)
+        if (applyDeletes) liveDeleteSidecars.toArray else Array.empty,
+      eqSidecars = if (eqActive) liveEqSidecars.toArray else Array.empty,
+      eqKeyTypes = if (eqActive) eqKeyFields.map(_.dataType) else Array.empty,
+      eqOrdinals = eqOrdinals,
+      forcedEqCount = forcedEq.length)
   }
 
   // A12: custom scan metrics, full parity with the reference's 12
@@ -1599,10 +1654,16 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                      emitFilePath: Boolean = false,
                                      emitRowPos: Boolean = false,
                                      deleteSidecars: Array[(String, String)] =
-                                       Array.empty)
+                                       Array.empty,
+                                     eqSidecars: Array[(String, String, Long)] =
+                                       Array.empty,
+                                     eqKeyTypes: Array[DataType] = Array.empty,
+                                     eqOrdinals: Array[Int] = Array.empty,
+                                     forcedEqCount: Int = 0)
     extends PartitionReaderFactory {
 
-  private def morMode: Boolean = deleteSidecars.nonEmpty
+  private def morMode: Boolean =
+    deleteSidecars.nonEmpty || eqSidecars.nonEmpty
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !morMode
@@ -1614,14 +1675,31 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     val p = partition.asInstanceOf[GraftOrcInputPartition]
     val deleted = GraftOrcMor.positionsFor(serConf.value,
       deleteSidecars.toSeq, p.filePath)
-    // batch layout in morMode: readData ++ readPart ++ (_file?) ++ pos
-    // (forced last); Spark's expected output drops the forced pos unless
-    // the query asked for _pos itself
+    // equality deletes: the union key-tuple set of every sidecar NEWER
+    // than this file (under this file's table root); empty when only
+    // position sidecars are live
+    val eqSet: java.util.HashSet[String] =
+      if (eqSidecars.isEmpty) new java.util.HashSet[String]()
+      else GraftOrcEqDelete.keySetFor(serConf.value,
+        eqSidecars.toSeq.collect {
+          case (side, root, mtime)
+              if p.filePath.startsWith(root.stripSuffix("/") + "/") =>
+            (side, mtime)
+        },
+        eqOrdinals.zip(eqKeyTypes).map { case (o, dt) =>
+          readDataSchema.fields(o).copy(dataType = dt) },
+        p.fileMtime)
+    // batch layout in morMode: readData (incl. any FORCED equality key
+    // columns at its tail) ++ readPart ++ (_file?) ++ pos (forced last);
+    // the output projection drops the forced pieces unless the query
+    // asked for them itself
     val batchCols = readDataSchema.length + readPartitionSchema.length +
       (if (emitFilePath) 1 else 0) + 1
     val posIdx = batchCols - 1
+    val d0 = readDataSchema.length - forcedEqCount // original data cols
+    val origData = StructType(readDataSchema.fields.take(d0))
     val outSchema = StructType(
-      readDataSchema.fields ++ readPartitionSchema.fields ++
+      origData.fields ++ readPartitionSchema.fields ++
         (if (emitFilePath) Array(org.apache.spark.sql.types.StructField(
           GraftOrcDataSource.FileMetaCol, StringType, nullable = false))
          else Array.empty[org.apache.spark.sql.types.StructField]) ++
@@ -1629,12 +1707,16 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
           GraftOrcDataSource.PosMetaCol,
           org.apache.spark.sql.types.LongType, nullable = false))
          else Array.empty[org.apache.spark.sql.types.StructField]))
+    val outIndices: IndexedSeq[Int] =
+      ((0 until d0) ++ (readDataSchema.length until posIdx) ++
+        (if (emitRowPos) Seq(posIdx) else Nil)).toIndexedSeq
+    val identity = forcedEqCount == 0 && emitRowPos
     val inner = createColumnarReader(partition)
     new PartitionReader[InternalRow] {
       private val project =
-        if (emitRowPos) null // forced pos IS the requested _pos: identity
+        if (identity) null // nothing forced beyond the requested _pos
         else org.apache.spark.sql.catalyst.ProjectingInternalRow(outSchema,
-          (0 until posIdx).toIndexedSeq)
+          outIndices)
       private var rowIter: java.util.Iterator[InternalRow] =
         java.util.Collections.emptyIterator()
       private var cur: InternalRow = _
@@ -1649,9 +1731,15 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
             val pos = row.getLong(posIdx)
             while (di < deleted.length && deleted(di) < pos) di += 1
             if (di >= deleted.length || deleted(di) != pos) {
-              cur = if (project == null) row else { project.project(row); project }
-              emitted += 1
-              return true
+              val eqDeleted = !eqSet.isEmpty &&
+                GraftOrcEqDelete.tupleOf(row, eqOrdinals, eqKeyTypes)
+                  .exists(eqSet.contains)
+              if (!eqDeleted) {
+                cur = if (project == null) row
+                  else { project.project(row); project }
+                emitted += 1
+                return true
+              }
             }
           }
           if (!inner.next()) return false

@@ -77,7 +77,8 @@ private[v2] object GraftOrcDelete {
       val loaded = spark.read.format("graft-orc").load(files.map(_.path): _*)
       // subtract MoR positions FIRST (metadata columns resolve only on
       // the raw relation), then project to the current schema
-      val raw0 = GraftOrcMor.minusDeleted(spark, loaded, table, liveDeletes)
+      val raw0 = GraftOrcMor.minusDeleted(spark, loaded, table,
+        liveDeletes, fileMtimes = files)
       val raw =
         if (!evolved) raw0
         else GraftOrcSchema.projectToCurrent(raw0,

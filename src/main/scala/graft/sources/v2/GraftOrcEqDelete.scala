@@ -1,0 +1,267 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EQUALITY deletes + blind UPSERT for manifest tables — the Iceberg-v2
+  * equality-delete shape, and the piece that makes streaming CDC apply
+  * scale: an upsert batch commits its new rows PLUS one tiny sidecar of
+  * the affected keys, and never reads the target at all.
+  *
+  * Contrast with the position machinery ([[GraftOrcMor]]): a position
+  * delete knows (file, row) — precise, but producing it requires
+  * SCANNING the target to find the rows (an UPDATE/MERGE plan). For a
+  * CDC feed applying "key 42 changed" at a 100 TB target, that scan per
+  * batch is the whole cost. An equality delete instead records just the
+  * KEY TUPLES under `_graft_deletes/e-<uuid>.orc` (schema = the key
+  * columns); readers drop any matching row from every data file OLDER
+  * than the sidecar. Applicability is by the strict publish-stamp order
+  * the write protocol already guarantees: the sidecar is stamped BEFORE
+  * the batch's own data files, so the new row versions survive their
+  * own delete — exactly Iceberg's sequence-number rule, carried by the
+  * existing monotonic mtimes.
+  *
+  * Read-side application lives in the same row-wise wrapper as position
+  * deletes (the scan flips off pure-columnar while sidecars are live);
+  * the wrapper force-reads the key columns when the query did not
+  * project them and drops them before emitting. [[GraftOrcMor.purge]] —
+  * and therefore every compaction — rewrites the affected files and
+  * retires the sidecars, restoring the vectorized path; rewrites stamp
+  * fresh mtimes, so their outputs are no longer subject to the retired
+  * deletes by construction.
+  *
+  * Key columns are restricted to exactly-comparable types (integer
+  * family, string, boolean, date) — a float/double/decimal key would
+  * make "equality" depend on representation. A null key never matches
+  * (SQL equality semantics): CDC keys are non-null by contract, and a
+  * null-keyed upsert row simply appends.
+  */
+object GraftOrcEqDelete {
+
+  /** Equality sidecars are `e-*.orc`; position sidecars `d-*.orc`. */
+  def isEqualitySidecar(path: String): Boolean =
+    path.substring(path.lastIndexOf('/') + 1).startsWith("e-")
+
+  private[v2] def supportedKeyType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  private[v2] def validateKeys(schema: StructType,
+                               keys: Seq[String]): Seq[StructField] = {
+    require(keys.nonEmpty, "graft-orc upsert: no key columns")
+    keys.map { k =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-orc upsert: key column $k not in ${schema.simpleString}"))
+      require(supportedKeyType(f.dataType),
+        s"graft-orc upsert: unsupported key type " +
+          s"${f.dataType.catalogString} for $k — supported: " +
+          "byte/short/int/long/string/boolean/date (exact equality " +
+          "types only)")
+      f
+    }
+  }
+
+  /** Stage `keys` (already projected to the key columns, distinct) and
+    * publish it under `_graft_deletes/e-*.orc` with stamp `stamp`;
+    * returns the manifest entry (the caller commits it).
+    */
+  private[v2] def publishSidecar(spark: SparkSession, fs: FileSystem,
+                                 table: Path, keys: DataFrame,
+                                 stamp: Long): OrcFileEntry = {
+    val staging = new Path(table,
+      s"${GraftOrcWrite.StagingDir}/eq-${UUID.randomUUID()}")
+    graft.sources.OrcTables.write(keys.coalesce(1), staging.toString)
+    val delDir = new Path(table, GraftOrcMor.DeletesDir)
+    fs.mkdirs(delDir)
+    val staged = fs.listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
+    require(staged.length == 1,
+      s"graft-orc upsert: expected one staged key sidecar, got " +
+        staged.length)
+    val src = staged.head.getPath
+    fs.setTimes(src, stamp, -1)
+    val dest = new Path(delDir, s"e-${UUID.randomUUID()}.orc")
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(
+        s"graft-orc upsert: failed to publish equality sidecar $src")
+    val len = staged.head.getLen
+    fs.delete(staging, true)
+    OrcFileEntry(fs.makeQualified(dest).toString, len, Map.empty, stamp)
+  }
+
+  /** Blind UPSERT: commit `df`'s rows as new data files plus ONE
+    * equality sidecar of their key tuples, in one atomic snapshot —
+    * the target is never read. Per-key semantics: the newest version
+    * wins everywhere (older rows with the same key read as deleted).
+    * Partitioned tables are supported when the partition columns are
+    * in `df` (rows land in their hive directories); key and partition
+    * columns must resolve in the TABLE schema.
+    */
+  def upsert(spark: SparkSession, table: String, df: DataFrame,
+             keyCols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(table)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    val snap = GraftOrcManifest.readSnapshot(fs, qt).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-orc: upsert requires a manifest table, but $table has " +
+          s"no ${GraftOrcManifest.Dir} (write with " +
+          ".option(\"graft.manifest\", \"true\") to establish one)"))
+    validateKeys(df.schema, keyCols)
+    val partCols: Seq[String] = snap.meta.map(_.parts).getOrElse(
+      snap.entries.map(_.partitionValues.keys.toSeq)
+        .maxByOption(_.length).getOrElse(Nil))
+    partCols.foreach(c => require(
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"graft-orc upsert: partition column $c missing from the input"))
+    GraftOrcWrite.bumpPublishStamp(
+      (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
+    // sidecar stamped FIRST: it must order BELOW this commit's own data
+    // files so the new row versions survive their own delete
+    val sidecar = publishSidecar(spark, fs, qt,
+      df.select(keyCols.map(c => col(s"`$c`")): _*).distinct(),
+      GraftOrcWrite.nextPublishStamp())
+    val curV = snap.meta.map(_.schemaV).getOrElse(0L)
+    // data files per partition group (reuses the rewrite publisher:
+    // wave directory under the hive path, footer-stat sidecars, fresh
+    // stamps — all above the sidecar's)
+    val grouped: Seq[(Map[String, String], DataFrame)] =
+      if (partCols.isEmpty) Seq(Map.empty[String, String] -> df)
+      else {
+        val parts = df.select(partCols.map(c => col(s"`$c`")): _*)
+          .distinct().collect().toSeq
+        parts.map { r =>
+          val m = partCols.zipWithIndex.map { case (c, i) =>
+            c -> (if (r.isNullAt(i)) null else r.get(i).toString)
+          }.toMap
+          val cond = partCols.zipWithIndex.map { case (c, i) =>
+            if (r.isNullAt(i)) col(s"`$c`").isNull
+            else col(s"`$c`") === lit(r.get(i))
+          }.reduce(_ && _)
+          m -> df.filter(cond).drop(partCols: _*)
+        }
+      }
+    val added = grouped.flatMap { case (parts, rows) =>
+      GraftOrcDelete.publishGroupRewrite(spark, fs, qt, parts, rows,
+        "ups", schemaV = curV)
+    }
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      try {
+        GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
+          add = added, addDeletes = Seq(sidecar), op = "upsert")
+        committed = true
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if attempt < GraftOrcWrite.ManifestCommitRetries =>
+          attempt += 1
+      }
+    }
+  }
+
+  // ---- executor-side key-set application -------------------------------
+
+  /** The union of key tuples from every equality sidecar APPLICABLE to a
+    * data file of mtime `fileMtime` (sidecar strictly newer), keyed by
+    * the canonical tuple encoding of [[tupleOf]]. Sidecars are small by
+    * construction (rows changed since the last purge), read whole per
+    * task like the position sets.
+    */
+  def keySetFor(conf: Configuration,
+                sidecars: Seq[(String, Long)],
+                keyFields: Array[StructField],
+                fileMtime: Long): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    sidecars.foreach { case (side, mtime) =>
+      if (mtime > fileMtime) {
+        val reader = org.apache.orc.OrcFile.createReader(new Path(side),
+          org.apache.orc.OrcFile.readerOptions(conf))
+        try {
+          val names = reader.getSchema.getFieldNames.asScala.toSeq
+          val idx = keyFields.map(f =>
+            names.indexWhere(_.equalsIgnoreCase(f.name)))
+          // a sidecar missing one of the key columns applies to nothing
+          // (written under different keys — should not happen, but a
+          // silent full-table delete must be impossible)
+          if (idx.forall(_ >= 0)) {
+            val rows = reader.rows()
+            try {
+              val batch = reader.getSchema.createRowBatch()
+              while (rows.nextBatch(batch)) {
+                var i = 0
+                while (i < batch.size) {
+                  val sb = new StringBuilder
+                  var ok = true
+                  var k = 0
+                  while (k < idx.length && ok) {
+                    val cv = batch.cols(idx(k))
+                    val j = if (cv.isRepeating) 0 else i
+                    if (!cv.noNulls && cv.isNull(j)) ok = false
+                    else {
+                      cv match {
+                        case lc: org.apache.hadoop.hive.ql.exec.vector
+                            .LongColumnVector => sb.append(lc.vector(j))
+                        case bc: org.apache.hadoop.hive.ql.exec.vector
+                            .BytesColumnVector => sb.append(bc.toString(j))
+                        case other => throw new IllegalStateException(
+                          s"graft-orc: unsupported equality sidecar " +
+                            s"vector ${other.getClass.getSimpleName}")
+                      }
+                      sb.append(' ')
+                    }
+                    k += 1
+                  }
+                  if (ok) out.add(sb.toString)
+                  i += 1
+                }
+              }
+            } finally rows.close()
+          }
+        } finally reader.close()
+      }
+    }
+    out
+  }
+
+  /** Canonical tuple encoding of one ROW's key values, matching
+    * [[keySetFor]]'s: integer family and dates as decimal longs,
+    * booleans as 0/1, strings verbatim, NUL-separated. None when any
+    * key is null (a null key never matches a delete).
+    */
+  def tupleOf(row: org.apache.spark.sql.catalyst.InternalRow,
+              ordinals: Array[Int],
+              types: Array[DataType]): Option[String] = {
+    val sb = new StringBuilder
+    var k = 0
+    while (k < ordinals.length) {
+      val o = ordinals(k)
+      if (row.isNullAt(o)) return None
+      types(k) match {
+        case ByteType => sb.append(row.getByte(o).toLong)
+        case ShortType => sb.append(row.getShort(o).toLong)
+        case IntegerType | DateType => sb.append(row.getInt(o).toLong)
+        case LongType => sb.append(row.getLong(o))
+        case BooleanType => sb.append(if (row.getBoolean(o)) 1L else 0L)
+        case StringType => sb.append(row.getUTF8String(o).toString)
+        case other => throw new IllegalStateException(
+          s"graft-orc: unsupported equality key type $other")
+      }
+      sb.append(' ')
+      k += 1
+    }
+    Some(sb.toString)
+  }
+}

@@ -138,24 +138,55 @@ object GraftOrcMor {
     entries
   }
 
-  /** Subtract live position deletes from `df` (rows of data files under
-    * `table`): anti-join on the `_file`/`_pos` metadata columns against
-    * the union of the sidecars. Identity when there are none — the
-    * common case pays nothing.
+  /** Subtract live deletes — POSITION and EQUALITY sidecars — from `df`
+    * (rows of data files under `table`, read RAW so the `_file`/`_pos`
+    * metadata columns still resolve). Positions anti-join on
+    * (file, pos); equality tuples drop rows of files strictly OLDER
+    * than their sidecar ([[GraftOrcEqDelete]] applicability), with the
+    * file mtimes supplied by the caller's manifest entries. Identity
+    * when there are no sidecars — the common case pays nothing.
     */
   def minusDeleted(spark: SparkSession, df: DataFrame, table: Path,
-                   deletes: Seq[OrcFileEntry]): DataFrame = {
+                   deletes: Seq[OrcFileEntry],
+                   fileMtimes: Seq[OrcFileEntry] = Nil): DataFrame = {
     if (deletes.isEmpty) return df
-    val withMeta = df.select(col("*"),
+    val (eqDels, posDels) =
+      deletes.partition(e => GraftOrcEqDelete.isEqualitySidecar(e.path))
+    var acc = df.select(col("*"),
       col(GraftOrcDataSource.FileMetaCol).as("__mor_file"),
       col(GraftOrcDataSource.PosMetaCol).as("__mor_pos"))
-    val dels = spark.read.orc(deletes.map(_.path): _*)
-      .select(concat(lit(prefixOf(table)), col("f")).as("__del_file"),
-        col("pos").as("__del_pos"))
-    withMeta.join(dels,
-        withMeta("__mor_file") === dels("__del_file") &&
-          withMeta("__mor_pos") === dels("__del_pos"), "left_anti")
-      .drop("__mor_file", "__mor_pos")
+    if (posDels.nonEmpty) {
+      val dels = spark.read.orc(posDels.map(_.path): _*)
+        .select(concat(lit(prefixOf(table)), col("f")).as("__del_file"),
+          col("pos").as("__del_pos"))
+      acc = acc.join(dels,
+        acc("__mor_file") === dels("__del_file") &&
+          acc("__mor_pos") === dels("__del_pos"), "left_anti")
+    }
+    if (eqDels.nonEmpty) {
+      require(fileMtimes.nonEmpty,
+        "graft-orc: equality-delete subtraction needs the file mtimes")
+      import spark.implicits._
+      val mtimes = fileMtimes.map(e => (e.path, e.mtime))
+        .toDF("__mor_file", "__eq_mtime")
+      acc = acc.join(broadcast(mtimes), Seq("__mor_file"), "left")
+      eqDels.foreach { sdel =>
+        val keys = spark.read.orc(sdel.path).distinct()
+        val keyCols = keys.columns.toSeq
+        val renamed = keys.toDF(keyCols.map("__eqk_" + _): _*)
+          .withColumn("__eq_hit", lit(true))
+        // plain === (not null-safe): a NULL key never matches a delete
+        val cond = keyCols.map(c =>
+          acc(c) === renamed("__eqk_" + c)).reduce(_ && _)
+        acc = acc.join(broadcast(renamed), cond, "left_outer")
+          .filter(!(coalesce(col("__eq_hit"), lit(false)) &&
+            col("__eq_mtime") < lit(sdel.mtime)))
+          .drop("__eq_hit")
+        keyCols.foreach(c => acc = acc.drop("__eqk_" + c))
+      }
+      acc = acc.drop("__eq_mtime")
+    }
+    acc.drop("__mor_file", "__mor_pos")
   }
 
   /** Executor-side: the sorted, distinct deleted positions of
@@ -223,10 +254,19 @@ object GraftOrcMor {
     val snap = GraftOrcManifest.readSnapshot(fs, qt)
       .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
     if (snap.deletes.isEmpty) return 0
-    val affectedRel = spark.read.orc(snap.deletes.map(_.path): _*)
-      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val (eqDels, posDels) = snap.deletes.partition(e =>
+      GraftOrcEqDelete.isEqualitySidecar(e.path))
+    val affectedRel =
+      if (posDels.isEmpty) Set.empty[String]
+      else spark.read.orc(posDels.map(_.path): _*)
+        .select("f").distinct().collect().map(_.getString(0)).toSet
+    // an equality sidecar can touch ANY file older than it — rewrite
+    // them all (a key-range/bloom prune is a possible refinement; the
+    // purge cadence bounds the cost either way)
+    val maxEqMtime = eqDels.map(_.mtime).foldLeft(0L)(math.max)
     val affected = snap.entries.filter(e =>
-      affectedRel(GraftOrcManifest.relativize(qt, e.path)))
+      affectedRel(GraftOrcManifest.relativize(qt, e.path)) ||
+        e.mtime < maxEqMtime)
     GraftOrcWrite.bumpPublishStamp(
       (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
     val evolved = snap.meta.exists(m => GraftOrcSchema.hasEvolution(m.schema))
@@ -237,7 +277,8 @@ object GraftOrcMor {
         val loaded = spark.read.format("graft-orc").load(files.map(_.path): _*)
         // subtract positions FIRST (metadata columns resolve only on the
         // raw relation), then project to the current schema
-        val keep0 = minusDeleted(spark, loaded, qt, snap.deletes)
+        val keep0 = minusDeleted(spark, loaded, qt, snap.deletes,
+          fileMtimes = files)
         val keep =
           if (!evolved) keep0
           else GraftOrcSchema.projectToCurrent(keep0,

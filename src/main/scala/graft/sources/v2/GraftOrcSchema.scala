@@ -324,6 +324,26 @@ object GraftOrcSchema {
           ".option(\"graft.manifest\", \"true\") to establish one)"))
     val cur = snap.meta.getOrElse(bootstrapMeta(conf, table))
     val next = change(cur)
+    // NON-ADDITIVE changes (rename / drop / widen) are refused while
+    // EQUALITY-delete sidecars are live: the sidecars are keyed by the
+    // write-time column names/types ([[GraftOrcEqDelete]]), and a
+    // rename under them would break the key resolution at read time.
+    // Purge materializes the deletes and clears the restriction; plain
+    // ADD COLUMN stays allowed (it cannot be a key).
+    if (snap.deletes.exists(e => GraftOrcEqDelete.isEqualitySidecar(e.path))) {
+      val newById = next.schema.fields
+        .flatMap(f => fieldId(f).map(_ -> f)).toMap
+      val nonAdditive = cur.schema.fields.exists { f =>
+        fieldId(f).forall { id =>
+          newById.get(id).forall(nf =>
+            nf.name != f.name || nf.dataType != f.dataType) }
+      }
+      require(!nonAdditive,
+        s"graft-orc: $table has live equality-delete (upsert) sidecars " +
+          "keyed by column name — run GraftOrcMor.purge(spark, table) " +
+          "to materialize them before renaming, dropping, or widening " +
+          "columns (ADD COLUMN is always allowed)")
+    }
     GraftOrcManifest.writeSnapshot(fs, qt, snap.seq + 1, snap.entries,
       snap.retain.getOrElse(GraftOrcManifest.RetainSnapshots),
       deletes = snap.deletes, op = "alter-schema", meta = Some(next))

@@ -216,6 +216,24 @@ class GraftOrcWrite(path: String, schema: StructType,
         s"graft.manifest.retain must be >= 1, got $n")
       n
   }
+  /** Blind-upsert mode (`graft.upsert_keys=k1,k2`): every commit —
+    * batch append or STREAMING epoch — also publishes one equality
+    * sidecar of the batch's key tuples ([[GraftOrcEqDelete]]), so older
+    * rows with the same keys read as deleted. The CDC-apply sink shape:
+    * per-key newest-wins semantics at a 100 TB target with ZERO target
+    * reads per batch. Keys must be data columns of exact-equality types.
+    */
+  private val upsertKeys: Seq[String] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.upsert_keys") =>
+      v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+  }.getOrElse(Nil)
+  if (upsertKeys.nonEmpty) {
+    GraftOrcEqDelete.validateKeys(fileSchema, upsertKeys)
+    require(!truncate,
+      "graft-orc: graft.upsert_keys applies to appends; an overwrite " +
+        "replaces the table and needs no delete sidecar")
+  }
+
   private val fileFieldIdx: Array[Int] = schema.fields.zipWithIndex
     .filterNot { case (f, _) => partSet(f.name.toLowerCase) }
     .map(_._2 + fieldBase)
@@ -227,9 +245,16 @@ class GraftOrcWrite(path: String, schema: StructType,
   private def taskFactory(): GraftOrcWriterFactory = {
     val spark = SparkSession.active
     // honor the writer option the batch helper exposes; default matches
-    // the reference fixtures (alltypes.snappy.orc)
+    // the reference fixtures (alltypes.snappy.orc). All `orc.*` options
+    // pass through to the ORC writer conf — the load-bearing one at
+    // scale is `orc.bloom.filter.columns`: row-group bloom filters on
+    // high-cardinality columns give point lookups (`WHERE id = x`)
+    // row-group skipping where min/max ranges are too wide to decide,
+    // and stripe-copy compaction preserves them byte-for-byte.
     val writeOptions = Map(
-      "compression" -> options.getOrElse("compression", "snappy"))
+      "compression" -> options.getOrElse("compression", "snappy")) ++
+      options.filter(_._1.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("orc."))
     val (owf, conf) = GraftOrcShims.orcWriteSupport(spark, writeOptions, fileSchema)
     GraftOrcWriterFactory(path, fileSchema, owf,
       new SerializableConfiguration(conf), partSpecs, fileFieldIdx, writeId,
@@ -242,7 +267,7 @@ class GraftOrcWrite(path: String, schema: StructType,
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.publish(path, writeId, messages, truncate, wantManifest,
         manifestRetain, replaceScanned(), partitionCols,
-        writeSchema = Some(schema))
+        writeSchema = Some(schema), upsertKeys = upsertKeys)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.discard(path, writeId, messages)
@@ -262,7 +287,8 @@ class GraftOrcWrite(path: String, schema: StructType,
                           messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.publish(path, writeId, messages,
           truncateExisting = false, wantManifest = wantManifest,
-          retain = manifestRetain, writeSchema = Some(schema))
+          retain = manifestRetain, writeSchema = Some(schema),
+          upsertKeys = upsertKeys)
       override def abort(epochId: Long,
                          messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.discard(path, writeId, messages)
@@ -445,7 +471,8 @@ object GraftOrcWrite {
                       writerPartitionCols: Seq[String] = Nil,
                       deltaDeletes: Seq[String] = Nil,
                       deltaRefs: Option[Set[String]] = None,
-                      writeSchema: Option[StructType] = None): Unit = {
+                      writeSchema: Option[StructType] = None,
+                      upsertKeys: Seq[String] = Nil): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
@@ -545,6 +572,24 @@ object GraftOrcWrite {
       case other =>
         throw new IllegalStateException(s"graft-orc: foreign message $other")
     }
+    // blind upsert (graft.upsert_keys): ONE equality sidecar of this
+    // commit's key tuples rides the same snapshot as its data files —
+    // stamped FIRST, so the batch's own rows order ABOVE the sidecar
+    // and survive their own delete (the Iceberg sequence-number rule)
+    val upsertSidecars: Seq[OrcFileEntry] =
+      if (upsertKeys.isEmpty || staged.isEmpty) Nil
+      else {
+        require(manifestActive,
+          s"graft-orc: graft.upsert_keys requires a manifest table, " +
+            s"but $table has no ${GraftOrcManifest.Dir} (add " +
+            ".option(\"graft.manifest\", \"true\") to establish one)")
+        val keysDf = SparkSession.active.read.orc(staged: _*)
+          .select(upsertKeys.map(c =>
+            org.apache.spark.sql.functions.col(s"`$c`")): _*)
+          .distinct()
+        Seq(GraftOrcEqDelete.publishSidecar(SparkSession.active, fs,
+          qdir, keysDf, nextPublishStamp()))
+      }
     // footer-stat sidecars by staged file name (names are unique per
     // write: part-<epoch>-<partition>-<uuid>)
     val sidecars: Map[String, String] = messages.toSeq.flatMap {
@@ -679,10 +724,12 @@ object GraftOrcWrite {
       while (!committed) {
         try {
           GraftOrcManifest.writeSnapshot(fs, qdir, next, base ++ added,
-            chosenRetain, deletes = baseDeletes ++ addedDeletes,
+            chosenRetain,
+            deletes = baseDeletes ++ addedDeletes ++ upsertSidecars,
             op = if (truncateExisting) "truncate"
                  else if (replacePaths.isDefined) "replace"
                  else if (deltaRefs.isDefined) "delta"
+                 else if (upsertSidecars.nonEmpty) "upsert"
                  else "append",
             meta = chosenMeta)
           committed = true

@@ -74,6 +74,14 @@ object GraftOrcShims {
                       dataSchema: StructType): (OutputWriterFactory, Configuration) = {
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       spark.sessionState.newHadoopConf())
+    // `orc.*` writer options (bloom filters, stride, ...) reach the ORC
+    // writer through the Hadoop conf — the same propagation the v1 path
+    // gets from newHadoopConfWithOptions; prepareWrite itself only
+    // consumes the compression option
+    options.foreach { case (k, v) =>
+      if (k.toLowerCase(java.util.Locale.ROOT).startsWith("orc."))
+        job.getConfiguration.set(k, v)
+    }
     val factory = new OrcFileFormat().prepareWrite(spark, job, options, dataSchema)
     (factory, job.getConfiguration)
   }

@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftOrcChangelog, GraftOrcEqDelete, GraftOrcManifest, GraftOrcMor}
+
+/** Equality deletes + blind upsert ([[GraftOrcEqDelete]]): the CDC-apply
+  * path that NEVER reads the target. Contracts under test: newest-wins
+  * per key with the batch's own rows surviving their own delete (the
+  * stamp-order applicability rule), zero pre-existing files touched by
+  * an upsert commit, stacking upserts, forced key-column reads when the
+  * query does not project the keys, null keys never deleting, purge
+  * materializing the deletes and restoring exact statistics, the
+  * streaming sink's `graft.upsert_keys` mode, and changelog
+  * reconstruction of an upsert as delete+insert images.
+  */
+class GraftOrcUpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(conf)
+
+  private def snap(dir: String) =
+    GraftOrcManifest.readSnapshot(fs(dir), new Path(dir)).get
+
+  private def baseTable(): String = {
+    val dir = freshDir("graft-upsert")
+    (1 to 8).map(i => (i, s"v$i")).toDF("k", "v").coalesce(2)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .option("graft.manifest.retain", "5").mode("overwrite").save(dir)
+    dir
+  }
+
+  private def readKV(dir: String): Seq[(Int, String)] =
+    spark.read.format("graft-orc").load(dir)
+      .as[(Int, String)].collect().sorted.toSeq
+
+  test("blind upsert: newest wins per key, new keys append, the upsert " +
+    "touches ZERO pre-existing data files, and old snapshots still read " +
+    "the pre-upsert state") {
+    val dir = baseTable()
+    val before = snap(dir).entries.map(_.path).toSet
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((2, "v2b"), (5, "v5b"), (99, "new")).toDF("k", "v"), Seq("k"))
+    assert(readKV(dir) == Seq(1 -> "v1", 2 -> "v2b", 3 -> "v3",
+      4 -> "v4", 5 -> "v5b", 6 -> "v6", 7 -> "v7", 8 -> "v8",
+      99 -> "new"))
+    val after = snap(dir)
+    // every pre-existing file kept its identity; one e- sidecar committed
+    assert(before.subsetOf(after.entries.map(_.path).toSet))
+    assert(after.deletes.size == 1 &&
+      GraftOrcEqDelete.isEqualitySidecar(after.deletes.head.path))
+    assert(after.op.contains("upsert"))
+    // time travel: the pre-upsert snapshot is untouched
+    val old = spark.read.format("graft-orc")
+      .option("graft.snapshot_id", "1").load(dir)
+      .as[(Int, String)].collect().sorted.toSeq
+    assert(old == (1 to 8).map(i => (i, s"v$i")))
+  }
+
+  test("upserts stack (later beats earlier beats base); a query that " +
+    "does not project the key still resolves (forced key read); null " +
+    "keys append without deleting") {
+    val dir = baseTable()
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((3, "first")).toDF("k", "v"), Seq("k"))
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((3, "second"), (4, "fourth")).toDF("k", "v"), Seq("k"))
+    assert(readKV(dir).toMap == Map(1 -> "v1", 2 -> "v2", 3 -> "second",
+      4 -> "fourth", 5 -> "v5", 6 -> "v6", 7 -> "v7", 8 -> "v8"))
+    // project ONLY v: the reader force-reads k to apply the deletes
+    val vs = spark.read.format("graft-orc").load(dir)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(vs == Seq("fourth", "second", "v1", "v2", "v5", "v6", "v7",
+      "v8"))
+    // a null-keyed upsert row appends and deletes nothing
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((Option.empty[Int], "nullkey")).toDF("k", "v"), Seq("k"))
+    val withNull = spark.read.format("graft-orc").load(dir)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(withNull.contains("nullkey") && withNull.size == 9)
+  }
+
+  test("purge materializes equality deletes: sidecars retire, results " +
+    "identical, plan-time row counts exact again") {
+    val dir = baseTable()
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((1, "one"), (42, "forty-two")).toDF("k", "v"), Seq("k"))
+    val expected = readKV(dir)
+    // degraded while live: the scan must not report an exact row count
+    val preStats = spark.read.format("graft-orc").load(dir)
+      .queryExecution.optimizedPlan.stats
+    assert(preStats.rowCount.isEmpty,
+      s"row count must degrade under live eq sidecars: $preStats")
+    assert(GraftOrcMor.purge(spark, dir) > 0)
+    assert(snap(dir).deletes.isEmpty)
+    assert(readKV(dir) == expected)
+    val postStats = spark.read.format("graft-orc").load(dir)
+      .queryExecution.optimizedPlan.stats
+    assert(postStats.rowCount.isDefined,
+      "purge must restore exact plan-time row counts")
+  }
+
+  test("streaming sink graft.upsert_keys: each epoch commits data plus " +
+    "its key sidecar — per-key newest wins across epochs, exactly-once " +
+    "across restart") {
+    val dir = freshDir("graft-upsert-stream")
+    val ckpt = freshDir("graft-upsert-ckpt")
+    // establish the target with a schema
+    Seq((1, "base1"), (2, "base2")).toDF("k", "v").coalesce(1)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-orc")
+      .option("checkpointLocation", ckpt)
+      .option("graft.upsert_keys", "k")
+      .outputMode("append")
+      .start(dir)
+    try {
+      mem.addData((2, "epoch1"), (3, "epoch1"))
+      q.processAllAvailable()
+      mem.addData((3, "epoch2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readKV(dir).toMap == Map(1 -> "base1", 2 -> "epoch1",
+      3 -> "epoch2"))
+    // two upsert epochs -> two equality sidecars until a purge
+    assert(snap(dir).deletes.count(e =>
+      GraftOrcEqDelete.isEqualitySidecar(e.path)) == 2)
+  }
+
+  test("changelog reconstructs an upsert as delete images of the prior " +
+    "key rows plus insert images of the new rows") {
+    val dir = baseTable()                                     // seq 1
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((2, "v2b"), (99, "new")).toDF("k", "v"), Seq("k")) // seq 2
+    val chg = GraftOrcChangelog.between(spark, dir, 1L)
+      .select($"k", $"v", $"_change_type")
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(chg == Seq((2, "v2", "delete"), (2, "v2b", "insert"),
+      (99, "new", "insert")))
+    // and across a second upsert of the SAME key, each step attributes
+    // its own delete/insert pair
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((2, "v2c")).toDF("k", "v"), Seq("k"))              // seq 3
+    val chg2 = GraftOrcChangelog.between(spark, dir, 2L)
+      .select($"k", $"v", $"_change_type")
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(chg2 == Seq((2, "v2b", "delete"), (2, "v2c", "insert")))
+  }
+
+  test("non-additive DDL is refused while equality sidecars are live; " +
+    "purge clears the restriction and ADD COLUMN is always allowed") {
+    val dir = baseTable()
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((1, "one")).toDF("k", "v"), Seq("k"))
+    val hconf = conf
+    // additive: fine
+    graft.sources.v2.GraftOrcSchema.alter(hconf, dir)(
+      graft.sources.v2.GraftOrcSchema.addColumn(_, "extra",
+        org.apache.spark.sql.types.StringType))
+    // rename under live eq sidecars: refused with the purge hint
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.v2.GraftOrcSchema.alter(hconf, dir)(
+        graft.sources.v2.GraftOrcSchema.renameColumn(_, "k", "key"))
+    }
+    assert(err.getMessage.contains("purge"))
+    GraftOrcMor.purge(spark, dir)
+    graft.sources.v2.GraftOrcSchema.alter(hconf, dir)(
+      graft.sources.v2.GraftOrcSchema.renameColumn(_, "k", "key"))
+    assert(spark.read.format("graft-orc").load(dir)
+      .select("key", "v").as[(Int, String)].collect().sorted.toSeq
+      .take(2) == Seq(1 -> "one", 2 -> "v2"))
+  }
+
+  test("typed errors: unsupported key types and non-manifest targets") {
+    val dir = freshDir("graft-upsert-err")
+    Seq((1, 1.5)).toDF("k", "f").coalesce(1)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(dir)
+    assertThrows[IllegalArgumentException] {
+      GraftOrcEqDelete.upsert(spark, dir,
+        Seq((1, 2.5)).toDF("k", "f"), Seq("f")) // double key
+    }
+    val plain = freshDir("graft-upsert-plain")
+    Seq((1, "x")).toDF("k", "v").write.format("graft-orc")
+      .mode("overwrite").save(plain)
+    assertThrows[IllegalArgumentException] {
+      GraftOrcEqDelete.upsert(spark, plain,
+        Seq((1, "y")).toDF("k", "v"), Seq("k"))
+    }
+  }
+}
