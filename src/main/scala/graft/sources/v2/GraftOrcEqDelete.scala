@@ -120,6 +120,10 @@ object GraftOrcEqDelete {
           s"no ${GraftOrcManifest.Dir} (write with " +
           ".option(\"graft.manifest\", \"true\") to establish one)"))
     validateKeys(df.schema, keyCols)
+    // the batch must be shaped like an append: mismatched columns would
+    // poison every later read with a schema-merge failure
+    GraftOrcWrite.validateAppend(table, df.schema,
+      snap.meta.map(_.parts).getOrElse(Nil))
     val partCols: Seq[String] = snap.meta.map(_.parts).getOrElse(
       snap.entries.map(_.partitionValues.keys.toSeq)
         .maxByOption(_.length).getOrElse(Nil))
@@ -220,7 +224,7 @@ object GraftOrcEqDelete {
                           s"graft-orc: unsupported equality sidecar " +
                             s"vector ${other.getClass.getSimpleName}")
                       }
-                      sb.append(' ')
+                      sb.append('\u0000')
                     }
                     k += 1
                   }
@@ -259,7 +263,7 @@ object GraftOrcEqDelete {
         case other => throw new IllegalStateException(
           s"graft-orc: unsupported equality key type $other")
       }
-      sb.append(' ')
+      sb.append('\u0000')
       k += 1
     }
     Some(sb.toString)
