@@ -181,6 +181,9 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
     val listing =
       try fs.listStatus(dir)
       catch { case _: java.io.FileNotFoundException =>
+        // the ROOT namespace always exists (a fresh warehouse directory
+        // is created by the first CREATE) — report it empty, not missing
+        if (namespace.isEmpty) return Array.empty
         throw new NoSuchNamespaceException(namespace) }
     if (namespace.nonEmpty && isTableDir(dir))
       throw new NoSuchNamespaceException(namespace)

@@ -314,6 +314,24 @@ object GraftOrcSchema {
   def alter(conf: Configuration, table: String)(
       change: GraftOrcManifest.TableMeta => GraftOrcManifest.TableMeta)
       : GraftOrcManifest.TableMeta = {
+    // a DDL losing a same-seq race to a concurrent APPEND retries on the
+    // winner's state — the change function is pure, so re-applying it is
+    // exactly the optimistic commit loop every other committer runs
+    var attempt = 0
+    while (true) {
+      try return alterOnce(conf, table, change)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= GraftOrcWrite.ManifestCommitRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def alterOnce(conf: Configuration, table: String,
+      change: GraftOrcManifest.TableMeta => GraftOrcManifest.TableMeta)
+      : GraftOrcManifest.TableMeta = {
     val p = new Path(table)
     val fs = p.getFileSystem(conf)
     val qt = fs.makeQualified(p)
