@@ -31,9 +31,10 @@ object ScaleStress {
     val spjMode = args.lift(1).contains("spj")
     val morMode = args.lift(1).contains("mor")
     val evoMode = args.lift(1).contains("evo")
+    val upsertMode = args.lift(1).contains("upsert")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
-      spjMode || morMode || evoMode
+      spjMode || morMode || evoMode || upsertMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -315,6 +316,104 @@ object ScaleStress {
     // manifest replaces all of it with ONE ranged read, and makes
     // commits atomic on stores where rename is a copy.
     //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 manifest
+    // Blind-upsert receipt (GraftOrcEqDelete): apply the SAME small CDC
+    // batch (~0.17% of keys) to a 600k-row manifest table three ways.
+    // The cost shapes to compare:
+    //  - eq_upsert: target NEVER read — commit = batch files + one key
+    //    sidecar. This is the line that stays flat as the table grows.
+    //  - merge_cow / merge_mor: MERGE INTO must SCAN the target to find
+    //    matches (CoW additionally rewrites the matched files) — cost
+    //    carries a term ∝ table size, the term that kills per-batch CDC
+    //    at 100 TB.
+    // Then the read-side ledger: the row-wise tax while the sidecar is
+    // live, and the purge that materializes it and restores vectorized
+    // reads.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 upsert
+    if (upsertMode) {
+      import graft.sources.v2.{GraftOrcEqDelete, GraftOrcMor}
+      val base1 = Tables.lineitem(spark, sfDir)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          col("l_extendedprice").as("price"),
+          col("l_shipdate").as("d"))
+      // FIXED batch (~750 keys of the factor-1 key space), one source
+      // row per key (synthetic lineitem does not guarantee (orderkey,
+      // linenumber) uniqueness; MERGE rejects dup source matches)
+      val batch = base1.filter(col("k") % 599 === 0)
+        .select(col("k"), (col("price") * 2).as("price"), col("d"))
+        .dropDuplicates("k")
+        .localCheckpoint(true)
+      val nBatch = batch.count()
+      batch.createOrReplaceTempView("g_ups_batch")
+      factors.foreach { kf =>
+        // k-times the table, SAME batch: the apply cost of each strategy
+        // exposes its table-size term (the blind upsert must stay flat)
+        val base = (0 until kf).map(i =>
+          base1.select((col("k") + lit(i.toLong * 1000000000L)).as("k"),
+            col("price"), col("d"))).reduce(_ union _)
+        val nBase = base1.count() * kf
+        def freshTable(tag: String): String = {
+          val dir = s"/tmp/graft-upsert-stress-$tag"
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          base.repartition(16 * kf).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("overwrite").save(dir)
+          dir
+        }
+        def timed(name: String)(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"op":"$name","factor":$kf,"table_rows":$nBase,""" +
+            s""""batch_rows":$nBatch,"sec":${num(sec)}}""")
+          sec
+        }
+        // 1. blind upsert: zero target reads
+        val upDir = freshTable("eq")
+        timed("upsert_eq_blind") {
+          GraftOrcEqDelete.upsert(spark, upDir, batch, Seq("k"))
+        }
+        // 2. MERGE INTO, copy-on-write
+        val cowDir = freshTable("cow")
+        spark.sql(s"CREATE TABLE g_ups_cow USING `graft-orc` " +
+          s"LOCATION '$cowDir'")
+        timed("upsert_merge_cow") {
+          spark.sql("""MERGE INTO g_ups_cow t USING g_ups_batch s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET price = s.price
+            WHEN NOT MATCHED THEN INSERT *""")
+        }
+        spark.sql("DROP TABLE g_ups_cow")
+        // 3. MERGE INTO, merge-on-read delta
+        val morDir = freshTable("mor")
+        spark.sql(s"CREATE TABLE g_ups_mor USING `graft-orc` " +
+          s"LOCATION '$morDir' " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
+        timed("upsert_merge_mor") {
+          spark.sql("""MERGE INTO g_ups_mor t USING g_ups_batch s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET price = s.price
+            WHEN NOT MATCHED THEN INSERT *""")
+        }
+        spark.sql("DROP TABLE g_ups_mor")
+        // read-side ledger on the upsert table: row-wise tax, then purge
+        timed("read_with_live_sidecar") {
+          spark.read.format("graft-orc").load(upDir).count()
+        }
+        timed("purge_materialize") { GraftOrcMor.purge(spark, upDir) }
+        timed("read_after_purge") {
+          spark.read.format("graft-orc").load(upDir).count()
+        }
+        Seq("eq", "cow", "mor").foreach { tag =>
+          val d = new org.apache.hadoop.fs.Path(
+            s"/tmp/graft-upsert-stress-$tag")
+          d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(d, true)
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Schema-evolution receipt (GraftOrcSchema): a DDL on an N-file,
     // multi-GB table is ONE snapshot write — metadata bytes proportional
     // to the live-file count, ZERO data bytes touched — and the

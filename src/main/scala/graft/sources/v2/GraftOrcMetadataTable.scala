@@ -37,7 +37,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftOrcMetadataTable {
 
-  val Kinds: Set[String] = Set("snapshots", "files", "partitions")
+  val Kinds: Set[String] = Set("snapshots", "files", "partitions",
+    "history", "tags")
 
   private[v2] def snapshotsSchema = StructType(Seq(
     StructField("seq", LongType, nullable = false),
@@ -76,12 +77,20 @@ object GraftOrcMetadataTable {
         .maxByOption(_.length).getOrElse(Nil))
   }
 
+  private[v2] def tagsSchema = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
+
   private[v2] def computeRows(kind: String, conf: Configuration,
                               table: Path): (StructType, Seq[Seq[Any]]) = {
     val fs = table.getFileSystem(conf)
     val qt = fs.makeQualified(table)
     kind match {
-      case "snapshots" =>
+      case "tags" =>
+        (tagsSchema, GraftOrcManifest.listTags(fs, qt)
+          .map { case (n, seq) => Seq[Any](n, seq) })
+      // `history` is the Iceberg-familiar alias of `snapshots`
+      case "snapshots" | "history" =>
         val refs = GraftOrcManifest.listSnapshots(fs, qt).getOrElse(Nil)
         val rows = refs.map { r =>
           val s = GraftOrcManifest.resolveSnapshot(fs, qt,

@@ -115,6 +115,12 @@ class GraftOrcMetadataSpec extends AnyFunSuite {
       .as[Int].collect().toSeq == Seq(1))
     assert(GraftOrcManifest.listTags(fsys, new Path(dir)) ==
       Seq(("train-v1", 2L)))
+    // the `tags` metadata table surfaces the same refs through SQL, and
+    // `history` aliases `snapshots`
+    assert(spark.sql("SELECT tag, seq FROM gmeta.tg.tags")
+      .as[(String, Long)].collect().toSeq == Seq(("train-v1", 2L)))
+    assert(spark.sql("SELECT count(*) FROM gmeta.tg.history").head.getLong(0) ==
+      spark.sql("SELECT count(*) FROM gmeta.tg.snapshots").head.getLong(0))
     // duplicate tag name and dangling-seq tags raise typed errors
     assertThrows[IllegalArgumentException] {
       GraftOrcManifest.createTag(fsys, new Path(dir), "train-v1", 3L)
