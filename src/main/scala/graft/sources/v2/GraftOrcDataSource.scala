@@ -328,6 +328,11 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
   override def partitioning(): Array[Transform] = partTransforms
   override def name(): String =
     "graft-orc:" + props.getOrElse("path", props.getOrElse("paths", "?"))
+  // SHOW TBLPROPERTIES / DESCRIBE EXTENDED read these; catalog tables
+  // carry their persisted TBLPROPERTIES here (path rides along, which
+  // is also what makes DESCRIBE show the location)
+  override def properties(): java.util.Map[String, String] =
+    props.asJava
   // ACCEPT_ANY_SCHEMA — but only while the table is EMPTY: a first write
   // targets a directory whose inferred table schema is empty, and by-name
   // output resolution against an empty schema would reject every query,

@@ -199,8 +199,12 @@ object GraftOrcMetadata {
 
   def snapshots(spark: SparkSession, table: String): DataFrame =
     frame(spark, "snapshots", table)
+  def history(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "history", table)
   def files(spark: SparkSession, table: String): DataFrame =
     frame(spark, "files", table)
   def partitions(spark: SparkSession, table: String): DataFrame =
     frame(spark, "partitions", table)
+  def tags(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "tags", table)
 }

@@ -87,6 +87,10 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
     val meta = GraftOrcManifest.readSnapshot(fs,
       new Path(s"$wh/ev")).get.meta.get
     assert(meta.props.get("owner.team").contains("graft"))
+    // ... and the property is visible through the SQL surface too
+    val shown = sql("SHOW TBLPROPERTIES gcat.ev")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("owner.team").contains("graft"))
     // illegal evolutions fail loudly
     assertThrows[Exception] {
       sql("ALTER TABLE gcat.ev ALTER COLUMN a TYPE INT") // narrowing
