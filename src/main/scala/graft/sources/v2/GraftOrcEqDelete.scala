@@ -120,16 +120,15 @@ object GraftOrcEqDelete {
           s"no ${GraftOrcManifest.Dir} (write with " +
           ".option(\"graft.manifest\", \"true\") to establish one)"))
     validateKeys(df.schema, keyCols)
-    // the batch must be shaped like an append: mismatched columns would
-    // poison every later read with a schema-merge failure
-    GraftOrcWrite.validateAppend(table, df.schema,
-      snap.meta.map(_.parts).getOrElse(Nil))
     val partCols: Seq[String] = snap.meta.map(_.parts).getOrElse(
       snap.entries.map(_.partitionValues.keys.toSeq)
         .maxByOption(_.length).getOrElse(Nil))
     partCols.foreach(c => require(
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"graft-orc upsert: partition column $c missing from the input"))
+    // the batch must be shaped like an append: mismatched columns would
+    // poison every later read with a schema-merge failure
+    GraftOrcWrite.validateAppend(table, df.schema, partCols)
     GraftOrcWrite.bumpPublishStamp(
       (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
     // sidecar stamped FIRST: it must order BELOW this commit's own data

@@ -184,6 +184,38 @@ class GraftOrcUpsertSpec extends AnyFunSuite {
       .take(2) == Seq(1 -> "one", 2 -> "v2"))
   }
 
+  test("partitioned upsert: rows land in their hive directories, old " +
+    "key versions across partitions read as deleted, pruning intact; " +
+    "the BATCH writer option commits the same shape") {
+    val dir = freshDir("graft-upsert-part")
+    Seq((1, "a", 10), (2, "b", 10), (3, "c", 20)).toDF("k", "v", "p")
+      .coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .partitionBy("p").mode("overwrite").save(dir)
+    // API upsert with the partition column in the batch — key 2 moves
+    // content within p=10, key 9 lands in new partition p=30
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((2, "b2", 10), (9, "nine", 30)).toDF("k", "v", "p"), Seq("k"))
+    val rows = spark.read.format("graft-orc").load(dir)
+      .select("k", "v", "p").as[(Int, String, Int)].collect().sorted.toSeq
+    assert(rows == Seq((1, "a", 10), (2, "b2", 10), (3, "c", 20),
+      (9, "nine", 30)))
+    val fsys = fs(dir)
+    assert(fsys.exists(new Path(s"$dir/p=30")))
+    // partition pruning still engages under the row-wise delete wrapper
+    assert(spark.read.format("graft-orc").load(dir)
+      .filter($"p" === 20).select("k").as[Int].collect().toSeq == Seq(3))
+    // the batch WRITER option is the same machinery: an append with
+    // graft.upsert_keys commits data + key sidecar in one snapshot
+    Seq((3, "c2", 20)).toDF("k", "v", "p").coalesce(1)
+      .write.format("graft-orc").option("graft.upsert_keys", "k")
+      .partitionBy("p").mode("append").save(dir)
+    val after = spark.read.format("graft-orc").load(dir)
+      .select("k", "v").as[(Int, String)].collect().sorted.toSeq
+    assert(after == Seq(1 -> "a", 2 -> "b2", 3 -> "c2", 9 -> "nine"))
+    assert(snap(dir).op.contains("upsert"))
+  }
+
   test("typed errors: unsupported key types and non-manifest targets") {
     val dir = freshDir("graft-upsert-err")
     Seq((1, 1.5)).toDF("k", "f").coalesce(1)
