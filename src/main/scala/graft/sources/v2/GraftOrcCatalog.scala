@@ -216,13 +216,45 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
         "path")(k.toLowerCase) }
     val target = locationOf(ident, keep)
     val tfs = target.getFileSystem(conf)
-    tfs.mkdirs(target)
-    val meta = GraftOrcManifest.TableMeta(1L,
-      GraftOrcSchema.assignIds(schema), partCols, keep)
-    // seq 1, empty listing — atomic establishment; a racing CREATE of
-    // the same table loses the seq race and fails loudly
-    GraftOrcManifest.writeSnapshot(tfs, target, 1L, Nil,
-      deletes = Nil, op = "create", meta = Some(meta))
+    // External-table REGISTRATION: `CREATE TABLE ... LOCATION p` over a
+    // directory that already holds a manifest table ADOPTS its current
+    // snapshot/meta (the standard external contract — Iceberg's
+    // register_table) instead of racing a stray seq-1 snapshot under it.
+    // The declared columns, if any, must agree with the existing schema;
+    // a managed dir with a manifest was already rejected above.
+    val existing =
+      if (keep.contains("location"))
+        GraftOrcManifest.readSnapshot(tfs, tfs.makeQualified(target))
+      else None
+    existing match {
+      case Some(s) =>
+        // declared columns/partitioning, if any, must agree with the
+        // persisted meta; a pre-meta manifest table (no persisted
+        // schema) registers as-is — its schema is inferred at read
+        s.meta.foreach { m =>
+          val declared = schema.fieldNames.map(_.toLowerCase).toSet
+          val actual = m.schema.fieldNames.map(_.toLowerCase).toSet
+          require(schema.isEmpty || declared == actual,
+            s"graft-orc: CREATE TABLE ... LOCATION $target declares " +
+              s"columns ${schema.fieldNames.mkString(", ")} but the " +
+              s"existing table there has ${m.schema.fieldNames
+                .mkString(", ")} — omit the column list (or match it) " +
+              "to register an existing table")
+          require(partCols.isEmpty ||
+              partCols.map(_.toLowerCase) == m.parts.map(_.toLowerCase),
+            s"graft-orc: CREATE TABLE ... LOCATION $target declares " +
+              s"partitioning (${partCols.mkString(", ")}) different " +
+              s"from the existing table's (${m.parts.mkString(", ")})")
+        }
+      case None =>
+        tfs.mkdirs(target)
+        val meta = GraftOrcManifest.TableMeta(1L,
+          GraftOrcSchema.assignIds(schema), partCols, keep)
+        // seq 1, empty listing — atomic establishment; a racing CREATE of
+        // the same table loses the seq race and fails loudly
+        GraftOrcManifest.writeSnapshot(tfs, target, 1L, Nil,
+          deletes = Nil, op = "create", meta = Some(meta))
+    }
     // external tables: the managed dir carries a pointer to the LOCATION
     if (keep.contains("location")) {
       fs.mkdirs(dir)
@@ -243,6 +275,14 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
           case a: AddColumn =>
             require(a.fieldNames().length == 1,
               "graft-orc: nested ADD COLUMN is not supported")
+            // FIRST/AFTER would silently append (column order is not
+            // repositionable as a metadata-only commit here) — refuse
+            // rather than return a layout different from the DDL
+            if (a.position() != null)
+              throw new UnsupportedOperationException(
+                "graft-orc: ADD COLUMN ... FIRST/AFTER is not " +
+                  "supported — new columns append at the end of the " +
+                  "schema")
             GraftOrcSchema.addColumn(m, a.fieldNames()(0), a.dataType(),
               Option(a.comment()))
           case r: RenameColumn =>

@@ -319,6 +319,13 @@ object GraftOrcCompact {
       // as long as every input it replaces is live there. If an input is
       // GONE from the winner (a concurrent compactor/truncate already
       // swapped it), retrying would resurrect replaced rows — rethrow.
+      // Likewise if a DELETE SIDECAR landed since the pre-compaction
+      // purge (a racing upsert/MoR delete): the stripe-copied outputs
+      // are byte copies with fresh stamps the sidecar does not order
+      // over, so committing them would resurrect the deleted row
+      // versions — commitSwap sequence-validates (expectDeletes empty,
+      // purge just retired them all) and we rethrow; the caller re-runs
+      // compact, whose purge applies the new sidecar first.
       val removeSet = placed.flatMap(_._2).toSet
       val addEntries = placed.flatMap(_._1)
       var attempt = 0
@@ -326,13 +333,15 @@ object GraftOrcCompact {
       while (!committed) {
         try {
           GraftOrcManifest.commitSwap(fs, qtable,
-            remove = removeSet, add = addEntries, op = "compact")
+            remove = removeSet, add = addEntries, op = "compact",
+            expectDeletes = Some(Set.empty))
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException =>
             val winner = GraftOrcManifest.readSnapshot(fs, qtable)
               .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
             if (attempt >= GraftOrcWrite.ManifestCommitRetries ||
+                winner.deletes.nonEmpty ||
                 !removeSet.subsetOf(winner.entries.map(_.path).toSet))
               throw e
             attempt += 1

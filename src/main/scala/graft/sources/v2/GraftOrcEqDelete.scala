@@ -119,10 +119,22 @@ object GraftOrcEqDelete {
         s"graft-orc: upsert requires a manifest table, but $table has " +
           s"no ${GraftOrcManifest.Dir} (write with " +
           ".option(\"graft.manifest\", \"true\") to establish one)"))
-    validateKeys(df.schema, keyCols)
     val partCols: Seq[String] = snap.meta.map(_.parts).getOrElse(
       snap.entries.map(_.partitionValues.keys.toSeq)
         .maxByOption(_.length).getOrElse(Nil))
+    // Keys must resolve in the DATA-FILE schema: the read path matches
+    // sidecar key columns against raw file columns, so a partition
+    // column (hive-encoded in the path, absent from every file) as a
+    // key would poison every later read of the table. Mirror the
+    // graft.upsert_keys writer-option validation.
+    keyCols.foreach(k => require(
+      !partCols.exists(_.equalsIgnoreCase(k)),
+      s"graft-orc upsert: key column $k is a partition column — " +
+        "equality keys must be data-file columns (partition values " +
+        "live in directory names, not in the files the sidecar is " +
+        "matched against)"))
+    validateKeys(StructType(df.schema.fields.filterNot(f =>
+      partCols.exists(_.equalsIgnoreCase(f.name)))), keyCols)
     partCols.foreach(c => require(
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"graft-orc upsert: partition column $c missing from the input"))

@@ -450,8 +450,29 @@ object GraftOrcManifest {
                  addDeletes: Seq[OrcFileEntry] = Nil,
                  dropDeletes: Set[String] = Set.empty,
                  op: String = "unknown",
-                 meta: Option[TableMeta] = None): Unit = {
+                 meta: Option[TableMeta] = None,
+                 expectDeletes: Option[Set[String]] = None): Unit = {
     val cur = readSnapshot(fs, table).getOrElse(Snapshot(0L, Nil))
+    // Sequence-validation for REWRITE commits (purge/compact): the caller
+    // planned against a specific delete-sidecar set; a sidecar that
+    // committed since (a concurrent blind upsert / MoR delete) applies to
+    // the files the rewrite REPLACES but not to the rewrite's outputs
+    // (fresh publish stamps order ABOVE the sidecar), so committing
+    // anyway would resurrect the deleted row versions. Same rule
+    // Iceberg's RewriteFiles sequence-number validation enforces. The
+    // residual exposure is writeSnapshot's own list->rename window, which
+    // its single-winner verify already makes loud.
+    expectDeletes.foreach { expected =>
+      val now = cur.deletes.map(_.path).toSet
+      if (now != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-orc manifest: delete sidecars changed under a $op " +
+            s"commit on $table (new: ${(now -- expected).mkString(", ")}" +
+            s"${if ((expected -- now).nonEmpty)
+              s"; retired: ${(expected -- now).mkString(", ")}" else ""}) " +
+            "— the rewrite was planned against stale state; re-plan on " +
+            "the current snapshot and retry.")
+    }
     val base = if (truncate) Nil else cur.entries.filterNot(e => remove(e.path))
     val addPaths = add.map(_.path).toSet
     // delete sidecars carry forward by default (their positions for

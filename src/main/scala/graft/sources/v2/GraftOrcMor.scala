@@ -251,6 +251,25 @@ object GraftOrcMor {
     val p = new Path(table)
     val fs = p.getFileSystem(conf)
     val qt = fs.makeQualified(p)
+    // A sidecar that commits between our snapshot read and our commit
+    // applies to the files we replace but not to our rewritten outputs
+    // (fresh stamps) — committing against it would resurrect deleted
+    // rows, so the commit sequence-validates the sidecar set
+    // (commitSwap expectDeletes) and we RE-PLAN from fresh state here.
+    var attempt = 0
+    while (true) {
+      try return purgeOnce(spark, fs, qt)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= GraftOrcWrite.ManifestCommitRetries) throw e
+          attempt += 1
+      }
+    }
+    0 // unreachable
+  }
+
+  private def purgeOnce(spark: SparkSession, fs: FileSystem,
+                        qt: Path): Int = {
     val snap = GraftOrcManifest.readSnapshot(fs, qt)
       .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
     if (snap.deletes.isEmpty) return 0
@@ -287,9 +306,21 @@ object GraftOrcMor {
         GraftOrcDelete.publishGroupRewrite(spark, fs, qt, parts, keep,
           "purge", schemaV = if (evolved) curV else 0L)
     }
-    GraftOrcManifest.commitSwap(fs, qt,
-      remove = affected.map(_.path).toSet, add = rewritten,
-      dropDeletes = snap.deletes.map(_.path).toSet, op = "purge")
+    try {
+      GraftOrcManifest.commitSwap(fs, qt,
+        remove = affected.map(_.path).toSet, add = rewritten,
+        dropDeletes = snap.deletes.map(_.path).toSet, op = "purge",
+        expectDeletes = Some(snap.deletes.map(_.path).toSet))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // conflict: our rewrites were published into partition dirs but
+        // never manifested — invisible to every reader. Reclaim them
+        // best-effort (vacuum would too) before the caller re-plans.
+        rewritten.foreach(r =>
+          try fs.delete(new Path(r.path), false)
+          catch { case _: java.io.IOException => })
+        throw e
+    }
     GraftOrcManifest.deleteUnreferenced(fs, qt, affected ++ snap.deletes)
     affected.size
   }

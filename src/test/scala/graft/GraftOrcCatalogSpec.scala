@@ -178,6 +178,58 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
       Seq(42))
   }
 
+  test("CREATE TABLE ... LOCATION over an existing manifest table " +
+    "REGISTERS it — adopting its current snapshot instead of racing a " +
+    "stray seq-1 commit; mismatched declarations are refused") {
+    wh
+    val ext = Files.createTempDirectory("graft-cat-adopt").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(ext)
+    val fs = new Path(ext).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val preSnap = GraftOrcManifest.readSnapshot(fs, new Path(ext)).get
+    // matching column list: registration, not re-creation
+    sql(s"CREATE TABLE gcat.adopted (k INT, v STRING) LOCATION '$ext'")
+    assert(sql("SELECT k, v FROM gcat.adopted ORDER BY k")
+      .as[(Int, String)].collect().toSeq == Seq((1, "a"), (2, "b")))
+    // the existing snapshot was ADOPTED: same seq, no rival commit
+    val postSnap = GraftOrcManifest.readSnapshot(fs, new Path(ext)).get
+    assert(postSnap.seq == preSnap.seq,
+      s"registration must not commit: ${preSnap.seq} -> ${postSnap.seq}")
+    // drop-then-re-register (the external contract: DROP keeps the
+    // data); a WRONG column list on re-register is refused
+    val ext2 = Files.createTempDirectory("graft-cat-adopt2").toString
+    sql(s"CREATE TABLE gcat.adopted2 (k INT, v STRING) LOCATION '$ext2'")
+    sql("INSERT INTO gcat.adopted2 VALUES (7, 'z')")
+    sql("DROP TABLE gcat.adopted2")
+    assert(GraftOrcManifest.exists(fs, new Path(ext2)),
+      "DROP of an external table must keep its data")
+    val err = intercept[Exception] {
+      sql(s"CREATE TABLE gcat.adopted3 (wrong INT) LOCATION '$ext2'")
+    }
+    assert(err.getMessage.contains("existing table"))
+    assert(!spark.catalog.tableExists("gcat.adopted3"))
+    // matching re-register sees the data again
+    sql(s"CREATE TABLE gcat.adopted4 (k INT, v STRING) LOCATION '$ext2'")
+    assert(sql("SELECT k, v FROM gcat.adopted4").as[(Int, String)]
+      .collect().toSeq == Seq((7, "z")))
+  }
+
+  test("ADD COLUMN FIRST/AFTER is refused loudly rather than silently " +
+    "appending a layout different from the DDL") {
+    wh
+    sql("CREATE TABLE gcat.pos_t (a INT, b INT)")
+    val err = intercept[Exception] {
+      sql("ALTER TABLE gcat.pos_t ADD COLUMN c INT FIRST")
+    }
+    assert(err.getMessage.contains("FIRST/AFTER"))
+    // plain ADD still appends fine
+    sql("ALTER TABLE gcat.pos_t ADD COLUMN c INT")
+    assert(sql("SELECT * FROM gcat.pos_t").schema.fieldNames.toSeq ==
+      Seq("a", "b", "c"))
+  }
+
   test("INSERT OVERWRITE replaces contents atomically; CREATE of an " +
     "existing table and reads of a missing one raise typed errors") {
     wh

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.v2.{GraftOrcCompact, GraftOrcManifest}
+import graft.sources.v2.{GraftOrcCompact, GraftOrcEqDelete, GraftOrcManifest, GraftOrcMor}
 
 /** Manifest-commit mode: one atomic snapshot file defines the table
   * (the metadata-log upgrade for object stores — no partial-COMMIT
@@ -332,6 +332,39 @@ class GraftOrcManifestSpec extends AnyFunSuite {
       .option("graft.manifest.retain", "2").mode("append").save(dir)
     assert(snapshots(dir).size === 2,
       s"explicit retain=2 must take over: ${snapshots(dir)}")
+  }
+
+  test("commitSwap sequence-validates rewrite commits (expectDeletes): " +
+    "a delete sidecar landing after the rewrite was planned fails the " +
+    "commit — committing anyway would resurrect the deleted rows in " +
+    "the fresh-stamped rewrite outputs; purge re-plans and succeeds") {
+    val dir = freshDir("graft-manifest-expdel")
+    (1 to 4).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("overwrite").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val qt = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    // the rewrite's planned state: no sidecars
+    val planned = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(planned.deletes.isEmpty)
+    // ...then a concurrent blind upsert commits an equality sidecar
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((2, "v2b")).toDF("k", "v"), Seq("k"))
+    val err = intercept[java.util.ConcurrentModificationException] {
+      GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty, add = Nil,
+        op = "purge",
+        expectDeletes = Some(planned.deletes.map(_.path).toSet))
+    }
+    assert(err.getMessage.contains("delete sidecars changed"))
+    // a purge planned against CURRENT state applies the sidecar and
+    // retires it; the upserted value survives
+    assert(GraftOrcMor.purge(spark, dir) > 0)
+    val after = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(after.deletes.isEmpty)
+    assert(spark.read.format("graft-orc").load(dir)
+      .as[(Int, String)].collect().sorted.toSeq ==
+      Seq(1 -> "v1", 2 -> "v2b", 3 -> "v3", 4 -> "v4"))
   }
 
   test("streaming sink epochs commit through the manifest") {

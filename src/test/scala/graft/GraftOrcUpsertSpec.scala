@@ -216,6 +216,23 @@ class GraftOrcUpsertSpec extends AnyFunSuite {
     assert(snap(dir).op.contains("upsert"))
   }
 
+  test("a partition column is rejected as an equality key — it is " +
+    "absent from the data files the sidecar is matched against, so " +
+    "accepting it would poison every later read") {
+    val dir = freshDir("graft-upsert-partkey")
+    Seq((1, "a", 10)).toDF("k", "v", "p").coalesce(1)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .partitionBy("p").mode("overwrite").save(dir)
+    val err = intercept[IllegalArgumentException] {
+      GraftOrcEqDelete.upsert(spark, dir,
+        Seq((2, "b", 10)).toDF("k", "v", "p"), Seq("p"))
+    }
+    assert(err.getMessage.contains("partition column"))
+    // nothing committed: the table reads exactly as before
+    assert(spark.read.format("graft-orc").load(dir).count() == 1)
+    assert(snap(dir).deletes.isEmpty)
+  }
+
   test("typed errors: unsupported key types and non-manifest targets") {
     val dir = freshDir("graft-upsert-err")
     Seq((1, 1.5)).toDF("k", "f").coalesce(1)
