@@ -167,6 +167,46 @@ object CatalogOps {
              |FROM survivors
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ------------------------------------------------ atomic CTAS/RTAS
+    // StagingTableCatalog end-to-end under the hash oracle: a CTAS
+    // (staged invisible build + one-rename publish), then a REPLACE
+    // TABLE AS SELECT over it (staged data moved in + ONE truncate
+    // snapshot swapping contents and schema), then the final read. The
+    // oracle reconstructs the post-replace state straight from the
+    // source — what gets hash-checked is that the two staged commits
+    // compose to exactly the declared result. Scale shape: the publish
+    // is one rename / one snapshot write regardless of data size, and a
+    // failure at ANY point leaves either the old table or no table —
+    // never a half-written one.
+    QueryDef("cat_ctas",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = s"$cat.default.${uniq("ctas")}"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("ctas_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView(srcView)
+        try {
+          s.sql(s"CREATE TABLE $t AS SELECT /*+ REPARTITION(4) */ " +
+            s"c_custkey, seg, bal FROM $srcView WHERE bal >= 0")
+          // decimal-sum convention (see Relational.dsum): double sums
+          // disagree across engines on addition order
+          s.sql(s"REPLACE TABLE $t AS " +
+            s"SELECT seg, count(*) AS n, CAST(sum(CAST(bal AS " +
+            s"DECIMAL(18,2))) AS DOUBLE) AS total FROM $t GROUP BY seg")
+          s.sql(s"SELECT seg, n, total FROM $t ORDER BY seg")
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+             |  FROM customer WHERE c_acctbal >= 0)
+             |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM src GROUP BY seg
+             |ORDER BY seg""".stripMargin)),
+
     // ---------------------------------------- partitions metadata table
     // `t.partitions` answered purely from manifest state: per-partition
     // row counts come from the per-file stat sidecars — the oracle is

@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest commits, so the same-seq race detection serializes
   * concurrent DDL/DML exactly like concurrent writes.
   */
-class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
+class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -187,15 +188,13 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
         throw new NoSuchNamespaceException(namespace) }
     if (namespace.nonEmpty && isTableDir(dir))
       throw new NoSuchNamespaceException(namespace)
-    listing.filter(st => st.isDirectory && isTableDir(st.getPath))
+    listing.filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") && isTableDir(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
-    val dir = dirOf(ident)
-    if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+  private def validatedPartCols(schema: StructType,
+                                partitions: Array[Transform]): Seq[String] = {
     val partCols = partitions.toSeq.map { t =>
       require(t.name == "identity",
         s"graft-orc: unsupported partition transform ${t.describe()}")
@@ -209,11 +208,25 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
         s"graft-orc: unsupported partition column type " +
           s"${f.dataType.catalogString} for $c")
     }
-    // drop the engine-managed properties Spark passes along; keep user
-    // TBLPROPERTIES (and `location` for external tables)
-    val keep = properties.asScala.toMap.filterNot { case (k, _) =>
+    partCols
+  }
+
+  /** Drop the engine-managed properties Spark passes along; keep user
+    * TBLPROPERTIES (and `location` for external tables).
+    */
+  private def userProps(properties: util.Map[String, String])
+      : Map[String, String] =
+    properties.asScala.toMap.filterNot { case (k, _) =>
       Set("provider", "owner", "external", "option.path",
         "path")(k.toLowerCase) }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    val partCols = validatedPartCols(schema, partitions)
+    val keep = userProps(properties)
     val target = locationOf(ident, keep)
     val tfs = target.getFileSystem(conf)
     // External-table REGISTRATION: `CREATE TABLE ... LOCATION p` over a
@@ -262,6 +275,129 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces {
       try out.write(target.toString.getBytes("UTF-8")) finally out.close()
     }
     loadTable(ident)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ------------------------
+  //
+  // Without staging, `CREATE TABLE ... AS SELECT` runs as create-then-
+  // insert: a failure between the two leaves an EMPTY committed table
+  // visible (and "successfully created") to every reader. Staged commits
+  // close that window the Iceberg way: the whole table — establishing
+  // snapshot, meta, data files, data snapshot — is built under an
+  // invisible `.stage-*` sibling directory, and only
+  // `commitStagedChanges` makes it the table:
+  //  - CTAS: ONE directory rename (the stage dir is a sibling of the
+  //    final dir, so the rename never crosses file systems). A crash
+  //    anywhere before it leaves only the invisible stage dir.
+  //  - RTAS over an existing table: the staged data files are moved in
+  //    (unmanifested = invisible) and ONE truncate commitSwap publishes
+  //    new contents + new schema atomically; the pre-replace snapshot
+  //    stays time-travelable until expiry.
+
+  private class GraftOrcStagedTable(schema: StructType,
+                                    props: Map[String, String],
+                                    transforms: Array[Transform],
+                                    commitFn: () => Unit,
+                                    abortFn: () => Unit)
+      extends GraftOrcTable(schema, props, transforms) with StagedTable {
+    override def commitStagedChanges(): Unit = commitFn()
+    override def abortStagedChanges(): Unit = abortFn()
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, info: TableInfo,
+                    replace: Boolean, orCreate: Boolean): StagedTable = {
+    val schema = info.schema()
+    val dir = dirOf(ident)
+    val exists = isTableDir(dir)
+    if (!replace && exists) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !exists) throw new NoSuchTableException(ident)
+    val partCols = validatedPartCols(schema, info.partitions())
+    val keep = userProps(info.properties())
+    val target = locationOf(ident, keep)
+    val tfs = target.getFileSystem(conf)
+    if (!exists && keep.contains("location") &&
+        GraftOrcManifest.exists(tfs, tfs.makeQualified(target)))
+      throw new TableAlreadyExistsException(ident)
+    // stage the whole table as a SIBLING of its final directory (same
+    // volume => the publishing rename is a move, never a copy)
+    val stageDir = new Path(target.getParent,
+      s".stage-${target.getName}-${java.util.UUID.randomUUID()}")
+    tfs.mkdirs(stageDir)
+    val meta = GraftOrcManifest.TableMeta(1L,
+      GraftOrcSchema.assignIds(schema), partCols, keep)
+    GraftOrcManifest.writeSnapshot(tfs, stageDir, 1L, Nil,
+      deletes = Nil, op = "create", meta = Some(meta))
+
+    def abort(): Unit = tfs.delete(stageDir, true)
+
+    def commit(): Unit = {
+      val qTarget = tfs.makeQualified(target)
+      if (GraftOrcManifest.exists(tfs, qTarget)) {
+        // REPLACE an existing table: move the staged data files in
+        // (unmanifested files are invisible to readers), then publish
+        // contents + schema in one truncate snapshot
+        val qStage = tfs.makeQualified(stageDir)
+        val stSnap = GraftOrcManifest.readSnapshot(tfs, qStage)
+          .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+        val cur = GraftOrcManifest.readSnapshot(tfs, qTarget)
+          .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+        GraftOrcWrite.bumpPublishStamp(
+          (cur.entries ++ cur.deletes ++ stSnap.entries)
+            .map(_.mtime).foldLeft(0L)(math.max))
+        val moved = stSnap.entries.map { e =>
+          val rel = GraftOrcManifest.relativize(qStage, e.path)
+          val dest = new Path(qTarget, rel)
+          tfs.mkdirs(dest.getParent)
+          val stamp = GraftOrcWrite.nextPublishStamp()
+          tfs.setTimes(new Path(e.path), stamp, -1)
+          if (!tfs.rename(new Path(e.path), dest))
+            throw new java.io.IOException(
+              s"graft-orc: failed to move staged file ${e.path} into " +
+                s"$dest")
+          e.copy(path = tfs.makeQualified(dest).toString, mtime = stamp)
+        }
+        GraftOrcManifest.commitSwap(tfs, qTarget, remove = Set.empty,
+          add = moved, truncate = true, op = "replace",
+          meta = stSnap.meta)
+        tfs.delete(stageDir, true)
+      } else {
+        // CREATE: the stage dir IS the table — one rename publishes it
+        tfs.mkdirs(target.getParent)
+        if (tfs.exists(target))
+          throw new java.util.ConcurrentModificationException(
+            s"graft-orc: $target appeared while the staged create of " +
+              s"${ident.name()} was writing — a concurrent writer won; " +
+              "the staged table was not published")
+        if (!tfs.rename(stageDir, target))
+          throw new java.io.IOException(
+            s"graft-orc: failed to publish staged table $stageDir " +
+              s"as $target")
+      }
+      // external tables: the managed dir carries a pointer to LOCATION
+      if (keep.contains("location")) {
+        fs.mkdirs(dir)
+        val out = fs.create(new Path(dir, LocationPointer), true)
+        try out.write(target.toString.getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+
+    // writes land in the stage dir through the ordinary path machinery
+    // (the establishing manifest makes them snapshot commits there);
+    // `location` is dropped so nothing resolves to the final dir early
+    new GraftOrcStagedTable(meta.schema,
+      keep - "location" + ("path" -> stageDir.toString),
+      info.partitions(), () => commit(), () => abort())
   }
 
   override def alterTable(ident: Identifier,

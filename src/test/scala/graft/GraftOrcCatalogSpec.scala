@@ -230,6 +230,78 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
       Seq("a", "b", "c"))
   }
 
+  test("CTAS is atomic (StagingTableCatalog): the table appears only at " +
+    "commit, a mid-write failure leaves NOTHING — no empty table, no " +
+    "stage leftovers") {
+    wh
+    sql("CREATE TABLE gcat.ctas1 AS SELECT id AS a, id * 2 AS b " +
+      "FROM range(5)")
+    assert(sql("SELECT a, b FROM gcat.ctas1 ORDER BY a")
+      .as[(Long, Long)].collect().toSeq ==
+      (0L until 5L).map(i => (i, i * 2)))
+    // staged history: seq 1 = establishment, seq 2 = the CTAS data
+    assert(sql("SELECT a FROM gcat.ctas1 VERSION AS OF 1").count() == 0)
+    // a CTAS whose SELECT fails mid-write must leave no trace
+    intercept[Exception] {
+      sql("CREATE TABLE gcat.ctas_fail AS " +
+        "SELECT raise_error('boom') AS x FROM range(10)")
+    }
+    assert(!spark.catalog.tableExists("gcat.ctas_fail"))
+    val whFs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val leftovers = whFs.listStatus(new Path(wh)).map(_.getPath.getName)
+      .filter(_.startsWith(".stage-"))
+    assert(leftovers.isEmpty, s"stage leftovers: ${leftovers.toSeq}")
+    // ...and SHOW TABLES never saw it
+    assert(!sql("SHOW TABLES IN gcat").select("tableName")
+      .as[String].collect().contains("ctas_fail"))
+  }
+
+  test("partitioned CTAS lays out hive directories under the staged " +
+    "table and prunes after publish; REPLACE TABLE AS SELECT swaps " +
+    "contents + schema in one snapshot with the old state retained") {
+    wh
+    sql("CREATE TABLE gcat.ctasp PARTITIONED BY (p) AS " +
+      "SELECT id AS v, CAST(id % 2 AS INT) AS p FROM range(6)")
+    val whFs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(whFs.exists(new Path(s"$wh/ctasp/p=0")) &&
+      whFs.exists(new Path(s"$wh/ctasp/p=1")))
+    assert(sql("SELECT v FROM gcat.ctasp WHERE p = 1").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // RTAS: entirely new contents AND schema, one atomic snapshot
+    sql("REPLACE TABLE gcat.ctasp AS " +
+      "SELECT concat('r', id) AS name FROM range(3)")
+    assert(sql("SELECT name FROM gcat.ctasp ORDER BY name")
+      .as[String].collect().toSeq == Seq("r0", "r1", "r2"))
+    assert(sql("SELECT * FROM gcat.ctasp").schema.fieldNames.toSeq ==
+      Seq("name"))
+    // the pre-replace state stays time-travelable (seq 2 = CTAS data)
+    assert(sql("SELECT v FROM gcat.ctasp VERSION AS OF 2").count() == 6)
+    // CREATE OR REPLACE on a missing table creates it
+    sql("CREATE OR REPLACE TABLE gcat.ctas_cor AS SELECT 1 AS one")
+    assert(sql("SELECT one FROM gcat.ctas_cor").as[Int]
+      .collect().toSeq == Seq(1))
+    // REPLACE of a missing table is a typed error
+    intercept[Exception] {
+      sql("REPLACE TABLE gcat.no_such_t AS SELECT 1 AS one")
+    }
+  }
+
+  test("external CTAS with LOCATION publishes at the location and " +
+    "registers the pointer only at commit") {
+    wh
+    val ext = Files.createTempDirectory("graft-cat-ctas-ext").toString + "/t"
+    sql(s"CREATE TABLE gcat.ctas_ext LOCATION '$ext' AS " +
+      "SELECT id AS k FROM range(4)")
+    assert(sql("SELECT k FROM gcat.ctas_ext").count() == 4)
+    val fs = new Path(ext).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(GraftOrcManifest.exists(fs, fs.makeQualified(new Path(ext))))
+    // path readers see the same table
+    assert(spark.read.format("graft-orc").load(ext).count() == 4)
+  }
+
   test("INSERT OVERWRITE replaces contents atomically; CREATE of an " +
     "existing table and reads of a missing one raise typed errors") {
     wh
