@@ -18,6 +18,128 @@ object ScaleStress {
   private def num(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** Result of [[concurrentCommitters]] — the real-thread concurrency
+    * receipt: every commit landed exactly once or threw, and the final
+    * state equals the serial application of the SUCCESSFUL operations.
+    */
+  case class ConcurrencyResult(rounds: Int, attempted: Int,
+                               succeeded: Int, conflicts: Int,
+                               finalRows: Long, expectedRows: Long,
+                               exactState: Boolean) {
+    def ok: Boolean = exactState && finalRows == expectedRows
+  }
+
+  /** N REAL concurrent committers against one manifest table, per round:
+    * `appenders` append threads (disjoint key ranges), one blind-upsert
+    * thread (GraftOrcEqDelete — equality sidecar + data, the
+    * commit-time sequence-validation path), and one compactor
+    * (purge-first stripe merge — the rewrite that must not resurrect
+    * anything). Every thread either commits exactly once or throws
+    * ConcurrentModificationException after its internal retries; the
+    * final table must equal the serial oracle built from the successes.
+    * This is the optimistic-concurrency contract Iceberg's commit loop
+    * provides, exercised with actual interleavings rather than the
+    * single-threaded spec simulations.
+    */
+  def concurrentCommitters(spark: SparkSession, dir: String,
+                           appenders: Int = 4,
+                           rounds: Int = 4): ConcurrencyResult = {
+    import spark.implicits._
+    import graft.sources.v2.{GraftOrcCompact, GraftOrcEqDelete, GraftOrcManifest}
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val baseKeys = 0 until 1000
+    baseKeys.map(k => (k, "base")).toDF("k", "v").repartition(4)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .option("graft.manifest.retain", "3").mode("overwrite").save(dir)
+
+    val attempted = new java.util.concurrent.atomic.AtomicInteger()
+    val succeeded = new java.util.concurrent.atomic.AtomicInteger()
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger()
+    // serial oracle inputs, recorded only for operations that COMMITTED
+    val appendedBatches =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Int, Int)]()) // (round, appender)
+    val upsertRounds =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Int]())
+
+    (0 until rounds).foreach { r =>
+      val errs = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Throwable]())
+      def committer(name: String)(body: => Unit)(onOk: => Unit): Thread = {
+        val t = new Thread(() => {
+          attempted.incrementAndGet()
+          try { body; succeeded.incrementAndGet(); onOk }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              conflicts.incrementAndGet() // loud, exactly-zero-times
+            case e: Throwable => errs.add(e)
+          }
+        }, s"graft-conc-$name-r$r")
+        t.start(); t
+      }
+      val threads =
+        (0 until appenders).map { i =>
+          committer(s"append$i") {
+            ((0 until 100).map(j =>
+              (1000000 + r * 100000 + i * 1000 + j, s"app-$r-$i")))
+              .toDF("k", "v").coalesce(1)
+              .write.format("graft-orc").mode("append").save(dir)
+          } { appendedBatches.add((r, i)) }
+        } ++ Seq(
+          committer("upsert") {
+            GraftOrcEqDelete.upsert(spark, dir,
+              (0 until 200).map(k => (k, s"ups-$r")).toDF("k", "v"),
+              Seq("k"))
+          } { upsertRounds.add(r) },
+          committer("compact") {
+            GraftOrcCompact.compact(spark, dir,
+              targetBytes = 64L << 20, smallFileBytes = 32L << 20)
+          } { () })
+      threads.foreach(_.join(300000))
+      if (!errs.isEmpty)
+        throw new IllegalStateException(
+          s"concurrent committer failed non-loudly: ${errs.get(0)}",
+          errs.get(0))
+    }
+
+    // serial oracle: base ∪ successful appends, upserted keys at their
+    // LAST successful round's value (rounds are join-separated, so
+    // "newest wins" has a defined order)
+    import scala.jdk.CollectionConverters._
+    val lastUps = upsertRounds.asScala.toSeq.sorted.lastOption
+    val expected: Map[Int, String] =
+      baseKeys.map(k => k -> lastUps.map(r =>
+        if (k < 200) s"ups-$r" else "base").getOrElse("base")).toMap ++
+      appendedBatches.asScala.flatMap { case (r, i) =>
+        (0 until 100).map(j =>
+          (1000000 + r * 100000 + i * 1000 + j) -> s"app-$r-$i")
+      }
+    val actual = spark.read.format("graft-orc").load(dir)
+      .as[(Int, String)].collect().toMap
+    val actualRows = spark.read.format("graft-orc").load(dir).count()
+    if (actual != expected || actualRows != expected.size) {
+      val missing = expected.keySet -- actual.keySet
+      val extra = actual.keySet -- expected.keySet
+      val changed = expected.keySet.intersect(actual.keySet)
+        .filter(k => expected(k) != actual(k))
+      System.err.println(s"[conc-debug] missing=${missing.size} " +
+        s"(${missing.take(5)} -> ${missing.take(5).map(expected)}) " +
+        s"extra=${extra.size} (${extra.take(5)}) " +
+        s"changed=${changed.take(5).map(k =>
+          s"$k:${expected(k)}!=${actual(k)}")} " +
+        s"rows=$actualRows vs ${expected.size}")
+    }
+    // seq history sanity: one live snapshot, readable
+    GraftOrcManifest.readSnapshot(fs,
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dir))).get
+    ConcurrencyResult(rounds, attempted.get(), succeeded.get(),
+      conflicts.get(), actualRows, expected.size.toLong,
+      exactState = actual == expected && actualRows == expected.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val embedMode = args.lift(1).contains("embed")
@@ -32,9 +154,10 @@ object ScaleStress {
     val morMode = args.lift(1).contains("mor")
     val evoMode = args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
+    val concurrentMode = args.lift(1).contains("concurrent")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
-      spjMode || morMode || evoMode || upsertMode
+      spjMode || morMode || evoMode || upsertMode || concurrentMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -329,6 +452,29 @@ object ScaleStress {
     // live, and the purge that materializes it and restores vectorized
     // reads.
     //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 upsert
+    // Concurrent-writer receipt: N real threads (appends + blind upsert
+    // + compact) race one table per round; every commit lands exactly
+    // once or throws, final state must equal the serial oracle.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 concurrent [appenders rounds]
+    if (concurrentMode) {
+      val apps = args.lift(2).map(_.toInt).getOrElse(4)
+      val rnds = args.lift(3).map(_.toInt).getOrElse(6)
+      val t0 = System.nanoTime()
+      val res = concurrentCommitters(spark, "/tmp/graft-conc-stress",
+        appenders = apps, rounds = rnds)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"op":"concurrent_committers","rounds":${res.rounds},""" +
+        s""""appenders":$apps,"attempted":${res.attempted},""" +
+        s""""succeeded":${res.succeeded},"conflicts":${res.conflicts},""" +
+        s""""final_rows":${res.finalRows},""" +
+        s""""expected_rows":${res.expectedRows},""" +
+        s""""exact_state":${res.ok},"sec":${num(sec)}}""")
+      require(res.ok, "concurrent committers diverged from the serial " +
+        "oracle — see the JSON line above")
+      spark.stop()
+      return
+    }
+
     if (upsertMode) {
       import graft.sources.v2.{GraftOrcEqDelete, GraftOrcMor}
       val base1 = Tables.lineitem(spark, sfDir)

@@ -538,8 +538,13 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       // carry forward (a second MoR delete stacks).
       val sidecars = GraftOrcMor.writeDeletes(
         SparkSession.active, fs, qt, partials, pred, tableSchema)
+      // expectPresent: every file this DELETE classified must still be
+      // live at commit — a concurrent compact/rewrite that replaced one
+      // would make its positions inert (silently losing the delete) or
+      // resurrect a full-drop's rows from the rival's merged output
       GraftOrcManifest.commitSwap(fs, qt, remove = fullSet, add = Nil,
-        addDeletes = sidecars, op = "delta")
+        addDeletes = sidecars, op = "delta",
+        expectPresent = fullSet ++ partials.map(_.path))
       GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops)
     } else {
       val rewritten = GraftOrcDelete.rewriteWithout(
@@ -548,7 +553,8 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         curV = cur.meta.map(_.schemaV).getOrElse(0L))
       GraftOrcManifest.commitSwap(fs, qt,
         remove = fullSet ++ partials.map(_.path), add = rewritten,
-        op = "replace")
+        op = "replace",
+        expectPresent = fullSet ++ partials.map(_.path))
       GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops ++ partials)
     }
   }
@@ -1523,6 +1529,17 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     // not project them; the row wrapper drops the forced columns before
     // emitting (same pattern as the forced _pos machinery)
     val eqActive = applyDeletes && liveEqSidecars.nonEmpty
+    // per-task key-tuple budget: fail the scan with a typed
+    // "purge required" error instead of an executor OOM when sidecars
+    // have accumulated past what a task can hold in memory
+    val eqBudgetRows: Long = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.eq_delete_budget_rows") =>
+        try v.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft-orc: graft.eq_delete_budget_rows must be a long, " +
+              s"got '$v'") }
+    }.getOrElse(GraftOrcEqDelete.DefaultBudgetRows)
     val forcedEq: Array[org.apache.spark.sql.types.StructField] =
       if (!eqActive) Array.empty
       else eqKeyFields.filterNot(f =>
@@ -1546,7 +1563,8 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       eqSidecars = if (eqActive) liveEqSidecars.toArray else Array.empty,
       eqKeyTypes = if (eqActive) eqKeyFields.map(_.dataType) else Array.empty,
       eqOrdinals = eqOrdinals,
-      forcedEqCount = forcedEq.length)
+      forcedEqCount = forcedEq.length,
+      eqBudgetRows = eqBudgetRows)
   }
 
   // A12: custom scan metrics, full parity with the reference's 12
@@ -1559,7 +1577,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     new GraftPushdownRowsPrunedMetric, new GraftPushdownRowsMatchedMetric,
     new GraftDecodeNsMetric, new GraftRowsDecodedMetric,
     new GraftBatchesProducedMetric, new GraftFilesReadMetric,
-    new GraftCorruptFilesSkippedMetric)
+    new GraftCorruptFilesSkippedMetric, new GraftEqDeleteKeysMetric)
 }
 
 // metric classes need zero-arg constructors (Spark instantiates them by
@@ -1625,6 +1643,11 @@ class GraftCorruptFilesSkippedMetric extends CustomSumMetric {
   override def name: String = "graftCorruptFilesSkipped"
   override def description: String = "graft: corrupt files skipped/truncated"
 }
+class GraftEqDeleteKeysMetric extends CustomSumMetric {
+  override def name: String = "graftEqDeleteKeys"
+  override def description: String =
+    "graft: equality-delete key tuples loaded per task (purge health)"
+}
 
 case class GraftTaskMetric(name: String, value: Long) extends CustomTaskMetric
 
@@ -1664,7 +1687,9 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                        Array.empty,
                                      eqKeyTypes: Array[DataType] = Array.empty,
                                      eqOrdinals: Array[Int] = Array.empty,
-                                     forcedEqCount: Int = 0)
+                                     forcedEqCount: Int = 0,
+                                     eqBudgetRows: Long =
+                                       GraftOrcEqDelete.DefaultBudgetRows)
     extends PartitionReaderFactory {
 
   private def morMode: Boolean =
@@ -1693,7 +1718,7 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
         },
         eqOrdinals.zip(eqKeyTypes).map { case (o, dt) =>
           readDataSchema.fields(o).copy(dataType = dt) },
-        p.fileMtime)
+        p.fileMtime, eqBudgetRows)
     // batch layout in morMode: readData (incl. any FORCED equality key
     // columns at its tail) ++ readPart ++ (_file?) ++ pos (forced last);
     // the output projection drops the forced pieces unless the query
@@ -1756,7 +1781,10 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       override def get(): InternalRow = cur
       override def close(): Unit = inner.close()
       override def currentMetricsValues(): Array[CustomTaskMetric] =
-        inner.currentMetricsValues()
+        inner.currentMetricsValues() :+ (new CustomTaskMetric {
+          override def name(): String = "graftEqDeleteKeys"
+          override def value(): Long = eqSet.size().toLong
+        })
     }
   }
 

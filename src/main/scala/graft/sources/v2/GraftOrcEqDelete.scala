@@ -46,6 +46,19 @@ import org.apache.spark.sql.types._
   */
 object GraftOrcEqDelete {
 
+  /** Typed per-task failure when the union key-tuple set of the live
+    * equality sidecars exceeds the configured budget: an unbounded set
+    * would surface as an executor OOM deep in a scan — this names the
+    * cause (sidecar accumulation) and the fix (purge/compact) instead.
+    */
+  class EqDeleteBudgetExceeded(msg: String) extends RuntimeException(msg)
+
+  /** Default per-task key-tuple budget (rows). ~100 bytes/tuple puts
+    * the worst case near 1 GB of task heap — far above any healthy
+    * purge cadence, low enough to fail before the executor dies.
+    */
+  val DefaultBudgetRows: Long = 10000000L
+
   /** Equality sidecars are `e-*.orc`; position sidecars `d-*.orc`. */
   def isEqualitySidecar(path: String): Boolean =
     path.substring(path.lastIndexOf('/') + 1).startsWith("e-")
@@ -149,42 +162,110 @@ object GraftOrcEqDelete {
       df.select(keyCols.map(c => col(s"`$c`")): _*).distinct(),
       GraftOrcWrite.nextPublishStamp())
     val curV = snap.meta.map(_.schemaV).getOrElse(0L)
-    // data files per partition group (reuses the rewrite publisher:
-    // wave directory under the hive path, footer-stat sidecars, fresh
-    // stamps — all above the sidecar's)
-    val grouped: Seq[(Map[String, String], DataFrame)] =
-      if (partCols.isEmpty) Seq(Map.empty[String, String] -> df)
-      else {
-        val parts = df.select(partCols.map(c => col(s"`$c`")): _*)
-          .distinct().collect().toSeq
-        parts.map { r =>
-          val m = partCols.zipWithIndex.map { case (c, i) =>
-            c -> (if (r.isNullAt(i)) null else r.get(i).toString)
-          }.toMap
-          val cond = partCols.zipWithIndex.map { case (c, i) =>
-            if (r.isNullAt(i)) col(s"`$c`").isNull
-            else col(s"`$c`") === lit(r.get(i))
-          }.reduce(_ && _)
-          m -> df.filter(cond).drop(partCols: _*)
-        }
-      }
-    val added = grouped.flatMap { case (parts, rows) =>
-      GraftOrcDelete.publishGroupRewrite(spark, fs, qt, parts, rows,
-        "ups", schemaV = curV)
-    }
+    // data files: unpartitioned batches reuse the rewrite publisher;
+    // partitioned batches run as ONE hash-distributed partitioned write
+    // (a batch touching 500 partitions is one Spark job, not 500)
+    val added: Seq[OrcFileEntry] =
+      if (partCols.isEmpty)
+        GraftOrcDelete.publishGroupRewrite(spark, fs, qt, Map.empty, df,
+          "ups", schemaV = curV)
+      else publishPartitioned(spark, fs, qt, df, partCols, curV)
+    // Commit with sequence validation: `entriesBelow` fails the commit
+    // if a rival (compact/purge/rewrite) concurrently published files
+    // stamped AT OR ABOVE our sidecar — byte copies of the upserted
+    // keys' old versions would escape the equality delete (they are not
+    // "older than the sidecar" any more). The retry re-stamps sidecar
+    // then data above the rival's state (all still unmanifested, so
+    // re-stamping is invisible) and tries again — the same effect as
+    // Iceberg assigning sequence numbers at commit time.
+    var curSidecar = sidecar
+    var curAdded = added
     var attempt = 0
     var committed = false
     while (!committed) {
       try {
         GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
-          add = added, addDeletes = Seq(sidecar), op = "upsert")
+          add = curAdded, addDeletes = Seq(curSidecar), op = "upsert",
+          entriesBelow = Some(curSidecar.mtime))
         committed = true
       } catch {
         case e: java.util.ConcurrentModificationException
             if attempt < GraftOrcWrite.ManifestCommitRetries =>
           attempt += 1
+          val winner = GraftOrcManifest.readSnapshot(fs, qt)
+            .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+          GraftOrcWrite.bumpPublishStamp(
+            (winner.entries ++ winner.deletes)
+              .map(_.mtime).foldLeft(0L)(math.max))
+          curSidecar = GraftOrcWrite
+            .restampEntries(fs, Seq(curSidecar)).head
+          curAdded = GraftOrcWrite.restampEntries(fs, curAdded)
       }
     }
+  }
+
+  /** Publish a partitioned upsert batch as ONE Spark job: the batch is
+    * hash-repartitioned on the partition columns (every partition's
+    * rows land in one task => one file per touched partition, no
+    * small-file spray) and written hive-laid under `_staging/`; the
+    * driver then stamps, sidecar-stats, and renames each produced file
+    * into `<partition>/w-ups-<wave>/` — metadata-only work ∝ files, not
+    * rows. Replaces the per-partition filter+write loop that ran one
+    * Spark job per touched partition (500-partition batch = 500 jobs).
+    */
+  private[v2] def publishPartitioned(spark: SparkSession, fs: FileSystem,
+                                     table: Path, df: DataFrame,
+                                     partCols: Seq[String],
+                                     schemaV: Long): Seq[OrcFileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // canonical partition-column names (the table's casing drives the
+    // directory layout, whatever case the batch arrived with)
+    val canon = df.select(df.schema.fields.toSeq.map { f =>
+      partCols.find(_.equalsIgnoreCase(f.name)) match {
+        case Some(p) if p != f.name => col(s"`${f.name}`").as(p)
+        case _ => col(s"`${f.name}`")
+      }
+    }: _*)
+    val staging = new Path(table,
+      s"${GraftOrcWrite.StagingDir}/ups-${UUID.randomUUID()}")
+    canon.repartition(partCols.map(c => col(s"`$c`")): _*)
+      .write.mode("overwrite").option("compression", "snappy")
+      .partitionBy(partCols: _*).orc(staging.toString)
+    // walk the staged hive tree; every *.orc file publishes under its
+    // partition's wave dir with a fresh stamp + footer-stat sidecar
+    val wave = s"w-ups-${UUID.randomUUID()}"
+    val out = Seq.newBuilder[OrcFileEntry]
+    def walk(dir: Path, parts: Map[String, String], rel: Seq[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          GraftOrcFileIndex.parsePartitionSegment(name) match {
+            case Some((k, v)) =>
+              walk(st.getPath, parts + (k -> v), rel :+ name)
+            case None => // _temporary etc. — spark cleans these itself
+          }
+        } else if (name.endsWith(".orc")) {
+          val stamp = GraftOrcWrite.nextPublishStamp()
+          fs.setTimes(st.getPath, stamp, -1)
+          val sidecar =
+            try {
+              val r = org.apache.orc.OrcFile.createReader(st.getPath,
+                org.apache.orc.OrcFile.readerOptions(conf))
+              try OrcStatsEval.sidecarOf(r) finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          val waveDir = new Path(table, (rel :+ wave).mkString("/"))
+          fs.mkdirs(waveDir)
+          val dest = new Path(waveDir, name)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"graft-orc upsert: failed to publish ${st.getPath}")
+          out += OrcFileEntry(fs.makeQualified(dest).toString, st.getLen,
+            parts, stamp, sidecar, schemaV = schemaV)
+        }
+      }
+    walk(staging, Map.empty, Nil)
+    fs.delete(staging, true)
+    out.result()
   }
 
   // ---- executor-side key-set application -------------------------------
@@ -198,8 +279,18 @@ object GraftOrcEqDelete {
   def keySetFor(conf: Configuration,
                 sidecars: Seq[(String, Long)],
                 keyFields: Array[StructField],
-                fileMtime: Long): java.util.HashSet[String] = {
+                fileMtime: Long,
+                budgetRows: Long = DefaultBudgetRows)
+      : java.util.HashSet[String] = {
     val out = new java.util.HashSet[String]()
+    def checkBudget(): Unit =
+      if (out.size() > budgetRows)
+        throw new EqDeleteBudgetExceeded(
+          s"graft-orc: live equality-delete sidecars hold more than " +
+            s"$budgetRows key tuples per task — the table needs a " +
+            "purge (GraftOrcMor.purge / compaction) to materialize " +
+            "them; raise graft.eq_delete_budget_rows only if the " +
+            "executor heap is sized for the larger set")
     sidecars.foreach { case (side, mtime) =>
       if (mtime > fileMtime) {
         val reader = org.apache.orc.OrcFile.createReader(new Path(side),
@@ -242,6 +333,7 @@ object GraftOrcEqDelete {
                   if (ok) out.add(sb.toString)
                   i += 1
                 }
+                checkBudget()
               }
             } finally rows.close()
           }

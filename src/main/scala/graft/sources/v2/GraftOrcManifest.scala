@@ -359,23 +359,31 @@ object GraftOrcManifest {
     // with a lexicographically larger name would otherwise retroactively
     // steal the seq from a writer whose own post-rename verify already
     // passed (silent loss, the one outcome this protocol must not have).
-    // The residual exposure is two writers interleaving inside this
-    // list->rename window; the post-rename verify below makes that case
-    // loud for at least one of them, and a conditional-rename/CAS store
-    // primitive is the real fix (documented scope).
-    if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
-        n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"graft-orc manifest: lost a commit race on snapshot seq $seq of " +
-          s"$table — a concurrent writer already committed it. Re-read " +
-          "the table state and retry the write at the next seq.")
-    }
-    val dest = new Path(dir, f"$SnapPrefix$seq%020d-${UUID.randomUUID()}.json")
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"graft-orc manifest: failed to publish snapshot $dest")
+    // SAME-JVM writers (the local/driver deployment: every committer of
+    // a table lives in one Spark driver) are fully serialized through a
+    // per-table commit lock around this check->rename window, so the
+    // occupancy check is decisive for them — a loser always fails HERE,
+    // never after reporting success. The residual exposure is two
+    // SEPARATE drivers interleaving inside the window; the post-rename
+    // verify below makes that case loud for at least one of them, and a
+    // conditional-rename/CAS store primitive is the real cross-driver
+    // fix (documented scope).
+    val dest = commitLockFor(qt).synchronized {
+      if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
+          n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-orc manifest: lost a commit race on snapshot seq $seq of " +
+            s"$table — a concurrent writer already committed it. Re-read " +
+            "the table state and retry the write at the next seq.")
+      }
+      val d = new Path(dir, f"$SnapPrefix$seq%020d-${UUID.randomUUID()}.json")
+      if (!fs.rename(tmp, d)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"graft-orc manifest: failed to publish snapshot $d")
+      }
+      d
     }
     // commit time = publish instant (best-effort; without it the mtime
     // degrades to staging-write time, slightly before visibility)
@@ -437,6 +445,16 @@ object GraftOrcManifest {
   private def seqOfName(p: Path): Long =
     p.getName.substring(SnapPrefix.length, SnapPrefix.length + 20).toLong
 
+  /** Per-table (qualified path) commit lock: serializes the same-JVM
+    * occupancy-check -> rename window of [[writeSnapshot]], making the
+    * seq race decisive for every committer in one driver. Bounded
+    * growth: one monitor object per table ever committed by this JVM.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLockFor(table: Path): Object =
+    commitLocks.computeIfAbsent(table.toString, _ => new Object)
+
   /** Swap `remove` (absolute paths) for `add` on top of the current
     * snapshot and commit the result as the next snapshot. The one
     * metadata primitive both the writer and the compactor need.
@@ -451,8 +469,41 @@ object GraftOrcManifest {
                  dropDeletes: Set[String] = Set.empty,
                  op: String = "unknown",
                  meta: Option[TableMeta] = None,
-                 expectDeletes: Option[Set[String]] = None): Unit = {
+                 expectDeletes: Option[Set[String]] = None,
+                 expectPresent: Set[String] = Set.empty,
+                 entriesBelow: Option[Long] = None): Unit = {
     val cur = readSnapshot(fs, table).getOrElse(Snapshot(0L, Nil))
+    // Row-level rewrites are only valid against the state their scan
+    // read: a file the rewrite replaces (or whose rows its position
+    // sidecars address) that a concurrent compact/rewrite already
+    // swapped out would resurrect (its content lives on in the rival's
+    // outputs) or lose the deletion (positions reference a dead path).
+    locally {
+      val missing = expectPresent -- cur.entries.map(_.path).toSet
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-orc manifest: a $op commit references files a " +
+            s"concurrent writer already replaced on $table: " +
+            s"${missing.mkString(", ")} — re-plan on the current " +
+            "snapshot and retry.")
+    }
+    // Equality-delete commits (blind upsert): the sidecar applies to
+    // files STRICTLY OLDER than its stamp, so any pre-existing entry at
+    // or above it (a rival compact/rewrite's fresh-stamped outputs,
+    // which may carry copies of the upserted keys' old versions) would
+    // escape the delete. The caller re-stamps its sidecar + data above
+    // the rival and retries.
+    entriesBelow.foreach { bound =>
+      val addPaths0 = add.map(_.path).toSet
+      val escaped = cur.entries.filter(e =>
+        !remove(e.path) && !addPaths0(e.path) && e.mtime >= bound)
+      if (escaped.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-orc manifest: a $op commit's delete sidecar (stamp " +
+            s"$bound) would not cover concurrently committed files on " +
+            s"$table: ${escaped.map(_.path).mkString(", ")} — re-stamp " +
+            "above the current state and retry.")
+    }
     // Sequence-validation for REWRITE commits (purge/compact): the caller
     // planned against a specific delete-sidecar set; a sidecar that
     // committed since (a concurrent blind upsert / MoR delete) applies to

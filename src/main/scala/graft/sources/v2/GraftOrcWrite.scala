@@ -428,6 +428,21 @@ object GraftOrcWrite {
     ()
   }
 
+  /** Re-stamp already-published (but still unmanifested => invisible)
+    * files with fresh publish stamps — the commit-retry path when a
+    * rival's outputs landed at or above this commit's stamps (see
+    * commitSwap's `entriesBelow` validation). Preserves the callers'
+    * intra-commit order: stamp sidecars first, data after.
+    */
+  private[v2] def restampEntries(fs: org.apache.hadoop.fs.FileSystem,
+                                 entries: Seq[OrcFileEntry])
+      : Seq[OrcFileEntry] =
+    entries.map { e =>
+      val s = nextPublishStamp()
+      fs.setTimes(new org.apache.hadoop.fs.Path(e.path), s, -1)
+      e.copy(mtime = s)
+    }
+
   /** Hive-style path escaping for partition values — the inverse of
     * [[GraftOrcFileIndex.unescapePathName]] (%XX for separators, glob
     * metacharacters and control chars).
@@ -669,7 +684,8 @@ object GraftOrcWrite {
       // failing. A TRUNCATE keeps the loud failure: silently re-running
       // it would physically delete rows a concurrent commit just
       // published, which needs a human (or at least an explicit retry).
-      val added = newEntries.result()
+      var added = newEntries.result()
+      var curUpsertSides = upsertSidecars
       val replaced = replacePaths.getOrElse(Set.empty)
       // positions against a file a CONCURRENT compaction/rewrite already
       // replaced would be inert — the delete would silently vanish.
@@ -725,7 +741,7 @@ object GraftOrcWrite {
         try {
           GraftOrcManifest.writeSnapshot(fs, qdir, next, base ++ added,
             chosenRetain,
-            deletes = baseDeletes ++ addedDeletes ++ upsertSidecars,
+            deletes = baseDeletes ++ addedDeletes ++ curUpsertSides,
             op = if (truncateExisting) "truncate"
                  else if (replacePaths.isDefined) "replace"
                  else if (deltaRefs.isDefined) "delta"
@@ -747,6 +763,20 @@ object GraftOrcWrite {
                 !replaced.subsetOf(winner.entries.map(_.path).toSet))
               throw e
             validateDeltaRefs(winner.entries)
+            // blind-upsert commits: a rival's outputs stamped at/above
+            // our equality sidecar (compacted byte copies of the
+            // upserted keys' old versions) would ESCAPE the delete —
+            // re-stamp the sidecar, then the data files, above the
+            // winner's state (all still unmanifested => invisible)
+            if (curUpsertSides.nonEmpty) {
+              val minSide = curUpsertSides.map(_.mtime).min
+              if (minusReplaced(winner.entries).exists(_.mtime >= minSide)) {
+                bumpPublishStamp((winner.entries ++ winner.deletes)
+                  .map(_.mtime).foldLeft(0L)(math.max))
+                curUpsertSides = restampEntries(fs, curUpsertSides)
+                added = restampEntries(fs, added)
+              }
+            }
             base = minusReplaced(winner.entries)
             baseDeletes = winner.deletes
             next = winner.seq + 1

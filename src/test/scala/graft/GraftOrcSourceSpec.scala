@@ -85,7 +85,7 @@ class GraftOrcSourceSpec extends AnyFunSuite {
       "graftStripesMatched", "graftStatsEvalNs", "graftPredicateEvalErrors",
       "graftPushdownRowsPruned", "graftPushdownRowsMatched", "graftDecodeNs",
       "graftRowsDecoded", "graftBatchesProduced", "graftFilesRead",
-      "graftCorruptFilesSkipped"))
+      "graftCorruptFilesSkipped", "graftEqDeleteKeys"))
     val stats = scans.head.scan
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics()

@@ -233,6 +233,81 @@ class GraftOrcUpsertSpec extends AnyFunSuite {
     assert(snap(dir).deletes.isEmpty)
   }
 
+  test("a wide partitioned upsert batch is ONE hash-distributed Spark " +
+    "write job (plus the key-sidecar write) — not one job per touched " +
+    "partition") {
+    val dir = freshDir("graft-upsert-widejob")
+    (1 to 12).map(i => (i, s"v$i", i % 6)).toDF("k", "v", "p")
+      .repartition(2).write.format("graft-orc")
+      .option("graft.manifest", "true").partitionBy("p")
+      .mode("overwrite").save(dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftOrcEqDelete.upsert(spark, dir,
+        (1 to 12).map(i => (i, s"n$i", i % 6)).toDF("k", "v", "p"),
+        Seq("k"))
+      org.apache.spark.GraftSparkBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 6 touched partitions, CONSTANT job count (sidecar write + ONE
+    // partitioned data write, each with AQE shuffle-materialization
+    // jobs) — the old loop ran one data job PER partition plus a
+    // distinct scan, i.e. >= 7 here and 500+ on a wide CDC batch
+    assert(jobs.get() <= 5, s"upsert ran ${jobs.get()} jobs")
+    // correctness of the single-job layout: every key took its new
+    // value in its hive partition, pruning intact
+    val rows = spark.read.format("graft-orc").load(dir)
+      .select("k", "v", "p").as[(Int, String, Int)].collect().sorted.toSeq
+    assert(rows == (1 to 12).map(i => (i, s"n$i", i % 6)).sorted)
+    assert(spark.read.format("graft-orc").load(dir)
+      .filter($"p" === 3).select("k").as[Int].collect().sorted.toSeq ==
+      Seq(3, 9))
+  }
+
+  test("equality-delete read budget: sidecars holding more key tuples " +
+    "than graft.eq_delete_budget_rows fail the scan with the typed " +
+    "purge-required error (not an OOM); the graftEqDeleteKeys metric " +
+    "reports set sizes; purge clears the restriction") {
+    val dir = baseTable()
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v"), Seq("k"))
+    // 3 tuples against a budget of 2: typed failure naming the remedy
+    val err = intercept[Exception] {
+      spark.read.format("graft-orc")
+        .option("graft.eq_delete_budget_rows", "2").load(dir).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(
+      _.isInstanceOf[GraftOrcEqDelete.EqDeleteBudgetExceeded]),
+      chain(err).map(_.getClass.getName))
+    assert(chain(err).exists(t =>
+      Option(t.getMessage).exists(_.contains("purge"))))
+    // a malformed budget value is a typed option error
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft-orc")
+        .option("graft.eq_delete_budget_rows", "lots").load(dir).count()
+    }
+    // within budget: the scan works and the metric reports the per-task
+    // key-set size (each task loads the whole set)
+    val df = spark.read.format("graft-orc").load(dir)
+    df.collect()
+    val leaf = df.queryExecution.executedPlan.collectLeaves().head
+    val keys = leaf.metrics.find(_._1 == "graftEqDeleteKeys").map(_._2.value)
+    assert(keys.exists(_ >= 3L), s"graftEqDeleteKeys: $keys")
+    // purge retires the sidecars; even a budget of 0 reads fine
+    GraftOrcMor.purge(spark, dir)
+    assert(spark.read.format("graft-orc")
+      .option("graft.eq_delete_budget_rows", "0").load(dir)
+      .count() == 8)
+  }
+
   test("typed errors: unsupported key types and non-manifest targets") {
     val dir = freshDir("graft-upsert-err")
     Seq((1, 1.5)).toDF("k", "f").coalesce(1)
