@@ -76,6 +76,48 @@ object Dedup {
       .filter(col("jac") >= minJac)
   }
 
+  /** The DETERMINISTIC twin of [[minhashNearDups]]: identical pipeline
+    * (3-word shingles -> per-permutation min-hash signature -> banded
+    * key join -> exact-Jaccard verification), but every hash is
+    * [[TextHashFunctions.md5Key60]] over an explicit string encoding —
+    * permutation p of shingle s hashes `"$p$s"`, a band's key
+    * hashes its comma-joined signature slice — so DuckDB reproduces the
+    * band assignment BIT-EXACTLY and the driver's full hash oracle
+    * covers the whole LSH path, not just its algebra. The engine path
+    * ([[minhashNearDups]], xxhash64 native expression) stays the one
+    * benched; this twin trades one md5 per (perm, shingle) for
+    * cross-engine reproducibility.
+    */
+  def minhashNearDupsDet(docs: DataFrame, minJac: Double): DataFrame = {
+    val rpb = RowsPerBand
+    val permHash = (p: Column, shingle: Column) =>
+      md5Key60(concat(p.cast("string"), lit("\u0001"), shingle))
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .distinct()
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumPerms - 1)),
+          p => permHash(p, col("shingle")))).as(Seq("perm", "h")))
+    val sigs = sh.groupBy(col("doc_id"), col("perm"))
+      .agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        md5Key60(concat_ws(",", (0 until rpb).map(r =>
+          element_at(col("sig"), b * rpb + r + 1).cast("string")): _*))
+      }: _*)).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("b_id"))
+    val cands = l.join(r, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    withJaccard(cands, docsets(docs, md5Key60))
+      .filter(col("jac") >= minJac)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** SimHash near-duplicate pairs within the given Hamming distance,
     * blocked by 16-bit fingerprint chunks (no cross join).
     */
@@ -251,6 +293,53 @@ object Dedup {
       (s, d) => minhashNearDups(Tables.documents(s, d), 0.4)
         .orderBy(col("a_id"), col("b_id")),
       None),
+
+    // ----------------------------------------------- minhash (det twin)
+    // The SAME LSH pipeline with md5-derived permutation and band keys
+    // (minhashNearDupsDet), which DuckDB reproduces bit-exactly — the
+    // full hash oracle covers shingling, the 32-permutation signature,
+    // the 8x4 band assignment, the candidate join, and the Jaccard
+    // verification end-to-end. dd_minhash_lsh above stays the benched
+    // engine path (native xxhash64 expression, no per-perm explode).
+    QueryDef("dd_minhash_lsh_det",
+      (s, d) => minhashNearDupsDet(Tables.documents(s, d), 0.4)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks
+              |  FROM documents),
+              |sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    CASE WHEN len(toks) >= 3
+              |      THEN list_transform(range(1, len(toks) - 1),
+              |             i -> array_to_string(toks[i:i+2], ' '))
+              |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              |  FROM d),
+              |ph AS (
+              |  SELECT doc_id, p, min(${md5Key60Sql(
+                   "CAST(p AS VARCHAR) || chr(1) || shingle")}) AS mh
+              |  FROM sh, range(0, 32) t(p)
+              |  GROUP BY doc_id, p),
+              |sig AS (
+              |  SELECT doc_id, list(mh ORDER BY p) AS sig
+              |  FROM ph GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, b, ${md5Key60Sql(
+                   "array_to_string(list_transform(range(1, 5), " +
+                     "r -> CAST(sig[CAST(b * 4 + r AS INT)] AS VARCHAR))" +
+                     ", ',')")} AS key
+              |  FROM sig, range(0, 8) t(b)),
+              |cand AS (
+              |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+              |  FROM bands l JOIN bands r
+              |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+              |ts AS (SELECT doc_id, $oTokset AS tokset FROM documents)
+              |SELECT a_id, b_id FROM cand
+              |JOIN ts ta ON ta.doc_id = a_id
+              |JOIN ts tb ON tb.doc_id = b_id
+              |WHERE CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
+              |    / len(list_distinct(list_concat(ta.tokset, tb.tokset)))
+              |    >= 0.4
+              |ORDER BY a_id, b_id""".stripMargin)),
 
     // ------------------------------------------------------------ simhash
     // 64-bit SimHash with 4x16-bit chunk blocking (hamming <= 8; pigeonhole

@@ -335,5 +335,54 @@ object RowLevelOps {
               |    'insert', CAST(4 AS BIGINT)
               |  FROM seeded WHERE c_custkey % 97 = 0)
               |SELECT * FROM chg
+              |ORDER BY _change_seq, _change_type, c_custkey""".stripMargin)),
+
+    // --------------------------------------- CDC changelog, update-paired
+    // The SAME flow read through betweenPaired keyed on c_custkey (a
+    // table can persist its identity via TBLPROPERTIES graft.key — see
+    // GraftOrcChangelogSpec for that path): the seq-3
+    // UPDATE's delete+insert images relabel as
+    // update_preimage/update_postimage (one delete + one insert per
+    // key), while the seq-2 pure deletes and seq-4 pure appends keep
+    // their raw vocabulary. The oracle constructs the paired rows
+    // directly — what gets hash-checked is the pairing rule itself.
+    QueryDef("rl_cdc_changelog_upd",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "cdcu",
+          "'graft.delete_mode'='mor','graft.update_mode'='mor'",
+          retain = 10)
+        try {
+          s.sql(s"DELETE FROM $t WHERE bal < 2000")            // seq 2
+          s.sql(s"UPDATE $t SET seg = 'PRIME' WHERE bal > 7500") // seq 3
+          seeded(s, d).filter(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit("NEW").as("seg"), lit(1.0).as("bal"))
+            .write.format("graft-orc").mode("append").save(dir) // seq 4
+        } finally s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sources.v2.GraftOrcChangelog
+          .betweenPaired(s, dir, 1L, keys = Seq("c_custkey"))
+          .select(col("c_custkey"), col("seg"), col("bal"),
+            col("_change_type"), col("_change_seq"))
+          .orderBy(col("_change_seq"), col("_change_type"),
+            col("c_custkey"))
+      },
+      Some(s"""WITH seeded AS ($seededSql),
+              |chg AS (
+              |  SELECT c_custkey, seg, bal, 'delete' AS _change_type,
+              |    CAST(2 AS BIGINT) AS _change_seq
+              |  FROM seeded WHERE bal < 2000
+              |  UNION ALL
+              |  SELECT c_custkey, seg, bal, 'update_preimage',
+              |    CAST(3 AS BIGINT)
+              |  FROM seeded WHERE bal > 7500
+              |  UNION ALL
+              |  SELECT c_custkey, 'PRIME', bal, 'update_postimage',
+              |    CAST(3 AS BIGINT)
+              |  FROM seeded WHERE bal > 7500
+              |  UNION ALL
+              |  SELECT c_custkey + 1000000, 'NEW', CAST(1.0 AS DOUBLE),
+              |    'insert', CAST(4 AS BIGINT)
+              |  FROM seeded WHERE c_custkey % 97 = 0)
+              |SELECT * FROM chg
               |ORDER BY _change_seq, _change_type, c_custkey""".stripMargin)))
 }

@@ -141,6 +141,66 @@ class GraftOrcChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("betweenPaired relabels one-delete+one-insert keys as " +
+    "update_preimage/update_postimage; ambiguous keys, null keys, and " +
+    "pure churn keep the raw vocabulary") {
+    val (dir, t) = fresh("pairs")
+    try {
+      val base = seqOf(dir)
+      // one snapshot: an UPDATE via upsert (delete+insert per key) ...
+      graft.sources.v2.GraftOrcEqDelete.upsert(spark, dir,
+        Seq((3L, 333.0), (10L, 1000.0)).toDF("id", "bal"), Seq("id"))
+      // ... and one pure append snapshot
+      spark.range(5000, 5003).select($"id", lit(1.0).as("bal"))
+        .write.format("graft-orc").mode("append").save(dir)
+      val c = GraftOrcChangelog.betweenPaired(spark, dir, base,
+        keys = Seq("id"))
+      val byType = c.groupBy($"_change_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(byType.get("update_preimage").contains(2L), byType)
+      assert(byType.get("update_postimage").contains(2L), byType)
+      assert(byType.get("insert").contains(3L), byType)
+      assert(!byType.contains("delete"), byType)
+      val pre = c.filter($"_change_type" === "update_preimage")
+        .select($"id", $"bal").as[(Long, Double)].collect().sorted.toSeq
+      assert(pre == Seq(3L -> 3.0, 10L -> 10.0))
+      val post = c.filter($"_change_type" === "update_postimage")
+        .select($"id", $"bal").as[(Long, Double)].collect().sorted.toSeq
+      assert(post == Seq(3L -> 333.0, 10L -> 1000.0))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("betweenPaired resolves keys from the persisted graft.key table " +
+    "property, leaves a pure-churn delete unpaired, and errors without " +
+    "any key") {
+    // a catalog-created table persists TBLPROPERTIES into the manifest
+    val wh = Files.createTempDirectory("graft-cdc-keywh").toString
+    spark.conf.set("spark.sql.catalog.gcdck",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcdck.warehouse", wh)
+    spark.sql("CREATE TABLE gcdck.kt (id BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES('graft.key'='id','graft.delete_mode'='mor')")
+    spark.sql("INSERT INTO gcdck.kt VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val dir = s"$wh/kt"
+    val base = seqOf(dir)
+    graft.sources.v2.GraftOrcEqDelete.upsert(spark, dir,
+      Seq((2L, 22.0)).toDF("id", "bal"), Seq("id"))   // update pair
+    spark.sql("DELETE FROM gcdck.kt WHERE id = 3")     // pure delete
+    val c = GraftOrcChangelog.betweenPaired(spark, dir, base)
+    val rows = c.select($"id", $"bal", $"_change_type")
+      .as[(Long, Double, String)].collect().sorted.toSeq
+    assert(rows == Seq((2L, 2.0, "update_preimage"),
+      (2L, 22.0, "update_postimage"), (3L, 3.0, "delete")), rows)
+    // no keys anywhere: typed error
+    val (dir2, t2) = fresh("nokey")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        GraftOrcChangelog.betweenPaired(spark, dir2, 0L)
+      }
+      assert(err.getMessage.contains("graft.key"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
+  }
+
   test("an expired range raises the typed time-travel error") {
     val dir = Files.createTempDirectory("graft-cdc-expired").toString
     // retain=2: after three commits, snapshot 1 is gone
