@@ -232,12 +232,22 @@ object Bench {
     // immediately before dd_embed_lsh_10x runs.
     lazy val expanded10x = expand10x(spark, sfDir)
 
-    val all: Seq[(String, () => DataFrame)] =
+    val all0: Seq[(String, () => DataFrame)] =
       microPatterns(spark, sfDir, sorted) ++
         Seq("micro_cached_aggregate" ->
           (() => cachedAggregate(spark, sfDir))) ++
         headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
         Seq("dd_embed_lsh_10x" -> (() => embedLshOver(expanded10x)))
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c: run a focused subset (adjudication /
+    // drift-control sessions — e.g. back-to-back warm runs of one query
+    // against a pinned fast control in the SAME JVM)
+    val all: Seq[(String, () => DataFrame)] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(names) =>
+          val want = names.split(",").map(_.trim).filter(_.nonEmpty)
+          want.toSeq.flatMap(n => all0.find(_._1 == n))
+        case None => all0
+      }
     // untimed per-query prep, run right before the named query's first
     // iteration (the localCheckpoint inside expand10x is eager)
     val prep: Map[String, () => Unit] =
