@@ -993,6 +993,29 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       }.toArray
     }
 
+  /** Plan-time per-file MoR applicability: the set of data-file paths
+    * any live sidecar can actually touch — position sidecars name their
+    * files outright (one driver read of each small sidecar), equality
+    * sidecars bound theirs by stamp order + key-range intersection with
+    * the manifest stat sidecars. Scan tasks over every OTHER file skip
+    * sidecar I/O and per-row delete checks entirely, so a small CDC
+    * sidecar taxes only the files it can affect, not the whole table.
+    * None = unknown (a failed sidecar read) — every file pays the
+    * conservative path, exactly the pre-prune behavior.
+    */
+  private[v2] lazy val morAffectedPaths: Option[Set[String]] =
+    if (liveDeleteSidecars.isEmpty && liveEqSidecars.isEmpty) None
+    else try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val posRefs = GraftOrcMor.referencedFiles(conf, liveDeleteSidecars)
+      val eqRanges = liveEqSidecars.map { case (p, _, mt) =>
+        (mt, GraftOrcEqDelete.keyRangesOf(conf, p)) }
+      Some(index.entries.iterator.filter(e =>
+        posRefs(e.path) || eqRanges.exists { case (mt, kr) =>
+          e.mtime < mt && GraftOrcEqDelete.mayHoldKeys(e.stats, kr) })
+        .map(_.path).toSet)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // Runtime (dynamic partition) filtering: Catalyst offers filters on the
   // declared partition attributes once a join's build side has executed —
   // typically In(part_col, <dim keys>) from a DPP subquery — and the scan
@@ -1564,7 +1587,8 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       eqKeyTypes = if (eqActive) eqKeyFields.map(_.dataType) else Array.empty,
       eqOrdinals = eqOrdinals,
       forcedEqCount = forcedEq.length,
-      eqBudgetRows = eqBudgetRows)
+      eqBudgetRows = eqBudgetRows,
+      morAffected = if (applyDeletes) morAffectedPaths else None)
   }
 
   // A12: custom scan metrics, full parity with the reference's 12
@@ -1689,7 +1713,8 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
                                      eqOrdinals: Array[Int] = Array.empty,
                                      forcedEqCount: Int = 0,
                                      eqBudgetRows: Long =
-                                       GraftOrcEqDelete.DefaultBudgetRows)
+                                       GraftOrcEqDelete.DefaultBudgetRows,
+                                     morAffected: Option[Set[String]] = None)
     extends PartitionReaderFactory {
 
   private def morMode: Boolean =
@@ -1703,13 +1728,22 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       throw new UnsupportedOperationException(
         "graft-orc is a columnar source; Spark should call createColumnarReader")
     val p = partition.asInstanceOf[GraftOrcInputPartition]
-    val deleted = GraftOrcMor.positionsFor(serConf.value,
-      deleteSidecars.toSeq, p.filePath)
+    // plan-time applicability: a file NO live sidecar can touch skips
+    // the per-task sidecar reads and every per-row delete check (the
+    // scan is globally row-wise while sidecars are live — Spark's
+    // columnar decision is per scan — but unaffected files pay only
+    // the row iteration, not the merge)
+    val fileAffected = morAffected.forall(_.contains(p.filePath))
+    val deleted =
+      if (!fileAffected) Array.empty[Long]
+      else GraftOrcMor.positionsFor(serConf.value,
+        deleteSidecars.toSeq, p.filePath)
     // equality deletes: the union key-tuple set of every sidecar NEWER
     // than this file (under this file's table root); empty when only
     // position sidecars are live
     val eqSet: java.util.HashSet[String] =
-      if (eqSidecars.isEmpty) new java.util.HashSet[String]()
+      if (!fileAffected || eqSidecars.isEmpty)
+        new java.util.HashSet[String]()
       else GraftOrcEqDelete.keySetFor(serConf.value,
         eqSidecars.toSeq.collect {
           case (side, root, mtime)

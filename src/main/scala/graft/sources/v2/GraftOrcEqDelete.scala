@@ -268,6 +268,52 @@ object GraftOrcEqDelete {
     out.result()
   }
 
+  // ---- key-range pruning (plan/purge-time) -----------------------------
+
+  /** The per-key-column value ranges of an equality sidecar, read from
+    * its OWN ORC footer (already written — one footer read, no data).
+    * Empty map = unknown (callers must treat every file as affected).
+    */
+  def keyRangesOf(conf: Configuration,
+                  sidecarPath: String): Map[String, OrcStatsEval.StatRange] =
+    try {
+      val r = org.apache.orc.OrcFile.createReader(new Path(sidecarPath),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try OrcStatsEval.sidecarOf(r).flatMap(OrcStatsEval.decodeSidecar)
+        .map(_._2.collect { case (n, (Some(rg), _)) => n -> rg })
+        .getOrElse(Map.empty[String, OrcStatsEval.StatRange])
+      finally r.close()
+    } catch { case scala.util.control.NonFatal(_) =>
+      Map.empty[String, OrcStatsEval.StatRange] }
+
+  private def overlaps(a: OrcStatsEval.StatRange,
+                       b: OrcStatsEval.StatRange): Boolean = {
+    val aBelowB = for { am <- a.max; bm <- b.min;
+                        c <- OrcStatsEval.cmp(am, bm) } yield c < 0
+    val bBelowA = for { bm <- b.max; am <- a.min;
+                        c <- OrcStatsEval.cmp(bm, am) } yield c < 0
+    !(aBelowB.contains(true) || bBelowA.contains(true))
+  }
+
+  /** Can a data file with manifest stat sidecar `stats` hold any key
+    * tuple inside `kr`? False only on PROOF of disjointness: every key
+    * column must have intersecting ranges (an all-null column on either
+    * side matches nothing — null keys never delete); missing stats or
+    * an unknown sidecar range degrade to "may hold".
+    */
+  def mayHoldKeys(stats: Option[String],
+                  kr: Map[String, OrcStatsEval.StatRange]): Boolean =
+    kr.isEmpty || (stats.flatMap(OrcStatsEval.decodeSidecar) match {
+      case None => true
+      case Some((_, cols)) =>
+        kr.forall { case (k, sr) =>
+          sr.hasValues && (cols.get(k).flatMap(_._1) match {
+            case Some(fr) => fr.hasValues && overlaps(fr, sr)
+            case None => true
+          })
+        }
+    })
+
   // ---- executor-side key-set application -------------------------------
 
   /** The union of key tuples from every equality sidecar APPLICABLE to a

@@ -238,6 +238,43 @@ object GraftOrcMor {
     out.distinct.sorted.toArray
   }
 
+  /** Driver-side: the ABSOLUTE data-file paths the position sidecars
+    * reference — one plan-time read of each (small, purge-bounded)
+    * sidecar, so scan tasks over UNREFERENCED files skip per-task
+    * sidecar I/O and per-row position checks entirely.
+    */
+  def referencedFiles(conf: Configuration,
+                      sidecars: Seq[(String, String)]): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = collection.mutable.HashSet.empty[String]
+    sidecars.foreach { case (side, root) =>
+      val prefix = root.stripSuffix("/") + "/"
+      val reader = org.apache.orc.OrcFile.createReader(new Path(side),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try {
+        val names = reader.getSchema.getFieldNames.asScala
+        val fIdx = names.indexWhere(_.equalsIgnoreCase("f"))
+        require(fIdx >= 0,
+          s"graft-orc mor: sidecar $side lacks an (f) column")
+        val rows = reader.rows()
+        try {
+          val batch = reader.getSchema.createRowBatch()
+          while (rows.nextBatch(batch)) {
+            val f = batch.cols(fIdx)
+              .asInstanceOf[org.apache.hadoop.hive.ql.exec.vector
+                .BytesColumnVector]
+            var i = 0
+            while (i < batch.size) {
+              out += prefix + f.toString(if (f.isRepeating) 0 else i)
+              i += 1
+            }
+          }
+        } finally rows.close()
+      } finally reader.close()
+    }
+    out.toSet
+  }
+
   /** Apply every live sidecar physically: rewrite each affected data
     * file without its deleted rows and commit ONE snapshot that swaps
     * the files and retires ALL sidecars — the maintenance step that
@@ -279,13 +316,24 @@ object GraftOrcMor {
       if (posDels.isEmpty) Set.empty[String]
       else spark.read.orc(posDels.map(_.path): _*)
         .select("f").distinct().collect().map(_.getString(0)).toSet
-    // an equality sidecar can touch ANY file older than it — rewrite
-    // them all (a key-range/bloom prune is a possible refinement; the
-    // purge cadence bounds the cost either way)
-    val maxEqMtime = eqDels.map(_.mtime).foldLeft(0L)(math.max)
+    // an equality sidecar can touch any file OLDER than it — but only a
+    // file whose per-column stat range INTERSECTS the sidecar's key
+    // range can actually hold an affected tuple. The sidecar's key
+    // ranges come from its own ORC footer (already written, one footer
+    // read per sidecar); file ranges from the manifest stat sidecars.
+    // Missing stats on either side degrade to "may contain" (rewrite).
+    // At 100 TB this is the difference between "purge rewrites the
+    // whole table" and "purge rewrites the files the CDC batch touched"
+    // whenever keys are clustered (time-ordered ids, partition-local
+    // key spaces).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val eqRanges: Seq[(Long, Map[String, OrcStatsEval.StatRange])] =
+      eqDels.map(e =>
+        (e.mtime, GraftOrcEqDelete.keyRangesOf(conf, e.path)))
     val affected = snap.entries.filter(e =>
       affectedRel(GraftOrcManifest.relativize(qt, e.path)) ||
-        e.mtime < maxEqMtime)
+        eqRanges.exists { case (mt, kr) =>
+          e.mtime < mt && GraftOrcEqDelete.mayHoldKeys(e.stats, kr) })
     GraftOrcWrite.bumpPublishStamp(
       (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
     val evolved = snap.meta.exists(m => GraftOrcSchema.hasEvolution(m.schema))

@@ -216,6 +216,21 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
       .collect().toSeq == Seq((7, "z")))
   }
 
+  test("TRUNCATE TABLE through the catalog empties the table in one " +
+    "metadata commit; the pre-truncate snapshot stays time-travelable") {
+    wh
+    sql("CREATE TABLE gcat.trunc_t (a INT)")
+    sql("INSERT INTO gcat.trunc_t VALUES (1), (2), (3)")
+    sql("TRUNCATE TABLE gcat.trunc_t")
+    assert(sql("SELECT * FROM gcat.trunc_t").count() == 0)
+    assert(sql("SELECT a FROM gcat.trunc_t VERSION AS OF 2")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // and the table still accepts inserts after
+    sql("INSERT INTO gcat.trunc_t VALUES (9)")
+    assert(sql("SELECT a FROM gcat.trunc_t").as[Int].collect().toSeq ==
+      Seq(9))
+  }
+
   test("ADD COLUMN FIRST/AFTER is refused loudly rather than silently " +
     "appending a layout different from the DDL") {
     wh

@@ -308,6 +308,43 @@ class GraftOrcUpsertSpec extends AnyFunSuite {
       .count() == 8)
   }
 
+  test("purge prunes by sidecar key range: only files whose stat range " +
+    "intersects the upserted keys are rewritten — the rest keep their " +
+    "identity (purge cost ∝ files the CDC batch touched, not the table)") {
+    val dir = freshDir("graft-upsert-prune")
+    // three files with DISJOINT key ranges
+    Seq.tabulate(3) { f =>
+      (1 to 50).map(i => (f * 1000 + i, s"f$f-$i")).toDF("k", "v")
+        .coalesce(1).write.format("graft-orc")
+        .option("graft.manifest", "true").mode("append").save(dir)
+    }
+    GraftOrcEqDelete.upsert(spark, dir,
+      Seq((1025, "hit")).toDF("k", "v"), Seq("k"))
+    val before = snap(dir).entries.map(_.path).toSet
+    // read-path twin of the same prune: only the ONE affected file's
+    // task loads the key set (graftEqDeleteKeys sums per task — 3
+    // unpruned files would report 3+)
+    val probe = spark.read.format("graft-orc").load(dir)
+    probe.collect()
+    val loaded = probe.queryExecution.executedPlan.collectLeaves().head
+      .metrics.find(_._1 == "graftEqDeleteKeys").map(_._2.value)
+    assert(loaded.contains(1L),
+      s"only the affected file's task should load keys: $loaded")
+    // only the f=1 file (keys 1001..1050) can hold key 1025; the
+    // upsert's own data file is NEWER than the sidecar
+    assert(GraftOrcMor.purge(spark, dir) == 1)
+    val after = snap(dir)
+    assert(after.deletes.isEmpty)
+    val kept = before.intersect(after.entries.map(_.path).toSet)
+    assert(kept.size == before.size - 1,
+      s"exactly one file rewritten: kept ${kept.size} of ${before.size}")
+    // content: the upserted value won, everything else intact
+    val rows = spark.read.format("graft-orc").load(dir)
+      .as[(Int, String)].collect().toMap
+    assert(rows(1025) == "hit" && rows(25) == "f0-25" &&
+      rows(2025) == "f2-25" && rows.size == 150)
+  }
+
   test("typed errors: unsupported key types and non-manifest targets") {
     val dir = freshDir("graft-upsert-err")
     Seq((1, 1.5)).toDF("k", "f").coalesce(1)
