@@ -545,9 +545,43 @@ object ScaleStress {
         timed("read_with_live_sidecar") {
           spark.read.format("graft-orc").load(upDir).count()
         }
-        timed("purge_materialize") { GraftOrcMor.purge(spark, upDir) }
+        var purgedFiles = 0
+        timed("purge_materialize") {
+          purgedFiles = GraftOrcMor.purge(spark, upDir) }
         timed("read_after_purge") {
           spark.read.format("graft-orc").load(upDir).count()
+        }
+        // purge key-range pruning receipt: on a RANGE-LAID table (the
+        // layout a sorted/z-ordered ingest produces) a TIGHT CDC batch
+        // affects only the files whose key range it intersects — purge
+        // rewrites those, not the table. The scattered batch above is
+        // the honest contrast (uniform keys intersect everything).
+        locally {
+          import graft.sources.v2.GraftOrcManifest
+          val dir = "/tmp/graft-upsert-stress-sorted"
+          val fsP = new org.apache.hadoop.fs.Path(dir)
+          val fsys = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsys.delete(fsP, true)
+          base.repartitionByRange(16 * kf, col("k"))
+            .sortWithinPartitions("k")
+            .write.format("graft-orc").option("graft.manifest", "true")
+            .mode("overwrite").save(dir)
+          val total = GraftOrcManifest.readSnapshot(fsys,
+            fsys.makeQualified(fsP)).get.entries.size
+          val tight = base1.filter(col("k").between(100000, 110000))
+            .select(col("k"), (col("price") * 3).as("price"), col("d"))
+            .dropDuplicates("k")
+          val nTight = tight.count()
+          GraftOrcEqDelete.upsert(spark, dir, tight, Seq("k"))
+          var rewritten = 0
+          val t0 = System.nanoTime()
+          rewritten = GraftOrcMor.purge(spark, dir)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"op":"purge_prune_receipt","factor":$kf,""" +
+            s""""files_total":$total,"files_rewritten":$rewritten,""" +
+            s""""batch_rows":$nTight,"scattered_rewrote":$purgedFiles,""" +
+            s""""sec":${num(sec)}}""")
+          fsys.delete(fsP, true)
         }
         Seq("eq", "cow", "mor").foreach { tag =>
           val d = new org.apache.hadoop.fs.Path(

@@ -137,6 +137,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The DETERMINISTIC twin of [[simhashNearDups]]: a 60-bit SimHash
+    * whose per-token bits come from [[TextHashFunctions.md5Key60]]
+    * (DuckDB-reproducible) instead of xxhash64 — every occurrence of a
+    * token votes ±1 per bit, the sign of each bit-sum forms the
+    * fingerprint (ties → 0), and candidates block on 4 chunks of 15
+    * bits exactly like the engine path. Oracle-path only; the native
+    * single-pass expression stays the benched form.
+    */
+  def simhashNearDupsDet(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), md5Key60(col("w")).as("h"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 59), b -> named_struct('b', b, 'v', " +
+          "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))"))
+        .as("bv"))
+      .select(col("doc_id"), col("bv.b").as("b"), col("bv.v").as("v"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("v")).as("s"))
+      .groupBy(col("doc_id")).agg(sum(expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("fp"))
+    val chunked = fp.selectExpr("doc_id", "fp",
+      "posexplode(transform(sequence(0, 3), " +
+        "c -> shiftright(fp, c * 15) & 32767)) AS (chunk, ckey)")
+    val l = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val r = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Multi-table hyperplane-LSH embedding near-dup — the scale path
     * replacing the O(n^2) cross join: `tables` independent hash tables of
     * `planesPerTable` sign bits each; same (table, bucket) => candidate,
@@ -348,6 +384,49 @@ object Dedup {
       (s, d) => simhashNearDups(Tables.documents(s, d), 8)
         .orderBy(col("a_id"), col("b_id")),
       None),
+
+    // ----------------------------------------------- simhash (det twin)
+    // The SAME chunk-blocked SimHash dedup with md5-derived 60-bit
+    // fingerprints DuckDB reproduces bit-exactly: voting, fingerprint
+    // assembly, 4x15-bit blocking, and the hamming filter all under the
+    // full hash oracle (hamming emitted — integer, engine-independent).
+    QueryDef("dd_simhash_det",
+      (s, d) => simhashNearDupsDet(Tables.documents(s, d), 8)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+             |  FROM w),
+             |sums AS (
+             |  SELECT doc_id, b,
+             |    sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS s
+             |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+             |fp AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN s > 0
+             |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+             |        ELSE CAST(0 AS BIGINT) END) AS fp
+             |  FROM sums GROUP BY doc_id),
+             |ch AS (
+             |  SELECT doc_id, c,
+             |    (fp >> CAST(c * 15 AS INT)) & 32767 AS ckey
+             |  FROM fp, range(0, 4) t(c)),
+             |cand AS (
+             |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+             |  FROM ch l JOIN ch r
+             |    ON l.c = r.c AND l.ckey = r.ckey
+             |    AND l.doc_id < r.doc_id)
+             |SELECT a_id, b_id,
+             |  CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+             |FROM cand
+             |JOIN fp fa ON fa.doc_id = a_id
+             |JOIN fp fb ON fb.doc_id = b_id
+             |WHERE bit_count(xor(fa.fp, fb.fp)) <= 8
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // ------------------------------------------------------------ embedding
     // Embedding-cosine near-dup (exact form): all pairs >= 0.45 cosine
