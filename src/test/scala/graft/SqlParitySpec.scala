@@ -69,6 +69,12 @@ class SqlParitySpec extends AnyFunSuite {
         ("DuckDB list slice l[i:j] + '0x..'::BIGINT hex cast " +
           "(Spark: slice()/conv())"),
       "ta_bigram_lm" -> "DuckDB string_split (Spark: split)",
+      "dd_minhash_lsh_det" ->
+        ("DuckDB list slice l[i:j] + range() table function + " +
+          "'0x..'::BIGINT hex cast (Spark: slice()/sequence()/conv())"),
+      "dd_simhash_det" ->
+        ("DuckDB bare unnest + range() table function + xor() + " +
+          "'0x..'::BIGINT hex cast (Spark: explode/sequence/^/conv())"),
       "ta_length_quantiles" ->
         "DuckDB quantile_cont list form (Spark: percentile array form)")
   }
