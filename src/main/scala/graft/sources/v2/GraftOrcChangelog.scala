@@ -280,11 +280,17 @@ object GraftOrcChangelog {
 
         // equality deletes (upserts, GraftOrcEqDelete): the delete
         // images are the parent's LIVE rows matching the new sidecar's
-        // key tuples across every file older than it. A single-column
-        // key with a small set pushes an IN filter, so the scan prunes
-        // by stripe range/bloom instead of reading every older file.
+        // key tuples across every file older than it — PRUNED by the
+        // sidecar's footer key ranges vs the manifest stat sidecars
+        // (same rule as purge/scan: only files that can hold an
+        // affected tuple are read). A single-column key with a small
+        // set additionally pushes an IN filter, so surviving files
+        // still prune by stripe range/bloom.
         eqOnly(newSidecars).foreach { sdel =>
-          val affected = parent.entries.filter(_.mtime < sdel.mtime)
+          val kr = GraftOrcEqDelete.keyRangesOf(conf, sdel.path)
+          val affected = parent.entries.filter(e =>
+            e.mtime < sdel.mtime &&
+              GraftOrcEqDelete.mayHoldKeys(e.stats, kr))
           liveRows(affected, parent).foreach { live0 =>
             val keys = spark.read.orc(sdel.path).distinct()
             val keyCols = keys.columns.toSeq
