@@ -384,5 +384,60 @@ object RowLevelOps {
               |    'insert', CAST(4 AS BIGINT)
               |  FROM seeded WHERE c_custkey % 97 = 0)
               |SELECT * FROM chg
+              |ORDER BY _change_seq, _change_type, c_custkey""".stripMargin)),
+
+    // ------------------------------------------------ CDC change FEED
+    // The checkpointed consumption loop (GraftOrcChangelog.feed): two
+    // polls — the first covers the DELETE+UPDATE snapshots and commits
+    // its checkpoint, the second covers only the later append — and
+    // their union must equal the full paired changelog. What gets
+    // hash-checked is the checkpoint arithmetic: no change delivered
+    // twice, none skipped, across independent polls.
+    QueryDef("rl_cdc_feed",
+      (s, d) => {
+        val (dir, t) = freshTable(s, seeded(s, d), "cdcf",
+          "'graft.delete_mode'='mor','graft.update_mode'='mor'",
+          retain = 10)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-feed").toString + "/seq"
+        try {
+          s.sql(s"DELETE FROM $t WHERE bal < 2000")            // seq 2
+          s.sql(s"UPDATE $t SET seg = 'PRIME' WHERE bal > 7500") // seq 3
+          val f1 = graft.sources.v2.GraftOrcChangelog.feed(
+            s, dir, ckpt, pairKeys = Seq("c_custkey"),
+            initialSeq = 1L).get
+          f1.commit()
+          seeded(s, d).filter(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit("NEW").as("seg"), lit(1.0).as("bal"))
+            .write.format("graft-orc").mode("append").save(dir) // seq 4
+          val f2 = graft.sources.v2.GraftOrcChangelog.feed(
+            s, dir, ckpt, pairKeys = Seq("c_custkey")).get
+          f2.commit()
+          f1.df.unionByName(f2.df)
+            .select(col("c_custkey"), col("seg"), col("bal"),
+              col("_change_type"), col("_change_seq"))
+            .orderBy(col("_change_seq"), col("_change_type"),
+              col("c_custkey"))
+        } finally s.sql(s"DROP TABLE IF EXISTS $t")
+      },
+      Some(s"""WITH seeded AS ($seededSql),
+              |chg AS (
+              |  SELECT c_custkey, seg, bal, 'delete' AS _change_type,
+              |    CAST(2 AS BIGINT) AS _change_seq
+              |  FROM seeded WHERE bal < 2000
+              |  UNION ALL
+              |  SELECT c_custkey, seg, bal, 'update_preimage',
+              |    CAST(3 AS BIGINT)
+              |  FROM seeded WHERE bal > 7500
+              |  UNION ALL
+              |  SELECT c_custkey, 'PRIME', bal, 'update_postimage',
+              |    CAST(3 AS BIGINT)
+              |  FROM seeded WHERE bal > 7500
+              |  UNION ALL
+              |  SELECT c_custkey + 1000000, 'NEW', CAST(1.0 AS DOUBLE),
+              |    'insert', CAST(4 AS BIGINT)
+              |  FROM seeded WHERE c_custkey % 97 = 0)
+              |SELECT * FROM chg
               |ORDER BY _change_seq, _change_type, c_custkey""".stripMargin)))
 }

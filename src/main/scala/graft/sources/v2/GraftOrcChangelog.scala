@@ -88,6 +88,63 @@ object GraftOrcChangelog {
       .drop("__cl_ndel", "__cl_nins")
   }
 
+  /** One incremental delivery of [[feed]]: the change rows, the range
+    * they cover, and `commit()` — call it AFTER the changes are durably
+    * applied downstream to advance the checkpoint. Crash before commit
+    * => the same range redelivers (at-least-once, the contract every
+    * CDC consumer must be idempotent against anyway).
+    */
+  case class ChangeFeed(df: DataFrame, fromSeq: Long, toSeq: Long,
+                        commit: () => Unit)
+
+  /** Checkpointed incremental changelog consumption — the polling CDC
+    * loop a downstream apply job runs: each call returns the changes
+    * committed since the LAST COMMITTED delivery (exclusive) up to the
+    * current snapshot (inclusive), or None when nothing new committed.
+    * The checkpoint is one tiny file the caller owns (temp+rename
+    * publish, readable by any later process); `pairKeys` switches the
+    * vocabulary to [[betweenPaired]]'s update pairing.
+    *
+    * Retention contract: the checkpoint must advance within the
+    * table's `graft.manifest.retain` window — an expired range raises
+    * the same typed error as time travel, naming what is available.
+    */
+  def feed(spark: SparkSession, table: String, checkpoint: String,
+           pairKeys: Seq[String] = Nil,
+           initialSeq: Long = 0L): Option[ChangeFeed] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cp = new Path(checkpoint)
+    val fs = cp.getFileSystem(conf)
+    // `initialSeq` only seeds a FRESH checkpoint: 0 replays the whole
+    // retained history, the current snapshot seq starts "from now"
+    val last: Long =
+      try {
+        val in = fs.open(cp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => initialSeq }
+    val tp = new Path(table)
+    val tfs = tp.getFileSystem(conf)
+    val cur = GraftOrcManifest.readSnapshot(tfs, tfs.makeQualified(tp))
+      .map(_.seq).getOrElse(0L)
+    if (cur <= last) return None
+    val df =
+      if (pairKeys.nonEmpty)
+        betweenPaired(spark, table, last, Some(cur), keys = pairKeys)
+      else between(spark, table, last, Some(cur))
+    Some(ChangeFeed(df, last, cur, () => {
+      val tmp = new Path(cp.getParent,
+        s".${cp.getName}.tmp-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(cp.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(cp, false)
+      if (!fs.rename(tmp, cp))
+        throw new java.io.IOException(
+          s"graft-orc changelog: failed to advance checkpoint $cp")
+    }))
+  }
+
   /** Changes committed after snapshot `startSnapshotId` (exclusive — the
     * same base semantics as the incremental read's
     * `graft.start_snapshot_id`), up to `endSnapshotId` (inclusive;

@@ -201,6 +201,41 @@ class GraftOrcChangelogSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
 
+  test("checkpointed change feed: each delivery covers exactly the new " +
+    "snapshots, commit() advances, a crash before commit redelivers " +
+    "(at-least-once), and an empty poll returns None") {
+    val (dir, t) = fresh("feed")
+    try {
+      val ckpt = Files.createTempDirectory("graft-feed-ckpt")
+        .toString + "/seq"
+      // first poll covers everything since table creation
+      val f1 = GraftOrcChangelog.feed(spark, dir, ckpt).get
+      assert(f1.fromSeq == 0L && f1.toSeq == seqOf(dir))
+      assert(f1.df.count() == 200)
+      // UNCOMMITTED: the same range redelivers
+      val f1b = GraftOrcChangelog.feed(spark, dir, ckpt).get
+      assert(f1b.fromSeq == 0L && f1b.toSeq == f1.toSeq)
+      f1b.commit()
+      // nothing new -> None
+      assert(GraftOrcChangelog.feed(spark, dir, ckpt).isEmpty)
+      // two more commits -> one delivery covering both, update-paired
+      graft.sources.v2.GraftOrcEqDelete.upsert(spark, dir,
+        Seq((8L, 888.0)).toDF("id", "bal"), Seq("id"))
+      spark.range(9000, 9002).select($"id", lit(1.0).as("bal"))
+        .write.format("graft-orc").mode("append").save(dir)
+      val f2 = GraftOrcChangelog.feed(spark, dir, ckpt,
+        pairKeys = Seq("id")).get
+      assert(f2.fromSeq == f1.toSeq && f2.toSeq == seqOf(dir))
+      val rows = f2.df.select($"id", $"bal", $"_change_type")
+        .as[(Long, Double, String)].collect().sorted.toSeq
+      assert(rows == Seq((8L, 8.0, "update_preimage"),
+        (8L, 888.0, "update_postimage"), (9000L, 1.0, "insert"),
+        (9001L, 1.0, "insert")), rows)
+      f2.commit()
+      assert(GraftOrcChangelog.feed(spark, dir, ckpt).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("an expired range raises the typed time-travel error") {
     val dir = Files.createTempDirectory("graft-cdc-expired").toString
     // retain=2: after three commits, snapshot 1 is gone
