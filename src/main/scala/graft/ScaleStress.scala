@@ -54,6 +54,14 @@ object ScaleStress {
       .write.format("graft-orc").option("graft.manifest", "true")
       .option("graft.manifest.retain", "3").mode("overwrite").save(dir)
 
+    // a registered MoR table name so a DELETE committer can race too
+    // (position sidecars + expectPresent validation under interleaving)
+    val tname = "g_conc_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.sql(s"DROP TABLE IF EXISTS $tname")
+    spark.sql(s"CREATE TABLE $tname USING `graft-orc` LOCATION '$dir' " +
+      "TBLPROPERTIES('graft.delete_mode'='mor')")
+
     val attempted = new java.util.concurrent.atomic.AtomicInteger()
     val succeeded = new java.util.concurrent.atomic.AtomicInteger()
     val conflicts = new java.util.concurrent.atomic.AtomicInteger()
@@ -64,10 +72,28 @@ object ScaleStress {
     val upsertRounds =
       java.util.Collections.synchronizedList(
         new java.util.ArrayList[Int]())
+    val deletedRanges =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Int, Int)]()) // [lo, hi)
 
     (0 until rounds).foreach { r =>
       val errs = java.util.Collections.synchronizedList(
         new java.util.ArrayList[Throwable]())
+      // Loud, state-free failures a committer may legitimately hit:
+      // a same-seq/validation conflict, or the RETENTION race — its
+      // planned snapshot's files were replaced by rivals and physically
+      // expired (retain=3 here, 6 commits/round: the adversarial
+      // setting) before its scan finished. Both throw BEFORE the
+      // commit, so nothing becomes visible — the contract is "exactly
+      // once or loudly never", not "never fails".
+      def retentionRace(t: Throwable): Boolean = {
+        var c = t
+        while (c != null) {
+          if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+          c = c.getCause
+        }
+        false
+      }
       def committer(name: String)(body: => Unit)(onOk: => Unit): Thread = {
         val t = new Thread(() => {
           attempted.incrementAndGet()
@@ -75,6 +101,8 @@ object ScaleStress {
           catch {
             case _: java.util.ConcurrentModificationException =>
               conflicts.incrementAndGet() // loud, exactly-zero-times
+            case e: Throwable if retentionRace(e) =>
+              conflicts.incrementAndGet()
             case e: Throwable => errs.add(e)
           }
         }, s"graft-conc-$name-r$r")
@@ -94,6 +122,12 @@ object ScaleStress {
               (0 until 200).map(k => (k, s"ups-$r")).toDF("k", "v"),
               Seq("k"))
           } { upsertRounds.add(r) },
+          committer("delete") {
+            // per-round disjoint slice of the base keys, away from the
+            // upsert's 0..199 — a real SQL MoR DELETE racing everyone
+            val lo = 300 + r * 50
+            spark.sql(s"DELETE FROM $tname WHERE k >= $lo AND k < ${lo + 25}")
+          } { deletedRanges.add((300 + r * 50, 300 + r * 50 + 25)) },
           committer("compact") {
             GraftOrcCompact.compact(spark, dir,
               targetBytes = 64L << 20, smallFileBytes = 32L << 20)
@@ -110,8 +144,10 @@ object ScaleStress {
     // "newest wins" has a defined order)
     import scala.jdk.CollectionConverters._
     val lastUps = upsertRounds.asScala.toSeq.sorted.lastOption
+    val deleted: Set[Int] = deletedRanges.asScala
+      .flatMap { case (lo, hi) => lo until hi }.toSet
     val expected: Map[Int, String] =
-      baseKeys.map(k => k -> lastUps.map(r =>
+      baseKeys.filterNot(deleted).map(k => k -> lastUps.map(r =>
         if (k < 200) s"ups-$r" else "base").getOrElse("base")).toMap ++
       appendedBatches.asScala.flatMap { case (r, i) =>
         (0 until 100).map(j =>
@@ -120,6 +156,7 @@ object ScaleStress {
     val actual = spark.read.format("graft-orc").load(dir)
       .as[(Int, String)].collect().toMap
     val actualRows = spark.read.format("graft-orc").load(dir).count()
+    spark.sql(s"DROP TABLE IF EXISTS $tname")
     if (actual != expected || actualRows != expected.size) {
       val missing = expected.keySet -- actual.keySet
       val extra = actual.keySet -- expected.keySet
