@@ -207,6 +207,36 @@ object CatalogOps {
              |FROM src GROUP BY seg
              |ORDER BY seg""".stripMargin)),
 
+    // ----------------------------------------------- catalog functions
+    // The FunctionCatalog surface under the hash oracle: pure SQL calls
+    // cat.default.graft_cosine over the embeddings pairs (bounded id
+    // range like dd_embed_cosine) — what gets checked is that the
+    // catalog-resolved kernel computes the same pair set as DuckDB's
+    // list_cosine_similarity. The threshold sits far from any pair's
+    // score, so float-vs-double cannot flip membership.
+    QueryDef("cat_fn_cosine",
+      (s, d) => {
+        val cat = catalogName(s)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val v = uniq("emb")
+        Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+          .createOrReplaceTempView(v)
+        try s.sql(
+          s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |FROM $v a JOIN $v b ON a.vec_id < b.vec_id
+             |WHERE $cat.default.graft_cosine(a.embedding, b.embedding)
+             |  >= 0.45
+             |ORDER BY a_id, b_id""".stripMargin)
+        finally { /* temp view swept with the session */ }
+      },
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+             |  AND a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding, b.embedding)
+             |      >= 0.45
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // ---------------------------------------- partitions metadata table
     // `t.partitions` answered purely from manifest state: per-partition
     // row counts come from the per-file stat sidecars — the oracle is

@@ -48,7 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * concurrent DDL/DML exactly like concurrent writes.
   */
 class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -475,6 +475,26 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
       throw new java.io.IOException(
         s"graft-orc: failed to rename table $src to $dst")
   }
+
+  // ---- catalog functions (FunctionCatalog) -----------------------------
+  // The native kernels as SQL-resolvable functions:
+  //   SELECT gcat.<ns>.graft_cosine(a.embedding, b.embedding)
+  // Names resolve in EVERY namespace of this catalog (they are
+  // catalog-global, like Iceberg's system functions).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    GraftOrcFunctions.All.keys.toArray.sorted
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftOrcFunctions.All.getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   // ---- namespaces ------------------------------------------------------
 

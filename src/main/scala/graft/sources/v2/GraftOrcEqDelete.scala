@@ -122,7 +122,7 @@ object GraftOrcEqDelete {
     * columns must resolve in the TABLE schema.
     */
   def upsert(spark: SparkSession, table: String, df: DataFrame,
-             keyCols: Seq[String]): Unit = {
+             keyCols: Seq[String] = Nil): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(table)
     val fs = p.getFileSystem(conf)
@@ -132,6 +132,17 @@ object GraftOrcEqDelete {
         s"graft-orc: upsert requires a manifest table, but $table has " +
           s"no ${GraftOrcManifest.Dir} (write with " +
           ".option(\"graft.manifest\", \"true\") to establish one)"))
+    // empty keys: resolve the table's persisted row identity
+    // (TBLPROPERTIES graft.key — same contract as the paired changelog)
+    val keys: Seq[String] =
+      if (keyCols.nonEmpty) keyCols
+      else snap.meta.map(_.props).flatMap(_.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(GraftOrcChangelog.KeyProp) =>
+          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }).getOrElse(throw new IllegalArgumentException(
+        s"graft-orc upsert: no key columns — pass them, or persist " +
+          s"TBLPROPERTIES('${GraftOrcChangelog.KeyProp}'='k1,k2') on " +
+          s"$table"))
     val partCols: Seq[String] = snap.meta.map(_.parts).getOrElse(
       snap.entries.map(_.partitionValues.keys.toSeq)
         .maxByOption(_.length).getOrElse(Nil))
@@ -140,14 +151,14 @@ object GraftOrcEqDelete {
     // column (hive-encoded in the path, absent from every file) as a
     // key would poison every later read of the table. Mirror the
     // graft.upsert_keys writer-option validation.
-    keyCols.foreach(k => require(
+    keys.foreach(k => require(
       !partCols.exists(_.equalsIgnoreCase(k)),
       s"graft-orc upsert: key column $k is a partition column — " +
         "equality keys must be data-file columns (partition values " +
         "live in directory names, not in the files the sidecar is " +
         "matched against)"))
     validateKeys(StructType(df.schema.fields.filterNot(f =>
-      partCols.exists(_.equalsIgnoreCase(f.name)))), keyCols)
+      partCols.exists(_.equalsIgnoreCase(f.name)))), keys)
     partCols.foreach(c => require(
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"graft-orc upsert: partition column $c missing from the input"))
@@ -159,7 +170,7 @@ object GraftOrcEqDelete {
     // sidecar stamped FIRST: it must order BELOW this commit's own data
     // files so the new row versions survive their own delete
     val sidecar = publishSidecar(spark, fs, qt,
-      df.select(keyCols.map(c => col(s"`$c`")): _*).distinct(),
+      df.select(keys.map(c => col(s"`$c`")): _*).distinct(),
       GraftOrcWrite.nextPublishStamp())
     val curV = snap.meta.map(_.schemaV).getOrElse(0L)
     // data files: unpartitioned batches reuse the rewrite publisher;

@@ -216,6 +216,42 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
       .collect().toSeq == Seq((7, "z")))
   }
 
+  test("catalog functions (FunctionCatalog): the native kernels resolve " +
+    "in pure SQL, agree with the codegen expressions, and unknown names " +
+    "raise typed errors") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.default")
+    val cos = sql("SELECT gcat.default.graft_cosine(" +
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)))")
+      .as[Double].collect().head
+    assert(math.abs(cos - 1.0 / math.sqrt(2.0)) < 1e-12, cos)
+    assert(sql("SELECT gcat.default.graft_dot(" +
+      "array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+      .as[Double].collect().head == 6.0)
+    // simhash64 through SQL == the native expression
+    val viaSql = sql("SELECT gcat.default.graft_simhash64('a b c a')")
+      .as[Long].collect().head
+    val viaExpr = Seq("a b c a").toDF("t")
+      .select(graft.functions.TextHashFunctions.simhash64($"t"))
+      .as[Long].collect().head
+    assert(viaSql == viaExpr)
+    // NULL input -> NULL out; wrong arity/type and unknown names fail
+    assert(sql("SELECT gcat.default.graft_simhash64(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+    intercept[Exception] {
+      sql("SELECT gcat.default.graft_cosine(array(CAST(1.0 AS FLOAT)))")
+        .collect()
+    }
+    intercept[Exception] {
+      sql("SELECT gcat.default.no_such_fn(1)").collect()
+    }
+    // SHOW FUNCTIONS surfaces them
+    val listed = sql("SHOW FUNCTIONS IN gcat.default")
+      .as[String].collect().toSeq
+    assert(listed.exists(_.endsWith("graft_cosine")), listed)
+  }
+
   test("TRUNCATE TABLE through the catalog empties the table in one " +
     "metadata commit; the pre-truncate snapshot stays time-travelable") {
     wh

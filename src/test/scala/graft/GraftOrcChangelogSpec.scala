@@ -191,6 +191,13 @@ class GraftOrcChangelogSpec extends AnyFunSuite {
       .as[(Long, Double, String)].collect().sorted.toSeq
     assert(rows == Seq((2L, 2.0, "update_preimage"),
       (2L, 22.0, "update_postimage"), (3L, 3.0, "delete")), rows)
+    // an upsert with NO explicit keys resolves the same persisted
+    // graft.key property
+    graft.sources.v2.GraftOrcEqDelete.upsert(spark, dir,
+      Seq((1L, 111.0)).toDF("id", "bal"))
+    assert(spark.read.format("graft-orc").load(dir)
+      .filter($"id" === 1L).select($"bal").as[Double]
+      .collect().toSeq == Seq(111.0))
     // no keys anywhere: typed error
     val (dir2, t2) = fresh("nokey")
     try {
