@@ -164,7 +164,10 @@ class PlanSpec extends AnyFunSuite {
   //    16 centroids, band-join demo row, a 1-row scalar aggregate) so cost
   //    is O(n * k) with k fixed — linear in data.
   private val crossOk = Set("dd_jaccard_pairs", "dd_clusters",
-    "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_ivf")
+    "dd_embed_cosine", "ss_topk_bruteforce", "ss_ann_ivf",
+    // catalog-function oracle demo: same hard-bounded vec_id < 1000
+    // pair space as dd_embed_cosine, exercised through SQL resolution
+    "cat_fn_cosine")
   private val bnljOk = Set("q26_band_join", "ss_topk_bruteforce", "ss_ann_ivf",
     // conditionless joins against a 1-row broadcast scalar aggregate
     "q15_subquery_above_avg", "q62_idle_rich_customers", "ta_perplexity",

@@ -72,6 +72,10 @@ class SqlParitySpec extends AnyFunSuite {
       "dd_minhash_lsh_det" ->
         ("DuckDB list slice l[i:j] + range() table function + " +
           "'0x..'::BIGINT hex cast (Spark: slice()/sequence()/conv())"),
+      "cat_fn_cosine" ->
+        ("two-dialect pair: the Spark text calls the CATALOG function " +
+          "graft_cosine (needs the gcat catalog registered), the oracle " +
+          "DuckDB's list_cosine_similarity"),
       "dd_simhash_det" ->
         ("DuckDB bare unnest + range() table function + xor() + " +
           "'0x..'::BIGINT hex cast (Spark: explode/sequence/^/conv())"),
