@@ -38,18 +38,24 @@ object Relational {
           .agg(
             dsum(col("l_quantity"), "sum_qty"),
             dsum(col("l_extendedprice"), "sum_base_price"),
-            // computed doubles are cast at scale 8: at scale 2 the engines
-            // disagree on rounding ties (prices are ~2-decimal so products
-            // sit near .xx5 boundaries); at scale 8 ties are ~1e-8 likely
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(30, 8))).cast("double").as("sum_disc_price"),
+            // decimal-FIRST product: price and discount are 2-decimal
+            // values, so casting each operand (never the double product)
+            // makes every per-row term and the sum EXACT on both engines
+            // — a double product cast at scale 8 accumulated a visible
+            // quantum bias at sf0.1 (round-12 receipt)
+            sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+                (lit(1).cast(DecimalType(3, 2)) -
+                  col("l_discount").cast(DecimalType(4, 2))))
+              .cast("double").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             |    AS DOUBLE) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
@@ -602,8 +608,9 @@ object Relational {
         Tables.customer(s, d).createOrReplaceTempView("v_customer")
         s.sql("""
           |SELECT o_orderkey,
-          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-          |    AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+          |    AS DOUBLE) AS revenue,
           |  count(*) AS n_lines
           |FROM v_lineitem
           |JOIN v_orders ON l_orderkey = o_orderkey
@@ -614,8 +621,9 @@ object Relational {
           |LIMIT 10""".stripMargin)
       },
       Some("""SELECT o_orderkey,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-             |    AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             |    AS DOUBLE) AS revenue,
              |  count(*) AS n_lines
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
