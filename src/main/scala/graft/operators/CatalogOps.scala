@@ -300,5 +300,58 @@ object CatalogOps {
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
-             |FROM customer ORDER BY c_custkey""".stripMargin)))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // -------------------------------------- maintenance procedures (SQL)
+    // The ProcedureCatalog surface under the hash oracle: a merge-on-read
+    // DELETE leaves sidecars + fragmented files, then the whole
+    // housekeeping loop runs as `CALL gcat.system.*` — purge_deletes
+    // (sidecars retired, affected files rewritten), compact (bin-packed
+    // stripe-copy merge), expire_snapshots (history trimmed to 1),
+    // vacuum (orphans swept). What gets hash-checked is maintenance
+    // INVARIANCE: after four physical-layout mutations the table must
+    // equal the plain declarative pipeline. The receipts are asserted
+    // non-vacuous so the procedures provably did work rather than
+    // no-oping. Scale shape: each CALL is the already-bounded primitive
+    // (purge ∝ affected files, compact stripe-copies without decoding,
+    // expire/vacuum are metadata + unreferenced-file deletes).
+    QueryDef("cat_maintenance",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("maint")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("maint_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"CREATE TABLE $qt (c_custkey BIGINT, seg STRING, " +
+          "bal DOUBLE) TBLPROPERTIES('graft.delete_mode'='mor')")
+        try {
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(6) */ * " +
+            s"FROM $srcView")
+          s.sql(s"DELETE FROM $qt WHERE bal < 3000")
+          val purged = s.sql(
+            s"CALL $cat.system.purge_deletes('default.$t')")
+            .collect()(0).getInt(0)
+          require(purged > 0, "purge_deletes must rewrite files here")
+          val compacted = s.sql(
+            s"CALL $cat.system.compact(table => 'default.$t')")
+            .collect()(0).getInt(0)
+          require(compacted > 1, "compact must merge the fragments")
+          s.sql(s"CALL $cat.system.expire_snapshots('default.$t', " +
+            "retain => 1)").collect()
+          s.sql(s"CALL $cat.system.vacuum('default.$t')").collect()
+          s.sql(s"SELECT seg, count(*) AS n, CAST(sum(CAST(bal AS " +
+            s"DECIMAL(18,2))) AS DOUBLE) AS total FROM $qt " +
+            "GROUP BY seg ORDER BY seg")
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM customer WHERE c_acctbal >= 3000
+             |GROUP BY c_mktsegment
+             |ORDER BY seg""".stripMargin)))
 }

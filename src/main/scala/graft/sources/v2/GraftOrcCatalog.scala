@@ -48,7 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * concurrent DDL/DML exactly like concurrent writes.
   */
 class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with FunctionCatalog {
+    with StagingTableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -495,6 +495,40 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
       ident.name().toLowerCase(java.util.Locale.ROOT),
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident))
+
+  // ---- maintenance procedures (ProcedureCatalog) -----------------------
+  // `CALL gcat.system.compact(table => 'db.t')` etc. — the SQL face of
+  // the housekeeping machinery; bodies in [[GraftOrcProcedures]]. The
+  // `table` argument resolves through THIS catalog (multipart name) or,
+  // containing '/', as a raw path — path tables get the same surface.
+
+  private def resolveTableArg(s: String): String = {
+    if (s.contains("/")) return s
+    val parts = s.split("\\.").toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, "graft-orc: empty table argument")
+    val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
+    val dir = resolveDir(ident)
+    if (!GraftOrcManifest.exists(fs, fs.makeQualified(dir)))
+      throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
+  private lazy val procedures = GraftOrcProcedures.all(resolveTableArg)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    procedures.getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new RuntimeException(
+        s"graft-orc: procedure ${ident.name()} not found (available: " +
+          procedures.keys.toSeq.sorted.mkString(", ") + ")"))
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] = {
+    // catalog-global like the functions; advertise under `system`
+    val ns = if (namespace.isEmpty) Array("system") else namespace
+    procedures.keys.toArray.sorted.map(n => Identifier.of(ns, n))
+  }
 
   // ---- namespaces ------------------------------------------------------
 

@@ -1,0 +1,217 @@
+package graft.sources.v2
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance stored procedures (`ProcedureCatalog`), the SQL
+  * face of the lakehouse housekeeping machinery:
+  *
+  * {{{
+  *   CALL gcat.system.compact(table => 'db.t', zorder_by => 'a,b')
+  *   CALL gcat.system.purge_deletes('db.t')    -- retire MoR sidecars
+  *   CALL gcat.system.vacuum('db.t')           -- remove orphan files
+  *   CALL gcat.system.expire_snapshots('db.t', retain => 5)
+  *   CALL gcat.system.rollback('db.t', version => 3)
+  *   CALL gcat.system.create_tag('db.t', 'v1')
+  *   CALL gcat.system.drop_tag('db.t', 'v1')
+  *   CALL gcat.system.repair('db.t')           -- heal crashed compacts
+  * }}}
+  *
+  * The reference ships its maintenance knobs as binary flags
+  * (/root/reference/src/bin/tpcds_bench.rs:277-295); a lakehouse table
+  * needs them at SQL level so schedulers and operators can run
+  * housekeeping without linking the library. Iceberg's
+  * `CALL cat.system.*` procedures are the public vocabulary; each body
+  * here delegates to the already-proven primitive (compact / purge /
+  * vacuum / rollback / tags / retention), so the procedure layer adds
+  * parsing and receipts, never new commit semantics.
+  *
+  * `table` accepts a catalog identifier (`db.t`) or — containing `/` — a
+  * raw directory path, so path tables (no catalog) get the same
+  * maintenance surface. Procedures resolve in any namespace of the
+  * catalog (catalog-global, like [[GraftOrcFunctions]]); `system` is the
+  * documented convention. Every procedure returns a one-row receipt, the
+  * scheduler-facing contract: counts a cron job can alert on, priced at
+  * driver-side metadata cost only.
+  *
+  * Scale shape: all bodies are snapshot/metadata work plus the
+  * already-bounded data jobs of the primitive they call — `compact`
+  * stripe-copies (never decodes) per bin, `purge_deletes` rewrites only
+  * sidecar-affected files, `vacuum` is one manifest-blind listing diffed
+  * against retained state, and `expire_snapshots`/`rollback`/tags are
+  * single snapshot commits regardless of table size.
+  */
+object GraftOrcProcedures {
+
+  /** name -> (builder taking the table-path resolver). */
+  private[v2] def all(resolve: String => String)
+      : Map[String, UnboundProcedure] = Seq(
+
+    proc("compact",
+      "bin-pack small files (stripe-copy merge); optional z-order " +
+        "rewrite",
+      Array(
+        in("table", StringType),
+        inDef("target_mb", IntegerType, "128"),
+        inDef("small_file_mb", IntegerType, "32"),
+        inDef("zorder_by", StringType, "CAST(NULL AS STRING)")),
+      StructType(Seq(
+        StructField("files_compacted", IntegerType),
+        StructField("files_written", IntegerType),
+        StructField("bins", IntegerType),
+        StructField("bytes_compacted", LongType)))) { (spark, args) =>
+      val table = resolve(str(args, 0))
+      val zorder = if (args.isNullAt(3)) Nil
+        else str(args, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val st = GraftOrcCompact.compact(spark, table,
+        targetBytes = args.getInt(1).toLong << 20,
+        smallFileBytes = args.getInt(2).toLong << 20,
+        zorderCols = zorder)
+      row(st.filesCompacted, st.filesOut, st.bins, st.bytesCompacted)
+    },
+
+    proc("purge_deletes",
+      "rewrite files under live MoR delete sidecars and retire the " +
+        "sidecars (restores the vectorized read path)",
+      Array(in("table", StringType)),
+      StructType(Seq(StructField("files_rewritten", IntegerType)))) {
+      (spark, args) =>
+        row(GraftOrcMor.purge(spark, resolve(str(args, 0))))
+    },
+
+    proc("vacuum",
+      "physically delete files no retained snapshot references " +
+        "(crashed commits, lost races, skipped expiries)",
+      Array(in("table", StringType)),
+      StructType(Seq(StructField("orphans_deleted", IntegerType)))) {
+      (spark, args) =>
+        row(GraftOrcManifest.vacuum(
+          spark.sparkContext.hadoopConfiguration, resolve(str(args, 0))))
+    },
+
+    proc("repair",
+      "finish or roll back compaction groups interrupted mid-publish",
+      Array(in("table", StringType)),
+      StructType(Seq(StructField("groups_healed", IntegerType)))) {
+      (spark, args) =>
+        row(GraftOrcCompact.repair(spark, resolve(str(args, 0))))
+    },
+
+    proc("rollback",
+      "restore a retained snapshot's contents (and schema) as a NEW " +
+        "commit; history stays time-travelable",
+      Array(in("table", StringType), in("version", LongType)),
+      StructType(Seq(
+        StructField("previous_version", LongType),
+        StructField("current_version", LongType)))) { (spark, args) =>
+      val table = resolve(str(args, 0))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(table)
+      val fs = p.getFileSystem(conf)
+      val before = currentSeq(fs, p)
+      GraftOrcManifest.rollback(conf, table, args.getLong(1))
+      row(before, currentSeq(fs, p))
+    },
+
+    proc("expire_snapshots",
+      "set the retention depth and expire history beyond it (tagged " +
+        "snapshots stay pinned)",
+      Array(in("table", StringType), inDef("retain", IntegerType, "3")),
+      StructType(Seq(
+        StructField("retained", IntegerType),
+        StructField("current_version", LongType)))) { (spark, args) =>
+      val table = resolve(str(args, 0))
+      val retain = args.getInt(1)
+      require(retain >= 1,
+        s"graft-orc: expire_snapshots retain must be >= 1, got $retain")
+      val p = new Path(table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a no-change commit carrying the new PERSISTED retention: the
+      // commit's own expiry pass trims history beyond it, and every
+      // later commit inherits the policy from the snapshot header
+      GraftOrcManifest.commitSwap(fs, p, remove = Set.empty, add = Nil,
+        retain = Some(retain), op = "expire")
+      row(retain, currentSeq(fs, p))
+    },
+
+    proc("create_tag",
+      "pin a retained snapshot under a name, exempt from expiry until " +
+        "dropped (reproducible-run handle)",
+      Array(
+        in("table", StringType),
+        in("tag", StringType),
+        inDef("version", LongType, "CAST(NULL AS BIGINT)")),
+      StructType(Seq(
+        StructField("tag", StringType),
+        StructField("version", LongType)))) { (spark, args) =>
+      val table = resolve(str(args, 0))
+      val p = new Path(table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seq =
+        if (args.isNullAt(2)) currentSeq(fs, p) else args.getLong(2)
+      GraftOrcManifest.createTag(fs, p, str(args, 1), seq)
+      row(UTF8String.fromString(str(args, 1)), seq)
+    },
+
+    proc("drop_tag",
+      "drop a snapshot tag; the snapshot re-enters ordinary retention",
+      Array(in("table", StringType), in("tag", StringType)),
+      StructType(Seq(StructField("existed", BooleanType)))) {
+      (spark, args) =>
+        val p = new Path(resolve(str(args, 0)))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        row(GraftOrcManifest.dropTag(fs, p, str(args, 1)))
+    }
+
+  ).map(u => u.name() -> u).toMap
+
+  // ---- plumbing --------------------------------------------------------
+
+  private def currentSeq(fs: org.apache.hadoop.fs.FileSystem,
+                         table: Path): Long =
+    GraftOrcManifest.readSnapshot(fs, fs.makeQualified(table))
+      .map(_.seq).getOrElse(throw new IllegalArgumentException(
+        s"graft-orc: $table is not a manifest table"))
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDef(name: String, dt: DataType,
+                    default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def str(args: InternalRow, i: Int): String =
+    args.getUTF8String(i).toString
+
+  private def row(values: Any*): Array[InternalRow] =
+    Array(new GenericInternalRow(values.toArray))
+
+  private def proc(procName: String, desc: String,
+                   params: Array[ProcedureParameter], out: StructType)(
+      body: (SparkSession, InternalRow) => Array[InternalRow])
+      : UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      // side-effecting: never cache/reuse a call's result plan
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val receipt = body(SparkSession.active, input)
+        java.util.Collections.singletonList[Scan](new LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = receipt
+        }).iterator()
+      }
+    }
+}
