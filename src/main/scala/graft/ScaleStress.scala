@@ -192,9 +192,11 @@ object ScaleStress {
     val evoMode = args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
     val concurrentMode = args.lift(1).contains("concurrent")
+    val wapMode = args.lift(1).contains("wap")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
-      spjMode || morMode || evoMode || upsertMode || concurrentMode
+      spjMode || morMode || evoMode || upsertMode || concurrentMode ||
+      wapMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -677,6 +679,58 @@ object ScaleStress {
           s""""sec":${num(readSec)},"plan_footer_reads":$footerReads}""")
       } finally GraftOrcDataSource.recordPlanFooterReads = false
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.stop()
+      return
+    }
+
+    // Write-audit-publish cost vs table size: fork (createBranch), a
+    // fixed-size staged append on the branch, and fastForward publish,
+    // at 1x and 10x the table. The claim a 100 TB deployment cares
+    // about: fork and publish are SNAPSHOT COPIES — their cost tracks
+    // the file COUNT in the manifest (metadata), never the data bytes,
+    // and the staged append costs what any append costs.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 wap 1 10
+    if (wapMode) {
+      import graft.sources.v2.GraftOrcManifest
+      val hconf = spark.sparkContext.hadoopConfiguration
+      factors.foreach { k =>
+        val dir = s"/tmp/graft-wap-stress-$k"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(hconf)
+        fs.delete(p, true)
+        val li = Tables.lineitem(spark, sfDir)
+        (0 until k).map(i => li.select((col("l_orderkey") +
+            lit(i.toLong * 1000000000L)).as("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice")))
+          .reduce(_ union _)
+          .repartition(16 * k)
+          .write.format("graft-orc").option("graft.manifest", "true")
+          .mode("append").save(dir)
+        val files = GraftOrcManifest.readSnapshot(fs,
+          fs.makeQualified(p)).get.entries
+        val dataMb = files.map(_.length).sum / 1e6
+        val t0 = System.nanoTime()
+        GraftOrcManifest.createBranch(fs, p, "stage")
+        val forkSec = (System.nanoTime() - t0) / 1e9
+        // fixed-size staged batch regardless of k
+        li.limit(50000).select(
+          (col("l_orderkey") + 900000000000L).as("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"))
+          .repartition(4)
+          .write.format("graft-orc").option("graft.branch", "stage")
+          .mode("append").save(dir)
+        val audited = spark.read.format("graft-orc")
+          .option("graft.branch", "stage").load(dir)
+          .filter(col("l_orderkey") >= 900000000000L).count()
+        val t1 = System.nanoTime()
+        GraftOrcManifest.fastForward(hconf, dir, "stage")
+        val pubSec = (System.nanoTime() - t1) / 1e9
+        println(s"""{"op":"wap","factor":$k,"files":${files.size},""" +
+          s""""data_mb":${num(dataMb)},"staged_rows":$audited,""" +
+          s""""fork_sec":${num(forkSec)},"publish_sec":${num(pubSec)},""" +
+          s""""data_bytes_moved":0}""")
+        fs.delete(p, true)
+      }
       spark.stop()
       return
     }

@@ -439,5 +439,51 @@ object RowLevelOps {
               |    'insert', CAST(4 AS BIGINT)
               |  FROM seeded WHERE c_custkey % 97 = 0)
               |SELECT * FROM chg
-              |ORDER BY _change_seq, _change_type, c_custkey""".stripMargin)))
+              |ORDER BY _change_seq, _change_type, c_custkey""".stripMargin)),
+
+    // ------------------------------------- write-audit-publish (branch)
+    // The WAP loop under the hash oracle: fork an `ingest` branch, stage
+    // an append THERE (`graft.branch` write), audit it with a real query
+    // while main provably still reads the pre-publish state, then
+    // fastForward — one atomic main commit carrying the audited batch.
+    // What gets hash-checked is the composition: isolation before
+    // publish + exactly-the-branch-state after. Scale shape: the fork is
+    // one snapshot copy (metadata only), branch commits cost what an
+    // append costs, the audit prices as any read, and publish is ONE
+    // snapshot write regardless of staged bytes — no data moves at any
+    // step.
+    QueryDef("rl_wap_publish",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.sources.v2.GraftOrcManifest
+        val (dir, t) = freshTable(s, seeded(s, d), "wap")
+        try {
+          val conf = s.sparkContext.hadoopConfiguration
+          val fs = new Path(dir).getFileSystem(conf)
+          GraftOrcManifest.createBranch(fs, new Path(dir), "ingest")
+          seeded(s, d).filter(col("c_custkey") % 5 === 0)
+            .select((col("c_custkey") + 500000).as("c_custkey"),
+              lit("STAGED").as("seg"), (col("bal") / 2).as("bal"))
+            .repartition(2)
+            .write.format("graft-orc").option("graft.branch", "ingest")
+            .mode("append").save(dir)
+          // audit on the branch; main must still read pre-publish state
+          val staged = s.read.format("graft-orc")
+            .option("graft.branch", "ingest").load(dir)
+            .filter(col("seg") === "STAGED").count()
+          require(staged > 0, "audit read must see the staged batch")
+          val liveBefore = s.read.format("graft-orc").load(dir)
+            .filter(col("seg") === "STAGED").count()
+          require(liveBefore == 0,
+            "staged rows leaked to main before publish")
+          GraftOrcManifest.fastForward(conf, dir, "ingest")
+        } finally s.sql(s"DROP TABLE IF EXISTS $t")
+        finalState(s, dir)
+      },
+      Some(s"""WITH seeded AS ($seededSql)
+              |SELECT c_custkey, seg, bal FROM seeded
+              |UNION ALL
+              |SELECT c_custkey + 500000, 'STAGED', bal / 2
+              |FROM seeded WHERE c_custkey % 5 = 0
+              |ORDER BY c_custkey""".stripMargin)))
 }

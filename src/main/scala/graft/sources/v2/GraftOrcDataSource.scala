@@ -207,12 +207,14 @@ object GraftOrcDataSource {
     val asOf = Option(options.get("graft.as_of_timestamp"))
       .map(parseTimestampMillis)
     val byTag = Option(options.get("graft.tag"))
-    require(Seq(byId, asOf, byTag).count(_.isDefined) <= 1,
-      "graft-orc: graft.snapshot_id, graft.as_of_timestamp and " +
-        "graft.tag are mutually exclusive")
+    val byBranch = Option(options.get("graft.branch"))
+    require(Seq(byId, asOf, byTag, byBranch).count(_.isDefined) <= 1,
+      "graft-orc: graft.snapshot_id, graft.as_of_timestamp, graft.tag " +
+        "and graft.branch are mutually exclusive")
     byId.map(GraftOrcManifest.Selector.ById(_))
       .orElse(asOf.map(GraftOrcManifest.Selector.AsOf(_)))
       .orElse(byTag.map(GraftOrcManifest.Selector.ByTag(_)))
+      .orElse(byBranch.map(GraftOrcManifest.Selector.ByBranch(_)))
   }
 
   /** Incremental-read option: `graft.start_snapshot_id` restricts the
@@ -364,7 +366,8 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     // `VERSION AS OF` / `TIMESTAMP AS OF` relation — the scan must see
     // them exactly like read options
     Seq("path", "paths", "location",
-        "graft.snapshot_id", "graft.as_of_timestamp", "graft.tag")
+        "graft.snapshot_id", "graft.as_of_timestamp", "graft.tag",
+        "graft.branch")
       .foreach { k =>
       if (!options.containsKey(k)) props.get(k).foreach(v => merged.put(k, v))
     }

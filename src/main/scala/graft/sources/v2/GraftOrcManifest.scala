@@ -119,9 +119,54 @@ object GraftOrcManifest {
     final case class ById(seq: Long) extends Selector
     final case class AsOf(ms: Long) extends Selector
     final case class ByTag(name: String) extends Selector
+    final case class ByBranch(name: String) extends Selector
   }
 
   private def manifestDir(table: Path) = new Path(table, Dir)
+
+  /** Branch lineages live as parallel snapshot chains under
+    * `_graft_manifest/branches/<name>/` over the table's SHARED file
+    * pool (entries relativize against the same table root) — the
+    * Iceberg branching model, and the substrate of write-audit-publish.
+    */
+  private val BranchesRoot = "branches"
+  private def branchesDir(qt: Path) = new Path(manifestDir(qt), BranchesRoot)
+  private[v2] def branchDir(qt: Path, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"graft-orc: invalid branch name '$name' (letters, digits, '-', " +
+        "'_', '.')")
+    new Path(branchesDir(qt), name)
+  }
+  private def snapDirOf(qt: Path, branch: Option[String]): Path =
+    branch.map(branchDir(qt, _)).getOrElse(manifestDir(qt))
+
+  /** Every lineage's snapshot directory: main plus each branch. */
+  private def lineageDirs(fs: FileSystem, qt: Path): Seq[Path] =
+    manifestDir(qt) +: {
+      try fs.listStatus(branchesDir(qt)).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }
+
+  private def snapFilesIn(fs: FileSystem, dir: Path): Seq[Path] =
+    try fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(SnapPrefix) &&
+        p.getName.endsWith(".json"))
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Every file path referenced by ANY snapshot of any lineage OTHER
+    * than `excluding` — what one lineage's expiry pass must never
+    * delete: a file shared with a branch (fork inheritance) stays
+    * readable there even after every main snapshot referencing it
+    * expired, and vice versa.
+    */
+  private def protectedPaths(fs: FileSystem, qt: Path,
+                             excluding: Path): Set[String] =
+    lineageDirs(fs, qt).filterNot(_.toString == excluding.toString)
+      .flatMap(d => snapFilesIn(fs, d)
+        .flatMap(p => allEntriesOfFile(fs, qt, p)))
+      .map(_.path).toSet
 
   /** Build the reader-facing entry for one manifest line: absolute path
     * under `table`, hive partition values re-parsed from the relative
@@ -159,8 +204,10 @@ object GraftOrcManifest {
     * manifest dir (a crash between mkdirs and the first snapshot rename)
     * returns Some(Nil) — the manifest IS the table once established.
     */
-  def listSnapshots(fs: FileSystem, table: Path): Option[Seq[SnapshotRef]] = {
-    val dir = manifestDir(fs.makeQualified(table))
+  def listSnapshots(fs: FileSystem, table: Path,
+                    branch: Option[String] = None)
+      : Option[Seq[SnapshotRef]] = {
+    val dir = snapDirOf(fs.makeQualified(table), branch)
     val snaps =
       try fs.listStatus(dir).filter(st => st.isFile &&
         st.getPath.getName.startsWith(SnapPrefix) &&
@@ -238,10 +285,11 @@ object GraftOrcManifest {
     * A manifest directory that exists but holds no snapshot yet reads as
     * seq 0 with no files.
     */
-  def readSnapshot(fs: FileSystem, table: Path): Option[Snapshot] = {
+  def readSnapshot(fs: FileSystem, table: Path,
+                   branch: Option[String] = None): Option[Snapshot] = {
     // qualified root so entry paths match BFS listings (file: scheme etc.)
     val qt = fs.makeQualified(table)
-    listSnapshots(fs, qt).map { refs =>
+    listSnapshots(fs, qt, branch).map { refs =>
       refs.lastOption match {
         case None => Snapshot(0L, Nil)
         case Some(r) =>
@@ -283,6 +331,11 @@ object GraftOrcManifest {
         .getOrElse(throw new IllegalArgumentException(
           s"graft-orc: no snapshot of $table at or before timestamp $ms " +
             s"(available: $available)"))
+      case Selector.ByBranch(name) =>
+        return readSnapshot(fs, qt, Some(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-orc: branch '$name' of $table does not exist " +
+              s"(available: ${listBranches(fs, qt).mkString(", ")})"))
     }
     val (entries, retain, deletes, op, meta) = parseFile(fs, qt, ref.path)
     Snapshot(ref.seq, entries, retain, deletes, op, meta)
@@ -295,8 +348,12 @@ object GraftOrcManifest {
     */
   def retainedPaths(fs: FileSystem, table: Path): Set[String] = {
     val qt = fs.makeQualified(table)
-    listSnapshots(fs, qt).getOrElse(Nil)
-      .flatMap(r => allEntriesOfFile(fs, qt, r.path)).map(_.path).toSet
+    // every lineage protects its files: main's retained history PLUS
+    // each branch's chain (a branch file is invisible to main readers
+    // but must survive main-side vacuum/truncate housekeeping)
+    lineageDirs(fs, qt)
+      .flatMap(d => snapFilesIn(fs, d).flatMap(p => allEntriesOfFile(fs, qt, p)))
+      .map(_.path).toSet
   }
 
   /** Write snapshot `seq` listing exactly `entries` (absolute paths under
@@ -315,9 +372,10 @@ object GraftOrcManifest {
                     retain: Int = RetainSnapshots,
                     deletes: Seq[OrcFileEntry] = Nil,
                     op: String = "unknown",
-                    meta: Option[TableMeta] = None): Unit = {
+                    meta: Option[TableMeta] = None,
+                    branch: Option[String] = None): Unit = {
     val qt = fs.makeQualified(table)
-    val dir = manifestDir(qt)
+    val dir = snapDirOf(qt, branch)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
@@ -368,7 +426,7 @@ object GraftOrcManifest {
     // verify below makes that case loud for at least one of them, and a
     // conditional-rename/CAS store primitive is the real cross-driver
     // fix (documented scope).
-    val dest = commitLockFor(qt).synchronized {
+    val dest = commitLockFor(dir).synchronized {
       if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
           n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
         fs.delete(tmp, false)
@@ -424,15 +482,20 @@ object GraftOrcManifest {
       // TAGGED snapshots are exempt from expiry: the tag is the user's
       // promise that this snapshot must stay readable (reproducible
       // training runs); it — and the files only it references — live
-      // until the tag is dropped
-      val taggedSeqs = listTags(fs, qt).map(_._2).toSet
+      // until the tag is dropped. Tags pin the MAIN lineage only.
+      val taggedSeqs =
+        if (branch.isEmpty) listTags(fs, qt).map(_._2).toSet
+        else Set.empty[Long]
       val (pinned, reallyExpired) =
         expired.partition(p => taggedSeqs(seqOfName(p)))
       val dead = reallyExpired ++ losers
       if (dead.nonEmpty) {
+        // files shared with ANOTHER lineage (a branch forked from this
+        // state, or — on a branch commit — the main chain and sibling
+        // branches) must survive this lineage's expiry
         val live = (retained ++ pinned)
           .flatMap(p => allEntriesOfFile(fs, qt, p))
-          .map(_.path).toSet
+          .map(_.path).toSet ++ protectedPaths(fs, qt, excluding = dir)
         val victims = dead.flatMap(p => allEntriesOfFile(fs, qt, p))
           .filterNot(e => live(e.path))
           .groupBy(_.path).values.map(_.head).toSeq
@@ -445,10 +508,11 @@ object GraftOrcManifest {
   private def seqOfName(p: Path): Long =
     p.getName.substring(SnapPrefix.length, SnapPrefix.length + 20).toLong
 
-  /** Per-table (qualified path) commit lock: serializes the same-JVM
+  /** Per-lineage (qualified snapshot dir: the table's main manifest dir
+    * or one branch dir) commit lock: serializes the same-JVM
     * occupancy-check -> rename window of [[writeSnapshot]], making the
     * seq race decisive for every committer in one driver. Bounded
-    * growth: one monitor object per table ever committed by this JVM.
+    * growth: one monitor object per lineage ever committed by this JVM.
     */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -471,8 +535,9 @@ object GraftOrcManifest {
                  meta: Option[TableMeta] = None,
                  expectDeletes: Option[Set[String]] = None,
                  expectPresent: Set[String] = Set.empty,
-                 entriesBelow: Option[Long] = None): Unit = {
-    val cur = readSnapshot(fs, table).getOrElse(Snapshot(0L, Nil))
+                 entriesBelow: Option[Long] = None,
+                 branch: Option[String] = None): Unit = {
+    val cur = readSnapshot(fs, table, branch).getOrElse(Snapshot(0L, Nil))
     // Row-level rewrites are only valid against the state their scan
     // read: a file the rewrite replaces (or whose rows its position
     // sidecars address) that a concurrent compact/rewrite already
@@ -535,7 +600,7 @@ object GraftOrcManifest {
       base.filterNot(e => addPaths(e.path)) ++ add,
       retain.orElse(cur.retain).getOrElse(RetainSnapshots),
       deletes = baseDeletes ++ addDeletes, op = op,
-      meta = meta.orElse(cur.meta))
+      meta = meta.orElse(cur.meta), branch = branch)
   }
 
   /** Delete files the new snapshot no longer references (truncate
@@ -650,6 +715,118 @@ object GraftOrcManifest {
       .getOrElse(throw new IllegalArgumentException(
         s"graft-orc: no tag '$name' on $table (available: " +
           s"${listTags(fs, table).map(_._1).mkString(", ")})"))
+
+  // ---- branches (write-audit-publish) ----------------------------------
+  //
+  // A branch is a parallel snapshot lineage over the table's SHARED file
+  // pool: `createBranch` copies one snapshot into
+  // `_graft_manifest/branches/<name>/`, branch commits chain there
+  // (invisible to main readers by construction), and `fastForward`
+  // publishes the branch head back as ONE main commit — the
+  // write-audit-publish loop: stage a corpus update on a branch, audit
+  // it with any query (`graft.branch` read option), publish atomically
+  // or drop the branch. Expiry/vacuum treat every lineage's references
+  // as live, so forked files survive main-side housekeeping and branch
+  // files survive main truncates.
+
+  /** `base.json` records the main seq the branch forked from — the
+    * divergence witness [[fastForward]] checks (retention may have
+    * expired the fork-point snapshot itself by publish time).
+    */
+  private def basePath(qt: Path, name: String): Path =
+    new Path(branchDir(qt, name), "base.json")
+
+  def branchExists(fs: FileSystem, table: Path, name: String): Boolean =
+    try fs.getFileStatus(
+      branchDir(fs.makeQualified(table), name)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
+  def listBranches(fs: FileSystem, table: Path): Seq[String] = {
+    val qt = fs.makeQualified(table)
+    try fs.listStatus(branchesDir(qt)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  def branchBase(fs: FileSystem, table: Path, name: String): Long = {
+    val qt = fs.makeQualified(table)
+    val in = fs.open(basePath(qt, name))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    jsonLong(txt, "base")
+  }
+
+  /** Fork a branch from the current snapshot (or `from`). The branch's
+    * first snapshot keeps the source's seq — branch seqs continue the
+    * numbering they forked from. Returns the fork seq.
+    */
+  def createBranch(fs: FileSystem, table: Path, name: String,
+                   from: Option[Selector] = None): Long = {
+    val qt = fs.makeQualified(table)
+    require(!branchExists(fs, qt, name),
+      s"graft-orc: branch '$name' already exists on $table")
+    val src = from match {
+      case Some(sel) => resolveSnapshot(fs, qt, sel)
+      case None => readSnapshot(fs, qt).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-orc: branching requires a manifest table, but $table " +
+            s"has no $Dir"))
+    }
+    require(src.seq >= 1,
+      s"graft-orc: cannot branch $table before its first snapshot")
+    val dir = branchDir(qt, name)
+    fs.mkdirs(dir)
+    val out = fs.create(basePath(qt, name), true)
+    try out.write(s"""{"base":${src.seq}}""".getBytes("UTF-8"))
+    finally out.close()
+    writeSnapshot(fs, qt, src.seq, src.entries,
+      src.retain.getOrElse(RetainSnapshots), deletes = src.deletes,
+      op = "branch", meta = src.meta, branch = Some(name))
+    src.seq
+  }
+
+  /** Drop a branch lineage. Files only its snapshots referenced become
+    * unreferenced garbage; `vacuum` reclaims them. Returns whether the
+    * branch existed.
+    */
+  def dropBranch(fs: FileSystem, table: Path, name: String): Boolean = {
+    val qt = fs.makeQualified(table)
+    if (!branchExists(fs, qt, name)) return false
+    fs.delete(branchDir(qt, name), true)
+  }
+
+  /** Publish the branch head as main's next commit (write-audit-publish
+    * step 3), then drop the branch. Fast-forward only: typed
+    * ConcurrentModificationException when main advanced past the fork
+    * point (the branch must re-fork and re-apply), enforced twice — a
+    * pre-check against the current seq, and [[writeSnapshot]]'s own
+    * occupancy/rival detection for the racing window. Returns
+    * (fork seq, published seq).
+    */
+  def fastForward(conf: org.apache.hadoop.conf.Configuration,
+                  table: String, name: String): (Long, Long) = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    require(branchExists(fs, qt, name),
+      s"graft-orc: no branch '$name' on $table (available: " +
+        s"${listBranches(fs, qt).mkString(", ")})")
+    val head = readSnapshot(fs, qt, Some(name)).get
+    val base = branchBase(fs, qt, name)
+    val cur = readSnapshot(fs, qt).getOrElse(Snapshot(0L, Nil))
+    if (cur.seq != base)
+      throw new java.util.ConcurrentModificationException(
+        s"graft-orc: cannot fast-forward $table to branch '$name' — " +
+          s"main advanced to seq ${cur.seq} past the fork point $base; " +
+          "re-fork the branch from the current state and re-apply, or " +
+          "drop it")
+    writeSnapshot(fs, qt, base + 1, head.entries,
+      head.retain.orElse(cur.retain).getOrElse(RetainSnapshots),
+      deletes = head.deletes, op = "publish",
+      meta = head.meta.orElse(cur.meta))
+    dropBranch(fs, qt, name)
+    (base, base + 1)
+  }
 
   /** Roll the table back to retained snapshot `seq` — as a NEW commit
     * whose content (files, delete sidecars, schema) is that snapshot's,

@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftOrcMetadataTable {
 
   val Kinds: Set[String] = Set("snapshots", "files", "partitions",
-    "history", "tags")
+    "history", "tags", "branches")
 
   private[v2] def snapshotsSchema = StructType(Seq(
     StructField("seq", LongType, nullable = false),
@@ -81,6 +81,11 @@ object GraftOrcMetadataTable {
     StructField("tag", StringType, nullable = false),
     StructField("seq", LongType, nullable = false)))
 
+  private[v2] def branchesSchema = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("base_seq", LongType, nullable = false),
+    StructField("head_seq", LongType, nullable = false)))
+
   private[v2] def computeRows(kind: String, conf: Configuration,
                               table: Path): (StructType, Seq[Seq[Any]]) = {
     val fs = table.getFileSystem(conf)
@@ -89,6 +94,12 @@ object GraftOrcMetadataTable {
       case "tags" =>
         (tagsSchema, GraftOrcManifest.listTags(fs, qt)
           .map { case (n, seq) => Seq[Any](n, seq) })
+      case "branches" =>
+        (branchesSchema, GraftOrcManifest.listBranches(fs, qt).map { n =>
+          Seq[Any](n, GraftOrcManifest.branchBase(fs, qt, n),
+            GraftOrcManifest.readSnapshot(fs, qt, Some(n))
+              .map(_.seq).getOrElse(0L))
+        })
       // `history` is the Iceberg-familiar alias of `snapshots`
       case "snapshots" | "history" =>
         val refs = GraftOrcManifest.listSnapshots(fs, qt).getOrElse(Nil)
@@ -207,4 +218,6 @@ object GraftOrcMetadata {
     frame(spark, "partitions", table)
   def tags(spark: SparkSession, table: String): DataFrame =
     frame(spark, "tags", table)
+  def branches(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "branches", table)
 }

@@ -170,6 +170,47 @@ object GraftOrcProcedures {
         val p = new Path(resolve(str(args, 0)))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         row(GraftOrcManifest.dropTag(fs, p, str(args, 1)))
+    },
+
+    proc("create_branch",
+      "fork a branch lineage from the current (or given) snapshot — " +
+        "the write-audit-publish staging target",
+      Array(
+        in("table", StringType),
+        in("branch", StringType),
+        inDef("version", LongType, "CAST(NULL AS BIGINT)")),
+      StructType(Seq(
+        StructField("branch", StringType),
+        StructField("fork_version", LongType)))) { (spark, args) =>
+      val p = new Path(resolve(str(args, 0)))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val from = if (args.isNullAt(2)) None
+        else Some(GraftOrcManifest.Selector.ById(args.getLong(2)))
+      val seq = GraftOrcManifest.createBranch(fs, p, str(args, 1), from)
+      row(UTF8String.fromString(str(args, 1)), seq)
+    },
+
+    proc("drop_branch",
+      "drop a branch lineage; its unpublished files become vacuumable",
+      Array(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(StructField("existed", BooleanType)))) {
+      (spark, args) =>
+        val p = new Path(resolve(str(args, 0)))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        row(GraftOrcManifest.dropBranch(fs, p, str(args, 1)))
+    },
+
+    proc("fast_forward",
+      "publish a branch head as main's next commit and drop the " +
+        "branch; typed error when main diverged past the fork point",
+      Array(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(
+        StructField("fork_version", LongType),
+        StructField("published_version", LongType)))) { (spark, args) =>
+      val (base, pub) = GraftOrcManifest.fastForward(
+        spark.sparkContext.hadoopConfiguration,
+        resolve(str(args, 0)), str(args, 1))
+      row(base, pub)
     }
 
   ).map(u => u.name() -> u).toMap

@@ -227,6 +227,23 @@ class GraftOrcWrite(path: String, schema: StructType,
     case (k, v) if k.equalsIgnoreCase("graft.upsert_keys") =>
       v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
   }.getOrElse(Nil)
+  /** Branch target (`graft.branch=name`): the commit lands on the named
+    * branch lineage — invisible to main readers until `fastForward`
+    * publishes it (write-audit-publish). Append-only by design: the
+    * audit loop stages additions; row-level rewrites publish through
+    * main after the audit.
+    */
+  private val branch: Option[String] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.branch") => v.trim
+  }.filter(_.nonEmpty)
+  if (branch.isDefined) {
+    require(!truncate,
+      "graft-orc: graft.branch writes are append-only (an overwrite " +
+        "publishes through main after the audit)")
+    require(upsertKeys.isEmpty,
+      "graft-orc: graft.upsert_keys and graft.branch are mutually " +
+        "exclusive (apply the upsert after fast-forward)")
+  }
   if (upsertKeys.nonEmpty) {
     GraftOrcEqDelete.validateKeys(fileSchema, upsertKeys)
     require(!truncate,
@@ -267,7 +284,8 @@ class GraftOrcWrite(path: String, schema: StructType,
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.publish(path, writeId, messages, truncate, wantManifest,
         manifestRetain, replaceScanned(), partitionCols,
-        writeSchema = Some(schema), upsertKeys = upsertKeys)
+        writeSchema = Some(schema), upsertKeys = upsertKeys,
+        branch = branch)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftOrcWrite.discard(path, writeId, messages)
@@ -288,7 +306,7 @@ class GraftOrcWrite(path: String, schema: StructType,
         GraftOrcWrite.publish(path, writeId, messages,
           truncateExisting = false, wantManifest = wantManifest,
           retain = manifestRetain, writeSchema = Some(schema),
-          upsertKeys = upsertKeys)
+          upsertKeys = upsertKeys, branch = branch)
       override def abort(epochId: Long,
                          messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.discard(path, writeId, messages)
@@ -487,19 +505,35 @@ object GraftOrcWrite {
                       deltaDeletes: Seq[String] = Nil,
                       deltaRefs: Option[Set[String]] = None,
                       writeSchema: Option[StructType] = None,
-                      upsertKeys: Seq[String] = Nil): Unit = {
+                      upsertKeys: Seq[String] = Nil,
+                      branch: Option[String] = None): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val qdir = fs.makeQualified(dir)
     seedPublishStamp(conf, table)
+    // branch commits extend an EXISTING branch lineage of a manifest
+    // table, append-only (builder guards truncate/upsert; row-level
+    // rewrites never carry the option)
+    branch.foreach { b =>
+      require(GraftOrcManifest.exists(fs, qdir),
+        s"graft-orc: graft.branch requires a manifest table, but $table " +
+          s"has no ${GraftOrcManifest.Dir}")
+      require(GraftOrcManifest.branchExists(fs, qdir, b),
+        s"graft-orc: no branch '$b' on $table — create it first " +
+          "(GraftOrcManifest.createBranch or CALL <cat>.system" +
+          ".create_branch)")
+      require(!truncateExisting && replacePaths.isEmpty &&
+          deltaRefs.isEmpty,
+        "graft-orc: branch commits are append-only")
+    }
     // Manifest state BEFORE any mutation. Once the table has a manifest,
     // EVERY commit updates it — manifest readers see nothing else, so an
     // optionless append to a manifest table must not strand its files.
     // The option only matters for establishing one (bootstrapping any
     // pre-manifest files through one last BFS listing).
-    val manifestBefore = GraftOrcManifest.readSnapshot(fs, qdir)
+    val manifestBefore = GraftOrcManifest.readSnapshot(fs, qdir, branch)
     val manifestActive = manifestBefore.isDefined || wantManifest
     // row-level rewrite (UPDATE/MERGE): the commit REPLACES the files
     // the operation's scan read — manifest tables only, because the
@@ -747,13 +781,13 @@ object GraftOrcWrite {
                  else if (deltaRefs.isDefined) "delta"
                  else if (upsertSidecars.nonEmpty) "upsert"
                  else "append",
-            meta = chosenMeta)
+            meta = chosenMeta, branch = branch)
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException
               if !truncateExisting && attempt < ManifestCommitRetries =>
             attempt += 1
-            val winner = GraftOrcManifest.readSnapshot(fs, qdir)
+            val winner = GraftOrcManifest.readSnapshot(fs, qdir, branch)
               .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
             // a row-level rewrite is only valid against the state its
             // scan read: if the winner no longer references some file

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftOrcManifest, GraftOrcMetadata}
+
+/** Branch lineages + write-audit-publish
+  * ([[graft.sources.v2.GraftOrcManifest]] branches): a branch is a
+  * parallel snapshot chain over the table's shared file pool —
+  * `graft.branch` writes land invisibly to main readers, any query
+  * audits the branch, `fastForward` publishes atomically. The spec pins
+  * the isolation, the publish, the divergence check, and the part that
+  * actually bites at scale: branch files must survive main-side
+  * housekeeping (truncate, retention expiry, vacuum) and vice versa.
+  */
+class GraftOrcBranchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def fsOf(dir: String) = new Path(dir).getFileSystem(conf)
+
+  private def freshTable(rows: Int = 10): String = {
+    val dir = Files.createTempDirectory("graft-branch").toString
+    spark.range(0, rows).selectExpr("id AS a", "concat('m', id) AS b")
+      .repartition(2).write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir)
+    dir
+  }
+
+  private def readMain(dir: String) =
+    spark.read.format("graft-orc").load(dir)
+  private def readBranch(dir: String, b: String) =
+    spark.read.format("graft-orc").option("graft.branch", b).load(dir)
+
+  test("branch writes are invisible to main; branch reads see fork " +
+    "state + branch commits; branches metadata table tracks base/head") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    val fork = GraftOrcManifest.createBranch(fs, new Path(dir), "audit")
+    assert(fork == 1L)
+    spark.range(100, 105).selectExpr("id AS a", "concat('s', id) AS b")
+      .write.format("graft-orc").option("graft.branch", "audit")
+      .mode("append").save(dir)
+    assert(readMain(dir).count() == 10, "main must not see branch rows")
+    assert(readBranch(dir, "audit").count() == 15)
+    assert(readBranch(dir, "audit").filter($"a" >= 100).count() == 5)
+    val meta = GraftOrcMetadata.branches(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(meta == Seq(("audit", 1L, 2L)), meta.toString)
+  }
+
+  test("fastForward publishes the branch head as ONE main commit and " +
+    "drops the branch; snapshots read as op=publish") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "stage")
+    spark.range(100, 103).selectExpr("id AS a", "concat('s', id) AS b")
+      .write.format("graft-orc").option("graft.branch", "stage")
+      .mode("append").save(dir)
+    val (base, pub) = GraftOrcManifest.fastForward(conf, dir, "stage")
+    assert((base, pub) == (1L, 2L))
+    assert(readMain(dir).count() == 13)
+    assert(!GraftOrcManifest.branchExists(fs, new Path(dir), "stage"))
+    val op = GraftOrcMetadata.snapshots(spark, dir)
+      .orderBy($"seq".desc).select("op").as[String].collect().head
+    assert(op == "publish")
+  }
+
+  test("fastForward on a diverged main fails typed; the branch " +
+    "survives for re-fork") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "slow")
+    // main advances past the fork point
+    spark.range(200, 202).selectExpr("id AS a", "concat('x', id) AS b")
+      .write.format("graft-orc").mode("append").save(dir)
+    val e = intercept[java.util.ConcurrentModificationException](
+      GraftOrcManifest.fastForward(conf, dir, "slow"))
+    assert(e.getMessage.contains("fork point"), e.getMessage)
+    assert(GraftOrcManifest.branchExists(fs, new Path(dir), "slow"))
+  }
+
+  test("forked files survive main truncate + aggressive expiry + " +
+    "vacuum; dropping the branch makes them vacuumable") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "pin")
+    // overwrite main with retain=1, then more appends: every snapshot
+    // referencing the forked files expires from MAIN
+    spark.range(300, 302).selectExpr("id AS a", "concat('t', id) AS b")
+      .write.format("graft-orc").option("graft.manifest.retain", "1")
+      .mode("overwrite").save(dir)
+    spark.range(302, 304).selectExpr("id AS a", "concat('t', id) AS b")
+      .write.format("graft-orc").mode("append").save(dir)
+    assert(GraftOrcManifest.vacuum(conf, dir) == 0,
+      "vacuum must treat branch-referenced files as live")
+    // the branch still reads its fork state byte-for-byte
+    assert(readBranch(dir, "pin").filter($"a" < 100).count() == 10)
+    assert(readMain(dir).count() == 4)
+    // release the branch: its files are now garbage, vacuum reclaims
+    assert(GraftOrcManifest.dropBranch(fs, new Path(dir), "pin"))
+    assert(GraftOrcManifest.vacuum(conf, dir) >= 1)
+    assert(readMain(dir).count() == 4)
+  }
+
+  test("branch expiry is scoped to the branch and never touches files " +
+    "shared with main") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "churn")
+    // many branch appends with retain=1: branch history expires as it
+    // goes; the forked (shared) files must survive every expiry
+    (0 until 4).foreach { i =>
+      spark.range(400 + i, 401 + i).selectExpr(
+        "id AS a", "concat('c', id) AS b")
+        .write.format("graft-orc").option("graft.branch", "churn")
+        .option("graft.manifest.retain", "1").mode("append").save(dir)
+    }
+    assert(readMain(dir).count() == 10, "main intact under branch churn")
+    assert(readBranch(dir, "churn").count() == 14)
+  }
+
+  test("branch writes reject overwrite, upsert keys, and unknown " +
+    "branches; time-travel options are mutually exclusive with branch") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "b1")
+    val df = spark.range(0, 1).selectExpr("id AS a", "'z' AS b")
+    val e1 = intercept[Exception](df.write.format("graft-orc")
+      .option("graft.branch", "b1").mode("overwrite").save(dir))
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+    val e2 = intercept[Exception](df.write.format("graft-orc")
+      .option("graft.branch", "b1").option("graft.upsert_keys", "a")
+      .mode("append").save(dir))
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+    val e3 = intercept[Exception](df.write.format("graft-orc")
+      .option("graft.branch", "nope").mode("append").save(dir))
+    assert(e3.getMessage.contains("no branch"), e3.getMessage)
+    val e4 = intercept[Exception](spark.read.format("graft-orc")
+      .option("graft.branch", "b1").option("graft.snapshot_id", "1")
+      .load(dir).count())
+    assert(e4.getMessage.contains("mutually exclusive"), e4.getMessage)
+    val e5 = intercept[Exception](spark.read.format("graft-orc")
+      .option("graft.branch", "ghost").load(dir).count())
+    assert(e5.getMessage.contains("does not exist"), e5.getMessage)
+  }
+
+  test("the WAP loop through SQL procedures: create_branch -> staged " +
+    "append -> audit -> fast_forward; receipts carried") {
+    val wh = Files.createTempDirectory("graft-branch-wh").toString
+    spark.conf.set("spark.sql.catalog.gbr",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    spark.sql("CREATE TABLE gbr.w (a BIGINT, b STRING)")
+    spark.sql("INSERT INTO gbr.w SELECT id, concat('m', id) " +
+      "FROM range(0, 20)")
+    val (b, fork) = spark.sql(
+      "CALL gbr.system.create_branch('w', branch => 'ingest')")
+      .as[(String, Long)].collect().head
+    assert(b == "ingest" && fork == 2L)
+    spark.range(100, 110).selectExpr("id AS a", "concat('s', id) AS b")
+      .write.format("graft-orc").option("graft.branch", "ingest")
+      .mode("append").save(s"$wh/w")
+    // audit: quality gate on the branch before anything goes live
+    val staged = readBranch(s"$wh/w", "ingest").filter($"a" >= 100)
+    assert(staged.count() == 10)
+    assert(spark.sql("SELECT count(*) FROM gbr.w").as[Long]
+      .collect().head == 20, "nothing live before publish")
+    val (base, pub) = spark.sql(
+      "CALL gbr.system.fast_forward('w', 'ingest')")
+      .as[(Long, Long)].collect().head
+    assert(pub == base + 1)
+    assert(spark.sql("SELECT count(*) FROM gbr.w").as[Long]
+      .collect().head == 30)
+    // an audit that FAILS instead: drop_branch discards the staging
+    spark.sql("CALL gbr.system.create_branch('w', 'bad')").collect()
+    spark.range(900, 905).selectExpr("id AS a", "concat('bad', id) AS b")
+      .write.format("graft-orc").option("graft.branch", "bad")
+      .mode("append").save(s"$wh/w")
+    assert(spark.sql("CALL gbr.system.drop_branch('w', 'bad')")
+      .as[Boolean].collect().head)
+    assert(spark.sql("SELECT count(*) FROM gbr.w").as[Long]
+      .collect().head == 30, "dropped staging never published")
+  }
+}
