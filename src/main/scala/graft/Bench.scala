@@ -154,7 +154,11 @@ object Bench {
     // resolution over mixed files) and the catalog DDL+DML composition —
     // each iteration builds a FRESH table copy, so the timing covers the
     // whole mutation loop, not a warmed read
-    "ev_schema_evolution", "cat_sql_pipeline")
+    "ev_schema_evolution", "cat_sql_pipeline",
+    // round 12: the SQL maintenance-procedure loop (MoR delete -> purge
+    // -> compact -> expire -> vacuum) and write-audit-publish (fork ->
+    // staged append -> audit -> fastForward) — fresh table per iteration
+    "cat_maintenance", "rl_wap_publish")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

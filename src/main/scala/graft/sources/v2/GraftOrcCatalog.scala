@@ -117,15 +117,27 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     loadTableWith(ident, Nil)
 
-  /** `VERSION AS OF <seq-or-tag>` through the catalog: a numeric
-    * version addresses a snapshot seq, anything else a TAG (the
-    * Iceberg convention for named refs in VERSION AS OF).
+  /** `VERSION AS OF <seq-or-ref>` through the catalog: a numeric
+    * version addresses a snapshot seq, anything else a named ref — a
+    * TAG first, else a BRANCH head (the Iceberg convention for named
+    * refs in VERSION AS OF; tags win a name collision, matching the
+    * read-option precedence).
     */
   override def loadTable(ident: Identifier, version: String): Table =
     loadTableWith(ident,
       if (version.nonEmpty && version.forall(_.isDigit))
         Seq("graft.snapshot_id" -> version)
-      else Seq("graft.tag" -> version))
+      else {
+        val dir = resolveDir(ident)
+        // branchExists validates the ref charset; an arbitrary string
+        // must fall through to the tag path's typed error instead
+        val isBranch = version.forall(c =>
+            c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
+          GraftOrcManifest.listTags(fs, dir).forall(_._1 != version) &&
+          GraftOrcManifest.branchExists(fs, dir, version)
+        if (isBranch) Seq("graft.branch" -> version)
+        else Seq("graft.tag" -> version)
+      })
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =

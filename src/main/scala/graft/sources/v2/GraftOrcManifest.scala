@@ -776,9 +776,21 @@ object GraftOrcManifest {
       s"graft-orc: cannot branch $table before its first snapshot")
     val dir = branchDir(qt, name)
     fs.mkdirs(dir)
+    // base.json: the fork seq, then one line per fork-state entry path —
+    // the durable fork witness. Branch-side retention expires the fork
+    // SNAPSHOT after `retain` branch commits, but cherryPick still needs
+    // the fork's entry set to compute the branch's net additions.
     val out = fs.create(basePath(qt, name), true)
-    try out.write(s"""{"base":${src.seq}}""".getBytes("UTF-8"))
-    finally out.close()
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, "UTF-8"))
+      w.write(s"""{"base":${src.seq}}"""); w.newLine()
+      src.entries.foreach { e =>
+        w.write(s"""{"p":${jsonQuote(relativize(qt, e.path))}}""")
+        w.newLine()
+      }
+      w.flush()
+    } finally out.close()
     writeSnapshot(fs, qt, src.seq, src.entries,
       src.retain.getOrElse(RetainSnapshots), deletes = src.deletes,
       op = "branch", meta = src.meta, branch = Some(name))
@@ -826,6 +838,52 @@ object GraftOrcManifest {
       meta = head.meta.orElse(cur.meta))
     dropBranch(fs, qt, name)
     (base, base + 1)
+  }
+
+  /** Publish a branch's NET ADDITIONS (entries not in its fork state)
+    * onto the CURRENT main snapshot — the divergence-tolerant publish:
+    * branches are append-only, so their additions compose onto any
+    * later main state (Iceberg's cherry-pick of append snapshots).
+    * Whatever main did meanwhile — appends, DELETE/UPDATE, compaction,
+    * schema DDL — is kept; the staged files are appended on top in one
+    * commit, with the same-seq race detection retried here. A main
+    * equality-delete sidecar stamped after the staged files still
+    * applies to them (stamp order = newest-wins, unchanged). Returns
+    * (published seq, files added) and drops the branch.
+    */
+  def cherryPick(conf: org.apache.hadoop.conf.Configuration,
+                 table: String, name: String): (Long, Int) = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    require(branchExists(fs, qt, name),
+      s"graft-orc: no branch '$name' on $table (available: " +
+        s"${listBranches(fs, qt).mkString(", ")})")
+    val head = readSnapshot(fs, qt, Some(name)).get
+    val forkRel: Set[String] = {
+      val in = fs.open(basePath(qt, name))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.startsWith("{\"p\":"))
+        .map(l => jsonString(l, "p")).toSet
+    }
+    val netNew = head.entries.filterNot(e =>
+      forkRel(relativize(qt, e.path)))
+    var attempt = 0
+    while (true) {
+      try {
+        commitSwap(fs, qt, remove = Set.empty, add = netNew,
+          op = "cherrypick")
+        dropBranch(fs, qt, name)
+        return (readSnapshot(fs, qt).map(_.seq).getOrElse(0L),
+          netNew.size)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= GraftOrcWrite.ManifestCommitRetries) throw e
+          attempt += 1
+      }
+    }
+    (0L, 0) // unreachable
   }
 
   /** Roll the table back to retained snapshot `seq` — as a NEW commit

@@ -211,6 +211,19 @@ object GraftOrcProcedures {
         spark.sparkContext.hadoopConfiguration,
         resolve(str(args, 0)), str(args, 1))
       row(base, pub)
+    },
+
+    proc("cherry_pick",
+      "publish a branch's net additions onto the CURRENT main state " +
+        "(divergence-tolerant publish of an append-only branch)",
+      Array(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(
+        StructField("published_version", LongType),
+        StructField("files_added", IntegerType)))) { (spark, args) =>
+      val (pub, n) = GraftOrcManifest.cherryPick(
+        spark.sparkContext.hadoopConfiguration,
+        resolve(str(args, 0)), str(args, 1))
+      row(pub, n)
     }
 
   ).map(u => u.name() -> u).toMap

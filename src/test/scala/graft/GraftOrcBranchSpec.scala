@@ -84,6 +84,38 @@ class GraftOrcBranchSpec extends AnyFunSuite {
     assert(GraftOrcManifest.branchExists(fs, new Path(dir), "slow"))
   }
 
+  test("cherryPick publishes a diverged branch's net additions onto " +
+    "the moved main, keeping main's concurrent mutations — even after " +
+    "branch churn expired the fork snapshot") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "ing")
+    // branch churn with retain=1: the fork SNAPSHOT expires from the
+    // branch dir; the base.json fork witness must still drive the diff
+    (0 until 4).foreach { i =>
+      spark.range(100 + i * 10, 105 + i * 10)
+        .selectExpr("id AS a", "concat('s', id) AS b").repartition(1)
+        .write.format("graft-orc").option("graft.branch", "ing")
+        .option("graft.manifest.retain", "1").mode("append").save(dir)
+    }
+    // main diverges meanwhile: an append AND a DELETE
+    spark.range(200, 203).selectExpr("id AS a", "concat('x', id) AS b")
+      .write.format("graft-orc").mode("append").save(dir)
+    val t = "g_cherry_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir'")
+    try spark.sql(s"DELETE FROM $t WHERE a < 3")
+    finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    val (pub, added) = GraftOrcManifest.cherryPick(conf, dir, "ing")
+    assert(added == 4, s"one net-new file per branch commit: $added")
+    val rows = readMain(dir).select($"a").as[Long].collect().toSet
+    assert(rows == ((3L until 10L) ++ (200L until 203L) ++
+      (0 until 4).flatMap(i => (100L + i * 10) until (105L + i * 10)))
+      .toSet, s"main keeps its delete+append AND gains the staged rows")
+    assert(!GraftOrcManifest.branchExists(fs, new Path(dir), "ing"))
+    assert(pub >= 4)
+  }
+
   test("forked files survive main truncate + aggressive expiry + " +
     "vacuum; dropping the branch makes them vacuumable") {
     val dir = freshTable()
@@ -165,9 +197,13 @@ class GraftOrcBranchSpec extends AnyFunSuite {
     spark.range(100, 110).selectExpr("id AS a", "concat('s', id) AS b")
       .write.format("graft-orc").option("graft.branch", "ingest")
       .mode("append").save(s"$wh/w")
-    // audit: quality gate on the branch before anything goes live
+    // audit: quality gate on the branch before anything goes live —
+    // through the path option AND through catalog VERSION AS OF
     val staged = readBranch(s"$wh/w", "ingest").filter($"a" >= 100)
     assert(staged.count() == 10)
+    assert(spark.sql(
+      "SELECT count(*) FROM gbr.w VERSION AS OF 'ingest'").as[Long]
+      .collect().head == 30, "VERSION AS OF <branch> reads the head")
     assert(spark.sql("SELECT count(*) FROM gbr.w").as[Long]
       .collect().head == 20, "nothing live before publish")
     val (base, pub) = spark.sql(
