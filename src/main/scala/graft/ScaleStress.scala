@@ -75,6 +75,9 @@ object ScaleStress {
     val deletedRanges =
       java.util.Collections.synchronizedList(
         new java.util.ArrayList[(Int, Int)]()) // [lo, hi)
+    val wapRounds =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Int]())
 
     (0 until rounds).foreach { r =>
       val errs = java.util.Collections.synchronizedList(
@@ -131,7 +134,31 @@ object ScaleStress {
           committer("compact") {
             GraftOrcCompact.compact(spark, dir,
               targetBytes = 64L << 20, smallFileBytes = 32L << 20)
-          } { () })
+          } { () },
+          // the WAP loop racing everyone: fork -> staged append on the
+          // branch -> audit read -> divergence-tolerant cherry-pick.
+          // Exercises per-lineage commit locking and the cross-lineage
+          // expiry/vacuum protection under real interleavings (main
+          // commits 6x/round at retain=3 while the branch lives).
+          committer("wap") {
+            val pth = new org.apache.hadoop.fs.Path(dir)
+            val bname = s"wap-$r"
+            GraftOrcManifest.createBranch(fs, pth, bname)
+            try {
+              (0 until 80).map(j => (2000000 + r * 1000 + j, s"wap-$r"))
+                .toDF("k", "v").coalesce(1)
+                .write.format("graft-orc").option("graft.branch", bname)
+                .mode("append").save(dir)
+              val staged = spark.read.format("graft-orc")
+                .option("graft.branch", bname).load(dir)
+                .filter(col("k") >= 2000000 + r * 1000).count()
+              require(staged == 80, s"branch audit read saw $staged/80")
+              GraftOrcManifest.cherryPick(
+                spark.sparkContext.hadoopConfiguration, dir, bname)
+            } catch { case t: Throwable =>
+              GraftOrcManifest.dropBranch(fs, pth, bname); throw t
+            }
+          } { wapRounds.add(r) })
       threads.foreach(_.join(300000))
       if (!errs.isEmpty)
         throw new IllegalStateException(
@@ -152,6 +179,9 @@ object ScaleStress {
       appendedBatches.asScala.flatMap { case (r, i) =>
         (0 until 100).map(j =>
           (1000000 + r * 100000 + i * 1000 + j) -> s"app-$r-$i")
+      } ++
+      wapRounds.asScala.flatMap { r =>
+        (0 until 80).map(j => (2000000 + r * 1000 + j) -> s"wap-$r")
       }
     val actual = spark.read.format("graft-orc").load(dir)
       .as[(Int, String)].collect().toMap

@@ -896,14 +896,13 @@ object GraftOrcWrite {
     */
   private def dropStaging(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
                           writeId: String): Unit = {
-    val root = new Path(dir, StagingDir)
-    fs.delete(new Path(root, writeId), true)
-    try {
-      if (fs.listStatus(root).isEmpty) fs.delete(root, false)
-    } catch {
-      case _: java.io.FileNotFoundException => // already gone
-      case _: java.io.IOException => // raced with a concurrent writer
-    }
+    // this write's subtree ONLY. The empty `_staging` root is left in
+    // place deliberately: deleting it when it "looks empty" races a
+    // concurrent writer's staged-dir mkdirs (exists(_staging) check ->
+    // root deleted -> child mkdir fails => "Mkdirs failed to create"),
+    // caught by the concurrent-committer stress. One empty `_`-prefixed
+    // dir per table is invisible to every listing and costs nothing.
+    fs.delete(new Path(dir, s"$StagingDir/$writeId"), true)
   }
 }
 

@@ -181,6 +181,36 @@ class GraftOrcBranchSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("does not exist"), e5.getMessage)
   }
 
+  test("a STREAMING sink targets a branch: epochs land invisibly to " +
+    "main until fastForward publishes the audited stream output") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "live")
+    val src = Files.createTempDirectory("graft-branch-ssrc").toString
+    val ckpt = Files.createTempDirectory("graft-branch-sckpt").toString
+    spark.range(1000, 1005).selectExpr("id AS a", "concat('e', id) AS b")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    val q = stream.writeStream.format("graft-orc")
+      .option("checkpointLocation", ckpt)
+      .option("graft.branch", "live")
+      .outputMode("append").start(dir)
+    try {
+      q.processAllAvailable()
+      // second epoch mid-stream
+      spark.range(1005, 1010).selectExpr(
+        "id AS a", "concat('e', id) AS b")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readMain(dir).count() == 10,
+      "main must not see streamed epochs before publish")
+    assert(readBranch(dir, "live").filter($"a" >= 1000).count() == 10)
+    GraftOrcManifest.fastForward(conf, dir, "live")
+    assert(readMain(dir).count() == 20)
+  }
+
   test("the WAP loop through SQL procedures: create_branch -> staged " +
     "append -> audit -> fast_forward; receipts carried") {
     val wh = Files.createTempDirectory("graft-branch-wh").toString

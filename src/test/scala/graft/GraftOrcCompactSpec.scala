@@ -43,7 +43,7 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(stats.filesCompacted === before.size,
       "every small file should land in a bin here")
     assert(after.size === stats.bins, "one output file per merged bin")
-    assert(!new java.io.File(dir, "_staging").exists())
+    assert(TestSpark.stagingClean(dir))
 
     // lossless: same rows, partition column re-materialized from the path
     val back = spark.read.format("graft-orc").load(dir)
@@ -142,7 +142,7 @@ class GraftOrcCompactSpec extends AnyFunSuite {
       // lossless
       assert(spark.read.format("graft-orc").load(dir).count() ===
         li.count() * 3)
-      assert(!new java.io.File(dir, "_staging").exists())
+      assert(TestSpark.stagingClean(dir))
       assert(!new java.io.File(dir, GraftOrcCompact.TombstoneDir).exists())
     } finally {
       if (old == null) hc.unset("orc.stripe.size")

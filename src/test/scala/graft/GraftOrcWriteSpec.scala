@@ -36,7 +36,7 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     assert(back.orderBy($"n_nationkey").collect().toSeq ===
       nation.orderBy($"n_nationkey").collect().toSeq)
     // staging dir is cleaned up on commit
-    assert(!new java.io.File(dir, "_staging").exists())
+    assert(TestSpark.stagingClean(dir))
   }
 
   test("batch append accumulates; overwrite truncates") {
@@ -263,7 +263,7 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     val mA = wA.commit()
     writeA.toBatch.commit(Array(mA))
     assert(publishedOrcFiles(dir).size === 2)
-    assert(!new java.io.File(dir, "_staging").exists())
+    assert(TestSpark.stagingClean(dir))
   }
 
   test("an orphaned attempt's staged file never rides a wave rename") {
@@ -291,7 +291,7 @@ class GraftOrcWriteSpec extends AnyFunSuite {
     val published = publishedOrcFiles(dir)
     assert(published.size === 1, published.map(_.getName))
     assert(!published.head.getName.contains("deadattempt"))
-    assert(!new java.io.File(dir, "_staging").exists())
+    assert(TestSpark.stagingClean(dir))
   }
 
   test("published files carry strictly increasing mtimes") {
@@ -374,7 +374,7 @@ class GraftOrcWriteSpec extends AnyFunSuite {
       assert(back.select($"n_name").as[String].collect()
         .forall(s => s == s.toUpperCase))
     } finally q.stop()
-    assert(!new java.io.File(out, "_staging").exists())
+    assert(TestSpark.stagingClean(out))
   }
 
   test("~1k files across ~50 partitions publish as bounded-parallel waves") {
@@ -399,7 +399,7 @@ class GraftOrcWriteSpec extends AnyFunSuite {
       s"expected ~20 tasks x 50 partitions staged files, got ${published.size}")
     assert(new java.io.File(dir).listFiles().count(f =>
       f.isDirectory && f.getName.startsWith("pk=")) === 50)
-    assert(!new java.io.File(dir, "_staging").exists(),
+    assert(TestSpark.stagingClean(dir),
       "commit must leave zero staging residue")
     // generous local-FS bound — catches an O(files)-serial-RPC regression
     // (1000 sequential renames + stamps would blow far past this)

@@ -23,4 +23,16 @@ object TestSpark {
 
   def resource(name: String): String =
     getClass.getClassLoader.getResource(name).getPath
+
+  /** Commit/abort must leave zero staged FILES. The empty `_staging`
+    * root itself may remain: deleting it when it looks empty races a
+    * concurrent writer's staged-dir mkdirs (see GraftOrcWrite
+    * .dropStaging), so the writer keeps it deliberately.
+    */
+  def stagingClean(dir: String): Boolean = {
+    def hasFiles(f: java.io.File): Boolean = Option(f.listFiles())
+      .exists(_.exists(c => c.isFile || hasFiles(c)))
+    val root = new java.io.File(dir, "_staging")
+    !root.exists() || !hasFiles(root)
+  }
 }
