@@ -867,11 +867,23 @@ object GraftOrcManifest {
       lines.filter(_.startsWith("{\"p\":"))
         .map(l => jsonString(l, "p")).toSet
     }
-    val netNew = head.entries.filterNot(e =>
+    val netNew0 = head.entries.filterNot(e =>
       forkRel(relativize(qt, e.path)))
     var attempt = 0
     while (true) {
       try {
+        // RE-STAMP the published files above everything main holds —
+        // the Iceberg cherry-pick contract (the picked snapshot gets a
+        // NEW sequence number): a main equality-delete sidecar that
+        // committed after the branch staged these files must NOT apply
+        // to them — the publish is the newer commit. Without this, the
+        // staged files' original (older) stamps would put them under
+        // the sidecar's applicability watermark and silently delete
+        // colliding keys from the just-published batch.
+        val cur = readSnapshot(fs, qt).getOrElse(Snapshot(0L, Nil))
+        GraftOrcWrite.bumpPublishStamp(
+          (cur.entries ++ cur.deletes).map(_.mtime).foldLeft(0L)(math.max))
+        val netNew = GraftOrcWrite.restampEntries(fs, netNew0)
         commitSwap(fs, qt, remove = Set.empty, add = netNew,
           op = "cherrypick")
         dropBranch(fs, qt, name)

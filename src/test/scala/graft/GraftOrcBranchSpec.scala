@@ -181,6 +181,30 @@ class GraftOrcBranchSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("does not exist"), e5.getMessage)
   }
 
+  test("cherryPick re-stamps published files above main's equality " +
+    "sidecars: a main upsert racing the staged batch must not silently " +
+    "delete the published rows") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    GraftOrcManifest.createBranch(fs, new Path(dir), "eq")
+    // branch stages key 7777 (stamped now)...
+    Seq((7777L, "staged")).toDF("a", "b").coalesce(1)
+      .write.format("graft-orc").option("graft.branch", "eq")
+      .mode("append").save(dir)
+    // ...then MAIN blind-upserts the same key: its equality sidecar is
+    // stamped ABOVE the staged file
+    graft.sources.v2.GraftOrcEqDelete.upsert(spark, dir,
+      Seq((7777L, "ups")).toDF("a", "b"), Seq("a"))
+    GraftOrcManifest.cherryPick(conf, dir, "eq")
+    // publish-time ordering (the Iceberg cherry-pick sequence-number
+    // contract): the published file is the NEWER commit, so the older
+    // sidecar does not apply to it — both rows live, nothing silently
+    // vanishes
+    val vs = readMain(dir).filter($"a" === 7777L)
+      .select($"b").as[String].collect().toSet
+    assert(vs == Set("staged", "ups"), vs.toString)
+  }
+
   test("a STREAMING sink targets a branch: epochs land invisibly to " +
     "main until fastForward publishes the audited stream output") {
     val dir = freshTable()
