@@ -898,6 +898,39 @@ object GraftOrcManifest {
     (0L, 0) // unreachable
   }
 
+  /** Time-based snapshot expiry (Iceberg's `expire_snapshots(
+    * older_than)`): drop retained MAIN snapshots committed before
+    * `cutoffMs` — always keeping the newest, tagged seqs, and every
+    * file another lineage (branch) still references — and physically
+    * delete files only the dropped snapshots referenced. Unlike the
+    * count-based retention (a commit-time policy), this is an explicit
+    * maintenance sweep: no new snapshot is written. Returns the number
+    * of snapshots expired. Single-driver scope like vacuum: do not run
+    * concurrently with a commit.
+    */
+  def expireOlderThan(fs: FileSystem, table: Path, cutoffMs: Long): Int = {
+    val qt = fs.makeQualified(table)
+    val dir = manifestDir(qt)
+    val refs = listSnapshots(fs, qt).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-orc: expire requires a manifest table, but $table has " +
+          s"no $Dir"))
+    if (refs.isEmpty) return 0
+    val newest = refs.last.seq
+    val tagged = listTags(fs, qt).map(_._2).toSet
+    val (dead, keep) = refs.partition(r =>
+      r.seq != newest && !tagged(r.seq) && r.commitMs < cutoffMs)
+    if (dead.isEmpty) return 0
+    val live = keep.flatMap(r => allEntriesOfFile(fs, qt, r.path))
+      .map(_.path).toSet ++ protectedPaths(fs, qt, excluding = dir)
+    val victims = dead.flatMap(r => allEntriesOfFile(fs, qt, r.path))
+      .filterNot(e => live(e.path))
+      .groupBy(_.path).values.map(_.head).toSeq
+    deleteFiles(fs, qt, victims)
+    dead.foreach(r => fs.delete(r.path, false))
+    dead.size
+  }
+
   /** Roll the table back to retained snapshot `seq` — as a NEW commit
     * whose content (files, delete sidecars, schema) is that snapshot's,
     * never by rewriting history: the rolled-past snapshots stay

@@ -47,7 +47,12 @@ object GraftOrcMetadataTable {
     StructField("data_files", IntegerType, nullable = false),
     StructField("delete_files", IntegerType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
-    StructField("schema_v", LongType, nullable = true)))
+    StructField("schema_v", LongType, nullable = true),
+    // per-commit diff vs the preceding RETAINED snapshot (the summary
+    // an operator reads to see what each commit did); null on the
+    // oldest retained row — its predecessor expired
+    StructField("added_files", IntegerType, nullable = true),
+    StructField("removed_files", IntegerType, nullable = true)))
 
   private[v2] def filesSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -103,13 +108,20 @@ object GraftOrcMetadataTable {
       // `history` is the Iceberg-familiar alias of `snapshots`
       case "snapshots" | "history" =>
         val refs = GraftOrcManifest.listSnapshots(fs, qt).getOrElse(Nil)
+        var prev: Option[Set[String]] = None
         val rows = refs.map { r =>
           val s = GraftOrcManifest.resolveSnapshot(fs, qt,
             GraftOrcManifest.Selector.ById(r.seq))
+          val paths = s.entries.map(_.path).toSet
+          val (added, removed) = prev match {
+            case Some(p) => ((paths -- p).size, (p -- paths).size)
+            case None => (null, null)
+          }
+          prev = Some(paths)
           Seq[Any](r.seq, r.commitMs * 1000L, s.op.orNull,
             s.entries.size, s.deletes.size,
             (s.entries ++ s.deletes).map(_.length).sum,
-            s.meta.map(_.schemaV).orNull)
+            s.meta.map(_.schemaV).orNull, added, removed)
         }
         (snapshotsSchema, rows)
       case "files" =>

@@ -123,24 +123,43 @@ object GraftOrcProcedures {
     },
 
     proc("expire_snapshots",
-      "set the retention depth and expire history beyond it (tagged " +
-        "snapshots stay pinned)",
-      Array(in("table", StringType), inDef("retain", IntegerType, "3")),
+      "count-based: set the retention depth (a policy commit) and " +
+        "expire beyond it; older_than: sweep snapshots committed " +
+        "before the timestamp, no new commit. Tagged snapshots and " +
+        "branch-referenced files stay pinned either way",
+      Array(
+        in("table", StringType),
+        inDef("retain", IntegerType, "3"),
+        inDef("older_than", TimestampType, "CAST(NULL AS TIMESTAMP)")),
       StructType(Seq(
-        StructField("retained", IntegerType),
+        StructField("expired", IntegerType),
+        StructField("remaining", IntegerType),
         StructField("current_version", LongType)))) { (spark, args) =>
       val table = resolve(str(args, 0))
-      val retain = args.getInt(1)
-      require(retain >= 1,
-        s"graft-orc: expire_snapshots retain must be >= 1, got $retain")
       val p = new Path(table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a no-change commit carrying the new PERSISTED retention: the
-      // commit's own expiry pass trims history beyond it, and every
-      // later commit inherits the policy from the snapshot header
-      GraftOrcManifest.commitSwap(fs, p, remove = Set.empty, add = Nil,
-        retain = Some(retain), op = "expire")
-      row(retain, currentSeq(fs, p))
+      val countBefore = GraftOrcManifest.listSnapshots(fs, p)
+        .map(_.size).getOrElse(0)
+      if (!args.isNullAt(2)) {
+        // Spark hands TIMESTAMP as epoch micros
+        val n = GraftOrcManifest.expireOlderThan(fs, p,
+          args.getLong(2) / 1000L)
+        row(n, countBefore - n, currentSeq(fs, p))
+      } else {
+        val retain = args.getInt(1)
+        require(retain >= 1,
+          s"graft-orc: expire_snapshots retain must be >= 1, got " +
+            retain)
+        // a no-change commit carrying the new PERSISTED retention: the
+        // commit's own expiry pass trims history beyond it, and every
+        // later commit inherits the policy from the snapshot header
+        GraftOrcManifest.commitSwap(fs, p, remove = Set.empty, add = Nil,
+          retain = Some(retain), op = "expire")
+        val after = GraftOrcManifest.listSnapshots(fs, p)
+          .map(_.size).getOrElse(0)
+        // the policy commit itself joins the history it just trimmed
+        row(countBefore + 1 - after, after, currentSeq(fs, p))
+      }
     },
 
     proc("create_tag",

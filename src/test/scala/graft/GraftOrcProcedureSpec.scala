@@ -108,8 +108,8 @@ class GraftOrcProcedureSpec extends AnyFunSuite {
     (1 to 6).foreach(i => sql(s"INSERT INTO gproc.e1 VALUES ($i)"))
     // default retention already bounds history; deepen it first
     val r = sql("CALL gproc.system.expire_snapshots('e1', retain => 2)")
-      .as[(Int, Long)].collect().head
-    assert(r._1 == 2)
+      .as[(Int, Int, Long)].collect().head
+    assert(r._2 == 2, s"remaining should be the new depth: $r")
     val seqs = sql("SELECT seq FROM gproc.e1.snapshots")
       .as[Long].collect().toSeq.sorted
     assert(seqs.size == 2, s"retain=2 should leave 2 snapshots: $seqs")
@@ -121,6 +121,31 @@ class GraftOrcProcedureSpec extends AnyFunSuite {
     // the persisted policy governs later commits too
     sql("INSERT INTO gproc.e1 VALUES (7)")
     assert(sql("SELECT seq FROM gproc.e1.snapshots").count() == 2)
+  }
+
+  test("expire_snapshots(older_than): time-based sweep keeps the " +
+    "newest + tagged snapshots, no policy commit") {
+    wh
+    sql("CREATE TABLE gproc.e2 (a INT)")
+    (1 to 4).foreach(i => sql(s"INSERT INTO gproc.e2 VALUES ($i)"))
+    // pin an old snapshot by tag; everything else before 'now' sweeps
+    sql("CALL gproc.system.create_tag('e2', 'keepme', version => 3)")
+      .collect()
+    val headBefore = sql("SELECT max(seq) FROM gproc.e2.snapshots")
+      .as[Long].collect().head
+    val (expired, remaining, cur) = sql(
+      "CALL gproc.system.expire_snapshots('e2', " +
+        "older_than => TIMESTAMP '2100-01-01 00:00:00')")
+      .as[(Int, Int, Long)].collect().head
+    assert(cur == headBefore, "time sweep writes NO new commit")
+    assert(remaining == 2, s"newest + tagged survive: $remaining")
+    assert(expired >= 1)
+    val seqs = sql("SELECT seq FROM gproc.e2.snapshots")
+      .as[Long].collect().toSet
+    assert(seqs == Set(3L, headBefore), seqs.toString)
+    // the tagged snapshot still reads (seq 3 = CREATE + two inserts)
+    assert(sql("SELECT count(*) FROM gproc.e2 VERSION AS OF 'keepme'")
+      .as[Long].collect().head == 2)
   }
 
   test("rollback: restores a prior snapshot as a new commit; receipt " +
