@@ -166,6 +166,24 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
             ident.name().toLowerCase(java.util.Locale.ROOT),
             pdir.toString)
       }
+      // ref reads by identifier (the Iceberg `t.branch_<name>` /
+      // `t.tag_<name>` convention): the trailing name addresses a
+      // branch head or a tagged snapshot of the parent table — branch
+      // reads in pure SQL with no VERSION AS OF support needed
+      if (ident.namespace().nonEmpty &&
+          (ident.name().startsWith("branch_") ||
+            ident.name().startsWith("tag_"))) {
+        val parent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        val pdir = resolveDir(parent)
+        if (GraftOrcManifest.exists(fs, fs.makeQualified(pdir))) {
+          val opt =
+            if (ident.name().startsWith("branch_"))
+              "graft.branch" -> ident.name().stripPrefix("branch_")
+            else "graft.tag" -> ident.name().stripPrefix("tag_")
+          return loadTableWith(parent, Seq(opt))
+        }
+      }
       throw new NoSuchTableException(ident)
     }
     val tableDir = meta.flatMap(_.props.get("location"))

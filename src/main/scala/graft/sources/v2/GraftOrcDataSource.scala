@@ -388,6 +388,12 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     val ps = tablePaths
     require(ps.length == 1,
       s"graft-orc: UPDATE/MERGE targets exactly one table path, got $ps")
+    // a branch-scoped handle would scan the BRANCH but commit to MAIN —
+    // refuse; branch staging is append-only (publish, then mutate)
+    require(!props.contains("graft.branch"),
+      "graft-orc: DELETE/UPDATE/MERGE on a branch handle is not " +
+        "supported — branches are append-only staging; fast_forward/" +
+        "cherry_pick first, then mutate main")
     val partCols = partTransforms.map { t =>
       require(t.name == "identity",
         s"graft-orc: unsupported partition transform ${t.describe()}")
@@ -499,6 +505,9 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     // multi-path relations can't DELETE atomically — refuse so Spark
     // falls back to the row-level plan instead of aborting mid-optimize
     if (tablePaths.length != 1) return false
+    // branch handles are append-only (the row-level fallback then
+    // refuses with the typed message)
+    if (props.contains("graft.branch")) return false
     val (fs, qt) = deleteTarget
     GraftOrcManifest.exists(fs, qt) &&
       filters.forall(f => GraftOrcDelete.toColumn(f).isDefined)
@@ -570,8 +579,24 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         s"graft-orc: unsupported partition transform ${t.describe()}")
       t.references()(0).fieldNames().mkString(".")
     }
+    // a branch-scoped table handle (`INSERT INTO t.branch_x`, loaded
+    // with graft.branch in its props) must commit to the branch: the
+    // prop rides into the write options like the path does for reads
+    val winfo = props.get("graft.branch") match {
+      case Some(b) if !info.options().containsKey("graft.branch") =>
+        val m = new java.util.HashMap[String, String](
+          info.options().asCaseSensitiveMap())
+        m.put("graft.branch", b)
+        val merged = new CaseInsensitiveStringMap(m)
+        new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+          override def queryId(): String = info.queryId()
+          override def schema(): StructType = info.schema()
+          override def options(): CaseInsensitiveStringMap = merged
+        }
+      case _ => info
+    }
     new GraftOrcWriteBuilder(
-      GraftOrcDataSource.paths(withTablePath(info.options())), info,
+      GraftOrcDataSource.paths(withTablePath(winfo.options())), winfo,
       partCols.toSeq)
   }
 }

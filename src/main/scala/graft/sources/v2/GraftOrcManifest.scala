@@ -970,7 +970,7 @@ object GraftOrcManifest {
     * the table and everything visible is live by definition.
     */
   def vacuum(conf: org.apache.hadoop.conf.Configuration,
-             table: String): Int = {
+             table: String, olderThanMs: Long = Long.MaxValue): Int = {
     val p = new Path(table)
     val fs = p.getFileSystem(conf)
     val qt = fs.makeQualified(p)
@@ -989,7 +989,11 @@ object GraftOrcManifest {
         .map(st => OrcFileEntry(fs.makeQualified(st.getPath).toString,
           st.getLen, Map.empty, st.getModificationTime))
       catch { case _: java.io.FileNotFoundException => Nil }
-    val victims = (visible ++ staleSidecars).filterNot(e => live(e.path))
+    // optional age cutoff: sweeping only files older than a threshold
+    // spares ANOTHER driver's in-flight unmanifested waves (visible but
+    // not yet committed) when vacuum cannot coordinate with it
+    val victims = (visible ++ staleSidecars)
+      .filterNot(e => live(e.path)).filter(_.mtime < olderThanMs)
     deleteFiles(fs, qt, victims)
     victims.size
   }

@@ -89,13 +89,19 @@ object GraftOrcProcedures {
     },
 
     proc("vacuum",
-      "physically delete files no retained snapshot references " +
-        "(crashed commits, lost races, skipped expiries)",
-      Array(in("table", StringType)),
+      "physically delete files no lineage references (crashed " +
+        "commits, lost races, dropped branches); older_than spares " +
+        "another driver's in-flight staged files",
+      Array(
+        in("table", StringType),
+        inDef("older_than", TimestampType, "CAST(NULL AS TIMESTAMP)")),
       StructType(Seq(StructField("orphans_deleted", IntegerType)))) {
       (spark, args) =>
+        val cutoff =
+          if (args.isNullAt(1)) Long.MaxValue else args.getLong(1) / 1000L
         row(GraftOrcManifest.vacuum(
-          spark.sparkContext.hadoopConfiguration, resolve(str(args, 0))))
+          spark.sparkContext.hadoopConfiguration, resolve(str(args, 0)),
+          cutoff))
     },
 
     proc("repair",

@@ -101,6 +101,50 @@ class GraftOrcProcedureSpec extends AnyFunSuite {
       == before)
   }
 
+  test("vacuum(older_than) spares young orphans (another driver's " +
+    "in-flight staged files); ref reads via t.branch_<n> / t.tag_<n> " +
+    "identifiers") {
+    wh
+    sql("CREATE TABLE gproc.v2 (a INT)")
+    sql("INSERT INTO gproc.v2 VALUES (1), (2)")
+    val src = GraftOrcManifest.readSnapshot(fs,
+        fs.makeQualified(new Path(s"$wh/v2"))).get.entries
+      .map(e => new Path(e.path)).head
+    val orphan = new Path(src.getParent, "part-orphan-young.orc")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    // a cutoff in the past: the fresh orphan is younger, must survive
+    assert(sql("CALL gproc.system.vacuum('v2', " +
+      "older_than => TIMESTAMP '2000-01-01 00:00:00')")
+      .as[Int].collect().head == 0)
+    assert(fs.exists(orphan))
+    assert(sql("CALL gproc.system.vacuum('v2')").as[Int]
+      .collect().head == 1)
+    // identifier ref reads: tag + branch suffixes resolve the parent
+    sql("CALL gproc.system.create_tag('v2', 'pin')").collect()
+    sql("CALL gproc.system.create_branch('v2', 'wip')").collect()
+    sql("INSERT INTO gproc.v2 VALUES (3)")
+    assert(sql("SELECT count(*) FROM gproc.v2.tag_pin").as[Long]
+      .collect().head == 2)
+    assert(sql("SELECT count(*) FROM gproc.v2.branch_wip").as[Long]
+      .collect().head == 2)
+    assert(sql("SELECT count(*) FROM gproc.v2").as[Long]
+      .collect().head == 3)
+    // INSERT INTO the branch identifier lands on the branch
+    sql("INSERT INTO gproc.v2.branch_wip VALUES (99)")
+    assert(sql("SELECT count(*) FROM gproc.v2.branch_wip").as[Long]
+      .collect().head == 3)
+    assert(sql("SELECT count(*) FROM gproc.v2").as[Long]
+      .collect().head == 3, "branch insert invisible to main")
+    // DML on a branch handle would scan the branch but commit to main —
+    // refused with a typed message (branches are append-only staging)
+    val e = intercept[Exception](
+      sql("DELETE FROM gproc.v2.branch_wip WHERE a = 99"))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    assert(sql("SELECT count(*) FROM gproc.v2.branch_wip").as[Long]
+      .collect().head == 3, "refused DELETE must not mutate anything")
+  }
+
   test("expire_snapshots: persists the retention depth, trims history, " +
     "typed error on version beyond it") {
     wh
