@@ -353,5 +353,68 @@ object CatalogOps {
              |    AS total
              |FROM customer WHERE c_acctbal >= 3000
              |GROUP BY c_mktsegment
-             |ORDER BY seg""".stripMargin)))
+             |ORDER BY seg""".stripMargin)),
+
+    // --------------------------------- WAP quality gate (documents)
+    // The INTENDED use of branches in a training-data pipeline, under
+    // the hash oracle: the live corpus (even doc_ids) takes a new crawl
+    // (odd doc_ids) through write-audit-publish — the crawl stages on
+    // an `ingest` branch, the AUDIT is a real quality gate (token-count
+    // threshold) run against the branch, and because junk is present
+    // the branch is DROPPED and only the clean subset re-stages and
+    // publishes. Main provably never sees a junk row at any point —
+    // that is the property the oracle checks (final state = corpus +
+    // clean crawl only). Scale shape: fork/drop/publish are snapshot
+    // metadata; the gate prices as one branch-scoped scan; the dirty
+    // batch never touches the live table's read path.
+    QueryDef("pp_wap_quality_gate",
+      (s, d) => {
+        import org.apache.hadoop.fs.Path
+        import graft.sources.v2.GraftOrcManifest
+        val dir = freshDir("wapgate")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .repartition(4).write.format("graft-orc")
+          .option("graft.manifest", "true").mode("append").save(dir)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new Path(dir).getFileSystem(conf)
+        // the crawl carries deterministic INJECTED junk (the driver's
+        // documents are all long-form, so without it the gate would be
+        // vacuous — same trick as pp_pii_redact): truncated fetches at
+        // 3 tokens, one per 50 crawl docs, on a disjoint id range
+        val crawl = docs.filter(col("doc_id") % 2 === 1).unionByName(
+          docs.filter(col("doc_id") % 100 === 1)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              lit(3L).as("n_tokens")))
+        GraftOrcManifest.createBranch(fs, new Path(dir), "ingest")
+        crawl.repartition(2).write.format("graft-orc")
+          .option("graft.branch", "ingest").mode("append").save(dir)
+        // audit on the branch: junk = staged docs under the threshold
+        val junk = s.read.format("graft-orc")
+          .option("graft.branch", "ingest").load(dir)
+          .filter(col("doc_id") % 2 === 1 && col("n_tokens") < 10)
+          .count()
+        require(junk > 0, "the gate demo must actually catch junk")
+        // gate FAILS: discard the staging, re-stage only clean docs
+        GraftOrcManifest.dropBranch(fs, new Path(dir), "ingest")
+        GraftOrcManifest.createBranch(fs, new Path(dir), "ingest")
+        crawl.filter(col("n_tokens") >= 10)
+          .repartition(2).write.format("graft-orc")
+          .option("graft.branch", "ingest").mode("append").save(dir)
+        val dirty = s.read.format("graft-orc").load(dir)
+          .filter(col("n_tokens") < 10).count()
+        require(dirty == 0, "main saw a junk row before publish")
+        GraftOrcManifest.fastForward(conf, dir, "ingest")
+        s.read.format("graft-orc").load(dir)
+          .select(col("doc_id"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_tokens FROM (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents) t
+             |WHERE doc_id % 2 = 0 OR n_tokens >= 10
+             |ORDER BY doc_id""".stripMargin)))
 }

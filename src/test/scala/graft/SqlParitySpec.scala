@@ -52,6 +52,7 @@ class SqlParitySpec extends AnyFunSuite {
       "pp_pii_redact" -> intDiv, "pp_sequence_pack" -> intDiv,
       "ta_chunking" -> intDiv,
       "pp_clean_corpus" -> lenList, "ta_lang_id" -> lenList,
+      "pp_wap_quality_gate" -> lenList,
       "ta_quality_score" -> lenList, "ta_repetition" -> lenList,
       "pp_token_budget" ->
         "DuckDB len() on LIST + // integer division (Spark: size/div)",
