@@ -158,7 +158,11 @@ object Bench {
     // round 12: the SQL maintenance-procedure loop (MoR delete -> purge
     // -> compact -> expire -> vacuum) and write-audit-publish (fork ->
     // staged append -> audit -> fastForward) — fresh table per iteration
-    "cat_maintenance", "rl_wap_publish")
+    "cat_maintenance", "rl_wap_publish",
+    // hidden partitioning: days(ts) + bucket(8, user_id) transform
+    // layout, queried on the SOURCE columns (first iteration builds the
+    // cached transform table; warm iterations time the pruned scan)
+    "q105_hidden_partitioning")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

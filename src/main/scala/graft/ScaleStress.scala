@@ -223,10 +223,11 @@ object ScaleStress {
     val upsertMode = args.lift(1).contains("upsert")
     val concurrentMode = args.lift(1).contains("concurrent")
     val wapMode = args.lift(1).contains("wap")
+    val hiddenMode = args.lift(1).contains("hidden")
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
-      wapMode
+      wapMode || hiddenMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -720,6 +721,70 @@ object ScaleStress {
     // the file COUNT in the manifest (metadata), never the data bytes,
     // and the staged append costs what any append costs.
     //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 wap 1 10
+    // Hidden partitioning at scale: events x k laid out by
+    // days(ts) + bucket(8, user_id); the receipt shows (a) the planned
+    // file count for a source-column 7-day filter and for day+user,
+    // pruning a CONSTANT fraction as the table grows — the planned set
+    // scales with the selected data, not the table — and (b) the pruned
+    // scan's wall clock tracking the planned set.
+    if (hiddenMode) {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      import org.apache.spark.sql.sources._
+      import graft.sources.v2.{GraftOrcManifest, GraftOrcScan, GraftOrcScanBuilder}
+      val hconf = spark.sparkContext.hadoopConfiguration
+      factors.foreach { k =>
+        val dir = s"/tmp/graft-hidden-stress-$k"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(hconf)
+        fs.delete(p, true)
+        scaled(k)
+          .select(org.apache.spark.sql.functions
+            .timestamp_micros(col("ts_us")).as("ts"),
+            col("user_id"), col("event_type"),
+            (col("event_id") % 100).cast("double").as("value"))
+          .repartition(8 * k)
+          .write.format("graft-orc")
+          .option("graft.manifest", "true")
+          .option("graft.partition_spec", "days(ts), bucket(8, user_id)")
+          .mode("append").save(dir)
+        val files = GraftOrcManifest.readSnapshot(fs,
+          fs.makeQualified(p)).get.entries.size
+        def planned(filters: Filter*): Int = {
+          val opts = new CaseInsensitiveStringMap(
+            Map("path" -> dir).asJava)
+          val schema = new graft.sources.v2.GraftOrcDataSource()
+            .inferSchema(opts)
+          val b = new GraftOrcScanBuilder(schema, opts)
+          b.pushFilters(filters.toArray)
+          b.build().asInstanceOf[GraftOrcScan]
+            .planInputPartitions().length
+        }
+        val day = Seq[Filter](
+          GreaterThanOrEqual("ts",
+            java.time.Instant.parse("2024-01-10T00:00:00Z")),
+          LessThan("ts", java.time.Instant.parse("2024-01-17T00:00:00Z")))
+        val pDay = planned(day: _*)
+        val pDayUser = planned(day :+ EqualTo("user_id", 42L): _*)
+        val t0 = System.nanoTime()
+        val full = spark.read.format("graft-orc").load(dir).count()
+        val secFull = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val sel = spark.read.format("graft-orc").load(dir)
+          .filter(col("ts") >= lit("2024-01-10") &&
+            col("ts") < lit("2024-01-17") && col("user_id") === 42L)
+          .count()
+        val secSel = (System.nanoTime() - t1) / 1e9
+        println(s"""{"op":"hidden_prune","factor":$k,"files":$files,""" +
+          s""""planned_day":$pDay,"planned_day_bucket":$pDayUser,""" +
+          s""""rows_full":$full,"rows_selected":$sel,""" +
+          s""""sec_full":${num(secFull)},"sec_selected":${num(secSel)}}""")
+        fs.delete(p, true)
+      }
+      spark.stop()
+      return
+    }
+
     if (wapMode) {
       import graft.sources.v2.GraftOrcManifest
       val hconf = spark.sparkContext.hadoopConfiguration

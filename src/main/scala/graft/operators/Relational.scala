@@ -863,6 +863,35 @@ object Relational {
               |FROM customer JOIN supplier ON c_nationkey = s_nationkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --------------------------------------------------------------- q105
+    // Hidden partitioning (Iceberg transform model, GraftOrcPartitionSpec):
+    // events laid out by days(ts) + bucket(8, user_id) — the DIRECTORIES
+    // are derived, the source columns stay in the files, and the query
+    // filters on plain ts/user_id with no knowledge of the layout. The
+    // scan prunes to 7 of ~30 day dirs x the users' buckets
+    // (GraftOrcHiddenPartitionSpec pins exact pruned file counts; this
+    // entry pins the results under the oracle). At 100 TB this is the
+    // pruning that cannot be forgotten: nobody has to remember to also
+    // filter a dt string column that mirrors ts.
+    QueryDef("q105_hidden_partitioning",
+      (s, d) => {
+        val p = OrcData.hiddenEventsPath(s, d)
+        s.read.format("graft-orc").load(p)
+          .filter(col("ts") >= lit("2024-01-10") &&
+            col("ts") < lit("2024-01-17") &&
+            col("user_id").isin(1L, 2L, 3L, 5L, 8L, 13L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_v"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+              |  ${oDsum("value", "sum_v")}
+              |FROM events
+              |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+              |  AND user_id IN (1, 2, 3, 5, 8, 13)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---------------------------------------------------------------- q34
     // TPC-DS q87-shaped multi-CTE + EXCEPT: customers active in one order
     // status but not the other, aggregated by segment. EXCEPT plans as a

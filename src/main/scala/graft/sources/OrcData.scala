@@ -134,6 +134,31 @@ object OrcData {
     out
   }
 
+  /** Events as a HIDDEN-partitioned graft-orc manifest table
+    * ([[graft.sources.v2.GraftOrcPartitionSpec]]): `days(ts)` +
+    * `bucket(8, user_id)` directories derived from the source columns,
+    * which stay in the data files — the Iceberg transform layout.
+    * Converted once per sfDir (the manifest marker is the cache key).
+    */
+  def hiddenEventsPath(spark: SparkSession, sfDir: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/events_hidden"
+    val marker = new java.io.File(s"$out/_graft_manifest")
+    if (!marker.exists()) lock.synchronized {
+      if (!marker.exists()) {
+        new java.io.File(out).mkdirs()
+        // Tables.events normalizes the generation-dependent ts physical
+        // type (nanos vs micros) — required for day dirs to be right
+        graft.Tables.events(spark, sfDir)
+          .repartition(4)
+          .write.format("graft-orc")
+          .option("graft.manifest", "true")
+          .option("graft.partition_spec", "days(ts), bucket(8, user_id)")
+          .mode("append").save(out)
+      }
+    }
+    out
+  }
+
   /** Hive-style partitioned ORC copy (`<out>/<col>=<v>/...`), converting on
     * first use — the layout that makes Catalyst partition-prune scans.
     */

@@ -196,9 +196,11 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
     // snapshot's meta schema otherwise; inference for pre-meta tables
     val schema = new GraftOrcDataSource().inferSchema(cism)
     val partCols: Seq[String] = meta.map(_.parts).getOrElse(Nil)
-    val transforms: Array[Transform] = partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions
-        .identity(c)).toArray
+    // canonical forms → real transforms (DESCRIBE shows bucket(16, id),
+    // not an opaque string; writes re-derive the same spec from them)
+    val transforms: Array[Transform] = GraftOrcPartitionSpec
+      .parseCanonical(partCols).map(GraftOrcPartitionSpec.toTransform)
+      .toArray
     val props = meta.map(_.props).getOrElse(Map.empty) ++
       extra.toMap + ("path" -> tableDir)
     new GraftOrcTable(schema, props, transforms)
@@ -225,20 +227,11 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
 
   private def validatedPartCols(schema: StructType,
                                 partitions: Array[Transform]): Seq[String] = {
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"graft-orc: unsupported partition transform ${t.describe()}")
-      t.references()(0).fieldNames().mkString(".")
-    }
-    partCols.foreach { c =>
-      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-orc: partition column $c not in ${schema.simpleString}"))
-      require(GraftOrcWrite.supportedPartitionType(f.dataType),
-        s"graft-orc: unsupported partition column type " +
-          s"${f.dataType.catalogString} for $c")
-    }
-    partCols
+    // PARTITIONED BY (c, days(ts), bucket(16, id), truncate(4, name)):
+    // identity AND hidden-transform fields ([[GraftOrcPartitionSpec]])
+    val spec = partitions.toSeq.map(GraftOrcPartitionSpec.fromTransform)
+    GraftOrcPartitionSpec.validate(schema, spec)
+    spec.map(_.canonical)
   }
 
   /** Drop the engine-managed properties Spark passes along; keep user

@@ -394,11 +394,8 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       "graft-orc: DELETE/UPDATE/MERGE on a branch handle is not " +
         "supported — branches are append-only staging; fast_forward/" +
         "cherry_pick first, then mutate main")
-    val partCols = partTransforms.map { t =>
-      require(t.name == "identity",
-        s"graft-orc: unsupported partition transform ${t.describe()}")
-      t.references()(0).fieldNames().mkString(".")
-    }.toSeq
+    val partCols = partTransforms
+      .map(t => GraftOrcPartitionSpec.fromTransform(t).canonical).toSeq
     // strategy per command: `cow` (default) plans the group-based
     // copy-on-write rewrite; `mor` plans a position-delta
     // ([[GraftOrcDeltaOperation]] via SupportsDelta) — cost ∝ rows
@@ -573,12 +570,10 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    // only identity transforms map to a hive directory layout
-    val partCols = partTransforms.map { t =>
-      require(t.name == "identity",
-        s"graft-orc: unsupported partition transform ${t.describe()}")
-      t.references()(0).fieldNames().mkString(".")
-    }
+    // identity transforms map to the classic hive layout; transform
+    // fields (days/bucket/truncate) to hidden-partition directories
+    val partCols = partTransforms
+      .map(t => GraftOrcPartitionSpec.fromTransform(t).canonical)
     // a branch-scoped table handle (`INSERT INTO t.branch_x`, loaded
     // with graft.branch in its props) must commit to the branch: the
     // prop rides into the write options like the path does for reads
@@ -638,6 +633,10 @@ class GraftOrcScanBuilder(dataSchema: StructType,
   private var requested: StructType = dataSchema
   private var partitionFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
+  // filters referencing a hidden-partition transform's SOURCE column
+  // (superset shapes of dataFilters for those columns — SARG-ability
+  // does not gate directory pruning)
+  private var hiddenFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
 
   // A6: column pruning
@@ -665,6 +664,19 @@ class GraftOrcScanBuilder(dataSchema: StructType,
         Array.empty
       else rest.filter(f =>
         GraftOrcShims.createFilter(dataFileSchema, Seq(f)).isDefined)
+    // hidden-partition pruning inputs: ANY filter touching a transform
+    // source column — including shapes ORC SARGs can't express
+    // (StringStartsWith prunes truncate() dirs) — independently of the
+    // pushdown toggle (this is partition pruning, not predicate
+    // pushdown; the filter itself always stays residual)
+    hiddenFilters = {
+      val srcs = fileIndex.tableMeta.map(m => GraftOrcPartitionSpec
+          .parseCanonical(m.parts).filterNot(_.isIdentity)
+          .map(_.source.toLowerCase).toSet).getOrElse(Set.empty)
+      if (srcs.isEmpty) Array.empty
+      else rest.filter(f => f.references.nonEmpty &&
+        f.references.exists(r => srcs(r.toLowerCase)))
+    }
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = partitionFilters ++ dataFilters
@@ -762,7 +774,7 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     val readPart = StructType(plain.filter(f => part(f.name.toLowerCase)))
     lastBuiltScan = new GraftOrcScan(dataFileSchema, partitionSchema, readData, readPart,
       partitionFilters, dataFilters, limit, fileIndex, metaParallelism,
-      optionsMap, metaFields)
+      optionsMap, metaFields, hiddenFilters)
     lastBuiltScan
   }
 }
@@ -971,7 +983,8 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
                    limit: Option[Int], index: GraftOrcFileIndex,
                    metaParallelism: Int, options: Map[String, String],
                    metadataFields: Array[
-                     org.apache.spark.sql.types.StructField] = Array.empty)
+                     org.apache.spark.sql.types.StructField] = Array.empty,
+                   hiddenFilters: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -1053,13 +1066,17 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
   // date partition of the fact.
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  // transform sources join the DPP surface: a runtime In(ts, <keys>) /
+  // In(id, <keys>) prunes ts_day / id_bucket directories through
+  // [[GraftOrcPartitionSpec.hiddenPrune]]
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionSchema.fieldNames.map(
+    (partitionSchema.fieldNames ++ hiddenSpec.map(_.source)).map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
-    val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet ++
+      hiddenSpec.map(_.source.toLowerCase)
     runtimeFilters = filters.filter(f =>
       f.references.nonEmpty &&
         f.references.forall(r => partNames(r.toLowerCase)))
@@ -1121,11 +1138,34 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       }
     }
 
+  /** The persisted partition spec's TRANSFORM fields (hidden
+    * partitioning, [[GraftOrcPartitionSpec]]); empty on identity-only
+    * and pre-spec tables, which keep the classic path untouched.
+    */
+  private lazy val hiddenSpec: Seq[PartField] =
+    index.tableMeta.map(m => GraftOrcPartitionSpec
+      .parseCanonical(m.parts).filterNot(_.isIdentity)).getOrElse(Nil)
+
   /** Partition-filter pruning over an arbitrary listing (shared with the
-    * micro-batch stream, which re-lists per batch).
+    * micro-batch stream, which re-lists per batch). Two layers: exact
+    * identity `k=v` evaluation (below), then hidden-partition transform
+    * pruning — pushed DATA filters on a transform's source column bound
+    * the derived directory (`ts >= X` prunes `ts_day=` dirs,
+    * `id = k` prunes to one `id_bucket=`), while the filters themselves
+    * stay residual, so this only ever skips I/O.
     */
   private[v2] def pruneEntries(entries: Seq[OrcFileEntry],
                                pruning: Seq[Filter]): Seq[OrcFileEntry] = {
+    val base = pruneIdentity(entries, pruning)
+    if (hiddenSpec.isEmpty) base
+    else GraftOrcPartitionSpec.hiddenPrune(base,
+      (dataFilters ++ hiddenFilters ++ pruning).distinct.toSeq, hiddenSpec,
+      name => dataFileSchema.fields.collectFirst {
+        case f if f.name.equalsIgnoreCase(name) => f.dataType })
+  }
+
+  private def pruneIdentity(entries: Seq[OrcFileEntry],
+                            pruning: Seq[Filter]): Seq[OrcFileEntry] = {
     if (pruning.isEmpty) entries
     else entries.filter { e =>
       val lookup: String => Option[OrcStatsEval.StatRange] = name => {

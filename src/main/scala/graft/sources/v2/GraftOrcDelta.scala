@@ -132,16 +132,18 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
     if (rowSchema.isEmpty) return None
     GraftOrcWrite.validateAppend(path, rowSchema, partitionCols)
     val spark = SparkSession.active
-    val partSet = partitionCols.map(_.toLowerCase).toSet
+    // canonical spec forms (identity = bare name; hidden transforms keep
+    // their source IN the data file) — same contract as GraftOrcWrite
+    val specFields = GraftOrcPartitionSpec.parseCanonical(partitionCols)
+    GraftOrcPartitionSpec.validate(rowSchema, specFields)
+    val partSet = specFields.filter(_.isIdentity)
+      .map(_.source.toLowerCase).toSet
     val fileSchema = StructType(
       rowSchema.fields.filterNot(f => partSet(f.name.toLowerCase)))
-    val partSpecs = partitionCols.map { c =>
-      val i = rowSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))
-      require(i >= 0,
-        s"graft-orc delta: partition column $c not in ${rowSchema.simpleString}")
-      require(GraftOrcWrite.supportedPartitionType(rowSchema.fields(i).dataType),
-        s"graft-orc delta: unsupported partition column type for $c")
-      GraftPartCol(rowSchema.fields(i).name, i, rowSchema.fields(i).dataType)
+    val partSpecs = specFields.map { f =>
+      val i = rowSchema.fields.indexWhere(_.name.equalsIgnoreCase(f.source))
+      GraftPartCol(f.copy(source = rowSchema.fields(i).name).dirName, i,
+        rowSchema.fields(i).dataType, f.transform, f.param)
     }.toArray
     val fileFieldIdx = rowSchema.fields.zipWithIndex
       .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)

@@ -146,6 +146,11 @@ object GraftOrcEqDelete {
     val partCols: Seq[String] = snap.meta.map(_.parts).getOrElse(
       snap.entries.map(_.partitionValues.keys.toSeq)
         .maxByOption(_.length).getOrElse(Nil))
+    require(!GraftOrcPartitionSpec.hasTransforms(partCols),
+      "graft-orc upsert: blind upsert into a transform-partitioned " +
+        "table is not supported yet — use MERGE INTO (both row-level " +
+        "modes handle hidden partitioning), or partition by identity " +
+        "columns")
     // Keys must resolve in the DATA-FILE schema: the read path matches
     // sidecar key columns against raw file columns, so a partition
     // column (hive-encoded in the path, absent from every file) as a

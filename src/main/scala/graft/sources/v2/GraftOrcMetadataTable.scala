@@ -76,10 +76,14 @@ object GraftOrcMetadataTable {
   private[v2] def partColsOf(fs: org.apache.hadoop.fs.FileSystem,
                              table: Path): Seq[String] = {
     val snap = GraftOrcManifest.readSnapshot(fs, table)
-    snap.flatMap(_.meta).map(_.parts).filter(_.nonEmpty).getOrElse(
-      snap.map(_.entries).getOrElse(Nil)
-        .map(_.partitionValues.keys.toSeq)
-        .maxByOption(_.length).getOrElse(Nil))
+    // DIRECTORY keys (ts_day for a transform field): the partitions
+    // metadata table rolls up what is physically on disk
+    snap.flatMap(_.meta).map(p => GraftOrcPartitionSpec
+        .parseCanonical(p.parts).map(_.dirName)).filter(_.nonEmpty)
+      .getOrElse(
+        snap.map(_.entries).getOrElse(Nil)
+          .map(_.partitionValues.keys.toSeq)
+          .maxByOption(_.length).getOrElse(Nil))
   }
 
   private[v2] def tagsSchema = StructType(Seq(

@@ -258,7 +258,8 @@ object GraftOrcSchema {
                    to: String): GraftOrcManifest.TableMeta = {
     val i = fieldIndex(meta.schema, from)
     requireNoField(meta.schema, to)
-    require(!meta.parts.exists(_.equalsIgnoreCase(from)),
+    require(!GraftOrcPartitionSpec.sources(meta.parts)
+        .exists(_.equalsIgnoreCase(from)),
       s"graft-orc: cannot rename partition column $from — partition " +
         "values live in directory paths, which a metadata commit cannot " +
         "rewrite")
@@ -276,7 +277,8 @@ object GraftOrcSchema {
   def dropColumn(meta: GraftOrcManifest.TableMeta, name: String)
       : GraftOrcManifest.TableMeta = {
     val i = fieldIndex(meta.schema, name)
-    require(!meta.parts.exists(_.equalsIgnoreCase(name)),
+    require(!GraftOrcPartitionSpec.sources(meta.parts)
+        .exists(_.equalsIgnoreCase(name)),
       s"graft-orc: cannot drop partition column $name")
     require(meta.schema.fields.length > 1,
       s"graft-orc: cannot drop the only column $name")
@@ -289,7 +291,8 @@ object GraftOrcSchema {
                   to: DataType): GraftOrcManifest.TableMeta = {
     val i = fieldIndex(meta.schema, name)
     val f = meta.schema.fields(i)
-    require(!meta.parts.exists(_.equalsIgnoreCase(name)),
+    require(!GraftOrcPartitionSpec.sources(meta.parts)
+        .exists(_.equalsIgnoreCase(name)),
       s"graft-orc: cannot change the type of partition column $name")
     require(canWiden(f.dataType, to),
       s"graft-orc: cannot change column $name from " +

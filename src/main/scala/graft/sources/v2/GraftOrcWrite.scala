@@ -64,16 +64,46 @@ class GraftOrcWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
   override def build(): Write = {
     require(paths.size == 1,
       s"graft-orc: write requires exactly one path, got ${paths.size}")
+    val opts = info.options().asCaseSensitiveMap().asScala.toMap
+    // effective partition spec, in precedence order:
+    //  1. `graft.partition_spec` option ("days(ts), bucket(16, id), c")
+    //     — the only way a PATH write declares transform partitioning;
+    //  2. declared columns (partitionBy / the table's transforms, already
+    //     canonical);
+    //  3. a persisted TRANSFORM spec on the target manifest table —
+    //     partitioning is a TABLE property in this model, so a plain
+    //     optionless append inherits it (identity-only layouts keep the
+    //     classic explicit-partitionBy contract unchanged).
+    val optSpec = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.partition_spec") =>
+        GraftOrcPartitionSpec.parseOption(v) }
+    val effective: Seq[String] = optSpec match {
+      case Some(spec) =>
+        require(partitionCols.isEmpty ||
+            partitionCols == spec.map(_.canonical),
+          "graft-orc: graft.partition_spec conflicts with the declared " +
+            "partitioning — drop partitionBy(...) or the option")
+        spec.map(_.canonical)
+      case None if partitionCols.nonEmpty => partitionCols
+      case None =>
+        val p = new Path(paths.head)
+        val persisted = try {
+          val conf = SparkSession.active.sparkContext.hadoopConfiguration
+          GraftOrcManifest.readSnapshot(p.getFileSystem(conf), p)
+            .flatMap(_.meta).map(_.parts).getOrElse(Nil)
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+        if (GraftOrcPartitionSpec.hasTransforms(persisted)) persisted
+        else Nil
+    }
     // ACCEPT_ANY_SCHEMA turns off Spark's output resolution (needed because
     // a first write targets an empty listing whose inferred schema is
     // empty), so appends to a NON-empty table validate here instead — a
     // mismatched append would otherwise poison every later read with a
     // schema-merge failure.
     if (!truncateOnCommit)
-      GraftOrcWrite.validateAppend(paths.head, info.schema(), partitionCols)
-    new GraftOrcWrite(paths.head, info.schema(),
-      info.options().asCaseSensitiveMap().asScala.toMap, truncateOnCommit,
-      partitionCols)
+      GraftOrcWrite.validateAppend(paths.head, info.schema(), effective)
+    new GraftOrcWrite(paths.head, info.schema(), opts, truncateOnCommit,
+      effective)
   }
 }
 
@@ -177,20 +207,48 @@ class GraftOrcWrite(path: String, schema: StructType,
   // schema is the query schema minus partition columns, and each
   // partition column carries (index in the incoming row, type) for the
   // task-side splitter
-  private val partSet = partitionCols.map(_.toLowerCase).toSet
+  // `partitionCols` are CANONICAL spec forms ([[PartField.canonical]]):
+  // bare names = identity hive partitioning (exactly the old behavior),
+  // `src:day` / `src:bucket:16` / `src:trunc:4` = hidden transforms
+  private val specFields: Seq[PartField] = {
+    val fs = GraftOrcPartitionSpec.parseCanonical(partitionCols)
+    GraftOrcPartitionSpec.validate(schema, fs)
+    // the schema's casing drives the directory key
+    fs.map(f => f.copy(source = schema.fields(schema.fields
+      .indexWhere(_.name.equalsIgnoreCase(f.source))).name))
+  }
+  // identity sources move into the path and OUT of the data files;
+  // transform sources stay IN the files (hidden partitioning — the
+  // derived directory only bounds them)
+  private val partSet = specFields.filter(_.isIdentity)
+    .map(_.source.toLowerCase).toSet
   private val fileSchema = StructType(
     schema.fields.filterNot(f => partSet(f.name.toLowerCase)))
-  private val partSpecs: Array[GraftPartCol] = partitionCols.map { c =>
-    val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
-    require(i >= 0, s"graft-orc: partition column $c not in ${schema.simpleString}")
-    val dt = schema.fields(i).dataType
-    // only types whose path text round-trips through read-side inference
-    // (a timestamp written as raw micros would read back as bigint)
-    require(GraftOrcWrite.supportedPartitionType(dt),
-      s"graft-orc: unsupported partition column type ${dt.catalogString} " +
-        s"for $c — supported: string, byte/short/int/long, date, timestamp")
-    GraftPartCol(schema.fields(i).name, i + fieldBase, dt)
+  private val partSpecs: Array[GraftPartCol] = specFields.map { f =>
+    val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(f.source))
+    GraftPartCol(f.dirName, i + fieldBase, schema.fields(i).dataType,
+      f.transform, f.param)
   }.toArray
+  if (specFields.exists(!_.isIdentity)) {
+    require(distributionMode == "none",
+      "graft-orc: graft.distribution_mode=hash over transform " +
+        "partitions is not supported yet — repartition on the source " +
+        "columns before the write instead")
+    // the spec must be PERSISTED to drive reads (pruning needs to know
+    // ts_day derives from ts) — that lives in the manifest table meta
+    // (read the option directly: the `wantManifest` val initializes
+    // further down this class body)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val optedIn = options.exists { case (k, v) =>
+      k.equalsIgnoreCase("graft.manifest") &&
+        GraftOrcDataSource.parseBooleanOption("graft.manifest", v) }
+    require(optedIn ||
+      GraftOrcManifest.readSnapshot(p.getFileSystem(conf), p).isDefined,
+      "graft-orc: transform partitioning (graft.partition_spec) " +
+        "requires a manifest table — add .option(\"graft.manifest\", " +
+        "\"true\") on the first write")
+  }
 
   // per-query staging subtree: concurrent writers to the same table never
   // see (or delete) each other's staged files
@@ -305,7 +363,8 @@ class GraftOrcWrite(path: String, schema: StructType,
                           messages: Array[WriterCommitMessage]): Unit =
         GraftOrcWrite.publish(path, writeId, messages,
           truncateExisting = false, wantManifest = wantManifest,
-          retain = manifestRetain, writeSchema = Some(schema),
+          retain = manifestRetain, writerPartitionCols = partitionCols,
+          writeSchema = Some(schema),
           upsertKeys = upsertKeys, branch = branch)
       override def abort(epochId: Long,
                          messages: Array[WriterCommitMessage]): Unit =
@@ -347,12 +406,27 @@ object GraftOrcWrite {
       catch { case _: java.io.FileNotFoundException => return }
     if (existing.isEmpty) return
 
+    val declared = GraftOrcPartitionSpec.parseCanonical(partitionCols)
     val tableParts = index.partitionColumnNames.map(_.toLowerCase)
-    val newParts = partitionCols.map(_.toLowerCase)
+    // layouts compare by DIRECTORY keys (ts_day for a transform field)
+    val newParts = declared.map(_.dirName.toLowerCase)
     if (tableParts != newParts) throw new IllegalArgumentException(
       s"graft-orc: append partitioned by (${newParts.mkString(", ")}) does " +
         s"not match the table's layout (${tableParts.mkString(", ")}) at " +
         s"$table; use overwrite to change the partition layout")
+    // same directory key, different transform identity (bucket count,
+    // truncate width) would silently corrupt pruning — the persisted
+    // spec is the contract
+    index.tableMeta.map(_.parts).filter(_.nonEmpty).foreach { persisted =>
+      if (GraftOrcPartitionSpec.hasTransforms(persisted) ||
+          GraftOrcPartitionSpec.hasTransforms(partitionCols))
+        require(persisted.map(_.toLowerCase) ==
+            partitionCols.map(_.toLowerCase),
+          s"graft-orc: append partition spec (${declared.map(_.describe)
+            .mkString(", ")}) does not match the table's persisted spec " +
+            s"(${GraftOrcPartitionSpec.parseCanonical(persisted)
+              .map(_.describe).mkString(", ")}) at $table")
+    }
 
     // the persisted table schema (catalog / post-DDL manifest tables)
     // wins: footer samples of an EVOLVED table carry pre-rename names
@@ -561,9 +635,20 @@ object GraftOrcWrite {
     val metaBefore = manifestBefore.flatMap(_.meta)
     var chosenMeta: Option[GraftOrcManifest.TableMeta] =
       (metaBefore, writeSchema) match {
-        case (Some(m), Some(ws)) if truncateExisting && !sameCols(ws, m.schema) =>
+        case (Some(m), Some(ws)) if truncateExisting &&
+            (!sameCols(ws, m.schema) ||
+              m.parts.map(_.toLowerCase) !=
+                writerPartitionCols.map(_.toLowerCase)) =>
           Some(GraftOrcManifest.TableMeta(m.schemaV + 1,
             GraftOrcSchema.assignIds(ws), writerPartitionCols, m.props))
+        case (None, Some(ws)) if (wantManifest || manifestActive) &&
+            GraftOrcPartitionSpec.hasTransforms(writerPartitionCols) =>
+          // hidden partitioning needs its spec persisted (the scan's
+          // transform pruning reads it): establish the table meta on the
+          // FIRST transform-spec write. Identity-only tables keep the
+          // meta-less footer inference exactly as before.
+          Some(GraftOrcManifest.TableMeta(1L,
+            GraftOrcSchema.assignIds(ws), writerPartitionCols, Map.empty))
         case (m, _) => m
       }
     // every file of this commit was written under the CURRENT schema
@@ -916,9 +1001,15 @@ case class GraftOrcCommitMessage(staged: Seq[String],
                                  stats: Map[String, String] = Map.empty)
     extends WriterCommitMessage
 
-/** One partition column of the incoming rows: name, ordinal, type. */
+/** One partition field of the incoming rows: `name` is the DIRECTORY
+  * key (`ts_day` for a transform, the column name for identity),
+  * `index`/`dataType` locate the SOURCE column in the row, and
+  * `transform`/`param` are the [[PartField]] transform ("identity" for
+  * classic hive partitioning).
+  */
 case class GraftPartCol(name: String, index: Int,
-                        dataType: org.apache.spark.sql.types.DataType)
+                        dataType: org.apache.spark.sql.types.DataType,
+                        transform: String = "identity", param: Int = 0)
 
 /** Serializable per-task writer factory for both batch and streaming.
   * `schema` is the FILE schema (partition columns excluded);
@@ -974,6 +1065,14 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
   private def pathValue(row: InternalRow, c: GraftPartCol): String = {
     import org.apache.spark.sql.types._
     if (row.isNullAt(c.index)) return GraftOrcFileIndex.HiveDefaultPartition
+    // hidden-partition transforms derive the directory value from the
+    // source column ([[GraftOrcPartitionSpec.dirValue]]); the source
+    // itself stays IN the data file (unlike identity, which moves it
+    // into the path)
+    if (c.transform != "identity")
+      return GraftOrcWrite.escapePathName(GraftOrcPartitionSpec.dirValue(
+        PartField(c.name, c.transform, c.param),
+        row.get(c.index, c.dataType), c.dataType))
     val raw = c.dataType match {
       case DateType =>
         java.time.LocalDate.ofEpochDay(row.getInt(c.index).toLong).toString

@@ -1,0 +1,331 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftOrcManifest, GraftOrcPartitionSpec, PartField}
+
+/** Hidden partitioning ([[graft.sources.v2.GraftOrcPartitionSpec]], the
+  * Iceberg transform model): `days(ts)` / `bucket(n, id)` /
+  * `truncate(w, s)` derive the directory layout while the SOURCE column
+  * stays in the data files — queries filter on the source and the scan
+  * prunes directories the user never named. The spec pins the layout,
+  * the round trip, the pruning (exact file counts, not just "fewer"),
+  * the null/boundary edges, spec inheritance and its typed errors, and
+  * DML on a transform-partitioned catalog table.
+  */
+class GraftOrcHiddenPartitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def fsOf(dir: String) = new Path(dir).getFileSystem(conf)
+
+  /** 3 UTC days x 4 rows of (ts, id, name, v), ids 0..11, one null-ts +
+    * one null-id row appended.
+    */
+  private def sample = {
+    val base = spark.range(0, 12).selectExpr(
+      "timestamp_micros(cast(1577836800000000 + (id div 4) * 86400000000 " +
+        "+ (id % 4) * 3600000000 as long)) AS ts", // 2020-01-01 + ...
+      "id",
+      "concat('name', lpad(cast(id as string), 2, '0')) AS name",
+      "cast(id * 10 as double) AS v")
+    base.unionByName(spark.sql(
+      "SELECT cast(null as timestamp) AS ts, cast(99 as bigint) AS id, " +
+        "'nullts' AS name, cast(990.0 as double) AS v " +
+        "UNION ALL SELECT timestamp'2020-01-02 03:00:00', " +
+        "cast(null as bigint), 'nullid', 991.0"))
+  }
+
+  private def write(dir: String, spec: String,
+                    df: org.apache.spark.sql.DataFrame = sample): Unit =
+    df.coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.partition_spec", spec)
+      .mode("append").save(dir)
+
+  private def leafDirs(dir: String): Seq[String] = {
+    val fs = fsOf(dir)
+    def walk(p: Path): Seq[String] = fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory && st.getPath.getName.contains("="))
+        walk(st.getPath) :+ st.getPath.getName
+      else Nil
+    }
+    walk(new Path(dir)).sorted
+  }
+
+  private def planned(dir: String,
+                      filters: org.apache.spark.sql.sources.Filter*): Int = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+    val schema = new graft.sources.v2.GraftOrcDataSource().inferSchema(opts)
+    val b = new GraftOrcScanBuilder(schema, opts)
+    b.pushFilters(filters.toArray)
+    b.build().asInstanceOf[GraftOrcScan].planInputPartitions().length
+  }
+
+  test("days(ts): directory layout, hidden column, exact round trip") {
+    val dir = Files.createTempDirectory("graft-hp-days").toString
+    write(dir, "days(ts)")
+    val dirs = leafDirs(dir)
+    assert(dirs == Seq("ts_day=2020-01-01", "ts_day=2020-01-02",
+      "ts_day=2020-01-03", "ts_day=__HIVE_DEFAULT_PARTITION__"),
+      dirs.toString)
+    val back = spark.read.format("graft-orc").load(dir)
+    // the transform directory is NOT a table column; the source is
+    assert(back.columns.toSeq == Seq("ts", "id", "name", "v"))
+    val a = back.orderBy("name").collect().map(_.toSeq).toSeq
+    val b = sample.orderBy("name").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("days(ts): source-column filters prune exact directory counts " +
+    "and return exact results") {
+    val dir = Files.createTempDirectory("graft-hp-prune").toString
+    write(dir, "days(ts)")
+    import org.apache.spark.sql.sources._
+    val full = planned(dir)
+    assert(full == 4, s"one file per day + null dir, got $full")
+    // equality inside a day -> that day only
+    assert(planned(dir, EqualTo("ts",
+      java.time.Instant.parse("2020-01-02T01:00:00Z"))) == 1)
+    // range spanning the boundary micro-exactly: [d2 00:00, d3 00:00]
+    // touches both days
+    assert(planned(dir,
+      GreaterThanOrEqual("ts", java.time.Instant.parse("2020-01-02T00:00:00Z")),
+      LessThanOrEqual("ts", java.time.Instant.parse("2020-01-03T00:00:00Z"))) == 2)
+    // strict < day start excludes that day
+    assert(planned(dir,
+      GreaterThanOrEqual("ts", java.time.Instant.parse("2020-01-02T00:00:00Z")),
+      LessThan("ts", java.time.Instant.parse("2020-01-03T00:00:00Z"))) == 1)
+    // nulls route: IsNull -> only the null dir; IsNotNull drops it
+    assert(planned(dir, IsNull("ts")) == 1)
+    assert(planned(dir, IsNotNull("ts")) == 3)
+    // results stay exact (filters are residual; pruning only skips I/O)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.filter($"ts" >= "2020-01-02" && $"ts" < "2020-01-03")
+      .count() == sample.filter($"ts" >= "2020-01-02" && $"ts" < "2020-01-03")
+      .count())
+    assert(back.filter($"ts".isNull).select("name").as[String]
+      .collect().toSeq == Seq("nullts"))
+  }
+
+  test("bucket(4, id): equality and IN prune to their buckets; ranges " +
+    "keep everything; bucket matches Spark's murmur3 hash") {
+    val dir = Files.createTempDirectory("graft-hp-bucket").toString
+    write(dir, "bucket(4, id)")
+    val dirs = leafDirs(dir)
+    assert(dirs.forall(d => d.startsWith("id_bucket=")), dirs.toString)
+    // the writer's bucket = pmod(hash(id), 4) with Spark's own hash()
+    val expectBuckets = sample.filter($"id".isNotNull)
+      .select(pmod(hash($"id"), lit(4))).distinct()
+      .as[Int].collect().toSet
+    assert(dirs.filterNot(_.contains("__HIVE")).map(
+      _.stripPrefix("id_bucket=").toInt).toSet == expectBuckets)
+    import org.apache.spark.sql.sources._
+    val full = planned(dir)
+    assert(planned(dir, EqualTo("id", 5L)) == 1)
+    val twoBuckets = Seq(5L, 7L).map(i =>
+      GraftOrcPartitionSpec.bucketOf(i,
+        org.apache.spark.sql.types.LongType, 4)).distinct.size
+    assert(planned(dir, In("id", Array[Any](5L, 7L))) == twoBuckets)
+    // no order correspondence: a range must not prune via the BUCKET
+    // (the all-null file still drops through its stat sidecar — that is
+    // the sidecar layer, not the bucket layer)
+    assert(planned(dir, GreaterThan("id", -1L)) == full - 1)
+    assert(planned(dir, IsNull("id")) == 1)
+    // correctness through the engine
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.filter($"id" === 5).select("name").as[String]
+      .collect().toSeq == Seq("name05"))
+    assert(back.filter($"id".isNull).select("name").as[String]
+      .collect().toSeq == Seq("nullid"))
+  }
+
+  test("truncate(4, name): prefix directories; equality and prefix " +
+    "LIKE prune") {
+    val dir = Files.createTempDirectory("graft-hp-trunc").toString
+    write(dir, "truncate(4, name)")
+    val dirs = leafDirs(dir)
+    assert(dirs.contains("name_trunc=name") && dirs.contains(
+      "name_trunc=null"), dirs.toString) // nullts/nullid -> "null"
+    import org.apache.spark.sql.sources._
+    val full = planned(dir)
+    assert(full == 2)
+    assert(planned(dir, EqualTo("name", "name05")) == 1)
+    assert(planned(dir, StringStartsWith("name", "null")) == 1)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.filter($"name" === "name05").count() == 1)
+  }
+
+  test("mixed spec: identity strips its column from files, transforms " +
+    "keep theirs; months/years/hours layouts") {
+    val dir = Files.createTempDirectory("graft-hp-mixed").toString
+    val df = sample.filter($"ts".isNotNull && $"id".isNotNull)
+      .withColumn("cat", expr("if(id < 6, 'a', 'b')"))
+    df.coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.partition_spec", "cat, hours(ts)")
+      .mode("append").save(dir)
+    val dirs = leafDirs(dir)
+    assert(dirs.exists(_.startsWith("cat=")) &&
+      dirs.exists(_.startsWith("ts_hour=2020-01-01-00")), dirs.toString)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.columns.sorted.toSeq == df.columns.sorted.toSeq)
+    assert(back.orderBy("name").collect().map(_.toSeq).toSeq ==
+      df.orderBy("name").collect().map(_.toSeq).toSeq)
+    // a raw file must carry ts (hidden source) but NOT cat (identity)
+    val fs = fsOf(dir)
+    val aFile = fs.listFiles(new Path(dir), true)
+    var orc: Option[Path] = None
+    while (aFile.hasNext && orc.isEmpty) {
+      val f = aFile.next().getPath
+      if (f.getName.endsWith(".orc") && !f.toString.contains("_graft"))
+        orc = Some(f)
+    }
+    val raw = spark.read.orc(orc.get.toString)
+    assert(raw.columns.contains("ts") && !raw.columns.contains("cat"))
+
+    // months / years variants
+    val dirM = Files.createTempDirectory("graft-hp-month").toString
+    write(dirM, "months(ts)")
+    assert(leafDirs(dirM).contains("ts_month=2020-01"))
+    val dirY = Files.createTempDirectory("graft-hp-year").toString
+    write(dirY, "years(ts)")
+    assert(leafDirs(dirY).contains("ts_year=2020"))
+  }
+
+  test("optionless append INHERITS the persisted spec; a conflicting " +
+    "spec and layout-breaking DDL are refused") {
+    val dir = Files.createTempDirectory("graft-hp-inherit").toString
+    write(dir, "days(ts)")
+    // no option, no partitionBy: lands in the same layout
+    sample.coalesce(1).write.format("graft-orc").mode("append").save(dir)
+    assert(spark.read.format("graft-orc").load(dir).count() ==
+      sample.count() * 2)
+    assert(leafDirs(dir).count(_.startsWith("ts_day=2020-01-01")) == 1)
+    val e = intercept[IllegalArgumentException] {
+      write(dir, "days(ts), bucket(4, id)")
+    }
+    assert(e.getMessage.contains("does not match the table's layout"),
+      e.getMessage)
+    // bucket-count drift on the same directory key is caught by the
+    // persisted-spec check
+    val dir2 = Files.createTempDirectory("graft-hp-drift").toString
+    write(dir2, "bucket(4, id)")
+    val e2 = intercept[IllegalArgumentException] { write(dir2, "bucket(8, id)") }
+    assert(e2.getMessage.contains("persisted spec"), e2.getMessage)
+    // the transform SOURCE is layout-load-bearing: renaming it is refused
+    val fs = fsOf(dir)
+    val meta = GraftOrcManifest.readSnapshot(fs, new Path(dir))
+      .get.meta.get
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sources.v2.GraftOrcSchema.renameColumn(meta, "ts", "ts2")
+    }
+    assert(e3.getMessage.contains("cannot rename partition column"),
+      e3.getMessage)
+  }
+
+  test("typed errors: no manifest, hash distribution, blind upsert, " +
+    "bad types, unknown transform") {
+    val dir = Files.createTempDirectory("graft-hp-err").toString
+    val noManifest = intercept[IllegalArgumentException] {
+      sample.write.format("graft-orc")
+        .option("graft.partition_spec", "days(ts)").mode("append").save(dir)
+    }
+    assert(noManifest.getMessage.contains("requires a manifest table"),
+      noManifest.getMessage)
+    val hashMode = intercept[IllegalArgumentException] {
+      sample.write.format("graft-orc")
+        .option("graft.manifest", "true")
+        .option("graft.partition_spec", "days(ts)")
+        .option("graft.distribution_mode", "hash")
+        .mode("append").save(dir)
+    }
+    assert(hashMode.getMessage.contains("not supported yet"),
+      hashMode.getMessage)
+    val badType = intercept[IllegalArgumentException] {
+      sample.write.format("graft-orc")
+        .option("graft.manifest", "true")
+        .option("graft.partition_spec", "hours(name)")
+        .mode("append").save(dir)
+    }
+    assert(badType.getMessage.contains("does not support column type"),
+      badType.getMessage)
+    val unknown = intercept[IllegalArgumentException] {
+      sample.write.format("graft-orc")
+        .option("graft.manifest", "true")
+        .option("graft.partition_spec", "zorder(ts)")
+        .mode("append").save(dir)
+    }
+    assert(unknown.getMessage.contains("unknown partition transform"),
+      unknown.getMessage)
+    // blind upsert refused on a transform-partitioned table
+    val dirB = Files.createTempDirectory("graft-hp-ups").toString
+    write(dirB, "bucket(4, id)")
+    val ups = intercept[IllegalArgumentException] {
+      graft.sources.v2.GraftOrcEqDelete.upsert(spark, dirB,
+        sample.limit(2), Seq("id"))
+    }
+    assert(ups.getMessage.contains("not supported yet"), ups.getMessage)
+  }
+
+  test("catalog: CREATE TABLE PARTITIONED BY (days(ts), bucket(4, id)) " +
+    "+ INSERT + DELETE + UPDATE keep the hidden layout and exact state") {
+    val wh = Files.createTempDirectory("graft-hp-cat").toString
+    spark.conf.set("spark.sql.catalog.hpcat",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.hpcat.warehouse", wh)
+    spark.sql("CREATE TABLE hpcat.ev (ts TIMESTAMP, id BIGINT, " +
+      "name STRING, v DOUBLE) PARTITIONED BY (days(ts), bucket(4, id))")
+    sample.filter($"ts".isNotNull && $"id".isNotNull)
+      .createOrReplaceTempView("hp_src")
+    spark.sql("INSERT INTO hpcat.ev SELECT * FROM hp_src")
+    val dirs = leafDirs(s"$wh/ev")
+    assert(dirs.exists(_.startsWith("ts_day=")) &&
+      dirs.exists(_.startsWith("id_bucket=")), dirs.toString)
+    assert(spark.sql("SELECT * FROM hpcat.ev").count() == 12)
+    // DESCRIBE surfaces the REAL transforms
+    val descr = spark.sql("DESCRIBE TABLE hpcat.ev").collect()
+      .map(_.toSeq.mkString(" ")).mkString("\n")
+    assert(descr.contains("days(ts)") && descr.contains("bucket(4, id)"),
+      descr)
+    spark.sql("DELETE FROM hpcat.ev WHERE id = 5")
+    assert(spark.sql("SELECT count(*) FROM hpcat.ev").as[Long].head == 11)
+    spark.sql("UPDATE hpcat.ev SET v = v + 1000 WHERE id = 6")
+    assert(spark.sql("SELECT v FROM hpcat.ev WHERE id = 6")
+      .as[Double].head == 1060.0)
+    // rewritten files stayed inside transform dirs (no bare files at
+    // the root, layout intact)
+    val after = leafDirs(s"$wh/ev")
+    assert(after.forall(d => d.startsWith("ts_day=") ||
+      d.startsWith("id_bucket=")), after.toString)
+    // pruning still exact post-DML through SQL (filter on the source)
+    assert(spark.sql("SELECT name FROM hpcat.ev WHERE id = 6")
+      .as[String].collect().toSeq == Seq("name06"))
+    spark.sql("DROP TABLE hpcat.ev")
+  }
+
+  test("spec parsing round-trips and rejects junk") {
+    val spec = GraftOrcPartitionSpec.parseOption(
+      "days(ts), bucket(16, id), truncate(4, name), cat")
+    assert(spec == Seq(PartField("ts", "day"),
+      PartField("id", "bucket", 16), PartField("name", "trunc", 4),
+      PartField("cat", "identity")))
+    assert(GraftOrcPartitionSpec.parseCanonical(spec.map(_.canonical))
+      == spec)
+    // operand order tolerance
+    assert(GraftOrcPartitionSpec.parseOption("bucket(id, 16)") ==
+      Seq(PartField("id", "bucket", 16)))
+    intercept[IllegalArgumentException] {
+      GraftOrcPartitionSpec.parseOption("bucket(id)") }
+    intercept[IllegalArgumentException] {
+      GraftOrcPartitionSpec.parseOption("days(a, b)") }
+  }
+}
