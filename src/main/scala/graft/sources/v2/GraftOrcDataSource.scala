@@ -365,9 +365,12 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     // time-travel selectors ride table props when the CATALOG loads a
     // `VERSION AS OF` / `TIMESTAMP AS OF` relation — the scan must see
     // them exactly like read options
+    // preserve_partitioning rides TBLPROPERTIES too: a catalog table
+    // created for SPJ (bucket/identity transforms) opts in once at DDL
+    // time instead of on every read
     Seq("path", "paths", "location",
         "graft.snapshot_id", "graft.as_of_timestamp", "graft.tag",
-        "graft.branch")
+        "graft.branch", "graft.preserve_partitioning")
       .foreach { k =>
       if (!options.containsKey(k)) props.get(k).foreach(v => merged.put(k, v))
     }
@@ -962,18 +965,29 @@ case class GraftOrcInputPartition(filePath: String, start: Long, length: Long,
                                   fileLength: Long,
                                   partitionTypes: Array[DataType] = Array.empty,
                                   schemaV: Long = 0L,
-                                  fileMtime: Long = 0L)
+                                  fileMtime: Long = 0L,
+                                  hiddenKeyRaw: Array[String] = Array.empty,
+                                  hiddenKeyCanon: Array[String] = Array.empty,
+                                  hiddenKeySrcTypes: Array[DataType] =
+                                    Array.empty)
   extends InputPartition with HasPartitionKey {
   // Storage-partitioned joins: Spark groups splits of hive-partitioned
   // tables by this key (driver-side, InternalRow equality/ordering), so
   // co-partitioned joins plan with ZERO shuffle. Types ride alongside the
   // raw strings; an empty-typed partition (streaming constructs) yields
   // an empty key, which is never consulted — SPJ only engages when the
-  // scan reports KeyGroupedPartitioning.
+  // scan reports KeyGroupedPartitioning. Hidden-partition transform keys
+  // (bucket/day dirs, [[GraftOrcPartitionSpec.keyValue]]) follow the
+  // identity values, in the exact order outputPartitioning reported.
   @transient private lazy val key: InternalRow = new GenericInternalRow(
     partitionValues.zip(partitionTypes).map { case (raw, dt) =>
       GraftOrcDataSource.internalPartitionValue(raw, dt)
-    }.toArray[Any])
+    }.toArray[Any] ++
+      hiddenKeyRaw.lazyZip(hiddenKeyCanon).lazyZip(hiddenKeySrcTypes)
+        .map { case (raw, canon, st) =>
+          GraftOrcPartitionSpec.keyValue(
+            GraftOrcPartitionSpec.parseCanonical(Seq(canon)).head, raw, st)
+        }.toArray[Any])
   override def partitionKey(): InternalRow = key
 }
 
@@ -1228,21 +1242,49 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
         GraftOrcDataSource.parseBooleanOption(
           "graft.preserve_partitioning", v)
     }.getOrElse(false)
-    if (!optIn || readPartitionSchema.fields.isEmpty)
+    if (!optIn ||
+        (readPartitionSchema.fields.isEmpty && spjHiddenKeys.isEmpty))
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
     else {
-      val keys = readPartitionSchema.fields
-        .map(f => Expressions.identity(f.name)
+      // identity keys (requested partition columns), then transform keys
+      // (bucket/days/... whose SOURCE column is in the output, resolved
+      // by Spark against this table's FunctionCatalog — the
+      // GraftOrcFunctions system functions). A bucket(16, key) table
+      // pair joins on `key` with ZERO exchanges at 16 groups — the SPJ
+      // shape identity partitioning cannot give a high-cardinality key.
+      val keys: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        readPartitionSchema.fields
+          .map(f => Expressions.identity(f.name)
+            : org.apache.spark.sql.connector.expressions.Expression) ++
+        spjHiddenKeys.map(f => GraftOrcPartitionSpec.toTransform(f)
           : org.apache.spark.sql.connector.expressions.Expression)
       // advisory count from the raw listing (the exec regroups the
       // actual post-pruning splits and uses ITS count): no sidecar
       // decode, no second pruning pass at plan time
-      val n = index.entries.map(e => partValuesFor(e).toSeq).distinct.size
+      val n = index.entries
+        .map(e => (partValuesFor(e).toSeq, hiddenKeyRawFor(e).toSeq))
+        .distinct.size
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(keys, math.max(n, 1))
     }
   }
+
+  /** Transform spec fields reported as SPJ partition keys: those whose
+    * source column is in the read output (Spark resolves the transform
+    * expression against the relation's output attributes). Order is the
+    * spec's — partition key rows append these after the identity values.
+    */
+  private lazy val spjHiddenKeys: Seq[PartField] =
+    hiddenSpec.filter(f => readDataSchema.fields
+      .exists(_.name.equalsIgnoreCase(f.source)))
+
+  private def hiddenKeyRawFor(e: OrcFileEntry): Array[String] =
+    spjHiddenKeys.toArray.map { f =>
+      e.partitionValues.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(f.dirName) => v
+      }.orNull
+    }
 
   /** Micro-batch streaming read: the directory is the stream, each batch
     * covers the files that appeared since the last (mtime, path)
@@ -1545,10 +1587,16 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     def partValues(e: OrcFileEntry): Array[String] = partValuesFor(e)
     val partTypes = readPartitionSchema.fields.map(_.dataType)
+    // SPJ transform keys (empty unless this scan reports them)
+    val hidCanon = spjHiddenKeys.toArray.map(_.canonical)
+    val hidSrcTypes = spjHiddenKeys.toArray.map(f =>
+      dataFileSchema.fields.find(_.name.equalsIgnoreCase(f.source))
+        .map(_.dataType).getOrElse(StringType))
+    def hidRaw(e: OrcFileEntry): Array[String] = hiddenKeyRawFor(e)
     val (small, big) = selectedFiles.partition(_.length <= targetSplitBytes)
     val smallParts = small.map(e =>
       GraftOrcInputPartition(e.path, 0, e.length, partValues(e), e.length,
-        partTypes, e.schemaV, e.mtime))
+        partTypes, e.schemaV, e.mtime, hidRaw(e), hidCanon, hidSrcTypes))
     val bigParts = GraftOrcFileIndex.parallelMap(big, metaParallelism) { e =>
       val r = OrcFile.createReader(new Path(e.path), OrcFile.readerOptions(conf))
       val stripes =
@@ -1566,12 +1614,13 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       }
       if (start >= 0) splits += ((start, end - start))
       val vs = partValues(e)
+      val hv = hidRaw(e)
       if (splits.isEmpty)
         Seq(GraftOrcInputPartition(e.path, 0, e.length, vs, e.length,
-          partTypes, e.schemaV, e.mtime))
+          partTypes, e.schemaV, e.mtime, hv, hidCanon, hidSrcTypes))
       else splits.map { case (s, l) =>
         GraftOrcInputPartition(e.path, s, l, vs, e.length, partTypes,
-          e.schemaV, e.mtime)
+          e.schemaV, e.mtime, hv, hidCanon, hidSrcTypes)
       }
     }.flatten
     (smallParts ++ bigParts).toArray

@@ -306,6 +306,50 @@ object GraftOrcPartitionSpec {
         s"graft-orc: dirValue on transform $other")
     }
 
+  // ---- storage-partitioned-join keys ----------------------------------
+
+  /** Catalyst type of one transform field's PARTITION KEY — must agree
+    * with the `resultType` of the matching [[GraftOrcFunctions]]
+    * transform function (days → DATE, bucket/months/years/hours → INT,
+    * truncate → the source type), or SPJ key grouping and the resolved
+    * transform expression would disagree.
+    */
+  def keyType(f: PartField, srcType: DataType): DataType = f.transform match {
+    case "identity" | "trunc" => srcType
+    case "day" => DateType
+    case _ => IntegerType
+  }
+
+  /** Decode one transform DIRECTORY value to its partition-key internal
+    * value — the inverse of [[dirValue]] into the [[keyType]] domain.
+    * Must match the transform function's `produceResult` on any row of
+    * that directory.
+    */
+  def keyValue(f: PartField, raw: String, srcType: DataType): Any = {
+    if (raw == null) return null
+    f.transform match {
+      case "bucket" => raw.toInt
+      case "day" => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case "month" =>
+        val ym = java.time.YearMonth.parse(raw)
+        (ym.getYear - 1970) * 12 + ym.getMonthValue - 1
+      case "year" => raw.toInt - 1970
+      case "hour" =>
+        val p = raw.split('-')
+        (java.time.LocalDateTime.of(p(0).toInt, p(1).toInt, p(2).toInt,
+          p(3).toInt, 0).toEpochSecond(java.time.ZoneOffset.UTC) / 3600L)
+          .toInt
+      case "trunc" => srcType match {
+        case StringType =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+        case LongType => raw.toLong
+        case _ => raw.toInt
+      }
+      case "identity" =>
+        GraftOrcDataSource.internalPartitionValue(raw, srcType)
+    }
+  }
+
   // ---- read-side pruning ----------------------------------------------
 
   /** The SOURCE-column value range one transform directory guarantees:

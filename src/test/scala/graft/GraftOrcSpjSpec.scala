@@ -73,6 +73,49 @@ class GraftOrcSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket(8, key) TRANSFORM tables join shuffle-free on the raw " +
+    "key: the catalog-resolved bucket function matches both sides") {
+    withSpjConf {
+      val wh = Files.createTempDirectory("graft-spj-bucket-wh").toString
+      spark.conf.set("spark.sql.catalog.spjcat",
+        "graft.sources.v2.GraftOrcCatalog")
+      spark.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+      spark.sql("CREATE TABLE spjcat.cust (ck BIGINT, bal DOUBLE) " +
+        "PARTITIONED BY (bucket(8, ck)) " +
+        "TBLPROPERTIES('graft.preserve_partitioning'='true')")
+      spark.sql("CREATE TABLE spjcat.ord (ck BIGINT, price DOUBLE) " +
+        "PARTITIONED BY (bucket(8, ck)) " +
+        "TBLPROPERTIES('graft.preserve_partitioning'='true')")
+      Tables.customer(spark, TestSpark.sf0001)
+        .selectExpr("cast(c_custkey as bigint) AS ck",
+          "cast(c_acctbal as double) AS bal")
+        .createOrReplaceTempView("spj_cust_src")
+      Tables.orders(spark, TestSpark.sf0001)
+        .selectExpr("cast(o_custkey as bigint) AS ck",
+          "cast(o_totalprice as double) AS price")
+        .createOrReplaceTempView("spj_ord_src")
+      spark.sql("INSERT INTO spjcat.cust SELECT * FROM spj_cust_src")
+      spark.sql("INSERT INTO spjcat.ord SELECT * FROM spj_ord_src")
+      // high-cardinality key (1.5k customers at sf0.001; millions at
+      // scale) — identity partitioning could never SPJ this; 8 bucket
+      // groups can
+      val joined = spark.sql(
+        "SELECT c.ck, count(*) AS orders_n FROM spjcat.cust c " +
+          "JOIN spjcat.ord o ON c.ck = o.ck GROUP BY c.ck ORDER BY c.ck")
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket SPJ must elide both join-side shuffles:\n$plan")
+      val expect = spark.sql(
+        "SELECT c.ck, count(*) AS orders_n FROM spj_cust_src c " +
+          "JOIN spj_ord_src o ON c.ck = o.ck GROUP BY c.ck ORDER BY c.ck")
+        .collect()
+      assert(rows.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+      spark.sql("DROP TABLE spjcat.cust")
+      spark.sql("DROP TABLE spjcat.ord")
+    }
+  }
+
   test("mismatched partition sets: a side missing partitions still " +
     "joins shuffle-free (pushed partition values) and exactly") {
     withSpjConf {
