@@ -119,6 +119,48 @@ object CatalogOps {
              |FROM seeded WHERE c_custkey % 10 = 0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ------------------------------------- partition-spec evolution (API)
+    // Iceberg partition evolution: half of orders lands under
+    // bucket(4, o_custkey); ONE metadata commit re-specs the table to
+    // bucket(8, o_custkey) + days(o_orderdate); the other half lands
+    // under the new layout. The final read filters on the raw source
+    // columns across BOTH generations — old files prune by their own
+    // bucket(4) dirs (and are never pruned by the day field they
+    // predate), new files by bucket(8) x day. No data was rewritten at
+    // any point; at 100 TB this is how a table re-partitions as it
+    // grows without a multi-day rewrite job
+    // (GraftOrcSpecEvolutionSpec pins the per-generation planned file
+    // counts; this entry pins the results under the oracle).
+    QueryDef("ev_partition_evolution",
+      (s, d) => {
+        import graft.sources.v2.GraftOrcSchema
+        val dir = freshDir("pevo")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0).repartition(2)
+          .write.format("graft-orc").option("graft.manifest", "true")
+          .option("graft.partition_spec", "bucket(4, o_custkey)")
+          .mode("append").save(dir)
+        GraftOrcSchema.setPartitionSpec(
+          s.sparkContext.hadoopConfiguration, dir,
+          "bucket(8, o_custkey), days(o_orderdate)")
+        o.filter(col("o_orderkey") % 2 === 1).repartition(2)
+          .write.format("graft-orc").mode("append").save(dir)
+        s.read.format("graft-orc").load(dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01") &&
+            col("o_custkey") % 10 === 7)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |  AND o_custkey % 10 = 7
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---------------------------------------------- catalog SQL (DDL+DML)
     // The whole lakehouse loop in pure SQL against the catalog. DELETE
     // runs BEFORE the rename (classification under the original name),

@@ -673,8 +673,11 @@ class GraftOrcScanBuilder(dataSchema: StructType,
     // pushdown toggle (this is partition pruning, not predicate
     // pushdown; the filter itself always stays residual)
     hiddenFilters = {
+      // sources of EVERY spec that ever applied — after evolution, old
+      // files still prune by their own (historical) transform fields
       val srcs = fileIndex.tableMeta.map(m => GraftOrcPartitionSpec
-          .parseCanonical(m.parts).filterNot(_.isIdentity)
+          .allSpecs(m).flatMap(GraftOrcPartitionSpec.parseCanonical)
+          .filterNot(_.isIdentity)
           .map(_.source.toLowerCase).toSet).getOrElse(Set.empty)
       if (srcs.isEmpty) Array.empty
       else rest.filter(f => f.references.nonEmpty &&
@@ -1171,11 +1174,33 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
   private[v2] def pruneEntries(entries: Seq[OrcFileEntry],
                                pruning: Seq[Filter]): Seq[OrcFileEntry] = {
     val base = pruneIdentity(entries, pruning)
-    if (hiddenSpec.isEmpty) base
-    else GraftOrcPartitionSpec.hiddenPrune(base,
-      (dataFilters ++ hiddenFilters ++ pruning).distinct.toSeq, hiddenSpec,
+    val meta = index.tableMeta
+    if (meta.isEmpty) return base
+    val m = meta.get
+    val filters = (dataFilters ++ hiddenFilters ++ pruning).distinct.toSeq
+    if (filters.isEmpty) return base
+    val typeOf: String => Option[DataType] =
       name => dataFileSchema.fields.collectFirst {
-        case f if f.name.equalsIgnoreCase(name) => f.dataType })
+        case f if f.name.equalsIgnoreCase(name) => f.dataType }
+    if (!GraftOrcPartitionSpec.specEvolved(m)) {
+      if (hiddenSpec.isEmpty) base
+      else GraftOrcPartitionSpec.hiddenPrune(base, filters, hiddenSpec,
+        typeOf)
+    } else {
+      // partition-spec EVOLUTION: each file prunes under the spec it was
+      // written with (absent directories of later-added fields resolve
+      // as unknown and keep the file) — order preserved, spec parse
+      // memoized per schema version
+      val specByV = collection.mutable.Map.empty[Long, Seq[PartField]]
+      base.filter { e =>
+        val spec = specByV.getOrElseUpdate(e.schemaV,
+          GraftOrcPartitionSpec.parseCanonical(
+            GraftOrcPartitionSpec.specForVersion(m, e.schemaV))
+            .filterNot(_.isIdentity))
+        spec.isEmpty || GraftOrcPartitionSpec
+          .hiddenPrune(Seq(e), filters, spec, typeOf).nonEmpty
+      }
+    }
   }
 
   private def pruneIdentity(entries: Seq[OrcFileEntry],
@@ -1275,9 +1300,21 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     * expression against the relation's output attributes). Order is the
     * spec's — partition key rows append these after the identity values.
     */
-  private lazy val spjHiddenKeys: Seq[PartField] =
-    hiddenSpec.filter(f => readDataSchema.fields
+  private lazy val spjHiddenKeys: Seq[PartField] = {
+    // a table whose spec EVOLVED only reports transform keys while every
+    // listed file postdates the current spec's activation (older files
+    // lack the current directories — their key slots would read null and
+    // mis-group); identity keys stay valid regardless (evolution cannot
+    // change the identity set)
+    val uniformSpec = index.tableMeta.forall { m =>
+      !GraftOrcPartitionSpec.specEvolved(m) ||
+        m.props.get(GraftOrcPartitionSpec.SinceProp).map(_.toLong)
+          .forall(s => index.entries.forall(_.schemaV >= s))
+    }
+    if (!uniformSpec) Nil
+    else hiddenSpec.filter(f => readDataSchema.fields
       .exists(_.name.equalsIgnoreCase(f.source)))
+  }
 
   private def hiddenKeyRawFor(e: OrcFileEntry): Array[String] =
     spjHiddenKeys.toArray.map { f =>

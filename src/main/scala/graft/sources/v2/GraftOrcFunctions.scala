@@ -195,7 +195,7 @@ object GraftOrcFunctions {
       require(inputType.fields.length == 1,
         s"$fname expects one column, got ${inputType.fields.length} args")
       val vType = inputType.fields(0).dataType
-      require(vType == TimestampType ||
+      require(vType == TimestampType || vType == TimestampNTZType ||
         (vType == DateType && fname != "hours"),
         s"$fname does not support ${vType.catalogString}")
       new ScalarFunction[Integer] {

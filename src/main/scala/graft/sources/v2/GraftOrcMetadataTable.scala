@@ -77,9 +77,15 @@ object GraftOrcMetadataTable {
                              table: Path): Seq[String] = {
     val snap = GraftOrcManifest.readSnapshot(fs, table)
     // DIRECTORY keys (ts_day for a transform field): the partitions
-    // metadata table rolls up what is physically on disk
-    snap.flatMap(_.meta).map(p => GraftOrcPartitionSpec
-        .parseCanonical(p.parts).map(_.dirName)).filter(_.nonEmpty)
+    // metadata table rolls up what is physically on disk — after spec
+    // EVOLUTION that is the union over every spec that ever applied
+    // (current spec's keys first; old files surface their historical
+    // dirs, null where a file predates a field)
+    snap.flatMap(_.meta).map { m =>
+      GraftOrcPartitionSpec.allSpecs(m)
+        .flatMap(p => GraftOrcPartitionSpec.parseCanonical(p)
+          .map(_.dirName)).distinct
+    }.filter(_.nonEmpty)
       .getOrElse(
         snap.map(_.entries).getOrElse(Nil)
           .map(_.partitionValues.keys.toSeq)

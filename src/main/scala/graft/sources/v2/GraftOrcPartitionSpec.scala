@@ -239,9 +239,11 @@ object GraftOrcPartitionSpec {
       else {
         val ok = f.transform match {
           case "day" | "month" | "year" =>
-            dt == TimestampType || dt == DateType
-          case "hour" => dt == TimestampType
-          case "bucket" => GraftOrcWrite.supportedPartitionType(dt)
+            dt == TimestampType || dt == DateType ||
+              dt == TimestampNTZType
+          case "hour" => dt == TimestampType || dt == TimestampNTZType
+          case "bucket" => GraftOrcWrite.supportedPartitionType(dt) ||
+            dt == TimestampNTZType
           case "trunc" => dt == StringType || dt == IntegerType ||
             dt == LongType || dt == ShortType || dt == ByteType
           case _ => false
@@ -258,7 +260,8 @@ object GraftOrcPartitionSpec {
     dt match {
       case DateType =>
         java.time.LocalDate.ofEpochDay(value.asInstanceOf[Int].toLong)
-      case TimestampType =>
+      // NTZ micros are wall-clock-as-if-UTC: identical arithmetic
+      case TimestampType | TimestampNTZType =>
         val micros = value.asInstanceOf[Long]
         java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(micros, 1000000L),
@@ -305,6 +308,56 @@ object GraftOrcPartitionSpec {
       case other => throw new IllegalStateException(
         s"graft-orc: dirValue on transform $other")
     }
+
+  // ---- partition-spec evolution ---------------------------------------
+  // The CURRENT spec lives in TableMeta.parts; when it changes
+  // (set_partition_spec — a metadata-only commit, Iceberg's partition
+  // evolution), the outgoing spec is appended to a history prop and the
+  // new spec's activation schema-version recorded. A data file's
+  // effective spec is resolved from the schemaV it was written under,
+  // so old files keep pruning by THEIR directories while new files use
+  // the new layout — no rewrite, ever. Reserved props (filtered from
+  // user TBLPROPERTIES surfaces like any graft.* key):
+  //   graft.parts.since    — schemaV at which TableMeta.parts activated
+  //   graft.parts.history  — `<activationV>=<spec ,-joined>` joined by `;`
+  //                          (spec canonical forms are , and ; free)
+
+  val SinceProp = "graft.parts.since"
+  val HistoryProp = "graft.parts.history"
+
+  def decodeHistory(props: Map[String, String]): Seq[(Long, Seq[String])] =
+    props.get(HistoryProp).map(_.split(';').toSeq.filter(_.nonEmpty).map {
+      seg =>
+        val i = seg.indexOf('=')
+        (seg.substring(0, i).toLong,
+          seg.substring(i + 1).split(',').toSeq.filter(_.nonEmpty))
+    }.sortBy(_._1)).getOrElse(Nil)
+
+  def encodeHistory(h: Seq[(Long, Seq[String])]): String =
+    h.sortBy(_._1).map { case (v, s) => s"$v=${s.mkString(",")}" }
+      .mkString(";")
+
+  /** Has the spec ever changed? (Gates SPJ transform keys: mixed-spec
+    * files cannot share one key layout.)
+    */
+  def specEvolved(meta: GraftOrcManifest.TableMeta): Boolean =
+    meta.props.contains(SinceProp)
+
+  /** The spec in force for a file written under schema version `v`. */
+  def specForVersion(meta: GraftOrcManifest.TableMeta,
+                     v: Long): Seq[String] =
+    meta.props.get(SinceProp).map(_.toLong) match {
+      case Some(since) if v < since =>
+        decodeHistory(meta.props).filter(_._1 <= v).lastOption
+          .map(_._2).getOrElse(meta.parts)
+      case _ => meta.parts
+    }
+
+  /** Every spec that ever applied (current first) — for filter
+    * collection and metadata-table directory unions.
+    */
+  def allSpecs(meta: GraftOrcManifest.TableMeta): Seq[Seq[String]] =
+    meta.parts +: decodeHistory(meta.props).map(_._2).reverse
 
   // ---- storage-partitioned-join keys ----------------------------------
 
@@ -523,10 +576,14 @@ object GraftOrcPartitionSpec {
       }
       val bucketDirs: String => Option[(Int, DataType, Option[Int])] =
         name => bucketFields.find(_.source.equalsIgnoreCase(name))
-          .flatMap(f => typeOf(f.source).map { dt =>
-            val dir = rawDir(f).flatMap(r =>
-              scala.util.Try(r.toInt).toOption)
-            (f.param, dt, dir)
+          .flatMap(f => typeOf(f.source).flatMap { dt =>
+            // ABSENT directory (a file written before this field joined
+            // the spec — spec evolution) is unknown, NOT the null
+            // partition: yield no lookup so the file is kept
+            rawDir(f).map { raw =>
+              (f.param, dt,
+                Option(raw).flatMap(r => scala.util.Try(r.toInt).toOption))
+            }
           })
       filters.forall(f => OrcStatsEval.mayMatch(f, ranges)) &&
         filters.forall(f => !bucketEval(f, bucketDirs).contains(false))

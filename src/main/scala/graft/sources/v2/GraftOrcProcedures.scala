@@ -168,6 +168,25 @@ object GraftOrcProcedures {
       }
     },
 
+    proc("set_partition_spec",
+      "partition-spec EVOLUTION: replace the table's transform spec as " +
+        "one metadata commit — existing files keep pruning by their own " +
+        "layout, new writes use the new one (no rewrite); identity " +
+        "fields cannot change",
+      Array(
+        in("table", StringType),
+        in("spec", StringType)),
+      StructType(Seq(
+        StructField("spec", StringType),
+        StructField("schema_version", LongType)))) { (spark, args) =>
+      val table = resolve(str(args, 0))
+      val meta = GraftOrcSchema.setPartitionSpec(
+        spark.sparkContext.hadoopConfiguration, table, str(args, 1))
+      row(UTF8String.fromString(GraftOrcPartitionSpec
+          .parseCanonical(meta.parts).map(_.describe).mkString(", ")),
+        meta.schemaV)
+    },
+
     proc("create_tag",
       "pin a retained snapshot under a name, exempt from expiry until " +
         "dropped (reproducible-run handle)",

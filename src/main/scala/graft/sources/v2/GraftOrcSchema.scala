@@ -314,6 +314,54 @@ object GraftOrcSchema {
     * surface as ConcurrentModificationException like any other commit;
     * the caller retries on fresh state.
     */
+  /** Partition-spec EVOLUTION (Iceberg's partition evolution as one
+    * atomic metadata commit): replace the current spec; files written
+    * before keep resolving — and PRUNING — by their own layout
+    * ([[GraftOrcPartitionSpec.specForVersion]]), so no data is ever
+    * rewritten. The IDENTITY column set must not change: identity
+    * values live in directory paths, not data files, so adding or
+    * removing one would force a rewrite — refused with a typed error;
+    * transform fields (bucket/days/truncate) add, drop and
+    * re-parameterize freely, which is where evolution earns its keep
+    * (bucket(8) -> bucket(64) as the table grows 100x).
+    */
+  def setPartitionSpec(meta: GraftOrcManifest.TableMeta,
+                       newParts: Seq[String])
+      : GraftOrcManifest.TableMeta = {
+    import GraftOrcPartitionSpec.{HistoryProp, SinceProp}
+    val newSpec = GraftOrcPartitionSpec.parseCanonical(newParts)
+    GraftOrcPartitionSpec.validate(meta.schema, newSpec)
+    val canon = newSpec.map(_.canonical)
+    require(meta.parts.map(_.toLowerCase) != canon.map(_.toLowerCase),
+      s"graft-orc: the partition spec is already " +
+        s"(${newSpec.map(_.describe).mkString(", ")})")
+    val oldId = GraftOrcPartitionSpec.parseCanonical(meta.parts)
+      .filter(_.isIdentity).map(_.source.toLowerCase).toSet
+    val newId = newSpec.filter(_.isIdentity).map(_.source.toLowerCase).toSet
+    require(oldId == newId,
+      "graft-orc: partition-spec evolution cannot add or remove " +
+        "IDENTITY fields (their values live in paths, not data files — " +
+        s"that change needs a rewrite); identity before: " +
+        s"[${oldId.toSeq.sorted.mkString(", ")}], after: " +
+        s"[${newId.toSeq.sorted.mkString(", ")}]. Transform fields " +
+        "(bucket/days/truncate/...) evolve freely")
+    val v = meta.schemaV + 1
+    val hist = GraftOrcPartitionSpec.decodeHistory(meta.props) :+
+      ((meta.props.get(SinceProp).map(_.toLong).getOrElse(0L), meta.parts))
+    meta.copy(schemaV = v, parts = canon,
+      props = meta.props +
+        (SinceProp -> v.toString) +
+        (HistoryProp -> GraftOrcPartitionSpec.encodeHistory(hist)))
+  }
+
+  /** Path-level entry: `setPartitionSpec` through the same optimistic
+    * DDL commit loop as every other metadata change.
+    */
+  def setPartitionSpec(conf: Configuration, table: String,
+                       spec: String): GraftOrcManifest.TableMeta =
+    alter(conf, table)(m => setPartitionSpec(m,
+      GraftOrcPartitionSpec.parseOption(spec).map(_.canonical)))
+
   def alter(conf: Configuration, table: String)(
       change: GraftOrcManifest.TableMeta => GraftOrcManifest.TableMeta)
       : GraftOrcManifest.TableMeta = {

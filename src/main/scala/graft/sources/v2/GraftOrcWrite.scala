@@ -407,27 +407,34 @@ object GraftOrcWrite {
     if (existing.isEmpty) return
 
     val declared = GraftOrcPartitionSpec.parseCanonical(partitionCols)
-    val tableParts = index.partitionColumnNames.map(_.toLowerCase)
-    // layouts compare by DIRECTORY keys (ts_day for a transform field)
-    val newParts = declared.map(_.dirName.toLowerCase)
-    if (tableParts != newParts) throw new IllegalArgumentException(
-      s"graft-orc: append partitioned by (${newParts.mkString(", ")}) does " +
-        s"not match the table's layout (${tableParts.mkString(", ")}) at " +
-        s"$table; use overwrite to change the partition layout")
-    // same directory key, different transform identity (bucket count,
-    // truncate width) would silently corrupt pruning — the persisted
-    // spec is the contract
-    index.tableMeta.map(_.parts).filter(_.nonEmpty).foreach { persisted =>
-      if (GraftOrcPartitionSpec.hasTransforms(persisted) ||
-          GraftOrcPartitionSpec.hasTransforms(partitionCols))
+    index.tableMeta.map(_.parts).filter(p =>
+        p.nonEmpty || partitionCols.nonEmpty) match {
+      case Some(persisted) =>
+        // spec tables: the PERSISTED spec is the contract — the physical
+        // union of directory keys can legitimately span evolved specs,
+        // and a same-key different-parameter drift (bucket count,
+        // truncate width) would silently corrupt pruning
         require(persisted.map(_.toLowerCase) ==
             partitionCols.map(_.toLowerCase),
           s"graft-orc: append partition spec (${declared.map(_.describe)
             .mkString(", ")}) does not match the table's persisted spec " +
             s"(${GraftOrcPartitionSpec.parseCanonical(persisted)
               .map(_.describe).mkString(", ")}) at $table")
+      case None =>
+        // layout-discovered tables compare by DIRECTORY keys
+        val tableParts = index.partitionColumnNames.map(_.toLowerCase)
+        val newParts = declared.map(_.dirName.toLowerCase)
+        if (tableParts != newParts) throw new IllegalArgumentException(
+          s"graft-orc: append partitioned by (${newParts.mkString(", ")}) " +
+            s"does not match the table's layout " +
+            s"(${tableParts.mkString(", ")}) at " +
+            s"$table; use overwrite to change the partition layout")
     }
 
+    // only IDENTITY fields move out of the data files (hidden transform
+    // sources stay in them and must be present in the incoming rows)
+    val identityCols = declared.filter(_.isIdentity)
+      .map(_.source.toLowerCase).toSet
     // the persisted table schema (catalog / post-DDL manifest tables)
     // wins: footer samples of an EVOLVED table carry pre-rename names
     // and would reject a correctly-shaped append. Fallback: data-file
@@ -435,7 +442,7 @@ object GraftOrcWrite {
     // last; take from both ends to catch drift cheaply)
     val fileSchema = index.tableMeta.map(m =>
       StructType(m.schema.fields.filterNot(f =>
-        tableParts.contains(f.name.toLowerCase)))).getOrElse {
+        identityCols(f.name.toLowerCase)))).getOrElse {
       val sample =
         (existing.take(4) ++ existing.takeRight(4)).map(_.path).distinct
       graft.sources.OrcTables.inferSchema(spark, sample)
@@ -443,7 +450,7 @@ object GraftOrcWrite {
     val wantByName = fileSchema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     val incomingData =
-      incoming.fields.filterNot(f => newParts.contains(f.name.toLowerCase))
+      incoming.fields.filterNot(f => identityCols(f.name.toLowerCase))
     val gotNames = incomingData.map(_.name.toLowerCase).toSet
     val missing = wantByName.keySet -- gotNames
     val extra = gotNames -- wantByName.keySet

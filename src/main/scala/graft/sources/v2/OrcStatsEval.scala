@@ -52,6 +52,11 @@ object OrcStatsEval {
     case t: java.sql.Timestamp => EpochMicros(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
     case t: java.time.Instant =>
       EpochMicros(t.getEpochSecond * 1000000L + t.getNano / 1000)
+    // TIMESTAMP_NTZ filter literals: wall-clock-as-if-UTC micros, the
+    // same internal convention Spark uses for the column values
+    case t: java.time.LocalDateTime =>
+      EpochMicros(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000)
     case other => other
   }
 
