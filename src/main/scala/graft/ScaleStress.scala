@@ -219,7 +219,8 @@ object ScaleStress {
     val perplexityMode = args.lift(1).contains("perplexity")
     val spjMode = args.lift(1).contains("spj")
     val morMode = args.lift(1).contains("mor")
-    val evoMode = args.lift(1).contains("evo")
+    val specEvoMode = args.lift(1).contains("specevo")
+    val evoMode = !specEvoMode && args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
     val concurrentMode = args.lift(1).contains("concurrent")
     val wapMode = args.lift(1).contains("wap")
@@ -227,7 +228,7 @@ object ScaleStress {
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
-      wapMode || hiddenMode
+      wapMode || hiddenMode || specEvoMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -779,6 +780,88 @@ object ScaleStress {
           s""""planned_day":$pDay,"planned_day_bucket":$pDayUser,""" +
           s""""rows_full":$full,"rows_selected":$sel,""" +
           s""""sec_full":${num(secFull)},"sec_selected":${num(secSel)}}""")
+        fs.delete(p, true)
+      }
+      spark.stop()
+      return
+    }
+
+    // Partition-spec EVOLUTION at scale: half the k-scaled events land
+    // under days(ts)+bucket(4, user_id); ONE set_partition_spec commit
+    // re-specs to days(ts)+bucket(16, user_id); the other half lands
+    // under the new layout. The receipt's two claims for 100 TB:
+    // (a) the re-spec commit cost tracks the MANIFEST (file count /
+    // metadata bytes), never the data bytes — re-bucketing a grown
+    // table is one commit, not a rewrite job; (b) a raw source-column
+    // filter keeps pruning BOTH generations, each under its own layout
+    // (planned files stay a constant fraction as k grows).
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 specevo 1 10
+    if (specEvoMode) {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      import org.apache.spark.sql.sources._
+      import graft.sources.v2.{GraftOrcManifest, GraftOrcScan, GraftOrcScanBuilder, GraftOrcSchema}
+      val hconf = spark.sparkContext.hadoopConfiguration
+      factors.foreach { k =>
+        val dir = s"/tmp/graft-specevo-stress-$k"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(hconf)
+        fs.delete(p, true)
+        val all = scaled(k)
+          .select(org.apache.spark.sql.functions
+            .timestamp_micros(col("ts_us")).as("ts"),
+            col("user_id"), col("event_type"),
+            (col("event_id") % 100).cast("double").as("value"),
+            col("event_id"))
+        // transform writes auto-sort by their source columns (day runs
+        // emit contiguously), so the active writer set stays
+        // ~bucket-count regardless of how many days the table spans
+        all.filter(col("event_id") % 2 === 0).drop("event_id")
+          .repartition(8 * k)
+          .write.format("graft-orc")
+          .option("graft.manifest", "true")
+          .option("graft.partition_spec", "days(ts), bucket(4, user_id)")
+          .mode("append").save(dir)
+        val snapOld = GraftOrcManifest.readSnapshot(fs,
+          fs.makeQualified(p)).get
+        val filesOld = snapOld.entries.size
+        val dataMb = snapOld.entries.map(_.length).sum / 1e6
+        val t0 = System.nanoTime()
+        GraftOrcSchema.setPartitionSpec(hconf, dir,
+          "days(ts), bucket(16, user_id)")
+        val respecSec = (System.nanoTime() - t0) / 1e9
+        all.filter(col("event_id") % 2 === 1).drop("event_id")
+          .repartition(8 * k)
+          .write.format("graft-orc").mode("append").save(dir)
+        val filesAll = GraftOrcManifest.readSnapshot(fs,
+          fs.makeQualified(p)).get.entries.size
+        def planned(filters: Filter*): Int = {
+          val opts = new CaseInsensitiveStringMap(
+            Map("path" -> dir).asJava)
+          val schema = new graft.sources.v2.GraftOrcDataSource()
+            .inferSchema(opts)
+          val b = new GraftOrcScanBuilder(schema, opts)
+          b.pushFilters(filters.toArray)
+          b.build().asInstanceOf[GraftOrcScan]
+            .planInputPartitions().length
+        }
+        val day = Seq[Filter](
+          GreaterThanOrEqual("ts",
+            java.time.Instant.parse("2024-01-10T00:00:00Z")),
+          LessThan("ts", java.time.Instant.parse("2024-01-17T00:00:00Z")))
+        val pDay = planned(day: _*)
+        val pDayUser = planned(day :+ EqualTo("user_id", 42L): _*)
+        val t1 = System.nanoTime()
+        val sel = spark.read.format("graft-orc").load(dir)
+          .filter(col("ts") >= lit("2024-01-10") &&
+            col("ts") < lit("2024-01-17") && col("user_id") === 42L)
+          .count()
+        val secSel = (System.nanoTime() - t1) / 1e9
+        println(s"""{"op":"specevo","factor":$k,"files_old":$filesOld,""" +
+          s""""files_total":$filesAll,"data_mb":${num(dataMb)},""" +
+          s""""respec_sec":${num(respecSec)},"planned_day":$pDay,""" +
+          s""""planned_day_bucket":$pDayUser,"rows_selected":$sel,""" +
+          s""""sec_selected":${num(secSel)}}""")
         fs.delete(p, true)
       }
       spark.stop()

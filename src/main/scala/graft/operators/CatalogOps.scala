@@ -144,6 +144,9 @@ object CatalogOps {
         GraftOrcSchema.setPartitionSpec(
           s.sparkContext.hadoopConfiguration, dir,
           "bucket(8, o_custkey), days(o_orderdate)")
+        // the new layout is wide (bucket(8) x ~2,400 distinct days) —
+        // safe by default: transform writes auto-sort by their source
+        // columns so each task emits day runs under the open-writer cap
         o.filter(col("o_orderkey") % 2 === 1).repartition(2)
           .write.format("graft-orc").mode("append").save(dir)
         s.read.format("graft-orc").load(dir)

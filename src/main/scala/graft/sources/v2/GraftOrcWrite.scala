@@ -168,6 +168,26 @@ class GraftOrcWrite(path: String, schema: StructType,
       require(n > 0, "graft.advisory_partition_bytes must be positive")
       n
   }.getOrElse(0L)
+  // Open-writer budget per task. An ORC writer holds a file handle AND a
+  // stripe buffer, so a write that keeps one writer per seen directory
+  // dies on fd exhaustion / executor memory once the layout is wide
+  // (days() over years of data x bucket(n)). Above the budget the
+  // oldest open writer closes and a reappearing directory simply opens
+  // a FRESH staged file there — correctness never depends on the cap,
+  // only file counts do. Transform-partitioned writes are auto-sorted
+  // by their source columns (requiredOrdering), so directories emit as
+  // runs and evictions only close finished ones: one file per
+  // task x directory at any layout width.
+  private val maxOpenWriters: Int = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("graft.max_open_writers") =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"Invalid value '$v' for option 'graft.max_open_writers', " +
+            "must be a positive int")
+      }
+      require(n > 0, "graft.max_open_writers must be positive")
+      n
+  }.getOrElse(64)
 
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
@@ -187,8 +207,24 @@ class GraftOrcWrite(path: String, schema: StructType,
     // each task emits its partitions as contiguous runs (one open file at
     // a time in the splitter, not P)
     val lead = if (distributionMode == "hash") partitionCols else Nil
-    (lead ++ writeSortCols.filterNot(c =>
-      lead.exists(_.equalsIgnoreCase(c))))
+    // TRANSFORM-partitioned writes always get a within-task sort on the
+    // spec's source columns (the Iceberg fanout posture): a days() x
+    // bucket(n) layout over years of data has thousands of directories,
+    // and unsorted rows would hold one open ORC writer (fd + stripe
+    // buffer) per directory per task. Time transforms lead the sort —
+    // day runs emit contiguously, so the active writer set is ~the
+    // bucket count and maxOpenWriters evictions only ever close
+    // FINISHED runs (no reopens, still one file per task x directory).
+    // Identity-only layouts keep byte-identical plans as before.
+    val auto =
+      if (distributionMode != "hash" && specFields.exists(!_.isIdentity)) {
+        val rank = Map("day" -> 0, "month" -> 0, "year" -> 0, "hour" -> 0,
+          "trunc" -> 1, "identity" -> 2, "bucket" -> 3)
+        specFields.sortBy(f => rank.getOrElse(f.transform, 4)).map(_.source)
+      } else Nil
+    (lead ++ auto ++ writeSortCols)
+      .foldLeft(Vector.empty[String])((acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
       .toArray.map(c => Expressions.sort(Expressions.column(c),
         SortDirection.ASCENDING))
   }
@@ -333,7 +369,7 @@ class GraftOrcWrite(path: String, schema: StructType,
     val (owf, conf) = GraftOrcShims.orcWriteSupport(spark, writeOptions, fileSchema)
     GraftOrcWriterFactory(path, fileSchema, owf,
       new SerializableConfiguration(conf), partSpecs, fileFieldIdx, writeId,
-      alwaysProject = rowLevelMode)
+      alwaysProject = rowLevelMode, maxOpenWriters = maxOpenWriters)
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -1028,7 +1064,8 @@ case class GraftOrcWriterFactory(table: String, schema: StructType,
                                  partSpecs: Array[GraftPartCol] = Array.empty,
                                  fileFieldIdx: Array[Int] = Array.empty,
                                  writeId: String = "adhoc",
-                                 alwaysProject: Boolean = false)
+                                 alwaysProject: Boolean = false,
+                                 maxOpenWriters: Int = 64)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -1050,12 +1087,25 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
       TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
 
   // one open writer per partition-directory suffix ("" when unpartitioned);
-  // lazily opened on the first row so empty partitions publish no file
+  // lazily opened on the first row so empty partitions publish no file.
+  // Capped at maxOpenWriters: each writer holds a file handle + stripe
+  // buffer, so an unsorted write into a high-cardinality layout would
+  // otherwise exhaust fds/memory — the oldest-opened writer closes
+  // (its staged file is simply done) and a reappearing suffix opens a
+  // fresh file in the same directory; clustered input never evicts
   private val writers =
     collection.mutable.LinkedHashMap.empty[String, (OutputWriter, Path)]
+  // staged files already closed by eviction (committed alongside)
+  private val finished = collection.mutable.ArrayBuffer.empty[Path]
 
   private def writerFor(suffix: String): OutputWriter =
-    writers.getOrElseUpdate(suffix, {
+    writers.getOrElse(suffix, {
+      if (writers.size >= f.maxOpenWriters) {
+        val (oldSuffix, (w, p)) = writers.head
+        w.close()
+        finished += p
+        writers.remove(oldSuffix)
+      }
       val name = s"part-$epochId-$partitionId-${UUID.randomUUID()}" +
         f.owf.getFileExtension(context)
       val base = new Path(new Path(f.table, GraftOrcWrite.StagingDir), f.writeId)
@@ -1063,7 +1113,10 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
       val staged = new Path(stagedDir, name)
       val fs = staged.getFileSystem(f.conf.value)
       fs.mkdirs(staged.getParent)
-      (f.owf.newInstance(staged.toString, f.schema, context), staged)
+      val tuple = (f.owf.newInstance(staged.toString, f.schema, context),
+        staged)
+      writers.update(suffix, tuple)
+      tuple
     })._1
 
   /** Hive path value for one partition column (reader parity:
@@ -1127,13 +1180,14 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._1.close())
-    val staged = writers.values.map(_._2.toString).toSeq
+    val stagedPaths = finished.toSeq ++ writers.values.map(_._2)
+    val staged = stagedPaths.map(_.toString)
     // footer-stat sidecars for the manifest: the footer was just written
     // by this task, so reading it back is a local hit — the cheapest
     // point in the file's life to capture statistics (best-effort: a
     // capture failure costs a plan-time footer read later, never the
     // commit)
-    val stats = writers.values.flatMap { case (_, staged) =>
+    val stats = stagedPaths.flatMap { staged =>
       try {
         val r = org.apache.orc.OrcFile.createReader(staged,
           org.apache.orc.OrcFile.readerOptions(f.conf.value))
@@ -1142,15 +1196,18 @@ class GraftOrcDataWriter(f: GraftOrcWriterFactory, partitionId: Int,
       } catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
     writers.clear()
+    finished.clear()
     GraftOrcCommitMessage(staged, stats)
   }
 
   override def abort(): Unit = {
-    writers.values.foreach { case (w, staged) =>
-      try w.close() catch { case _: Throwable => }
+    writers.values.foreach { case (w, _) => try w.close() catch {
+      case _: Throwable => } }
+    (finished.toSeq ++ writers.values.map(_._2)).foreach { staged =>
       staged.getFileSystem(f.conf.value).delete(staged, false)
     }
     writers.clear()
+    finished.clear()
   }
 
   override def close(): Unit = {

@@ -79,6 +79,75 @@ class GraftOrcWriteDistributionSpec extends AnyFunSuite {
     }
   }
 
+  test("open-writer cap: unsorted high-cardinality writes evict and " +
+    "reopen instead of holding one writer per directory; exact results") {
+    val dir = Files.createTempDirectory("graft-dist-cap").toString
+    // one task, rows cycling through 5 partition values: a cap of 2
+    // evicts on nearly every partition switch — correctness must not
+    // depend on how many times a directory's writer was reopened
+    spark.range(500)
+      .select(($"id" % 5).cast("string").as("p"), $"id".as("v"))
+      .coalesce(1)
+      .write.format("graft-orc").partitionBy("p")
+      .option("graft.manifest", "true")
+      .option("graft.max_open_writers", "2")
+      .mode("append").save(dir)
+    val files = filesPerPartition(dir)
+    assert(files.keySet.size == 5)
+    assert(files.values.exists(_ > 1),
+      s"interleaved input over a cap of 2 must produce reopened files: $files")
+    val got = spark.read.format("graft-orc").load(dir)
+    assert(got.count() == 500)
+    assert(got.agg(sum($"v")).as[Long].head == (0L until 500).sum)
+    // every row exactly once, partition values intact
+    assert(got.filter($"p" === "3").select(sum($"v")).as[Long].head ==
+      (0L until 500).filter(_ % 5 == 3).sum)
+    // same write under the default cap: no eviction, one file per dir
+    val dir2 = Files.createTempDirectory("graft-dist-cap-def").toString
+    spark.range(500)
+      .select(($"id" % 5).cast("string").as("p"), $"id".as("v"))
+      .coalesce(1)
+      .write.format("graft-orc").partitionBy("p")
+      .mode("append").save(dir2)
+    assert(filesPerPartition(dir2).values.forall(_ == 1))
+    val bad = intercept[IllegalArgumentException] {
+      spark.range(5).select(($"id" % 2).cast("string").as("p"),
+          $"id".as("v"))
+        .write.format("graft-orc").partitionBy("p")
+        .option("graft.max_open_writers", "zero")
+        .mode("append")
+        .save(Files.createTempDirectory("graft-dist-cap-err").toString)
+    }
+    assert(bad.getMessage.contains("graft.max_open_writers"))
+  }
+
+  test("transform-partitioned writes auto-sort by source columns: one " +
+    "file per directory even under a tiny writer cap (no reopens)") {
+    val dir = Files.createTempDirectory("graft-dist-autosort").toString
+    // 60 days x bucket(2) = 120 directories, input deliberately
+    // shuffled, cap of 3: without the automatic within-task sort this
+    // would reopen directories constantly; with it, day runs emit
+    // contiguously and evictions only close finished runs
+    spark.range(3000)
+      .select(expr("timestamp_micros(1577836800000000 + " +
+        "((id * 2654435761) % 60) * 86400000000)").as("ts"),
+        ($"id" % 97).as("uid"), $"id".as("v"))
+      .coalesce(1)
+      .write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.max_open_writers", "3")
+      .option("graft.partition_spec", "days(ts), bucket(2, uid)")
+      .mode("append").save(dir)
+    val perDir = filesPerPartition(dir)
+    assert(perDir.keySet.size == 60, s"60 day dirs, got ${perDir.keySet.size}")
+    assert(perDir.values.forall(_ <= 2),
+      s"one file per (day, bucket) directory — reopens happened: " +
+        perDir.filter(_._2 > 2))
+    val got = spark.read.format("graft-orc").load(dir)
+    assert(got.count() == 3000)
+    assert(got.agg(sum($"v")).as[Long].head == (0L until 3000).sum)
+  }
+
   test("hash distribution composes with write_sort and a partitioned " +
     "manifest table; typed errors on bad options") {
     val dir = Files.createTempDirectory("graft-dist-both").toString
