@@ -162,7 +162,12 @@ object Bench {
     // hidden partitioning: days(ts) + bucket(8, user_id) transform
     // layout, queried on the SOURCE columns (first iteration builds the
     // cached transform table; warm iterations time the pruned scan)
-    "q105_hidden_partitioning")
+    "q105_hidden_partitioning",
+    // partition-spec evolution: bucket(4) half, one re-spec commit,
+    // bucket(8) x days half, raw-column filter across both generations
+    // — fresh table per iteration (the timing covers both writes + the
+    // metadata commit + the mixed-generation read)
+    "ev_partition_evolution")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -122,13 +122,17 @@ object CatalogOps {
     // ------------------------------------- partition-spec evolution (API)
     // Iceberg partition evolution: half of orders lands under
     // bucket(4, o_custkey); ONE metadata commit re-specs the table to
-    // bucket(8, o_custkey) + days(o_orderdate); the other half lands
+    // bucket(8, o_custkey) + years(o_orderdate); the other half lands
     // under the new layout. The final read filters on the raw source
     // columns across BOTH generations — old files prune by their own
-    // bucket(4) dirs (and are never pruned by the day field they
-    // predate), new files by bucket(8) x day. No data was rewritten at
-    // any point; at 100 TB this is how a table re-partitions as it
-    // grows without a multi-day rewrite job
+    // bucket(4) dirs (and are never pruned by the year field they
+    // predate), new files by bucket(8) x year. No data was rewritten
+    // at any point; at 100 TB this is how a table re-partitions as it
+    // grows without a multi-day rewrite job. years(), not days():
+    // time granularity must match row density (~30 rows/day here — a
+    // days() layout would make one near-empty file per directory, the
+    // small-files antipattern partitioning guides warn about; years()
+    // keeps ~1.3k rows per file at this scale factor)
     // (GraftOrcSpecEvolutionSpec pins the per-generation planned file
     // counts; this entry pins the results under the oracle).
     QueryDef("ev_partition_evolution",
@@ -143,10 +147,9 @@ object CatalogOps {
           .mode("append").save(dir)
         GraftOrcSchema.setPartitionSpec(
           s.sparkContext.hadoopConfiguration, dir,
-          "bucket(8, o_custkey), days(o_orderdate)")
-        // the new layout is wide (bucket(8) x ~2,400 distinct days) —
-        // safe by default: transform writes auto-sort by their source
-        // columns so each task emits day runs under the open-writer cap
+          "bucket(8, o_custkey), years(o_orderdate)")
+        // transform writes auto-sort by their source columns, so each
+        // task emits year runs under the open-writer cap
         o.filter(col("o_orderkey") % 2 === 1).repartition(2)
           .write.format("graft-orc").mode("append").save(dir)
         s.read.format("graft-orc").load(dir)
