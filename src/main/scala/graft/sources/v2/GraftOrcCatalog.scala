@@ -467,9 +467,21 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
               m.schema.fields.updated(i,
                 m.schema.fields(i).withComment(c.newComment()))))
           case p: SetProperty =>
+            // graft.parts.* is ENGINE STATE (partition-spec evolution
+            // bookkeeping), not a user knob: a hand-set value would
+            // silently re-spec history for every file on disk
+            require(!p.property().toLowerCase
+                .startsWith("graft.parts."),
+              s"graft-orc: ${p.property()} is reserved partition-spec " +
+                "evolution state — use CALL <cat>.system." +
+                "set_partition_spec to change the partition spec")
             m.copy(schemaV = m.schemaV + 1,
               props = m.props + (p.property() -> p.value()))
           case p: RemoveProperty =>
+            require(!p.property().toLowerCase
+                .startsWith("graft.parts."),
+              s"graft-orc: ${p.property()} is reserved partition-spec " +
+                "evolution state and cannot be unset")
             m.copy(schemaV = m.schemaV + 1, props = m.props - p.property())
           case other => throw new UnsupportedOperationException(
             s"graft-orc: unsupported table change $other")

@@ -152,6 +152,20 @@ class GraftOrcSpecEvolutionSpec extends AnyFunSuite {
         "'cat, bucket(16, id)')").collect()
     }
     assert(e2.getMessage.contains("already"), e2.getMessage)
+    // the evolution bookkeeping props are engine state, not user knobs —
+    // a hand-set value would silently re-spec history for on-disk files
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE pecat.t SET TBLPROPERTIES(" +
+        "'graft.parts.history'='junk')")
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE pecat.t UNSET TBLPROPERTIES(" +
+        "'graft.parts.since')")
+    }
+    assert(e4.getMessage.contains("reserved"), e4.getMessage)
+    // an ordinary graft.* knob still sets fine (documented surface)
+    spark.sql("ALTER TABLE pecat.t SET TBLPROPERTIES('graft.key'='id')")
     spark.sql("DROP TABLE pecat.t")
   }
 
