@@ -169,6 +169,39 @@ class GraftOrcSpecEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pecat.t")
   }
 
+  test("time travel across an evolution reads the old snapshot pruned " +
+    "under the OLD spec") {
+    val dir = Files.createTempDirectory("graft-pe-tt").toString
+    rows(0, 40).coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.partition_spec", "bucket(4, id)")
+      .mode("append").save(dir)
+    GraftOrcSchema.setPartitionSpec(conf, dir, "bucket(8, id)")
+    rows(40, 80).coalesce(1).write.format("graft-orc")
+      .mode("append").save(dir)
+    // the addressed snapshot predates the evolution: its state (40
+    // rows) and its pruning both resolve under the bucket(4) layout
+    val at1 = spark.read.format("graft-orc")
+      .option("graft.snapshot_id", "1").load(dir)
+    assert(at1.count() == 40)
+    assert(at1.filter($"id" === 7L).select("v").as[Double]
+      .collect().toSeq == Seq(14.0))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.sources._
+    import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir,
+      "graft.snapshot_id" -> "1").asJava)
+    val schema = new graft.sources.v2.GraftOrcDataSource().inferSchema(opts)
+    val b = new GraftOrcScanBuilder(schema, opts)
+    b.pushFilters(Array[Filter](EqualTo("id", 7L)))
+    val planned1 = b.build().asInstanceOf[GraftOrcScan]
+      .planInputPartitions().length
+    assert(planned1 == 1,
+      s"id=7 at snapshot 1 must keep exactly 1 of the 4 bucket(4) " +
+        s"files, got $planned1")
+  }
+
   test("SPJ transform keys drop on a mixed-spec table (identity keys " +
     "and correctness keep working); compaction upgrades nothing") {
     val dir = Files.createTempDirectory("graft-pe-spj").toString
