@@ -169,6 +169,10 @@ object GraftOrcCompact {
     // column names/types — a stripe-copy across versions would splice
     // bytes with different meanings, and a rewrite would merge-conflict.
     // Same-version files compact together; outputs inherit the version.
+    // ... and by frozen SPEC VERSION (OrcFileEntry.specV): same-directory
+    // files can carry different partition-spec layouts after a
+    // spec-evolution rewrite, and a merged output must inherit a single
+    // unambiguous layout version.
     val byDir = entries
       .filter(_.length < smallFileBytes)
       .groupBy { e =>
@@ -176,7 +180,7 @@ object GraftOrcCompact {
         val name = parent.substring(parent.lastIndexOf('/') + 1)
         (if (name.startsWith("w-"))
           parent.substring(0, parent.lastIndexOf('/'))
-        else parent, e.schemaV)
+        else parent, e.schemaV, e.specV)
       }
 
     // first-fit packing per directory; only bins that actually reduce the
@@ -184,7 +188,7 @@ object GraftOrcCompact {
     // the publish loop never re-fetches file statuses (a 1M-file
     // compaction would otherwise pay 1M driver RPCs for a byte total the
     // listing already knew).
-    val bins: Seq[((String, Long), Seq[(String, Long)])] = byDir.toSeq.flatMap {
+    val bins: Seq[((String, Long, Long), Seq[(String, Long)])] = byDir.toSeq.flatMap {
       case (dirV, files) =>
         val packed = collection.mutable.ListBuffer.empty[
           (collection.mutable.ListBuffer[(String, Long)], Long)]
@@ -211,17 +215,18 @@ object GraftOrcCompact {
       s"compact-${UUID.randomUUID()}")
     val sconf = new SerializableConfiguration(conf)
     val stagingStr = staging.toString
-    val merged: Seq[(String, Long, Seq[String], Seq[String])] =
+    val merged: Seq[(String, Long, Long, Seq[String], Seq[String])] =
       if (zorderCols.isEmpty) {
         // stripe copy, one bin per task
         spark.sparkContext
           .parallelize(bins, math.min(bins.size, parallelism))
-          .map { case ((dir, v), inputs) =>
+          .map { case ((dir, v, sv), inputs) =>
             val out = new Path(stagingStr, s"c-${UUID.randomUUID()}.orc")
             val done = OrcFile.mergeFiles(out,
               OrcFile.writerOptions(sconf.value),
               inputs.map(i => new Path(i._1)).asJava)
-            (dir, v, Seq(out.toString), done.asScala.map(_.toString).toSeq)
+            (dir, v, sv, Seq(out.toString),
+              done.asScala.map(_.toString).toSeq)
           }.collect().toSeq
       } else {
         // layout rewrite: one read -> z-order -> write job per partition
@@ -230,7 +235,7 @@ object GraftOrcCompact {
         // frames — partition values stay path-derived, exactly like the
         // stripe-copy outputs.
         val fsS = staging.getFileSystem(conf)
-        bins.groupBy(_._1).toSeq.map { case ((dir, v), dirBins) =>
+        bins.groupBy(_._1).toSeq.map { case ((dir, v, sv), dirBins) =>
           val inputs = dirBins.flatMap(_._2)
           val nOut = math.max(1, math.ceil(
             inputs.map(_._2).sum.toDouble / targetBytes).toInt)
@@ -249,7 +254,7 @@ object GraftOrcCompact {
               out.toString
             }
           fsS.delete(tmp, true)
-          (dir, v, outs, inputs.map(_._1))
+          (dir, v, sv, outs, inputs.map(_._1))
         }
       }
 
@@ -272,7 +277,7 @@ object GraftOrcCompact {
     var nFiles = 0
     var nBytes = 0L
     var nOut = 0
-    val kept = merged.filter(_._4.size >= 2)
+    val kept = merged.filter(_._5.size >= 2)
     def publishOne(dir: String, stagedStr: String): Path = {
       val staged = new Path(stagedStr)
       fs.setTimes(staged, GraftOrcWrite.nextPublishStamp(), -1)
@@ -288,7 +293,7 @@ object GraftOrcCompact {
       // delete inputs — at no instant does a reader see a row twice, and
       // a crash anywhere leaves invisible garbage, never duplicates
       val entryByPath = entries.map(e => e.path -> e).toMap
-      val placed = kept.map { case (dir, v, outs, inputs) =>
+      val placed = kept.map { case (dir, v, sv, outs, inputs) =>
         val parts = inputs.headOption.flatMap(entryByPath.get)
           .map(_.partitionValues).getOrElse(Map.empty[String, String])
         val destEntries = outs.map { o =>
@@ -310,7 +315,7 @@ object GraftOrcCompact {
             throw new java.io.IOException(
               s"graft-orc compact: failed to publish $staged into $dest")
           OrcFileEntry(fs.makeQualified(dest).toString, len, parts, stamp,
-            sidecar, schemaV = v)
+            sidecar, schemaV = v, specV = sv)
         }
         (destEntries, inputs)
       }
@@ -359,7 +364,7 @@ object GraftOrcCompact {
     } else {
       val tombs = new Path(tablePath, TombstoneDir)
       if (kept.nonEmpty) fs.mkdirs(tombs)
-      kept.foreach { case (dir, _, outs, inputs) =>
+      kept.foreach { case (dir, _, _, outs, inputs) =>
         val dests = outs.map(o => new Path(dir, new Path(o).getName))
         // tombstone BEFORE the first rename: from here to its delete, a
         // crash anywhere is repairable (see repair). A crash

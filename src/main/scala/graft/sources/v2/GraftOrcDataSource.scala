@@ -562,7 +562,8 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       val rewritten = GraftOrcDelete.rewriteWithout(
         SparkSession.active, fs, qt, partials, pred, tableSchema,
         liveDeletes = cur.deletes,
-        curV = cur.meta.map(_.schemaV).getOrElse(0L))
+        curV = cur.meta.map(_.schemaV).getOrElse(0L),
+        specEvolved = cur.meta.exists(GraftOrcPartitionSpec.specEvolved))
       GraftOrcManifest.commitSwap(fs, qt,
         remove = fullSet ++ partials.map(_.path), add = rewritten,
         op = "replace",
@@ -1191,11 +1192,14 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       // written with (absent directories of later-added fields resolve
       // as unknown and keep the file) — order preserved, spec parse
       // memoized per schema version
+      // layoutV, not schemaV: a purge/CoW rewrite can carry
+      // current-version CONTENT inside directories frozen at the input
+      // group's old spec — pruning must follow the layout
       val specByV = collection.mutable.Map.empty[Long, Seq[PartField]]
       base.filter { e =>
-        val spec = specByV.getOrElseUpdate(e.schemaV,
+        val spec = specByV.getOrElseUpdate(e.layoutV,
           GraftOrcPartitionSpec.parseCanonical(
-            GraftOrcPartitionSpec.specForVersion(m, e.schemaV))
+            GraftOrcPartitionSpec.specForVersion(m, e.layoutV))
             .filterNot(_.isIdentity))
         spec.isEmpty || GraftOrcPartitionSpec
           .hiddenPrune(Seq(e), filters, spec, typeOf).nonEmpty
@@ -1309,7 +1313,7 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     val uniformSpec = index.tableMeta.forall { m =>
       !GraftOrcPartitionSpec.specEvolved(m) ||
         m.props.get(GraftOrcPartitionSpec.SinceProp).map(_.toLong)
-          .forall(s => index.entries.forall(_.schemaV >= s))
+          .forall(s => index.entries.forall(_.layoutV >= s))
     }
     if (!uniformSpec) Nil
     else hiddenSpec.filter(f => readDataSchema.fields

@@ -61,19 +61,27 @@ private[v2] object GraftOrcDelete {
                      partials: Seq[OrcFileEntry], pred: Column,
                      schema: org.apache.spark.sql.types.StructType,
                      liveDeletes: Seq[OrcFileEntry] = Nil,
-                     curV: Long = 0L)
+                     curV: Long = 0L,
+                     specEvolved: Boolean = false)
       : Seq[OrcFileEntry] = {
     if (partials.isEmpty) return Nil
     // partition values are constant per file; rewrite per partition
     // group so the surviving rows keep their hive placement. Files of
     // different SCHEMA VERSIONS (GraftOrcSchema) group separately —
     // their physical schemas may disagree — and each group projects to
-    // the current schema, so a rewrite upgrades its files.
+    // the current schema, so a rewrite upgrades its files. On a table
+    // whose PARTITION SPEC evolved, files additionally group by their
+    // layout version — identical directory strings can mean different
+    // specs (id_bucket=3 under bucket(4) vs bucket(8)) — and each
+    // group's output records that frozen layout as its specV, so
+    // transform pruning keeps resolving the directories the rewrite
+    // preserved (content upgrades; layout does not).
     val evolved = GraftOrcSchema.hasEvolution(schema)
     val byParts = partials.groupBy(e =>
-      (e.partitionValues, if (evolved) e.schemaV else 0L)).toSeq
+      (e.partitionValues, if (evolved) e.schemaV else 0L,
+        if (specEvolved) e.layoutV else -1L)).toSeq
     GraftOrcWrite.bumpPublishStamp(partials.map(_.mtime).max)
-    byParts.flatMap { case ((parts, fileV), files) =>
+    byParts.flatMap { case ((parts, fileV, layV), files) =>
       val loaded = spark.read.format("graft-orc").load(files.map(_.path): _*)
       // subtract MoR positions FIRST (metadata columns resolve only on
       // the raw relation), then project to the current schema
@@ -97,7 +105,7 @@ private[v2] object GraftOrcDelete {
       val keep = bound.filter(!coalesce(pred, lit(false)))
         .drop(parts.keys.toSeq: _*)
       publishGroupRewrite(spark, fs, table, parts, keep, "del",
-        schemaV = if (evolved) curV else 0L)
+        schemaV = if (evolved) curV else 0L, specV = layV)
     }
   }
 
@@ -112,7 +120,8 @@ private[v2] object GraftOrcDelete {
                                       parts: Map[String, String],
                                       keep: org.apache.spark.sql.DataFrame,
                                       tag: String,
-                                      schemaV: Long = 0L): Seq[OrcFileEntry] = {
+                                      schemaV: Long = 0L,
+                                      specV: Long = -1L): Seq[OrcFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val staging = new Path(table,
       s"${GraftOrcWrite.StagingDir}/$tag-${UUID.randomUUID()}")
@@ -141,7 +150,7 @@ private[v2] object GraftOrcDelete {
         throw new java.io.IOException(
           s"graft-orc delete: failed to publish rewrite ${st.getPath}")
       OrcFileEntry(fs.makeQualified(dest).toString, st.getLen, parts,
-        stamp, sidecar, schemaV = schemaV)
+        stamp, sidecar, schemaV = schemaV, specV = specV)
     }
     fs.delete(staging, true)
     entries

@@ -27,7 +27,22 @@ case class OrcFileEntry(path: String, length: Long,
                         partitionValues: Map[String, String],
                         mtime: Long = 0L,
                         stats: Option[String] = None,
-                        schemaV: Long = 0L)
+                        schemaV: Long = 0L,
+                        specV: Long = -1L) {
+  /** The schema version whose PARTITION SPEC governs this file's
+    * directory layout ([[GraftOrcPartitionSpec.specForVersion]]).
+    * Normally the write version (`schemaV` — the common case, encoded as
+    * specV = -1 = "same"), but a purge/CoW-DELETE rewrite that projects
+    * CONTENT to the current schema while preserving the input group's
+    * original directories has no single correct schemaV: its columns are
+    * current-version, its layout is frozen at the input's spec. Such
+    * rewrites record the frozen layout version here — the per-file
+    * `spec_id` of Iceberg's spec-evolution model, collapsed onto the
+    * schema-version axis (graft activates specs at schema versions, so a
+    * version number identifies a spec).
+    */
+  def layoutV: Long = if (specV >= 0) specV else schemaV
+}
 
 /** Driver-side file discovery for the graft-orc connector.
   *

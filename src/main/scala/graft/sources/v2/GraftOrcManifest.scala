@@ -259,11 +259,14 @@ object GraftOrcManifest {
       val len = jsonLong(line, "l")
       val mt = jsonLong(line, "t")
       val v = if (line.contains("\"v\":")) jsonLong(line, "v") else 0L
+      // optional frozen partition-spec version (rewrites that upgraded
+      // content but kept their input's directory layout); -1 = schemaV
+      val sv = if (line.contains("\"sv\":")) jsonLong(line, "sv") else -1L
       // optional footer-stat sidecar; "s" cannot occur as an unescaped
       // key inside the p value (quotes inside JSON strings are escaped)
       val stats =
         if (line.contains("\"s\":\"")) Some(jsonString(line, "s")) else None
-      entryOf(qt, rel, len, mt, stats).copy(schemaV = v)
+      entryOf(qt, rel, len, mt, stats).copy(schemaV = v, specV = sv)
     }
     val deletes = lines.filter(_.startsWith("{\"d\":")).map { line =>
       entryOf(qt, jsonString(line, "d"), jsonLong(line, "l"),
@@ -397,8 +400,9 @@ object GraftOrcManifest {
         val rel = relativize(qt, e.path)
         val side = e.stats.map(s => s""","s":${jsonQuote(s)}""").getOrElse("")
         val ver = if (e.schemaV > 0) s""","v":${e.schemaV}""" else ""
+        val sv = if (e.specV >= 0) s""","sv":${e.specV}""" else ""
         w.write(
-          s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}$ver$side}""")
+          s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}$ver$sv$side}""")
         w.newLine()
       }
       deletes.sortBy(_.path).foreach { e =>

@@ -337,10 +337,15 @@ object GraftOrcMor {
     GraftOrcWrite.bumpPublishStamp(
       (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
     val evolved = snap.meta.exists(m => GraftOrcSchema.hasEvolution(m.schema))
+    // spec evolution groups by LAYOUT version too (same directory string
+    // can mean different specs), and each group's rewrite records its
+    // frozen layout as specV — see GraftOrcDelete.rewriteWithout
+    val specEvo = snap.meta.exists(GraftOrcPartitionSpec.specEvolved)
     val curV = snap.meta.map(_.schemaV).getOrElse(0L)
     val rewritten = affected.groupBy(e =>
-      (e.partitionValues, if (evolved) e.schemaV else 0L)).toSeq.flatMap {
-      case ((parts, fileV), files) =>
+      (e.partitionValues, if (evolved) e.schemaV else 0L,
+        if (specEvo) e.layoutV else -1L)).toSeq.flatMap {
+      case ((parts, fileV, layV), files) =>
         val loaded = spark.read.format("graft-orc").load(files.map(_.path): _*)
         // subtract positions FIRST (metadata columns resolve only on the
         // raw relation), then project to the current schema
@@ -352,7 +357,7 @@ object GraftOrcMor {
             snap.meta.get.schema.fields.toSeq.filterNot(f =>
               parts.keys.exists(_.equalsIgnoreCase(f.name))), fileV)
         GraftOrcDelete.publishGroupRewrite(spark, fs, qt, parts, keep,
-          "purge", schemaV = if (evolved) curV else 0L)
+          "purge", schemaV = if (evolved) curV else 0L, specV = layV)
     }
     try {
       GraftOrcManifest.commitSwap(fs, qt,

@@ -225,4 +225,102 @@ class GraftOrcSpecEvolutionSpec extends AnyFunSuite {
       "mixed-spec files cannot report transform partition keys")
     assert(spark.read.format("graft-orc").load(dir).count() == 100)
   }
+
+  // A rewrite (MoR purge / CoW DELETE) preserves its input group's
+  // DIRECTORY layout while its content may upgrade to the current
+  // schema — after spec evolution those two facts no longer share one
+  // schemaV (a bucket(8)-laid file published at schemaV 0 would resolve
+  // the bucket(4) spec and bucketEval would prove id=… false for every
+  // dir >= 4, silently vanishing rows). Rewritten entries therefore
+  // carry the group's frozen layout as OrcFileEntry.specV, and pruning
+  // resolves specs from layoutV. These two tests pin the end-to-end
+  // behavior the bug would break: exact point lookups on rewritten
+  // files of BOTH generations, with pruning still active.
+
+  private def probeExact(dir: String, ids: Seq[Long],
+                         deleted: Long => Boolean): Unit = {
+    val back = spark.read.format("graft-orc").load(dir)
+    ids.foreach { id =>
+      val got = back.filter($"id" === id).select("v").as[Double]
+        .collect().toSeq
+      val want = if (deleted(id)) Seq.empty[Double] else Seq(id * 2.0)
+      assert(got == want, s"id=$id: got $got want $want " +
+        "(a vanished row means the rewrite's layout version mispruned)")
+    }
+  }
+
+  test("MoR purge after bucket(4)->bucket(8): rewrites keep their " +
+    "frozen layout version (specV) and no row vanishes under pruning") {
+    val dir = Files.createTempDirectory("graft-pe-purge").toString
+    rows(0, 100).coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.partition_spec", "bucket(4, id)")
+      .mode("append").save(dir)
+    val meta = GraftOrcSchema.setPartitionSpec(conf, dir, "bucket(8, id)")
+    rows(100, 200).coalesce(1).write.format("graft-orc")
+      .mode("append").save(dir)
+    val t = "g_pe_purge"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
+      "TBLPROPERTIES('graft.delete_mode'='mor')")
+    try {
+      // partial deletes in BOTH generations -> purge rewrites files of
+      // both layouts into their original directories
+      spark.sql(
+        s"DELETE FROM $t WHERE id < 10 OR (id >= 100 AND id < 110)")
+      assert(graft.sources.v2.GraftOrcMor.purge(spark, dir) > 0)
+      val snap = GraftOrcManifest.readSnapshot(fsOf(dir), new Path(dir)).get
+      val rewritten = snap.entries.filter(_.path.contains("w-purge"))
+      assert(rewritten.nonEmpty)
+      // no column evolution -> content version stays 0, but every
+      // rewrite on this spec-evolved table must pin its layout
+      assert(rewritten.forall(e => e.schemaV == 0L && e.specV >= 0L),
+        rewritten.map(e => (e.schemaV, e.specV)).toString)
+      // both frozen layouts present: pre-evolution files below the
+      // evolved version, post-evolution files at it
+      val lay = rewritten.map(_.layoutV).toSet
+      assert(lay.exists(_ < meta.schemaV) && lay.contains(meta.schemaV),
+        s"layout versions $lay vs evolved ${meta.schemaV}")
+      def deleted(id: Long) = id < 10 || (id >= 100 && id < 110)
+      probeExact(dir, Seq(13L, 42L, 77L, 88L, 97L, 111L, 133L, 150L,
+        166L, 199L, 5L, 105L), deleted)
+      assert(spark.read.format("graft-orc").load(dir).count() == 180)
+      // pruning still ACTIVE (the fix must not degrade to keep-all):
+      // an equality keeps at most one file per generation's live dirs
+      import org.apache.spark.sql.sources.EqualTo
+      val kept = planned(dir, EqualTo("id", 150L))
+      assert(kept <= 2, s"id=150 must prune to <=2 files, got $kept")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("CoW DELETE after bucket(4)->bucket(8): group rewrites pin " +
+    "their layout version; point lookups stay exact") {
+    val dir = Files.createTempDirectory("graft-pe-cow").toString
+    rows(0, 100).coalesce(1).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.partition_spec", "bucket(4, id)")
+      .mode("append").save(dir)
+    val meta = GraftOrcSchema.setPartitionSpec(conf, dir, "bucket(8, id)")
+    rows(100, 200).coalesce(1).write.format("graft-orc")
+      .mode("append").save(dir)
+    val t = "g_pe_cow"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir'")
+    try {
+      spark.sql(
+        s"DELETE FROM $t WHERE id < 10 OR (id >= 100 AND id < 110)")
+      val snap = GraftOrcManifest.readSnapshot(fsOf(dir), new Path(dir)).get
+      val rewritten = snap.entries.filter(_.path.contains("w-del"))
+      assert(rewritten.nonEmpty)
+      assert(rewritten.forall(e => e.schemaV == 0L && e.specV >= 0L),
+        rewritten.map(e => (e.schemaV, e.specV)).toString)
+      val lay = rewritten.map(_.layoutV).toSet
+      assert(lay.exists(_ < meta.schemaV) && lay.contains(meta.schemaV),
+        s"layout versions $lay vs evolved ${meta.schemaV}")
+      def deleted(id: Long) = id < 10 || (id >= 100 && id < 110)
+      probeExact(dir, Seq(13L, 42L, 77L, 88L, 97L, 111L, 133L, 150L,
+        166L, 199L, 5L, 105L), deleted)
+      assert(spark.read.format("graft-orc").load(dir).count() == 180)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
