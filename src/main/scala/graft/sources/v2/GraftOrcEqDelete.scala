@@ -242,9 +242,46 @@ object GraftOrcEqDelete {
         case _ => col(s"`${f.name}`")
       }
     }: _*)
+    // Spark's partitionBy formats TIMESTAMP directory values in the
+    // SESSION timezone, but graft writes and parses identity timestamp
+    // directories as UTC (GraftOrcDataWriter.pathValue /
+    // internalPartitionValue's Cast(..., "UTC")) — under a non-UTC
+    // session the staged dirs would land on shifted values, splitting
+    // logical partitions and re-materializing wrong ts on read.
+    // Pre-render those columns to pathValue's exact UTC string
+    // ("uuuu-MM-dd HH:mm:ss" + zero-padded ".SSSSSS" only when the
+    // micro fraction is nonzero) with tz-free epoch arithmetic — a
+    // string partition column passes through partitionBy verbatim, so
+    // the directories round-trip identically to writer-produced ones.
+    // (DATE/TIMESTAMP_NTZ are wall-clock types: partitionBy already
+    // renders them zone-independently.)
+    val utcCanon = partCols.foldLeft(canon) { (acc, p) =>
+      acc.schema.fields.find(_.name == p) match {
+        case Some(f) if f.dataType ==
+            org.apache.spark.sql.types.TimestampType =>
+          val ts = col(s"`$p`")
+          val us = unix_micros(ts)
+          val frac = pmod(us, lit(1000000L))
+          val secs = ((us - frac) / 1000000L).cast("long")
+          val tod = pmod(secs, lit(86400L))
+          val d = date_from_unix_date(
+            ((secs - tod) / 86400L).cast("int"))
+          def pad2(c: org.apache.spark.sql.Column) =
+            lpad(c.cast("int").cast("string"), 2, "0")
+          val base = concat(d.cast("string"), lit(" "),
+            pad2(tod / 3600), lit(":"), pad2(pmod(tod, lit(3600L)) / 60),
+            lit(":"), pad2(pmod(tod, lit(60L))))
+          acc.withColumn(p,
+            when(ts.isNull, lit(null).cast("string"))
+              .when(frac === 0L, base)
+              .otherwise(concat(base, lit("."),
+                lpad(frac.cast("string"), 6, "0"))))
+        case _ => acc
+      }
+    }
     val staging = new Path(table,
       s"${GraftOrcWrite.StagingDir}/ups-${UUID.randomUUID()}")
-    canon.repartition(partCols.map(c => col(s"`$c`")): _*)
+    utcCanon.repartition(partCols.map(c => col(s"`$c`")): _*)
       .write.mode("overwrite").option("compression", "snappy")
       .partitionBy(partCols: _*).orc(staging.toString)
     // walk the staged hive tree; every *.orc file publishes under its

@@ -173,6 +173,16 @@ object GraftOrcFunctions {
                   if (s.length <= w) s else s.substring(0, w))
               case LongType =>
                 val i = r.getLong(1); i - Math.floorMod(i, w.toLong)
+              // narrow types read AND box at their declared width —
+              // resultType is vType, and SPJ key grouping compares these
+              // against GraftOrcPartitionSpec.keyValue's boxed values
+              // (a boxed Integer never equals a boxed Short)
+              case ShortType =>
+                val i = r.getShort(1)
+                (i - Math.floorMod(i.toInt, w)).toShort
+              case ByteType =>
+                val i = r.getByte(1)
+                (i - Math.floorMod(i.toInt, w)).toByte
               case _ =>
                 val i = r.getInt(1); i - Math.floorMod(i, w)
             }

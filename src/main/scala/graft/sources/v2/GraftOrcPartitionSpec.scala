@@ -396,6 +396,11 @@ object GraftOrcPartitionSpec {
         case StringType =>
           org.apache.spark.unsafe.types.UTF8String.fromString(raw)
         case LongType => raw.toLong
+        // box at the declared keyType width — TruncateFunction
+        // produceResult boxes the same way, and SPJ key grouping
+        // compares the boxed values
+        case ShortType => raw.toShort
+        case ByteType => raw.toByte
         case _ => raw.toInt
       }
       case "identity" =>
@@ -579,10 +584,16 @@ object GraftOrcPartitionSpec {
           .flatMap(f => typeOf(f.source).flatMap { dt =>
             // ABSENT directory (a file written before this field joined
             // the spec — spec evolution) is unknown, NOT the null
-            // partition: yield no lookup so the file is kept
-            rawDir(f).map { raw =>
-              (f.param, dt,
-                Option(raw).flatMap(r => scala.util.Try(r.toInt).toOption))
+            // partition: yield no lookup so the file is kept. Same for an
+            // UNPARSEABLE directory value (hand-renamed/corrupt layout):
+            // None in bucketEval's contract means "the null partition",
+            // which would PROVE equality filters false and prune live
+            // rows — an undecodable dir must stay unknown/kept, exactly
+            // like sourceRange's NonFatal fallback on the range path
+            rawDir(f).flatMap { raw =>
+              if (raw == null) Some((f.param, dt, None))
+              else scala.util.Try(raw.toInt).toOption
+                .map(b => (f.param, dt, Some(b)))
             }
           })
       filters.forall(f => OrcStatsEval.mayMatch(f, ranges)) &&

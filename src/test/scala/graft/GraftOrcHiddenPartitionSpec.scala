@@ -330,4 +330,61 @@ class GraftOrcHiddenPartitionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftOrcPartitionSpec.parseOption("days(a, b)") }
   }
+
+  test("an UNPARSEABLE bucket directory value is unknown, not the null " +
+    "partition: the file is kept for equality filters; a true null " +
+    "dir still prunes") {
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types.LongType
+    import graft.sources.v2.OrcFileEntry
+    val spec = Seq(PartField("id", "bucket", 4))
+    val typeOf = (n: String) =>
+      if (n.equalsIgnoreCase("id")) Some(LongType: org.apache.spark.sql
+        .types.DataType) else None
+    def entry(dirVal: String) = OrcFileEntry("/t/id_bucket=x/f.orc", 1L,
+      Map("id_bucket" -> dirVal))
+    // hand-renamed/corrupt directory: pruning must NOT prove it empty
+    // (None in bucketEval's contract means "the null partition", which
+    // holds no id=7 — mapping a parse failure there vanishes live rows)
+    assert(GraftOrcPartitionSpec.hiddenPrune(Seq(entry("garbage")),
+      Seq(EqualTo("id", 7L)), spec, typeOf).nonEmpty,
+      "corrupt bucket dir must be kept, not proven null")
+    // the genuine null partition still prunes for an equality
+    assert(GraftOrcPartitionSpec.hiddenPrune(Seq(entry(null)),
+      Seq(EqualTo("id", 7L)), spec, typeOf).isEmpty,
+      "null-partition dir holds only nulls; id=7 prunes it")
+    // and a matching numeric dir is kept
+    val b7 = GraftOrcPartitionSpec.bucketOf(7L, LongType, 4).toString
+    assert(GraftOrcPartitionSpec.hiddenPrune(Seq(entry(b7)),
+      Seq(EqualTo("id", 7L)), spec, typeOf).nonEmpty)
+  }
+
+  test("truncate over SMALLINT/TINYINT sources boxes keys at the " +
+    "declared width on both the directory-decode and the function " +
+    "side — SPJ key grouping compares these boxed values") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.catalog.functions.ScalarFunction
+    import org.apache.spark.sql.types._
+    import graft.sources.v2.GraftOrcFunctions
+    for ((dt, mk, want) <- Seq[(DataType, Any, Any)](
+      (ShortType, 9.toShort, 8.toShort),
+      (ByteType, 9.toByte, 8.toByte),
+      (IntegerType, 9, 8))) {
+      val kv = GraftOrcPartitionSpec.keyValue(
+        PartField("id", "trunc", 4), "8", dt)
+      assert(kv == GraftOrcPartitionSpec.keyValue(
+        PartField("id", "trunc", 4), "8", dt))
+      val bound = GraftOrcFunctions.All("truncate")
+        .bind(StructType(Seq(StructField("w", IntegerType),
+          StructField("col", dt)))).asInstanceOf[ScalarFunction[Any]]
+      val got = bound.produceResult(
+        new GenericInternalRow(Array[Any](4, mk)))
+      assert(got == want, s"$dt: got $got (${got.getClass}) want $want")
+      // the decoded directory key and the function result must be EQUAL
+      // as boxed values (a boxed Integer never equals a boxed Short)
+      assert(kv == got,
+        s"$dt: keyValue $kv (${kv.getClass}) != produceResult " +
+          s"$got (${got.getClass})")
+    }
+  }
 }

@@ -362,4 +362,58 @@ class GraftOrcUpsertSpec extends AnyFunSuite {
         Seq((1, "y")).toDF("k", "v"), Seq("k"))
     }
   }
+
+  test("upsert into a TIMESTAMP-partitioned table under a non-UTC " +
+    "session lands rows in the SAME UTC directories the writer " +
+    "produces — no partition split, values round-trip exactly") {
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    val dir = freshDir("graft-upsert-tz")
+    try {
+      // Spark's own partitionBy formats timestamp dirs in the SESSION
+      // zone; graft writes/parses them as UTC. A -8h zone shifts
+      // "2020-06-01 04:00:00" into "2020-05-31 ..." — a split
+      // partition and a wrong re-materialized ts unless the upsert
+      // staging derives graft's own UTC strings.
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      val mkTs = (s: String) =>
+        java.sql.Timestamp.from(java.time.Instant.parse(s))
+      Seq((1, "a", mkTs("2020-06-01T04:00:00Z")),
+          (2, "b", mkTs("2020-06-01T04:00:00Z")),
+          (3, "c", mkTs("2020-06-02T23:30:00.250Z")))
+        .toDF("k", "v", "ts").coalesce(1)
+        .write.format("graft-orc").option("graft.manifest", "true")
+        .partitionBy("ts").mode("overwrite").save(dir)
+      val fsys = fs(dir)
+      def tsDirs() = fsys.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ts="))
+        .map(st => st.getPath.getName).sorted
+      val before = tsDirs()
+      assert(before.size == 2, before)
+      // upsert touches one existing partition + creates one new
+      GraftOrcEqDelete.upsert(spark, dir,
+        Seq((2, "b2", mkTs("2020-06-01T04:00:00Z")),
+            (9, "new", mkTs("2020-07-04T12:00:00Z")))
+          .toDF("k", "v", "ts"), Seq("k"))
+      val after = tsDirs()
+      assert(after.size == 3,
+        s"existing UTC partition must be REUSED, not split: $after")
+      assert(before.forall(after.contains), s"$before vs $after")
+      // values re-materialize from the path as the writer's exact UTC
+      // strings regardless of the session zone (this path-written table
+      // has no persisted meta, so the partition column reads back as the
+      // raw directory value — pre-fix, key 2 split into a
+      // "2020-05-31 21:00:00" local-zone dir and key 9 read 7h early)
+      val got = spark.read.format("graft-orc").load(dir)
+        .select($"k", $"v", $"ts".cast("string"))
+        .as[(Int, String, String)].collect().sorted.toSeq
+      assert(got == Seq(
+        (1, "a", "2020-06-01 04:00:00"),
+        (2, "b2", "2020-06-01 04:00:00"),
+        (3, "c", "2020-06-02 23:30:00.250000"),
+        (9, "new", "2020-07-04 12:00:00")), got)
+    } finally {
+      spark.conf.set(tzKey, saved)
+    }
+  }
 }
