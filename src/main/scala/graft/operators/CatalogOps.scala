@@ -119,6 +119,45 @@ object CatalogOps {
              |FROM seeded WHERE c_custkey % 10 = 0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // -------------------------------- write-path schema evolution (merge)
+    // Delta mergeSchema / Iceberg merge-schema shape on the WRITE path:
+    // the second crawl generation arrives WIDER (a provenance column and
+    // a quality score) and `graft.merge_schema=true` evolves the table
+    // as ONE field-ID metadata commit instead of erroring — old files
+    // null-fill the new columns at read, nothing is rewritten. This is
+    // the first thing a pipeline operator hits in production (a crawler
+    // adds a field); without it every schema drift is a manual DDL.
+    // Scale shape: the evolution cost is one snapshot write at any
+    // table size; the append itself is a plain append.
+    QueryDef("ev_write_schema_merge",
+      (s, d) => {
+        val dir = freshDir("wsm")
+        val base = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+        base.repartition(4).write.format("graft-orc")
+          .option("graft.manifest", "true").mode("append").save(dir)
+        base.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 3000000).as("c_custkey"),
+            lit("MERGED").as("seg"), col("bal"),
+            lit("crawl2").as("src"), (col("bal") / 100).as("q"))
+          .repartition(2).write.format("graft-orc")
+          .option("graft.merge_schema", "true").mode("append").save(dir)
+        s.read.format("graft-orc").load(dir)
+          .select(col("c_custkey"), col("seg"), col("bal"),
+            col("src"), col("q"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH seeded AS (
+             |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+             |  FROM customer)
+             |SELECT c_custkey, seg, bal, CAST(NULL AS VARCHAR) AS src,
+             |  CAST(NULL AS DOUBLE) AS q FROM seeded
+             |UNION ALL
+             |SELECT c_custkey + 3000000, 'MERGED', bal, 'crawl2',
+             |  bal / 100 FROM seeded WHERE c_custkey % 5 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ------------------------------------- partition-spec evolution (API)
     // Iceberg partition evolution: half of orders lands under
     // bucket(4, o_custkey); ONE metadata commit re-specs the table to

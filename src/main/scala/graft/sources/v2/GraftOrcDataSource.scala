@@ -349,7 +349,13 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // MERGE WITH SCHEMA EVOLUTION: Spark's
+      // ResolveMergeIntoSchemaEvolution computes the AddColumn changes
+      // and routes them through TableCatalog.alterTable — the same
+      // field-ID DDL commit as explicit ADD COLUMN, so a wider MERGE
+      // source evolves the target as one metadata commit
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     if (tableSchema.isEmpty) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
     base
   }

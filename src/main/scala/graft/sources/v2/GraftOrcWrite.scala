@@ -100,8 +100,22 @@ class GraftOrcWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
     // empty), so appends to a NON-empty table validate here instead — a
     // mismatched append would otherwise poison every later read with a
     // schema-merge failure.
-    if (!truncateOnCommit)
-      GraftOrcWrite.validateAppend(paths.head, info.schema(), effective)
+    if (!truncateOnCommit) {
+      // write-path schema evolution (Delta mergeSchema / Iceberg
+      // merge-schema posture): opt-in via the write option, or as a
+      // table default via TBLPROPERTIES('graft.merge_schema'='true')
+      val mergeOpt = opts.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.merge_schema") =>
+          GraftOrcDataSource.parseBooleanOption("graft.merge_schema", v) }
+      require(!(mergeOpt.contains(true) && opts.keys.exists(
+          _.equalsIgnoreCase("graft.branch"))),
+        "graft-orc: graft.merge_schema is not supported on branch " +
+          "appends — schema evolution commits to the MAIN lineage, " +
+          "which a staged branch write must not mutate; evolve the " +
+          "table first, then stage")
+      GraftOrcWrite.validateAppend(paths.head, info.schema(), effective,
+        mergeSchema = mergeOpt)
+    }
     new GraftOrcWrite(paths.head, info.schema(), opts, truncateOnCommit,
       effective)
   }
@@ -429,9 +443,24 @@ object GraftOrcWrite {
     * an append to a non-empty table must carry the same partition layout
     * and the same data columns (names + types, nullability ignored) as the
     * existing files, or every later read would fail schema merge.
+    *
+    * With `mergeSchema` (the `graft.merge_schema` write option, or the
+    * table property of the same name as the default), a SUPERSET batch
+    * auto-evolves the table instead of erroring: each new column becomes
+    * an ADD COLUMN and each widenable type difference
+    * ([[GraftOrcSchema.canWiden]]) a widening, all applied as ONE
+    * metadata DDL commit through the same optimistic loop as explicit
+    * DDL — old files read the new columns as null via their field-ID
+    * resolution, zero data moves. Missing columns and non-widenable
+    * type changes still refuse (the reader cannot synthesize a column a
+    * CURRENT-version file physically lacks). Reference-adjacent: the
+    * reference's own multi-file `Schema::try_merge`
+    * (/root/reference/src/file_format.rs:146-161) generalized from read
+    * inference to the write path.
     */
   private[v2] def validateAppend(table: String, incoming: StructType,
-                                 partitionCols: Seq[String]): Unit = {
+                                 partitionCols: Seq[String],
+                                 mergeSchema: Option[Boolean] = None): Unit = {
     val spark = SparkSession.active
     val index = try {
       new GraftOrcFileIndex(
@@ -490,17 +519,43 @@ object GraftOrcWrite {
     val gotNames = incomingData.map(_.name.toLowerCase).toSet
     val missing = wantByName.keySet -- gotNames
     val extra = gotNames -- wantByName.keySet
-    if (missing.nonEmpty || extra.nonEmpty) throw new IllegalArgumentException(
-      s"graft-orc: append schema does not match the table at $table — " +
-        s"missing columns: [${missing.toSeq.sorted.mkString(", ")}], " +
-        s"unexpected columns: [${extra.toSeq.sorted.mkString(", ")}]")
+    val mergeOn = mergeSchema.getOrElse(index.tableMeta.exists(
+      _.props.get("graft.merge_schema").exists(_.equalsIgnoreCase("true"))))
+    if (missing.nonEmpty || (extra.nonEmpty && !mergeOn))
+      throw new IllegalArgumentException(
+        s"graft-orc: append schema does not match the table at $table — " +
+          s"missing columns: [${missing.toSeq.sorted.mkString(", ")}], " +
+          s"unexpected columns: [${extra.toSeq.sorted.mkString(", ")}]" +
+          (if (extra.nonEmpty)
+            "; set .option(\"graft.merge_schema\", \"true\") to add new " +
+              "columns as a metadata commit"
+           else ""))
+    val widens = incomingData.filter { f =>
+      wantByName.get(f.name.toLowerCase).exists(w =>
+        w.catalogString != f.dataType.catalogString &&
+          mergeOn && GraftOrcSchema.canWiden(w, f.dataType))
+    }
     incomingData.foreach { f =>
-      val want = wantByName(f.name.toLowerCase)
-      if (f.dataType.catalogString != want.catalogString)
+      val want = wantByName.get(f.name.toLowerCase)
+      if (want.exists(w => w.catalogString != f.dataType.catalogString) &&
+          !widens.exists(_.name.equalsIgnoreCase(f.name)))
         throw new IllegalArgumentException(
           s"graft-orc: append column ${f.name} has type " +
             s"${f.dataType.catalogString} but the table at $table has " +
-            s"${want.catalogString}")
+            s"${want.get.catalogString}")
+    }
+    if (mergeOn && (extra.nonEmpty || widens.nonEmpty)) {
+      // ONE DDL commit carrying every add + widening, through the same
+      // optimistic loop explicit DDL uses (bootstraps meta-less
+      // manifest tables; refuses directory tables with its typed error)
+      val adds = incoming.fields.filter(f => extra(f.name.toLowerCase))
+      GraftOrcSchema.alter(
+          spark.sparkContext.hadoopConfiguration, table) { meta =>
+        val added = adds.foldLeft(meta)((m, f) =>
+          GraftOrcSchema.addColumn(m, f.name, f.dataType))
+        widens.foldLeft(added)((m, f) =>
+          GraftOrcSchema.widenColumn(m, f.name, f.dataType))
+      }
     }
   }
 

@@ -368,4 +368,34 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
       sql("SELECT * FROM gcat.no_such_table").collect()
     }
   }
+
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION: a source with a new " +
+    "column evolves the target through alterTable (one metadata " +
+    "commit), matched rows update it, unmatched insert it, old rows " +
+    "null-fill") {
+    wh
+    sql("CREATE TABLE gcat.mse (k INT, v STRING)")
+    sql("INSERT INTO gcat.mse VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("CREATE TABLE gcat.mse_src (k INT, v STRING, score DOUBLE)")
+    sql("INSERT INTO gcat.mse_src VALUES (2, 'b2', 0.5), (9, 'new', 0.9)")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.mse t
+          USING gcat.mse_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    val rows = sql("SELECT k, v, score FROM gcat.mse ORDER BY k")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 9))
+    assert(rows(0).isNullAt(2) && rows(2).isNullAt(2),
+      "untouched rows must null-fill the evolved column")
+    assert(rows(1).getString(1) == "b2" && rows(1).getDouble(2) == 0.5)
+    assert(rows(3).getString(1) == "new" && rows(3).getDouble(2) == 0.9)
+    // the evolution persisted as schema metadata with a field ID
+    val fs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = GraftOrcManifest.readSnapshot(fs,
+      new Path(s"$wh/mse")).get.meta.get
+    assert(meta.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(graft.sources.v2.GraftOrcSchema
+      .fieldId(meta.schema("score")).nonEmpty)
+  }
 }

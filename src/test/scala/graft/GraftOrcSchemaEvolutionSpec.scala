@@ -251,4 +251,99 @@ class GraftOrcSchemaEvolutionSpec extends AnyFunSuite {
     assert(rows.length == 3 && rows.forall(_.isNullAt(2)))
     assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
   }
+
+  // ---- write-path schema evolution (graft.merge_schema) ---------------
+
+  test("merge_schema append: a superset batch auto-adds its new columns " +
+    "as one DDL commit — old rows null-fill, new files stamp the evolved " +
+    "version, time travel still reads the old shape") {
+    val dir = abTable(3)
+    val seqBefore = GraftOrcManifest.readSnapshot(
+      new Path(dir).getFileSystem(conf), new Path(dir)).get.seq
+    Seq((100, 1000, "x", 1.5), (101, 1010, "y", 2.5))
+      .toDF("a", "b", "tag", "score").coalesce(1)
+      .write.format("graft-orc").option("graft.merge_schema", "true")
+      .mode("append").save(dir)
+    val fs = new Path(dir).getFileSystem(conf)
+    val snap = GraftOrcManifest.readSnapshot(fs, new Path(dir)).get
+    // exactly two commits: the DDL (bootstrap + 2 adds) and the append
+    assert(snap.seq == seqBefore + 2, s"${snap.seq} vs $seqBefore")
+    val meta = snap.meta.get
+    assert(meta.schema.fieldNames.toSeq == Seq("a", "b", "tag", "score"))
+    // new files carry the evolved version; originals stay at 0
+    assert(snap.entries.exists(_.schemaV == meta.schemaV) &&
+      snap.entries.exists(_.schemaV == 0L))
+    val rows = readAll(dir).selectExpr("a", "tag", "score")
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 5)
+    assert(rows.take(3).forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    assert(rows(3).getString(1) == "x" && rows(4).getDouble(2) == 2.5)
+    // the pre-merge snapshot still reads the two-column shape
+    val old = spark.read.format("graft-orc")
+      .option("graft.snapshot_id", seqBefore.toString).load(dir)
+    assert(old.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(old.count() == 3)
+  }
+
+  test("merge_schema append WIDENS int->long as metadata; without the " +
+    "option the same superset batch is refused with a pointer to it; " +
+    "missing columns refuse even with it") {
+    val dir = abTable(3)
+    // no option -> typed refusal naming the remedy
+    val err = intercept[IllegalArgumentException] {
+      Seq((1, 2, "z")).toDF("a", "b", "c").write.format("graft-orc")
+        .mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("graft.merge_schema"))
+    // widening via merge: b arrives as BIGINT
+    Seq((200, 20L)).toDF("a", "b").coalesce(1)
+      .write.format("graft-orc").option("graft.merge_schema", "true")
+      .mode("append").save(dir)
+    val meta = GraftOrcManifest.readSnapshot(
+      new Path(dir).getFileSystem(conf), new Path(dir)).get.meta.get
+    assert(meta.schema("b").dataType == LongType)
+    val vals = readAll(dir).selectExpr("sum(b)").as[Long].head()
+    assert(vals == 0 + 10 + 20 + 20L)
+    // a non-widenable change still refuses
+    val err2 = intercept[IllegalArgumentException] {
+      Seq((1, "no")).toDF("a", "b").write.format("graft-orc")
+        .option("graft.merge_schema", "true").mode("append").save(dir)
+    }
+    assert(err2.getMessage.contains("has type"))
+    // missing columns refuse regardless of the option
+    val err3 = intercept[IllegalArgumentException] {
+      Seq(Tuple1(1)).toDF("a").write.format("graft-orc")
+        .option("graft.merge_schema", "true").mode("append").save(dir)
+    }
+    assert(err3.getMessage.contains("missing columns"))
+  }
+
+  test("TBLPROPERTIES('graft.merge_schema'='true') makes evolution the " +
+    "table default; an explicit false option overrides it") {
+    val dir = abTable(3)
+    alter(dir)(m => m.copy(props = m.props + ("graft.merge_schema" -> "true")))
+    Seq((300, 30, 7.0)).toDF("a", "b", "w").coalesce(1)
+      .write.format("graft-orc").mode("append").save(dir)
+    assert(readAll(dir).schema.fieldNames.toSeq == Seq("a", "b", "w"))
+    assert(readAll(dir).count() == 4)
+    val err = intercept[IllegalArgumentException] {
+      Seq((1, 2, 3.0, "q")).toDF("a", "b", "w", "q")
+        .write.format("graft-orc").option("graft.merge_schema", "false")
+        .mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("unexpected columns"))
+  }
+
+  test("merge_schema on a branch append is refused — evolution commits " +
+    "to the main lineage a staged write must not mutate") {
+    val dir = abTable(3)
+    GraftOrcManifest.createBranch(
+      new Path(dir).getFileSystem(conf), new Path(dir), "audit")
+    val err = intercept[IllegalArgumentException] {
+      Seq((1, 2, "x")).toDF("a", "b", "c").write.format("graft-orc")
+        .option("graft.merge_schema", "true")
+        .option("graft.branch", "audit").mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("branch"))
+  }
 }
