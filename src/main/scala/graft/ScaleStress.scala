@@ -61,6 +61,17 @@ object ScaleStress {
     spark.sql(s"DROP TABLE IF EXISTS $tname")
     spark.sql(s"CREATE TABLE $tname USING `graft-orc` LOCATION '$dir' " +
       "TBLPROPERTIES('graft.delete_mode'='mor')")
+    // a graft CATALOG handle over the same location, so a branch-DML
+    // committer can race `DELETE FROM t.branch_<n>` (round 13): branch
+    // handles resolve through GraftOrcCatalog, not the session catalog
+    val cname = "gconc" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(6)
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-conc-wh").toString)
+    spark.sql(s"CREATE TABLE $cname.t (k INT, v STRING) " +
+      s"LOCATION '$dir'")
 
     val attempted = new java.util.concurrent.atomic.AtomicInteger()
     val succeeded = new java.util.concurrent.atomic.AtomicInteger()
@@ -158,7 +169,32 @@ object ScaleStress {
             } catch { case t: Throwable =>
               GraftOrcManifest.dropBranch(fs, pth, bname); throw t
             }
-          } { wapRounds.add(r) })
+          } { wapRounds.add(r) },
+          // branch DML racing everyone (round 13): fork -> staged
+          // append -> branch-scoped CoW DELETE of part of the stage
+          // (scans the branch, swaps against the branch lineage under
+          // its own commit lock) -> audit -> drop (failed-gate path; a
+          // DML branch is fast_forward-only and main races ahead here,
+          // so publish is structurally off). Main state must be
+          // bit-identical to a world where this committer never ran.
+          committer("branchdml") {
+            val pth = new org.apache.hadoop.fs.Path(dir)
+            val bname = s"bdml$r"
+            val lo = 3000000 + r * 1000
+            GraftOrcManifest.createBranch(fs, pth, bname)
+            try {
+              (0 until 60).map(j => (lo + j, s"bdml-$r")).toDF("k", "v")
+                .coalesce(1).write.format("graft-orc")
+                .option("graft.branch", bname).mode("append").save(dir)
+              spark.sql(s"DELETE FROM $cname.t.branch_$bname " +
+                s"WHERE k >= $lo AND k < ${lo + 20}")
+              val staged = spark.read.format("graft-orc")
+                .option("graft.branch", bname).load(dir)
+                .filter(col("k") >= lo).count()
+              require(staged == 40,
+                s"branch DML audit read saw $staged/40")
+            } finally GraftOrcManifest.dropBranch(fs, pth, bname)
+          } { () })
       threads.foreach(_.join(300000))
       if (!errs.isEmpty)
         throw new IllegalStateException(
@@ -187,6 +223,7 @@ object ScaleStress {
       .as[(Int, String)].collect().toMap
     val actualRows = spark.read.format("graft-orc").load(dir).count()
     spark.sql(s"DROP TABLE IF EXISTS $tname")
+    spark.sql(s"DROP TABLE IF EXISTS $cname.t")
     if (actual != expected || actualRows != expected.size) {
       val missing = expected.keySet -- actual.keySet
       val extra = actual.keySet -- expected.keySet

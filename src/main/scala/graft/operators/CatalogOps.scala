@@ -442,6 +442,131 @@ object CatalogOps {
              |GROUP BY c_mktsegment
              |ORDER BY seg""".stripMargin)),
 
+    // ------------------------------------------ branch DML (round 13)
+    // Full DML against a branch ref — the reason branches exist once a
+    // pipeline needs to QUALITY-GATE destructive changes, not just
+    // appends: DELETE + UPDATE + MERGE run against `t.branch_stage`,
+    // commit to the branch lineage (CoW rewrites swap branch state;
+    // main's files and snapshot are untouched), the audit reads the
+    // gated result, and fast_forward publishes it as one commit. The
+    // oracle reconstructs the same final state relationally. Scale
+    // shape: each staged op pays only its own touched files (group
+    // rewrite on the branch), publish is a snapshot rename.
+    QueryDef("rl_branch_dml",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("brdml")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("brdml_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"CREATE TABLE $qt (c_custkey BIGINT, seg STRING, " +
+          "bal DOUBLE)")
+        try {
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(4) */ * " +
+            s"FROM $srcView")
+          s.sql(s"CALL $cat.system.create_branch('default.$t', " +
+            "'stage')").collect()
+          val bref = s"$qt.branch_stage"
+          // stage the destructive edits on the branch
+          s.sql(s"DELETE FROM $bref WHERE bal < 0")
+          s.sql(s"UPDATE $bref SET seg = 'GATED' WHERE bal >= 9000")
+          s.sql(s"""MERGE INTO $bref t
+            USING (SELECT c_custkey + 5000000 AS c_custkey,
+                     'MERGED' AS seg, bal FROM $srcView
+                   WHERE c_custkey % 100 = 0) s
+            ON t.c_custkey = s.c_custkey
+            WHEN NOT MATCHED THEN INSERT *""")
+          // audit: main must still be the pre-stage state
+          val mainNeg = s.sql(
+            s"SELECT count(*) FROM $qt WHERE bal < 0")
+            .collect()(0).getLong(0)
+          require(mainNeg > 0, "main saw the staged DELETE before publish")
+          s.sql(s"CALL $cat.system.fast_forward('default.$t', " +
+            "'stage')").collect()
+          s.sql(s"SELECT c_custkey, seg, bal FROM $qt " +
+            "ORDER BY c_custkey")
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""WITH seeded AS (
+             |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  CASE WHEN bal >= 9000 THEN 'GATED' ELSE seg END AS seg,
+             |  bal
+             |FROM seeded WHERE bal >= 0
+             |UNION ALL
+             |SELECT c_custkey + 5000000, 'MERGED', bal
+             |FROM seeded WHERE c_custkey % 100 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------- WAP gate via branch DELETE (round 13)
+    // The pp_wap_quality_gate flow with the gate expressed as a STAGED
+    // DELETE instead of drop-and-restage: the dirty crawl lands on the
+    // branch once, the audit finds the junk, a branch-scoped DELETE
+    // removes exactly the failing rows (committed to the branch
+    // lineage), the re-audit proves the stage clean, and fast_forward
+    // publishes. Same final state as the drop-and-restage form (the
+    // oracle is identical); the difference at scale is cost — the
+    // clean 99%+ of the crawl is staged ONCE, not re-written, and the
+    // DELETE pays only the files holding junk.
+    QueryDef("pp_wap_gate_dml",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("wapdml")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"))
+        val corpusView = uniq("wapdml_corpus")
+        val crawlView = uniq("wapdml_crawl")
+        docs.filter(col("doc_id") % 2 === 0)
+          .createOrReplaceTempView(corpusView)
+        docs.filter(col("doc_id") % 2 === 1).unionByName(
+          docs.filter(col("doc_id") % 100 === 1)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              lit(3L).as("n_tokens")))
+          .createOrReplaceTempView(crawlView)
+        s.sql(s"CREATE TABLE $qt (doc_id BIGINT, n_tokens BIGINT)")
+        try {
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(4) */ * " +
+            s"FROM $corpusView")
+          s.sql(s"CALL $cat.system.create_branch('default.$t', " +
+            "'ingest')").collect()
+          s.sql(s"INSERT INTO $qt.branch_ingest " +
+            s"SELECT /*+ REPARTITION(2) */ * FROM $crawlView")
+          // audit on the branch: the junk is present in the stage
+          val junk = s.sql(s"SELECT count(*) FROM $qt.branch_ingest " +
+            "WHERE doc_id % 2 = 1 AND n_tokens < 10")
+            .collect()(0).getLong(0)
+          require(junk > 0, "the gate demo must actually catch junk")
+          // the gate: a branch-scoped DELETE of exactly the junk
+          s.sql(s"DELETE FROM $qt.branch_ingest WHERE n_tokens < 10")
+          val still = s.sql(s"SELECT count(*) FROM $qt.branch_ingest " +
+            "WHERE n_tokens < 10").collect()(0).getLong(0)
+          require(still == 0, "the staged DELETE missed junk")
+          val dirty = s.sql(s"SELECT count(*) FROM $qt " +
+            "WHERE n_tokens < 10").collect()(0).getLong(0)
+          require(dirty == 0, "main saw a junk row before publish")
+          s.sql(s"CALL $cat.system.fast_forward('default.$t', " +
+            "'ingest')").collect()
+          s.sql(s"SELECT doc_id, n_tokens FROM $qt ORDER BY doc_id")
+        } finally {
+          s.catalog.dropTempView(corpusView)
+          s.catalog.dropTempView(crawlView)
+        }
+      },
+      Some("""SELECT doc_id, n_tokens FROM (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents) t
+             |WHERE doc_id % 2 = 0 OR n_tokens >= 10
+             |ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------- WAP quality gate (documents)
     // The INTENDED use of branches in a training-data pipeline, under
     // the hash oracle: the live corpus (even doc_ids) takes a new crawl

@@ -397,12 +397,11 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     val ps = tablePaths
     require(ps.length == 1,
       s"graft-orc: UPDATE/MERGE targets exactly one table path, got $ps")
-    // a branch-scoped handle would scan the BRANCH but commit to MAIN —
-    // refuse; branch staging is append-only (publish, then mutate)
-    require(!props.contains("graft.branch"),
-      "graft-orc: DELETE/UPDATE/MERGE on a branch handle is not " +
-        "supported — branches are append-only staging; fast_forward/" +
-        "cherry_pick first, then mutate main")
+    // a branch-scoped handle (`UPDATE t.branch_x ...`) runs the whole
+    // operation against the BRANCH lineage: its scan reads the branch
+    // state and its commit swaps/deltas against the same branch — WAP
+    // can stage destructive changes and gate them before fast_forward
+    val branch = props.get("graft.branch").map(_.trim).filter(_.nonEmpty)
     val partCols = partTransforms
       .map(t => GraftOrcPartitionSpec.fromTransform(t).canonical).toSeq
     // strategy per command: `cow` (default) plans the group-based
@@ -420,9 +419,9 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     () =>
       if (mode == "mor")
         new GraftOrcDeltaOperation(tableSchema, ps.head, partCols,
-          info.command())
+          info.command(), branch)
       else new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
-        info.command())
+        info.command(), branch)
   }
 
   /** `cow` | `mor` for one row-level command: table property
@@ -511,9 +510,6 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     // multi-path relations can't DELETE atomically — refuse so Spark
     // falls back to the row-level plan instead of aborting mid-optimize
     if (tablePaths.length != 1) return false
-    // branch handles are append-only (the row-level fallback then
-    // refuses with the typed message)
-    if (props.contains("graft.branch")) return false
     val (fs, qt) = deleteTarget
     GraftOrcManifest.exists(fs, qt) &&
       filters.forall(f => GraftOrcDelete.toColumn(f).isDefined)
@@ -535,7 +531,11 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       s"graft-orc: DELETE requires a manifest table, but ${name()} has " +
         s"no ${GraftOrcManifest.Dir} (write with " +
         ".option(\"graft.manifest\", \"true\") to establish one)")
-    val cur = GraftOrcManifest.readSnapshot(fs, qt)
+    // a branch handle deletes against the BRANCH lineage: classification
+    // reads the branch state, the swap commits to the same lineage —
+    // main never sees the staged delete until fast_forward
+    val branch = props.get("graft.branch").map(_.trim).filter(_.nonEmpty)
+    val cur = GraftOrcManifest.readSnapshot(fs, qt, branch)
       .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
     // conjunction classification per file
     val fullDrops = cur.entries.filter(e =>
@@ -562,7 +562,7 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       // resurrect a full-drop's rows from the rival's merged output
       GraftOrcManifest.commitSwap(fs, qt, remove = fullSet, add = Nil,
         addDeletes = sidecars, op = "delta",
-        expectPresent = fullSet ++ partials.map(_.path))
+        expectPresent = fullSet ++ partials.map(_.path), branch = branch)
       GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops)
     } else {
       val rewritten = GraftOrcDelete.rewriteWithout(
@@ -573,7 +573,7 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       GraftOrcManifest.commitSwap(fs, qt,
         remove = fullSet ++ partials.map(_.path), add = rewritten,
         op = "replace",
-        expectPresent = fullSet ++ partials.map(_.path))
+        expectPresent = fullSet ++ partials.map(_.path), branch = branch)
       GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops ++ partials)
     }
   }

@@ -64,7 +64,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * pushed condition still bounds the read.
   */
 class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
-                             partitionCols: Seq[String], cmd: Command)
+                             partitionCols: Seq[String], cmd: Command,
+                             branch: Option[String] = None)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): Command = cmd
@@ -82,13 +83,16 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
     val merged = new java.util.HashMap[String, String](
       options.asCaseSensitiveMap())
     merged.put("path", tablePath)
+    // a branch-scoped delta scans the BRANCH state; its positions and
+    // inserts then commit to the same lineage
+    branch.foreach(b => merged.put("graft.branch", b))
     new GraftOrcScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftOrcDeltaWrite(tablePath, info, partitionCols)
+        new GraftOrcDeltaWrite(tablePath, info, partitionCols, branch)
     }
 }
 
@@ -100,7 +104,8 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
   * ([[GraftOrcWrite.publish]] delta mode).
   */
 class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
-                         partitionCols: Seq[String])
+                         partitionCols: Seq[String],
+                         branch: Option[String] = None)
     extends DeltaWrite {
 
   private val rowSchema: StructType = info.schema()
@@ -189,7 +194,8 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
       }
       GraftOrcWrite.publish(path, writeId, dataMsgs.toArray,
         truncateExisting = false, writerPartitionCols = partitionCols,
-        deltaDeletes = dels.result(), deltaRefs = Some(refs.result()))
+        deltaDeletes = dels.result(), deltaRefs = Some(refs.result()),
+        branch = branch)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -873,6 +873,31 @@ object GraftOrcManifest {
     }
     val netNew0 = head.entries.filterNot(e =>
       forkRel(relativize(qt, e.path)))
+    // cherry-pick publishes the branch's NET ADDITIONS onto a possibly
+    // diverged main — that arithmetic is only sound for an append-only
+    // branch. A branch that ran DML (CoW DELETE/UPDATE removed fork
+    // files; MoR staged position sidecars) cannot be picked: publishing
+    // its rewrites as additions would duplicate the surviving rows of
+    // every rewritten fork file, and its sidecars reference branch
+    // state main never had. Refuse loudly; fast_forward (same-lineage
+    // publish) is the operation that carries destructive stages.
+    val headRel = head.entries.map(e => relativize(qt, e.path)).toSet
+    val removedFromFork = forkRel -- headRel
+    require(removedFromFork.isEmpty,
+      s"graft-orc: branch '$name' removed or rewrote " +
+        s"${removedFromFork.size} fork file(s) (branch DML) — " +
+        "cherry_pick publishes net additions only and would duplicate " +
+        "their surviving rows; use fast_forward to publish a " +
+        "destructive stage")
+    val mainDeletes = readSnapshot(fs, qt)
+      .map(_.deletes.map(_.path).toSet).getOrElse(Set.empty)
+    val branchOnlySidecars =
+      head.deletes.map(_.path).toSet -- mainDeletes
+    require(branchOnlySidecars.isEmpty,
+      s"graft-orc: branch '$name' carries ${branchOnlySidecars.size} " +
+        "delete sidecar(s) main does not reference (branch MoR DML) — " +
+        "cherry_pick cannot replay position deletes onto a diverged " +
+        "main; use fast_forward")
     var attempt = 0
     while (true) {
       try {

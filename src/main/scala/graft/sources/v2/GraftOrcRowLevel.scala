@@ -26,7 +26,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * half-updated table.
   */
 class GraftOrcRowLevelOperation(tableSchema: StructType, tablePath: String,
-                                partitionCols: Seq[String], cmd: Command)
+                                partitionCols: Seq[String], cmd: Command,
+                                branch: Option[String] = None)
     extends RowLevelOperation {
 
   // the one scan Spark builds for this operation; its post-pruning file
@@ -42,6 +43,9 @@ class GraftOrcRowLevelOperation(tableSchema: StructType, tablePath: String,
     val merged = new java.util.HashMap[String, String](
       options.asCaseSensitiveMap())
     merged.put("path", tablePath)
+    // a branch-scoped operation scans the BRANCH state — its write then
+    // swaps against the same lineage (GraftOrcWrite branch commit)
+    branch.foreach(b => merged.put("graft.branch", b))
     // group-replacement correctness: the pushed condition may prune
     // whole FILES (group granularity — pruned groups keep their
     // identity) but must NEVER reach the reader as a SearchArgument —
@@ -57,7 +61,8 @@ class GraftOrcRowLevelOperation(tableSchema: StructType, tablePath: String,
     new WriteBuilder {
       override def build(): Write =
         new GraftOrcWrite(tablePath, info.schema(),
-          info.options().asCaseSensitiveMap().asScala.toMap,
+          info.options().asCaseSensitiveMap().asScala.toMap ++
+            branch.map("graft.branch" -> _),
           truncate = false, partitionCols,
           rowLevelMode = true,
           replaceScanned = () => {

@@ -686,8 +686,13 @@ object GraftOrcWrite {
     val qdir = fs.makeQualified(dir)
     seedPublishStamp(conf, table)
     // branch commits extend an EXISTING branch lineage of a manifest
-    // table, append-only (builder guards truncate/upsert; row-level
-    // rewrites never carry the option)
+    // table. Appends AND row-level rewrites (replacePaths / deltaRefs —
+    // UPDATE/MERGE/DELETE against a branch handle) are allowed: the
+    // operation's scan read the BRANCH state and the swap below commits
+    // against that same lineage, so WAP can stage destructive changes
+    // and quality-gate them before fast_forward. Truncate stays refused
+    // (an overwrite publishes through main after the audit), as does
+    // blind upsert (builder guard).
     branch.foreach { b =>
       require(GraftOrcManifest.exists(fs, qdir),
         s"graft-orc: graft.branch requires a manifest table, but $table " +
@@ -696,9 +701,9 @@ object GraftOrcWrite {
         s"graft-orc: no branch '$b' on $table — create it first " +
           "(GraftOrcManifest.createBranch or CALL <cat>.system" +
           ".create_branch)")
-      require(!truncateExisting && replacePaths.isEmpty &&
-          deltaRefs.isEmpty,
-        "graft-orc: branch commits are append-only")
+      require(!truncateExisting,
+        "graft-orc: branch commits cannot truncate — an overwrite " +
+          "publishes through main after the audit")
     }
     // Manifest state BEFORE any mutation. Once the table has a manifest,
     // EVERY commit updates it — manifest readers see nothing else, so an

@@ -276,4 +276,115 @@ class GraftOrcBranchSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gbr.w").as[Long]
       .collect().head == 30, "dropped staging never published")
   }
+
+  // ---- branch DML (round 13): DELETE/UPDATE/MERGE stage on the branch
+
+  test("branch DML: DELETE, UPDATE and MERGE against t.branch_<n> " +
+    "commit to the BRANCH lineage; main is untouched until " +
+    "fast_forward publishes the gated state") {
+    val wh = Files.createTempDirectory("graft-branchdml-wh").toString
+    spark.conf.set("spark.sql.catalog.gbd",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbd.warehouse", wh)
+    spark.sql("CREATE TABLE gbd.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gbd.t SELECT id, concat('m', id) " +
+      "FROM range(0, 10)")
+    spark.sql("CALL gbd.system.create_branch('t', 'stage')").collect()
+    def mainRows() = spark.sql("SELECT k, v FROM gbd.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    def branchRows() = spark.sql(
+      "SELECT k, v FROM gbd.t.branch_stage ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    val orig = mainRows()
+    // translatable predicate -> SupportsDelete CoW path, on the branch
+    spark.sql("DELETE FROM gbd.t.branch_stage WHERE k < 2")
+    // untranslatable predicate -> row-level group rewrite, on the branch
+    spark.sql("DELETE FROM gbd.t.branch_stage WHERE k % 2 = 0")
+    assert(branchRows().map(_._1) == Seq(3L, 5L, 7L, 9L))
+    assert(mainRows() == orig, "branch DELETE leaked to main")
+    spark.sql("UPDATE gbd.t.branch_stage SET v = 'audited' WHERE k = 3")
+    assert(branchRows().head == (3L, "audited"))
+    assert(mainRows() == orig, "branch UPDATE leaked to main")
+    spark.sql("CREATE TABLE gbd.src (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gbd.src VALUES (5, 'merged'), (100, 'fresh')")
+    spark.sql("""MERGE INTO gbd.t.branch_stage t USING gbd.src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val gated = Seq((3L, "audited"), (5L, "merged"), (7L, "m7"),
+      (9L, "m9"), (100L, "fresh"))
+    assert(branchRows() == gated)
+    assert(mainRows() == orig, "branch MERGE leaked to main")
+    spark.sql("CALL gbd.system.fast_forward('t', 'stage')").collect()
+    assert(mainRows() == gated, "publish must make main = gated state")
+  }
+
+  test("branch MoR DML: position sidecars land on the branch lineage " +
+    "only; cherry_pick refuses a DML branch (typed, names " +
+    "fast_forward); fast_forward publishes sidecars and purge " +
+    "materializes them") {
+    val wh = Files.createTempDirectory("graft-branchmor-wh").toString
+    spark.conf.set("spark.sql.catalog.gbm",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbm.warehouse", wh)
+    spark.sql("CREATE TABLE gbm.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.delete_mode'='mor')")
+    spark.sql("INSERT INTO gbm.t SELECT /*+ REPARTITION(2) */ id, " +
+      "concat('m', id) FROM range(0, 10)")
+    spark.sql("CALL gbm.system.create_branch('t', 'stage')").collect()
+    spark.sql("DELETE FROM gbm.t.branch_stage WHERE k < 3")
+    val fs = fsOf(wh)
+    val tp = new Path(s"$wh/t")
+    val bSnap = GraftOrcManifest.readSnapshot(fs, tp, Some("stage")).get
+    val mSnap = GraftOrcManifest.readSnapshot(fs, tp).get
+    assert(bSnap.deletes.nonEmpty,
+      "branch MoR delete must commit sidecars to the branch")
+    assert(mSnap.deletes.isEmpty,
+      "main must not reference the branch's staged sidecars")
+    assert(spark.sql("SELECT count(*) FROM gbm.t.branch_stage")
+      .as[Long].collect().head == 7)
+    assert(spark.sql("SELECT count(*) FROM gbm.t").as[Long]
+      .collect().head == 10)
+    // a DML branch cannot cherry-pick (net-additions math would lose
+    // the staged positions) — typed error naming the fast_forward path
+    val e = intercept[Exception](spark.sql(
+      "CALL gbm.system.cherry_pick('t', 'stage')").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(x => Option(x.getMessage)
+      .exists(_.contains("fast_forward"))), chain(e).map(_.getMessage))
+    spark.sql("CALL gbm.system.fast_forward('t', 'stage')").collect()
+    assert(spark.sql("SELECT count(*) FROM gbm.t").as[Long]
+      .collect().head == 7)
+    assert(GraftOrcManifest.readSnapshot(fs, tp).get.deletes.nonEmpty)
+    // purge materializes the published positions
+    assert(graft.sources.v2.GraftOrcMor.purge(spark, s"$wh/t") > 0)
+    assert(spark.sql("SELECT k FROM gbm.t ORDER BY k").as[Long]
+      .collect().toSeq == (3L to 9L))
+  }
+
+  test("a CoW-DML branch also refuses cherry_pick (rewrites would " +
+    "duplicate surviving rows of rewritten fork files)") {
+    val wh = Files.createTempDirectory("graft-branchcp-wh").toString
+    spark.conf.set("spark.sql.catalog.gbc",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbc.warehouse", wh)
+    spark.sql("CREATE TABLE gbc.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gbc.t SELECT id, concat('m', id) " +
+      "FROM range(0, 10)")
+    spark.sql("CALL gbc.system.create_branch('t', 'stage')").collect()
+    spark.sql("DELETE FROM gbc.t.branch_stage WHERE k < 5")
+    // diverge main so fast_forward is off the table, then try the pick
+    spark.sql("INSERT INTO gbc.t VALUES (200, 'late')")
+    val e = intercept[Exception](spark.sql(
+      "CALL gbc.system.cherry_pick('t', 'stage')").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(x => Option(x.getMessage)
+      .exists(m => m.contains("fast_forward") && m.contains("DML"))),
+      chain(e).map(_.getMessage))
+    // nothing was published or mutated by the refusal
+    assert(spark.sql("SELECT count(*) FROM gbc.t").as[Long]
+      .collect().head == 11)
+  }
 }

@@ -136,13 +136,13 @@ class GraftOrcProcedureSpec extends AnyFunSuite {
       .collect().head == 3)
     assert(sql("SELECT count(*) FROM gproc.v2").as[Long]
       .collect().head == 3, "branch insert invisible to main")
-    // DML on a branch handle would scan the branch but commit to main —
-    // refused with a typed message (branches are append-only staging)
-    val e = intercept[Exception](
-      sql("DELETE FROM gproc.v2.branch_wip WHERE a = 99"))
-    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // DML on a branch handle scans the branch AND commits to the branch
+    // lineage (round 13): the staged delete is invisible to main
+    sql("DELETE FROM gproc.v2.branch_wip WHERE a = 99")
     assert(sql("SELECT count(*) FROM gproc.v2.branch_wip").as[Long]
-      .collect().head == 3, "refused DELETE must not mutate anything")
+      .collect().head == 2, "branch DELETE must mutate the branch")
+    assert(sql("SELECT count(*) FROM gproc.v2").as[Long]
+      .collect().head == 3, "branch DELETE must be invisible to main")
   }
 
   test("expire_snapshots: persists the retention depth, trims history, " +
