@@ -501,6 +501,84 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id")),
       None),
 
+    // --------------------------------------------- embed LSH, det twin
+    // Deterministic twin putting the HYPERPLANE BANDING itself under the
+    // DuckDB hash oracle (dd_embed_lsh stays rows-only: its splitmix
+    // plane matrix and float dot products are engine-specific). Both
+    // engines rebuild the same banding from first principles:
+    //  - plane components are md5-derived integers in [-1000, 1000]
+    //    (DuckDB computes them in SQL with the md5Key60 trick; the Spark
+    //    side inlines the identical values via the same md5 derivation),
+    //  - vectors are quantized to integers (floor(dim * 1000)) so every
+    //    projection is pure BIGINT arithmetic — no float summation order
+    //    to disagree on; the sign threshold is exact on both engines,
+    //  - output is the banded candidate structure: every colliding pair
+    //    with its shared-bucket count. A single bucket-bit divergence
+    //    anywhere would change the pair set and fail the hash.
+    // Same plan shape as the engine form: one narrow pass computes all
+    // table buckets, ids-only through the bucket equi-join.
+    QueryDef("dd_embed_lsh_det",
+      (s, d) => {
+        val (tT, pP, dD) = (2, 10, 8)
+        def md5Long(str: String): Long = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(str.getBytes("UTF-8")).take(8)
+            .map("%02x".format(_)).mkString.take(15), 16)
+        def comp(t: Int, p: Int, j: Int): Long =
+          md5Long(s"$t:$p:$j") % 2001L - 1000L
+        val e = Tables.embeddings(s, d)
+        val qv = (1 to dD).map(j =>
+          floor(col("embedding").getItem(j - 1).cast("double") * 1000)
+            .cast("long"))
+        def proj(t: Int, p: Int): Column =
+          (1 to dD).map(j => lit(comp(t, p, j)) * qv(j - 1))
+            .reduce(_ + _)
+        def bucket(t: Int): Column =
+          (0 until pP).map(p =>
+            when(proj(t, p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _)
+        val banded = e.select(col("vec_id") +:
+          (0 until tT).map(t => bucket(t).as(s"b$t")): _*)
+        val long = banded.select(col("vec_id"),
+          posexplode(array((0 until tT).map(t => col(s"b$t")): _*))
+            .as(Seq("t", "bucket")))
+        val a = long.select(col("t"), col("bucket"),
+          col("vec_id").as("a_id"))
+        val b = long.select(col("t"), col("bucket"),
+          col("vec_id").as("b_id"))
+        a.join(b, Seq("t", "bucket")).filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(range(1, 9), j ->
+             |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000)
+             |         AS BIGINT)) AS qv
+             |  FROM embeddings
+             |), planes AS (
+             |  SELECT t, p, list_transform(range(1, 9), j ->
+             |    CAST('0x' || substr(md5(t || ':' || p || ':' || j),
+             |      1, 15) AS BIGINT) % 2001 - 1000) AS comp
+             |  FROM (SELECT unnest([0, 1]) AS t),
+             |       (SELECT unnest(range(0, 10)) AS p)
+             |), buckets AS (
+             |  SELECT q.vec_id, pl.t,
+             |    sum(CASE WHEN comp[1]*qv[1] + comp[2]*qv[2] +
+             |      comp[3]*qv[3] + comp[4]*qv[4] + comp[5]*qv[5] +
+             |      comp[6]*qv[6] + comp[7]*qv[7] + comp[8]*qv[8] >= 0
+             |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+             |  FROM q CROSS JOIN planes pl
+             |  GROUP BY q.vec_id, pl.t
+             |)
+             |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM buckets a JOIN buckets b
+             |  ON a.t = b.t AND a.bucket = b.bucket
+             | AND a.vec_id < b.vec_id
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // ------------------------------------------------------------ semdedup
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the cluster-bounded
     // semantic dedup used for web-scale pretraining corpora: k-means the
