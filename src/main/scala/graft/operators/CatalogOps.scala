@@ -94,16 +94,24 @@ object CatalogOps {
         GraftOrcSchema.alter(conf, dir)(
           GraftOrcSchema.addColumn(_, "bonus",
             org.apache.spark.sql.types.DoubleType))
+        // POSITIONED add (round 13): gen lands FIRST in the presented
+        // order — purely metadata, old files null-fill it like any add
+        GraftOrcSchema.alter(conf, dir)(
+          GraftOrcSchema.addColumn(_, "gen",
+            org.apache.spark.sql.types.LongType, at = Some(0)))
         seeded(s, d).filter(col("c_custkey") % 10 === 0)
           .select((col("c_custkey") + 2000000).as("c_custkey"),
             lit("EVOLVED").as("segment"), col("bal"),
             col("score").cast("bigint").as("score"),
-            (col("bal") / 10).as("bonus"))
+            (col("bal") / 10).as("bonus"), lit(2L).as("gen"))
           .repartition(2)
           .write.format("graft-orc").mode("append").save(dir)
-        s.read.format("graft-orc").load(dir)
-          .select(col("c_custkey"), col("segment"), col("bal"),
-            col("score"), col("bonus"))
+        val back = s.read.format("graft-orc").load(dir)
+        require(back.schema.fieldNames.head == "gen",
+          s"positioned add must lead the presented order, got " +
+            back.schema.fieldNames.mkString(","))
+        back.select(col("c_custkey"), col("segment"), col("bal"),
+            col("score"), col("bonus"), col("gen"))
           .orderBy(col("c_custkey"))
       },
       Some("""WITH seeded AS (
@@ -112,10 +120,11 @@ object CatalogOps {
              |    CAST(c_custkey % 100 AS BIGINT) AS score
              |  FROM customer)
              |SELECT c_custkey, segment, bal, score,
-             |  CAST(NULL AS DOUBLE) AS bonus FROM seeded
+             |  CAST(NULL AS DOUBLE) AS bonus,
+             |  CAST(NULL AS BIGINT) AS gen FROM seeded
              |UNION ALL
              |SELECT c_custkey + 2000000, 'EVOLVED', bal, score,
-             |  bal / 10 AS bonus
+             |  bal / 10 AS bonus, CAST(2 AS BIGINT) AS gen
              |FROM seeded WHERE c_custkey % 10 = 0
              |ORDER BY c_custkey""".stripMargin)),
 

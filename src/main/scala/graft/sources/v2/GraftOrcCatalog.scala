@@ -434,16 +434,24 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
           case a: AddColumn =>
             require(a.fieldNames().length == 1,
               "graft-orc: nested ADD COLUMN is not supported")
-            // FIRST/AFTER would silently append (column order is not
-            // repositionable as a metadata-only commit here) — refuse
-            // rather than return a layout different from the DDL
-            if (a.position() != null)
-              throw new UnsupportedOperationException(
-                "graft-orc: ADD COLUMN ... FIRST/AFTER is not " +
-                  "supported — new columns append at the end of the " +
-                  "schema")
+            // FIRST/AFTER honored as metadata: field IDs make column
+            // order presentational (per-file resolution is by name/ID,
+            // never position), so the requested order persists in the
+            // manifest schema and projection serves it
+            val at = a.position() match {
+              case null => None
+              case _: TableChange.First => Some(0)
+              case af: TableChange.After =>
+                val i = m.schema.fields.indexWhere(
+                  _.name.equalsIgnoreCase(af.column()))
+                require(i >= 0, s"graft-orc: ADD COLUMN ... AFTER " +
+                  s"${af.column()}: no such column")
+                Some(i + 1)
+              case other => throw new UnsupportedOperationException(
+                s"graft-orc: unsupported column position $other")
+            }
             GraftOrcSchema.addColumn(m, a.fieldNames()(0), a.dataType(),
-              Option(a.comment()))
+              Option(a.comment()), at)
           case r: RenameColumn =>
             require(r.fieldNames().length == 1,
               "graft-orc: nested RENAME COLUMN is not supported")

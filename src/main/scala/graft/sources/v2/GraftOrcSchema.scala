@@ -241,8 +241,15 @@ object GraftOrcSchema {
     case _ => false
   }
 
+  /** `at` is the requested INSERTION INDEX (ADD COLUMN ... FIRST = 0,
+    * AFTER x = fieldIndex(x)+1; default end). Column order is purely
+    * presentational under field-ID resolution — files resolve columns by
+    * name/ID per their own version, never by position — so honoring the
+    * position is a free part of the same metadata commit.
+    */
   def addColumn(meta: GraftOrcManifest.TableMeta, name: String,
-                dt: DataType, comment: Option[String] = None)
+                dt: DataType, comment: Option[String] = None,
+                at: Option[Int] = None)
       : GraftOrcManifest.TableMeta = {
     requireNoField(meta.schema, name)
     val v = meta.schemaV + 1
@@ -251,7 +258,13 @@ object GraftOrcSchema {
         .putLong(IdKey, maxId(meta.schema) + 1).putLong(AddedVKey, v)
         .build())
     comment.foreach(c => f = f.withComment(c))
-    meta.copy(schemaV = v, schema = StructType(meta.schema.fields :+ f))
+    val fields = meta.schema.fields
+    val idx = at.getOrElse(fields.length)
+    require(idx >= 0 && idx <= fields.length,
+      s"graft-orc: ADD COLUMN position $idx out of range " +
+        s"(0..${fields.length})")
+    meta.copy(schemaV = v, schema =
+      StructType((fields.take(idx) :+ f) ++ fields.drop(idx)))
   }
 
   def renameColumn(meta: GraftOrcManifest.TableMeta, from: String,

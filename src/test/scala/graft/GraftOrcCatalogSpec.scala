@@ -267,18 +267,16 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
       Seq(9))
   }
 
-  test("ADD COLUMN FIRST/AFTER is refused loudly rather than silently " +
-    "appending a layout different from the DDL") {
+  test("ADD COLUMN FIRST positions as metadata (round 13); plain ADD " +
+    "still appends at the end") {
     wh
     sql("CREATE TABLE gcat.pos_t (a INT, b INT)")
-    val err = intercept[Exception] {
-      sql("ALTER TABLE gcat.pos_t ADD COLUMN c INT FIRST")
-    }
-    assert(err.getMessage.contains("FIRST/AFTER"))
-    // plain ADD still appends fine
-    sql("ALTER TABLE gcat.pos_t ADD COLUMN c INT")
+    sql("ALTER TABLE gcat.pos_t ADD COLUMN c INT FIRST")
     assert(sql("SELECT * FROM gcat.pos_t").schema.fieldNames.toSeq ==
-      Seq("a", "b", "c"))
+      Seq("c", "a", "b"))
+    sql("ALTER TABLE gcat.pos_t ADD COLUMN d INT")
+    assert(sql("SELECT * FROM gcat.pos_t").schema.fieldNames.toSeq ==
+      Seq("c", "a", "b", "d"))
   }
 
   test("CTAS is atomic (StagingTableCatalog): the table appears only at " +
@@ -367,6 +365,44 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       sql("SELECT * FROM gcat.no_such_table").collect()
     }
+  }
+
+  test("ADD COLUMN FIRST/AFTER is honored as metadata: the persisted " +
+    "order serves SELECT *, old files still resolve (null-fill), new " +
+    "inserts carry values; AFTER a missing column fails typed") {
+    wh
+    sql("CREATE TABLE gcat.pos (a INT, b STRING)")
+    sql("INSERT INTO gcat.pos VALUES (1, 'x'), (2, 'y')")
+    sql("ALTER TABLE gcat.pos ADD COLUMN z DOUBLE FIRST")
+    sql("ALTER TABLE gcat.pos ADD COLUMN w INT AFTER a")
+    assert(sql("SELECT * FROM gcat.pos").schema.fieldNames.toSeq ==
+      Seq("z", "a", "w", "b"))
+    // pre-DDL files null-fill the positioned adds, values intact
+    val old = sql("SELECT * FROM gcat.pos ORDER BY a").collect()
+    assert(old.length == 2 && old.forall(r =>
+      r.isNullAt(0) && r.isNullAt(2)))
+    assert(old.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(old.map(_.getString(3)).toSeq == Seq("x", "y"))
+    // inserts follow the new positional order
+    sql("INSERT INTO gcat.pos VALUES (9.5, 3, 30, 'z')")
+    val row = sql("SELECT z, a, w, b FROM gcat.pos WHERE a = 3")
+      .collect()(0)
+    assert(row.getDouble(0) == 9.5 && row.getInt(2) == 30 &&
+      row.getString(3) == "z")
+    // rename on a pre-position column still follows the data
+    sql("ALTER TABLE gcat.pos RENAME COLUMN b TO label")
+    assert(sql("SELECT label FROM gcat.pos WHERE a = 1").collect()(0)
+      .getString(0) == "x")
+    val err = intercept[Exception] {
+      sql("ALTER TABLE gcat.pos ADD COLUMN q INT AFTER no_such")
+    }
+    // Spark's analyzer validates the AFTER anchor itself
+    // (FIELD_NOT_FOUND) before the catalog sees the change; either
+    // layer's typed error is fine — silent append is what must not occur
+    assert(err.getMessage.contains("no_such") ||
+      err.getMessage.contains("FIELD_NOT_FOUND"), err.getMessage)
+    assert(sql("SELECT * FROM gcat.pos").schema.fieldNames.toSeq ==
+      Seq("z", "a", "w", "label"), "refused ADD must not mutate")
   }
 
   test("MERGE INTO ... WITH SCHEMA EVOLUTION: a source with a new " +
