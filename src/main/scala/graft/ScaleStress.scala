@@ -415,7 +415,8 @@ object ScaleStress {
         val out = Map.newBuilder[String, Long]
         def walk(f: java.io.File): Unit =
           if (f.isFile) {
-            if (f.getName.endsWith(".orc")) out += f.getPath -> f.length()
+            if (f.getName.endsWith(".orc") || f.getName.endsWith(".bin"))
+              out += f.getPath -> f.length()
           } else if (f.isDirectory) f.listFiles().foreach(walk)
         walk(new java.io.File(dir))
         out.result()
@@ -430,15 +431,21 @@ object ScaleStress {
               .as("l_orderkey"),
             col("l_quantity"), col("l_extendedprice"))
         }.reduce(_ union _)
-        Seq("cow", "mor").foreach { mode =>
+        // mor runs once per sidecar ENCODING: the row-ORC form vs the
+        // round-13 deletion vectors (GraftOrcDeleteVector) — the receipt
+        // the bitmap work is judged on is sidecar bytes + read tax
+        Seq("cow", "mor-orc", "mor-bitmap").foreach { tag =>
+          val mode = if (tag == "cow") "cow" else "mor"
+          val sideFmt = if (tag == "mor-bitmap") "bitmap" else "orc"
           val dir = java.nio.file.Files
-            .createTempDirectory(s"graft-mor-stress-$mode-$k").toString
+            .createTempDirectory(s"graft-mor-stress-$tag-$k").toString
           li.repartition(16).write.format("graft-orc")
             .option("graft.manifest", "true").mode("append").save(dir)
-          val t = s"g_stress_${mode}_$k"
+          val t = s"g_stress_${tag.replace('-', '_')}_$k"
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
-            s"TBLPROPERTIES('graft.delete_mode'='$mode')")
+            s"TBLPROPERTIES('graft.delete_mode'='$mode', " +
+            s"'graft.delete_sidecar_format'='$sideFmt')")
           val before = orcBytes(dir)
           val t0 = System.nanoTime()
           // rows are hash-spread by the repartition, so this narrow price
@@ -449,6 +456,8 @@ object ScaleStress {
           val delSec = (System.nanoTime() - t0) / 1e9
           val after = orcBytes(dir)
           val fresh = after.view.filterKeys(p => !before.contains(p)).toMap
+          val sidecarBytes = fresh.view.filterKeys(
+            _.contains(graft.sources.v2.GraftOrcMor.DeletesDir)).values.sum
           val t1 = System.nanoTime()
           val rows = spark.read.format("graft-orc").load(dir)
             .agg(sum(col("l_quantity"))).collect()
@@ -458,9 +467,10 @@ object ScaleStress {
             if (mode == "mor") graft.sources.v2.GraftOrcMor.purge(spark, dir)
             else 0
           val purgeSec = (System.nanoTime() - t2) / 1e9
-          println(s"""{"op":"mor_delete","mode":"$mode","factor":$k,""" +
+          println(s"""{"op":"mor_delete","mode":"$tag","factor":$k,""" +
             s""""table_bytes":${before.values.sum},""" +
             s""""bytes_written":${fresh.values.sum},""" +
+            s""""sidecar_bytes":$sidecarBytes,""" +
             s""""files_written":${fresh.size},""" +
             s""""delete_sec":${num(delSec)},"read_sec":${num(readSec)},""" +
             s""""purged_files":$purged,"purge_sec":${num(purgeSec)}}""")

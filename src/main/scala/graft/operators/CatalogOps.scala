@@ -432,6 +432,17 @@ object CatalogOps {
             s"CALL $cat.system.purge_deletes('default.$t')")
             .collect()(0).getInt(0)
           require(purged > 0, "purge_deletes must rewrite files here")
+          // two post-purge micro-batches leave real fragments for the
+          // compact step (the purge rewrite itself now merges its group
+          // into one file — deletion-vector-era plans coalesce the keep
+          // frame — so the pre-delete REPARTITION(6) fragments no
+          // longer survive to here)
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(1) */ " +
+            s"c_custkey + 7000000, 'LATE1', bal FROM $srcView " +
+            "WHERE c_custkey % 50 = 0")
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(1) */ " +
+            s"c_custkey + 8000000, 'LATE2', bal FROM $srcView " +
+            "WHERE c_custkey % 50 = 0")
           val compacted = s.sql(
             s"CALL $cat.system.compact(table => 'default.$t')")
             .collect()(0).getInt(0)
@@ -444,12 +455,21 @@ object CatalogOps {
             "GROUP BY seg ORDER BY seg")
         } finally s.catalog.dropTempView(srcView)
       },
-      Some("""SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-             |    AS total
-             |FROM customer WHERE c_acctbal >= 3000
-             |GROUP BY c_mktsegment
-             |ORDER BY seg""".stripMargin)),
+      Some("""SELECT seg, n, total FROM (
+             |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS total
+             |  FROM customer WHERE c_acctbal >= 3000
+             |  GROUP BY c_mktsegment
+             |  UNION ALL
+             |  SELECT 'LATE1', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM customer WHERE c_custkey % 50 = 0
+             |  UNION ALL
+             |  SELECT 'LATE2', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM customer WHERE c_custkey % 50 = 0
+             |) ORDER BY seg""".stripMargin)),
 
     // ------------------------------------------ branch DML (round 13)
     // Full DML against a branch ref — the reason branches exist once a

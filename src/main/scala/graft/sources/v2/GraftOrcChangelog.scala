@@ -223,14 +223,12 @@ object GraftOrcChangelog {
     def eqOnly(sidecars: Seq[OrcFileEntry]): Seq[OrcFileEntry] =
       sidecars.filter(e => GraftOrcEqDelete.isEqualitySidecar(e.path))
 
-    // (absolute file, position) pairs of a POSITION sidecar set
-    def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] = {
-      val pos = posOnly(sidecars)
-      if (pos.isEmpty) None
-      else Some(spark.read.orc(pos.map(_.path): _*)
-        .select(concat(lit(prefix), col("f")).as("__cdc_dfile"),
+    // (absolute file, position) pairs of a POSITION sidecar set — both
+    // encodings (ORC rows and deletion vectors) via GraftOrcMor.pairsDF
+    def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] =
+      GraftOrcMor.pairsDF(spark, posOnly(sidecars)).map(
+        _.select(concat(lit(prefix), col("f")).as("__cdc_dfile"),
           col("pos").as("__cdc_dpos")).distinct())
-    }
 
     // drop rows whose key tuple matches an EQUALITY sidecar newer than
     // the row's file (GraftOrcEqDelete applicability); file mtimes come
@@ -321,7 +319,7 @@ object GraftOrcChangelog {
         // at the parent — re-recorded pairs must not double-emit)
         val posNew = posOnly(newSidecars)
         if (posNew.nonEmpty) {
-          val refRel = spark.read.orc(posNew.map(_.path): _*)
+          val refRel = GraftOrcMor.pairsDF(spark, posNew).get
             .select("f").distinct().collect().map(_.getString(0)).toSet
           val refFiles = parent.entries.filter(e =>
             refRel(GraftOrcManifest.relativize(qt, e.path)))

@@ -554,8 +554,18 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       // merge-on-read: partial files gain position sidecars, nothing is
       // rewritten; full drops stay metadata-only. Existing sidecars
       // carry forward (a second MoR delete stacks).
+      // sidecar encoding: deletion vectors by default (GraftOrcDeleteVector
+      // — per-file bitmaps behind a header index); the row-ORC form via
+      // TBLPROPERTIES('graft.delete_sidecar_format'='orc') or the session
+      // conf, e.g. for tooling that inspects sidecars as tables
+      val sideFmt = props.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.delete_sidecar_format") => v
+      }.getOrElse(SparkSession.active.conf.get(
+        "spark.graft.delete_sidecar_format", "bitmap"))
+        .trim.toLowerCase(java.util.Locale.ROOT)
       val sidecars = GraftOrcMor.writeDeletes(
-        SparkSession.active, fs, qt, partials, pred, tableSchema)
+        SparkSession.active, fs, qt, partials, pred, tableSchema,
+        format = sideFmt)
       // expectPresent: every file this DELETE classified must still be
       // live at commit — a concurrent compact/rewrite that replaced one
       // would make its positions inert (silently losing the delete) or

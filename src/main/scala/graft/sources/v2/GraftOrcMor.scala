@@ -62,9 +62,13 @@ object GraftOrcMor {
     */
   def writeDeletes(spark: SparkSession, fs: FileSystem, table: Path,
                    partials: Seq[OrcFileEntry], pred: Column,
-                   schema: org.apache.spark.sql.types.StructType)
+                   schema: org.apache.spark.sql.types.StructType,
+                   format: String = "bitmap")
       : Seq[OrcFileEntry] = {
     if (partials.isEmpty) return Nil
+    require(format == "bitmap" || format == "orc",
+      s"graft-orc: invalid delete sidecar format '$format', must be " +
+        "bitmap or orc")
     val prefix = prefixOf(table)
     GraftOrcWrite.bumpPublishStamp(partials.map(_.mtime).max)
     // schema-version groups like the CoW rewrite: files of different
@@ -105,7 +109,97 @@ object GraftOrcMor {
     val nOut = math.max(1, math.ceil(partials.size / 64.0).toInt)
     val sorted = del.repartitionByRange(nOut, col("f"), col("pos"))
       .sortWithinPartitions("f", "pos")
-    publishSidecars(spark, fs, table, sorted)
+    if (format == "bitmap") publishBitmapSidecars(spark, fs, table, sorted)
+    else publishSidecars(spark, fs, table, sorted)
+  }
+
+  /** Stage one DELETION-VECTOR sidecar per (f, pos)-sorted partition —
+    * each task streams its run into per-file bitmaps and writes ONE
+    * `dv-*.bin` ([[GraftOrcDeleteVector]]) — then stamp + move them
+    * into `_graft_deletes/` like the ORC form. A data file split by the
+    * range partitioner appears in two sidecars; readers union positions
+    * across sidecars, so that is correct (merely one entry less
+    * compact).
+    */
+  private def publishBitmapSidecars(spark: SparkSession, fs: FileSystem,
+                                    table: Path,
+                                    del: DataFrame): Seq[OrcFileEntry] = {
+    val staging = new Path(table,
+      s"${GraftOrcWrite.StagingDir}/mor-${UUID.randomUUID()}")
+    fs.mkdirs(staging)
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val stagingStr = staging.toString
+    val written: Seq[String] = del.select(col("f"), col("pos")).rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .mapPartitions { it0 =>
+        if (it0.isEmpty) Iterator.empty
+        else {
+          val it = it0.buffered
+          val grouped =
+            new Iterator[(String, GraftOrcDeleteVector.PositionBitmap)] {
+              override def hasNext: Boolean = it.hasNext
+              override def next()
+                  : (String, GraftOrcDeleteVector.PositionBitmap) = {
+                val f = it.head._1
+                val bm = new GraftOrcDeleteVector.PositionBitmap
+                while (it.hasNext && it.head._1 == f) bm.add(it.next()._2)
+                (f, bm)
+              }
+            }
+          val dest = new Path(stagingStr,
+            s"dv-${UUID.randomUUID()}.bin")
+          GraftOrcDeleteVector.write(
+            dest.getFileSystem(ser.value), dest, grouped)
+          Iterator.single(dest.toString)
+        }
+      }.collect().toSeq
+    val delDir = new Path(table, DeletesDir)
+    fs.mkdirs(delDir)
+    val entries = written.sorted.map { s =>
+      val src = new Path(s)
+      val stamp = GraftOrcWrite.nextPublishStamp()
+      fs.setTimes(src, stamp, -1)
+      val dest = new Path(delDir, src.getName)
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(
+          s"graft-orc mor: failed to publish deletion vector $src")
+      OrcFileEntry(fs.makeQualified(dest).toString,
+        fs.getFileStatus(dest).getLen, Map.empty, stamp)
+    }
+    fs.delete(staging, true)
+    entries
+  }
+
+  /** All live POSITION deletes as one (f, pos) DataFrame — rel paths,
+    * both encodings (ORC rows read natively; deletion vectors decode
+    * distributed, one sidecar per input split). None when empty.
+    */
+  def pairsDF(spark: SparkSession,
+              posDels: Seq[OrcFileEntry]): Option[DataFrame] = {
+    if (posDels.isEmpty) return None
+    val (bm, orc) = posDels.partition(e =>
+      GraftOrcDeleteVector.isBitmapSidecar(e.path))
+    val frames = Seq.newBuilder[DataFrame]
+    if (orc.nonEmpty)
+      frames += spark.read.orc(orc.map(_.path): _*)
+        .select(col("f"), col("pos"))
+    if (bm.nonEmpty) {
+      val ser = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val paths = bm.map(_.path)
+      frames += spark.createDataFrame(
+        spark.sparkContext
+          .parallelize(paths, math.min(paths.size, 32))
+          .flatMap(p => GraftOrcDeleteVector.allPairs(ser.value, p))
+          .map { case (f, pos) => org.apache.spark.sql.Row(f, pos) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("f",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    Some(frames.result().reduce(_ unionByName _))
   }
 
   /** Stage a `(f, pos)` frame under `_staging/`, then stamp + move each
@@ -156,7 +250,7 @@ object GraftOrcMor {
       col(GraftOrcDataSource.FileMetaCol).as("__mor_file"),
       col(GraftOrcDataSource.PosMetaCol).as("__mor_pos"))
     if (posDels.nonEmpty) {
-      val dels = spark.read.orc(posDels.map(_.path): _*)
+      val dels = pairsDF(spark, posDels).get
         .select(concat(lit(prefixOf(table)), col("f")).as("__del_file"),
           col("pos").as("__del_pos"))
       acc = acc.join(dels,
@@ -202,7 +296,13 @@ object GraftOrcMor {
     val out = collection.mutable.ArrayBuffer.empty[Long]
     sidecars.foreach { case (side, root) =>
       val prefix = root.stripSuffix("/") + "/"
-      if (targetAbs.startsWith(prefix)) {
+      if (targetAbs.startsWith(prefix) &&
+          GraftOrcDeleteVector.isBitmapSidecar(side)) {
+        // deletion vector: seek to THIS file's payload, decode only it
+        GraftOrcDeleteVector.bitmapFor(conf, side,
+            targetAbs.substring(prefix.length))
+          .foreach(b => out ++= b.toSortedArray)
+      } else if (targetAbs.startsWith(prefix)) {
         val rel = targetAbs.substring(prefix.length)
         val p = new Path(side)
         val reader = org.apache.orc.OrcFile.createReader(p,
@@ -249,6 +349,11 @@ object GraftOrcMor {
     val out = collection.mutable.HashSet.empty[String]
     sidecars.foreach { case (side, root) =>
       val prefix = root.stripSuffix("/") + "/"
+      if (GraftOrcDeleteVector.isBitmapSidecar(side)) {
+        // deletion vector: the header IS the referenced-file index
+        GraftOrcDeleteVector.files(conf, side)
+          .foreach(rel => out += prefix + rel)
+      } else {
       val reader = org.apache.orc.OrcFile.createReader(new Path(side),
         org.apache.orc.OrcFile.readerOptions(conf))
       try {
@@ -271,6 +376,7 @@ object GraftOrcMor {
           }
         } finally rows.close()
       } finally reader.close()
+      }
     }
     out.toSet
   }
@@ -314,7 +420,7 @@ object GraftOrcMor {
       GraftOrcEqDelete.isEqualitySidecar(e.path))
     val affectedRel =
       if (posDels.isEmpty) Set.empty[String]
-      else spark.read.orc(posDels.map(_.path): _*)
+      else pairsDF(spark, posDels).get
         .select("f").distinct().collect().map(_.getString(0)).toSet
     // an equality sidecar can touch any file OLDER than it — but only a
     // file whose per-column stat range INTERSECTS the sidecar's key
