@@ -167,7 +167,16 @@ object Bench {
     // bucket(8) x days half, raw-column filter across both generations
     // — fresh table per iteration (the timing covers both writes + the
     // metadata commit + the mixed-generation read)
-    "ev_partition_evolution")
+    "ev_partition_evolution",
+    // round 13: write-path schema evolution (superset append as one
+    // metadata commit + NULL-backfilled union read) and branch DML
+    // (staged DELETE+UPDATE+MERGE on a branch, audit, fast_forward) —
+    // fresh tables per iteration, the whole mutation loop is timed
+    "ev_write_schema_merge", "rl_branch_dml",
+    // deterministic embedding-LSH banding (integer-quantized
+    // projections, md5 plane matrix) and the exact anchor beside the
+    // sketch row (exact distincts + percentiles + in-query 5% contract)
+    "dd_embed_lsh_det", "q40_exact_aggs")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

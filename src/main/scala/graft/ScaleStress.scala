@@ -154,7 +154,10 @@ object ScaleStress {
           committer("wap") {
             val pth = new org.apache.hadoop.fs.Path(dir)
             val bname = s"wap-$r"
-            GraftOrcManifest.createBranch(fs, pth, bname)
+            // pinned per-branch retention: the slow branch must keep its
+            // own depth while main churns at retain=3 around it
+            GraftOrcManifest.createBranch(fs, pth, bname,
+              retain = Some(6))
             try {
               (0 until 80).map(j => (2000000 + r * 1000 + j, s"wap-$r"))
                 .toDF("k", "v").coalesce(1)

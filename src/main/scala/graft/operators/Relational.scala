@@ -1091,6 +1091,56 @@ object Relational {
       },
       None),
 
+    // The EXACT anchor beside the sketch row, under the full oracle:
+    // exact distinct counts (the shuffle the sketches exist to avoid)
+    // and exact interpolated percentiles (Spark's `percentile` builds a
+    // value histogram per partition and merges — exact, distributed).
+    // The sketch-vs-exact 5% contract is asserted HERE, in the
+    // driver-checked surface, not only in ScalaTest: the query fails
+    // loudly if the sketches drift outside their advertised error.
+    // Percentiles round to 4 decimals on both engines (linear
+    // interpolation is the one place double ops could differ in the
+    // last ulp; 2-decimal source values make 1e-4 a safe grid).
+    QueryDef("q40_exact_aggs",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val exact = li.agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4)
+            .as("median_qty"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)"),
+            4).as("p95_price"))
+        val e = exact.collect()(0)
+        val a = li.agg(
+          approx_count_distinct(col("l_orderkey"), 0.01),
+          approx_count_distinct(col("l_partkey"), 0.01),
+          percentile_approx(col("l_quantity").cast("double"), lit(0.5),
+            lit(10000)),
+          percentile_approx(col("l_extendedprice").cast("double"),
+            lit(0.95), lit(10000))).collect()(0)
+        def pct(approx: Double, ex: Double): Double =
+          math.abs(approx - ex) / math.abs(ex)
+        Seq(
+          ("orders", a.getLong(0).toDouble, e.getLong(0).toDouble),
+          ("parts", a.getLong(1).toDouble, e.getLong(1).toDouble),
+          ("median_qty", a.getDouble(2), e.getDouble(2)),
+          ("p95_price", a.getDouble(3), e.getDouble(3))
+        ).foreach { case (name, approx, ex) =>
+          require(pct(approx, ex) <= 0.05,
+            s"sketch drifted past 5% on $name: approx=$approx exact=$ex")
+        }
+        exact
+      },
+      Some("""SELECT
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             |  round(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)
+             |    AS DOUBLE), 4) AS median_qty,
+             |  round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+             |    0.95) AS DOUBLE), 4) AS p95_price
+             |FROM lineitem""".stripMargin)),
+
     // ---------------------------------------------------------------- q41
     // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
     // multiplicity (plan: aggregate-with-counts + generate, not the

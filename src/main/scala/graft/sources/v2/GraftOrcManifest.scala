@@ -602,7 +602,9 @@ object GraftOrcManifest {
       if (truncate) Nil else cur.deletes.filterNot(e => dropDeletes(e.path))
     writeSnapshot(fs, table, cur.seq + 1,
       base.filterNot(e => addPaths(e.path)) ++ add,
-      retain.orElse(cur.retain).getOrElse(RetainSnapshots),
+      // branch commits prefer the branch's own pinned retention depth
+      retain.orElse(branch.flatMap(b => branchRetain(fs, table, b)))
+        .orElse(cur.retain).getOrElse(RetainSnapshots),
       deletes = baseDeletes ++ addDeletes, op = op,
       meta = meta.orElse(cur.meta), branch = branch)
   }
@@ -760,12 +762,36 @@ object GraftOrcManifest {
     jsonLong(txt, "base")
   }
 
+  /** Per-branch retention override recorded at fork time (None =
+    * inherit the commit-header policy like main). The knob exists for
+    * the lifetime mismatch the table-level policy cannot express: a
+    * long-lived audit branch under an aggressive main retention — the
+    * branch's commits expire ITS lineage by ITS depth, while
+    * cross-lineage file protection keeps the shared files safe either
+    * way.
+    */
+  def branchRetain(fs: FileSystem, table: Path,
+                   name: String): Option[Int] = {
+    val qt = fs.makeQualified(table)
+    try {
+      val in = fs.open(basePath(qt, name))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().nextOption().getOrElse("")
+      finally in.close()
+      if (txt.contains("\"retain\":")) Some(jsonLong(txt, "retain").toInt)
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
   /** Fork a branch from the current snapshot (or `from`). The branch's
     * first snapshot keeps the source's seq — branch seqs continue the
-    * numbering they forked from. Returns the fork seq.
+    * numbering they forked from. `retain` pins a PER-BRANCH retention
+    * depth ([[branchRetain]]); default inherits the header policy.
+    * Returns the fork seq.
     */
   def createBranch(fs: FileSystem, table: Path, name: String,
-                   from: Option[Selector] = None): Long = {
+                   from: Option[Selector] = None,
+                   retain: Option[Int] = None): Long = {
     val qt = fs.makeQualified(table)
     require(!branchExists(fs, qt, name),
       s"graft-orc: branch '$name' already exists on $table")
@@ -788,7 +814,9 @@ object GraftOrcManifest {
     try {
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, "UTF-8"))
-      w.write(s"""{"base":${src.seq}}"""); w.newLine()
+      val r = retain.map(v => s""","retain":${math.max(1, v)}""")
+        .getOrElse("")
+      w.write(s"""{"base":${src.seq}$r}"""); w.newLine()
       src.entries.foreach { e =>
         w.write(s"""{"p":${jsonQuote(relativize(qt, e.path))}}""")
         w.newLine()
@@ -796,7 +824,8 @@ object GraftOrcManifest {
       w.flush()
     } finally out.close()
     writeSnapshot(fs, qt, src.seq, src.entries,
-      src.retain.getOrElse(RetainSnapshots), deletes = src.deletes,
+      retain.orElse(src.retain).getOrElse(RetainSnapshots),
+      deletes = src.deletes,
       op = "branch", meta = src.meta, branch = Some(name))
     src.seq
   }

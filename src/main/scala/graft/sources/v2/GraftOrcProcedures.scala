@@ -218,11 +218,14 @@ object GraftOrcProcedures {
 
     proc("create_branch",
       "fork a branch lineage from the current (or given) snapshot — " +
-        "the write-audit-publish staging target",
+        "the write-audit-publish staging target; retain pins a " +
+        "PER-BRANCH retention depth (a long-lived audit branch under " +
+        "an aggressive main policy)",
       Array(
         in("table", StringType),
         in("branch", StringType),
-        inDef("version", LongType, "CAST(NULL AS BIGINT)")),
+        inDef("version", LongType, "CAST(NULL AS BIGINT)"),
+        inDef("retain", IntegerType, "CAST(NULL AS INT)")),
       StructType(Seq(
         StructField("branch", StringType),
         StructField("fork_version", LongType)))) { (spark, args) =>
@@ -230,7 +233,9 @@ object GraftOrcProcedures {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val from = if (args.isNullAt(2)) None
         else Some(GraftOrcManifest.Selector.ById(args.getLong(2)))
-      val seq = GraftOrcManifest.createBranch(fs, p, str(args, 1), from)
+      val retain = if (args.isNullAt(3)) None else Some(args.getInt(3))
+      val seq = GraftOrcManifest.createBranch(fs, p, str(args, 1), from,
+        retain)
       row(UTF8String.fromString(str(args, 1)), seq)
     },
 

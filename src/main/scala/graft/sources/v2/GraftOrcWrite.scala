@@ -955,7 +955,12 @@ object GraftOrcWrite {
         if (truncateExisting) Nil
         else manifestBefore.map(_.deletes).getOrElse(Nil)
       var next = manifestBefore.map(_.seq + 1).getOrElse(1L)
-      var chosenRetain = retain.orElse(manifestBefore.flatMap(_.retain))
+      // branch commits prefer the branch's pinned retention depth
+      // (createBranch retain) over the inherited header policy
+      val branchRetain = branch.flatMap(b =>
+        GraftOrcManifest.branchRetain(fs, qdir, b))
+      var chosenRetain = retain.orElse(branchRetain)
+        .orElse(manifestBefore.flatMap(_.retain))
         .getOrElse(GraftOrcManifest.RetainSnapshots)
       var attempt = 0
       var committed = false
@@ -1004,7 +1009,8 @@ object GraftOrcWrite {
             next = winner.seq + 1
             // an explicit retain option still wins; otherwise inherit
             // the policy the WINNER persisted (it is the newest state)
-            chosenRetain = retain.orElse(winner.retain)
+            chosenRetain = retain.orElse(branchRetain)
+              .orElse(winner.retain)
               .getOrElse(GraftOrcManifest.RetainSnapshots)
             // a concurrent DDL's meta is newer than ours — inherit it
             // (this commit's files keep their own stamp: they WERE

@@ -277,6 +277,58 @@ class GraftOrcBranchSpec extends AnyFunSuite {
       .collect().head == 30, "dropped staging never published")
   }
 
+  test("per-branch retention: a branch pinned at retain=8 keeps its " +
+    "own history depth while main churns at retain=2; the procedure " +
+    "accepts the knob; an unpinned branch inherits as before") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    val pth = new Path(dir)
+    // pin main to an aggressive retain=2 via an explicit commit option
+    spark.range(100, 101).selectExpr("id AS a", "'m' AS b")
+      .write.format("graft-orc").option("graft.manifest.retain", "2")
+      .mode("append").save(dir)
+    GraftOrcManifest.createBranch(fs, pth, "slow", retain = Some(8))
+    assert(GraftOrcManifest.branchRetain(fs, pth, "slow").contains(8))
+    GraftOrcManifest.createBranch(fs, pth, "fast")
+    assert(GraftOrcManifest.branchRetain(fs, pth, "fast").isEmpty)
+    (0 until 9).foreach { i =>
+      spark.range(1000L + i, 1001L + i).selectExpr("id AS a", "'s' AS b")
+        .write.format("graft-orc").option("graft.branch", "slow")
+        .mode("append").save(dir)
+      spark.range(2000L + i, 2001L + i).selectExpr("id AS a", "'f' AS b")
+        .write.format("graft-orc").option("graft.branch", "fast")
+        .mode("append").save(dir)
+      // main churn at retain=2 racing both branch lineages
+      spark.range(3000L + i, 3001L + i).selectExpr("id AS a", "'x' AS b")
+        .write.format("graft-orc").mode("append").save(dir)
+    }
+    def snapCount(sub: String): Int =
+      fs.listStatus(new Path(dir, sub)).count(st =>
+        st.isFile && st.getPath.getName.startsWith("snap-"))
+    assert(snapCount("_graft_manifest") == 2,
+      "main must hold exactly its retain=2 history")
+    assert(snapCount("_graft_manifest/branches/slow") == 8,
+      "the pinned branch must hold ITS retain=8 history")
+    assert(snapCount("_graft_manifest/branches/fast") == 2,
+      "the unpinned branch inherits the header policy (2)")
+    // both branch heads still read their full state (files shared with
+    // expired main snapshots survive via cross-lineage protection)
+    assert(readBranch(dir, "slow").count() == 10 + 1 + 9)
+    assert(readBranch(dir, "fast").count() == 10 + 1 + 9)
+    // the SQL procedure takes the knob too
+    val wh = Files.createTempDirectory("graft-br-ret-wh").toString
+    spark.conf.set("spark.sql.catalog.gbret",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbret.warehouse", wh)
+    spark.sql("CREATE TABLE gbret.t (a INT)")
+    spark.sql("INSERT INTO gbret.t VALUES (1)")
+    spark.sql(
+      "CALL gbret.system.create_branch('t', 'audit', retain => 5)")
+      .collect()
+    assert(GraftOrcManifest.branchRetain(fsOf(wh),
+      new Path(s"$wh/t"), "audit").contains(5))
+  }
+
   // ---- branch DML (round 13): DELETE/UPDATE/MERGE stage on the branch
 
   test("branch DML: DELETE, UPDATE and MERGE against t.branch_<n> " +

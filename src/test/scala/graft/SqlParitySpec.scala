@@ -81,7 +81,15 @@ class SqlParitySpec extends AnyFunSuite {
         ("DuckDB bare unnest + range() table function + xor() + " +
           "'0x..'::BIGINT hex cast (Spark: explode/sequence/^/conv())"),
       "ta_length_quantiles" ->
-        "DuckDB quantile_cont list form (Spark: percentile array form)")
+        "DuckDB quantile_cont list form (Spark: percentile array form)",
+      "q40_exact_aggs" ->
+        "DuckDB quantile_cont (Spark: percentile)",
+      "ev_write_schema_merge" ->
+        "DuckDB bare VARCHAR cast (Spark VARCHAR needs a length)",
+      "pp_wap_gate_dml" -> lenList,
+      "dd_embed_lsh_det" ->
+        ("DuckDB list literal [0,1] + range()/list_transform + md5 " +
+          "hex-substr cast (Spark: array()/sequence()/transform/conv())"))
   }
 
   private def registerViews(): Unit =
