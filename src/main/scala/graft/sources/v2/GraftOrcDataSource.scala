@@ -416,10 +416,20 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       case Command.MERGE => "merge_mode"
       case _ => "delete_mode"
     })
+    // MoR deltas honor the table's sidecar encoding choice like the
+    // SupportsDelete path (deletion vectors by default)
+    val sideFmt = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.delete_sidecar_format") => v
+    }.getOrElse(SparkSession.active.conf.get(
+      "spark.graft.delete_sidecar_format", "bitmap"))
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    require(sideFmt == "bitmap" || sideFmt == "orc",
+      s"graft-orc: invalid value '$sideFmt' for " +
+        "graft.delete_sidecar_format, must be bitmap or orc")
     () =>
       if (mode == "mor")
         new GraftOrcDeltaOperation(tableSchema, ps.head, partCols,
-          info.command(), branch)
+          info.command(), branch, sideFmt)
       else new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
         info.command(), branch)
   }

@@ -65,7 +65,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
                              partitionCols: Seq[String], cmd: Command,
-                             branch: Option[String] = None)
+                             branch: Option[String] = None,
+                             sidecarFormat: String = "bitmap")
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): Command = cmd
@@ -92,7 +93,8 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftOrcDeltaWrite(tablePath, info, partitionCols, branch)
+        new GraftOrcDeltaWrite(tablePath, info, partitionCols, branch,
+          sidecarFormat)
     }
 }
 
@@ -105,7 +107,8 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
   */
 class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
                          partitionCols: Seq[String],
-                         branch: Option[String] = None)
+                         branch: Option[String] = None,
+                         sidecarFormat: String = "bitmap")
     extends DeltaWrite {
 
   private val rowSchema: StructType = info.schema()
@@ -172,7 +175,7 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
       Map("compression" -> "snappy"), delSchema)
     GraftOrcDeltaSidecarFactory(path, delSchema, owf,
       new org.apache.spark.util.SerializableConfiguration(conf), writeId,
-      tablePrefix)
+      tablePrefix, sidecarFormat)
   }
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
@@ -219,7 +222,7 @@ case class GraftOrcDeltaSidecarFactory(
     table: String, schema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration,
-    writeId: String, tablePrefix: String)
+    writeId: String, tablePrefix: String, format: String = "bitmap")
 
 class GraftOrcDeltaWriter(f: GraftOrcDeltaWriterFactory, partitionId: Int,
                           taskId: Long)
@@ -237,6 +240,12 @@ class GraftOrcDeltaWriter(f: GraftOrcDeltaWriterFactory, partitionId: Int,
   private var delStaged: Path = _
   private val delRow = new GenericInternalRow(2)
   private val referenced = collection.mutable.HashSet.empty[String]
+  // deletion-vector mode: positions accumulate into per-file bitmaps
+  // (compressed, bounded by this task's deleted rows) and ONE dv file
+  // writes at commit; row order never matters
+  private val bitmapMode = f.del.format == "bitmap"
+  private val bitmaps = collection.mutable.LinkedHashMap
+    .empty[String, GraftOrcDeleteVector.PositionBitmap]
 
   private def sidecarWriter(): OutputWriter = {
     if (delWriter == null) {
@@ -263,9 +272,15 @@ class GraftOrcDeltaWriter(f: GraftOrcDeltaWriterFactory, partitionId: Int,
       s"graft-orc delta: rowId file $abs is outside the table $prefix")
     val rel = abs.substring(prefix.length)
     referenced += rel
-    delRow.update(0, UTF8String.fromString(rel))
-    delRow.setLong(1, id.getLong(f.posIdx))
-    sidecarWriter().write(delRow)
+    if (bitmapMode) {
+      bitmaps.getOrElseUpdate(rel,
+        new GraftOrcDeleteVector.PositionBitmap)
+        .add(id.getLong(f.posIdx))
+    } else {
+      delRow.update(0, UTF8String.fromString(rel))
+      delRow.setLong(1, id.getLong(f.posIdx))
+      sidecarWriter().write(delRow)
+    }
   }
 
   override def insert(row: InternalRow): Unit = dataWriter.write(row)
@@ -283,9 +298,20 @@ class GraftOrcDeltaWriter(f: GraftOrcDeltaWriterFactory, partitionId: Int,
       if (inner != null)
         inner.commit().asInstanceOf[GraftOrcCommitMessage]
       else GraftOrcCommitMessage(Nil)
-    val staged = if (delWriter != null) {
-      delWriter.close(); Seq(delStaged.toString)
-    } else Nil
+    val staged: Seq[String] =
+      if (bitmapMode && bitmaps.nonEmpty) {
+        val d = f.del
+        val dest = new Path(new Path(new Path(d.table,
+          GraftOrcWrite.StagingDir), d.writeId),
+          new Path(GraftOrcDeltaWriter.DeletesSubdir,
+            s"del-$partitionId-${UUID.randomUUID()}.bin").toString)
+        val fsx = dest.getFileSystem(d.conf.value)
+        fsx.mkdirs(dest.getParent)
+        GraftOrcDeleteVector.write(fsx, dest, bitmaps.iterator)
+        Seq(dest.toString)
+      } else if (delWriter != null) {
+        delWriter.close(); Seq(delStaged.toString)
+      } else Nil
     GraftOrcDeltaCommitMessage(dataMsg, staged, referenced.toSeq)
   }
 

@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftOrcMetadataTable {
 
   val Kinds: Set[String] = Set("snapshots", "files", "partitions",
-    "history", "tags", "branches")
+    "history", "tags", "branches", "deletes")
 
   private[v2] def snapshotsSchema = StructType(Seq(
     StructField("seq", LongType, nullable = false),
@@ -92,6 +92,27 @@ object GraftOrcMetadataTable {
           .maxByOption(_.length).getOrElse(Nil))
   }
 
+  /** Live delete sidecars of the current snapshot — the MoR debt an
+    * operator sizes before scheduling a purge: encoding kind, bytes,
+    * deleted-position cardinality, referenced data files. Cardinality
+    * decodes the sidecars (purge-bounded small by construction); ORC
+    * forms read only the footer row count.
+    */
+  private[v2] def deletesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("mtime_ms", LongType, nullable = false),
+    StructField("cardinality", LongType, nullable = true),
+    StructField("referenced_files", LongType, nullable = true)))
+
+  private def orcRowCount(conf: Configuration, path: String): Option[Long] =
+    try {
+      val r = org.apache.orc.OrcFile.createReader(new Path(path),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try Some(r.getNumberOfRows) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private[v2] def tagsSchema = StructType(Seq(
     StructField("tag", StringType, nullable = false),
     StructField("seq", LongType, nullable = false)))
@@ -134,6 +155,31 @@ object GraftOrcMetadataTable {
             s.meta.map(_.schemaV).orNull, added, removed)
         }
         (snapshotsSchema, rows)
+      case "deletes" =>
+        val s = GraftOrcManifest.readSnapshot(fs, qt)
+          .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+        val rows = s.deletes.map { e =>
+          val rel = GraftOrcManifest.relativize(qt, e.path)
+          if (GraftOrcEqDelete.isEqualitySidecar(e.path))
+            Seq[Any](rel, "equality", e.length, e.mtime,
+              orcRowCount(conf, e.path).orNull, null)
+          else if (GraftOrcDeleteVector.isBitmapSidecar(e.path)) {
+            val stats =
+              try {
+                var card = 0L
+                val refs = collection.mutable.HashSet.empty[String]
+                GraftOrcDeleteVector.allPairs(conf, e.path).foreach {
+                  case (f, _) => card += 1; refs += f
+                }
+                Some((card, refs.size.toLong))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            Seq[Any](rel, "deletion_vector", e.length, e.mtime,
+              stats.map(_._1).orNull, stats.map(_._2).orNull)
+          } else
+            Seq[Any](rel, "position", e.length, e.mtime,
+              orcRowCount(conf, e.path).orNull, null)
+        }
+        (deletesSchema, rows)
       case "files" =>
         val s = GraftOrcManifest.readSnapshot(fs, qt)
           .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
@@ -242,4 +288,6 @@ object GraftOrcMetadata {
     frame(spark, "tags", table)
   def branches(spark: SparkSession, table: String): DataFrame =
     frame(spark, "branches", table)
+  def deletes(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "deletes", table)
 }

@@ -134,6 +134,93 @@ class GraftOrcDeleteVectorSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $ot")
   }
 
+  test("the DELTA path (MoR UPDATE/MERGE and untranslatable DELETEs) " +
+    "also writes deletion vectors by default; orc stays selectable; " +
+    "results exact either way") {
+    def mkTable(tag: String, fmt: String): (String, String) = {
+      val dir = Files.createTempDirectory(s"graft-dvd-$tag").toString
+      seeded(1000).repartition(2).write.format("graft-orc")
+        .option("graft.manifest", "true").mode("append").save(dir)
+      val t = s"g_dvd_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
+        "TBLPROPERTIES('graft.delete_mode'='mor', " +
+        "'graft.update_mode'='mor', 'graft.merge_mode'='mor', " +
+        s"'graft.delete_sidecar_format'='$fmt')")
+      (dir, t)
+    }
+    for ((fmt, wantBin) <- Seq(("bitmap", true), ("orc", false))) {
+      val (dir, t) = mkTable(fmt, fmt)
+      // untranslatable predicate -> the DELTA delete path
+      spark.sql(s"DELETE FROM $t WHERE k % 7 = 3")
+      // MoR UPDATE: position delta + insert in one commit
+      spark.sql(s"UPDATE $t SET v = -1.0 WHERE k % 11 = 5")
+      val snap = GraftOrcManifest.readSnapshot(fsOf(dir), new Path(dir)).get
+      assert(snap.deletes.nonEmpty)
+      assert(snap.deletes.forall(e =>
+        GraftOrcDeleteVector.isBitmapSidecar(e.path) == wantBin),
+        s"$fmt: ${snap.deletes.map(_.path)}")
+      val got = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+        .as[(Long, Double)].collect().toSeq
+      val want = (0L until 1000L).filterNot(_ % 7 == 3)
+        .map(k => (k, if (k % 11 == 5) -1.0 else (k % 97).toDouble))
+      assert(got == want, s"$fmt delta state diverged")
+      // purge materializes over the delta-written encoding too
+      assert(GraftOrcMor.purge(spark, dir) > 0)
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long]
+        .collect().head == want.size)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("the `deletes` metadata table sizes the MoR debt: kind, bytes, " +
+    "cardinality and referenced files per sidecar, across all three " +
+    "encodings") {
+    val dir = Files.createTempDirectory("graft-dv-meta").toString
+    seeded(600).repartition(2).write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir)
+    val t = "g_dv_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
+      "TBLPROPERTIES('graft.delete_mode'='mor', " +
+      "'graft.delete_sidecar_format'='orc')")
+    spark.sql(s"DELETE FROM $t WHERE k < 50")              // position orc
+    spark.sql(s"ALTER TABLE $t SET " +
+      "TBLPROPERTIES('graft.delete_sidecar_format'='bitmap')")
+    spark.sql(s"DELETE FROM $t WHERE k >= 550")            // dv
+    graft.sources.v2.GraftOrcEqDelete.upsert(spark, dir,  // equality
+      Seq((100L, 0.0)).toDF("k", "v"), Seq("k"))
+    val meta = graft.sources.v2.GraftOrcMetadata.deletes(spark, dir)
+      .collect().map(r => (r.getString(1),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(meta.map(_._1).toSet ==
+      Set("position", "deletion_vector", "equality"), meta.toSeq)
+    val dv = meta.filter(_._1 == "deletion_vector")
+    assert(dv.map(_._2.get).sum == 50, s"dv cardinality: ${dv.toSeq}")
+    assert(dv.forall(_._3.exists(_ >= 1)))
+    val posCard = meta.filter(_._1 == "position").map(_._2.get).sum
+    assert(posCard == 50, s"position cardinality $posCard")
+    assert(meta.filter(_._1 == "equality").forall(_._2.contains(1L)))
+    // the catalog identifier form resolves too
+    val wh = Files.createTempDirectory("graft-dvmeta-wh").toString
+    spark.conf.set("spark.sql.catalog.gdvm",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gdvm.warehouse", wh)
+    spark.sql("CREATE TABLE gdvm.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('graft.delete_mode'='mor')")
+    // ONE multi-row file, so the delete classifies partial (a
+    // single-row file would full-drop as pure metadata — no sidecar)
+    spark.sql("INSERT INTO gdvm.t SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 10, 1, 1)")
+    spark.sql("DELETE FROM gdvm.t WHERE k = 2")
+    val rows = spark.sql(
+      "SELECT kind, cardinality FROM gdvm.t.deletes").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "deletion_vector"
+      && rows(0).getLong(1) == 1L, rows.toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("both encodings MIX on one table: an orc-era sidecar and a dv " +
     "sidecar apply together; changelog reconstructs deletes from the " +
     "dv encoding") {
