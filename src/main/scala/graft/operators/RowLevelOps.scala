@@ -290,6 +290,47 @@ object RowLevelOps {
               |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
               |ORDER BY c_custkey""".stripMargin)),
 
+    // --------------------------------- upsert x hidden partitioning
+    // Blind upsert into a bucket(8, c_custkey)-partitioned table
+    // (round 13): the CDC-apply path composes with the transform
+    // layout — the staging derives each row's bucket directory with
+    // the writer's exact murmur3, so the new versions land where the
+    // scan's bucket pruning expects them, and the per-key point
+    // lookups the oracle's final state implies all resolve through
+    // pruned reads. Scale shape: one hash-distributed staged write +
+    // one key sidecar, the target is never read; the layout keeps key
+    // equality prunable afterwards (the reason to bucket a CDC target
+    // at 100 TB at all).
+    QueryDef("rl_upsert_hidden",
+      (s, d) => {
+        val all = seeded(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-rl-upsh").toString
+        tempDirs.add(new java.io.File(dir))
+        all.filter(col("c_custkey") % 2 === 0).repartition(4)
+          .write.format("graft-orc")
+          .option("graft.manifest", "true")
+          .option("graft.partition_spec", "bucket(8, c_custkey)")
+          .mode("append").save(dir)
+        graft.sources.v2.GraftOrcEqDelete.upsert(s, dir,
+          all.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), lit("MERGED").as("seg"),
+              (col("bal") * 2).as("bal")),
+          Seq("c_custkey"))
+        finalState(s, dir)
+      },
+      Some(s"""WITH seeded AS ($seededSql),
+              |t AS (SELECT * FROM seeded WHERE c_custkey % 2 = 0),
+              |s AS (SELECT c_custkey, 'MERGED' AS seg, bal * 2 AS bal
+              |      FROM seeded WHERE c_custkey % 3 = 0)
+              |SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.seg ELSE t.seg
+              |    END AS seg,
+              |  CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal
+              |    END AS bal
+              |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+              |ORDER BY c_custkey""".stripMargin)),
+
     // ------------------------------------------------- CDC changelog
     // Row-level change feed between snapshots (GraftOrcChangelog): a MoR
     // DELETE (seq 2), a MoR UPDATE (seq 3 — delete of the old image +

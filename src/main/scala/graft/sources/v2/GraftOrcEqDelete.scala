@@ -146,11 +146,11 @@ object GraftOrcEqDelete {
     val partCols: Seq[String] = snap.meta.map(_.parts).getOrElse(
       snap.entries.map(_.partitionValues.keys.toSeq)
         .maxByOption(_.length).getOrElse(Nil))
-    require(!GraftOrcPartitionSpec.hasTransforms(partCols),
-      "graft-orc upsert: blind upsert into a transform-partitioned " +
-        "table is not supported yet — use MERGE INTO (both row-level " +
-        "modes handle hidden partitioning), or partition by identity " +
-        "columns")
+    // spec-EVOLVED tables: the upsert writes under the CURRENT spec
+    // (its files stamp schemaV = curV, resolving the current layout) —
+    // nothing special to do; transform-partitioned layouts are
+    // supported since round 13 (publishPartitioned derives the
+    // directory values with writer-exact expressions)
     // Keys must resolve in the DATA-FILE schema: the read path matches
     // sidecar key columns against raw file columns, so a partition
     // column (hive-encoded in the path, absent from every file) as a
@@ -164,9 +164,13 @@ object GraftOrcEqDelete {
         "matched against)"))
     validateKeys(StructType(df.schema.fields.filterNot(f =>
       partCols.exists(_.equalsIgnoreCase(f.name)))), keys)
-    partCols.foreach(c => require(
-      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-      s"graft-orc upsert: partition column $c missing from the input"))
+    // every spec SOURCE must be in the batch (identity values place the
+    // rows; transform sources both place them and stay in the files)
+    GraftOrcPartitionSpec.parseCanonical(partCols).map(_.source)
+      .foreach(c => require(
+        df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"graft-orc upsert: partition source column $c missing from " +
+          "the input"))
     // the batch must be shaped like an append: mismatched columns would
     // poison every later read with a schema-merge failure
     GraftOrcWrite.validateAppend(table, df.schema, partCols)
@@ -220,6 +224,61 @@ object GraftOrcEqDelete {
     }
   }
 
+  /** One transform field's DIRECTORY value as a Column, matching
+    * [[GraftOrcPartitionSpec.dirValue]] byte-for-byte so upsert-staged
+    * directories round-trip identically to writer-produced ones:
+    * time transforms via tz-free epoch arithmetic (no session-zone
+    * dependence), bucket via Spark's `hash()` (the same murmur3 with
+    * seed 42 as `bucketOf`), truncate via prefix/floor-multiple. NULL
+    * sources yield NULL (partitionBy then writes the hive default
+    * marker, like the writer). TIMESTAMP_NTZ sources are refused —
+    * unlike the writer's InternalRow path, there is no zone-free
+    * Column route to their micros; use MERGE INTO for those tables.
+    */
+  private def transformDirCol(f: PartField,
+                              c: org.apache.spark.sql.Column,
+                              dt: DataType): org.apache.spark.sql.Column = {
+    def unsupported(): Nothing = throw new IllegalArgumentException(
+      s"graft-orc upsert: ${f.describe} over ${dt.catalogString} is " +
+        "not supported in blind upsert — use MERGE INTO")
+    def pad(cc: org.apache.spark.sql.Column, n: Int) =
+      lpad(cc.cast("string"), n, "0")
+    lazy val dateOf = dt match {
+      case DateType => c
+      case TimestampType =>
+        val us = unix_micros(c)
+        date_from_unix_date(
+          ((us - pmod(us, lit(86400000000L))) / 86400000000L).cast("int"))
+      case _ => unsupported()
+    }
+    val v = f.transform match {
+      case "day" => dateOf.cast("string")
+      case "month" =>
+        concat(pad(year(dateOf), 4), lit("-"), pad(month(dateOf), 2))
+      case "year" => pad(year(dateOf), 4)
+      case "hour" =>
+        if (dt != TimestampType) unsupported()
+        val us = unix_micros(c)
+        val secs = ((us - pmod(us, lit(1000000L))) / 1000000L).cast("long")
+        val tod = pmod(secs, lit(86400L))
+        val d = date_from_unix_date(((secs - tod) / 86400L).cast("int"))
+        concat(pad(year(d), 4), lit("-"), pad(month(d), 2), lit("-"),
+          pad(dayofmonth(d), 2), lit("-"),
+          pad((tod / 3600).cast("int"), 2))
+      case "bucket" =>
+        pmod(hash(c), lit(f.param)).cast("string")
+      case "trunc" => dt match {
+        case StringType => substring(c, 1, f.param)
+        case ByteType | ShortType | IntegerType | LongType =>
+          (c.cast("long") - pmod(c.cast("long"), lit(f.param.toLong)))
+            .cast("string")
+        case _ => unsupported()
+      }
+      case _ => unsupported()
+    }
+    when(c.isNull, lit(null).cast("string")).otherwise(v)
+  }
+
   /** Publish a partitioned upsert batch as ONE Spark job: the batch is
     * hash-repartitioned on the partition columns (every partition's
     * rows land in one task => one file per touched partition, no
@@ -234,10 +293,12 @@ object GraftOrcEqDelete {
                                      partCols: Seq[String],
                                      schemaV: Long): Seq[OrcFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val specFields = GraftOrcPartitionSpec.parseCanonical(partCols)
+    val idCols = specFields.filter(_.isIdentity).map(_.source)
     // canonical partition-column names (the table's casing drives the
     // directory layout, whatever case the batch arrived with)
     val canon = df.select(df.schema.fields.toSeq.map { f =>
-      partCols.find(_.equalsIgnoreCase(f.name)) match {
+      idCols.find(_.equalsIgnoreCase(f.name)) match {
         case Some(p) if p != f.name => col(s"`${f.name}`").as(p)
         case _ => col(s"`${f.name}`")
       }
@@ -255,7 +316,7 @@ object GraftOrcEqDelete {
     // the directories round-trip identically to writer-produced ones.
     // (DATE/TIMESTAMP_NTZ are wall-clock types: partitionBy already
     // renders them zone-independently.)
-    val utcCanon = partCols.foldLeft(canon) { (acc, p) =>
+    val utcCanon = idCols.foldLeft(canon) { (acc, p) =>
       acc.schema.fields.find(_.name == p) match {
         case Some(f) if f.dataType ==
             org.apache.spark.sql.types.TimestampType =>
@@ -279,11 +340,34 @@ object GraftOrcEqDelete {
         case _ => acc
       }
     }
+    // hidden-partition transforms: derive each transform's DIRECTORY
+    // value as a STRING column named by its dirName, matching
+    // GraftOrcPartitionSpec.dirValue byte-for-byte (day/month/year/hour
+    // via tz-free epoch arithmetic, bucket via Spark's hash() — the
+    // same murmur3/seed-42 as bucketOf — truncate via prefix/floor).
+    // partitionBy then drops identity sources AND the derived dir
+    // columns from file content while transform SOURCES stay in the
+    // files, exactly the writer's layout contract.
+    val withDirs = specFields.filterNot(_.isIdentity)
+      .foldLeft(utcCanon) { (acc, f) =>
+        val src = acc.schema.fields
+          .find(_.name.equalsIgnoreCase(f.source)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-orc upsert: transform source ${f.source} missing " +
+                "from the input"))
+        acc.withColumn(f.dirName,
+          transformDirCol(f, col(s"`${src.name}`"), src.dataType))
+      }
+    val byCols = specFields.map(f =>
+      if (f.isIdentity)
+        withDirs.schema.fieldNames
+          .find(_.equalsIgnoreCase(f.source)).getOrElse(f.source)
+      else f.dirName)
     val staging = new Path(table,
       s"${GraftOrcWrite.StagingDir}/ups-${UUID.randomUUID()}")
-    utcCanon.repartition(partCols.map(c => col(s"`$c`")): _*)
+    withDirs.repartition(byCols.map(c => col(s"`$c`")): _*)
       .write.mode("overwrite").option("compression", "snappy")
-      .partitionBy(partCols: _*).orc(staging.toString)
+      .partitionBy(byCols: _*).orc(staging.toString)
     // walk the staged hive tree; every *.orc file publishes under its
     // partition's wave dir with a fresh stamp + footer-stat sidecar
     val wave = s"w-ups-${UUID.randomUUID()}"

@@ -966,16 +966,25 @@ object GraftOrcManifest {
     * of snapshots expired. Single-driver scope like vacuum: do not run
     * concurrently with a commit.
     */
-  def expireOlderThan(fs: FileSystem, table: Path, cutoffMs: Long): Int = {
+  def expireOlderThan(fs: FileSystem, table: Path, cutoffMs: Long,
+                      branch: Option[String] = None): Int = {
     val qt = fs.makeQualified(table)
-    val dir = manifestDir(qt)
-    val refs = listSnapshots(fs, qt).getOrElse(
+    val dir = snapDirOf(qt, branch)
+    val refs = listSnapshots(fs, qt, branch).getOrElse(
       throw new IllegalArgumentException(
-        s"graft-orc: expire requires a manifest table, but $table has " +
-          s"no $Dir"))
+        if (branch.isEmpty)
+          s"graft-orc: expire requires a manifest table, but $table " +
+            s"has no $Dir"
+        else s"graft-orc: no branch '${branch.get}' on $table " +
+          s"(available: ${listBranches(fs, qt).mkString(", ")})"))
     if (refs.isEmpty) return 0
     val newest = refs.last.seq
-    val tagged = listTags(fs, qt).map(_._2).toSet
+    // tags pin the MAIN lineage only (same rule as commit-time expiry);
+    // a branch's max-age sweep is scoped to ITS chain — files shared
+    // with main or sibling branches survive via protectedPaths
+    val tagged =
+      if (branch.isEmpty) listTags(fs, qt).map(_._2).toSet
+      else Set.empty[Long]
     val (dead, keep) = refs.partition(r =>
       r.seq != newest && !tagged(r.seq) && r.commitMs < cutoffMs)
     if (dead.isEmpty) return 0

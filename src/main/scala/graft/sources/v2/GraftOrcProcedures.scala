@@ -131,12 +131,14 @@ object GraftOrcProcedures {
     proc("expire_snapshots",
       "count-based: set the retention depth (a policy commit) and " +
         "expire beyond it; older_than: sweep snapshots committed " +
-        "before the timestamp, no new commit. Tagged snapshots and " +
-        "branch-referenced files stay pinned either way",
+        "before the timestamp, no new commit (with branch: sweep that " +
+        "branch's lineage — its max-age knob). Tagged snapshots and " +
+        "other-lineage-referenced files stay pinned either way",
       Array(
         in("table", StringType),
         inDef("retain", IntegerType, "3"),
-        inDef("older_than", TimestampType, "CAST(NULL AS TIMESTAMP)")),
+        inDef("older_than", TimestampType, "CAST(NULL AS TIMESTAMP)"),
+        inDef("branch", StringType, "CAST(NULL AS STRING)")),
       StructType(Seq(
         StructField("expired", IntegerType),
         StructField("remaining", IntegerType),
@@ -144,13 +146,20 @@ object GraftOrcProcedures {
       val table = resolve(str(args, 0))
       val p = new Path(table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val countBefore = GraftOrcManifest.listSnapshots(fs, p)
+      val branch = if (args.isNullAt(3)) None else Some(str(args, 3))
+      require(branch.isEmpty || !args.isNullAt(2),
+        "graft-orc: expire_snapshots(branch => ...) is the time-based " +
+          "sweep — pass older_than (the count policy is per-commit: " +
+          "pin it at create_branch with retain)")
+      val countBefore = GraftOrcManifest.listSnapshots(fs, p, branch)
         .map(_.size).getOrElse(0)
       if (!args.isNullAt(2)) {
         // Spark hands TIMESTAMP as epoch micros
         val n = GraftOrcManifest.expireOlderThan(fs, p,
-          args.getLong(2) / 1000L)
-        row(n, countBefore - n, currentSeq(fs, p))
+          args.getLong(2) / 1000L, branch)
+        row(n, countBefore - n,
+          GraftOrcManifest.readSnapshot(fs, p, branch)
+            .map(_.seq).getOrElse(0L))
       } else {
         val retain = args.getInt(1)
         require(retain >= 1,

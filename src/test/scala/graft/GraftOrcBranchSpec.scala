@@ -329,6 +329,60 @@ class GraftOrcBranchSpec extends AnyFunSuite {
       new Path(s"$wh/t"), "audit").contains(5))
   }
 
+  test("branch max-age: expire_snapshots(older_than, branch) sweeps " +
+    "ONE branch's lineage — newest survives, main and sibling branches " +
+    "untouched, shared files protected") {
+    val dir = freshTable()
+    val fs = fsOf(dir)
+    val pth = new Path(dir)
+    GraftOrcManifest.createBranch(fs, pth, "old", retain = Some(10))
+    GraftOrcManifest.createBranch(fs, pth, "sib", retain = Some(10))
+    (0 until 4).foreach { i =>
+      spark.range(5000L + i, 5001L + i).selectExpr("id AS a", "'o' AS b")
+        .write.format("graft-orc").option("graft.branch", "old")
+        .mode("append").save(dir)
+      spark.range(6000L + i, 6001L + i).selectExpr("id AS a", "'s' AS b")
+        .write.format("graft-orc").option("graft.branch", "sib")
+        .mode("append").save(dir)
+    }
+    def snaps(branch: Option[String]) =
+      GraftOrcManifest.listSnapshots(fs, pth, branch).get.size
+    val (mainBefore, sibBefore) = (snaps(None), snaps(Some("sib")))
+    assert(snaps(Some("old")) == 5) // fork + 4 appends (retain 10)
+    // future cutoff sweeps all but the newest of the 'old' branch only
+    val n = GraftOrcManifest.expireOlderThan(fs, pth,
+      System.currentTimeMillis() + 3600 * 1000L, Some("old"))
+    assert(n == 4, s"expired $n")
+    assert(snaps(Some("old")) == 1)
+    assert(snaps(None) == mainBefore && snaps(Some("sib")) == sibBefore,
+      "other lineages must be untouched")
+    // the branch head still reads everything (fork files shared with
+    // main survive through cross-lineage protection)
+    assert(readBranch(dir, "old").count() == 10 + 4)
+    assert(readMain(dir).count() == 10)
+    // SQL surface: the procedure routes the branch arg; count-based
+    // form with branch is refused with the pointer to create_branch
+    val wh = Files.createTempDirectory("graft-brage-wh").toString
+    spark.conf.set("spark.sql.catalog.gbage",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbage.warehouse", wh)
+    spark.sql("CREATE TABLE gbage.t (a INT)")
+    spark.sql("INSERT INTO gbage.t VALUES (1)")
+    spark.sql("CALL gbage.system.create_branch('t', 'b')").collect()
+    spark.sql("INSERT INTO gbage.t.branch_b VALUES (2)")
+    val r = spark.sql("CALL gbage.system.expire_snapshots('t', " +
+      "older_than => TIMESTAMP '2999-01-01 00:00:00', branch => 'b')")
+      .collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1, r.toString)
+    val e = intercept[Exception](spark.sql(
+      "CALL gbage.system.expire_snapshots('t', retain => 2, " +
+        "branch => 'b')").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(x => Option(x.getMessage)
+      .exists(_.contains("older_than"))), chain(e).map(_.getMessage))
+  }
+
   // ---- branch DML (round 13): DELETE/UPDATE/MERGE stage on the branch
 
   test("branch DML: DELETE, UPDATE and MERGE against t.branch_<n> " +

@@ -268,14 +268,87 @@ class GraftOrcHiddenPartitionSpec extends AnyFunSuite {
     }
     assert(unknown.getMessage.contains("unknown partition transform"),
       unknown.getMessage)
-    // blind upsert refused on a transform-partitioned table
-    val dirB = Files.createTempDirectory("graft-hp-ups").toString
-    write(dirB, "bucket(4, id)")
+    // blind upsert over an NTZ time transform stays refused (no
+    // zone-free Column route to NTZ micros; the writer path has one)
+    val dirB = Files.createTempDirectory("graft-hp-upsntz").toString
+    sample.withColumn("ts", $"ts".cast("timestamp_ntz"))
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .option("graft.partition_spec", "days(ts)").mode("append")
+      .save(dirB)
     val ups = intercept[IllegalArgumentException] {
       graft.sources.v2.GraftOrcEqDelete.upsert(spark, dirB,
-        sample.limit(2), Seq("id"))
+        sample.withColumn("ts", $"ts".cast("timestamp_ntz")).limit(2),
+        Seq("id"))
     }
-    assert(ups.getMessage.contains("not supported yet"), ups.getMessage)
+    assert(ups.getMessage.contains("MERGE INTO"), ups.getMessage)
+  }
+
+  test("blind upsert into a transform-partitioned table (round 13): " +
+    "staged rows land in writer-identical days()/bucket() directories, " +
+    "old key versions read as deleted, transform pruning stays exact") {
+    val dir = Files.createTempDirectory("graft-hp-ups").toString
+    val base = sample.filter($"ts".isNotNull && $"id".isNotNull)
+    base.repartition(2).write.format("graft-orc")
+      .option("graft.manifest", "true")
+      .option("graft.partition_spec", "days(ts), bucket(4, id)")
+      .mode("append").save(dir)
+    def leaf(d: String): Set[String] = {
+      val out = collection.mutable.Set.empty[String]
+      def walk(f: java.io.File, rel: List[String]): Unit =
+        if (f.isDirectory && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) {
+          val nrel = if (f.getName.contains("=")) rel :+ f.getName else rel
+          if (f.getName.contains("=")) out += f.getName
+          f.listFiles().foreach(walk(_, nrel))
+        }
+      walk(new java.io.File(d), Nil)
+      out.toSet
+    }
+    val writerDirs = leaf(dir)
+    // the upsert batch: one key moves content (id=3, same ts -> same
+    // dirs), one new key lands in a fresh day
+    val batch = base.filter($"id" === 3)
+      .select($"ts", $"id", lit("updated").as("name"), lit(-1.0).as("v"))
+      .unionByName(spark.sql(
+        "SELECT timestamp'2021-06-01 12:00:00' AS ts, " +
+          "CAST(77 AS BIGINT) AS id, 'new' AS name, 7.0 AS v"))
+    graft.sources.v2.GraftOrcEqDelete.upsert(spark, dir, batch, Seq("id"))
+    // the updated key's staged file reuses the EXACT writer directories
+    val upsDirs = leaf(dir)
+    assert(writerDirs.subsetOf(upsDirs), "writer dirs must be reused")
+    val fresh = upsDirs -- writerDirs
+    assert(fresh.exists(_.startsWith("ts_day=2021-06-01")) &&
+      fresh.forall(d => d.startsWith("ts_day=2021-06-01") ||
+        d.startsWith("id_bucket=")), fresh.toString)
+    val back = spark.read.format("graft-orc").load(dir)
+    assert(back.count() == 13) // 12 originals (id=3 replaced) + id=77
+    assert(back.filter($"id" === 3).select("name", "v")
+      .as[(String, Double)].collect().toSeq == Seq(("updated", -1.0)))
+    assert(back.filter($"id" === 77).select("name").as[String]
+      .collect().toSeq == Seq("new"))
+    // transform pruning still engages on the mixed table: a day filter
+    // must not read the other days' files (plan-level via count of
+    // planned partitions through the scan builder)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+    val schema = new graft.sources.v2.GraftOrcDataSource()
+      .inferSchema(opts)
+    val b = new GraftOrcScanBuilder(schema, opts)
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("id", 77L)))
+    val kept = b.build().asInstanceOf[GraftOrcScan]
+      .planInputPartitions().length
+    val full = {
+      val b2 = new GraftOrcScanBuilder(schema, opts)
+      b2.build().asInstanceOf[GraftOrcScan].planInputPartitions().length
+    }
+    assert(kept < full, s"bucket pruning inactive: $kept of $full")
+    // purge materializes the equality delete over the transform layout
+    assert(graft.sources.v2.GraftOrcMor.purge(spark, dir) > 0)
+    assert(spark.read.format("graft-orc").load(dir).count() == 13)
   }
 
   test("catalog: CREATE TABLE PARTITIONED BY (days(ts), bucket(4, id)) " +
