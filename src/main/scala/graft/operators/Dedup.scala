@@ -19,6 +19,69 @@ import graft.functions.TextHashFunctions._
   *  - embedding near-dup exposes both the O(n^2) exact form (small n /
   *    oracle-checkable) and the LSH-bucketed form in Similarity.
   */
+/** Deterministic LSH banding shared by the oracle twins
+  * (`dd_embed_lsh_det`, `ss_ann_lsh_det`): md5-derived integer plane
+  * components (DuckDB recomputes them in SQL with the md5Key60 trick)
+  * against integer-quantized vectors (floor(dim * 1000)), so every
+  * projection is pure BIGINT arithmetic — no float summation order for
+  * the engines to disagree on, and the sign threshold is exact.
+  */
+private[operators] object DetLsh {
+  val Tables = 2
+  val Planes = 10
+  val Dims = 8
+
+  def md5Long(str: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString.take(15), 16)
+
+  /** Plane component (t, p, j), j 1-based — matches the SQL derivation
+    * `md5(t || ':' || p || ':' || j)` in [[planesSql]].
+    */
+  def comp(t: Int, p: Int, j: Int): Long =
+    md5Long(s"$t:$p:$j") % 2001L - 1000L
+
+  /** Quantized first-`Dims` components of `embedding` as Columns. */
+  def quantized(vec: Column): Seq[Column] =
+    (1 to Dims).map(j =>
+      org.apache.spark.sql.functions.floor(
+        vec.getItem(j - 1).cast("double") * 1000).cast("long"))
+
+  /** The `Tables` bucket Columns over pre-quantized components. */
+  def bucketCols(qv: Seq[Column]): Seq[Column] =
+    (0 until Tables).map { t =>
+      (0 until Planes).map { p =>
+        val proj = (1 to Dims).map(j =>
+          org.apache.spark.sql.functions.lit(comp(t, p, j)) * qv(j - 1))
+          .reduce(_ + _)
+        org.apache.spark.sql.functions.when(proj >= 0,
+            org.apache.spark.sql.functions.lit(1L << p))
+          .otherwise(org.apache.spark.sql.functions.lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** The DuckDB CTE text deriving the same plane matrix + buckets from
+    * a CTE `v(vec_id, qv)` whose qv[1..8] match [[quantized]].
+    */
+  val planesSql: String =
+    """planes AS (
+      |  SELECT t, p, list_transform(range(1, 9), j ->
+      |    CAST('0x' || substr(md5(t || ':' || p || ':' || j),
+      |      1, 15) AS BIGINT) % 2001 - 1000) AS comp
+      |  FROM (SELECT unnest([0, 1]) AS t),
+      |       (SELECT unnest(range(0, 10)) AS p)
+      |), buckets AS (
+      |  SELECT v.vec_id, pl.t,
+      |    sum(CASE WHEN comp[1]*qv[1] + comp[2]*qv[2] +
+      |      comp[3]*qv[3] + comp[4]*qv[4] + comp[5]*qv[5] +
+      |      comp[6]*qv[6] + comp[7]*qv[7] + comp[8]*qv[8] >= 0
+      |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+      |  FROM v CROSS JOIN planes pl
+      |  GROUP BY v.vec_id, pl.t
+      |)""".stripMargin
+}
+
 object Dedup {
 
   // 8 bands x 4 rows: band-collision probability 1-(1-s^4)^8 is ~19% at
@@ -519,28 +582,13 @@ object Dedup {
     // table buckets, ids-only through the bucket equi-join.
     QueryDef("dd_embed_lsh_det",
       (s, d) => {
-        val (tT, pP, dD) = (2, 10, 8)
-        def md5Long(str: String): Long = java.lang.Long.parseLong(
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(str.getBytes("UTF-8")).take(8)
-            .map("%02x".format(_)).mkString.take(15), 16)
-        def comp(t: Int, p: Int, j: Int): Long =
-          md5Long(s"$t:$p:$j") % 2001L - 1000L
         val e = Tables.embeddings(s, d)
-        val qv = (1 to dD).map(j =>
-          floor(col("embedding").getItem(j - 1).cast("double") * 1000)
-            .cast("long"))
-        def proj(t: Int, p: Int): Column =
-          (1 to dD).map(j => lit(comp(t, p, j)) * qv(j - 1))
-            .reduce(_ + _)
-        def bucket(t: Int): Column =
-          (0 until pP).map(p =>
-            when(proj(t, p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-            .reduce(_ + _)
+        val buckets = DetLsh.bucketCols(DetLsh.quantized(col("embedding")))
         val banded = e.select(col("vec_id") +:
-          (0 until tT).map(t => bucket(t).as(s"b$t")): _*)
+          buckets.zipWithIndex.map { case (b, t) => b.as(s"b$t") }: _*)
         val long = banded.select(col("vec_id"),
-          posexplode(array((0 until tT).map(t => col(s"b$t")): _*))
+          posexplode(array((0 until DetLsh.Tables)
+            .map(t => col(s"b$t")): _*))
             .as(Seq("t", "bucket")))
         val a = long.select(col("t"), col("bucket"),
           col("vec_id").as("a_id"))

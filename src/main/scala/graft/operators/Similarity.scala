@@ -137,6 +137,78 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ------------------------------------------------- ANN, det twin
+    // The whole ANN pipeline SHAPE — bucket -> candidate equi-join ->
+    // per-query top-k rerank — under the FULL hash oracle (ss_ann_lsh /
+    // ss_ann_ivf stay rows-only: their plane matrices, float cosines
+    // and centroid fits are engine-specific). Same determinism recipe
+    // as dd_embed_lsh_det ([[DetLsh]]): md5-derived integer planes,
+    // integer-quantized vectors — and the RERANK scores by the integer
+    // dot product of the quantized prefixes with (score DESC, id) tie
+    // order, so ranks are bit-reproducible in DuckDB. Plan shape
+    // matches the engine form: broadcast query side, ids-only candidate
+    // dedup, WindowGroupLimit top-k.
+    QueryDef("ss_ann_lsh_det",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qvArr = expr("transform(slice(embedding, 1, 16), x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        val buckets = DetLsh.bucketCols(DetLsh.quantized(col("embedding")))
+        val base = e.select(col("vec_id") +: qvArr.as("qv") +:
+          buckets.zipWithIndex.map { case (b, t) => b.as(s"b$t") }: _*)
+        val long = base.select(col("vec_id"),
+          posexplode(array((0 until DetLsh.Tables)
+            .map(t => col(s"b$t")): _*)).as(Seq("t", "bucket")))
+        val q = long.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+        val cand = long.select(col("vec_id").as("n_id"), col("t"),
+            col("bucket"))
+          .join(broadcast(q), Seq("t", "bucket"))
+          .filter(col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id")).distinct()
+        val qSide = base.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+        val nSide = base.select(col("vec_id").as("n_id"),
+          col("qv").as("n_qv"))
+        val scored = cand.join(broadcast(qSide), "q_id")
+          .join(nSide, "n_id")
+          .withColumn("score", expr(
+            "aggregate(zip_with(q_qv, n_qv, (x, y) -> x * y), 0L, " +
+              "(acc, v) -> acc + v)"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("rnk"), col("n_id"), col("score"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, list_transform(range(1, 17), j ->
+              |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000)
+              |      AS BIGINT)) AS qv
+              |  FROM embeddings
+              |), ${DetLsh.planesSql},
+              |cand AS (
+              |  SELECT DISTINCT qb.vec_id AS q_id, nb.vec_id AS n_id
+              |  FROM buckets qb JOIN buckets nb
+              |    ON qb.t = nb.t AND qb.bucket = nb.bucket
+              |  WHERE qb.vec_id < 40 AND nb.vec_id <> qb.vec_id
+              |), scored AS (
+              |  SELECT c.q_id, c.n_id,
+              |    CAST(list_sum(list_transform(range(1, 17), j ->
+              |      a.qv[j] * b.qv[j])) AS BIGINT) AS score
+              |  FROM cand c
+              |  JOIN v a ON a.vec_id = c.q_id
+              |  JOIN v b ON b.vec_id = c.n_id
+              |)
+              |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score FROM (
+              |  SELECT q_id, n_id, score,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY score DESC, n_id) AS rnk
+              |  FROM scored) r
+              |WHERE rnk <= 3
+              |ORDER BY q_id, rnk""".stripMargin)),
+
     // ------------------------------------------------------------ brute
     // Exact top-k: tiny query side is broadcast; the big side streams once.
     // row_number ties broken by vec_id so the ranking is total.

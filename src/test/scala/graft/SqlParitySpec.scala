@@ -89,7 +89,11 @@ class SqlParitySpec extends AnyFunSuite {
       "pp_wap_gate_dml" -> lenList,
       "dd_embed_lsh_det" ->
         ("DuckDB list literal [0,1] + range()/list_transform + md5 " +
-          "hex-substr cast (Spark: array()/sequence()/transform/conv())"))
+          "hex-substr cast (Spark: array()/sequence()/transform/conv())"),
+      "ss_ann_lsh_det" ->
+        ("DuckDB list literal + range()/list_transform/list_sum + md5 " +
+          "hex-substr cast (Spark: array()/sequence()/transform/" +
+          "aggregate/conv())"))
   }
 
   private def registerViews(): Unit =
