@@ -176,7 +176,11 @@ object Bench {
     // deterministic embedding-LSH banding (integer-quantized
     // projections, md5 plane matrix) and the exact anchor beside the
     // sketch row (exact distincts + percentiles + in-query 5% contract)
-    "dd_embed_lsh_det", "q40_exact_aggs")
+    "dd_embed_lsh_det", "q40_exact_aggs",
+    // the oracle-checked ANN pipeline shape (bucket -> candidate join
+    // -> integer-scored top-k) and blind upsert into a bucket(8)
+    // hidden-partition layout (fresh table per iteration)
+    "ss_ann_lsh_det", "rl_upsert_hidden")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once
