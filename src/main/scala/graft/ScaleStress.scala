@@ -704,6 +704,44 @@ object ScaleStress {
             s""""sec":${num(sec)}}""")
           fsys.delete(fsP, true)
         }
+        // hidden-partition variant (round 13): the same blind apply
+        // into a bucket(16, k) transform layout — the staging derives
+        // writer-exact bucket directories, cost must stay flat with
+        // table size like the identity form, and a point lookup after
+        // the upsert proves bucket pruning still engages (planned
+        // files << total)
+        locally {
+          import graft.sources.v2.GraftOrcManifest
+          val dir = "/tmp/graft-upsert-stress-hidden"
+          val fsP = new org.apache.hadoop.fs.Path(dir)
+          val fsys = fsP.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          fsys.delete(fsP, true)
+          base.repartition(16 * kf).write.format("graft-orc")
+            .option("graft.manifest", "true")
+            .option("graft.partition_spec", "bucket(16, k)")
+            .mode("overwrite").save(dir)
+          val t0 = System.nanoTime()
+          GraftOrcEqDelete.upsert(spark, dir, batch, Seq("k"))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val total = GraftOrcManifest.readSnapshot(fsys,
+            fsys.makeQualified(fsP)).get.entries.size
+          val probe = spark.read.format("graft-orc").load(dir)
+            .filter(col("k") === 599L)
+          val planned = probe.queryExecution.executedPlan
+            .collectLeaves().head.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2
+                .BatchScanExec].inputRDD.getNumPartitions
+          val price = probe.select("price").collect()
+            .map(_.getDouble(0)).toSeq
+          require(price.nonEmpty && price.forall(_ > 0),
+            "hidden upsert point lookup lost the upserted row")
+          println(s"""{"op":"upsert_hidden_bucket","factor":$kf,""" +
+            s""""table_rows":$nBase,"batch_rows":$nBatch,""" +
+            s""""files_total":$total,"planned_point_lookup":$planned,""" +
+            s""""sec":${num(sec)}}""")
+          fsys.delete(fsP, true)
+        }
         Seq("eq", "cow", "mor").foreach { tag =>
           val d = new org.apache.hadoop.fs.Path(
             s"/tmp/graft-upsert-stress-$tag")
