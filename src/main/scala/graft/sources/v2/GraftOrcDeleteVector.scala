@@ -207,6 +207,23 @@ object GraftOrcDeleteVector {
     } finally out.close()
   }
 
+  /** `DataInputStream.skipBytes` is single-attempt (it may skip fewer
+    * bytes than asked, legally, on any buffered/remote stream) — a
+    * short skip would silently desynchronize the header walk. Loop to
+    * the full count; fail loudly on a truncated file.
+    */
+  private def skipFully(in: DataInputStream, n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skipBytes(left)
+      if (s <= 0) {
+        if (in.read() < 0) throw new java.io.EOFException(
+          s"graft-orc dv: truncated sidecar ($left bytes missing)")
+        left -= 1
+      } else left -= s
+    }
+  }
+
   private def open(conf: Configuration, path: String): DataInputStream = {
     val p = new Path(path)
     val in = new DataInputStream(new java.io.BufferedInputStream(
@@ -233,7 +250,7 @@ object GraftOrcDeleteVector {
         val b = new Array[Byte](len)
         in.readFully(b)
         out += new String(b, "UTF-8")
-        in.skipBytes(in.readInt())
+        skipFully(in, in.readInt())
         len = in.readInt()
       }
       out.result()
@@ -252,7 +269,7 @@ object GraftOrcDeleteVector {
         val plen = in.readInt()
         if (new String(b, "UTF-8") == rel)
           return Some(PositionBitmap.read(in))
-        in.skipBytes(plen)
+        skipFully(in, plen)
         len = in.readInt()
       }
       None
