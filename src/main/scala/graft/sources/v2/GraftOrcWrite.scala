@@ -547,14 +547,26 @@ object GraftOrcWrite {
     if (mergeOn && (extra.nonEmpty || widens.nonEmpty)) {
       // ONE DDL commit carrying every add + widening, through the same
       // optimistic loop explicit DDL uses (bootstraps meta-less
-      // manifest tables; refuses directory tables with its typed error)
+      // manifest tables; refuses directory tables with its typed
+      // error). The change function must be IDEMPOTENT against a rival
+      // merge-append that raced the same evolution in (the alter retry
+      // re-applies it on the winner's state): an add whose column
+      // already exists at the same type, or a widening the rival
+      // already applied, is skipped — a same-name different-type
+      // collision still fails typed via addColumn.
       val adds = incoming.fields.filter(f => extra(f.name.toLowerCase))
       GraftOrcSchema.alter(
           spark.sparkContext.hadoopConfiguration, table) { meta =>
         val added = adds.foldLeft(meta)((m, f) =>
-          GraftOrcSchema.addColumn(m, f.name, f.dataType))
+          if (m.schema.fields.exists(x =>
+              x.name.equalsIgnoreCase(f.name) &&
+                x.dataType.catalogString == f.dataType.catalogString)) m
+          else GraftOrcSchema.addColumn(m, f.name, f.dataType))
         widens.foldLeft(added)((m, f) =>
-          GraftOrcSchema.widenColumn(m, f.name, f.dataType))
+          if (m.schema.fields.exists(x =>
+              x.name.equalsIgnoreCase(f.name) &&
+                x.dataType.catalogString == f.dataType.catalogString)) m
+          else GraftOrcSchema.widenColumn(m, f.name, f.dataType))
       }
     }
   }

@@ -334,6 +334,34 @@ class GraftOrcSchemaEvolutionSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unexpected columns"))
   }
 
+  test("two concurrent merge_schema appends adding the SAME column " +
+    "both commit — the auto-DDL is idempotent under the alter retry") {
+    val dir = abTable(3)
+    val errs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val threads = (0 until 2).map { i =>
+      new Thread(() =>
+        try Seq((500 + i, 5, s"t$i")).toDF("a", "b", "tag")
+          .coalesce(1).write.format("graft-orc")
+          .option("graft.merge_schema", "true").mode("append").save(dir)
+        catch { case t: Throwable => errs.add(t) },
+        s"merge-race-$i")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    val back = readAll(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b", "tag"))
+    assert(back.count() == 5)
+    assert(back.filter($"a" >= 500).select("tag").as[String]
+      .collect().sorted.toSeq == Seq("t0", "t1"))
+    // a racing add with a DIFFERENT type still fails typed
+    val err = intercept[Exception] {
+      Seq((600, 6, 1.5)).toDF("a", "b", "tag").write.format("graft-orc")
+        .option("graft.merge_schema", "true").mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("has type"), err.getMessage)
+  }
+
   test("merge_schema on a branch append is refused — evolution commits " +
     "to the main lineage a staged write must not mutate") {
     val dir = abTable(3)
