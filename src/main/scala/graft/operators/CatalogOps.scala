@@ -167,6 +167,63 @@ object CatalogOps {
              |  bal / 100 FROM seeded WHERE c_custkey % 5 = 0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // --------------------------- MERGE INTO schema evolution (round 14)
+    // Spark 4's `MERGE ... WITH SCHEMA EVOLUTION` surface on the
+    // merge-on-read DELTA path: the CDC batch arrives carrying a NEW
+    // provenance column, the analyzer routes it through
+    // GraftOrcCatalog.alterTable as ONE ADD COLUMN metadata commit
+    // (the table reports AUTOMATIC_SCHEMA_EVOLUTION), and the MERGE
+    // then runs under the evolved schema — matched rows update in
+    // place (position delete + re-insert), unmatched rows insert, and
+    // every untouched pre-evolution row null-fills the new column via
+    // field-ID resolution. This is the CDC twin of
+    // ev_write_schema_merge's plain-append evolution: a crawler adds a
+    // field and the upsert pipeline keeps flowing with zero manual DDL
+    // and zero data rewritten for the evolution itself. Scale shape:
+    // the evolution is one snapshot write at any table size; the MERGE
+    // itself pays the delta plan (rows changed, not bytes they sit in).
+    QueryDef("ev_merge_schema_dml",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("msd")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("msd_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"CREATE TABLE $qt (c_custkey BIGINT, seg STRING, " +
+          "bal DOUBLE) TBLPROPERTIES('graft.merge_mode'='mor')")
+        try {
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(4) */ * " +
+            s"FROM $srcView")
+          s.sql(
+            s"""MERGE WITH SCHEMA EVOLUTION INTO $qt t
+               |USING (SELECT c_custkey, seg, bal, 'gen2' AS src
+               |       FROM $srcView WHERE c_custkey % 7 = 0
+               |       UNION ALL
+               |       SELECT c_custkey + 4000000, 'NEWDOC', bal, 'gen2'
+               |       FROM $srcView WHERE c_custkey % 50 = 0) s
+               |ON t.c_custkey = s.c_custkey
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          s.sql(s"SELECT c_custkey, seg, bal, src FROM $qt " +
+            "ORDER BY c_custkey")
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""WITH seeded AS (
+             |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+             |  FROM customer)
+             |SELECT c_custkey, seg, bal,
+             |  CASE WHEN c_custkey % 7 = 0 THEN 'gen2'
+             |       ELSE CAST(NULL AS VARCHAR) END AS src
+             |FROM seeded
+             |UNION ALL
+             |SELECT c_custkey + 4000000, 'NEWDOC', bal, 'gen2'
+             |FROM seeded WHERE c_custkey % 50 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ------------------------------------- partition-spec evolution (API)
     // Iceberg partition evolution: half of orders lands under
     // bucket(4, o_custkey); ONE metadata commit re-specs the table to
