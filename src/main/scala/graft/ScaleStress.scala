@@ -259,6 +259,8 @@ object ScaleStress {
     val perplexityMode = args.lift(1).contains("perplexity")
     val spjMode = args.lift(1).contains("spj")
     val morMode = args.lift(1).contains("mor")
+    val morDenseMode = args.lift(1).contains("mordense")
+    val consolidateMode = args.lift(1).contains("consolidate")
     val specEvoMode = args.lift(1).contains("specevo")
     val evoMode = !specEvoMode && args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
@@ -268,7 +270,8 @@ object ScaleStress {
     val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
-      wapMode || hiddenMode || specEvoMode
+      wapMode || hiddenMode || specEvoMode || morDenseMode ||
+      consolidateMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -400,6 +403,155 @@ object ScaleStress {
             s""""rows":$rows,"sec":${num(sec)},"shuffle_bytes":$bytes}""")
         }
       }
+      spark.stop()
+      return
+    }
+
+    // Dense-delete deletion-vector receipt: a clustered ~30% DELETE —
+    // every 64k-position chunk holds far more than 4096 deletions, so
+    // the roaring-style containers go DENSE (fixed 8KB bitmap per 64k
+    // rows ≈ 1 bit/row) — priced against the row-ORC sidecar encoding
+    // of the same positions. The round-13 receipt priced the bitmap's
+    // WORST case (scattered 0.1%, array containers, only 24% smaller
+    // than ORC); this is the advertised case. Bytes-per-deleted-row is
+    // the headline column.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 mordense 1
+    if (morDenseMode) {
+      def sidecarBytes(dir: String): Long = {
+        val out = collection.mutable.ArrayBuffer.empty[Long]
+        def walk(f: java.io.File): Unit =
+          if (f.isFile) {
+            if (f.getPath.contains(graft.sources.v2.GraftOrcMor.DeletesDir))
+              out += f.length()
+          } else if (f.isDirectory) f.listFiles().foreach(walk)
+        walk(new java.io.File(dir))
+        out.sum
+      }
+      factors.foreach { k =>
+        val li0 = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        val li = (0 until k).map { i =>
+          li0.select(
+            (col("l_orderkey") + lit(i.toLong * 1000000000L))
+              .as("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"))
+        }.reduce(_ union _)
+        Seq("mor-orc", "mor-bitmap").foreach { tag =>
+          val sideFmt = if (tag == "mor-bitmap") "bitmap" else "orc"
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-mordense-$tag-$k").toString
+          // 4 large files: a 64k-position chunk then holds ~100%-filled
+          // row ranges, the container-fill best case the bitmap's dense
+          // form is designed for (16 small files leave every chunk
+          // mostly empty and charge the full 8KB anyway)
+          li.repartition(4).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("append").save(dir)
+          val t = s"g_dense_${tag.replace('-', '_')}_$k"
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
+            "TBLPROPERTIES('graft.delete_mode'='mor', " +
+            s"'graft.delete_sidecar_format'='$sideFmt')")
+          val total = spark.table(t).count()
+          val t0 = System.nanoTime()
+          // ~30% of the price distribution — hash-spread rows mean
+          // every file deletes ~30% of its positions: dense chunks
+          spark.sql(s"DELETE FROM $t WHERE l_extendedprice < 30000")
+          val delSec = (System.nanoTime() - t0) / 1e9
+          val deleted = total - spark.table(t).count()
+          val bytes = sidecarBytes(dir)
+          val t1 = System.nanoTime()
+          spark.read.format("graft-orc").load(dir)
+            .agg(sum(col("l_quantity"))).collect()
+          val readSec = (System.nanoTime() - t1) / 1e9
+          println(s"""{"op":"mor_delete_dense","mode":"$tag",""" +
+            s""""factor":$k,"table_rows":$total,"deleted_rows":$deleted,""" +
+            s""""sidecar_bytes":$bytes,""" +
+            s""""bytes_per_deleted_row":${num(bytes.toDouble /
+              math.max(1L, deleted))},""" +
+            s""""bits_per_table_row":${num(bytes * 8.0 /
+              math.max(1L, total))},""" +
+            s""""delete_sec":${num(delSec)},"read_sec":${num(readSec)}}""")
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(dir))
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // Deletion-vector consolidation receipt: k small MoR DELETE commits
+    // accumulate k+ sidecars — every scan task's header walk and
+    // bitmapFor probe then pays per live sidecar — and ONE consolidate
+    // (pure metadata + sidecar bytes, no data rewritten) restores a
+    // single vector. The claim under test: read cost grows with live
+    // sidecar count and snaps back flat after consolidation, at a
+    // consolidation price unrelated to table bytes.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 consolidate 5 20
+    if (consolidateMode) {
+      val checkpoints = factors.sorted
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-consolidate").toString
+      li.repartition(16).write.format("graft-orc")
+        .option("graft.manifest", "true").mode("append").save(dir)
+      val t = "g_consolidate"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
+        "TBLPROPERTIES('graft.delete_mode'='mor', " +
+        "'graft.delete_sidecar_format'='bitmap')")
+      def readSec(): Double = {
+        val samples = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.read.format("graft-orc").load(dir)
+            .agg(sum(col("l_quantity"))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        samples.min
+      }
+      def sidecars(): Int = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.sources.v2.GraftOrcManifest.readSnapshot(fs, p)
+          .get.deletes.size
+      }
+      readSec() // JIT/codegen warm-up outside every measurement
+      // ONE growing table: each narrow price band deletes in its own
+      // commit (hash-spread rows -> every file partial, one dv per
+      // commit); read cost is sampled at each checkpoint
+      var done = 0
+      checkpoints.foreach { k =>
+        (done until k).foreach { i =>
+          val lo = 40000 + i * 100
+          spark.sql(s"DELETE FROM $t WHERE l_extendedprice >= $lo " +
+            s"AND l_extendedprice < ${lo + 50}")
+        }
+        done = k
+        println(s"""{"op":"consolidate_probe","commits":$k,""" +
+          s""""live_sidecars":${sidecars()},""" +
+          s""""read_sec":${num(readSec())}}""")
+      }
+      val t1 = System.nanoTime()
+      val (retired, written) =
+        graft.sources.v2.GraftOrcMor.consolidate(spark, dir)
+      val consSec = (System.nanoTime() - t1) / 1e9
+      println(s"""{"op":"consolidate","commits":$done,""" +
+        s""""retired":$retired,"written":$written,""" +
+        s""""consolidate_sec":${num(consSec)},""" +
+        s""""live_sidecars":${sidecars()},""" +
+        s""""read_sec":${num(readSec())}}""")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
       spark.stop()
       return
     }

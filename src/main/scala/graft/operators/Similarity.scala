@@ -209,6 +209,119 @@ object Similarity {
               |WHERE rnk <= 3
               |ORDER BY q_id, rnk""".stripMargin)),
 
+    // ------------------------------------------------- IVF ANN, det twin
+    // The IVF pipeline SHAPE — coarse-cell assignment -> multi-cell
+    // probe -> cell equi-join -> exact top-k rerank — under the FULL
+    // hash oracle (ss_ann_ivf stays rows-only: its k-means fit and float
+    // cosines are engine-specific). Determinism recipe: the coarse
+    // quantizer is a fixed 3x3 grid over the first two INTEGER-quantized
+    // dims (the dd_semdedup_det trick), probe-2 picks the two nearest
+    // cell centers by INTEGER squared distance (ties by c_id), and the
+    // rerank scores by the integer dot product of the quantized
+    // 16-prefixes — every comparison is BIGINT arithmetic, so DuckDB
+    // reproduces cells, probes, candidates and ranks bit-exactly. Plan
+    // shape matches the engine form: 9-row broadcast cell frame, probe
+    // side broadcast into the candidate equi-join, WindowGroupLimit
+    // top-k.
+    QueryDef("ss_ann_ivf_det",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val qvArr = expr("transform(slice(embedding, 1, 16), x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        def bin(i: Int) = {
+          val v = element_at(col("qv"), i)
+          when(v < -100L, 0).when(v < 100L, 1).otherwise(2)
+        }
+        val base = e.select(col("vec_id"), qvArr.as("qv"))
+        val assigned = base.withColumn("c_id",
+          (bin(1) * 3 + bin(2)).cast("long"))
+        val cells = (for (x <- 0 to 2; y <- 0 to 2)
+          yield ((x * 3 + y).toLong, (x - 1) * 300L, (y - 1) * 300L))
+          .toDF("c_id", "cx", "cy")
+        val q1 = element_at(col("qv"), 1)
+        val q2 = element_at(col("qv"), 2)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("c_id"))
+        val probes = assigned.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("q_id"), col("qv"))
+          .crossJoin(broadcast(cells))
+          .withColumn("dist", (q1 - col("cx")) * (q1 - col("cx")) +
+            (q2 - col("cy")) * (q2 - col("cy")))
+          .withColumn("pr", row_number().over(w))
+          .filter(col("pr") <= 2)
+          .select(col("q_id"), col("c_id"))
+        // a vector sits in exactly ONE cell and a query's probe cells are
+        // distinct, so (q_id, n_id) occurs at most once — no dedup needed
+        val cand = assigned
+          .select(col("vec_id").as("n_id"), col("c_id"))
+          .join(broadcast(probes), Seq("c_id"))
+          .filter(col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"))
+        val qSide = base.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+        val nSide = base.select(col("vec_id").as("n_id"),
+          col("qv").as("n_qv"))
+        val scored = cand.join(broadcast(qSide), "q_id")
+          .join(nSide, "n_id")
+          .withColumn("score", expr(
+            "aggregate(zip_with(q_qv, n_qv, (x, y) -> x * y), 0L, " +
+              "(acc, v) -> acc + v)"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        scored.withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("rnk"), col("n_id"), col("score"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(range(1, 17), j ->
+             |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000)
+             |      AS BIGINT)) AS qv
+             |  FROM embeddings
+             |), assigned AS (
+             |  SELECT vec_id, qv,
+             |    CAST((CASE WHEN qv[1] < -100 THEN 0
+             |               WHEN qv[1] < 100 THEN 1 ELSE 2 END) * 3 +
+             |         (CASE WHEN qv[2] < -100 THEN 0
+             |               WHEN qv[2] < 100 THEN 1 ELSE 2 END)
+             |      AS BIGINT) AS c_id
+             |  FROM v
+             |), cells AS (
+             |  SELECT CAST(x * 3 + y AS BIGINT) AS c_id,
+             |    CAST((x - 1) * 300 AS BIGINT) AS cx,
+             |    CAST((y - 1) * 300 AS BIGINT) AS cy
+             |  FROM (SELECT unnest([0, 1, 2]) AS x),
+             |       (SELECT unnest([0, 1, 2]) AS y)
+             |), probes AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT a.vec_id AS q_id, c.c_id,
+             |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             |        (a.qv[1] - c.cx) * (a.qv[1] - c.cx) +
+             |        (a.qv[2] - c.cy) * (a.qv[2] - c.cy), c.c_id) AS pr
+             |    FROM assigned a CROSS JOIN cells c
+             |    WHERE a.vec_id < 40) p
+             |  WHERE pr <= 2
+             |), cand AS (
+             |  SELECT p.q_id, n.vec_id AS n_id
+             |  FROM probes p JOIN assigned n ON n.c_id = p.c_id
+             |  WHERE n.vec_id <> p.q_id
+             |), scored AS (
+             |  SELECT c.q_id, c.n_id,
+             |    CAST(list_sum(list_transform(range(1, 17), j ->
+             |      a.qv[j] * b.qv[j])) AS BIGINT) AS score
+             |  FROM cand c
+             |  JOIN v a ON a.vec_id = c.q_id
+             |  JOIN v b ON b.vec_id = c.n_id
+             |)
+             |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score FROM (
+             |  SELECT q_id, n_id, score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, n_id) AS rnk
+             |  FROM scored) r
+             |WHERE rnk <= 3
+             |ORDER BY q_id, rnk""".stripMargin)),
+
     // ------------------------------------------------------------ brute
     // Exact top-k: tiny query side is broadcast; the big side streams once.
     // row_number ties broken by vec_id so the ranking is total.

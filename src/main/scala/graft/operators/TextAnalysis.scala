@@ -240,6 +240,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The DETERMINISTIC twin of [[perplexity]]: the identical pipeline
+    * (bigram model from the corpus itself -> context counts -> per-doc
+    * negative-log-likelihood), with every float replaced by exact
+    * INTEGER arithmetic so DuckDB reproduces the result bit-for-bit:
+    *
+    *  - tokens hash with md5Key60 (the oracle-shared 60-bit key);
+    *  - `ln` is replaced by a fixed-point piecewise-linear log2,
+    *    `qlog2(x) = e*1024 + ((x*1024) >> e) - 1024` with
+    *    `e = floor(log2(x)) = length(bin(x)) - 1` — integer shifts and
+    *    divisions only (max error 0.086 bits, irrelevant for a quality
+    *    SCORE whose job is ranking documents);
+    *  - add-k smoothing at k = 1/2 clears denominators exactly:
+    *    `P(w|u) = (2*cb + 1) / (2*cu + V)`, so
+    *    `qlogp = qlog2(2cb+1) - qlog2(2cu+V)` is a BIGINT;
+    *  - per-doc `qnll = -sum(o * qlogp)` and
+    *    `qppl_milli = (qnll*1000) div (n_bigrams*1024)` ≈
+    *    1000*log2(ppl) are exact integer folds.
+    *
+    * The float form ([[perplexity]]) keeps its JVM-reference pin and its
+    * skew-gated join; this twin runs the plain model join (the gate is a
+    * perf device, exercised there) — same 100 TB shape otherwise: two
+    * map-side-combined model aggregations, a model-sized cb⋈cu join, one
+    * corpus-scale (u,w) equi-join, V as a 1-row broadcast.
+    */
+  def perplexityDet(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextHashFunctions.md5Key60
+    val toks = docs0
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toks.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS u, element_at(toks, i + 1) AS w))"))
+        .as("bg"))
+      .select(col("doc_id"), md5Key60(col("bg.u")).as("u"),
+        md5Key60(col("bg.w")).as("w"))
+    val occ = bi.groupBy(col("doc_id"), col("u"), col("w"))
+      .agg(count(lit(1)).as("o"))
+    val cb = occ.groupBy(col("u"), col("w")).agg(sum(col("o")).as("cb"))
+    val cu = cb.groupBy(col("u")).agg(sum(col("cb")).as("cu"))
+    val v = cb.select(col("u").as("t")).union(cb.select(col("w").as("t")))
+      .agg(countDistinct(col("t")).as("v"))
+    def qlog2(x: String): String =
+      s"((length(bin($x)) - 1) * 1024 + " +
+        s"shiftright(($x) * 1024, length(bin($x)) - 1) - 1024)"
+    val model = cb.join(cu, Seq("u")).crossJoin(broadcast(v))
+      .select(col("u"), col("w"),
+        (expr(qlog2("2 * cb + 1")) - expr(qlog2("2 * cu + v")))
+          .as("qlogp"))
+    occ.join(model, Seq("u", "w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("o")).as("n_bigrams"),
+        (-sum(col("o") * col("qlogp"))).as("qnll"))
+      .select(col("doc_id"), col("n_bigrams"), col("qnll"),
+        expr("(qnll * 1000) div (n_bigrams * 1024)").as("qppl_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------- perplexity
@@ -249,6 +307,48 @@ object TextAnalysis {
     QueryDef("ta_perplexity",
       (s, d) => perplexity(Tables.documents(s, d)),
       None),
+
+    // ------------------------------------------- perplexity, det twin
+    // The same model->score pipeline under the FULL hash oracle via
+    // exact integer arithmetic (see perplexityDet scaladoc): md5 token
+    // keys, fixed-point qlog2, half-integer smoothing. qppl_milli is
+    // ~1000*log2(ppl) — the ranking signal a quality filter thresholds.
+    QueryDef("ta_perplexity_det",
+      (s, d) => perplexityDet(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS tk
+              |  FROM documents
+              |  WHERE len(string_split(text, ' ')) >= 2),
+              |bi AS (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(1, len(tk)), i ->
+              |      [${graft.functions.TextHashFunctions
+                       .md5Key60Sql("tk[i]")},
+              |       ${graft.functions.TextHashFunctions
+                       .md5Key60Sql("tk[i+1]")}])) AS uw
+              |  FROM toks),
+              |occ AS (SELECT doc_id, uw[1] AS u, uw[2] AS w,
+              |  count(*) AS o FROM bi GROUP BY 1, 2, 3),
+              |cb AS (SELECT u, w, sum(o) AS cb FROM occ GROUP BY 1, 2),
+              |cu AS (SELECT u, sum(cb) AS cu FROM cb GROUP BY 1),
+              |vv AS (SELECT count(DISTINCT t) AS v FROM (
+              |  SELECT u AS t FROM cb UNION ALL SELECT w FROM cb)),
+              |model AS (
+              |  SELECT cb.u, cb.w,
+              |    ((length(bin(2*cb.cb+1))-1)*1024 +
+              |      ((2*cb.cb+1)*1024 >> (length(bin(2*cb.cb+1))-1))
+              |      - 1024)
+              |    - ((length(bin(2*cu.cu+vv.v))-1)*1024 +
+              |      ((2*cu.cu+vv.v)*1024 >> (length(bin(2*cu.cu+vv.v))-1))
+              |      - 1024) AS qlogp
+              |  FROM cb JOIN cu ON cb.u = cu.u CROSS JOIN vv)
+              |SELECT occ.doc_id,
+              |  CAST(sum(occ.o) AS BIGINT) AS n_bigrams,
+              |  CAST(-sum(occ.o * m.qlogp) AS BIGINT) AS qnll,
+              |  CAST((-sum(occ.o * m.qlogp) * 1000)
+              |    // (sum(occ.o) * 1024) AS BIGINT) AS qppl_milli
+              |FROM occ JOIN model m ON occ.u = m.u AND occ.w = m.w
+              |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------ tokens
     // Token counting: whitespace tokenization + a BPE-ish subword estimate

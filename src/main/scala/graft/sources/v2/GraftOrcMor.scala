@@ -381,6 +381,89 @@ object GraftOrcMor {
     out.toSet
   }
 
+  /** Consolidate live POSITION sidecars: union every live `(f, pos)`
+    * pair — both encodings — into a minimal set of deletion-vector
+    * sidecars and commit ONE snapshot that swaps them in, retiring the
+    * N accumulated per-commit sidecars. PURE METADATA + sidecar bytes:
+    * no data file is read or rewritten, which is why this is the cheap
+    * maintenance step between purges (Iceberg v3's DV maintenance has
+    * the same shape). Each MoR DELETE/UPDATE/MERGE commit adds one
+    * sidecar, and until a purge every scan task's header walk and
+    * `bitmapFor` probe pays per live sidecar — consolidation restores
+    * that to ONE seek per task at the cost of one small distributed
+    * job over the (purge-bounded) pair set.
+    *
+    * Returns (sidecars retired, sidecars written); (0, 0) when there is
+    * nothing to gain (fewer than two live position sidecars). Equality
+    * sidecars are left alone — their mtime is an applicability
+    * WATERMARK (files strictly older are subject), so re-stamping them
+    * would change which files they delete from.
+    *
+    * Positions referencing data files no longer live (already replaced
+    * by CoW/compact) are dropped during the union — the consolidated
+    * vector carries only live-file payloads, so the per-scan
+    * referenced-file index shrinks to what still matters.
+    */
+  def consolidate(spark: SparkSession, table: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(table)
+    val fs = p.getFileSystem(conf)
+    val qt = fs.makeQualified(p)
+    var attempt = 0
+    while (true) {
+      try return consolidateOnce(spark, fs, qt)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= GraftOrcWrite.ManifestCommitRetries) throw e
+          attempt += 1
+      }
+    }
+    (0, 0) // unreachable
+  }
+
+  private def consolidateOnce(spark: SparkSession, fs: FileSystem,
+                              qt: Path): (Int, Int) = {
+    val snap = GraftOrcManifest.readSnapshot(fs, qt)
+      .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+    val (eqDels, posDels) = snap.deletes.partition(e =>
+      GraftOrcEqDelete.isEqualitySidecar(e.path))
+    if (posDels.size <= 1) return (0, 0)
+    GraftOrcWrite.bumpPublishStamp(
+      (snap.entries ++ snap.deletes).map(_.mtime).foldLeft(0L)(math.max))
+    // live-file membership as a broadcast semi-join, not an In-list: the
+    // manifest can hold 100k+ entries and the pair frame is the big side
+    val liveRel = {
+      import spark.implicits._
+      snap.entries.map(e => GraftOrcManifest.relativize(qt, e.path))
+        .toDF("f")
+    }
+    val pairs = pairsDF(spark, posDels).get
+      .join(broadcast(liveRel), Seq("f"), "left_semi")
+      .distinct()
+    val nOut = math.max(1, math.ceil(posDels.size / 64.0).toInt)
+    val sorted = pairs.repartitionByRange(nOut, col("f"), col("pos"))
+      .sortWithinPartitions("f", "pos")
+    val fresh = publishBitmapSidecars(spark, fs, qt, sorted)
+    try {
+      GraftOrcManifest.commitSwap(fs, qt,
+        remove = Set.empty, add = Nil,
+        addDeletes = fresh, dropDeletes = posDels.map(_.path).toSet,
+        op = "consolidate",
+        expectDeletes = Some(snap.deletes.map(_.path).toSet))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // our fresh vectors were published under _graft_deletes/ but
+        // never manifested — invisible; reclaim best-effort (vacuum
+        // would too) before the caller re-plans
+        fresh.foreach(f =>
+          try fs.delete(new Path(f.path), false)
+          catch { case _: java.io.IOException => })
+        throw e
+    }
+    GraftOrcManifest.deleteUnreferenced(fs, qt, posDels)
+    (posDels.size, fresh.size)
+  }
+
   /** Apply every live sidecar physically: rewrite each affected data
     * file without its deleted rows and commit ONE snapshot that swaps
     * the files and retires ALL sidecars — the maintenance step that

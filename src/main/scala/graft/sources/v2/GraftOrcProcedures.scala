@@ -88,6 +88,19 @@ object GraftOrcProcedures {
         row(GraftOrcMor.purge(spark, resolve(str(args, 0))))
     },
 
+    proc("consolidate_deletes",
+      "union all live position-delete sidecars (both encodings) into " +
+        "minimal deletion vectors — pure metadata + sidecar bytes, no " +
+        "data rewritten; the cheap step between purges",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("sidecars_retired", IntegerType),
+        StructField("sidecars_written", IntegerType)))) { (spark, args) =>
+      val (retired, written) =
+        GraftOrcMor.consolidate(spark, resolve(str(args, 0)))
+      row(retired, written)
+    },
+
     proc("vacuum",
       "physically delete files no lineage references (crashed " +
         "commits, lost races, dropped branches); older_than spares " +
