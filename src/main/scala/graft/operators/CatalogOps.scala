@@ -589,6 +589,90 @@ object CatalogOps {
              |FROM seeded WHERE c_custkey % 100 = 0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ----------------------------- CDC feed on a branch (round 14)
+    // The checkpointed change feed pointed at a BRANCH lineage — the
+    // WAP audit loop's streaming half: destructive edits stage on the
+    // branch (MoR DELETE, MoR UPDATE, an append), and the feed polls
+    // the BRANCH's commits with the same at-least-once checkpoint
+    // arithmetic the main feed has, while main's own history never
+    // enters the feed. Two polls split the staged edits; their union
+    // must equal the full paired branch changelog. Snapshot seqs are
+    // reported RELATIVE to the fork (step), so the oracle is
+    // deterministic regardless of how many commits preceded the fork.
+    // Scale shape: each poll reads only the files its branch snapshots
+    // touched — never the table.
+    QueryDef("rl_cdc_feed_branch",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("cdcb")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("cdcb_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"CREATE TABLE $qt (c_custkey BIGINT, seg STRING, " +
+          "bal DOUBLE) TBLPROPERTIES('graft.delete_mode'='mor'," +
+          "'graft.update_mode'='mor'," +
+          "'graft.manifest.retain'='10')")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-feed-branch").toString + "/seq"
+        try {
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(4) */ * " +
+            s"FROM $srcView")
+          val dir = s"$warehouse/default/$t"
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          val forkSeq = graft.sources.v2.GraftOrcManifest.readSnapshot(
+            fs, new org.apache.hadoop.fs.Path(dir)).get.seq
+          s.sql(s"CALL $cat.system.create_branch('default.$t', " +
+            "'stage')").collect()
+          val bref = s"$qt.branch_stage"
+          s.sql(s"DELETE FROM $bref WHERE bal < 2000")      // fork + 1
+          val f1 = graft.sources.v2.GraftOrcChangelog.feed(
+            s, dir, ckpt, pairKeys = Seq("c_custkey"),
+            initialSeq = forkSeq, branch = Some("stage")).get
+          f1.commit()
+          s.sql(s"UPDATE $bref SET seg = 'PRIME' WHERE bal > 7500") // +2
+          Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit("NEW").as("seg"), lit(1.0).as("bal"))
+            .write.format("graft-orc").option("graft.branch", "stage")
+            .mode("append").save(dir)                       // fork + 3
+          val f2 = graft.sources.v2.GraftOrcChangelog.feed(
+            s, dir, ckpt, pairKeys = Seq("c_custkey"),
+            branch = Some("stage")).get
+          f2.commit()
+          f1.df.unionByName(f2.df)
+            .select(col("c_custkey"), col("seg"), col("bal"),
+              col("_change_type"),
+              (col("_change_seq") - lit(forkSeq)).as("step"))
+            .orderBy(col("step"), col("_change_type"), col("c_custkey"))
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""WITH seeded AS (
+             |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+             |  FROM customer),
+             |chg AS (
+             |  SELECT c_custkey, seg, bal, 'delete' AS _change_type,
+             |    CAST(1 AS BIGINT) AS step
+             |  FROM seeded WHERE bal < 2000
+             |  UNION ALL
+             |  SELECT c_custkey, seg, bal, 'update_preimage',
+             |    CAST(2 AS BIGINT)
+             |  FROM seeded WHERE bal > 7500
+             |  UNION ALL
+             |  SELECT c_custkey, 'PRIME', bal, 'update_postimage',
+             |    CAST(2 AS BIGINT)
+             |  FROM seeded WHERE bal > 7500
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW', CAST(1.0 AS DOUBLE),
+             |    'insert', CAST(3 AS BIGINT)
+             |  FROM seeded WHERE c_custkey % 97 = 0)
+             |SELECT * FROM chg
+             |ORDER BY step, _change_type, c_custkey""".stripMargin)),
+
     // ------------------------- WAP gate via branch DELETE (round 13)
     // The pp_wap_quality_gate flow with the gate expressed as a STAGED
     // DELETE instead of drop-and-restage: the dirty crawl lands on the

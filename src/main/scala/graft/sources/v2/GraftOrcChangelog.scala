@@ -111,7 +111,8 @@ object GraftOrcChangelog {
     */
   def feed(spark: SparkSession, table: String, checkpoint: String,
            pairKeys: Seq[String] = Nil,
-           initialSeq: Long = 0L): Option[ChangeFeed] = {
+           initialSeq: Long = 0L,
+           branch: Option[String] = None): Option[ChangeFeed] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val cp = new Path(checkpoint)
     val fs = cp.getFileSystem(conf)
@@ -125,13 +126,15 @@ object GraftOrcChangelog {
       } catch { case _: java.io.FileNotFoundException => initialSeq }
     val tp = new Path(table)
     val tfs = tp.getFileSystem(conf)
-    val cur = GraftOrcManifest.readSnapshot(tfs, tfs.makeQualified(tp))
+    val cur = GraftOrcManifest.readSnapshot(tfs, tfs.makeQualified(tp),
+        branch)
       .map(_.seq).getOrElse(0L)
     if (cur <= last) return None
     val df =
       if (pairKeys.nonEmpty)
-        betweenPaired(spark, table, last, Some(cur), keys = pairKeys)
-      else between(spark, table, last, Some(cur))
+        betweenPaired(spark, table, last, Some(cur), keys = pairKeys,
+          branch = branch)
+      else between(spark, table, last, Some(cur), branch = branch)
     Some(ChangeFeed(df, last, cur, () => {
       val tmp = new Path(cp.getParent,
         s".${cp.getName}.tmp-${java.util.UUID.randomUUID()}")
@@ -158,7 +161,8 @@ object GraftOrcChangelog {
   def betweenPaired(spark: SparkSession, table: String,
                     startSnapshotId: Long,
                     endSnapshotId: Option[Long] = None,
-                    keys: Seq[String] = Nil): DataFrame = {
+                    keys: Seq[String] = Nil,
+                    branch: Option[String] = None): DataFrame = {
     val keyCols =
       if (keys.nonEmpty) keys
       else {
@@ -175,17 +179,18 @@ object GraftOrcChangelog {
               s"them, or persist TBLPROPERTIES('$KeyProp'='k1,k2') on " +
               s"$table"))
       }
-    pairUpdates(between(spark, table, startSnapshotId, endSnapshotId),
-      keyCols)
+    pairUpdates(between(spark, table, startSnapshotId, endSnapshotId,
+      branch), keyCols)
   }
 
   def between(spark: SparkSession, table: String, startSnapshotId: Long,
-              endSnapshotId: Option[Long] = None): DataFrame = {
+              endSnapshotId: Option[Long] = None,
+              branch: Option[String] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(table)
     val fs = p.getFileSystem(conf)
     val qt = fs.makeQualified(p)
-    val refs = GraftOrcManifest.listSnapshots(fs, qt).getOrElse(
+    val refs = GraftOrcManifest.listSnapshots(fs, qt, branch).getOrElse(
       throw new IllegalArgumentException(
         s"graft-orc: changelog requires a manifest table, but $table " +
           s"has no ${GraftOrcManifest.Dir} (write with " +
@@ -209,14 +214,20 @@ object GraftOrcChangelog {
     // the table's logical columns (data + partition), for normalizing
     // per-file frames (schema evolution: columns absent in old files
     // read as NULL)
-    val tableCols: StructType = spark.read.format("graft-orc")
-      .option("graft.snapshot_id", end.toString).load(table).schema
+    // branch feeds normalize against the BRANCH head's schema (snapshot
+    // addressing by id stays a main-lineage read option)
+    val tableCols: StructType = (branch match {
+      case Some(b) => spark.read.format("graft-orc")
+        .option("graft.branch", b).load(table)
+      case None => spark.read.format("graft-orc")
+        .option("graft.snapshot_id", end.toString).load(table)
+    }).schema
 
     val prefix = qt.toString.stripSuffix("/") + "/"
 
     def snapAt(seq: Long) =
       GraftOrcManifest.resolveSnapshot(fs, qt,
-        GraftOrcManifest.Selector.ById(seq))
+        GraftOrcManifest.Selector.ById(seq), branch)
 
     def posOnly(sidecars: Seq[OrcFileEntry]): Seq[OrcFileEntry] =
       sidecars.filterNot(e => GraftOrcEqDelete.isEqualitySidecar(e.path))

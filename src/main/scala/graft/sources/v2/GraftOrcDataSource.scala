@@ -1369,6 +1369,10 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
         case (k, v) if k.equalsIgnoreCase("graft.snapshot_offsets") =>
           GraftOrcDataSource.parseBooleanOption("graft.snapshot_offsets", v)
       }.getOrElse(false),
+      // branch-scoped streaming: tail the branch lineage (WAP audit loop)
+      branch = options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.branch") => v.trim
+      }.filter(_.nonEmpty),
       onRewrite = options.collectFirst {
         case (k, v) if k.equalsIgnoreCase("graft.stream.on_rewrite") =>
           v.toLowerCase(java.util.Locale.ROOT)

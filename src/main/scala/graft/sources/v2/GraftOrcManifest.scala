@@ -308,9 +308,12 @@ object GraftOrcManifest {
     * to keep more history). Typed errors name the available range.
     */
   def resolveSnapshot(fs: FileSystem, table: Path,
-                      sel: Selector): Snapshot = {
+                      sel: Selector,
+                      branch: Option[String] = None): Snapshot = {
     val qt = fs.makeQualified(table)
-    val refs = listSnapshots(fs, qt).getOrElse(throw new IllegalArgumentException(
+    // with `branch`, ById/AsOf address the BRANCH lineage (fork snapshot
+    // onward) — the branch-scoped streaming/changelog watermark space
+    val refs = listSnapshots(fs, qt, branch).getOrElse(throw new IllegalArgumentException(
       s"graft-orc: time travel requires a manifest table, but $table has " +
         "no _graft_manifest (write with .option(\"graft.manifest\", \"true\") " +
         "to establish one)"))

@@ -48,12 +48,18 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
                                maxFilesPerTrigger: Option[Int] = None,
                                maxBytesPerTrigger: Option[Long] = None,
                                snapshotOffsets: Boolean = false,
-                               onRewrite: String = "replay")
+                               onRewrite: String = "replay",
+                               branch: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  // branch-scoped stream (`graft.branch` on readStream): the per-trigger
+  // listing resolves the BRANCH head — the WAP audit loop tails the
+  // staged lineage exactly like batch reads already can; main commits
+  // after the fork never enter the feed
   private def listing(): Seq[OrcFileEntry] =
     scan.pruneEntries(
-      new GraftOrcFileIndex(conf, paths, metaParallelism).entries,
+      new GraftOrcFileIndex(conf, paths, metaParallelism,
+        snapshot = branch.map(GraftOrcManifest.Selector.ByBranch(_))).entries,
       scan.staticPartitionFilters)
       .sortBy(e => (e.mtime, e.path))
 
@@ -133,7 +139,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     if (seq == 0L) GraftOrcManifest.Snapshot(0L, Nil)
     else GraftOrcManifest.resolveSnapshot(
       manifestTable.getFileSystem(conf), manifestTable,
-      GraftOrcManifest.Selector.ById(seq))
+      GraftOrcManifest.Selector.ById(seq), branch)
 
   private def snapshotEntries(seq: Long): Seq[OrcFileEntry] =
     snapshotAt(seq).entries
@@ -153,7 +159,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
   private def latestSnapshotOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = snapshotSeqOf(start)
     val fs = manifestTable.getFileSystem(conf)
-    val refs = GraftOrcManifest.listSnapshots(fs, manifestTable)
+    val refs = GraftOrcManifest.listSnapshots(fs, manifestTable, branch)
       .getOrElse(Nil).filter(_.seq > s)
     newestSeenSeq = refs.lastOption.map(_.seq).getOrElse(s)
     if (refs.isEmpty) {
@@ -179,7 +185,7 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     var bytes = 0L
     refs.iterator.takeWhile { ref =>
       val snap = GraftOrcManifest.resolveSnapshot(fs, manifestTable,
-        GraftOrcManifest.Selector.ById(ref.seq))
+        GraftOrcManifest.Selector.ById(ref.seq), branch)
       val cur = snap.entries
       val curPaths = cur.map(_.path).toSet
       val curDels = snap.deletes.map(_.path).toSet
@@ -284,7 +290,8 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
               snapshotEntries(e.seq).filterNot(f => startPaths(f.path))
             } else {
               val fs = manifestTable.getFileSystem(conf)
-              val refs = GraftOrcManifest.listSnapshots(fs, manifestTable)
+              val refs = GraftOrcManifest.listSnapshots(fs, manifestTable,
+                  branch)
                 .getOrElse(Nil).filter(r => r.seq > sSeq && r.seq <= e.seq)
               val startSnap = snapshotAt(sSeq)
               var prevPaths = startSnap.entries.map(_.path).toSet
