@@ -180,7 +180,15 @@ object Bench {
     // the oracle-checked ANN pipeline shape (bucket -> candidate join
     // -> integer-scored top-k) and blind upsert into a bucket(8)
     // hidden-partition layout (fresh table per iteration)
-    "ss_ann_lsh_det", "rl_upsert_hidden")
+    "ss_ann_lsh_det", "rl_upsert_hidden",
+    // round 14: MERGE WITH SCHEMA EVOLUTION through the MoR delta path
+    // (evolution DDL + delta MERGE, fresh table per iteration), the CDC
+    // feed polling a BRANCH lineage (staged MoR DELETE/UPDATE + append,
+    // two checkpointed polls), the deterministic IVF ANN shape
+    // (grid-cell probe-2, integer rerank), and the integer-exact
+    // perplexity twin (fixed-point qlog2 model scoring)
+    "ev_merge_schema_dml", "rl_cdc_feed_branch",
+    "ss_ann_ivf_det", "ta_perplexity_det")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

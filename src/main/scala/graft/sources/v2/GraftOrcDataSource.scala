@@ -426,10 +426,14 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     require(sideFmt == "bitmap" || sideFmt == "orc",
       s"graft-orc: invalid value '$sideFmt' for " +
         "graft.delete_sidecar_format, must be bitmap or orc")
+    val consolidateAfter = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.consolidate_after") =>
+        GraftOrcMor.parseConsolidateAfter(v)
+    }
     () =>
       if (mode == "mor")
         new GraftOrcDeltaOperation(tableSchema, ps.head, partCols,
-          info.command(), branch, sideFmt)
+          info.command(), branch, sideFmt, consolidateAfter)
       else new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
         info.command(), branch)
   }
@@ -584,6 +588,12 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         addDeletes = sidecars, op = "delta",
         expectPresent = fullSet ++ partials.map(_.path), branch = branch)
       GraftOrcManifest.deleteUnreferenced(fs, qt, fullDrops)
+      // graft.consolidate_after: keep the live sidecar count bounded
+      GraftOrcMor.maybeAutoConsolidate(SparkSession.active, fs, qt, branch,
+        explicit = props.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("graft.consolidate_after") =>
+            GraftOrcMor.parseConsolidateAfter(v)
+        })
     } else {
       val rewritten = GraftOrcDelete.rewriteWithout(
         SparkSession.active, fs, qt, partials, pred, tableSchema,

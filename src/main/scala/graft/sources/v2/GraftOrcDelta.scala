@@ -66,7 +66,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
                              partitionCols: Seq[String], cmd: Command,
                              branch: Option[String] = None,
-                             sidecarFormat: String = "bitmap")
+                             sidecarFormat: String = "bitmap",
+                             consolidateAfter: Option[Int] = None)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): Command = cmd
@@ -94,7 +95,7 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftOrcDeltaWrite(tablePath, info, partitionCols, branch,
-          sidecarFormat)
+          sidecarFormat, consolidateAfter)
     }
 }
 
@@ -108,7 +109,8 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
 class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
                          partitionCols: Seq[String],
                          branch: Option[String] = None,
-                         sidecarFormat: String = "bitmap")
+                         sidecarFormat: String = "bitmap",
+                         consolidateAfter: Option[Int] = None)
     extends DeltaWrite {
 
   private val rowSchema: StructType = info.schema()
@@ -198,7 +200,7 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
       GraftOrcWrite.publish(path, writeId, dataMsgs.toArray,
         truncateExisting = false, writerPartitionCols = partitionCols,
         deltaDeletes = dels.result(), deltaRefs = Some(refs.result()),
-        branch = branch)
+        branch = branch, consolidateAfter = consolidateAfter)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -464,6 +464,57 @@ object GraftOrcMor {
     (posDels.size, fresh.size)
   }
 
+  /** Property-gated AUTO-consolidation, run after a commit that added
+    * position sidecars: when `TBLPROPERTIES('graft.consolidate_after'=N)`
+    * is set and the live POSITION sidecar count reaches N, the commit's
+    * writer consolidates inline — the same "hidden maintenance" posture
+    * as the write-side purge compaction runs, keeping per-scan sidecar
+    * probes bounded without a scheduler. Best-effort: the data commit
+    * already succeeded, so a consolidation lost to a rival maintenance
+    * run (ConcurrentModificationException after retries) is swallowed —
+    * the rival did equivalent work or the next delete re-triggers.
+    * Branch commits skip it (consolidation is a MAIN-lineage operation;
+    * staged sidecars reach main at fast_forward and trigger there).
+    */
+  def parseConsolidateAfter(v: String): Int = {
+    val n = try v.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft-orc: invalid graft.consolidate_after '$v', must " +
+            "be an integer >= 2")
+    }
+    require(n >= 2, s"graft-orc: graft.consolidate_after must be " +
+      s">= 2 (1 would consolidate after every delete), got $n")
+    n
+  }
+
+  def maybeAutoConsolidate(spark: SparkSession, fs: FileSystem, qt: Path,
+                           branch: Option[String] = None,
+                           explicit: Option[Int] = None): Unit = {
+    if (branch.nonEmpty) return
+    val snap = GraftOrcManifest.readSnapshot(fs, qt)
+      .getOrElse { return }
+    // resolution mirrors delete_mode: the caller's resolved table
+    // property (TBLPROPERTIES travel as table options — a path table's
+    // manifest meta never sees them), else the property a CATALOG table
+    // persisted into its manifest meta, else the session default
+    val limit = explicit
+      .orElse(snap.meta.flatMap(_.props.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.consolidate_after") =>
+          parseConsolidateAfter(v)
+      }))
+      .orElse(spark.conf.getOption("spark.graft.consolidate_after")
+        .map(parseConsolidateAfter))
+    limit.foreach { n =>
+      val livePos = snap.deletes.count(e =>
+        !GraftOrcEqDelete.isEqualitySidecar(e.path))
+      if (livePos >= n) {
+        try consolidate(spark, qt.toString)
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+  }
+
   /** Apply every live sidecar physically: rewrite each affected data
     * file without its deleted rows and commit ONE snapshot that swaps
     * the files and retires ALL sidecars — the maintenance step that

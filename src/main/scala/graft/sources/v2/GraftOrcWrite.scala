@@ -690,7 +690,8 @@ object GraftOrcWrite {
                       deltaRefs: Option[Set[String]] = None,
                       writeSchema: Option[StructType] = None,
                       upsertKeys: Seq[String] = Nil,
-                      branch: Option[String] = None): Unit = {
+                      branch: Option[String] = None,
+                      consolidateAfter: Option[Int] = None): Unit = {
     val dir = new Path(table)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
@@ -1041,6 +1042,12 @@ object GraftOrcWrite {
       if (replaced.nonEmpty)
         GraftOrcManifest.deleteUnreferenced(fs, qdir,
           priorEntries.filter(e => replaced(e.path)))
+      // graft.consolidate_after: a delta commit (MoR UPDATE/MERGE/
+      // untranslatable DELETE) that added sidecars keeps the live count
+      // bounded without a scheduler
+      if (addedDeletes.nonEmpty)
+        GraftOrcMor.maybeAutoConsolidate(SparkSession.active, fs, qdir,
+          branch, explicit = consolidateAfter)
     }
     dropStaging(fs, dir, writeId)
   }

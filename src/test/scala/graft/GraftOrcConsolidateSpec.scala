@@ -142,6 +142,33 @@ class GraftOrcConsolidateSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("graft.consolidate_after auto-consolidates once the live " +
+    "position sidecar count reaches the threshold") {
+    val dir = Files.createTempDirectory("graft-cons-auto").toString
+    seeded.repartition(4).write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir)
+    val t = "g_cons_auto"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING `graft-orc` LOCATION '$dir' " +
+      "TBLPROPERTIES('graft.delete_mode'='mor'," +
+      "'graft.delete_sidecar_format'='bitmap'," +
+      "'graft.consolidate_after'='3')")
+    try {
+      (0 until 7).foreach { i =>
+        spark.sql(s"DELETE FROM $t WHERE id % 40 = $i")
+        // the live count never exceeds the threshold: each delete adds
+        // one sidecar, and crossing 3 consolidates back to 1
+        assert(snapshot(dir).deletes.size <= 3,
+          s"after delete $i: ${snapshot(dir).deletes.size} sidecars")
+      }
+      assert(ids(dir) === seeded.filter($"id" % 40 >= 7)
+        .select($"id").as[Long].collect().sorted.toSeq)
+      // the threshold commit really consolidated (op recorded)
+      assert(snapshot(dir).op.contains("consolidate") ||
+        snapshot(dir).deletes.size < 3)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CALL cat.system.consolidate_deletes returns the receipt") {
     val wh = Files.createTempDirectory("graft-cons-wh").toString
     spark.conf.set("spark.sql.catalog.gcons",
