@@ -97,9 +97,11 @@ class PlanSpec extends AnyFunSuite {
   // else in the headline bench set must be equi-join shaped: a
   // CartesianProduct or an unbounded BNLJ here is an n^2 scale-killer.
   // dd_semdedup: centroid assignment broadcasts a constant 16-row model
-  // ta_perplexity: the vocabulary size V is a 1-row broadcast scalar
+  // ta_perplexity(_det): the vocabulary size V is a 1-row broadcast scalar
+  // ss_ann_ivf_det: the grid-cell frame is a constant 9-row broadcast
   private val boundedBroadcastOk =
-    Set("ss_topk_bruteforce", "ss_ann_ivf", "dd_semdedup", "ta_perplexity")
+    Set("ss_topk_bruteforce", "ss_ann_ivf", "dd_semdedup", "ta_perplexity",
+      "ss_ann_ivf_det", "ta_perplexity_det")
 
   test("headline bench set never cross-products (scale guard, whole set)") {
     val extras = Seq(
@@ -172,7 +174,9 @@ class PlanSpec extends AnyFunSuite {
     // conditionless joins against a 1-row broadcast scalar aggregate
     "q15_subquery_above_avg", "q62_idle_rich_customers", "ta_perplexity",
     // centroid assignment: broadcast of a constant-size (16 row) model
-    "dd_semdedup")
+    "dd_semdedup",
+    // det twins: a constant 9-row grid-cell frame / the 1-row V scalar
+    "ss_ann_ivf_det", "ta_perplexity_det")
 
   test("ALL queries plan without cross products (whole-surface audit)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
