@@ -354,6 +354,75 @@ object Dedup {
              |  FROM documents GROUP BY 1) t
              |ORDER BY keep_id""".stripMargin)),
 
+    // -------------------------------------------------- incremental dedup
+    // The daily-crawl shape: dedup the NEW batch against the HISTORICAL
+    // corpus without re-deduping history (history is already clean; at
+    // 100 TB re-clustering it per crawl is the classic accidental
+    // quadratic). The crawl anti-joins the history's content
+    // fingerprints — an 8-byte-key anti join whose cost is
+    // O(crawl + history), with the history side pre-aggregated to
+    // distinct fingerprints (model-sized relative to raw bytes) and AQE
+    // free to broadcast it when it fits. Halves of `documents` stand in
+    // for history/crawl; md5Key60 keeps the fingerprints
+    // DuckDB-reproducible (full hash oracle).
+    QueryDef("dd_incremental",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.md5Key60
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), md5Key60(col("text")).as("fp"))
+        val history = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("fp")).distinct()
+        docs.filter(col("doc_id") % 2 === 1)
+          .join(history, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fps AS (
+              |  SELECT doc_id, ${graft.functions.TextHashFunctions
+                   .md5Key60Sql("text")} AS fp
+              |  FROM documents)
+              |SELECT doc_id, fp FROM fps c
+              |WHERE doc_id % 2 = 1 AND NOT EXISTS (
+              |  SELECT 1 FROM fps h
+              |  WHERE h.doc_id % 2 = 0 AND h.fp = c.fp)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ keep-best dedup
+    // Exact dedup with a QUALITY-AWARE representative: instead of
+    // keeping the lowest id (dd_exact), each duplicate group keeps its
+    // best member — longest document, ties by id — the C4/CCNet
+    // posture (the longest copy usually carries the least truncation).
+    // One fingerprint groupBy + a per-group argmax via WindowGroupLimit:
+    // 8-byte keys through the shuffle, group state is one row.
+    QueryDef("dd_keep_best",
+      (s, d) => {
+        import graft.functions.TextHashFunctions.md5Key60
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            md5Key60(col("text")).as("fp"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_copies", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id").as("keep_id"), col("n_chars"),
+            col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some(s"""SELECT keep_id, n_chars, n_copies FROM (
+              |  SELECT doc_id AS keep_id, n_chars,
+              |    row_number() OVER (PARTITION BY fp
+              |      ORDER BY n_chars DESC, doc_id) AS rn,
+              |    count(*) OVER (PARTITION BY fp) AS n_copies
+              |  FROM (SELECT doc_id, n_chars,
+              |          ${graft.functions.TextHashFunctions
+                     .md5Key60Sql("text")} AS fp
+              |        FROM documents) t) r
+              |WHERE rn = 1
+              |ORDER BY keep_id""".stripMargin)),
+
     // ------------------------------------------------------------ jaccard
     // Exact n-gram (word-set) Jaccard pairs over a bounded id range —
     // the oracle-checkable exact form. Token sets are hashed to 8-byte

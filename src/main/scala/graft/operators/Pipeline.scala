@@ -48,6 +48,48 @@ object Pipeline {
              |WHERE rn = 1 AND n_tokens >= 10
              |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ domain mix weights
+    // Training-mix calibration: per `source` (domain) token counts and
+    // the per-document sampling weight that rebalances the corpus to a
+    // UNIFORM target mix (weight = target_share / actual_share — the
+    // number a sampling pass multiplies into each doc's keep
+    // probability; >1 = upsample, <1 = downsample). The whole job is
+    // one map-side-combined aggregation to a domain-sized frame; the
+    // corpus total rides an empty-partition window over that tiny
+    // frame (the q98 trick), never a second corpus pass or a 1-row
+    // cross join. Exact integer counts + single divisions — IEEE
+    // identical on both engines.
+    QueryDef("pp_mix_weights",
+      (s, d) => {
+        val perSrc = Tables.documents(s, d)
+          .select(col("source"),
+            TextAnalysis.nTokens(col("text")).as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        val all = Window.partitionBy()
+        perSrc
+          .withColumn("total", sum(col("n_tokens")).over(all))
+          .withColumn("n_sources", count(lit(1)).over(all))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("total"))
+              .as("actual_share"),
+            (col("total").cast("double") /
+              (col("n_sources") * col("n_tokens"))).as("weight"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per_src AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(regexp_extract_all(text, '\S+')))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source)
+             |SELECT source, n_docs, n_tokens,
+             |  CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ())
+             |    AS actual_share,
+             |  CAST(sum(n_tokens) OVER () AS DOUBLE)
+             |    / ((count(*) OVER ()) * n_tokens) AS weight
+             |FROM per_src
+             |ORDER BY source""".stripMargin)),
+
     // ------------------------------------------------------------ split
     // Deterministic train/eval split on a content hash — reproducible
     // across runs, machines, and repartitions (never random()): the

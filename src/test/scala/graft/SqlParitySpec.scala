@@ -93,7 +93,23 @@ class SqlParitySpec extends AnyFunSuite {
       "ss_ann_lsh_det" ->
         ("DuckDB list literal + range()/list_transform/list_sum + md5 " +
           "hex-substr cast (Spark: array()/sequence()/transform/" +
-          "aggregate/conv())"))
+          "aggregate/conv())"),
+      "ev_merge_schema_dml" ->
+        "DuckDB bare VARCHAR cast (Spark VARCHAR needs a length)",
+      "ss_ann_ivf_det" ->
+        ("DuckDB list indexing qv[1] + unnest()/list_transform + md5 " +
+          "hex-substr cast (Spark: element_at()/explode/transform/" +
+          "conv())"),
+      "ta_perplexity_det" ->
+        ("DuckDB list indexing tk[i] + string_split/list_transform/" +
+          "unnest + `//`/`>>` integer operators (Spark: element_at()/" +
+          "split/transform/explode + div/shiftright)"),
+      "dd_incremental" ->
+        "DuckDB md5 hex-substr '0x…' BIGINT cast (Spark: conv())",
+      "dd_keep_best" ->
+        "DuckDB md5 hex-substr '0x…' BIGINT cast (Spark: conv())",
+      "pp_mix_weights" ->
+        "DuckDB len() over a regexp_extract_all list (Spark: size())")
   }
 
   private def registerViews(): Unit =
