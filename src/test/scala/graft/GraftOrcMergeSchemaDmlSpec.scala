@@ -106,6 +106,31 @@ class GraftOrcMergeSchemaDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens int -> bigint when the " +
+    "source carries the wider type") {
+    wh
+    val t = "gmsd.msd_widen"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, score INT)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 100 AS INT) " +
+      "FROM range(50)")
+    try {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $t t
+           |USING (SELECT id, CAST(id + 3000000000 AS BIGINT) AS score
+           |       FROM range(40, 60)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val sc = spark.table(t).schema("score").dataType
+      assert(sc === org.apache.spark.sql.types.LongType,
+        s"score must widen to bigint, got $sc")
+      assert(spark.sql(s"SELECT sum(score) FROM $t WHERE id >= 40")
+        .collect()(0).getLong(0) ===
+        (40L until 60L).map(_ + 3000000000L).sum)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("MERGE without the evolution clause drops the extra source " +
     "column and the table does not evolve") {
     val (dir, t) = freshTable("noclause")
