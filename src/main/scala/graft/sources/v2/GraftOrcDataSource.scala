@@ -187,7 +187,7 @@ object GraftOrcDataSource {
           s"Invalid value '$v' for option '$name', must be true or false")
     }
 
-  private def parseLongOption(name: String, v: String): Long =
+  private[v2] def parseLongOption(name: String, v: String): Long =
     try v.trim.toLong catch {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(
@@ -1383,6 +1383,14 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
       branch = options.collectFirst {
         case (k, v) if k.equalsIgnoreCase("graft.branch") => v.trim
       }.filter(_.nonEmpty),
+      // fresh-checkpoint seed for snapshot-offset streams: start the
+      // feed AFTER an already-processed snapshot instead of replaying
+      // the retained history
+      startSnapshotId = options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.stream.start_snapshot_id") =>
+          GraftOrcDataSource.parseLongOption(
+            "graft.stream.start_snapshot_id", v)
+      },
       onRewrite = options.collectFirst {
         case (k, v) if k.equalsIgnoreCase("graft.stream.on_rewrite") =>
           v.toLowerCase(java.util.Locale.ROOT)

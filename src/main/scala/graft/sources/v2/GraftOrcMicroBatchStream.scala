@@ -49,7 +49,8 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
                                maxBytesPerTrigger: Option[Long] = None,
                                snapshotOffsets: Boolean = false,
                                onRewrite: String = "replay",
-                               branch: Option[String] = None)
+                               branch: Option[String] = None,
+                               startSnapshotId: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // branch-scoped stream (`graft.branch` on readStream): the per-trigger
@@ -221,8 +222,21 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
     end
   }
 
+  require(startSnapshotId.isEmpty || snapshotOffsets,
+    "graft-orc: graft.stream.start_snapshot_id requires " +
+      "graft.snapshot_offsets=true (the mtime-offset mode has no " +
+      "snapshot watermark to seed)")
+
   override def initialOffset(): Offset =
-    if (snapshotOffsets) GraftOrcSnapshotOffset(0L)
+    if (snapshotOffsets)
+      // seed a FRESH checkpoint past already-processed history (the
+      // batch incremental read's graft.start_snapshot_id, for streams):
+      // 0 = replay the whole retained history; the seed must itself be
+      // a retained (or 0) snapshot — the first latestOffset call
+      // resolves diffs against it and raises the typed not-retained
+      // error otherwise. Ignored once a checkpoint exists (Spark only
+      // calls initialOffset when none does).
+      GraftOrcSnapshotOffset(startSnapshotId.getOrElse(0L))
     else GraftOrcStreamOffset(-1L, "")
 
   override def getDefaultReadLimit: ReadLimit =

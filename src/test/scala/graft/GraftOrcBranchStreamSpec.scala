@@ -90,6 +90,38 @@ class GraftOrcBranchStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft.stream.start_snapshot_id seeds a fresh snapshot-offset " +
+    "stream past already-processed history; refused without " +
+    "snapshot offsets") {
+    val dir = Files.createTempDirectory("graft-stream-seed").toString
+    spark.range(10).select($"id").repartition(1)
+      .write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir)   // seq 1
+    spark.range(100, 105).select($"id")
+      .write.format("graft-orc").mode("append").save(dir)          // seq 2
+    spark.range(200, 203).select($"id")
+      .write.format("graft-orc").mode("append").save(dir)          // seq 3
+    val q = spark.readStream.format("graft-orc")
+      .option("graft.snapshot_offsets", "true")
+      .option("graft.stream.start_snapshot_id", "2").load(dir)
+      .writeStream.format("memory").queryName("seeded_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("seeded_in")
+        .select($"id").as[Long].collect().sorted.toSeq ===
+        (200L until 203L), "only commits AFTER the seed may enter")
+    } finally q.stop()
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-orc")
+        .option("graft.stream.start_snapshot_id", "2").load(dir)
+        .writeStream.format("memory").queryName("seeded_bad")
+        .outputMode("append").start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("changelog feed with branch polls branch commits; checkpoint " +
     "arithmetic holds across polls") {
     val dir = Files.createTempDirectory("graft-branch-feed").toString
