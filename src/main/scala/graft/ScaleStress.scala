@@ -250,6 +250,7 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val embedMode = args.lift(1).contains("embed")
+    val incremMode = args.lift(1).contains("increm")
     val tpcdsMode = args.lift(1).contains("tpcds")
     val bigramSkewMode = args.lift(1).contains("bigramskew")
     val bigramMode = !bigramSkewMode && args.lift(1).contains("bigram")
@@ -267,7 +268,7 @@ object ScaleStress {
     val concurrentMode = args.lift(1).contains("concurrent")
     val wapMode = args.lift(1).contains("wap")
     val hiddenMode = args.lift(1).contains("hidden")
-    val hasMode = embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
+    val hasMode = incremMode || embedMode || tpcdsMode || bigramMode || bigramSkewMode ||
       compactMode || semdedupMode || perplexityMode || manifestMode ||
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
       wapMode || hiddenMode || specEvoMode || morDenseMode ||
@@ -637,6 +638,71 @@ object ScaleStress {
           }
           rm(new java.io.File(dir))
         }
+      }
+      spark.stop()
+      return
+    }
+
+    // Incremental-dedup receipt: the daily-crawl posture (dd_incremental)
+    // against a MAINTAINED fingerprint table — the state a production
+    // pipeline keeps — vs re-deduping the whole corpus every batch. The
+    // history grows k-fold; the crawl is FIXED. Incremental cost = hash
+    // the crawl + anti-join the 8-byte fp column read back from a
+    // graft-orc table (columnar single-column scan) + append the new
+    // fps; full cost = fingerprint and window-dedup history+crawl from
+    // scratch. The claim: incremental stays ~crawl-bounded while full
+    // re-dedup grows with the corpus.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 increm 1 10
+    if (incremMode) {
+      import graft.functions.TextHashFunctions.md5Key60
+      val docs0 = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val crawl = docs0.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5Key60(col("text")).as("fp"))
+      factors.foreach { k =>
+        val history = (0 until k).map { i =>
+          docs0.filter(col("doc_id") % 2 === 0).select(
+            (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+            col("text"))
+        }.reduce(_ union _)
+        // maintained state: the history's distinct fingerprints live in
+        // a graft-orc table (its build cost is history ingest, amortized
+        // across every past batch — not this batch's bill)
+        val fpDir = java.nio.file.Files
+          .createTempDirectory(s"graft-increm-fp-$k").toString
+        history.select(md5Key60(col("text")).as("fp")).distinct()
+          .repartition(8).write.format("graft-orc")
+          .option("graft.manifest", "true").mode("append").save(fpDir)
+        val t0 = System.nanoTime()
+        val fresh = crawl.join(
+          spark.read.format("graft-orc").load(fpDir),
+          Seq("fp"), "left_anti")
+        val freshN = fresh.count()
+        // append this batch's new fps — part of the production loop
+        fresh.select(col("fp")).distinct()
+          .write.format("graft-orc").mode("append").save(fpDir)
+        val incrSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val full = history.select(col("doc_id"),
+            md5Key60(col("text")).as("fp"))
+          .unionByName(crawl)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))
+        val survivors = full.withColumn("rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1).count()
+        val fullSec = (System.nanoTime() - t1) / 1e9
+        println(s"""{"op":"incremental_dedup","factor":$k,""" +
+          s""""history_rows":${history.count()},""" +
+          s""""crawl_rows":${crawl.count()},"fresh_rows":$freshN,""" +
+          s""""full_survivors":$survivors,""" +
+          s""""incremental_sec":${num(incrSec)},""" +
+          s""""full_sec":${num(fullSec)}}""")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(fpDir))
       }
       spark.stop()
       return
