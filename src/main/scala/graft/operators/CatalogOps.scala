@@ -589,6 +589,55 @@ object CatalogOps {
              |FROM seeded WHERE c_custkey % 100 = 0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // -------------------------------- column DEFAULT values (round 14)
+    // Iceberg-v3 initial defaults / Spark's default-column framework,
+    // end to end under the hash oracle: the seed lands WITHOUT the
+    // column; `ADD COLUMN src STRING DEFAULT 'legacy'` is ONE metadata
+    // commit after which every pre-add file reads 'legacy' (served from
+    // the scan's constant vectors — zero data rewritten, the EXISTS
+    // default frozen at add time); an INSERT omitting the column gets
+    // the CURRENT default (Spark fills it — the catalog advertises
+    // SUPPORT_COLUMN_DEFAULT_VALUE); `SET DEFAULT 'v2'` then changes
+    // only what FUTURE inserts get while the old rows keep reading
+    // 'legacy'. What gets hash-checked is that three generations of
+    // rows carry exactly the defaults their write time implies.
+    QueryDef("ev_default_values",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("dflt")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("dflt_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal").as("bal"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"CREATE TABLE $qt (c_custkey BIGINT, bal DOUBLE)")
+        try {
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(4) */ * " +
+            s"FROM $srcView")
+          s.sql(s"ALTER TABLE $qt ADD COLUMN src STRING " +
+            "DEFAULT 'legacy'")
+          s.sql(s"INSERT INTO $qt SELECT c_custkey + 4000000, bal, " +
+            s"'crawl2' FROM $srcView WHERE c_custkey % 20 = 0")
+          s.sql(s"ALTER TABLE $qt ALTER COLUMN src SET DEFAULT 'v2'")
+          s.sql(s"INSERT INTO $qt (c_custkey, bal) " +
+            s"SELECT c_custkey + 8000000, bal FROM $srcView " +
+            "WHERE c_custkey % 50 = 0")
+          s.sql(s"SELECT c_custkey, bal, src FROM $qt " +
+            "ORDER BY c_custkey")
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""WITH seeded AS (
+             |  SELECT c_custkey, c_acctbal AS bal FROM customer)
+             |SELECT c_custkey, bal, 'legacy' AS src FROM seeded
+             |UNION ALL
+             |SELECT c_custkey + 4000000, bal, 'crawl2'
+             |FROM seeded WHERE c_custkey % 20 = 0
+             |UNION ALL
+             |SELECT c_custkey + 8000000, bal, 'v2'
+             |FROM seeded WHERE c_custkey % 50 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ----------------------------- CDC feed on a branch (round 14)
     // The checkpointed change feed pointed at a BRANCH lineage — the
     // WAP audit loop's streaming half: destructive edits stage on the

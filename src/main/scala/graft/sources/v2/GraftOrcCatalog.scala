@@ -70,6 +70,17 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  // CREATE TABLE (c INT DEFAULT 5) / ALTER TABLE ... DEFAULT route
+  // through Spark's default-column framework only when the catalog
+  // advertises it; the defaults land in the schema's
+  // CURRENT_DEFAULT/EXISTS_DEFAULT field metadata (GraftOrcSchema)
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(ident: Identifier): Path =
     (ident.namespace() :+ ident.name())
       .foldLeft(warehouse)((p, seg) => new Path(p, seg))
@@ -451,7 +462,12 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
                 s"graft-orc: unsupported column position $other")
             }
             GraftOrcSchema.addColumn(m, a.fieldNames()(0), a.dataType(),
-              Option(a.comment()), at)
+              Option(a.comment()), at,
+              // ADD COLUMN ... DEFAULT <lit>: the folded SQL text becomes
+              // both the CURRENT default (INSERT fill, applied by Spark)
+              // and the EXISTS default (pre-add files read it, applied
+              // by the scan)
+              default = Option(a.defaultValue()).map(_.getSql))
           case r: RenameColumn =>
             require(r.fieldNames().length == 1,
               "graft-orc: nested RENAME COLUMN is not supported")
@@ -469,6 +485,30 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
               "graft-orc: cannot add NOT NULL to an existing column " +
                 "(already-written files are not re-validated)")
             m // all columns are nullable already
+          case u: TableChange.UpdateColumnDefaultValue =>
+            require(u.fieldNames().length == 1,
+              "graft-orc: nested ALTER COLUMN is not supported")
+            val i = m.schema.fieldIndex(u.fieldNames()(0))
+            val f = m.schema.fields(i)
+            val nb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            // SET DEFAULT changes what FUTURE inserts get; the initial
+            // (EXISTS) default stays frozen at ADD COLUMN time — rows
+            // already on disk keep reading what the add declared
+            val sqlOpt = Option(u.newCurrentDefault()).map(_.getSql)
+              .orElse(Option(u.newDefaultValue()).filter(_.nonEmpty))
+            sqlOpt match {
+              case Some(sql) =>
+                val e = org.apache.spark.sql.catalyst.parser
+                  .CatalystSqlParser.parseExpression(sql)
+                require(e.foldable, "graft-orc: DEFAULT for column " +
+                  s"${f.name} must be a constant expression, got: $sql")
+                nb.putString(GraftOrcSchema.CurrentDefaultKey, sql)
+              case None =>
+                nb.remove(GraftOrcSchema.CurrentDefaultKey)
+            }
+            m.copy(schemaV = m.schemaV + 1, schema = StructType(
+              m.schema.fields.updated(i, f.copy(metadata = nb.build()))))
           case c: UpdateColumnComment =>
             val i = m.schema.fieldIndex(c.fieldNames()(0))
             m.copy(schemaV = m.schemaV + 1, schema = StructType(

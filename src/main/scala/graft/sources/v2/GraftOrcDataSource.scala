@@ -2255,10 +2255,24 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       }
     }
 
+    // columns this file PREDATES whose ADD COLUMN declared a DEFAULT
+    // (Iceberg-v3 initial defaults): they ride the constant-vector
+    // machinery — one constant per file resolution — instead of the
+    // missing-column null vector. Files written after the add carry the
+    // column physically and never reach this branch.
+    val defaultSlots: Array[(Int, Any)] =
+      if (!evolved) Array.empty
+      else readDataSchema.fields.zipWithIndex.flatMap { case (f, i) =>
+        if (!GraftOrcSchema.visibleIn(f, p.schemaV))
+          GraftOrcSchema.existsDefaultValue(f).map(v => (i, v))
+        else None
+      }
+
     // constant partition vectors: cast the raw path values to the
     // partition column types (hive `__HIVE_DEFAULT_PARTITION__` -> null)
     val partitionValuesRow = {
-      val row = new GenericInternalRow(constSchema.length)
+      val row = new GenericInternalRow(constSchema.length +
+        defaultSlots.length)
       readPartitionSchema.fields.zipWithIndex.foreach { case (f, i) =>
         row.update(i, GraftOrcDataSource.internalPartitionValue(
           p.partitionValues(i), f.dataType))
@@ -2266,6 +2280,9 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
       if (emitFilePath)
         row.update(readPartitionSchema.length,
           UTF8String.fromString(p.filePath))
+      defaultSlots.zipWithIndex.foreach { case ((_, v), k) =>
+        row.update(constSchema.length + k, v)
+      }
       row
     }
 
@@ -2274,12 +2291,16 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     val split = new FileSplit(filePath, p.start, p.length, Array.empty[String])
     val reader = new OrcColumnarBatchReader(batchSize, MemoryMode.ON_HEAP)
     reader.initialize(split, ctx)
+    val partColIds = Array.fill(readDataSchema.length)(-1) ++
+      constSchema.indices.toArray
+    defaultSlots.zipWithIndex.foreach { case ((i, _), k) =>
+      partColIds(i) = constSchema.length + k
+    }
     reader.initBatch(
       TypeDescription.fromString(resultSchemaString),
       resultSchema.fields,
       colIds ++ Array.fill(constSchema.length)(-1),
-      Array.fill(readDataSchema.length)(-1) ++
-        constSchema.indices.toArray,
+      partColIds,
       partitionValuesRow)
     val metadataNs = System.nanoTime() - metaT0
     // one ranged read per stripe actually decoded (post-prune)

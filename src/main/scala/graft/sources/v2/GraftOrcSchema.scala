@@ -52,6 +52,15 @@ object GraftOrcSchema {
   private[v2] val AddedVKey = "graft.added_v"
   private[v2] val RenamesKey = "graft.renames"
   private[v2] val WidenedVKey = "graft.widened_v"
+  // Spark's own default-value metadata keys
+  // (ResolveDefaultColumns.CURRENT_DEFAULT/EXISTS_DEFAULT): CURRENT is
+  // what INSERTs missing the column get (Spark's analyzer fills it —
+  // the catalog advertises SUPPORT_COLUMN_DEFAULT_VALUE); EXISTS is the
+  // Iceberg-v3 "initial default" files WRITTEN BEFORE the column
+  // existed read back (frozen at ADD COLUMN time — a later SET DEFAULT
+  // changes only CURRENT). Stored as the folded literal's SQL text.
+  private[v2] val CurrentDefaultKey = "CURRENT_DEFAULT"
+  private[v2] val ExistsDefaultKey = "EXISTS_DEFAULT"
 
   // ---- field metadata accessors ----------------------------------------
 
@@ -61,6 +70,31 @@ object GraftOrcSchema {
   def fieldId(f: StructField): Option[Long] = metaLong(f, IdKey)
   def addedV(f: StructField): Long = metaLong(f, AddedVKey).getOrElse(1L)
   def widenedV(f: StructField): Option[Long] = metaLong(f, WidenedVKey)
+
+  /** The SQL text of the field's initial default, when one was declared
+    * at ADD COLUMN time — what pre-add files read instead of NULL.
+    */
+  def existsDefaultSql(f: StructField): Option[String] =
+    if (f.metadata.contains(ExistsDefaultKey))
+      Some(f.metadata.getString(ExistsDefaultKey)) else None
+
+  /** Executor-usable: the initial default as a Catalyst INTERNAL value
+    * of the field's CURRENT type (UTF8String for strings, epoch micros
+    * for timestamps, ...). The stored text is a folded literal, so the
+    * parse+eval is constant work per file open; a non-foldable text
+    * fails loudly at read (the DDL path refuses it earlier).
+    */
+  def existsDefaultValue(f: StructField): Option[Any] =
+    existsDefaultSql(f).map { sql =>
+      val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql)
+      require(e.foldable,
+        s"graft-orc: default for column ${f.name} is not a constant: $sql")
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(null), e.dataType),
+        f.dataType, Some("UTC")).eval(null)
+    }
 
   /** Rename history as (version, oldName), ascending by version: before
     * `version` the field was called `oldName`.
@@ -188,7 +222,15 @@ object GraftOrcSchema {
     import org.apache.spark.sql.functions.{col, lit}
     val v = math.max(fileV, 1L)
     val sel = dataFields.map { f =>
-      if (!visibleIn(f, fileV)) lit(null).cast(f.dataType).as(f.name)
+      if (!visibleIn(f, fileV))
+        // a column added WITH DEFAULT back-fills the default, not NULL —
+        // a CoW rewrite/purge of old files materializes exactly what a
+        // read of them serves
+        existsDefaultSql(f) match {
+          case Some(sql) => org.apache.spark.sql.functions.expr(sql)
+            .cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       else {
         val c = col("`" + nameAt(f, v) + "`")
         (if (widenedV(f).exists(_ > v)) c.cast(f.dataType) else c).as(f.name)
@@ -249,14 +291,28 @@ object GraftOrcSchema {
     */
   def addColumn(meta: GraftOrcManifest.TableMeta, name: String,
                 dt: DataType, comment: Option[String] = None,
-                at: Option[Int] = None)
+                at: Option[Int] = None,
+                default: Option[String] = None)
       : GraftOrcManifest.TableMeta = {
     requireNoField(meta.schema, name)
     val v = meta.schemaV + 1
-    var f = StructField(name, dt, nullable = true,
-      metadata = new MetadataBuilder()
-        .putLong(IdKey, maxId(meta.schema) + 1).putLong(AddedVKey, v)
-        .build())
+    val mb = new MetadataBuilder()
+      .putLong(IdKey, maxId(meta.schema) + 1).putLong(AddedVKey, v)
+    // validate eagerly: a bad default must fail the DDL, never a read
+    default.foreach { sql =>
+      val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql)
+      require(e.foldable,
+        s"graft-orc: DEFAULT for column $name must be a constant " +
+          s"expression, got: $sql")
+      require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canCast(e.dataType, dt),
+        s"graft-orc: DEFAULT $sql (type ${e.dataType.catalogString}) " +
+          s"cannot cast to column type ${dt.catalogString}")
+      mb.putString(CurrentDefaultKey, sql)
+      mb.putString(ExistsDefaultKey, sql)
+    }
+    var f = StructField(name, dt, nullable = true, metadata = mb.build())
     comment.foreach(c => f = f.withComment(c))
     val fields = meta.schema.fields
     val idx = at.getOrElse(fields.length)
