@@ -508,8 +508,17 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
         // all-null there (exact, not a guess)
         tableSchema.fields.find(_.name.equalsIgnoreCase(name)) match {
           case Some(field) if !GraftOrcSchema.visibleIn(field, e.schemaV) =>
-            Some(OrcStatsEval.StatRange(None, None,
-              hasNull = true, hasValues = false))
+            // a column the file predates is all-null there — UNLESS its
+            // ADD COLUMN declared a DEFAULT, in which case every row of
+            // the file reads that constant and the classification must
+            // see it (a DELETE keyed on the default value would
+            // otherwise silently exclude exactly the files it should
+            // touch)
+            GraftOrcSchema.existsDefaultExternal(field) match {
+              case Some(v) => Some(OrcStatsEval.valueRange(v))
+              case None => Some(OrcStatsEval.StatRange(None, None,
+                hasNull = true, hasValues = false))
+            }
           case Some(field) =>
             val phys = GraftOrcSchema.nameAt(field, math.max(e.schemaV, 1L))
             sidecarCols.get(phys.toLowerCase).flatMap(_._1)

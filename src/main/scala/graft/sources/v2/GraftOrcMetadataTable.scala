@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftOrcMetadataTable {
 
   val Kinds: Set[String] = Set("snapshots", "files", "partitions",
-    "history", "tags", "branches", "deletes")
+    "history", "tags", "branches", "deletes", "refs")
 
   private[v2] def snapshotsSchema = StructType(Seq(
     StructField("seq", LongType, nullable = false),
@@ -122,6 +122,16 @@ object GraftOrcMetadataTable {
     StructField("base_seq", LongType, nullable = false),
     StructField("head_seq", LongType, nullable = false)))
 
+  /** Iceberg's `refs` shape: every named pointer into the snapshot
+    * graph in one frame — main, each branch (with its fork base), each
+    * tag — the one table an operator lists to see "what states exist".
+    */
+  private[v2] def refsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("base_seq", LongType, nullable = true)))
+
   private[v2] def computeRows(kind: String, conf: Configuration,
                               table: Path): (StructType, Seq[Seq[Any]]) = {
     val fs = table.getFileSystem(conf)
@@ -136,6 +146,18 @@ object GraftOrcMetadataTable {
             GraftOrcManifest.readSnapshot(fs, qt, Some(n))
               .map(_.seq).getOrElse(0L))
         })
+      case "refs" =>
+        val main = GraftOrcManifest.readSnapshot(fs, qt)
+          .map(snp => Seq[Any]("main", "branch", snp.seq, null)).toSeq
+        val branches = GraftOrcManifest.listBranches(fs, qt).map { n =>
+          Seq[Any](n, "branch",
+            GraftOrcManifest.readSnapshot(fs, qt, Some(n))
+              .map(_.seq).getOrElse(0L),
+            GraftOrcManifest.branchBase(fs, qt, n))
+        }
+        val tags = GraftOrcManifest.listTags(fs, qt)
+          .map { case (n, seq) => Seq[Any](n, "tag", seq, null) }
+        (refsSchema, main ++ branches ++ tags)
       // `history` is the Iceberg-familiar alias of `snapshots`
       case "snapshots" | "history" =>
         val refs = GraftOrcManifest.listSnapshots(fs, qt).getOrElse(Nil)
@@ -288,6 +310,8 @@ object GraftOrcMetadata {
     frame(spark, "tags", table)
   def branches(spark: SparkSession, table: String): DataFrame =
     frame(spark, "branches", table)
+  def refs(spark: SparkSession, table: String): DataFrame =
+    frame(spark, "refs", table)
   def deletes(spark: SparkSession, table: String): DataFrame =
     frame(spark, "deletes", table)
 }

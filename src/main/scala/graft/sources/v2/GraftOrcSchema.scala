@@ -78,6 +78,15 @@ object GraftOrcSchema {
     if (f.metadata.contains(ExistsDefaultKey))
       Some(f.metadata.getString(ExistsDefaultKey)) else None
 
+  /** Driver-side: the initial default as an EXTERNAL JVM value of the
+    * field's current type (String, java.sql.Timestamp, ...) — the form
+    * [[OrcStatsEval.valueRange]] and the classification lookups consume.
+    */
+  def existsDefaultExternal(f: StructField): Option[Any] =
+    existsDefaultValue(f).map(v =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, f.dataType))
+
   /** Executor-usable: the initial default as a Catalyst INTERNAL value
     * of the field's CURRENT type (UTF8String for strings, epoch micros
     * for timestamps, ...). The stored text is a folded literal, so the

@@ -131,6 +131,50 @@ class GraftOrcDefaultValueSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant"))
   }
 
+  test("defaults compose with evolution: a RENAMED defaulted column " +
+    "keeps serving its initial default to pre-add files; time travel " +
+    "to a pre-add snapshot never shows the column") {
+    wh
+    val t = "gdflt.d5"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(4)")    // seq 2
+    try {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN tag STRING DEFAULT 'x1'")
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label")
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE label = 'x1'")
+        .collect()(0).getLong(0) === 4L)
+      // time travel to the pre-add snapshot reads ITS schema — no column
+      val dir = s"$wh/d5"
+      val pre = spark.read.format("graft-orc")
+        .option("graft.snapshot_id", "2").load(dir)
+      assert(!pre.schema.fieldNames.exists(n =>
+        n.equalsIgnoreCase("label") || n.equalsIgnoreCase("tag")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a defaulted column participates in MoR equality semantics and " +
+    "aggregate pushdown stays refused on files that predate it") {
+    wh
+    val t = "gdflt.d6"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(6)")
+    try {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN n BIGINT DEFAULT 7")
+      // a MIN/MAX over the defaulted column must come from a REAL read
+      // (stats of pre-add files know nothing of the default) — value
+      // correctness is the contract
+      val r = spark.sql(s"SELECT min(n), max(n), sum(n) FROM $t")
+        .collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((7L, 7L, 42L)))
+      // DELETE keyed on the defaulted value hits pre-add rows
+      spark.sql(s"DELETE FROM $t WHERE n = 7 AND id < 2")
+      assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0)
+        .getLong(0) === 4L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CREATE TABLE with a column DEFAULT: INSERTs omitting it fill " +
     "the default from day one") {
     wh

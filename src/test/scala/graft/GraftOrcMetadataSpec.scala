@@ -140,6 +140,28 @@ class GraftOrcMetadataSpec extends AnyFunSuite {
     }
   }
 
+  test("refs metadata table lists main + every branch (with fork base) " +
+    "+ every tag in one frame") {
+    wh
+    spark.sql("CREATE TABLE gmeta.rf (x INT)")
+    spark.sql("INSERT INTO gmeta.rf VALUES (1)")           // seq 2
+    val dir = s"$wh/rf"
+    val fsys = new Path(dir).getFileSystem(conf)
+    GraftOrcManifest.createTag(fsys, new Path(dir), "pin", 2L)
+    GraftOrcManifest.createBranch(fsys, new Path(dir), "stage")
+    spark.sql("INSERT INTO gmeta.rf.branch_stage VALUES (2)") // branch 3
+    spark.sql("INSERT INTO gmeta.rf VALUES (3)")              // main 3
+    val got = spark.sql(
+      "SELECT name, kind, seq, base_seq FROM gmeta.rf.refs " +
+        "ORDER BY kind, name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("main", "branch", 3L, -1L),
+      ("stage", "branch", 3L, 2L),
+      ("pin", "tag", 2L, -1L)), got.toString)
+  }
+
   test("metadata tables reject unknown kinds and non-manifest parents") {
     wh
     assertThrows[org.apache.spark.sql.AnalysisException] {
