@@ -188,7 +188,14 @@ object Bench {
     // (grid-cell probe-2, integer rerank), and the integer-exact
     // perplexity twin (fixed-point qlog2 model scoring)
     "ev_merge_schema_dml", "rl_cdc_feed_branch",
-    "ss_ann_ivf_det", "ta_perplexity_det")
+    "ss_ann_ivf_det", "ta_perplexity_det",
+    // column DEFAULT values: three generations (pre-add reads the
+    // initial default from constant vectors, current-default INSERT
+    // fill, SET DEFAULT) — fresh table per iteration
+    "ev_default_values",
+    // enforced CHECK constraint: gate rejects the junk batch + update,
+    // clean batch lands — fresh table per iteration
+    "cat_check_constraint")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

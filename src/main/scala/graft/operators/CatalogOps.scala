@@ -589,6 +589,64 @@ object CatalogOps {
              |FROM seeded WHERE c_custkey % 100 = 0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ------------------------------ CHECK constraints (round 14)
+    // Enforced data-quality gates that live in the TABLE
+    // (SUPPORT_TABLE_CONSTRAINT): after `ADD CONSTRAINT ... CHECK`,
+    // Spark's write analysis rejects any INSERT/UPDATE/MERGE row
+    // violating the predicate — here a junk batch (short documents)
+    // fails the whole statement while the clean batch lands, and an
+    // UPDATE that would push a row below the floor is refused. What
+    // gets hash-checked is the final state: exactly the rows the gate
+    // admitted, with the refused statements leaving zero trace (the
+    // staged-write protocol means a failed statement publishes
+    // nothing). Scale shape: the ADD validates existing rows in one
+    // scan (Spark-side); per-write enforcement is a row-local predicate
+    // inside the write stage, zero extra passes.
+    QueryDef("cat_check_constraint",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("ck")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val srcView = uniq("ck_src")
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"CREATE TABLE $qt (doc_id BIGINT, n_tokens BIGINT)")
+        try {
+          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(4) */ * " +
+            s"FROM $srcView")
+          s.sql(s"ALTER TABLE $qt ADD CONSTRAINT min_len " +
+            "CHECK (n_tokens >= 10)")
+          // the junk batch must fail the WHOLE statement
+          val failed =
+            try { s.sql(s"INSERT INTO $qt SELECT doc_id + 1000000, " +
+              s"3 FROM $srcView WHERE doc_id % 100 = 1"); false }
+            catch { case _: Exception => true }
+          require(failed, "the constraint must reject the junk batch")
+          // the clean batch lands
+          s.sql(s"INSERT INTO $qt SELECT doc_id + 2000000, n_tokens " +
+            s"FROM $srcView WHERE doc_id % 50 = 0")
+          // an UPDATE below the floor is refused too
+          val updFailed =
+            try { s.sql(s"UPDATE $qt SET n_tokens = 1 " +
+              "WHERE doc_id = 0"); false }
+            catch { case _: Exception => true }
+          require(updFailed, "the constraint must reject the update")
+          s.sql(s"SELECT doc_id, n_tokens FROM $qt ORDER BY doc_id")
+        } finally s.catalog.dropTempView(srcView)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, n_tokens FROM toks
+             |UNION ALL
+             |SELECT doc_id + 2000000, n_tokens FROM toks
+             |WHERE doc_id % 50 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // -------------------------------- column DEFAULT values (round 14)
     // Iceberg-v3 initial defaults / Spark's default-column framework,
     // end to end under the hash oracle: the seed lands WITHOUT the

@@ -79,7 +79,9 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
         .TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   private def dirOf(ident: Identifier): Path =
     (ident.namespace() :+ ident.name())
@@ -514,6 +516,40 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
             m.copy(schemaV = m.schemaV + 1, schema = StructType(
               m.schema.fields.updated(i,
                 m.schema.fields(i).withComment(c.newComment()))))
+          case a: TableChange.AddConstraint =>
+            val c = a.constraint()
+            require(c.isInstanceOf[
+                org.apache.spark.sql.connector.catalog.constraints.Check],
+              s"graft-orc: only CHECK constraints are supported, got " +
+                c.toDDL)
+            val chk = c.asInstanceOf[
+              org.apache.spark.sql.connector.catalog.constraints.Check]
+            val key = GraftOrcDataSource.ConstraintPropPrefix + chk.name()
+            require(!m.props.keys.exists(_.equalsIgnoreCase(key)),
+              s"graft-orc: constraint ${chk.name()} already exists")
+            val sql = Option(chk.predicateSql()).getOrElse(
+              throw new IllegalArgumentException(
+                "graft-orc: CHECK constraint needs a predicate SQL text"))
+            // existing-data validation is Spark's side of the contract:
+            // the SQL `ADD CONSTRAINT ... CHECK` analysis scans the table
+            // and fails with NEW_CHECK_CONSTRAINT_VIOLATION before this
+            // alterTable is ever called — re-scanning here would double
+            // the DDL's one-full-scan price at 100 TB. A programmatic
+            // catalog.alterTable bypasses that scan by design (the same
+            // trust level as any direct metadata edit); enforcement of
+            // every LATER write is unconditional either way.
+            m.copy(schemaV = m.schemaV + 1,
+              props = m.props + (key -> sql))
+          case d: TableChange.DropConstraint =>
+            val key = GraftOrcDataSource.ConstraintPropPrefix + d.name()
+            val existing = m.props.keys.find(_.equalsIgnoreCase(key))
+            require(existing.nonEmpty || d.ifExists(),
+              s"graft-orc: no constraint ${d.name()} on this table")
+            existing match {
+              case Some(k) => m.copy(schemaV = m.schemaV + 1,
+                props = m.props - k)
+              case None => m
+            }
           case p: SetProperty =>
             // graft.parts.* is ENGINE STATE (partition-spec evolution
             // bookkeeping), not a user knob: a hand-set value would
@@ -523,6 +559,11 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
               s"graft-orc: ${p.property()} is reserved partition-spec " +
                 "evolution state — use CALL <cat>.system." +
                 "set_partition_spec to change the partition spec")
+            require(!p.property().toLowerCase
+                .startsWith(GraftOrcDataSource.ConstraintPropPrefix),
+              s"graft-orc: ${p.property()} is constraint state — use " +
+                "ALTER TABLE ... ADD CONSTRAINT (it validates existing " +
+                "rows; a hand-set property would not)")
             m.copy(schemaV = m.schemaV + 1,
               props = m.props + (p.property() -> p.value()))
           case p: RemoveProperty =>

@@ -114,6 +114,12 @@ class GraftOrcDataSource extends TableProvider with DataSourceRegister {
 
 object GraftOrcDataSource {
 
+  /** Table-property prefix persisting CHECK constraints: the suffix is
+    * the constraint name, the value its predicate SQL.
+    */
+  private[v2] val ConstraintPropPrefix = "graft.constraint."
+
+
   /** Metadata column names (see [[GraftOrcTable.metadataColumns]]). */
   val FileMetaCol = "_file"
   val PosMetaCol = "_pos"
@@ -296,6 +302,28 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def schema(): StructType = tableSchema
+
+  /** Enforced CHECK constraints (`ALTER TABLE ... ADD CONSTRAINT ck
+    * CHECK (...)` — the catalog advertises SUPPORT_TABLE_CONSTRAINT and
+    * persists each as a `graft.constraint.<name>` table property):
+    * Spark's write analysis validates every INSERT/UPDATE/MERGE row
+    * against these and fails the statement on violation — the
+    * data-quality gate lives in the table, not in each pipeline job.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    props.toSeq.collect {
+      case (k, sql) if k.toLowerCase.startsWith(
+          GraftOrcDataSource.ConstraintPropPrefix) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.substring(
+            GraftOrcDataSource.ConstraintPropPrefix.length))
+          .predicateSql(sql)
+          .enforced(true)
+          .build(): org.apache.spark.sql.connector.catalog.constraints
+            .Constraint
+    }.sortBy(_.name).toArray
 
   /** Metadata columns (Iceberg-shape): `_file` is the source file path,
     * `_pos` the row's ordinal within that file — the lineage/debugging
