@@ -109,6 +109,8 @@ class SqlParitySpec extends AnyFunSuite {
       "dd_keep_best" ->
         "DuckDB md5 hex-substr '0x…' BIGINT cast (Spark: conv())",
       "pp_mix_weights" ->
+        "DuckDB len() over a regexp_extract_all list (Spark: size())",
+      "cat_check_constraint" ->
         "DuckDB len() over a regexp_extract_all list (Spark: size())")
   }
 
