@@ -146,6 +146,15 @@ object ScaleStress {
             GraftOrcCompact.compact(spark, dir,
               targetBytes = 64L << 20, smallFileBytes = 32L << 20)
           } { () },
+          // deletion-vector consolidation racing the MoR delete + purge
+          // + compact committers (round 14): content-preserving like
+          // compact, so the serial oracle is untouched — what's under
+          // test is the expectDeletes serialization (a consolidation
+          // planned against a sidecar set a rival changed must retry or
+          // fail loudly, never drop or duplicate a position)
+          committer("consolidate") {
+            graft.sources.v2.GraftOrcMor.consolidate(spark, dir)
+          } { () },
           // the WAP loop racing everyone: fork -> staged append on the
           // branch -> audit read -> divergence-tolerant cherry-pick.
           // Exercises per-lineage commit locking and the cross-lineage
