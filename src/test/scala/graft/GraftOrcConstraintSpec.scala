@@ -96,6 +96,28 @@ class GraftOrcConstraintSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("constraints gate BRANCH writes too (the WAP stage cannot " +
+    "smuggle junk past the table's own contract)") {
+    wh
+    val t = "gck.c5"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, bal DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0)")
+    try {
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pos CHECK (bal >= 0)")
+      graft.sources.v2.GraftOrcManifest.createBranch(
+        new org.apache.hadoop.fs.Path(s"$wh/c5").getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(s"$wh/c5"), "stage")
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $t.branch_stage VALUES (2, -5.0)")
+      }
+      spark.sql(s"INSERT INTO $t.branch_stage VALUES (3, 5.0)")
+      assert(spark.sql(s"SELECT count(*) FROM $t.branch_stage")
+        .collect()(0).getLong(0) === 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("hand-setting a graft.constraint.* property is refused (it " +
     "would skip existing-row validation)") {
     wh
