@@ -195,7 +195,10 @@ object Bench {
     "ev_default_values",
     // enforced CHECK constraint: gate rejects the junk batch + update,
     // clean batch lands — fresh table per iteration
-    "cat_check_constraint")
+    "cat_check_constraint",
+    // Unicode NFC normalization + control-char strip (codegen'd
+    // graft_nfc kernel, isNormalized fast path) — pure narrow map
+    "ta_normalize")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

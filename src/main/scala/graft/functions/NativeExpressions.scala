@@ -138,6 +138,51 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer) — the ingest
+    * normalization step every multilingual corpus needs before hashing
+    * or dedup (the SAME logical text arrives as composed é or as
+    * e+COMBINING ACUTE depending on the crawler, and fingerprints
+    * diverge unless canonicalized). Codegen'd like the other text
+    * kernels; NFC is defined by the Unicode standard, so DuckDB's
+    * nfc_normalize produces byte-identical output (verified in the
+    * ta_normalize oracle). Fast path: Normalizer.isNormalized is a
+    * cheap scan that skips the allocation for already-NFC (all-ASCII)
+    * strings — the overwhelmingly common case.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      if (java.text.Normalizer.isNormalized(s,
+          java.text.Normalizer.Form.NFC)) v
+      else UTF8String.fromString(java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val str = ctx.freshName("str")
+        s"""
+           |String $str = $v.toString();
+           |if (java.text.Normalizer.isNormalized($str,
+           |    java.text.Normalizer.Form.NFC)) {
+           |  ${ev.value} = $v;
+           |} else {
+           |  ${ev.value} = UTF8String.fromString(
+           |    java.text.Normalizer.normalize($str,
+           |      java.text.Normalizer.Form.NFC));
+           |}
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash (see [[TextHashImpl.simhash64]]) — native replacement
     * for the HOF vote pipeline, hash-identical results.
     */
@@ -381,6 +426,9 @@ object NativeExpressions {
 
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+
+  def nfcNormalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
   def minhashSig(c: Column, numPerms: Int = 32, k: Int = 3): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), numPerms, k))

@@ -350,6 +350,62 @@ object TextAnalysis {
               |FROM occ JOIN model m ON occ.u = m.u AND occ.w = m.w
               |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin)),
 
+    // ---------------------------------------------------- normalization
+    // Unicode NFC canonicalization + control-char stripping — the ingest
+    // step every multilingual corpus runs BEFORE hashing/dedup: the same
+    // logical text arrives as composed é or as e+COMBINING-ACUTE
+    // depending on the crawler, and every downstream fingerprint
+    // diverges unless canonicalized first. The kernel is a codegen'd
+    // Catalyst expression (graft_nfc, java.text.Normalizer with an
+    // isNormalized fast path — all-ASCII rows pay one scan, zero
+    // allocations); NFC is defined by the Unicode standard, so DuckDB's
+    // nfc_normalize reproduces the bytes and the md5 fingerprints
+    // hash-match under the FULL oracle. The driver's documents are
+    // all-ASCII, so deterministic non-NFC suffixes and control chars
+    // are INJECTED (the pp_pii_redact trick) to keep the check
+    // non-vacuous. Scale shape: a pure narrow map, no shuffle.
+    QueryDef("ta_normalize",
+      (s, d) => {
+        import graft.functions.NativeExpressions.nfcNormalize
+        val raw = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+              // DECOMPOSED e + U+0301 (explicit escape: an editor that
+              // NFC-normalizes source would otherwise silently compose it
+              // and vacate the check)
+              concat(col("text"), lit(" cafe" + "\u0301")))
+            .when(col("doc_id") % 17 === 0,
+              // a BEL control char the strip removes
+              concat(col("text"), lit("\u0007" + "end")))
+            .otherwise(col("text")).as("raw"))
+        val stripped = regexp_replace(col("raw"),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+        raw.select(col("doc_id"),
+            nfcNormalize(stripped).as("norm"), col("raw"))
+          .select(col("doc_id"),
+            (col("norm") =!= col("raw")).as("changed"),
+            length(col("raw")).cast("long").as("n_before"),
+            length(col("norm")).cast("long").as("n_after"),
+            md5(col("norm").cast("binary")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0
+             |           THEN text || ' caf' || chr(101) || chr(769)
+             |         WHEN doc_id % 17 = 0 THEN text || chr(7) || 'end'
+             |         ELSE text END AS raw
+             |  FROM documents),
+             |norm AS (
+             |  SELECT doc_id, raw, nfc_normalize(regexp_replace(raw,
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS norm
+             |  FROM raw)
+             |SELECT doc_id, norm <> raw AS changed,
+             |  CAST(length(raw) AS BIGINT) AS n_before,
+             |  CAST(length(norm) AS BIGINT) AS n_after,
+             |  md5(norm) AS fp
+             |FROM norm
+             |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------------ tokens
     // Token counting: whitespace tokenization + a BPE-ish subword estimate
     // (ceil(bytes/4) is a common fast proxy for byte-pair-encoded tokens).

@@ -119,6 +119,29 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(e(2) === Seq(2L, 2L, 1L, 1L)) // < k tokens => whole-text shingle
   }
 
+  test("nfcNormalize: composed == normalize(decomposed), identity on " +
+    "ASCII (fast path), null-safe, java.text.Normalizer parity") {
+    import graft.functions.NativeExpressions.nfcNormalize
+    val rows = Seq(
+      "cafe\u0301",            // decomposed -> composes
+      "caf\u00e9",             // already NFC -> identity
+      "plain ascii text",      // fast path
+      "A\u030a ring",          // A + combining ring -> \u00c5
+      "")
+    val df = spark.createDataFrame(
+      rows.map(Tuple1.apply) :+ Tuple1(null.asInstanceOf[String]))
+      .toDF("s")
+    val got = df.select(nfcNormalize(col("s"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val want = rows.map(x =>
+      java.text.Normalizer.normalize(x, java.text.Normalizer.Form.NFC)
+    ) :+ null
+    assert(got.toSeq === want)
+    // the composed result really is the single codepoint
+    assert(got(0) === "caf\u00e9" && got(0).length === 4)
+    assert(got(3).startsWith("\u00c5"))
+  }
+
   test("expressions survive whole-stage codegen (no fallback) in a real plan") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val q = e.select($"vec_id", VectorFunctions.cosine($"embedding", $"embedding").as("c"))

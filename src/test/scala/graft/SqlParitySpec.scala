@@ -111,7 +111,10 @@ class SqlParitySpec extends AnyFunSuite {
       "pp_mix_weights" ->
         "DuckDB len() over a regexp_extract_all list (Spark: size())",
       "cat_check_constraint" ->
-        "DuckDB len() over a regexp_extract_all list (Spark: size())")
+        "DuckDB len() over a regexp_extract_all list (Spark: size())",
+      "ta_normalize" ->
+        ("DuckDB nfc_normalize + chr() codepoints (Spark: the " +
+          "graft_nfc native expression + \\uXXXX literals)"))
   }
 
   private def registerViews(): Unit =
