@@ -347,6 +347,35 @@ object Similarity {
               |  WHERE e.vec_id <> q.vec_id) t
               |WHERE rn <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
+    // ------------------------------------------------------- range search
+    // The OTHER similarity-search contract beside top-k: ALL neighbors
+    // within a similarity radius (cosine >= 0.45) of each query — what a
+    // retrieval filter uses when the neighbor count is data-dependent
+    // (dedup candidates, safety blocklist matches) rather than fixed-k.
+    // Query side broadcast (bounded set), one stream over the corpus,
+    // membership-only output (scores are float and engine-specific; the
+    // threshold sits far from any pair's score on this fixture, so
+    // membership cannot flip — the dd_embed_cosine convention).
+    QueryDef("ss_range_search",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_v"))
+          .crossJoin(broadcast(q))
+          .filter(col("n_id") =!= col("q_id") &&
+            cosine(col("q_v"), col("n_v")) >= 0.45)
+          .select(col("q_id"), col("n_id"))
+          .orderBy(col("q_id"), col("n_id"))
+      },
+      Some(s"""SELECT q.vec_id AS q_id, e.vec_id AS n_id
+              |FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q,
+              |     embeddings e
+              |WHERE e.vec_id <> q.vec_id
+              |  AND list_cosine_similarity(q.embedding, e.embedding)
+              |      >= 0.45
+              |ORDER BY q_id, n_id""".stripMargin)),
+
     // ------------------------------------------------------------ IVF ANN
     // IVF: 16 coarse centroids from a sampled spherical k-means fit.
     // BOTH sides of the cell equi-join are adaptive by distance ratio:

@@ -176,7 +176,9 @@ class PlanSpec extends AnyFunSuite {
     // centroid assignment: broadcast of a constant-size (16 row) model
     "dd_semdedup",
     // det twins: a constant 9-row grid-cell frame / the 1-row V scalar
-    "ss_ann_ivf_det", "ta_perplexity_det")
+    "ss_ann_ivf_det", "ta_perplexity_det",
+    // range search: same bounded 5-query broadcast as ss_topk_bruteforce
+    "ss_range_search")
 
   test("ALL queries plan without cross products (whole-surface audit)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
