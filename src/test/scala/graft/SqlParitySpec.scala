@@ -112,6 +112,7 @@ class SqlParitySpec extends AnyFunSuite {
         "DuckDB len() over a regexp_extract_all list (Spark: size())",
       "cat_check_constraint" ->
         "DuckDB len() over a regexp_extract_all list (Spark: size())",
+      "ss_range_search" -> listFn,
       "ta_normalize" ->
         ("DuckDB nfc_normalize + chr() codepoints (Spark: the " +
           "graft_nfc native expression + \\uXXXX literals)"))
