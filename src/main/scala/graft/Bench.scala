@@ -198,7 +198,11 @@ object Bench {
     "cat_check_constraint",
     // Unicode NFC normalization + control-char strip (codegen'd
     // graft_nfc kernel, isNormalized fast path) — pure narrow map
-    "ta_normalize")
+    "ta_normalize",
+    // round 15: the SCALE path for radius similarity search — banded-LSH
+    // prefilter (24x6 md5-det planes) + BIGINT-exact radius verify; no
+    // corpus x query cross anywhere in the plan
+    "ss_range_search_lsh_det")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

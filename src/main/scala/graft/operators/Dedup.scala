@@ -48,10 +48,16 @@ private[operators] object DetLsh {
       org.apache.spark.sql.functions.floor(
         vec.getItem(j - 1).cast("double") * 1000).cast("long"))
 
-  /** The `Tables` bucket Columns over pre-quantized components. */
-  def bucketCols(qv: Seq[Column]): Seq[Column] =
-    (0 until Tables).map { t =>
-      (0 until Planes).map { p =>
+  /** Bucket Columns over pre-quantized components for an arbitrary
+    * (tables, planes) banding — the selectivity/recall dial: more planes
+    * per table shrinks buckets (more selective candidates), more tables
+    * recovers the recall each extra plane costs. The md5 key namespace
+    * `t:p:j` is shared across banding sizes, so a (2, 10) caller and a
+    * (24, 6) caller derive overlapping-but-independent constants.
+    */
+  def bucketColsN(qv: Seq[Column], tables: Int, planes: Int): Seq[Column] =
+    (0 until tables).map { t =>
+      (0 until planes).map { p =>
         val proj = (1 to Dims).map(j =>
           org.apache.spark.sql.functions.lit(comp(t, p, j)) * qv(j - 1))
           .reduce(_ + _)
@@ -61,25 +67,33 @@ private[operators] object DetLsh {
       }.reduce(_ + _)
     }
 
-  /** The DuckDB CTE text deriving the same plane matrix + buckets from
-    * a CTE `v(vec_id, qv)` whose qv[1..8] match [[quantized]].
+  /** The `Tables` bucket Columns over pre-quantized components. */
+  def bucketCols(qv: Seq[Column]): Seq[Column] =
+    bucketColsN(qv, Tables, Planes)
+
+  /** The DuckDB CTE text deriving the same (tables x planes) matrix +
+    * buckets from a CTE `v(vec_id, qv)` whose qv[1..8] match
+    * [[quantized]] — the SQL mirror of [[bucketColsN]].
     */
-  val planesSql: String =
-    """planes AS (
-      |  SELECT t, p, list_transform(range(1, 9), j ->
-      |    CAST('0x' || substr(md5(t || ':' || p || ':' || j),
-      |      1, 15) AS BIGINT) % 2001 - 1000) AS comp
-      |  FROM (SELECT unnest([0, 1]) AS t),
-      |       (SELECT unnest(range(0, 10)) AS p)
-      |), buckets AS (
-      |  SELECT v.vec_id, pl.t,
-      |    sum(CASE WHEN comp[1]*qv[1] + comp[2]*qv[2] +
-      |      comp[3]*qv[3] + comp[4]*qv[4] + comp[5]*qv[5] +
-      |      comp[6]*qv[6] + comp[7]*qv[7] + comp[8]*qv[8] >= 0
-      |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
-      |  FROM v CROSS JOIN planes pl
-      |  GROUP BY v.vec_id, pl.t
-      |)""".stripMargin
+  def planesSqlN(tables: Int, planes: Int): String =
+    s"""planes AS (
+       |  SELECT t, p, list_transform(range(1, 9), j ->
+       |    CAST('0x' || substr(md5(t || ':' || p || ':' || j),
+       |      1, 15) AS BIGINT) % 2001 - 1000) AS comp
+       |  FROM (SELECT unnest(range(0, $tables)) AS t),
+       |       (SELECT unnest(range(0, $planes)) AS p)
+       |), buckets AS (
+       |  SELECT v.vec_id, pl.t,
+       |    sum(CASE WHEN comp[1]*qv[1] + comp[2]*qv[2] +
+       |      comp[3]*qv[3] + comp[4]*qv[4] + comp[5]*qv[5] +
+       |      comp[6]*qv[6] + comp[7]*qv[7] + comp[8]*qv[8] >= 0
+       |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+       |  FROM v CROSS JOIN planes pl
+       |  GROUP BY v.vec_id, pl.t
+       |)""".stripMargin
+
+  /** The (2, 10) banding CTE used by the near-dup det twins. */
+  val planesSql: String = planesSqlN(Tables, Planes)
 }
 
 object Dedup {

@@ -39,6 +39,80 @@ object Similarity {
   private val AssignProbes = 2
   private val AssignRatio = 1.2
 
+  // range-search LSH banding (ss_range_search_lsh_det): 24 tables x 6
+  // planes from the fixture sweep — P drives candidate selectivity
+  // (64 buckets/table), T buys back the recall each extra plane costs
+  // (T=16,P=6 -> 0.905; T=24,P=6 -> 0.957 at 0.42x-of-cross candidates)
+  private[graft] val RangeTables = 24
+  private[graft] val RangePlanes = 6
+  private[graft] val RangeQueries = 40
+
+  /** Quantized 16-prefix as one BIGINT-array column. */
+  private def qvArr: org.apache.spark.sql.Column =
+    expr("transform(slice(embedding, 1, 16), x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+
+  /** BIGINT fold of an array column (sum of elements). */
+  private def foldSum(arr: String): org.apache.spark.sql.Column =
+    expr(s"aggregate($arr, 0L, (acc, v) -> acc + v)")
+
+  /** Banded-LSH candidate pairs for the radius path: every (query,
+    * neighbor) sharing at least one of the [[RangeTables]] buckets —
+    * ids-only through the bucket equi-join and the dedup; the query side
+    * stays broadcast.
+    */
+  private[graft] def rangeLshCandidates(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val buckets = DetLsh.bucketColsN(
+      DetLsh.quantized(col("embedding")), RangeTables, RangePlanes)
+    val long = e.select(col("vec_id"),
+      posexplode(array(buckets: _*)).as(Seq("t", "bucket")))
+    val q = long.filter(col("vec_id") < RangeQueries)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    long.select(col("vec_id").as("n_id"), col("t"), col("bucket"))
+      .join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+  }
+
+  /** Candidates with the BIGINT dot product and squared norms of the
+    * quantized 16-prefixes attached — the exact-verify input shared by
+    * the det radius query and its recall spec.
+    */
+  private[graft] def rangeLshScored(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val base = e.select(col("vec_id"), qvArr.as("qv"))
+    val qSide = base.filter(col("vec_id") < RangeQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val nSide = base.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+    rangeLshCandidates(s, d)
+      .join(broadcast(qSide), "q_id")
+      .join(nSide, "n_id")
+      .withColumn("dot", foldSum("zip_with(q_qv, n_qv, (x, y) -> x * y)"))
+      .withColumn("na", foldSum("transform(q_qv, x -> x * x)"))
+      .withColumn("nb", foldSum("transform(n_qv, x -> x * x)"))
+  }
+
+  /** The brute-force integer-radius twin (bounded broadcast cross) the
+    * recall spec measures [[rangeLshScored]] against — same quantized
+    * space, same cross-multiplied radius check, no prefilter.
+    */
+  private[graft] def rangeBruteInt(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val base = e.select(col("vec_id"), qvArr.as("qv"))
+    val q = base.filter(col("vec_id") < RangeQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    base.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("dot", foldSum("zip_with(q_qv, n_qv, (x, y) -> x * y)"))
+      .withColumn("na", foldSum("transform(q_qv, x -> x * x)"))
+      .withColumn("nb", foldSum("transform(n_qv, x -> x * x)"))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * 25 >= col("na") * col("nb") * 9)
+      .select(col("q_id"), col("n_id"))
+  }
+
   /** Spherical k-means (Lloyd's) fit on a bounded deterministic sample —
     * the IVF coarse-quantizer "fit job". Model fitting is the one place a
     * bounded driver-side loop is the right call: the sample is capped at
@@ -374,6 +448,58 @@ object Similarity {
               |WHERE e.vec_id <> q.vec_id
               |  AND list_cosine_similarity(q.embedding, e.embedding)
               |      >= 0.45
+              |ORDER BY q_id, n_id""".stripMargin)),
+
+    // ------------------------------------------- range search, LSH det twin
+    // The SCALE path for radius search (ss_range_search is the bounded
+    // exact baseline it verifies against): banded-LSH prefilter -> exact
+    // radius verify, so an UNBOUNDED query side never pays a corpus x
+    // query cross — candidates come from a bucket equi-join exactly like
+    // the top-k LSH path. Fully deterministic ([[DetLsh]] recipe):
+    // md5-derived integer planes over the quantized 8-prefix generate the
+    // buckets, and the radius check is BIGINT-exact in the quantized
+    // 16-prefix space — cosine(q, n) >= 3/5 rewritten cross-multiplied as
+    //   dot >= 0  AND  25*dot^2 >= 9*|q|^2*|n|^2
+    // (no sqrt, no floats; |qv| <= 16e6 keeps 25*dot^2 < 2^63), so DuckDB
+    // reproduces candidates, verification and scores bit-exactly.
+    // Banding (24 tables x 6 planes) picked by fixture sweep — the
+    // selectivity/recall dial documented in BASELINE.md: measured recall
+    // vs the brute twin 0.93-0.96 with candidates 0.40-0.42x of the cross
+    // at sf0.001/0.01/0.1; the spec pins recall >= 0.85 and the
+    // candidate-reduction bound.
+    QueryDef("ss_range_search_lsh_det",
+      (s, d) => {
+        val scored = rangeLshScored(s, d)
+        scored.filter(col("dot") >= 0 &&
+            col("dot") * col("dot") * 25 >= col("na") * col("nb") * 9)
+          .select(col("q_id"), col("n_id"), col("dot").as("score"))
+          .orderBy(col("q_id"), col("n_id"))
+      },
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, list_transform(range(1, 17), j ->
+              |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000)
+              |      AS BIGINT)) AS qv
+              |  FROM embeddings
+              |), ${DetLsh.planesSqlN(RangeTables, RangePlanes)},
+              |cand AS (
+              |  SELECT DISTINCT qb.vec_id AS q_id, nb.vec_id AS n_id
+              |  FROM buckets qb JOIN buckets nb
+              |    ON qb.t = nb.t AND qb.bucket = nb.bucket
+              |  WHERE qb.vec_id < $RangeQueries AND nb.vec_id <> qb.vec_id
+              |), scored AS (
+              |  SELECT c.q_id, c.n_id,
+              |    CAST(list_sum(list_transform(range(1, 17), j ->
+              |      a.qv[j] * b.qv[j])) AS BIGINT) AS dot,
+              |    CAST(list_sum(list_transform(range(1, 17), j ->
+              |      a.qv[j] * a.qv[j])) AS BIGINT) AS na,
+              |    CAST(list_sum(list_transform(range(1, 17), j ->
+              |      b.qv[j] * b.qv[j])) AS BIGINT) AS nb
+              |  FROM cand c
+              |  JOIN v a ON a.vec_id = c.q_id
+              |  JOIN v b ON b.vec_id = c.n_id
+              |)
+              |SELECT q_id, n_id, dot AS score FROM scored
+              |WHERE dot >= 0 AND 25 * dot * dot >= 9 * na * nb
               |ORDER BY q_id, n_id""".stripMargin)),
 
     // ------------------------------------------------------------ IVF ANN

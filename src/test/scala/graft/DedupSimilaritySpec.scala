@@ -137,6 +137,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"IVF index grew to $indexRows rows for $nVectors vectors (>=1.5x)")
   }
 
+  test("range search: LSH prefilter recalls >=85% of the integer-radius " +
+    "brute result, never false-positives, and prunes the cross") {
+    import graft.operators.Similarity
+    val sf = TestSpark.sf0001
+    val brute = Similarity.rangeBruteInt(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val lsh = SparkEntry.queries("ss_range_search_lsh_det")(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    // exact verify => no false positives: every reported neighbor IS
+    // inside the radius (the LSH path can only miss, never invent)
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh.diff(brute).take(5)}")
+    // recall floor: measured 0.930 (sf0.001) / 0.957 (sf0.01) / 0.956
+    // (sf0.1) for the 24x6 banding — deterministic planes + data, so the
+    // number is exact per fixture; 0.85 leaves room for fixture regen
+    val recall = lsh.size.toDouble / brute.size
+    info(f"range-search LSH recall: $recall%.3f")
+    assert(recall >= 0.85, s"range-search LSH recall $recall < 0.85")
+    // the structural point vs ss_range_search's bounded cross: the
+    // prefilter's candidate set must be well under the q x n cross size
+    // (measured 0.41x; the dial is RangePlanes)
+    val nCand = Similarity.rangeLshCandidates(spark, sf).count()
+    val cross = Tables.embeddings(spark, sf).count() *
+      Similarity.RangeQueries
+    info(f"range-search candidates: $nCand of $cross cross pairs " +
+      f"(${nCand.toDouble / cross}%.3f x)")
+    assert(nCand < 0.6 * cross,
+      s"LSH prefilter candidates $nCand not < 0.6x of cross $cross")
+  }
+
   test("k-means fit: centroids are finite, distinct-ish, and cells are populated") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val cents = graft.operators.Similarity.fitCentroids(e)
