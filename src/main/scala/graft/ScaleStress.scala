@@ -271,6 +271,8 @@ object ScaleStress {
     val morMode = args.lift(1).contains("mor")
     val morDenseMode = args.lift(1).contains("mordense")
     val consolidateMode = args.lift(1).contains("consolidate")
+    val branchConsMode = args.lift(1).contains("branchcons")
+    val manifestScaleMode = args.lift(1).contains("manifestscale")
     val specEvoMode = args.lift(1).contains("specevo")
     val evoMode = !specEvoMode && args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
@@ -281,7 +283,7 @@ object ScaleStress {
       compactMode || semdedupMode || perplexityMode || manifestMode ||
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
       wapMode || hiddenMode || specEvoMode || morDenseMode ||
-      consolidateMode
+      consolidateMode || branchConsMode || manifestScaleMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -562,6 +564,137 @@ object ScaleStress {
         f.delete()
       }
       rm(new java.io.File(dir))
+      spark.stop()
+      return
+    }
+
+    // Manifest-scale receipt (round 15): every commit round-trips the
+    // snapshot file (parse newest -> serialize seq+1) and consolidate/
+    // scan planning walk snap.entries driver-side — at 100k+ entries
+    // the parse/serialize cost is the next plausible scale cliff. The
+    // claim under test: read and commit-round-trip latency stay
+    // near-LINEAR in entry count and the 100k-entry round trip stays
+    // O(100ms) — i.e. negligible against the data write it piggybacks
+    // on. Entries carry realistic per-column stats payloads (~200 B)
+    // so the parse cost is honest.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 manifestscale 1000 10000 100000
+    if (manifestScaleMode) {
+      import graft.sources.v2.{GraftOrcManifest, OrcFileEntry}
+      val counts =
+        if (args.length > 2) factors else Seq(1000, 10000, 100000)
+      counts.foreach { n =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-mscale-$n").toString
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val qt = fs.makeQualified(p)
+        def b64(i: Int) = java.util.Base64.getEncoder
+          .encodeToString(s"v$i".getBytes("UTF-8"))
+        val entries = (0 until n).map { i =>
+          OrcFileEntry(
+            path = s"$qt/w-${i / 512}/part-$i-0-${i % 512}.snappy.orc",
+            length = 64L * 1024 * 1024 + i,
+            partitionValues = Map.empty,
+            mtime = 1786692091502L + i,
+            stats = Some(s"r=${100000 + i}" +
+              (1 to 4).map(c => s"c=Y28kYyR7Yz0k|v=${i % 7}|h=0|k=d|" +
+                s"a=${b64(i)}|z=${b64(i + c)}").mkString("")),
+            schemaV = 1L)
+        }
+        val t0 = System.nanoTime()
+        GraftOrcManifest.writeSnapshot(fs, qt, 1L, entries, op = "append")
+        val writeSec = (System.nanoTime() - t0) / 1e9
+        val readSec = (0 until 3).map { _ =>
+          val t = System.nanoTime()
+          val s = GraftOrcManifest.readSnapshot(fs, qt).get
+          require(s.entries.size == n)
+          (System.nanoTime() - t) / 1e9
+        }.min
+        // the real per-commit price: parse newest, serialize n+1 at seq+1
+        val t2 = System.nanoTime()
+        val cur = GraftOrcManifest.readSnapshot(fs, qt).get
+        GraftOrcManifest.writeSnapshot(fs, qt, cur.seq + 1,
+          cur.entries :+ entries.head.copy(
+            path = s"$qt/w-extra/part-extra.snappy.orc"),
+          op = "append")
+        val commitSec = (System.nanoTime() - t2) / 1e9
+        val bytes = fs.listStatus(
+          new org.apache.hadoop.fs.Path(qt, "_graft_manifest"))
+          .filter(_.getPath.getName.startsWith("snap-"))
+          .map(_.getLen).max
+        println(s"""{"op":"manifest_scale","entries":$n,""" +
+          s""""first_write_sec":${num(writeSec)},""" +
+          s""""read_sec":${num(readSec)},""" +
+          s""""commit_roundtrip_sec":${num(commitSec)},""" +
+          s""""manifest_bytes":$bytes}""")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+      }
+      spark.stop()
+      return
+    }
+
+    // Branch-lineage sidecar bound receipt (round 15): K MoR DELETE
+    // commits stage on a BRANCH — branch commits deliberately skip
+    // auto-consolidation, so the branch head accumulates ~K sidecars —
+    // then ONE fast_forward publishes the head to main, where the
+    // property-gated consolidation fires on the merged state. The claim
+    // under test: main's live position-sidecar count after publish is
+    // bounded by the consolidation output (ceil(K/64), typically 1),
+    // NOT by K — a long DML-heavy WAP stage cannot park an unbounded
+    // per-scan sidecar probe cost on main.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 branchcons 1 20
+    if (branchConsMode) {
+      val k = factors.max
+      val cname = "gbcons" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(6)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-branchcons-wh").toString
+      spark.conf.set(s"spark.sql.catalog.$cname",
+        "graft.sources.v2.GraftOrcCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cname.t (l_orderkey BIGINT, " +
+        "l_quantity DOUBLE, l_extendedprice DOUBLE) " +
+        "TBLPROPERTIES('graft.delete_mode'='mor', " +
+        "'graft.delete_sidecar_format'='bitmap', " +
+        "'graft.consolidate_after'='8', 'graft.manifest.retain'='3')")
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartition(16)
+        .writeTo(s"$cname.t").append()
+      val dir = new org.apache.hadoop.fs.Path(s"$wh/t")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def sidecars(branch: Option[String]): Int =
+        graft.sources.v2.GraftOrcManifest
+          .readSnapshot(fs, fs.makeQualified(dir), branch)
+          .map(_.deletes.size).getOrElse(0)
+      spark.sql(s"CALL $cname.system.create_branch('t', 'stage')")
+        .collect()
+      (0 until k).foreach { i =>
+        val lo = 40000 + i * 100
+        spark.sql(s"DELETE FROM $cname.t.branch_stage " +
+          s"WHERE l_extendedprice >= $lo AND l_extendedprice < ${lo + 50}")
+      }
+      println(s"""{"op":"branchcons_staged","branch_commits":$k,""" +
+        s""""branch_sidecars":${sidecars(Some("stage"))},""" +
+        s""""main_sidecars":${sidecars(None)}}""")
+      val t0 = System.nanoTime()
+      spark.sql(s"CALL $cname.system.fast_forward('t', 'stage')")
+        .collect()
+      val ffSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = spark.table(s"$cname.t").agg(sum(col("l_quantity")))
+        .collect()(0).getDouble(0)
+      val readSec = (System.nanoTime() - t1) / 1e9
+      println(s"""{"op":"branchcons_published",""" +
+        s""""main_sidecars":${sidecars(None)},""" +
+        s""""fast_forward_sec":${num(ffSec)},""" +
+        s""""read_sec":${num(readSec)},"sum_qty":${num(n)}}""")
+      spark.sql(s"DROP TABLE IF EXISTS $cname.t")
       spark.stop()
       return
     }

@@ -657,8 +657,12 @@ object CatalogOps {
     // the CURRENT default (Spark fills it — the catalog advertises
     // SUPPORT_COLUMN_DEFAULT_VALUE); `SET DEFAULT 'v2'` then changes
     // only what FUTURE inserts get while the old rows keep reading
-    // 'legacy'. What gets hash-checked is that three generations of
-    // rows carry exactly the defaults their write time implies.
+    // 'legacy'. A SECOND column (`tier`) carries a CREATE-time default
+    // ('std') that later MOVES ('gold') — the round-15 generation: a
+    // default declared in the CREATE column list fills omitted inserts
+    // from day one and SET DEFAULT repoints it like any other. What
+    // gets hash-checked is that three generations of rows carry exactly
+    // the defaults their write time implies, across BOTH columns.
     QueryDef("ev_default_values",
       (s, d) => {
         val cat = catalogName(s)
@@ -669,30 +673,34 @@ object CatalogOps {
         Tables.customer(s, d)
           .select(col("c_custkey"), col("c_acctbal").as("bal"))
           .createOrReplaceTempView(srcView)
-        s.sql(s"CREATE TABLE $qt (c_custkey BIGINT, bal DOUBLE)")
+        s.sql(s"CREATE TABLE $qt (c_custkey BIGINT, bal DOUBLE, " +
+          "tier STRING DEFAULT 'std')")
         try {
-          s.sql(s"INSERT INTO $qt SELECT /*+ REPARTITION(4) */ * " +
-            s"FROM $srcView")
+          s.sql(s"INSERT INTO $qt (c_custkey, bal) " +
+            s"SELECT /*+ REPARTITION(4) */ * FROM $srcView")
           s.sql(s"ALTER TABLE $qt ADD COLUMN src STRING " +
             "DEFAULT 'legacy'")
-          s.sql(s"INSERT INTO $qt SELECT c_custkey + 4000000, bal, " +
+          s.sql(s"INSERT INTO $qt (c_custkey, bal, src) " +
+            s"SELECT c_custkey + 4000000, bal, " +
             s"'crawl2' FROM $srcView WHERE c_custkey % 20 = 0")
           s.sql(s"ALTER TABLE $qt ALTER COLUMN src SET DEFAULT 'v2'")
+          s.sql(s"ALTER TABLE $qt ALTER COLUMN tier SET DEFAULT 'gold'")
           s.sql(s"INSERT INTO $qt (c_custkey, bal) " +
             s"SELECT c_custkey + 8000000, bal FROM $srcView " +
             "WHERE c_custkey % 50 = 0")
-          s.sql(s"SELECT c_custkey, bal, src FROM $qt " +
+          s.sql(s"SELECT c_custkey, bal, src, tier FROM $qt " +
             "ORDER BY c_custkey")
         } finally s.catalog.dropTempView(srcView)
       },
       Some("""WITH seeded AS (
              |  SELECT c_custkey, c_acctbal AS bal FROM customer)
-             |SELECT c_custkey, bal, 'legacy' AS src FROM seeded
+             |SELECT c_custkey, bal, 'legacy' AS src, 'std' AS tier
+             |FROM seeded
              |UNION ALL
-             |SELECT c_custkey + 4000000, bal, 'crawl2'
+             |SELECT c_custkey + 4000000, bal, 'crawl2', 'std'
              |FROM seeded WHERE c_custkey % 20 = 0
              |UNION ALL
-             |SELECT c_custkey + 8000000, bal, 'v2'
+             |SELECT c_custkey + 8000000, bal, 'v2', 'gold'
              |FROM seeded WHERE c_custkey % 50 = 0
              |ORDER BY c_custkey""".stripMargin)),
 

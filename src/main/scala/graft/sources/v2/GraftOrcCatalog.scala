@@ -256,6 +256,38 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
       Set("provider", "owner", "external", "option.path",
         "path")(k.toLowerCase) }
 
+  /** CREATE-time CHECK constraints: `CREATE TABLE t (..., CONSTRAINT ck
+    * CHECK (...))` arrives through this TableInfo overload, whose
+    * DEFAULT implementation forwards only columns/partitions/properties
+    * — the declared constraint would VANISH silently (created table,
+    * no gate, nothing reported by `t.constraints()`). Persist each as
+    * the same `graft.constraint.<name>` property the ALTER path writes,
+    * so create-time and ALTER-added constraints are indistinguishable
+    * downstream. No rows exist at CREATE, so there is nothing to
+    * validate; enforcement of every later write is unconditional.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val props = new util.HashMap[String, String](info.properties())
+    constraintProps(info.constraints()).foreach {
+      case (k, v) => props.put(k, v) }
+    createTable(ident, info.schema(), info.partitions(), props)
+  }
+
+  private def constraintProps(
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint]): Map[String, String] =
+    cs.map { c =>
+      require(c.isInstanceOf[
+          org.apache.spark.sql.connector.catalog.constraints.Check],
+        s"graft-orc: only CHECK constraints are supported, got ${c.toDDL}")
+      val chk = c.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.constraints.Check]
+      val sql = Option(chk.predicateSql()).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-orc: CHECK constraint needs a predicate SQL text"))
+      (GraftOrcDataSource.ConstraintPropPrefix + chk.name()) -> sql
+    }.toMap
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -358,7 +390,11 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
     if (!replace && exists) throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !exists) throw new NoSuchTableException(ident)
     val partCols = validatedPartCols(schema, info.partitions())
-    val keep = userProps(info.properties())
+    // REPLACE TABLE (... CONSTRAINT ...) routes here: the replaced
+    // table starts from the staged rows only, all of which the write
+    // gate validates — same no-retro-scan-needed argument as CREATE
+    val keep = userProps(info.properties()) ++
+      constraintProps(info.constraints())
     val target = locationOf(ident, keep)
     val tfs = target.getFileSystem(conf)
     if (!exists && keep.contains("location") &&

@@ -182,7 +182,14 @@ object GraftOrcManifest {
       GraftOrcFileIndex.parsePartitionSegment(s)
         .foreach { case (k, v) => parts = parts + (k -> v) }
     }
-    OrcFileEntry(new Path(table, rel).toString, length, parts, mtime, stats)
+    // absolute path by string concat, not `new Path(table, rel)`: rel is
+    // always a clean relative path (produced by [[relativize]] or the
+    // writer's staging layout — never "//", "." or ".." segments), so
+    // the concat is byte-identical to the Path resolution while skipping
+    // the per-entry URI parse/normalize that dominated the 100k-entry
+    // manifest-scale receipt's parse cost
+    OrcFileEntry(table.toString.stripSuffix("/") + "/" + rel,
+      length, parts, mtime, stats)
   }
 
   /** Table-relative path of `abs` under `table`, or an error: manifest
@@ -234,9 +241,17 @@ object GraftOrcManifest {
       : (Seq[OrcFileEntry], Option[Int], Seq[OrcFileEntry],
          Option[String], Option[TableMeta]) = {
     val in = fs.open(snap)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
+    // buffered line reader, not scala.io.Source (whose per-char iterator
+    // dominated the 100k-entry parse in the manifest-scale receipt)
+    val lines = try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+      val buf = List.newBuilder[String]
+      var ln = br.readLine()
+      while (ln != null) { buf += ln; ln = br.readLine() }
+      buf.result()
+    } finally in.close()
     val header = lines.find(_.startsWith("{\"retain\":"))
     val retain = header.map(l => jsonLong(l, "retain").toInt)
     // operation hint recorded by the committer (append / truncate /
@@ -255,24 +270,85 @@ object GraftOrcManifest {
         parseProps(jsonString(l, "props")))
     }
     val entries = lines.filter(_.startsWith("{\"p\":")).map { line =>
-      val rel = jsonString(line, "p")
-      val len = jsonLong(line, "l")
-      val mt = jsonLong(line, "t")
-      val v = if (line.contains("\"v\":")) jsonLong(line, "v") else 0L
-      // optional frozen partition-spec version (rewrites that upgraded
-      // content but kept their input's directory layout); -1 = schemaV
-      val sv = if (line.contains("\"sv\":")) jsonLong(line, "sv") else -1L
-      // optional footer-stat sidecar; "s" cannot occur as an unescaped
-      // key inside the p value (quotes inside JSON strings are escaped)
-      val stats =
-        if (line.contains("\"s\":\"")) Some(jsonString(line, "s")) else None
-      entryOf(qt, rel, len, mt, stats).copy(schemaV = v, specV = sv)
+      val e = parseEntryLine(line)
+      entryOf(qt, e.path, e.len, e.mtime, e.stats)
+        .copy(schemaV = e.v, specV = e.sv)
     }
     val deletes = lines.filter(_.startsWith("{\"d\":")).map { line =>
-      entryOf(qt, jsonString(line, "d"), jsonLong(line, "l"),
-        jsonLong(line, "t"))
+      val e = parseEntryLine(line)
+      entryOf(qt, e.path, e.len, e.mtime)
     }
     (entries, retain, deletes, op, meta)
+  }
+
+  private final class EntryFields(val path: String, val len: Long,
+                                  val mtime: Long, val v: Long,
+                                  val sv: Long, val stats: Option[String])
+
+  /** Single-pass parser for the flat entry/delete lines — the
+    * manifest's hot loop (100k+ lines at table scale). One walk over
+    * the line instead of an `indexOf` scan per key (the manifest-scale
+    * receipt measured the multi-scan form at ~43 MB/s, parse-bound);
+    * escape-free string values (the common case for relative paths)
+    * come back as zero-copy substrings. Semantics identical to the
+    * per-key helpers: `v` defaults 0, `sv` defaults -1, `s` optional,
+    * `\uXXXX` and single-char escapes decoded.
+    */
+  private def parseEntryLine(line: String): EntryFields = {
+    var i = 1 // past '{'
+    var path: String = null
+    var len = 0L; var mtime = 0L; var v = 0L; var sv = -1L
+    var stats: Option[String] = None
+    while (i < line.length && line.charAt(i) == '"') {
+      val kEnd = line.indexOf('"', i + 1)
+      val key = line.substring(i + 1, kEnd)
+      i = kEnd + 2 // past the closing quote and ':'
+      if (line.charAt(i) == '"') {
+        i += 1
+        val start = i
+        var sb: java.lang.StringBuilder = null
+        while (line.charAt(i) != '"') {
+          val c = line.charAt(i)
+          if (c == '\\') {
+            if (sb == null) {
+              sb = new java.lang.StringBuilder
+              sb.append(line, start, i) }
+            line.charAt(i + 1) match {
+              case 'u' =>
+                sb.append(Integer.parseInt(
+                  line.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case esc => sb.append(esc); i += 2
+            }
+          } else { if (sb != null) sb.append(c); i += 1 }
+        }
+        val str =
+          if (sb == null) line.substring(start, i) else sb.toString
+        i += 1
+        key match {
+          case "p" | "d" => path = str
+          case "s" => stats = Some(str)
+          case _ => ()
+        }
+      } else {
+        var neg = false
+        if (line.charAt(i) == '-') { neg = true; i += 1 }
+        var n = 0L
+        while (i < line.length && line.charAt(i).isDigit) {
+          n = n * 10 + (line.charAt(i) - '0'); i += 1 }
+        val num = if (neg) -n else n
+        key match {
+          case "l" => len = num
+          case "t" => mtime = num
+          case "v" => v = num
+          case "sv" => sv = num
+          case _ => ()
+        }
+      }
+      if (i < line.length && line.charAt(i) == ',') i += 1
+    }
+    require(path != null, s"graft-orc manifest: no path in $line")
+    new EntryFields(path, len, mtime, v, sv, stats)
   }
 
   /** Every file path one snapshot accounts for — data files AND delete
@@ -399,18 +475,30 @@ object GraftOrcManifest {
           jsonQuote(m.schema.json)}}""")
         w.newLine()
       }
+      // field-at-a-time writes (no per-entry interpolation garbage) with
+      // an escape-free fast path for the quoted strings — the serialize
+      // half of the manifest-scale receipt's hot loop
       entries.sortBy(_.path).foreach { e =>
-        val rel = relativize(qt, e.path)
-        val side = e.stats.map(s => s""","s":${jsonQuote(s)}""").getOrElse("")
-        val ver = if (e.schemaV > 0) s""","v":${e.schemaV}""" else ""
-        val sv = if (e.specV >= 0) s""","sv":${e.specV}""" else ""
-        w.write(
-          s"""{"p":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}$ver$sv$side}""")
+        w.write("{\"p\":"); writeQuoted(w, relativize(qt, e.path))
+        w.write(",\"l\":"); w.write(java.lang.Long.toString(e.length))
+        w.write(",\"t\":"); w.write(java.lang.Long.toString(e.mtime))
+        if (e.schemaV > 0) {
+          w.write(",\"v\":")
+          w.write(java.lang.Long.toString(e.schemaV))
+        }
+        if (e.specV >= 0) {
+          w.write(",\"sv\":")
+          w.write(java.lang.Long.toString(e.specV))
+        }
+        e.stats.foreach { s => w.write(",\"s\":"); writeQuoted(w, s) }
+        w.write("}")
         w.newLine()
       }
       deletes.sortBy(_.path).foreach { e =>
-        val rel = relativize(qt, e.path)
-        w.write(s"""{"d":${jsonQuote(rel)},"l":${e.length},"t":${e.mtime}}""")
+        w.write("{\"d\":"); writeQuoted(w, relativize(qt, e.path))
+        w.write(",\"l\":"); w.write(java.lang.Long.toString(e.length))
+        w.write(",\"t\":"); w.write(java.lang.Long.toString(e.mtime))
+        w.write("}")
         w.newLine()
       }
       w.flush()
@@ -1081,6 +1169,22 @@ object GraftOrcManifest {
       .collect { case Array(k, v) => k -> v }.toMap
 
   // ---- minimal JSON helpers (fixed flat schema; no library available) ----
+
+  /** Quoted-string write with an escape-free fast path: one scan to
+    * check, then either the raw string (zero allocation) or the full
+    * [[jsonQuote]] escape walk.
+    */
+  private def writeQuoted(w: java.io.Writer, s: String): Unit = {
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') needs = true
+      i += 1
+    }
+    if (!needs) { w.write('"'); w.write(s); w.write('"') }
+    else w.write(jsonQuote(s))
+  }
 
   private def jsonQuote(s: String): String = {
     val sb = new StringBuilder("\"")

@@ -281,6 +281,15 @@ object GraftOrcProcedures {
       val (base, pub) = GraftOrcManifest.fastForward(
         spark.sparkContext.hadoopConfiguration,
         resolve(str(args, 0)), str(args, 1))
+      // the published head carries every position sidecar the branch's
+      // DML staged (branch commits deliberately skip auto-consolidation)
+      // — they are MAIN-lineage state now, so run the same property-
+      // gated consolidation any main delete commit runs; without this
+      // the sidecar count a long DML-heavy branch accumulated would sit
+      // unbounded on main until its NEXT delete
+      val p = new Path(resolve(str(args, 0)))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      GraftOrcMor.maybeAutoConsolidate(spark, fs, fs.makeQualified(p))
       row(base, pub)
     },
 

@@ -169,6 +169,44 @@ class GraftOrcConsolidateSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("fast_forward consolidates the sidecars a DML-heavy branch " +
+    "staged: branch commits skip auto mode, publish triggers it on main") {
+    val wh = Files.createTempDirectory("graft-cons-ff-wh").toString
+    spark.conf.set("spark.sql.catalog.gcff",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcff.warehouse", wh)
+    spark.sql("CREATE TABLE gcff.bt (id BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES('graft.delete_mode'='mor'," +
+      "'graft.delete_sidecar_format'='bitmap'," +
+      "'graft.consolidate_after'='3')")
+    try {
+      spark.sql("INSERT INTO gcff.bt " +
+        "SELECT /*+ REPARTITION(4) */ id, CAST(id AS DOUBLE) " +
+        "FROM range(400)")
+      spark.sql("CALL gcff.system.create_branch('bt', 'stage')").collect()
+      (0 until 6).foreach(i =>
+        spark.sql(s"DELETE FROM gcff.bt.branch_stage WHERE id % 40 = $i"))
+      val dir = s"$wh/bt"
+      // the BRANCH accumulated past the threshold (auto mode skips
+      // branch commits by design)...
+      val staged = GraftOrcManifest
+        .readSnapshot(fsOf(dir), new Path(dir), Some("stage"))
+        .get.deletes.size
+      assert(staged > 3, s"branch staged only $staged sidecars")
+      // ...and main is untouched pre-publish
+      assert(snapshot(dir).deletes.isEmpty)
+      spark.sql("CALL gcff.system.fast_forward('bt', 'stage')").collect()
+      // publish ran the property-gated consolidation on the merged
+      // state: main's live sidecar count is the consolidated handful,
+      // not the branch's accumulation
+      val main = snapshot(dir).deletes.size
+      assert(main <= 1, s"main holds $main sidecars after fast_forward")
+      // and the published content is exactly the staged deletes
+      assert(spark.sql("SELECT count(*) FROM gcff.bt")
+        .collect()(0).getLong(0) === 400L - 60L)
+    } finally spark.sql("DROP TABLE IF EXISTS gcff.bt")
+  }
+
   test("CALL cat.system.consolidate_deletes returns the receipt") {
     val wh = Files.createTempDirectory("graft-cons-wh").toString
     spark.conf.set("spark.sql.catalog.gcons",

@@ -118,6 +118,58 @@ class GraftOrcConstraintSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("CREATE-time CHECK constraint is persisted and enforced (the " +
+    "TableInfo createTable overload must not drop it)") {
+    wh
+    val t = "gck.c6"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, qty INT, " +
+      "CONSTRAINT ck_qty CHECK (qty > 0))")
+    try {
+      // the junk batch is refused by the create-time gate...
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $t VALUES (1, -4)")
+      }
+      // ...the clean batch lands
+      spark.sql(s"INSERT INTO $t VALUES (2, 4)")
+      assert(spark.sql(s"SELECT count(*) FROM $t")
+        .collect()(0).getLong(0) === 1L)
+      // persisted as the same prop the ALTER path writes -> visible on
+      // a fresh load and droppable by name
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.constraint.ck_qty").contains("qty > 0"),
+        props.toString)
+      spark.sql(s"ALTER TABLE $t DROP CONSTRAINT ck_qty")
+      spark.sql(s"INSERT INTO $t VALUES (3, -1)")
+      assert(spark.sql(s"SELECT count(*) FROM $t")
+        .collect()(0).getLong(0) === 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("REPLACE TABLE with a CHECK constraint carries it through the " +
+    "staged path; the replaced table's old constraint does not survive") {
+    wh
+    val t = "gck.c7"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, qty INT, " +
+      "CONSTRAINT ck_old CHECK (qty < 100))")
+    spark.sql(s"INSERT INTO $t VALUES (1, 5)")
+    try {
+      spark.sql(s"REPLACE TABLE $t (id BIGINT, qty INT, " +
+        "CONSTRAINT ck_new CHECK (qty > 0))")
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.constraint.ck_new").contains("qty > 0"),
+        props.toString)
+      assert(!props.contains("graft.constraint.ck_old"), props.toString)
+      intercept[Exception] { spark.sql(s"INSERT INTO $t VALUES (2, -1)") }
+      spark.sql(s"INSERT INTO $t VALUES (3, 500)") // old gate is gone
+      assert(spark.sql(s"SELECT count(*) FROM $t")
+        .collect()(0).getLong(0) === 1L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("hand-setting a graft.constraint.* property is refused (it " +
     "would skip existing-row validation)") {
     wh

@@ -113,6 +113,9 @@ class SqlParitySpec extends AnyFunSuite {
       "cat_check_constraint" ->
         "DuckDB len() over a regexp_extract_all list (Spark: size())",
       "ss_range_search" -> listFn,
+      "ss_range_search_lsh_det" ->
+        ("DuckDB range()/list_transform/list_sum + md5 hex-substr cast " +
+          "(Spark: sequence()/transform/aggregate/conv())"),
       "ta_normalize" ->
         ("DuckDB nfc_normalize + chr() codepoints (Spark: the " +
           "graft_nfc native expression + \\uXXXX literals)"))
