@@ -99,7 +99,20 @@ object GraftOrcManifest {
                       retain: Option[Int] = None,
                       deletes: Seq[OrcFileEntry] = Nil,
                       op: Option[String] = None,
-                      meta: Option[TableMeta] = None)
+                      meta: Option[TableMeta] = None,
+                      segs: Seq[Segment] = Nil)
+
+  /** One immutable manifest SEGMENT: a write-once sibling file of the
+    * snapshot files holding a batch of entry lines (same format), which
+    * snapshot files reference by name instead of inlining — so an
+    * APPEND commit serializes only its added entries plus the ref lines
+    * (O(adds + segments), not O(table files)). `path` is the segment
+    * file's absolute path; refs never cross snapshot directories (a
+    * branch fork / fast_forward materializes, each lineage owns its
+    * segments). Segments are expired with the last snapshot referencing
+    * them.
+    */
+  case class Segment(path: Path, entries: Seq[OrcFileEntry])
 
   /** One retained snapshot file: its sequence number, its commit time
     * (the snapshot file's mtime — re-stamped by a best-effort `setTimes`
@@ -237,9 +250,59 @@ object GraftOrcManifest {
     * lines open with the `p` key; position-delete sidecar lines with the
     * `d` key — which is what distinguishes the three.
     */
+  private case class ParsedSnap(entries: Seq[OrcFileEntry],
+                                retain: Option[Int],
+                                deletes: Seq[OrcFileEntry],
+                                op: Option[String],
+                                meta: Option[TableMeta],
+                                segs: Seq[Segment])
+
+  /** Bounded cache of parsed segment files: segments are WRITE-ONCE
+    * (uuid names, never modified, deleted only at expiry), so a parsed
+    * segment is valid for the file's whole life — every readSnapshot on
+    * a hot table (query planning, commitSwap's state read) then pays
+    * only the small snapshot file plus any segments it has not seen.
+    * Access-order LRU, capped; thread-safe via synchronized (reads are
+    * short).
+    */
+  private val segmentCache =
+    new java.util.LinkedHashMap[String, Seq[OrcFileEntry]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[OrcFileEntry]]): Boolean =
+        size() > 128
+    }
+
+  private def readSegment(fs: FileSystem, qt: Path,
+                          segPath: Path): Seq[OrcFileEntry] = {
+    val key = segPath.toString
+    segmentCache.synchronized {
+      val hit = segmentCache.get(key)
+      if (hit != null) return hit
+    }
+    val in = fs.open(segPath)
+    val entries = try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+      val buf = Seq.newBuilder[OrcFileEntry]
+      var ln = br.readLine()
+      while (ln != null) {
+        if (ln.startsWith("{\"p\":")) {
+          val e = parseEntryLine(ln)
+          buf += entryOf(qt, e.path, e.len, e.mtime, e.stats)
+            .copy(schemaV = e.v, specV = e.sv)
+        }
+        ln = br.readLine()
+      }
+      buf.result()
+    } finally in.close()
+    segmentCache.synchronized { segmentCache.put(key, entries) }
+    entries
+  }
+
   private def parseFile(fs: FileSystem, qt: Path, snap: Path)
-      : (Seq[OrcFileEntry], Option[Int], Seq[OrcFileEntry],
-         Option[String], Option[TableMeta]) = {
+      : ParsedSnap = {
     val in = fs.open(snap)
     // buffered line reader, not scala.io.Source (whose per-char iterator
     // dominated the 100k-entry parse in the manifest-scale receipt)
@@ -269,16 +332,25 @@ object GraftOrcManifest {
           .filter(_.nonEmpty).toSeq,
         parseProps(jsonString(l, "props")))
     }
-    val entries = lines.filter(_.startsWith("{\"p\":")).map { line =>
+    val inline = lines.filter(_.startsWith("{\"p\":")).map { line =>
       val e = parseEntryLine(line)
       entryOf(qt, e.path, e.len, e.mtime, e.stats)
         .copy(schemaV = e.v, specV = e.sv)
     }
+    // segment references resolve against THE SNAPSHOT FILE'S OWN
+    // directory (main manifest dir or a branch dir) — refs never cross
+    // lineages
+    val segDir = snap.getParent
+    val segs = lines.filter(_.startsWith("{\"seg\":")).map { line =>
+      val p = new Path(segDir, jsonString(line, "seg"))
+      Segment(p, readSegment(fs, qt, p))
+    }
+    val entries = segs.flatMap(_.entries) ++ inline
     val deletes = lines.filter(_.startsWith("{\"d\":")).map { line =>
       val e = parseEntryLine(line)
       entryOf(qt, e.path, e.len, e.mtime)
     }
-    (entries, retain, deletes, op, meta)
+    ParsedSnap(entries, retain, deletes, op, meta, segs)
   }
 
   private final class EntryFields(val path: String, val len: Long,
@@ -356,8 +428,8 @@ object GraftOrcManifest {
     */
   private def allEntriesOfFile(fs: FileSystem, qt: Path,
                                snap: Path): Seq[OrcFileEntry] = {
-    val (entries, _, deletes, _, _) = parseFile(fs, qt, snap)
-    entries ++ deletes
+    val p = parseFile(fs, qt, snap)
+    p.entries ++ p.deletes
   }
 
   /** Newest snapshot of `table`, or None when the table has no manifest.
@@ -372,8 +444,9 @@ object GraftOrcManifest {
       refs.lastOption match {
         case None => Snapshot(0L, Nil)
         case Some(r) =>
-          val (entries, retain, deletes, op, meta) = parseFile(fs, qt, r.path)
-          Snapshot(r.seq, entries, retain, deletes, op, meta)
+          val p = parseFile(fs, qt, r.path)
+          Snapshot(r.seq, p.entries, p.retain, p.deletes, p.op, p.meta,
+            p.segs)
       }
     }
   }
@@ -419,8 +492,8 @@ object GraftOrcManifest {
             s"graft-orc: branch '$name' of $table does not exist " +
               s"(available: ${listBranches(fs, qt).mkString(", ")})"))
     }
-    val (entries, retain, deletes, op, meta) = parseFile(fs, qt, ref.path)
-    Snapshot(ref.seq, entries, retain, deletes, op, meta)
+    val p = parseFile(fs, qt, ref.path)
+    Snapshot(ref.seq, p.entries, p.retain, p.deletes, p.op, p.meta, p.segs)
   }
 
   /** Every file path referenced by ANY retained snapshot — data files and
@@ -449,21 +522,162 @@ object GraftOrcManifest {
     * expired, so any retained snapshot is always readable (time travel),
     * at a space cost bounded by `retain` commits of churn.
     */
+  // ---- segmentation policy -------------------------------------------
+  // Tables under SegInlineMax entries stay fully inline (zero format
+  // change for small tables). Above it, entries live in write-once
+  // segment files the snapshot references by name: an append carries its
+  // predecessor's untouched segments by reference and serializes only
+  // the residual — O(adds + segments) instead of O(table files). The
+  // residual (prev inline + this commit's adds/changes) rolls into a new
+  // segment once it reaches SegResidualMin; when a snapshot would
+  // reference more than SegMaxCount segments, the commit re-segments
+  // everything fresh (amortized O(n) every ~SegMaxCount segment births).
+  private val SegInlineMax = 1024
+  private val SegResidualMin = 512
+  private val SegTarget = 8192
+  private val SegMaxCount = 64
+
+  /** (carried segments, inline entries, fresh segment batches). */
+  private def planSegments(entries: Seq[OrcFileEntry],
+                           carryFrom: Option[Snapshot], dir: Path)
+      : (Seq[Segment], Seq[OrcFileEntry], Seq[Seq[OrcFileEntry]]) = {
+    // only same-directory segments are carriable (branch fork /
+    // fast_forward cross lineages: they materialize)
+    val prevSegs = carryFrom.map(_.segs.filter(
+      _.path.getParent.toString == dir.toString)).getOrElse(Nil)
+    if (prevSegs.isEmpty && entries.size < SegInlineMax)
+      return (Nil, entries, Nil)
+    val byPath = new java.util.HashMap[String, OrcFileEntry](
+      entries.size * 2)
+    entries.foreach(e => byPath.put(e.path, e))
+    // a segment carries iff EVERY entry in it survives unchanged (field
+    // identity, not just path presence — a stats/schemaV rewrite of one
+    // member materializes the segment)
+    val carried = prevSegs.filter(s =>
+      s.entries.forall(e => e == byPath.get(e.path)))
+    if (carried.size >= SegMaxCount) {
+      // re-segment everything fresh; old segments die with the
+      // snapshots that reference them
+      return (Nil, Nil,
+        entries.sortBy(_.path).grouped(SegTarget).toSeq)
+    }
+    val consumed = new java.util.HashSet[String]()
+    carried.foreach(_.entries.foreach(e => consumed.add(e.path)))
+    val residual = entries.filterNot(e => consumed.contains(e.path))
+    if (residual.size >= SegResidualMin)
+      // chunked, not monolithic: a later commit that touches one entry
+      // then materializes one SegTarget-sized chunk, not the table
+      (carried, Nil,
+        residual.sortBy(_.path).grouped(SegTarget).toSeq)
+    else (carried, residual, Nil)
+  }
+
+  private def writeEntryLine(w: java.io.Writer, qt: Path,
+                             e: OrcFileEntry): Unit = {
+    w.write("{\"p\":"); writeQuoted(w, relativize(qt, e.path))
+    w.write(",\"l\":"); w.write(java.lang.Long.toString(e.length))
+    w.write(",\"t\":"); w.write(java.lang.Long.toString(e.mtime))
+    if (e.schemaV > 0) {
+      w.write(",\"v\":")
+      w.write(java.lang.Long.toString(e.schemaV))
+    }
+    if (e.specV >= 0) {
+      w.write(",\"sv\":")
+      w.write(java.lang.Long.toString(e.specV))
+    }
+    e.stats.foreach { s => w.write(",\"s\":"); writeQuoted(w, s) }
+    w.write("}")
+    w.write('\n')
+  }
+
+  /** Write one immutable segment file (atomic: dot-temp + rename). */
+  private def writeSegmentFile(fs: FileSystem, qt: Path, dest: Path,
+                               entries: Seq[OrcFileEntry]): Unit = {
+    val tmp = new Path(dest.getParent, s".tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
+      entries.sortBy(_.path).foreach(e => writeEntryLine(w, qt, e))
+      w.flush(); w.close()
+    } catch { case t: Throwable =>
+      try { out.close(); fs.delete(tmp, false) } catch { case _: Throwable => }
+      throw t
+    }
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"graft-orc manifest: failed to publish segment $dest")
+    }
+  }
+
+  /** Segment names a snapshot file references — raw scan, stopping at
+    * the first entry/delete line (refs are written right after the
+    * header/meta block).
+    */
+  private def segRefNamesOf(fs: FileSystem, snap: Path): Seq[String] =
+    try {
+      val in = fs.open(snap)
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8), 1 << 15)
+        val refs = Seq.newBuilder[String]
+        var ln = br.readLine()
+        var done = false
+        while (ln != null && !done) {
+          if (ln.startsWith("{\"seg\":")) refs += jsonString(ln, "seg")
+          else if (ln.startsWith("{\"p\":") || ln.startsWith("{\"d\":"))
+            done = true
+          ln = br.readLine()
+        }
+        refs.result()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Delete the segment files only `dead` snapshot files referenced
+    * (callers pass the refs READ BEFORE deleting the snapshots).
+    */
+  private def gcSegments(fs: FileSystem, dir: Path,
+                         deadRefs: Seq[String],
+                         keptFiles: Seq[Path]): Unit = {
+    if (deadRefs.isEmpty) return
+    val live = keptFiles.flatMap(p => segRefNamesOf(fs, p)).toSet
+    deadRefs.toSet.diff(live).foreach { n =>
+      val p = new Path(dir, n)
+      segmentCache.synchronized { segmentCache.remove(p.toString) }
+      try fs.delete(p, false) catch { case _: java.io.IOException => }
+    }
+  }
+
   def writeSnapshot(fs: FileSystem, table: Path, seq: Long,
                     entries: Seq[OrcFileEntry],
                     retain: Int = RetainSnapshots,
                     deletes: Seq[OrcFileEntry] = Nil,
                     op: String = "unknown",
                     meta: Option[TableMeta] = None,
-                    branch: Option[String] = None): Unit = {
+                    branch: Option[String] = None,
+                    carryFrom: Option[Snapshot] = None): Unit = {
     val qt = fs.makeQualified(table)
     val dir = snapDirOf(qt, branch)
     fs.mkdirs(dir)
+    // segmentation: write fresh segment files FIRST (write-once, atomic,
+    // invisible until the snapshot that references them publishes)
+    val (carried, inline, freshBatches) =
+      planSegments(entries, carryFrom, dir)
+    val fresh: Seq[(String, Int)] = freshBatches.map { es =>
+      val name = s"seg-${UUID.randomUUID()}.json"
+      writeSegmentFile(fs, qt, new Path(dir, name), es)
+      name -> es.size
+    }
+    def dropFresh(): Unit = fresh.foreach { case (n, _) =>
+      try fs.delete(new Path(dir, n), false)
+      catch { case _: java.io.IOException => } }
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try {
       val w = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(out, "UTF-8"))
+        new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
       // header persists the retention policy with the state it governs:
       // the next committer (writer OR compactor) inherits it (commitSwap)
       w.write(s"""{"retain":${math.max(1, retain)},"op":${jsonQuote(op)}}""")
@@ -475,25 +689,22 @@ object GraftOrcManifest {
           jsonQuote(m.schema.json)}}""")
         w.newLine()
       }
+      // segment references (carried by name, then this commit's fresh
+      // ones) — BEFORE entry lines so segRefNamesOf can stop early
+      carried.foreach { s =>
+        w.write("{\"seg\":"); writeQuoted(w, s.path.getName)
+        w.write(",\"n\":"); w.write(Integer.toString(s.entries.size))
+        w.write("}"); w.newLine()
+      }
+      fresh.foreach { case (name, n) =>
+        w.write("{\"seg\":"); writeQuoted(w, name)
+        w.write(",\"n\":"); w.write(Integer.toString(n))
+        w.write("}"); w.newLine()
+      }
       // field-at-a-time writes (no per-entry interpolation garbage) with
       // an escape-free fast path for the quoted strings — the serialize
       // half of the manifest-scale receipt's hot loop
-      entries.sortBy(_.path).foreach { e =>
-        w.write("{\"p\":"); writeQuoted(w, relativize(qt, e.path))
-        w.write(",\"l\":"); w.write(java.lang.Long.toString(e.length))
-        w.write(",\"t\":"); w.write(java.lang.Long.toString(e.mtime))
-        if (e.schemaV > 0) {
-          w.write(",\"v\":")
-          w.write(java.lang.Long.toString(e.schemaV))
-        }
-        if (e.specV >= 0) {
-          w.write(",\"sv\":")
-          w.write(java.lang.Long.toString(e.specV))
-        }
-        e.stats.foreach { s => w.write(",\"s\":"); writeQuoted(w, s) }
-        w.write("}")
-        w.newLine()
-      }
+      inline.sortBy(_.path).foreach(e => writeEntryLine(w, qt, e))
       deletes.sortBy(_.path).foreach { e =>
         w.write("{\"d\":"); writeQuoted(w, relativize(qt, e.path))
         w.write(",\"l\":"); w.write(java.lang.Long.toString(e.length))
@@ -504,7 +715,8 @@ object GraftOrcManifest {
       w.flush()
       w.close()
     } catch { case t: Throwable =>
-      try { out.close(); fs.delete(tmp, false) } catch { case _: Throwable => }
+      try { out.close(); fs.delete(tmp, false); dropFresh() }
+      catch { case _: Throwable => }
       throw t
     }
     // pre-rename occupancy check: if the seq already has a committed
@@ -525,6 +737,7 @@ object GraftOrcManifest {
       if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
           n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
         fs.delete(tmp, false)
+        dropFresh() // only this withdrawn snapshot referenced them
         throw new java.util.ConcurrentModificationException(
           s"graft-orc manifest: lost a commit race on snapshot seq $seq of " +
             s"$table — a concurrent writer already committed it. Re-read " +
@@ -553,6 +766,7 @@ object GraftOrcManifest {
       .filter(n => n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))
     if (rivalNames.nonEmpty && rivalNames.max != dest.getName) {
       fs.delete(dest, false)
+      dropFresh() // withdrawn with the snapshot that referenced them
       throw new java.util.ConcurrentModificationException(
         s"graft-orc manifest: concurrent commit race on snapshot seq $seq " +
           s"of $table — ${rivalNames.max} won, this commit lost and was " +
@@ -585,6 +799,8 @@ object GraftOrcManifest {
         expired.partition(p => taggedSeqs(seqOfName(p)))
       val dead = reallyExpired ++ losers
       if (dead.nonEmpty) {
+        // segment refs must be read BEFORE the dead snapshot files go
+        val deadSegRefs = dead.flatMap(p => segRefNamesOf(fs, p))
         // files shared with ANOTHER lineage (a branch forked from this
         // state, or — on a branch commit — the main chain and sibling
         // branches) must survive this lineage's expiry
@@ -596,6 +812,8 @@ object GraftOrcManifest {
           .groupBy(_.path).values.map(_.head).toSeq
         deleteFiles(fs, qt, victims)
         dead.foreach(p => fs.delete(p, false))
+        // segments only the dead snapshots referenced die with them
+        gcSegments(fs, dir, deadSegRefs, retained ++ pinned)
       }
     } catch { case scala.util.control.NonFatal(_) => }
   }
@@ -697,7 +915,10 @@ object GraftOrcManifest {
       retain.orElse(branch.flatMap(b => branchRetain(fs, table, b)))
         .orElse(cur.retain).getOrElse(RetainSnapshots),
       deletes = baseDeletes ++ addDeletes, op = op,
-      meta = meta.orElse(cur.meta), branch = branch)
+      meta = meta.orElse(cur.meta), branch = branch,
+      // untouched entry objects pass through this function unchanged,
+      // so cur's segments carry by identity — the O(adds) commit path
+      carryFrom = Some(cur))
   }
 
   /** Delete files the new snapshot no longer references (truncate
@@ -1079,6 +1300,7 @@ object GraftOrcManifest {
     val (dead, keep) = refs.partition(r =>
       r.seq != newest && !tagged(r.seq) && r.commitMs < cutoffMs)
     if (dead.isEmpty) return 0
+    val deadSegRefs = dead.flatMap(r => segRefNamesOf(fs, r.path))
     val live = keep.flatMap(r => allEntriesOfFile(fs, qt, r.path))
       .map(_.path).toSet ++ protectedPaths(fs, qt, excluding = dir)
     val victims = dead.flatMap(r => allEntriesOfFile(fs, qt, r.path))
@@ -1086,6 +1308,7 @@ object GraftOrcManifest {
       .groupBy(_.path).values.map(_.head).toSeq
     deleteFiles(fs, qt, victims)
     dead.foreach(r => fs.delete(r.path, false))
+    gcSegments(fs, dir, deadSegRefs, keep.map(_.path))
     dead.size
   }
 
@@ -1114,7 +1337,10 @@ object GraftOrcManifest {
     val target = resolveSnapshot(fs, qt, Selector.ById(seq))
     writeSnapshot(fs, qt, cur.seq + 1, target.entries,
       cur.retain.getOrElse(RetainSnapshots),
-      deletes = target.deletes, op = "rollback", meta = target.meta)
+      deletes = target.deletes, op = "rollback", meta = target.meta,
+      // the rolled-back-to snapshot's segments are same-lineage and
+      // still retained — carry them instead of re-serializing the table
+      carryFrom = Some(target))
   }
 
   /** Garbage-collect a manifest table: physically delete every visible
@@ -1153,7 +1379,29 @@ object GraftOrcManifest {
     val victims = (visible ++ staleSidecars)
       .filterNot(e => live(e.path)).filter(_.mtime < olderThanMs)
     deleteFiles(fs, qt, victims)
-    victims.size
+    // segment files no snapshot of their own lineage references are
+    // crashed-commit leftovers (written before a snapshot that never
+    // published) — same age guard spares another driver's in-flight
+    // commit window
+    var staleSegs = 0
+    lineageDirs(fs, qt).foreach { d =>
+      val liveSegs = snapFilesIn(fs, d)
+        .flatMap(p => segRefNamesOf(fs, p)).toSet
+      val orphans =
+        try fs.listStatus(d).toSeq.filter(st => st.isFile &&
+          st.getPath.getName.startsWith("seg-") &&
+          st.getPath.getName.endsWith(".json") &&
+          !liveSegs(st.getPath.getName) &&
+          st.getModificationTime < olderThanMs)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      orphans.foreach { st =>
+        segmentCache.synchronized {
+          segmentCache.remove(st.getPath.toString) }
+        try { if (fs.delete(st.getPath, false)) staleSegs += 1 }
+        catch { case _: java.io.IOException => }
+      }
+    }
+    victims.size + staleSegs
   }
 
   // table properties ride ONE quoted string: pairs joined with NUL (a

@@ -493,7 +493,10 @@ object GraftOrcSchema {
     }
     GraftOrcManifest.writeSnapshot(fs, qt, snap.seq + 1, snap.entries,
       snap.retain.getOrElse(GraftOrcManifest.RetainSnapshots),
-      deletes = snap.deletes, op = "alter-schema", meta = Some(next))
+      deletes = snap.deletes, op = "alter-schema", meta = Some(next),
+      // a DDL touches only meta: every entry carries by identity, so a
+      // 100k-file ALTER is an O(segments) commit
+      carryFrom = Some(snap))
     next
   }
 

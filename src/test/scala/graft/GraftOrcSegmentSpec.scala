@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.{GraftOrcManifest, OrcFileEntry}
+
+/** Segmented manifests (round 15): above SegInlineMax entries a
+  * snapshot stores its listing in write-once SEGMENT files it
+  * references by name, so an append commit serializes only its adds
+  * plus the ref lines — O(adds + segments), not O(table files). This
+  * spec drives the protocol edges directly against the manifest API:
+  * carry-by-identity, materialize-on-touch, segment expiry with the
+  * last referencing snapshot, time travel across segmented history,
+  * rollback carry, and vacuum's orphan-segment sweep.
+  */
+class GraftOrcSegmentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fsFor(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mk(n: Int, qt: Path, tag: String = "w"): Seq[OrcFileEntry] =
+    (0 until n).map { i =>
+      OrcFileEntry(s"$qt/$tag-${i / 512}/part-$i.snappy.orc",
+        1000L + i, Map.empty, 1786692091502L + i,
+        Some(s"r=${i + 1}"), 1L)
+    }
+
+  private def segFiles(fs: org.apache.hadoop.fs.FileSystem,
+                       qt: Path): Seq[String] =
+    fs.listStatus(new Path(qt, "_graft_manifest"))
+      .map(_.getPath.getName).filter(_.startsWith("seg-")).toSeq.sorted
+
+  test("append commits carry untouched segments by reference and " +
+    "round-trip the exact entry set") {
+    val dir = Files.createTempDirectory("graft-seg-carry").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    val base = mk(3000, qt)
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, base, retain = 10)
+    val s1 = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(s1.segs.nonEmpty, "3000 entries must segment")
+    assert(s1.entries.toSet === base.toSet)
+    val segsBefore = segFiles(fs, qt)
+    // append 10 entries the commitSwap way
+    GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
+      add = mk(10, qt, "x"), retain = Some(10), op = "append")
+    val s2 = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(s2.entries.size === 3010)
+    assert(s2.entries.toSet === (base ++ mk(10, qt, "x")).toSet)
+    // the base segments were CARRIED: same files still referenced, no
+    // re-serialization of the 3000 (only possibly a new residual seg)
+    val carriedNames = s2.segs.map(_.path.getName).toSet
+    assert(segsBefore.toSet.subsetOf(carriedNames ++ segFiles(fs, qt)),
+      s"base segments vanished: before=$segsBefore after=${segFiles(fs, qt)}")
+    assert(s1.segs.map(_.path.getName).toSet.subsetOf(carriedNames),
+      "append must carry the predecessor's untouched segments")
+  }
+
+  test("a commit that removes one segmented entry materializes that " +
+    "segment (carry is by full identity), content stays exact") {
+    val dir = Files.createTempDirectory("graft-seg-touch").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    val base = mk(2000, qt)
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, base, retain = 10)
+    val s1 = GraftOrcManifest.readSnapshot(fs, qt).get
+    val victim = s1.entries.head
+    GraftOrcManifest.commitSwap(fs, qt, remove = Set(victim.path),
+      add = Nil, retain = Some(10), op = "delete")
+    val s2 = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(s2.entries.size === 1999)
+    assert(!s2.entries.exists(_.path == victim.path))
+    // the touched segment is no longer referenced by the NEW snapshot
+    val touched = s1.segs.find(_.entries.exists(_.path == victim.path)).get
+    assert(!s2.segs.exists(_.path.getName == touched.path.getName),
+      "a touched segment must not be carried")
+    // but it still EXISTS while snapshot 1 (which references it) is
+    // retained — time travel to seq 1 reads the full original state
+    val t1 = GraftOrcManifest.resolveSnapshot(fs, qt,
+      GraftOrcManifest.Selector.ById(1L))
+    assert(t1.entries.toSet === base.toSet)
+  }
+
+  test("segments die with the last snapshot referencing them (expiry " +
+    "GC), and retained history stays readable throughout") {
+    val dir = Files.createTempDirectory("graft-seg-expire").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, mk(1500, qt), retain = 2)
+    val gen1Segs = segFiles(fs, qt)
+    assert(gen1Segs.nonEmpty)
+    // replace everything: gen-1 segments referenced only by seq 1
+    GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
+      add = mk(1500, qt, "g2"), truncate = true, retain = Some(2),
+      op = "truncate")
+    assert(gen1Segs.forall(segFiles(fs, qt).contains),
+      "gen-1 segments must survive while seq 1 is retained")
+    // two more commits expire seq 1 (retain=2) -> its segments go
+    GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
+      add = mk(1, qt, "g3"), retain = Some(2), op = "append")
+    GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
+      add = mk(1, qt, "g4"), retain = Some(2), op = "append")
+    val left = segFiles(fs, qt)
+    assert(gen1Segs.forall(n => !left.contains(n)),
+      s"expired gen-1 segments linger: $left")
+    // current state is intact
+    val cur = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(cur.entries.size === 1502)
+  }
+
+  test("rollback carries the target snapshot's segments; vacuum sweeps " +
+    "orphaned segments but never referenced ones") {
+    val dir = Files.createTempDirectory("graft-seg-vacrb").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    val base = mk(1500, qt)
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, base, retain = 10)
+    GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
+      add = mk(5, qt, "x"), retain = Some(10), op = "append")
+    GraftOrcManifest.rollback(
+      spark.sparkContext.hadoopConfiguration, qt.toString, 1L)
+    val rb = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(rb.entries.toSet === base.toSet)
+    assert(rb.segs.nonEmpty, "rollback must carry the target's segments")
+    // plant an orphan segment (crashed commit shape: written, never
+    // referenced) -> vacuum reclaims it, referenced ones survive
+    val orphan = new Path(new Path(qt, "_graft_manifest"),
+      "seg-00000000-dead-beef-0000-000000000000.json")
+    val out = fs.create(orphan, true); out.write('\n'); out.close()
+    val referenced = segFiles(fs, qt).filterNot(_.contains("dead-beef"))
+    // vacuum would also sweep the synthetic data paths (they don't
+    // exist on disk, so the BFS sees nothing) — only the segment sweep
+    // acts here
+    GraftOrcManifest.vacuum(
+      spark.sparkContext.hadoopConfiguration, qt.toString)
+    val after = segFiles(fs, qt)
+    assert(!after.exists(_.contains("dead-beef")), "orphan must be swept")
+    assert(referenced.forall(after.contains),
+      "referenced segments must survive vacuum")
+    assert(GraftOrcManifest.readSnapshot(fs, qt).get.entries.toSet ===
+      base.toSet)
+  }
+
+  test("many small appends roll the inline residual into a segment at " +
+    "the threshold; a segment-count blowup re-segments fresh") {
+    val dir = Files.createTempDirectory("graft-seg-roll").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, mk(1200, qt), retain = 3)
+    // 6 appends of 100: residual crosses 512 twice -> extra segments,
+    // entry set stays exact throughout
+    (0 until 6).foreach { i =>
+      GraftOrcManifest.commitSwap(fs, qt, remove = Set.empty,
+        add = mk(100, qt, s"a$i"), retain = Some(3), op = "append")
+    }
+    val s = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(s.entries.size === 1800)
+    assert(s.entries.map(_.path).distinct.size === 1800)
+    assert(s.segs.size >= 2 && s.segs.size < 64,
+      s"unexpected segment count ${s.segs.size}")
+  }
+}
