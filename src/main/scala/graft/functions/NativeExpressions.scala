@@ -328,6 +328,133 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** BIGINT dot product of two long arrays — the hot verify kernel of
+    * the deterministic similarity twins (quantized-prefix scoring). The
+    * HOF form `aggregate(zip_with(a, b, ...))` is CodegenFallback with
+    * per-element boxing through NamedLambdaVariable, and a filter
+    * predicate referencing it gets INLINED (duplicated) into the join
+    * condition — this native loop is codegen'd, and arithmetic-identical
+    * (sequential long multiply-add), so swapping it in cannot change any
+    * oracle-checked result.
+    */
+  case class IntegerDot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_int_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0L; var i = 0
+      while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |long $dot = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $dot;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** The md5-deterministic LSH banding ([[graft.operators]] DetLsh) as
+    * ONE codegen'd kernel over the quantized 8-prefix: all `tables`
+    * buckets from a compiled-constant plane matrix. The per-column
+    * unrolled form emits tables*planes*dims literal nodes whose
+    * generated megamethod Janino recompiles per invocation (fresh expr
+    * ids defeat the source-keyed codegen cache: measured 12 s/run at
+    * 24x6), and the HOF array form pays boxed lambda evaluation per
+    * component. Arithmetic identical to both: sequential long
+    * multiply-add per plane, sign threshold, bit p set on >= 0.
+    */
+  case class DetLshBuckets(child: Expression, tables: Int, planes: Int,
+                           comps: Seq[Long])
+      extends UnaryExpression with ExpectsInputTypes {
+    private val dims = comps.size / (tables * planes)
+    require(comps.size == tables * planes * dims,
+      s"plane matrix size ${comps.size} != $tables*$planes*$dims")
+
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_det_lsh_buckets"
+
+    @transient private lazy val matrix: Array[Long] = comps.toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val qv = v.asInstanceOf[ArrayData]
+      val n = math.min(qv.numElements(), dims)
+      val x = new Array[Long](dims)
+      var i = 0
+      while (i < n) { x(i) = qv.getLong(i); i += 1 }
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val base = (t * planes + p) * dims
+          var proj = 0L
+          var j = 0
+          while (j < dims) { proj += matrix(base + j) * x(j); j += 1 }
+          if (proj >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // plane matrix as ONE compiled static constant, not literal nodes
+      val m = ctx.addReferenceObj("detLshMatrix", matrix, "long[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val x = ctx.freshName("x"); val out = ctx.freshName("out")
+        val t = ctx.freshName("t"); val p = ctx.freshName("p")
+        val j = ctx.freshName("j"); val proj = ctx.freshName("proj")
+        val bucket = ctx.freshName("bucket"); val n = ctx.freshName("n")
+        val base = ctx.freshName("base")
+        s"""
+           |int $n = Math.min($v.numElements(), $dims);
+           |long[] $x = new long[$dims];
+           |for (int $j = 0; $j < $n; $j++) { $x[$j] = $v.getLong($j); }
+           |long[] $out = new long[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  long $bucket = 0L;
+           |  for (int $p = 0; $p < $planes; $p++) {
+           |    long $proj = 0L;
+           |    int $base = ($t * $planes + $p) * $dims;
+           |    for (int $j = 0; $j < $dims; $j++) {
+           |      $proj += $m[$base + $j] * $x[$j];
+           |    }
+           |    if ($proj >= 0) $bucket |= (1L << $p);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Counts, per profile, how many whitespace-separated tokens belong to
     * that profile's keyword set — a single tokenization pass replacing one
     * regex scan per profile. Equivalent to counting `\b(w1|w2|...)\b`
@@ -446,4 +573,13 @@ object NativeExpressions {
 
   def cjkCharCount(c: Column): Column =
     GraftBridge.column(CjkCharCount(GraftBridge.expression(c)))
+
+  def intDot(a: Column, b: Column): Column =
+    GraftBridge.column(IntegerDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def detLshBuckets(qv8: Column, tables: Int, planes: Int,
+                    comps: Seq[Long]): Column =
+    GraftBridge.column(DetLshBuckets(
+      GraftBridge.expression(qv8), tables, planes, comps))
 }

@@ -26,7 +26,7 @@ import graft.functions.TextHashFunctions._
   * projection is pure BIGINT arithmetic — no float summation order for
   * the engines to disagree on, and the sign threshold is exact.
   */
-private[operators] object DetLsh {
+private[graft] object DetLsh {
   val Tables = 2
   val Planes = 10
   val Dims = 8
@@ -94,6 +94,24 @@ private[operators] object DetLsh {
 
   /** The (2, 10) banding CTE used by the near-dup det twins. */
   val planesSql: String = planesSqlN(Tables, Planes)
+
+  /** All `tables` buckets as ONE array<bigint> column over the
+    * quantized-8-prefix array `qv8`, with the plane matrix folded into a
+    * single constant array literal and the projection loops expressed as
+    * higher-order functions. Semantically identical to [[bucketColsN]]
+    * but with CONSTANT-SIZE generated code: the unrolled per-column form
+    * emits tables*planes*Dims literal nodes (1,152 at 24x6), whose
+    * generated megamethod Janino recompiles on every invocation (fresh
+    * expression ids defeat the codegen cache) — measured 12 s/run for
+    * the radius-search banding vs 1.3 s in this form.
+    */
+  def bucketArray(qv8: Column, tables: Int, planes: Int): Column = {
+    val flat: Seq[Long] = for {
+      t <- 0 until tables; p <- 0 until planes; j <- 1 to Dims
+    } yield comp(t, p, j)
+    graft.functions.NativeExpressions.detLshBuckets(
+      qv8, tables, planes, flat)
+  }
 }
 
 object Dedup {

@@ -63,10 +63,11 @@ object Similarity {
     */
   private[graft] def rangeLshCandidates(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val buckets = DetLsh.bucketColsN(
-      DetLsh.quantized(col("embedding")), RangeTables, RangePlanes)
+    val qv8 = expr("transform(slice(embedding, 1, 8), x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
     val long = e.select(col("vec_id"),
-      posexplode(array(buckets: _*)).as(Seq("t", "bucket")))
+      posexplode(DetLsh.bucketArray(qv8, RangeTables, RangePlanes))
+        .as(Seq("t", "bucket")))
     val q = long.filter(col("vec_id") < RangeQueries)
       .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
     long.select(col("vec_id").as("n_id"), col("t"), col("bucket"))
@@ -77,20 +78,28 @@ object Similarity {
 
   /** Candidates with the BIGINT dot product and squared norms of the
     * quantized 16-prefixes attached — the exact-verify input shared by
-    * the det radius query and its recall spec.
+    * the det radius query and its recall spec. Norms are PER-VECTOR
+    * (computed once on the 2-column base frame, not per candidate pair),
+    * and the pair-level dot runs through the native codegen'd
+    * [[graft.functions.NativeExpressions.intDot]] kernel — the HOF form
+    * is CodegenFallback and gets duplicated into the join condition by
+    * predicate inlining (arithmetic identical either way: sequential
+    * long multiply-add).
     */
   private[graft] def rangeLshScored(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NativeExpressions.intDot
     val e = Tables.embeddings(s, d)
     val base = e.select(col("vec_id"), qvArr.as("qv"))
+      .withColumn("nrm", intDot(col("qv"), col("qv")))
     val qSide = base.filter(col("vec_id") < RangeQueries)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
-    val nSide = base.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("na"))
+    val nSide = base.select(col("vec_id").as("n_id"),
+      col("qv").as("n_qv"), col("nrm").as("nb"))
     rangeLshCandidates(s, d)
       .join(broadcast(qSide), "q_id")
       .join(nSide, "n_id")
-      .withColumn("dot", foldSum("zip_with(q_qv, n_qv, (x, y) -> x * y)"))
-      .withColumn("na", foldSum("transform(q_qv, x -> x * x)"))
-      .withColumn("nb", foldSum("transform(n_qv, x -> x * x)"))
+      .withColumn("dot", intDot(col("q_qv"), col("n_qv")))
   }
 
   /** The brute-force integer-radius twin (bounded broadcast cross) the
@@ -98,16 +107,18 @@ object Similarity {
     * space, same cross-multiplied radius check, no prefilter.
     */
   private[graft] def rangeBruteInt(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NativeExpressions.intDot
     val e = Tables.embeddings(s, d)
     val base = e.select(col("vec_id"), qvArr.as("qv"))
+      .withColumn("nrm", intDot(col("qv"), col("qv")))
     val q = base.filter(col("vec_id") < RangeQueries)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
-    base.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("na"))
+    base.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+        col("nrm").as("nb"))
       .crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("dot", foldSum("zip_with(q_qv, n_qv, (x, y) -> x * y)"))
-      .withColumn("na", foldSum("transform(q_qv, x -> x * x)"))
-      .withColumn("nb", foldSum("transform(n_qv, x -> x * x)"))
+      .withColumn("dot", intDot(col("q_qv"), col("n_qv")))
       .filter(col("dot") >= 0 &&
         col("dot") * col("dot") * 25 >= col("na") * col("nb") * 9)
       .select(col("q_id"), col("n_id"))
@@ -246,9 +257,8 @@ object Similarity {
           col("qv").as("n_qv"))
         val scored = cand.join(broadcast(qSide), "q_id")
           .join(nSide, "n_id")
-          .withColumn("score", expr(
-            "aggregate(zip_with(q_qv, n_qv, (x, y) -> x * y), 0L, " +
-              "(acc, v) -> acc + v)"))
+          .withColumn("score", graft.functions.NativeExpressions
+            .intDot(col("q_qv"), col("n_qv")))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("score").desc, col("n_id"))
         scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -338,9 +348,8 @@ object Similarity {
           col("qv").as("n_qv"))
         val scored = cand.join(broadcast(qSide), "q_id")
           .join(nSide, "n_id")
-          .withColumn("score", expr(
-            "aggregate(zip_with(q_qv, n_qv, (x, y) -> x * y), 0L, " +
-              "(acc, v) -> acc + v)"))
+          .withColumn("score", graft.functions.NativeExpressions
+            .intDot(col("q_qv"), col("n_qv")))
         val wr = Window.partitionBy(col("q_id"))
           .orderBy(col("score").desc, col("n_id"))
         scored.withColumn("rnk", row_number().over(wr).cast("long"))

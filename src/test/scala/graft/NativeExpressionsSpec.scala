@@ -142,6 +142,48 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(got(3).startsWith("\u00c5"))
   }
 
+  test("native intDot == HOF aggregate(zip_with) fold (bit-exact), " +
+    "null-safe") {
+    import graft.functions.NativeExpressions.intDot
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", org.apache.spark.sql.functions.expr(
+        "transform(slice(embedding, 1, 16), x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+    val both = e.select(
+      intDot($"qv", $"qv").as("native"),
+      org.apache.spark.sql.functions.expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v)").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val n = Seq((Seq(1L, 2L), null.asInstanceOf[Seq[Long]]))
+      .toDF("a", "b").select(intDot($"a", $"b")).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("native detLshBuckets == unrolled bucketColsN column trees " +
+    "(bit-exact) on real embeddings") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val qv8 = org.apache.spark.sql.functions.expr(
+      "transform(slice(embedding, 1, 8), x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    // the (24, 6) radius banding: kernel vs the literal-unrolled form
+    val flat = for {
+      t <- 0 until 24; p <- 0 until 6; j <- 1 to 8
+    } yield graft.operators.DetLsh.comp(t, p, j)
+    val native = graft.functions.NativeExpressions
+      .detLshBuckets(qv8, 24, 6, flat)
+    val unrolled = org.apache.spark.sql.functions.array(
+      graft.operators.DetLsh.bucketColsN(
+        graft.operators.DetLsh.quantized($"embedding"), 24, 6): _*)
+    val rows = e.select(native.as("a"), unrolled.as("b")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
   test("expressions survive whole-stage codegen (no fallback) in a real plan") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val q = e.select($"vec_id", VectorFunctions.cosine($"embedding", $"embedding").as("c"))
