@@ -982,6 +982,10 @@ object GraftOrcWrite {
         .getOrElse(GraftOrcManifest.RetainSnapshots)
       var attempt = 0
       var committed = false
+      // segment carry: base entries pass through untouched from the
+      // prior snapshot (minusReplaced only FILTERS), so its segments
+      // carry by identity — the writer's append is O(adds + segments)
+      var carrySnap = manifestBefore
       while (!committed) {
         try {
           GraftOrcManifest.writeSnapshot(fs, qdir, next, base ++ added,
@@ -992,7 +996,7 @@ object GraftOrcWrite {
                  else if (deltaRefs.isDefined) "delta"
                  else if (upsertSidecars.nonEmpty) "upsert"
                  else "append",
-            meta = chosenMeta, branch = branch)
+            meta = chosenMeta, branch = branch, carryFrom = carrySnap)
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException
@@ -1024,6 +1028,7 @@ object GraftOrcWrite {
             }
             base = minusReplaced(winner.entries)
             baseDeletes = winner.deletes
+            carrySnap = Some(winner)
             next = winner.seq + 1
             // an explicit retain option still wins; otherwise inherit
             // the policy the WINNER persisted (it is the newest state)

@@ -145,6 +145,40 @@ class GraftOrcSegmentSpec extends AnyFunSuite {
       base.toSet)
   }
 
+  test("the REAL writer path carries segments: a DSv2 append on a " +
+    "1200-file table re-serializes only its adds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-seg-writer").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    // 1200 single-row files: over the SegInlineMax threshold
+    spark.range(0, 1200, 1, 1200).select($"id")
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)
+    val s1 = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(s1.entries.size === 1200)
+    assert(s1.segs.nonEmpty, "1200 entries must segment")
+    val before = s1.segs.map(_.path.getName).toSet
+    spark.range(5000, 5004, 1, 4).select($"id")
+      .write.format("graft-orc").mode("append").save(dir)
+    val s2 = GraftOrcManifest.readSnapshot(fs, qt).get
+    assert(s2.entries.size === 1204)
+    assert(before.subsetOf(s2.segs.map(_.path.getName).toSet),
+      "the writer's append must carry the prior segments by reference")
+    // the appended snapshot file itself is small: refs + 4 inline lines,
+    // not 1204 serialized entries
+    val snapBytes = fs.listStatus(new Path(qt, "_graft_manifest"))
+      .filter(_.getPath.getName.startsWith("snap-"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val newest = snapBytes.keys.toSeq.sorted.last
+    assert(snapBytes(newest) < 4096,
+      s"append snapshot file is ${snapBytes(newest)} B — not O(adds)")
+    // read-back exactness over the segmented manifest
+    val got = spark.read.format("graft-orc").load(dir)
+      .agg(org.apache.spark.sql.functions.sum($"id")).collect()(0).getLong(0)
+    assert(got === (0L until 1200L).sum + (5000L to 5003L).sum)
+  }
+
   test("many small appends roll the inline residual into a segment at " +
     "the threshold; a segment-count blowup re-segments fresh") {
     val dir = Files.createTempDirectory("graft-seg-roll").toString
