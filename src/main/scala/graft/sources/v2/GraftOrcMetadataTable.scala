@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftOrcMetadataTable {
 
   val Kinds: Set[String] = Set("snapshots", "files", "partitions",
-    "history", "tags", "branches", "deletes", "refs")
+    "history", "tags", "branches", "deletes", "refs", "manifests")
 
   private[v2] def snapshotsSchema = StructType(Seq(
     StructField("seq", LongType, nullable = false),
@@ -126,6 +126,18 @@ object GraftOrcMetadataTable {
     * graph in one frame — main, each branch (with its fork base), each
     * tag — the one table an operator lists to see "what states exist".
     */
+  /** Segmented-manifest observability: how the CURRENT snapshot's
+    * listing is physically stored — one row per write-once segment file
+    * (name, entry count, bytes) plus an `<inline>` row for entries
+    * serialized in the snapshot file itself. The table an operator
+    * checks to see whether appends are O(adds) (carried refs) and when
+    * the 64-segment re-segmentation will fire.
+    */
+  private[v2] def manifestsSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("entries", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = true)))
+
   private[v2] def refsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -146,6 +158,20 @@ object GraftOrcMetadataTable {
             GraftOrcManifest.readSnapshot(fs, qt, Some(n))
               .map(_.seq).getOrElse(0L))
         })
+      case "manifests" =>
+        val s = GraftOrcManifest.readSnapshot(fs, qt)
+          .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
+        val segRows = s.segs.map { g =>
+          val len =
+            try fs.getFileStatus(g.path).getLen
+            catch { case _: java.io.FileNotFoundException => -1L }
+          Seq[Any](g.path.getName, g.entries.size.toLong, len)
+        }
+        val inline = s.entries.size - s.segs.map(_.entries.size).sum
+        val rows = segRows ++
+          (if (inline > 0 || segRows.isEmpty)
+            Seq(Seq[Any]("<inline>", inline.toLong, null)) else Nil)
+        (manifestsSchema, rows)
       case "refs" =>
         val main = GraftOrcManifest.readSnapshot(fs, qt)
           .map(snp => Seq[Any]("main", "branch", snp.seq, null)).toSeq

@@ -179,6 +179,41 @@ class GraftOrcSegmentSpec extends AnyFunSuite {
     assert(got === (0L until 1200L).sum + (5000L to 5003L).sum)
   }
 
+  test("t.manifests metadata table reports the segment layout (segments " +
+    "+ inline rows; accounts for every entry)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-seg-meta-wh").toString
+    spark.conf.set("spark.sql.catalog.gseg",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gseg.warehouse", wh)
+    spark.sql("CREATE TABLE gseg.mt (id BIGINT)")
+    try {
+      // explicit 1200 input partitions (an AQE-coalescible REPARTITION
+      // hint shrank to ~700 files, under the segmentation threshold)
+      spark.range(0, 1200, 1, 1200).select($"id")
+        .writeTo("gseg.mt").append()
+      val rows = spark.sql("SELECT file, entries, bytes " +
+        "FROM gseg.mt.manifests").collect()
+      val segRows = rows.filter(!_.getString(0).startsWith("<inline>"))
+      assert(segRows.nonEmpty, rows.mkString("; "))
+      assert(segRows.forall(r => r.getString(0).startsWith("seg-") &&
+        r.getLong(1) > 0 && r.getLong(2) > 0))
+      // accounting: segment entries + inline entries == table files
+      val total = rows.map(_.getLong(1)).sum
+      assert(total === 1200L, s"manifests accounts $total of 1200")
+      // a small table reports one <inline> row and no segments
+      spark.sql("CREATE TABLE gseg.small (id BIGINT)")
+      spark.sql("INSERT INTO gseg.small VALUES (1)")
+      val small = spark.sql("SELECT file, entries FROM gseg.small.manifests")
+        .collect()
+      assert(small.length === 1 && small(0).getString(0) === "<inline>" &&
+        small(0).getLong(1) === 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gseg.mt")
+      spark.sql("DROP TABLE IF EXISTS gseg.small")
+    }
+  }
+
   test("many small appends roll the inline residual into a segment at " +
     "the threshold; a segment-count blowup re-segments fresh") {
     val dir = Files.createTempDirectory("graft-seg-roll").toString
