@@ -267,11 +267,46 @@ object GraftOrcManifest {
     */
   private val segmentCache =
     new java.util.LinkedHashMap[String, Seq[OrcFileEntry]](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[OrcFileEntry]]): Boolean =
-        size() > 128
+      64, 0.75f, true)
+  // the cache is bounded by TOTAL CACHED ENTRIES, not segment count: at
+  // SegTarget=8192 entries with per-entry stats payloads, a fixed
+  // segment-count cap would let the worst case pin ~1M entry objects
+  // (hundreds of MB) on the driver across many hot tables. 64k entries
+  // ≈ 8 full-size segments ≈ a 512k-file working set of snapshot tails,
+  // tens of MB at most.
+  private val SegCacheMaxEntries = 64 * 1024
+  private var segmentCacheEntries = 0L
+
+  private[graft] def segCachePut(key: String, entries: Seq[OrcFileEntry]): Unit =
+    segmentCache.synchronized {
+      val prev = segmentCache.put(key, entries)
+      segmentCacheEntries +=
+        entries.size.toLong - (if (prev == null) 0L else prev.size.toLong)
+      // evict access-order-eldest segments until within the entry bound;
+      // the just-inserted segment always stays (a single over-bound
+      // segment must still serve its readSegment call sites)
+      val it = segmentCache.entrySet().iterator()
+      while (segmentCacheEntries > SegCacheMaxEntries &&
+          segmentCache.size() > 1 && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          segmentCacheEntries -= e.getValue.size.toLong
+          it.remove()
+        }
+      }
     }
+
+  private[graft] def segCacheDrop(key: String): Unit =
+    segmentCache.synchronized {
+      val prev = segmentCache.remove(key)
+      if (prev != null) segmentCacheEntries -= prev.size.toLong
+    }
+
+  /** (cached segment count, total cached entries) — spec hook for the
+    * entry-bounded eviction contract.
+    */
+  private[graft] def segCacheStats: (Int, Long) =
+    segmentCache.synchronized((segmentCache.size(), segmentCacheEntries))
 
   private def readSegment(fs: FileSystem, qt: Path,
                           segPath: Path): Seq[OrcFileEntry] = {
@@ -297,7 +332,7 @@ object GraftOrcManifest {
       }
       buf.result()
     } finally in.close()
-    segmentCache.synchronized { segmentCache.put(key, entries) }
+    segCachePut(key, entries)
     entries
   }
 
@@ -353,9 +388,9 @@ object GraftOrcManifest {
     ParsedSnap(entries, retain, deletes, op, meta, segs)
   }
 
-  private final class EntryFields(val path: String, val len: Long,
-                                  val mtime: Long, val v: Long,
-                                  val sv: Long, val stats: Option[String])
+  private[graft] final class EntryFields(
+      val path: String, val len: Long, val mtime: Long, val v: Long,
+      val sv: Long, val stats: Option[String])
 
   /** Single-pass parser for the flat entry/delete lines — the
     * manifest's hot loop (100k+ lines at table scale). One walk over
@@ -366,27 +401,34 @@ object GraftOrcManifest {
     * per-key helpers: `v` defaults 0, `sv` defaults -1, `s` optional,
     * `\uXXXX` and single-char escapes decoded.
     */
-  private def parseEntryLine(line: String): EntryFields = {
+  private[graft] def parseEntryLine(line: String): EntryFields = {
+    // descriptive failure on a truncated/corrupt line (damaged manifest
+    // diagnostics must name the line, not throw a bare index error)
+    def malformed(): Nothing = throw new IllegalArgumentException(
+      s"graft-orc manifest: malformed entry line: $line")
     var i = 1 // past '{'
     var path: String = null
     var len = 0L; var mtime = 0L; var v = 0L; var sv = -1L
     var stats: Option[String] = None
     while (i < line.length && line.charAt(i) == '"') {
       val kEnd = line.indexOf('"', i + 1)
+      if (kEnd < 0 || kEnd + 2 >= line.length) malformed()
       val key = line.substring(i + 1, kEnd)
       i = kEnd + 2 // past the closing quote and ':'
       if (line.charAt(i) == '"') {
         i += 1
         val start = i
         var sb: java.lang.StringBuilder = null
-        while (line.charAt(i) != '"') {
+        while (i < line.length && line.charAt(i) != '"') {
           val c = line.charAt(i)
           if (c == '\\') {
+            if (i + 1 >= line.length) malformed()
             if (sb == null) {
               sb = new java.lang.StringBuilder
               sb.append(line, start, i) }
             line.charAt(i + 1) match {
               case 'u' =>
+                if (i + 6 > line.length) malformed()
                 sb.append(Integer.parseInt(
                   line.substring(i + 2, i + 6), 16).toChar)
                 i += 6
@@ -394,6 +436,7 @@ object GraftOrcManifest {
             }
           } else { if (sb != null) sb.append(c); i += 1 }
         }
+        if (i >= line.length) malformed() // unterminated quoted value
         val str =
           if (sb == null) line.substring(start, i) else sb.toString
         i += 1
@@ -613,9 +656,18 @@ object GraftOrcManifest {
 
   /** Segment names a snapshot file references — raw scan, stopping at
     * the first entry/delete line (refs are written right after the
-    * header/meta block).
+    * header/meta block). `lenient` controls the failure posture, and it
+    * MUST match which side of a GC decision the caller is on: Nil on a
+    * read error is conservative only for DEAD snapshots (their segments
+    * merely leak until vacuum); for a KEPT/LIVE snapshot, an
+    * error-as-Nil would make its segments look unreferenced and get
+    * them deleted — a transient object-store throttle turning into data
+    * loss on the CURRENT snapshot. Live-side callers pass
+    * `lenient = false` and handle the propagated failure by aborting
+    * their sweep.
     */
-  private def segRefNamesOf(fs: FileSystem, snap: Path): Seq[String] =
+  private def segRefNamesOf(fs: FileSystem, snap: Path,
+                            lenient: Boolean = true): Seq[String] =
     try {
       val in = fs.open(snap)
       try {
@@ -633,19 +685,29 @@ object GraftOrcManifest {
         }
         refs.result()
       } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+    } catch {
+      case scala.util.control.NonFatal(_) if lenient => Nil
+    }
 
   /** Delete the segment files only `dead` snapshot files referenced
-    * (callers pass the refs READ BEFORE deleting the snapshots).
+    * (callers pass the refs READ BEFORE deleting the snapshots). The
+    * LIVE ref set must come from successful reads of EVERY kept
+    * snapshot: if any kept-file scan fails, the whole sweep aborts —
+    * the dead refs leak until a later expiry or vacuum retries, which
+    * is always recoverable; deleting a segment a retained snapshot
+    * still references is not.
     */
-  private def gcSegments(fs: FileSystem, dir: Path,
-                         deadRefs: Seq[String],
-                         keptFiles: Seq[Path]): Unit = {
+  private[graft] def gcSegments(fs: FileSystem, dir: Path,
+                                deadRefs: Seq[String],
+                                keptFiles: Seq[Path]): Unit = {
     if (deadRefs.isEmpty) return
-    val live = keptFiles.flatMap(p => segRefNamesOf(fs, p)).toSet
+    val live =
+      try keptFiles
+        .flatMap(p => segRefNamesOf(fs, p, lenient = false)).toSet
+      catch { case scala.util.control.NonFatal(_) => return }
     deadRefs.toSet.diff(live).foreach { n =>
       val p = new Path(dir, n)
-      segmentCache.synchronized { segmentCache.remove(p.toString) }
+      segCacheDrop(p.toString)
       try fs.delete(p, false) catch { case _: java.io.IOException => }
     }
   }
@@ -1385,18 +1447,27 @@ object GraftOrcManifest {
     // commit window
     var staleSegs = 0
     lineageDirs(fs, qt).foreach { d =>
-      val liveSegs = snapFilesIn(fs, d)
-        .flatMap(p => segRefNamesOf(fs, p)).toSet
-      val orphans =
-        try fs.listStatus(d).toSeq.filter(st => st.isFile &&
-          st.getPath.getName.startsWith("seg-") &&
-          st.getPath.getName.endsWith(".json") &&
-          !liveSegs(st.getPath.getName) &&
-          st.getModificationTime < olderThanMs)
-        catch { case _: java.io.FileNotFoundException => Nil }
+      // STRICT live-ref scan, same posture as gcSegments: every
+      // snapshot in this lineage is live here, so a failed ref read
+      // must skip the lineage's segment sweep (orphans leak to the
+      // next vacuum), never default the snapshot's refs to Nil and
+      // sweep segments it still references
+      val liveSegs =
+        try Some(snapFilesIn(fs, d)
+          .flatMap(p => segRefNamesOf(fs, p, lenient = false)).toSet)
+        catch { case scala.util.control.NonFatal(_) => None }
+      val orphans = liveSegs match {
+        case None => Nil
+        case Some(live) =>
+          try fs.listStatus(d).toSeq.filter(st => st.isFile &&
+            st.getPath.getName.startsWith("seg-") &&
+            st.getPath.getName.endsWith(".json") &&
+            !live(st.getPath.getName) &&
+            st.getModificationTime < olderThanMs)
+          catch { case _: java.io.FileNotFoundException => Nil }
+      }
       orphans.foreach { st =>
-        segmentCache.synchronized {
-          segmentCache.remove(st.getPath.toString) }
+        segCacheDrop(st.getPath.toString)
         try { if (fs.delete(st.getPath, false)) staleSegs += 1 }
         catch { case _: java.io.IOException => }
       }

@@ -289,7 +289,12 @@ object GraftOrcProcedures {
       // unbounded on main until its NEXT delete
       val p = new Path(resolve(str(args, 0)))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      GraftOrcMor.maybeAutoConsolidate(spark, fs, fs.makeQualified(p))
+      // the publish + dropBranch above already COMMITTED: housekeeping
+      // must never fail the CALL after the fact (a retry would then hit
+      // 'no branch' and read as a failed publish) — same never-fail-the-
+      // commit posture as writeSnapshot's expiry
+      try GraftOrcMor.maybeAutoConsolidate(spark, fs, fs.makeQualified(p))
+      catch { case scala.util.control.NonFatal(_) => }
       row(base, pub)
     },
 

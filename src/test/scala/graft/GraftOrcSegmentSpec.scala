@@ -232,4 +232,88 @@ class GraftOrcSegmentSpec extends AnyFunSuite {
     assert(s.segs.size >= 2 && s.segs.size < 64,
       s"unexpected segment count ${s.segs.size}")
   }
+
+  // ---- round-16 hardening: the GC live-side read-failure posture ------
+
+  test("gcSegments aborts when a KEPT snapshot's ref scan fails — a " +
+    "dead ref shared with an unreadable live file must NOT be swept") {
+    val dir = Files.createTempDirectory("graft-seg-gc-abort").toString
+    val fs = fsFor(dir)
+    val d = fs.makeQualified(new Path(dir))
+    fs.mkdirs(d)
+    val segName = "seg-test-live.json"
+    fs.create(new Path(d, segName), true).close()
+    // kept file is MISSING (stands in for an object-store read failure
+    // on a retained snapshot): the old Nil-on-error posture would treat
+    // its segments as unreferenced and delete them — data loss on a
+    // retained snapshot. The strict posture aborts the sweep.
+    GraftOrcManifest.gcSegments(fs, d, deadRefs = Seq(segName),
+      keptFiles = Seq(new Path(d, "snap-missing.json")))
+    assert(fs.exists(new Path(d, segName)),
+      "segment swept despite an unreadable kept snapshot")
+    // with every kept file readable (none), the same dead ref IS swept
+    GraftOrcManifest.gcSegments(fs, d, deadRefs = Seq(segName),
+      keptFiles = Nil)
+    assert(!fs.exists(new Path(d, segName)))
+  }
+
+  test("vacuum fails loudly — deleting nothing — when a live snapshot " +
+    "is unreadable, instead of treating its segments/files as orphans") {
+    val dir = Files.createTempDirectory("graft-seg-vac-abort").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, mk(1200, qt), retain = 3)
+    val md = new Path(qt, "_graft_manifest")
+    val segs = segFiles(fs, qt)
+    assert(segs.nonEmpty)
+    // corrupt the lineage: a snapshot-named DIRECTORY makes fs.open fail
+    // on a file vacuum must treat as live. The live set is then
+    // incomplete, so the only safe outcome is a loud failure BEFORE any
+    // delete (an error-as-empty posture would sweep everything the
+    // unreadable snapshot references).
+    fs.mkdirs(new Path(md, "snap-99999999999999999999-bogus.json"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    intercept[java.io.IOException] {
+      GraftOrcManifest.vacuum(conf, dir)
+    }
+    assert(segFiles(fs, qt) === segs,
+      "vacuum swept segments of a lineage with an unreadable snapshot")
+  }
+
+  test("segment cache is bounded by total cached ENTRIES, keeping the " +
+    "just-inserted segment") {
+    val qt = new Path("file:/graft-seg-cache-test")
+    val big = mk(8192, qt)
+    val (n0, e0) = GraftOrcManifest.segCacheStats
+    assert(e0 <= 64 * 1024)
+    val keys = (0 until 12).map(i => s"file:/graft-seg-cache-test/k$i")
+    keys.foreach(k => GraftOrcManifest.segCachePut(k, big))
+    val (n1, e1) = GraftOrcManifest.segCacheStats
+    // 12 x 8192 = 98k entries offered; the bound holds and the count
+    // tracks the survivors exactly
+    assert(e1 <= 64 * 1024, s"cache holds $e1 entries")
+    assert(n1 >= 1)
+    // dropping the survivors returns their entries to the pool
+    keys.foreach(GraftOrcManifest.segCacheDrop)
+    val (_, e2) = GraftOrcManifest.segCacheStats
+    assert(e2 <= e0, s"entry accounting drifted: $e0 -> $e2")
+  }
+
+  test("parseEntryLine fails descriptively on truncated/corrupt lines") {
+    val bad = Seq(
+      """{"p":"part-1.orc""",          // unterminated quoted value
+      """{"p":"part-1.orc\""",         // escape at end of line
+      """{"p"""                        // key with no value
+    )
+    bad.foreach { l =>
+      val ex = intercept[IllegalArgumentException] {
+        GraftOrcManifest.parseEntryLine(l)
+      }
+      assert(ex.getMessage.contains("malformed entry line"), l)
+    }
+    // the good path still parses
+    val e = GraftOrcManifest.parseEntryLine(
+      """{"p":"a bA.orc","l":10,"t":5,"v":2}""")
+    assert(e.path === "a bA.orc" && e.len === 10L && e.v === 2L)
+  }
 }
