@@ -202,7 +202,12 @@ object Bench {
     // round 15: the SCALE path for radius similarity search — banded-LSH
     // prefilter (24x6 md5-det planes) + BIGINT-exact radius verify; no
     // corpus x query cross anywhere in the plan
-    "ss_range_search_lsh_det")
+    "ss_range_search_lsh_det",
+    // round 16: streaming crawl-dedup ingestion — three delivery
+    // commits consumed as a checkpointed micro-batch stream (with one
+    // stop/restart), each batch keep-min-MERGEd into a MoR clean table;
+    // fresh crawl + clean table + checkpoint per iteration
+    "rl_stream_dedup_ingest")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

@@ -273,6 +273,7 @@ object ScaleStress {
     val consolidateMode = args.lift(1).contains("consolidate")
     val branchConsMode = args.lift(1).contains("branchcons")
     val manifestScaleMode = args.lift(1).contains("manifestscale")
+    val streamIngestMode = args.lift(1).contains("streamingest")
     val specEvoMode = args.lift(1).contains("specevo")
     val evoMode = !specEvoMode && args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
@@ -283,7 +284,8 @@ object ScaleStress {
       compactMode || semdedupMode || perplexityMode || manifestMode ||
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
       wapMode || hiddenMode || specEvoMode || morDenseMode ||
-      consolidateMode || branchConsMode || manifestScaleMode
+      consolidateMode || branchConsMode || manifestScaleMode ||
+      streamIngestMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -851,6 +853,72 @@ object ScaleStress {
           f.delete()
         }
         rm(new java.io.File(fpDir))
+      }
+      spark.stop()
+      return
+    }
+
+    // Streaming-ingest receipt: one FIXED crawl commit keep-min-MERGEd
+    // (graft.streaming.IngestDedup) into a clean table whose history
+    // grows k-fold. The claim matches the MERGE shape honestly: per-batch
+    // cost = O(batch) shuffle/write (MoR delta files only for touched
+    // rows) + the clean table's fp-join scan — history is never
+    // re-clustered or rewritten, so growth is the sublinear scan term,
+    // not the superlinear re-dedup term.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 streamingest 1 10
+    if (streamIngestMode) {
+      import graft.functions.TextHashFunctions.md5Key60
+      import graft.streaming.IngestDedup
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-si-wh").toString
+      spark.conf.set("spark.sql.catalog.gsi",
+        "graft.sources.v2.GraftOrcCatalog")
+      spark.conf.set("spark.sql.catalog.gsi.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsi.default")
+      val docs0 = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      factors.foreach { k =>
+        val t = s"gsi.default.clean_$k"
+        spark.sql(s"CREATE TABLE $t (fp BIGINT, doc_id BIGINT, " +
+          "src STRING, n_chars BIGINT) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
+        // seed: k text-perturbed copies of the even half, already
+        // fingerprinted (history build cost amortized over past
+        // batches — not this batch's bill)
+        val hist = (0 until k).map { i =>
+          docs0.filter(col("doc_id") % 2 === 0).select(
+            (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+            concat(col("text"), lit(s" v$i")).as("text"),
+            col("n_chars"))
+        }.reduce(_ unionByName _)
+        hist.select(md5Key60(col("text")).as("fp"), col("doc_id"),
+            lit("hist").as("src"), col("n_chars"))
+          .repartition(8).writeTo(t).append()
+        // fixed crawl: the odd half (all fresh) + a re-delivery of a
+        // 1/6 slice of history copy 0 under LARGER ids (matched,
+        // keep-min no-op — the recrawl pattern)
+        val crawlDir = java.nio.file.Files
+          .createTempDirectory(s"graft-si-crawl-$k").toString
+        docs0.filter(col("doc_id") % 2 === 1)
+          .withColumn("src", lit("crawl"))
+          .unionByName(docs0.filter(col("doc_id") % 6 === 0).select(
+            (col("doc_id") + lit(5000000000L)).as("doc_id"),
+            concat(col("text"), lit(" v0")).as("text"), col("n_chars"))
+            .withColumn("src", lit("recrawl")))
+          .select(col("doc_id"), col("text"), col("n_chars"), col("src"))
+          .repartition(4).write.format("graft-orc")
+          .option("graft.manifest", "true").mode("append").save(crawlDir)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-si-ck-$k").toString + "/c"
+        val histRows = spark.table(t).count()
+        val t0 = System.nanoTime()
+        IngestDedup.ingest(spark, crawlDir, t, ckpt)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cleanRows = spark.table(t).count()
+        println(s"""{"op":"streaming_ingest","factor":$k,""" +
+          s""""history_rows":$histRows,"clean_rows":$cleanRows,""" +
+          s""""ingest_sec":${num(sec)}}""")
+        spark.sql(s"DROP TABLE $t")
       }
       spark.stop()
       return

@@ -913,5 +913,79 @@ object CatalogOps {
              |      AS n_tokens
              |  FROM documents) t
              |WHERE doc_id % 2 = 0 OR n_tokens >= 10
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------- streaming dedup ingestion (round 16)
+    // The continuous form of dd_incremental: a graft-orc CRAWL table
+    // receives append commits carrying re-deliveries (a recrawl hands
+    // out NEW doc_ids for already-seen text), and a checkpointed
+    // micro-batch stream MERGEs each batch into a clean catalog table
+    // with keep-min semantics (graft.streaming.IngestDedup). Keep-min
+    // is order-free and idempotent, so the final state is exactly the
+    // batch dedup of everything ever delivered — regardless of batch
+    // boundaries, the stop/restart between the two waves below, or
+    // foreachBatch replays. Three delivery commits: every doc's TRUE id
+    // arrives in its doc_id%3 commit; %5 docs are pre-delivered in
+    // commit 1 under id+2M ('c1x') and %4 docs re-delivered in commit 2
+    // under id+1M ('c2x') — so the MERGE exercises insert,
+    // matched-no-update (variant after true), AND matched-update
+    // (true after variant, winner payload follows).
+    // Scale shape: per-batch work is batch-bounded (8-byte fp keys,
+    // MoR-delta MERGE touches only matching files); history is never
+    // re-clustered. The stream between waves restarts from its
+    // checkpoint — wave 2 reads only the unconsumed commit.
+    QueryDef("rl_stream_dedup_ingest",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("sdi")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val crawlDir = freshDir("sdicrawl")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        def deliver(df: DataFrame): Unit =
+          df.select(col("doc_id"), col("text"), col("n_chars"), col("src"))
+            .repartition(2).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("append").save(crawlDir)
+        def redeliver(m: Int, off: Long, tag: String): DataFrame =
+          docs.filter(col("doc_id") % m === 0)
+            .select((col("doc_id") + off).as("doc_id"), col("text"),
+              col("n_chars"), lit(tag).as("src"))
+        s.sql(s"CREATE TABLE $qt (fp BIGINT, doc_id BIGINT, src STRING, " +
+          "n_chars BIGINT) TBLPROPERTIES('graft.merge_mode'='mor')")
+        val ckpt = freshDir("sdickpt") + "/ckpt"
+        deliver(docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("src", lit("c1"))
+          .unionByName(redeliver(5, 2000000L, "c1x")))
+        deliver(docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("src", lit("c2"))
+          .unionByName(redeliver(4, 1000000L, "c2x")))
+        graft.streaming.IngestDedup.ingest(s, crawlDir, qt, ckpt)
+        // wave 2 lands while the stream is DOWN; the resumed stream
+        // consumes only this commit
+        deliver(docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("src", lit("c3")))
+        graft.streaming.IngestDedup.ingest(s, crawlDir, qt, ckpt)
+        s.sql(s"SELECT fp, doc_id, src, n_chars FROM $qt ORDER BY fp")
+      },
+      Some("""WITH del AS (
+             |  SELECT doc_id, text,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'c1'
+             |         WHEN 1 THEN 'c2' ELSE 'c3' END AS src, n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text, 'c1x', n_chars
+             |  FROM documents WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, 'c2x', n_chars
+             |  FROM documents WHERE doc_id % 4 = 0),
+             |f AS (
+             |  SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+             |      AS fp,
+             |    doc_id, src, n_chars
+             |  FROM del)
+             |SELECT fp, min(doc_id) AS doc_id,
+             |  arg_min(src, doc_id) AS src,
+             |  arg_min(n_chars, doc_id) AS n_chars
+             |FROM f GROUP BY fp ORDER BY fp""".stripMargin)))
 }

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.IngestDedup
+
+/** Streaming crawl-dedup ingestion (graft.streaming.IngestDedup): a
+  * checkpointed micro-batch stream over a graft-orc crawl table MERGEs
+  * each batch into a clean catalog table with keep-min semantics. The
+  * contract under test is EXACTLY-ONCE-EQUIVALENCE: the clean table's
+  * final state is a pure function of the set of documents ever
+  * delivered — invariant to micro-batch boundaries, checkpoint
+  * restarts between waves, and full at-least-once replays (a fresh
+  * checkpoint re-reads the whole crawl; the re-MERGE must be a no-op).
+  */
+class GraftOrcStreamIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-ingest-wh").toString
+    spark.conf.set("spark.sql.catalog.ging",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.ging.warehouse", dir)
+    dir
+  }
+
+  private def uniq(tag: String): String =
+    tag + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** 30 docs, ids 0..29; text is a function of id so re-deliveries of
+    * the same text under a new id collide on the fingerprint.
+    */
+  private def docs(ids: Seq[Int], idOff: Long, src: String): DataFrame =
+    ids.toDF("base")
+      .select((col("base") + idOff).as("doc_id"),
+        concat(lit("document body number "), col("base")).as("text"),
+        (col("base") % 7).cast("long").as("n_chars"),
+        lit(src).as("src"))
+
+  private def deliver(dir: String, df: DataFrame): Unit =
+    df.select($"doc_id", $"text", $"n_chars", $"src").repartition(2)
+      .write.format("graft-orc").option("graft.manifest", "true")
+      .mode("append").save(dir)
+
+  private def mkClean(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ging.default")
+    val qt = s"ging.default.$name"
+    spark.sql(s"CREATE TABLE $qt (fp BIGINT, doc_id BIGINT, " +
+      "src STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    qt
+  }
+
+  private def state(qt: String): Seq[(Long, Long, String, Long)] =
+    spark.sql(s"SELECT fp, doc_id, src, n_chars FROM $qt ORDER BY fp")
+      .as[(Long, Long, String, Long)].collect().toSeq
+
+  test("keep-min ingest equals the batch dedup; restart between waves " +
+    "and a full fresh-checkpoint replay both leave the state invariant") {
+    assume(wh.nonEmpty)
+    val crawl = Files.createTempDirectory("graft-ingest-crawl").toString
+    val qt = mkClean(uniq("clean"))
+    val ckpt = Files.createTempDirectory("graft-ingest-ck").toString + "/c"
+    // commit 1: ids 0..19 as themselves; commit 2: ids 0..9 RE-delivered
+    // under +100 (losers) plus fresh ids 20..24
+    deliver(crawl, docs(0 until 20, 0L, "a"))
+    deliver(crawl, docs(0 until 10, 100L, "b")
+      .unionByName(docs(20 until 25, 0L, "b")))
+    IngestDedup.ingest(spark, crawl, qt, ckpt)
+    val afterWave1 = state(qt)
+    // every text group's winner is the TRUE id (true ids all < 100)
+    assert(afterWave1.size === 25)
+    assert(afterWave1.forall(_._2 < 100L))
+    // wave 2 lands while the stream is down: ids 25..29 fresh, PLUS the
+    // true rows for 30..34 whose +100 variants arrive FIRST in the same
+    // commit — within-batch collapse must pick the true id directly
+    deliver(crawl, docs(25 until 30, 0L, "c")
+      .unionByName(docs(30 until 35, 100L, "c"))
+      .unionByName(docs(30 until 35, 0L, "c")))
+    IngestDedup.ingest(spark, crawl, qt, ckpt)
+    val full = state(qt)
+    assert(full.size === 35)
+    assert(full.forall(_._2 < 100L))
+    assert(full.take(25).toSet.subsetOf(full.toSet) &&
+      afterWave1.toSet.subsetOf(full.toSet),
+      "wave-2 ingestion disturbed wave-1 winners")
+    // FULL REPLAY: a fresh checkpoint re-reads every commit; keep-min
+    // re-MERGEs to a no-op (at-least-once delivery is safe)
+    val ckpt2 = Files.createTempDirectory("graft-ingest-ck2")
+      .toString + "/c"
+    IngestDedup.ingest(spark, crawl, qt, ckpt2)
+    assert(state(qt) === full, "replay changed the clean table")
+    // and an idle resume (no new commits) is also a no-op
+    IngestDedup.ingest(spark, crawl, qt, ckpt)
+    assert(state(qt) === full)
+  }
+
+  test("a later-arriving smaller id WINS (matched-update path) and its " +
+    "payload travels with it; batch boundaries don't change the state") {
+    assume(wh.nonEmpty)
+    val crawlA = Files.createTempDirectory("graft-ingest-cA").toString
+    val crawlB = Files.createTempDirectory("graft-ingest-cB").toString
+    // variant ids (+100, src 'early') arrive one commit BEFORE the true
+    // rows (src 'late'): the true rows must overwrite doc_id AND payload
+    Seq(crawlA, crawlB).foreach { dir =>
+      deliver(dir, docs(0 until 12, 100L, "early"))
+      deliver(dir, docs(0 until 12, 0L, "late"))
+    }
+    val qtA = mkClean(uniq("cleanA"))
+    val qtB = mkClean(uniq("cleanB"))
+    IngestDedup.ingest(spark, crawlA, qtA,
+      Files.createTempDirectory("gi-ckA").toString + "/c")
+    // same deliveries consumed file-at-a-time: many more micro-batches,
+    // same final state (order/boundary invariance)
+    IngestDedup.ingest(spark, crawlB, qtB,
+      Files.createTempDirectory("gi-ckB").toString + "/c",
+      maxFilesPerTrigger = Some(1))
+    val a = state(qtA); val b = state(qtB)
+    assert(a === b, "micro-batch boundaries changed the final state")
+    assert(a.size === 12)
+    assert(a.forall(r => r._2 < 100L && r._3 == "late"),
+      s"late true rows did not win with their payload: $a")
+  }
+}

@@ -118,7 +118,11 @@ class SqlParitySpec extends AnyFunSuite {
           "(Spark: sequence()/transform/aggregate/conv())"),
       "ta_normalize" ->
         ("DuckDB nfc_normalize + chr() codepoints (Spark: the " +
-          "graft_nfc native expression + \\uXXXX literals)"))
+          "graft_nfc native expression + \\uXXXX literals)"),
+      "rl_stream_dedup_ingest" ->
+        ("DuckDB md5 hex-substr '0x…' BIGINT cast + arg_min " +
+          "(Spark: conv()/min_by; the Spark side is the streaming " +
+          "MERGE pipeline, not one SQL text)"))
   }
 
   private def registerViews(): Unit =
