@@ -378,7 +378,20 @@ object GraftOrcManifest {
     val segDir = snap.getParent
     val segs = lines.filter(_.startsWith("{\"seg\":")).map { line =>
       val p = new Path(segDir, jsonString(line, "seg"))
-      Segment(p, readSegment(fs, qt, p))
+      val entries = readSegment(fs, qt, p)
+      // the ref line records the segment's entry count at write time;
+      // segments are write-once, so a mismatch means the file is
+      // truncated/corrupt (or the wrong file answered the read) — fail
+      // descriptively instead of silently dropping table files
+      if (line.contains("\"n\":")) {
+        val n = jsonLong(line, "n")
+        require(entries.size == n,
+          s"graft-orc manifest: segment ${p.getName} referenced by " +
+            s"${snap.getName} holds ${entries.size} entries but the " +
+            s"snapshot recorded $n — the segment file is truncated or " +
+            "corrupt")
+      }
+      Segment(p, entries)
     }
     val entries = segs.flatMap(_.entries) ++ inline
     val deletes = lines.filter(_.startsWith("{\"d\":")).map { line =>
@@ -791,27 +804,34 @@ object GraftOrcManifest {
     // per-table commit lock around this check->rename window, so the
     // occupancy check is decisive for them — a loser always fails HERE,
     // never after reporting success. The residual exposure is two
-    // SEPARATE drivers interleaving inside the window; the post-rename
-    // verify below makes that case loud for at least one of them, and a
-    // conditional-rename/CAS store primitive is the real cross-driver
-    // fix (documented scope).
+    // SEPARATE drivers interleaving inside the window: each renames its
+    // own same-seq file, and when the rename ORDER disagrees with the
+    // lexicographic name order, each one's post-rename list can show
+    // itself the winner — BOTH report success, one commit silently
+    // loses. Multi-driver deployments close the window with the opt-in
+    // cross-driver FILE LOCK below (-Dgraft.commit.lock=file: atomic
+    // create-no-overwrite of commit.lock with stale-takeover, the
+    // HDFS-class store primitive); single-driver deployments keep the
+    // zero-extra-RPC path and the post-rename verify as the backstop.
     val dest = commitLockFor(dir).synchronized {
-      if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
-          n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
-        fs.delete(tmp, false)
-        dropFresh() // only this withdrawn snapshot referenced them
-        throw new java.util.ConcurrentModificationException(
-          s"graft-orc manifest: lost a commit race on snapshot seq $seq of " +
-            s"$table — a concurrent writer already committed it. Re-read " +
-            "the table state and retry the write at the next seq.")
+      withCommitFileLock(fs, dir) {
+        if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
+            n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
+          fs.delete(tmp, false)
+          dropFresh() // only this withdrawn snapshot referenced them
+          throw new java.util.ConcurrentModificationException(
+            s"graft-orc manifest: lost a commit race on snapshot seq $seq of " +
+              s"$table — a concurrent writer already committed it. Re-read " +
+              "the table state and retry the write at the next seq.")
+        }
+        val d = new Path(dir, f"$SnapPrefix$seq%020d-${UUID.randomUUID()}.json")
+        if (!fs.rename(tmp, d)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(
+            s"graft-orc manifest: failed to publish snapshot $d")
+        }
+        d
       }
-      val d = new Path(dir, f"$SnapPrefix$seq%020d-${UUID.randomUUID()}.json")
-      if (!fs.rename(tmp, d)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(
-          s"graft-orc manifest: failed to publish snapshot $d")
-      }
-      d
     }
     // commit time = publish instant (best-effort; without it the mtime
     // degrades to staging-write time, slightly before visibility)
@@ -893,6 +913,68 @@ object GraftOrcManifest {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commitLockFor(table: Path): Object =
     commitLocks.computeIfAbsent(table.toString, _ => new Object)
+
+  // ---- cross-driver commit lock (opt-in) -------------------------------
+  // -Dgraft.commit.lock=file serializes the occupancy-check -> rename
+  // window ACROSS drivers with an atomic create-no-overwrite of
+  // `commit.lock` in the lineage dir (atomic on HDFS-class stores and
+  // local filesystems — the same primitive class the snapshot rename
+  // already assumes; an S3-class store without atomic create needs a
+  // true CAS/lock service and is out of scope, like its rename is).
+  // A holder that crashes inside the window leaves a lock other
+  // committers take over once it is STALE (default 60 s); acquisition
+  // gives up loudly after the timeout (default 30 s) rather than
+  // spinning forever against a wedged store.
+  private[graft] val CommitLockName = "commit.lock"
+  private def lockProp(name: String, dflt: Long): Long =
+    try Option(System.getProperty(name)).map(_.trim.toLong).getOrElse(dflt)
+    catch { case _: NumberFormatException => dflt }
+
+  private def withCommitFileLock[T](fs: FileSystem, dir: Path)
+      (body: => T): T = {
+    if (System.getProperty("graft.commit.lock", "") != "file") return body
+    val lock = new Path(dir, CommitLockName)
+    val timeoutMs = lockProp("graft.commit.lock.timeout_ms", 30000L)
+    val staleMs = lockProp("graft.commit.lock.stale_ms", 60000L)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        // atomic create-no-overwrite IS the acquisition; the content is
+        // diagnostic only (who holds it, since when)
+        val out = fs.create(lock, false)
+        out.write(s"${java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
+          .getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch { case _: java.io.IOException =>
+        // held by someone: stale-takeover or wait
+        val mtime = try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        mtime match {
+          case Some(m) if System.currentTimeMillis() - m > staleMs =>
+            // best-effort takeover: delete and re-contend (two takeover
+            // racers re-contend on the atomic create, still one winner)
+            try fs.delete(lock, false)
+            catch { case _: java.io.IOException => }
+          case Some(_) =>
+            if (System.currentTimeMillis() > deadline)
+              throw new java.util.ConcurrentModificationException(
+                s"graft-orc manifest: could not acquire $lock within " +
+                  s"$timeoutMs ms — another driver is committing (or " +
+                  "crashed inside the window less than " +
+                  s"$staleMs ms ago). Retry, or remove the lock if its " +
+                  "holder is known dead.")
+            Thread.sleep(50L)
+          case None => () // vanished between create and stat: re-contend
+        }
+      }
+    }
+    try body finally {
+      try fs.delete(lock, false) catch { case _: java.io.IOException => }
+    }
+  }
 
   /** Swap `remove` (absolute paths) for `add` on top of the current
     * snapshot and commit the result as the next snapshot. The one

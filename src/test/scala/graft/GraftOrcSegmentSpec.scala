@@ -299,6 +299,30 @@ class GraftOrcSegmentSpec extends AnyFunSuite {
     assert(e2 <= e0, s"entry accounting drifted: $e0 -> $e2")
   }
 
+  test("a truncated segment file fails the snapshot read descriptively " +
+    "(recorded entry count vs parsed)") {
+    val dir = Files.createTempDirectory("graft-seg-trunc").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, mk(1200, qt), retain = 3)
+    val md = new Path(qt, "_graft_manifest")
+    val seg = new Path(md, segFiles(fs, qt).head)
+    // truncate: keep only the first half of the segment's lines
+    val lines = scala.io.Source.fromInputStream(fs.open(seg)).getLines()
+      .toSeq
+    val out = fs.create(seg, true)
+    out.write(lines.take(lines.size / 2).mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    // segments are write-once, so the cache never revalidates — evict
+    // to model the fresh driver that meets the damaged file
+    GraftOrcManifest.segCacheDrop(seg.toString)
+    val ex = intercept[IllegalArgumentException] {
+      GraftOrcManifest.readSnapshot(fs, qt).get.entries
+    }
+    assert(ex.getMessage.contains("truncated or corrupt"), ex.getMessage)
+  }
+
   test("parseEntryLine fails descriptively on truncated/corrupt lines") {
     val bad = Seq(
       """{"p":"part-1.orc""",          // unterminated quoted value
