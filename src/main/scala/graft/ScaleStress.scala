@@ -880,7 +880,7 @@ object ScaleStress {
       factors.foreach { k =>
         val t = s"gsi.default.clean_$k"
         spark.sql(s"CREATE TABLE $t (fp BIGINT, doc_id BIGINT, " +
-          "src STRING, n_chars BIGINT) " +
+          "src STRING, n_chars BIGINT, fpb INT) PARTITIONED BY (fpb) " +
           "TBLPROPERTIES('graft.merge_mode'='mor')")
         // seed: k text-perturbed copies of the even half, already
         // fingerprinted (history build cost amortized over past
@@ -893,6 +893,7 @@ object ScaleStress {
         }.reduce(_ unionByName _)
         hist.select(md5Key60(col("text")).as("fp"), col("doc_id"),
             lit("hist").as("src"), col("n_chars"))
+          .withColumn("fpb", IngestDedup.fpBucket(16))
           .repartition(8).writeTo(t).append()
         // fixed crawl: the odd half (all fresh) + a re-delivery of a
         // 1/6 slice of history copy 0 under LARGER ids (matched,
@@ -912,7 +913,8 @@ object ScaleStress {
           .createTempDirectory(s"graft-si-ck-$k").toString + "/c"
         val histRows = spark.table(t).count()
         val t0 = System.nanoTime()
-        IngestDedup.ingest(spark, crawlDir, t, ckpt)
+        IngestDedup.ingest(spark, crawlDir, t, ckpt,
+          buckets = Some(16))
         val sec = (System.nanoTime() - t0) / 1e9
         val cleanRows = spark.table(t).count()
         println(s"""{"op":"streaming_ingest","factor":$k,""" +

@@ -951,8 +951,15 @@ object CatalogOps {
           docs.filter(col("doc_id") % m === 0)
             .select((col("doc_id") + off).as("doc_id"), col("text"),
               col("n_chars"), lit(tag).as("src"))
+        // fpb = the explicit fingerprint-bucket partition column: each
+        // batch's MERGE restricts its target scan to the batch's bucket
+        // set (static IN pushdown — merge-on-read MERGEs get no runtime
+        // group filtering, see GraftOrcMergePruneSpec), so the history
+        // side stays sublinear at scale. Not selected below: derived
+        // state, engine-hash-keyed, invisible to the oracle.
         s.sql(s"CREATE TABLE $qt (fp BIGINT, doc_id BIGINT, src STRING, " +
-          "n_chars BIGINT) TBLPROPERTIES('graft.merge_mode'='mor')")
+          "n_chars BIGINT, fpb INT) PARTITIONED BY (fpb) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
         val ckpt = freshDir("sdickpt") + "/ckpt"
         deliver(docs.filter(col("doc_id") % 3 === 0)
           .withColumn("src", lit("c1"))
@@ -960,12 +967,14 @@ object CatalogOps {
         deliver(docs.filter(col("doc_id") % 3 === 1)
           .withColumn("src", lit("c2"))
           .unionByName(redeliver(4, 1000000L, "c2x")))
-        graft.streaming.IngestDedup.ingest(s, crawlDir, qt, ckpt)
+        graft.streaming.IngestDedup.ingest(s, crawlDir, qt, ckpt,
+          buckets = Some(16))
         // wave 2 lands while the stream is DOWN; the resumed stream
         // consumes only this commit
         deliver(docs.filter(col("doc_id") % 3 === 2)
           .withColumn("src", lit("c3")))
-        graft.streaming.IngestDedup.ingest(s, crawlDir, qt, ckpt)
+        graft.streaming.IngestDedup.ingest(s, crawlDir, qt, ckpt,
+          buckets = Some(16))
         s.sql(s"SELECT fp, doc_id, src, n_chars FROM $qt ORDER BY fp")
       },
       Some("""WITH del AS (

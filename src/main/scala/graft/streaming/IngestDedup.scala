@@ -52,10 +52,32 @@ object IngestDedup {
     *   `xxhash64` for engine-internal speed, or a normalized form for
     *   near-exact policies).
     */
+  /** Fingerprint-bucket column: the deterministic function of `fp` that
+    * makes the clean table's layout PRUNABLE. Spark `hash` = murmur3
+    * seed 42, the same function the hidden `bucket(n, col)` transform
+    * uses — but materialized as an identity-partitioned column so the
+    * MERGE's ON clause can name it.
+    */
+  def fpBucket(n: Int): Column =
+    pmod(hash(col("fp")), lit(n)).cast("int")
+
+  /** @param buckets when set, the clean table is expected to carry an
+    *   `fpb INT` identity-partition column (`PARTITIONED BY (fpb)`,
+    *   value `fpBucket(n)`). Each batch then computes its winners'
+    *   bucket set (a driver collect BOUNDED BY `n`, never by data) and
+    *   restricts the MERGE's ON clause with `t.fpb IN (...)` — a static
+    *   partition filter the target scan prunes files with. This is what
+    *   keeps the history side of the MERGE SUBLINEAR at 100 TB: Spark's
+    *   runtime group filtering prunes only copy-on-write MERGEs, so a
+    *   merge-on-read clean table without the explicit bucket column
+    *   re-scans its whole history every batch (both facts pinned in
+    *   GraftOrcMergePruneSpec).
+    */
   def ingest(spark: SparkSession, crawlDir: String, cleanTable: String,
              checkpoint: String,
              fingerprint: Column = md5Key60(col("text")),
-             maxFilesPerTrigger: Option[Int] = None): Unit = {
+             maxFilesPerTrigger: Option[Int] = None,
+             buckets: Option[Int] = None): Unit = {
     val reader = spark.readStream.format("graft-orc")
       .option("graft.snapshot_offsets", "true")
     maxFilesPerTrigger.foreach(n =>
@@ -66,7 +88,7 @@ object IngestDedup {
     val q = crawl.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, cleanTable, fingerprint, payloadCols)
+        mergeBatch(batch, cleanTable, fingerprint, payloadCols, buckets)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -77,31 +99,56 @@ object IngestDedup {
   /** One micro-batch: fingerprint, collapse to the per-fingerprint
     * winner (min over (doc_id, payload...) — a total order, so ties on
     * doc_id cannot make the outcome nondeterministic), MERGE keep-min.
+    * Documents with a NULL fingerprint (null text) are dropped — a null
+    * key can never match and would re-insert on every delivery.
     * Exposed for the batch twin in specs.
     */
   def mergeBatch(batch: DataFrame, cleanTable: String,
-                 fingerprint: Column, payloadCols: Seq[String]): Unit = {
+                 fingerprint: Column, payloadCols: Seq[String],
+                 buckets: Option[Int] = None): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
-    val winner = batch
+    val winner0 = batch
       .select(fingerprint.as("fp"),
         struct((col("doc_id") +: payloadCols.map(col)): _*).as("w"))
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp")).agg(min(col("w")).as("w"))
       .select(col("fp") +: col("w.doc_id") +: payloadCols.map(c =>
         col(s"w.$c")): _*)
-    val view = "graft_ingest_batch_" + java.util.UUID.randomUUID()
-      .toString.replace("-", "").take(12)
-    winner.createOrReplaceTempView(view)
-    val setAll = (("doc_id" +: payloadCols)
-      .map(c => s"t.$c = b.$c")).mkString(", ")
-    val insCols = ("fp" +: "doc_id" +: payloadCols).mkString(", ")
-    val insVals = ("fp" +: "doc_id" +: payloadCols)
-      .map(c => s"b.$c").mkString(", ")
-    try s.sql(
-      s"""MERGE INTO $cleanTable t USING $view b ON t.fp = b.fp
-         |WHEN MATCHED AND b.doc_id < t.doc_id THEN UPDATE SET $setAll
-         |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)
-         |""".stripMargin)
-    finally s.catalog.dropTempView(view)
+    val winner = buckets match {
+      case None => winner0
+      case Some(n) => winner0.withColumn("fpb", fpBucket(n))
+    }
+    // with bucketing, pin the batch's winners (the bucket-set collect
+    // and the MERGE must see the same rows, and the MERGE itself reads
+    // the source twice on some plans)
+    if (buckets.isDefined) winner.persist()
+    try {
+      val bucketPred = buckets.map { _ =>
+        val bs = winner.select(col("fpb")).distinct()
+          .collect().map(_.getInt(0)).sorted // bounded by `buckets`
+        if (bs.isEmpty) return
+        s" AND t.fpb IN (${bs.mkString(", ")})"
+      }.getOrElse("")
+      val view = "graft_ingest_batch_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(12)
+      winner.createOrReplaceTempView(view)
+      val payload = payloadCols ++ (if (buckets.isDefined) Seq("fpb")
+        else Nil)
+      // fpb never changes on UPDATE (same deterministic function of the
+      // matched fp), so only doc_id + true payload move
+      val setAll = (("doc_id" +: payloadCols)
+        .map(c => s"t.$c = b.$c")).mkString(", ")
+      val insCols = ("fp" +: "doc_id" +: payload).mkString(", ")
+      val insVals = ("fp" +: "doc_id" +: payload)
+        .map(c => s"b.$c").mkString(", ")
+      try s.sql(
+        s"""MERGE INTO $cleanTable t USING $view b
+           |ON t.fp = b.fp$bucketPred
+           |WHEN MATCHED AND b.doc_id < t.doc_id THEN UPDATE SET $setAll
+           |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)
+           |""".stripMargin)
+      finally s.catalog.dropTempView(view)
+    } finally if (buckets.isDefined) winner.unpersist()
   }
 }

@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE target-scan pruning on a bucket-partitioned table: when the
+  * clean/history table is PARTITIONED BY bucket(N, fp), a MERGE whose
+  * source hits few buckets must not scan every history file. Probes
+  * BOTH row-level modes and records which pruning each actually gets.
+  */
+class GraftOrcMergePruneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-mp-wh").toString
+    spark.conf.set("spark.sql.catalog.gmpr",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gmpr.warehouse", dir)
+    dir
+  }
+
+  private def uniq(tag: String): String =
+    tag + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private def scanFilesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    org.apache.spark.GraftSparkBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+    def scans(pl: SparkPlan): Seq[BatchScanExec] = pl match {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        scans(c.commandPhysicalPlan)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.collectFirst {
+        case (k, m) if k == "graftFilesRead" => m.value })
+      .sum
+  }
+
+  private def probe(mode: String): (Long, Long) = {
+    assume(wh.nonEmpty)
+    val t = uniq(s"mp$mode")
+    val qt = s"gmpr.default.$t"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmpr.default")
+    spark.sql(s"CREATE TABLE $qt (fp BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, fp)) " +
+      s"TBLPROPERTIES('graft.merge_mode'='$mode')")
+    // 4 files per bucket: 32 history files
+    (0 until 4).foreach { w =>
+      spark.range(w * 10000, (w + 1) * 10000, 1, 1)
+        .select($"id".as("fp"), ($"id" % 100).as("v"))
+        .writeTo(qt).append()
+    }
+    val allFiles = spark.sql(s"SELECT count(*) FROM $qt.files")
+      .collect()(0).getLong(0)
+    // source: 50 fps that ALL hash to one bucket
+    val oneBucket = spark.range(0, 40000)
+      .select($"id".as("fp"))
+      .filter(expr("pmod(hash(fp), 8) = 3")).limit(50)
+    val src = uniq("mpsrc")
+    oneBucket.createOrReplaceTempView(src)
+    val merged = spark.sql(
+      s"""MERGE INTO $qt t USING $src b ON t.fp = b.fp
+         |WHEN MATCHED THEN UPDATE SET t.v = -1
+         |""".stripMargin)
+    val read = scanFilesRead(merged)
+    spark.sql(s"DROP TABLE $qt")
+    spark.catalog.dropTempView(src)
+    (read, allFiles)
+  }
+
+  test("hidden bucket transform: COW merges get runtime group " +
+    "filtering, MOR merges do NOT (the fact the explicit column fixes)") {
+    val (cowRead, cowAll) = probe("cow")
+    val (morRead, morAll) = probe("mor")
+    info(s"cow: read $cowRead of $cowAll history files")
+    info(s"mor: read $morRead of $morAll history files")
+    // Spark's RowLevelOperationRuntimeGroupFiltering prunes the
+    // group-based (copy-on-write) rewrite only
+    assert(cowRead > 0 && cowRead <= cowAll / 4,
+      s"cow merge read $cowRead of $cowAll")
+    // pinned so a Spark upgrade that starts pruning delta merges
+    // surfaces here (then the explicit-bucket path can retire)
+    assert(morRead == morAll,
+      s"mor merge read $morRead of $morAll — delta merges now prune?")
+  }
+
+  private def probeExplicit(mode: String): (Long, Long) = {
+    assume(wh.nonEmpty)
+    val t = uniq(s"mpe$mode")
+    val qt = s"gmpr.default.$t"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmpr.default")
+    spark.sql(s"CREATE TABLE $qt (fp BIGINT, v BIGINT, fpb INT) " +
+      "PARTITIONED BY (fpb) " +
+      s"TBLPROPERTIES('graft.merge_mode'='$mode')")
+    (0 until 4).foreach { w =>
+      spark.range(w * 10000, (w + 1) * 10000, 1, 1)
+        .select($"id".as("fp"), ($"id" % 100).as("v"),
+          pmod(hash($"id"), lit(8)).cast("int").as("fpb"))
+        .writeTo(qt).append()
+    }
+    val allFiles = spark.sql(s"SELECT count(*) FROM $qt.files")
+      .collect()(0).getLong(0)
+    val oneBucket = spark.range(0, 40000)
+      .select($"id".as("fp"),
+        pmod(hash($"id"), lit(8)).cast("int").as("fpb"))
+      .filter($"fpb" === 3).limit(50)
+    val src = uniq("mpesrc")
+    oneBucket.createOrReplaceTempView(src)
+    val merged = spark.sql(
+      s"""MERGE INTO $qt t USING $src b
+         |ON t.fp = b.fp AND t.fpb IN (3)
+         |WHEN MATCHED THEN UPDATE SET t.v = -1
+         |""".stripMargin)
+    val read = scanFilesRead(merged)
+    spark.sql(s"DROP TABLE $qt")
+    spark.catalog.dropTempView(src)
+    (read, allFiles)
+  }
+
+  test("explicit bucket column + static IN in the ON clause prunes " +
+    "BOTH modes' target scans") {
+    val (cowRead, cowAll) = probeExplicit("cow")
+    val (morRead, morAll) = probeExplicit("mor")
+    info(s"cow explicit: read $cowRead of $cowAll history files")
+    info(s"mor explicit: read $morRead of $morAll history files")
+    assert(cowRead > 0 && cowRead <= cowAll / 4,
+      s"cow explicit read $cowRead of $cowAll")
+    assert(morRead > 0 && morRead <= morAll / 4,
+      s"mor explicit read $morRead of $morAll")
+  }
+
+  test("IngestDedup with buckets: a single-bucket batch's MERGE reads " +
+    "only that bucket's history files") {
+    assume(wh.nonEmpty)
+    import graft.streaming.IngestDedup
+    import graft.functions.TextHashFunctions.md5Key60
+    val t = uniq("mping")
+    val qt = s"gmpr.default.$t"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmpr.default")
+    spark.sql(s"CREATE TABLE $qt (fp BIGINT, doc_id BIGINT, src STRING, " +
+      "fpb INT) PARTITIONED BY (fpb) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    // history: 4000 docs in 4 files per touched bucket (fpb spread)
+    (0 until 4).foreach { w =>
+      spark.range(w * 1000, (w + 1) * 1000, 1, 1)
+        .select(md5Key60(concat(lit("history doc "), $"id")).as("fp"),
+          $"id".as("doc_id"), lit("hist").as("src"))
+        .withColumn("fpb", IngestDedup.fpBucket(64))
+        .writeTo(qt).append()
+    }
+    val allFiles = spark.sql(s"SELECT count(*) FROM $qt.files")
+      .collect()(0).getLong(0)
+    // one small batch whose fps land in FEW buckets (20 docs)
+    val batch = spark.range(0, 20)
+      .select($"id".as("doc_id"),
+        concat(lit("history doc "), $"id").as("text"),
+        lit("crawl").as("src"))
+    IngestDedup.mergeBatch(batch, qt, md5Key60($"text"), Seq("src"),
+      buckets = Some(64))
+    // mergeBatch ran eagerly; measure with a fresh instrumented run of
+    // the same batch (idempotent: keep-min no-op the second time)
+    val merged = {
+      val winner = batch.select(md5Key60($"text").as("fp"),
+          $"doc_id", $"src")
+        .withColumn("fpb", IngestDedup.fpBucket(64))
+      val bs = winner.select($"fpb").distinct()
+        .collect().map(_.getInt(0)).sorted
+      assert(bs.length <= 20, s"test batch spread over too many buckets: $bs")
+      winner.createOrReplaceTempView("mping_b")
+      spark.sql(
+        s"""MERGE INTO $qt t USING mping_b b
+           |ON t.fp = b.fp AND t.fpb IN (${bs.mkString(", ")})
+           |WHEN MATCHED AND b.doc_id < t.doc_id THEN
+           |  UPDATE SET t.doc_id = b.doc_id, t.src = b.src
+           |WHEN NOT MATCHED THEN
+           |  INSERT (fp, doc_id, src, fpb)
+           |  VALUES (b.fp, b.doc_id, b.src, b.fpb)
+           |""".stripMargin)
+    }
+    val read = scanFilesRead(merged)
+    info(s"ingest merge: read $read of $allFiles history files")
+    assert(read > 0 && read < allFiles,
+      s"ingest merge read $read of $allFiles history files")
+    // and the table state is the keep-min dedup (no dup fps)
+    val n = spark.sql(s"SELECT count(*) FROM $qt").collect()(0).getLong(0)
+    val d = spark.sql(s"SELECT count(DISTINCT fp) FROM $qt")
+      .collect()(0).getLong(0)
+    assert(n === d && n === 4000L, s"rows $n distinct $d")
+    spark.sql(s"DROP TABLE $qt")
+  }
+}
