@@ -434,4 +434,33 @@ class GraftOrcCatalogSpec extends AnyFunSuite {
     assert(graft.sources.v2.GraftOrcSchema
       .fieldId(meta.schema("score")).nonEmpty)
   }
+
+  test("NESTED-field DDL evolution is refused loudly (documented " +
+    "posture: top-level evolution only; nested changes never silently " +
+    "no-op or corrupt field-ID resolution)") {
+    assume(wh.nonEmpty)
+    spark.sql("CREATE TABLE gcat.nest (k BIGINT, " +
+      "s STRUCT<a: BIGINT, b: STRING>)")
+    try {
+      spark.sql("INSERT INTO gcat.nest VALUES (1, named_struct(" +
+        "'a', 10L, 'b', 'x'))")
+      def refused(sql: String, what: String): Unit = {
+        val ex = intercept[Exception] { spark.sql(sql) }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains(s"nested $what")),
+          s"$sql -> ${msgs(ex).mkString(" | ")}")
+      }
+      refused("ALTER TABLE gcat.nest ADD COLUMN s.c BIGINT",
+        "ADD COLUMN")
+      refused("ALTER TABLE gcat.nest RENAME COLUMN s.a TO a2",
+        "RENAME COLUMN")
+      refused("ALTER TABLE gcat.nest DROP COLUMN s.a", "DROP COLUMN")
+      // the refusal never committed anything: table intact + readable
+      val rows = spark.sql(
+        "SELECT k, s.a, s.b FROM gcat.nest").collect()
+      assert(rows.length == 1 && rows(0).getLong(1) == 10L)
+    } finally spark.sql("DROP TABLE IF EXISTS gcat.nest")
+  }
 }

@@ -198,4 +198,43 @@ class GraftOrcMergePruneSpec extends AnyFunSuite {
     assert(n === d && n === 4000L, s"rows $n distinct $d")
     spark.sql(s"DROP TABLE $qt")
   }
+
+  test("history maintenance: fp-sorted compaction turns point lookups " +
+    "file-prunable via the manifest stat sidecars") {
+    import graft.functions.TextHashFunctions.md5Key60
+    val dir = Files.createTempDirectory("graft-mp-sort").toString
+    // 8 appended files, each spanning (nearly) the whole fp hash range —
+    // a point lookup must open every one
+    (0 until 8).foreach { w =>
+      spark.range(w * 20000, (w + 1) * 20000, 1, 1)
+        .select(md5Key60(concat(lit("doc "), $"id")).as("fp"),
+          $"id".as("doc_id"))
+        .write.format("graft-orc").option("graft.manifest", "true")
+        .mode("append").save(dir)
+    }
+    val someFp = spark.read.format("graft-orc").load(dir)
+      .select($"fp").limit(1).collect()(0).getLong(0)
+    def lookupFiles(): Long = {
+      val df = spark.read.format("graft-orc").load(dir)
+        .filter($"fp" === someFp)
+      assert(df.collect().length >= 1)
+      scanFilesRead(df)
+    }
+    val before = lookupFiles()
+    assert(before === 8L,
+      s"expected the unsorted layout to open all 8 files, read $before")
+    // maintenance: rewrite fp-sorted in ~512 KB chunks (z-order of one
+    // column = a range sort) — each output file owns a disjoint fp range
+    val st = graft.sources.v2.GraftOrcCompact.compact(spark, dir,
+      targetBytes = 512L << 10, smallFileBytes = 512L << 10,
+      zorderCols = Seq("fp"))
+    assert(st.filesOut > 1,
+      s"need multiple sorted outputs for the receipt, got ${st.filesOut}")
+    val after = lookupFiles()
+    info(s"point lookup: $before files before sort, " +
+      s"$after of ${st.filesOut} after")
+    assert(after === 1L,
+      s"sorted layout should prune to 1 file, read $after of " +
+        s"${st.filesOut}")
+  }
 }
