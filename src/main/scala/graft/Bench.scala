@@ -206,8 +206,10 @@ object Bench {
     // round 16: streaming crawl-dedup ingestion — three delivery
     // commits consumed as a checkpointed micro-batch stream (with one
     // stop/restart), each batch keep-min-MERGEd into a MoR clean table;
-    // fresh crawl + clean table + checkpoint per iteration
-    "rl_stream_dedup_ingest")
+    // fresh crawl + clean table + checkpoint per iteration — and
+    // exactly-once streaming corpus accounting (batch-id-guarded
+    // counter MERGE, idle-resume no-op included in the timing)
+    "rl_stream_dedup_ingest", "rl_stream_corpus_stats")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

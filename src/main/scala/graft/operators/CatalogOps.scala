@@ -996,5 +996,50 @@ object CatalogOps {
              |SELECT fp, min(doc_id) AS doc_id,
              |  arg_min(src, doc_id) AS src,
              |  arg_min(n_chars, doc_id) AS n_chars
-             |FROM f GROUP BY fp ORDER BY fp""".stripMargin)))
+             |FROM f GROUP BY fp ORDER BY fp""".stripMargin)),
+
+    // --------------- streaming corpus accounting (round 16)
+    // Exactly-once incremental AGGREGATE maintenance: per-language
+    // doc/char counters accumulated over the crawl stream
+    // (graft.streaming.CorpusStats). Counters are not idempotent like
+    // keep-min, so each stats row remembers the last batch id that
+    // touched it and the MERGE accumulates only when b.batch_id >
+    // t.batch_id — a replayed batch (foreachBatch's at-least-once
+    // within one checkpoint) is a guarded no-op
+    // (GraftOrcStreamIngestSpec pins the replay arithmetic). Per-batch
+    // work: one map-side-combined aggregation to a language-cardinality
+    // frame + a dim-sized MERGE — batch-bounded, never corpus-bounded.
+    QueryDef("rl_stream_corpus_stats",
+      (s, d) => {
+        val cat = catalogName(s)
+        val t = uniq("scs")
+        val qt = s"$cat.default.$t"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val crawlDir = freshDir("scscrawl")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        def deliver(m: Int): Unit =
+          docs.filter(col("doc_id") % 3 === m).repartition(2)
+            .write.format("graft-orc").option("graft.manifest", "true")
+            .mode("append").save(crawlDir)
+        s.sql(s"CREATE TABLE $qt (key STRING, docs BIGINT, " +
+          "chars BIGINT, batch_id BIGINT) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
+        val ckpt = freshDir("scsckpt") + "/ckpt"
+        deliver(0); deliver(1)
+        graft.streaming.CorpusStats.maintain(s, crawlDir, qt, ckpt,
+          keyCol = "lang", charsCol = col("n_chars"))
+        deliver(2) // lands while the stream is down; resume consumes it
+        graft.streaming.CorpusStats.maintain(s, crawlDir, qt, ckpt,
+          keyCol = "lang", charsCol = col("n_chars"))
+        // an idle resume (nothing new) must change nothing
+        graft.streaming.CorpusStats.maintain(s, crawlDir, qt, ckpt,
+          keyCol = "lang", charsCol = col("n_chars"))
+        s.sql(s"SELECT key AS lang, docs, chars FROM $qt ORDER BY lang")
+      },
+      Some("""SELECT coalesce(lang, '<null>') AS lang,
+             |  count(*) AS docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents
+             |GROUP BY 1 ORDER BY lang""".stripMargin)))
 }

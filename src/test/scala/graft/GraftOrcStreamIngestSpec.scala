@@ -126,4 +126,57 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
     assert(a.forall(r => r._2 < 100L && r._3 == "late"),
       s"late true rows did not win with their payload: $a")
   }
+
+  test("CorpusStats: batch-id-guarded counters — a replayed batch is a " +
+    "no-op, a later batch accumulates, restart between waves is exact") {
+    assume(wh.nonEmpty)
+    import graft.streaming.CorpusStats
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ging.default")
+    val qt = s"ging.default.${uniq("stats")}"
+    spark.sql(s"CREATE TABLE $qt (key STRING, docs BIGINT, " +
+      "chars BIGINT, batch_id BIGINT) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    def counters(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT key, docs, chars FROM $qt").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b0 = Seq(("en", 100L), ("en", 50L), ("de", 30L))
+      .toDF("lang", "n")
+    // batch 0 lands, then REPLAYS (the foreachBatch at-least-once case:
+    // merge committed, checkpoint write crashed, batch re-runs same id)
+    CorpusStats.mergeBatch(b0, qt, "lang", col("n"), 0L)
+    CorpusStats.mergeBatch(b0, qt, "lang", col("n"), 0L)
+    assert(counters() === Map("en" -> (2L, 150L), "de" -> (1L, 30L)))
+    // a later batch accumulates; an unseen key inserts
+    val b1 = Seq(("en", 10L), ("fr", 7L)).toDF("lang", "n")
+    CorpusStats.mergeBatch(b1, qt, "lang", col("n"), 1L)
+    assert(counters() === Map("en" -> (3L, 160L), "de" -> (1L, 30L),
+      "fr" -> (1L, 7L)))
+    // and the replay guard holds for the insert-then-replay case too
+    CorpusStats.mergeBatch(b1, qt, "lang", col("n"), 1L)
+    assert(counters() === Map("en" -> (3L, 160L), "de" -> (1L, 30L),
+      "fr" -> (1L, 7L)))
+    // end-to-end: streamed counters equal the batch aggregation even
+    // with a stop/restart between deliveries
+    val crawl = Files.createTempDirectory("graft-stats-crawl").toString
+    val ckpt = Files.createTempDirectory("graft-stats-ck").toString + "/c"
+    val qt2 = s"ging.default.${uniq("stats2")}"
+    spark.sql(s"CREATE TABLE $qt2 (key STRING, docs BIGINT, " +
+      "chars BIGINT, batch_id BIGINT) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    deliver(crawl, docs(0 until 20, 0L, "a"))
+    CorpusStats.maintain(spark, crawl, qt2, ckpt, keyCol = "src",
+      charsCol = col("n_chars"))
+    deliver(crawl, docs(20 until 50, 0L, "b"))
+    CorpusStats.maintain(spark, crawl, qt2, ckpt, keyCol = "src",
+      charsCol = col("n_chars"))
+    val got = spark.sql(s"SELECT key, docs, chars FROM $qt2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = docs(0 until 20, 0L, "a")
+      .unionByName(docs(20 until 50, 0L, "b"))
+      .groupBy($"src").agg(count(lit(1)).as("docs"),
+        sum($"n_chars").as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === expected, s"streamed $got vs batch $expected")
+  }
 }
