@@ -67,6 +67,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * story needs a conditional-rename/CAS store primitive.
   */
 object GraftOrcManifest {
+  private val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.v2.GraftOrcManifest")
   private[v2] val Dir = "_graft_manifest"
   private val SnapPrefix = "snap-"
   private[graft] val RetainSnapshots = 3
@@ -715,9 +717,19 @@ object GraftOrcManifest {
                                 keptFiles: Seq[Path]): Unit = {
     if (deadRefs.isEmpty) return
     val live =
-      try keptFiles
-        .flatMap(p => segRefNamesOf(fs, p, lenient = false)).toSet
-      catch { case scala.util.control.NonFatal(_) => return }
+      try keptFiles.flatMap { p =>
+        try segRefNamesOf(fs, p, lenient = false)
+        catch { case scala.util.control.NonFatal(t) =>
+          throw new java.io.IOException(
+            s"segment-ref read failed on kept snapshot $p", t) }
+      }.toSet
+      catch { case scala.util.control.NonFatal(t) =>
+        // a persistently unreadable kept snapshot disables segment GC —
+        // make the leak-forever condition visible instead of silent
+        log.warn("graft-orc manifest: segment sweep SKIPPED for {} " +
+          "({} dead segment refs leak until a later expiry or vacuum " +
+          "retries): {}", dir, deadRefs.size.toString, t.getMessage)
+        return }
     deadRefs.toSet.diff(live).foreach { n =>
       val p = new Path(dir, n)
       segCacheDrop(p.toString)
@@ -814,7 +826,13 @@ object GraftOrcManifest {
     // HDFS-class store primitive); single-driver deployments keep the
     // zero-extra-RPC path and the post-rename verify as the backstop.
     val dest = commitLockFor(dir).synchronized {
-      withCommitFileLock(fs, dir) {
+      // a lock-acquisition timeout throws BEFORE the body runs: the
+      // staged .tmp- snapshot and this commit's fresh segment files must
+      // be withdrawn here (every body-side failure path already cleans
+      // its own; vacuum additionally sweeps aged .tmp- leftovers)
+      withCommitFileLock(fs, dir, onAcquireFailure = () => {
+        try { fs.delete(tmp, false); dropFresh() }
+        catch { case _: java.io.IOException => } }) {
         if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
             n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
           fs.delete(tmp, false)
@@ -917,62 +935,123 @@ object GraftOrcManifest {
   // ---- cross-driver commit lock (opt-in) -------------------------------
   // -Dgraft.commit.lock=file serializes the occupancy-check -> rename
   // window ACROSS drivers with an atomic create-no-overwrite of
-  // `commit.lock` in the lineage dir (atomic on HDFS-class stores and
-  // local filesystems — the same primitive class the snapshot rename
-  // already assumes; an S3-class store without atomic create needs a
-  // true CAS/lock service and is out of scope, like its rename is).
+  // `commit.lock` in the lineage dir. Create-no-overwrite is atomic on
+  // HDFS-class stores (the same primitive class the snapshot rename
+  // already assumes). Hadoop's RawLocalFileSystem implements it as
+  // exists-check-then-create — NOT atomic — so on a SHARED local/NFS
+  // path two drivers can both believe they acquired; the post-rename
+  // single-winner verify in writeSnapshot remains the backstop there.
+  // An S3-class store without atomic create needs a true CAS/lock
+  // service and is out of scope, like its rename is.
+  //
+  // Ownership: the holder writes a UUID TOKEN into the lock at acquire,
+  // and release deletes the file only while it still carries that token
+  // — so a slow holder whose lock was taken over as stale cannot delete
+  // the NEW holder's lock (which would reopen the window to a third
+  // committer). Stale takeover is guarded the same way: delete only if
+  // the content still matches the incarnation that was judged stale.
   // A holder that crashes inside the window leaves a lock other
   // committers take over once it is STALE (default 60 s); acquisition
-  // gives up loudly after the timeout (default 30 s) rather than
-  // spinning forever against a wedged store.
+  // gives up loudly after the timeout (default 30 s) — the deadline is
+  // checked on EVERY retry, whatever the branch, so a persistent create
+  // failure or a takeover/recreate livelock cannot spin forever.
   private[graft] val CommitLockName = "commit.lock"
   private def lockProp(name: String, dflt: Long): Long =
     try Option(System.getProperty(name)).map(_.trim.toLong).getOrElse(dflt)
     catch { case _: NumberFormatException => dflt }
 
-  private def withCommitFileLock[T](fs: FileSystem, dir: Path)
+  /** Lock-file content, or None if it vanished / cannot be read. */
+  private def readLockContent(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        Some(buf.toString("UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private[graft] def withCommitFileLock[T](fs: FileSystem, dir: Path,
+                                           onAcquireFailure: () => Unit =
+                                             () => ())
       (body: => T): T = {
     if (System.getProperty("graft.commit.lock", "") != "file") return body
     val lock = new Path(dir, CommitLockName)
     val timeoutMs = lockProp("graft.commit.lock.timeout_ms", 30000L)
     val staleMs = lockProp("graft.commit.lock.stale_ms", 60000L)
     val deadline = System.currentTimeMillis() + timeoutMs
+    // the leading UUID is the ownership token; the rest is diagnostic
+    // (who holds it, since when)
+    val token = UUID.randomUUID().toString
+    val content = s"$token ${java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
     var acquired = false
-    while (!acquired) {
-      try {
-        // atomic create-no-overwrite IS the acquisition; the content is
-        // diagnostic only (who holds it, since when)
-        val out = fs.create(lock, false)
-        out.write(s"${java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
-          .getBytes("UTF-8"))
-        out.close()
-        acquired = true
-      } catch { case _: java.io.IOException =>
-        // held by someone: stale-takeover or wait
-        val mtime = try Some(fs.getFileStatus(lock).getModificationTime)
-          catch { case _: java.io.FileNotFoundException => None }
-        mtime match {
-          case Some(m) if System.currentTimeMillis() - m > staleMs =>
-            // best-effort takeover: delete and re-contend (two takeover
-            // racers re-contend on the atomic create, still one winner)
+    try {
+      while (!acquired) {
+        if (System.currentTimeMillis() > deadline)
+          throw new java.util.ConcurrentModificationException(
+            s"graft-orc manifest: could not acquire $lock within " +
+              s"$timeoutMs ms — another driver is committing (or " +
+              "crashed inside the window less than " +
+              s"$staleMs ms ago). Retry, or remove the lock if its " +
+              "holder is known dead.")
+        var created = false
+        try {
+          // atomic create-no-overwrite IS the acquisition
+          val out = fs.create(lock, false)
+          created = true
+          out.write(content.getBytes("UTF-8"))
+          out.close()
+          acquired = true
+        } catch {
+          case _: java.io.IOException if created =>
+            // the create succeeded — the lock is OURS; the TOKEN write
+            // failed. An unreadable token would wedge the guarded
+            // release, so withdraw our own fresh lock and re-contend
+            // (nobody can have staleness-taken it over within the same
+            // window we just created it in).
             try fs.delete(lock, false)
             catch { case _: java.io.IOException => }
-          case Some(_) =>
-            if (System.currentTimeMillis() > deadline)
-              throw new java.util.ConcurrentModificationException(
-                s"graft-orc manifest: could not acquire $lock within " +
-                  s"$timeoutMs ms — another driver is committing (or " +
-                  "crashed inside the window less than " +
-                  s"$staleMs ms ago). Retry, or remove the lock if its " +
-                  "holder is known dead.")
             Thread.sleep(50L)
-          case None => () // vanished between create and stat: re-contend
+          case _: java.io.IOException =>
+            // held by someone: stale-takeover or wait
+            val st = try Some(fs.getFileStatus(lock))
+              catch { case _: java.io.FileNotFoundException => None }
+            st match {
+              case Some(s)
+                  if System.currentTimeMillis() -
+                    s.getModificationTime > staleMs =>
+                // guarded best-effort takeover: re-read and delete only
+                // if the lock is still the incarnation judged stale — a
+                // racer's fresh lock carries a different token and
+                // survives. (Two racers judging the SAME incarnation
+                // stale re-contend on the atomic create: one winner.)
+                val judged = readLockContent(fs, lock)
+                if (judged.isDefined &&
+                    readLockContent(fs, lock) == judged)
+                  try fs.delete(lock, false)
+                  catch { case _: java.io.IOException => }
+                Thread.sleep(50L)
+              case _ =>
+                // held and fresh, or vanished between create and stat:
+                // back off and re-contend (deadline checked at loop top)
+                Thread.sleep(50L)
+            }
         }
       }
+    } catch { case t: Throwable =>
+      // acquisition failed: the caller's staged state (tmp snapshot,
+      // fresh segment files) must not leak — no sweeper matches it
+      try onAcquireFailure() catch { case _: Throwable => }
+      throw t
     }
     try body finally {
-      try fs.delete(lock, false) catch { case _: java.io.IOException => }
+      // guarded release: delete only while the file still carries OUR
+      // token; after a stale takeover the new holder's lock stays put
+      if (readLockContent(fs, lock).exists(_.startsWith(token)))
+        try fs.delete(lock, false) catch { case _: java.io.IOException => }
     }
   }
 
@@ -1535,9 +1614,17 @@ object GraftOrcManifest {
       // next vacuum), never default the snapshot's refs to Nil and
       // sweep segments it still references
       val liveSegs =
-        try Some(snapFilesIn(fs, d)
-          .flatMap(p => segRefNamesOf(fs, p, lenient = false)).toSet)
-        catch { case scala.util.control.NonFatal(_) => None }
+        try Some(snapFilesIn(fs, d).flatMap { p =>
+          try segRefNamesOf(fs, p, lenient = false)
+          catch { case scala.util.control.NonFatal(t) =>
+            throw new java.io.IOException(
+              s"segment-ref read failed on live snapshot $p", t) }
+        }.toSet)
+        catch { case scala.util.control.NonFatal(t) =>
+          log.warn("graft-orc vacuum: segment sweep SKIPPED for lineage " +
+            "{} (orphan segments leak until a retry succeeds): {}",
+            d: Any, t.getMessage: Any)
+          None }
       val orphans = liveSegs match {
         case None => Nil
         case Some(live) =>
@@ -1550,6 +1637,19 @@ object GraftOrcManifest {
       }
       orphans.foreach { st =>
         segCacheDrop(st.getPath.toString)
+        try { if (fs.delete(st.getPath, false)) staleSegs += 1 }
+        catch { case _: java.io.IOException => }
+      }
+      // crashed commits (and pre-cleanup lock timeouts) can leave staged
+      // `.tmp-` snapshot files: never published, referenced by nothing.
+      // Sweep them under the same age guard that spares another driver's
+      // in-flight commit window.
+      val staleTmp =
+        try fs.listStatus(d).toSeq.filter(st => st.isFile &&
+          st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime < olderThanMs)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      staleTmp.foreach { st =>
         try { if (fs.delete(st.getPath, false)) staleSegs += 1 }
         catch { case _: java.io.IOException => }
       }

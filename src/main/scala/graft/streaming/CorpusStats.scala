@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   * exactly the replayed case. The guard's contract is the CHECKPOINT'S
   * id sequence: a re-run with a FRESH checkpoint restarts ids at 0 and
   * is NOT guarded in general (a multi-batch replay can pair a higher
-  * fresh id with a lower stored one) — rebuilding from scratch means
-  * truncating the stats table first, same as any streaming aggregation
-  * whose checkpoint is discarded.
+  * fresh id with a lower stored one) — so the checkpoint's identity is
+  * ENFORCED, not documented: [[maintain]] stamps an epoch (a UUID
+  * sentinel stored in the checkpoint dir, so it lives and dies with the
+  * checkpoint) into the stats table's properties on first accumulation
+  * and REFUSES a mismatched epoch loudly unless the stats table is
+  * empty — rebuilding from scratch means truncating the stats table
+  * first, same as any streaming aggregation whose checkpoint is
+  * discarded, and forgetting to does not silently double-count.
   *
   * 100 TB shape: per-batch work is one map-side-combined aggregation of
   * the batch to a key-cardinality frame (languages, domains — dim-sized)
@@ -39,10 +44,14 @@ object CorpusStats {
     */
   def maintain(spark: SparkSession, crawlDir: String, statsTable: String,
                checkpoint: String, keyCol: String = "lang",
-               charsCol: Column = length(col("text"))): Unit = {
-    val crawl = spark.readStream.format("graft-orc")
+               charsCol: Column = length(col("text")),
+               maxFilesPerTrigger: Option[Int] = None): Unit = {
+    guardEpoch(spark, statsTable, checkpointEpoch(spark, checkpoint))
+    val reader = spark.readStream.format("graft-orc")
       .option("graft.snapshot_offsets", "true")
-      .load(crawlDir)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val crawl = reader.load(crawlDir)
     val q = crawl.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -51,6 +60,68 @@ object CorpusStats {
       .start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
+  }
+
+  private[graft] val EpochProp = "graft.stream.epoch"
+
+  /** The checkpoint's identity: a UUID sentinel file INSIDE the
+    * checkpoint dir, created on first use — it lives and dies with the
+    * checkpoint, so a deleted-and-recreated checkpoint (whose batch ids
+    * restart at 0) presents a fresh epoch. Best-effort atomic create;
+    * a concurrent creator's value wins by re-read.
+    */
+  private[graft] def checkpointEpoch(spark: SparkSession,
+                                     checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft-epoch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read(): Option[String] =
+      try {
+        val in = fs.open(p)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"))
+          Option(br.readLine()).map(_.trim).filter(_.nonEmpty)
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    read().getOrElse {
+      fs.mkdirs(p.getParent)
+      val epoch = java.util.UUID.randomUUID().toString
+      try {
+        val out = fs.create(p, false)
+        out.write(epoch.getBytes("UTF-8")); out.close()
+        epoch
+      } catch { case _: java.io.IOException =>
+        read().getOrElse(throw new IllegalStateException(
+          s"graft corpus-stats: cannot establish an epoch sentinel at $p"))
+      }
+    }
+  }
+
+  /** Refuse accumulation from a checkpoint other than the one whose id
+    * sequence the stats table was built under — a fresh checkpoint
+    * restarts batch ids at 0 and would silently double-count. An EMPTY
+    * stats table (fresh, or truncated for a rebuild) adopts the new
+    * epoch; a non-empty one fails loudly.
+    */
+  private[graft] def guardEpoch(spark: SparkSession, statsTable: String,
+                                epoch: String): Unit = {
+    val stored = spark.sql(s"SHOW TBLPROPERTIES $statsTable")
+      .collect().collectFirst {
+        case r if r.getString(0) == EpochProp => r.getString(1) }
+    stored match {
+      case Some(e) if e == epoch => ()
+      case other =>
+        if (other.isDefined && !spark.table(statsTable).isEmpty)
+          throw new IllegalStateException(
+            s"graft corpus-stats: $statsTable was accumulated under " +
+              s"checkpoint epoch ${other.get}, but this run's checkpoint " +
+              s"presents epoch $epoch (a fresh checkpoint restarts batch " +
+              "ids at 0, and its batches would double-count against the " +
+              "stored counters). TRUNCATE the stats table to rebuild " +
+              "from scratch, or resume with the original checkpoint.")
+        spark.sql(s"ALTER TABLE $statsTable SET TBLPROPERTIES(" +
+          s"'$EpochProp'='$epoch')")
+    }
   }
 
   /** One micro-batch: pre-aggregate to one row per key, MERGE under the

@@ -67,12 +67,103 @@ class GraftOrcCommitLockSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains(GraftOrcManifest.CommitLockName),
         ex.getMessage)
+      // the timed-out commit must have withdrawn its staged state: no
+      // orphaned .tmp- snapshot (or fresh segment) files left behind
+      val staged = fs.listStatus(md).map(_.getPath.getName)
+        .filter(n => n.startsWith(".tmp-") || n.startsWith("seg-"))
+      assert(staged.isEmpty,
+        s"lock timeout leaked staged files: ${staged.mkString(", ")}")
       // the rival releases: the retried commit goes through and cleans up
       fs.delete(lock, false)
       GraftOrcManifest.writeSnapshot(fs, qt, 2L, mk(5, qt))
     }
     assert(!fs.exists(lock))
     assert(GraftOrcManifest.readSnapshot(fs, qt).get.seq === 2L)
+  }
+
+  test("release is OWNERSHIP-GUARDED: a slow holder whose lock was " +
+    "taken over as stale cannot delete the new holder's lock") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val dir = Files.createTempDirectory("graft-lock-token").toString
+    val fs = fsFor(dir)
+    val md = new Path(fs.makeQualified(new Path(dir)), "_graft_manifest")
+    fs.mkdirs(md)
+    val lock = new Path(md, GraftOrcManifest.CommitLockName)
+    withProps("graft.commit.lock" -> "file",
+      "graft.commit.lock.stale_ms" -> "250",
+      "graft.commit.lock.timeout_ms" -> "10000") {
+      val aHolds = new CountDownLatch(1)
+      val aMayRelease = new CountDownLatch(1)
+      val aDone = new CountDownLatch(1)
+      val errs =
+        new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val a = new Thread(() => {
+        try GraftOrcManifest.withCommitFileLock(fs, md) {
+          aHolds.countDown()
+          aMayRelease.await(30, TimeUnit.SECONDS) // stall past stale_ms
+        } catch { case t: Throwable => errs.set(t) }
+        finally aDone.countDown()
+      }, "slow-holder")
+      a.start()
+      assert(aHolds.await(10, TimeUnit.SECONDS), "A never acquired")
+      Thread.sleep(500) // A's lock is now stale
+      val bHolds = new CountDownLatch(1)
+      val bMayRelease = new CountDownLatch(1)
+      val b = new Thread(() => {
+        try GraftOrcManifest.withCommitFileLock(fs, md) {
+          bHolds.countDown()
+          bMayRelease.await(30, TimeUnit.SECONDS)
+        } catch { case t: Throwable => errs.set(t) }
+      }, "takeover-holder")
+      b.start()
+      assert(bHolds.await(10, TimeUnit.SECONDS),
+        "B could not take over the stale lock")
+      // A finishes and releases AFTER the takeover: the ownership token
+      // no longer matches, so B's lock must survive — otherwise a third
+      // committer could enter B's window
+      aMayRelease.countDown()
+      assert(aDone.await(10, TimeUnit.SECONDS))
+      assert(fs.exists(lock),
+        "the slow holder's release deleted the NEW holder's lock")
+      bMayRelease.countDown()
+      b.join(10000)
+      assert(!fs.exists(lock), "B's own release did not clean up")
+      assert(errs.get() == null, s"unexpected failure: ${errs.get()}")
+    }
+  }
+
+  test("a persistent lock-create failure (store fault) gives up loudly " +
+    "at the deadline instead of busy-spinning forever") {
+    val dir = Files.createTempDirectory("graft-lock-fault").toString
+    val faulty = new org.apache.hadoop.fs.RawLocalFileSystem {
+      // every create overload funnels through this
+      override protected def createOutputStreamWithMode(f: Path,
+          append: Boolean,
+          permission: org.apache.hadoop.fs.permission.FsPermission)
+          : java.io.OutputStream =
+        if (f.getName == GraftOrcManifest.CommitLockName)
+          throw new java.io.IOException("injected store fault")
+        else super.createOutputStreamWithMode(f, append, permission)
+    }
+    faulty.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    withProps("graft.commit.lock" -> "file",
+      "graft.commit.lock.timeout_ms" -> "400") {
+      var cleaned = false
+      val t0 = System.nanoTime()
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        GraftOrcManifest.withCommitFileLock(faulty, new Path(dir),
+          onAcquireFailure = () => cleaned = true) {
+          fail("body must not run when acquisition never succeeds")
+        }
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(ex.getMessage.contains("could not acquire"), ex.getMessage)
+      assert(elapsedMs < 10000,
+        f"deadline not honored: spun for $elapsedMs%.0f ms")
+      assert(cleaned, "acquisition failure did not run the staged-state " +
+        "cleanup callback")
+    }
   }
 
   test("a STALE lock (crashed holder) is taken over instead of wedging " +
@@ -91,5 +182,31 @@ class GraftOrcCommitLockSpec extends AnyFunSuite {
     }
     assert(!fs.exists(lock))
     assert(GraftOrcManifest.readSnapshot(fs, qt).get.seq === 2L)
+  }
+
+  test("vacuum sweeps AGED .tmp- staging leftovers (crashed commits) " +
+    "but spares fresh ones inside another driver's in-flight window") {
+    val dir = Files.createTempDirectory("graft-lock-tmpsweep").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, mk(3, qt))
+    val md = new Path(qt, "_graft_manifest")
+    def drop(name: String, ageMs: Long): Path = {
+      val p = new Path(md, name)
+      val o = fs.create(p, true)
+      o.write("staged".getBytes("UTF-8")); o.close()
+      fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+      p
+    }
+    val old = drop(".tmp-deadbeef", 120000L)
+    val fresh = drop(".tmp-inflight", 0L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val swept = GraftOrcManifest.vacuum(conf, qt.toString,
+      olderThanMs = System.currentTimeMillis() - 60000L)
+    assert(swept >= 1)
+    assert(!fs.exists(old), "aged .tmp- leftover not swept")
+    assert(fs.exists(fresh), "vacuum swept a fresh in-flight .tmp- file")
+    // live state untouched
+    assert(GraftOrcManifest.readSnapshot(fs, qt).get.entries.size === 3)
   }
 }

@@ -117,9 +117,17 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       Files.createTempDirectory("gi-ckA").toString + "/c")
     // same deliveries consumed file-at-a-time: many more micro-batches,
     // same final state (order/boundary invariance)
-    IngestDedup.ingest(spark, crawlB, qtB,
-      Files.createTempDirectory("gi-ckB").toString + "/c",
+    val ckB = Files.createTempDirectory("gi-ckB").toString + "/c"
+    IngestDedup.ingest(spark, crawlB, qtB, ckB,
       maxFilesPerTrigger = Some(1))
+    // boundary independence must actually have been EXERCISED: the
+    // file-at-a-time run committed >= 4 micro-batches (2 commits x 2
+    // files each), not one batch per wave
+    val nBatches = Option(new java.io.File(ckB, "offsets").list())
+      .map(_.count(!_.endsWith(".tmp"))).getOrElse(0)
+    assert(nBatches >= 4,
+      s"expected >= 4 micro-batches in the file-at-a-time run, got " +
+        s"$nBatches")
     val a = state(qtA); val b = state(qtB)
     assert(a === b, "micro-batch boundaries changed the final state")
     assert(a.size === 12)
@@ -178,5 +186,66 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(got === expected, s"streamed $got vs batch $expected")
+  }
+
+  test("CorpusStats epoch guard: a FRESH checkpoint against a non-empty " +
+    "stats table is refused loudly; truncate-then-rerun rebuilds " +
+    "exactly; file-at-a-time micro-batches accumulate the same counters") {
+    assume(wh.nonEmpty)
+    import graft.streaming.CorpusStats
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ging.default")
+    val qt = s"ging.default.${uniq("statsg")}"
+    spark.sql(s"CREATE TABLE $qt (key STRING, docs BIGINT, " +
+      "chars BIGINT, batch_id BIGINT) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    val crawl = Files.createTempDirectory("graft-statsg-crawl").toString
+    deliver(crawl, docs(0 until 20, 0L, "a"))
+    deliver(crawl, docs(20 until 32, 0L, "b"))
+    def counters(): Set[(String, Long, Long)] =
+      spark.sql(s"SELECT key, docs, chars FROM $qt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = docs(0 until 20, 0L, "a")
+      .unionByName(docs(20 until 32, 0L, "b"))
+      .groupBy($"src").agg(count(lit(1)).as("docs"),
+        sum($"n_chars").as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // file-at-a-time: 2 commits x 2 files = >= 4 micro-batches, each
+    // with its own guarded batch id — same counters as the batch agg
+    val ckpt1 = Files.createTempDirectory("graft-statsg-ck1")
+      .toString + "/c"
+    CorpusStats.maintain(spark, crawl, qt, ckpt1, keyCol = "src",
+      charsCol = col("n_chars"), maxFilesPerTrigger = Some(1))
+    val nBatches = Option(new java.io.File(ckpt1, "offsets").list())
+      .map(_.count(!_.endsWith(".tmp"))).getOrElse(0)
+    assert(nBatches >= 4, s"expected >= 4 micro-batches, got $nBatches")
+    assert(counters() === expected)
+    // a FRESH checkpoint restarts batch ids at 0: accumulating into the
+    // non-truncated table would double-count — refused LOUDLY, state
+    // untouched (this used to be a documentation-only caveat)
+    val ckpt2 = Files.createTempDirectory("graft-statsg-ck2")
+      .toString + "/c"
+    val ex = intercept[IllegalStateException] {
+      CorpusStats.maintain(spark, crawl, qt, ckpt2, keyCol = "src",
+        charsCol = col("n_chars"))
+    }
+    assert(ex.getMessage.contains("epoch"), ex.getMessage)
+    assert(counters() === expected, "the refused run changed state")
+    // the documented rebuild path: truncate first, then the fresh
+    // checkpoint reproduces the exact same counters
+    spark.sql(s"DELETE FROM $qt")
+    CorpusStats.maintain(spark, crawl, qt, ckpt2, keyCol = "src",
+      charsCol = col("n_chars"))
+    assert(counters() === expected, "truncate-then-rerun diverged")
+    // and the ORIGINAL checkpoint is now the mismatched one
+    val ex2 = intercept[IllegalStateException] {
+      CorpusStats.maintain(spark, crawl, qt, ckpt1, keyCol = "src",
+        charsCol = col("n_chars"))
+    }
+    assert(ex2.getMessage.contains("epoch"), ex2.getMessage)
+    // resuming with the MATCHING checkpoint stays a clean no-op
+    CorpusStats.maintain(spark, crawl, qt, ckpt2, keyCol = "src",
+      charsCol = col("n_chars"))
+    assert(counters() === expected)
   }
 }
