@@ -858,14 +858,21 @@ object ScaleStress {
       return
     }
 
-    // Streaming-ingest receipt: one FIXED crawl commit keep-min-MERGEd
-    // (graft.streaming.IngestDedup) into a clean table whose history
-    // grows k-fold. The claim matches the MERGE shape honestly: per-batch
-    // cost = O(batch) shuffle/write (MoR delta files only for touched
-    // rows) + the clean table's fp-join scan — history is never
-    // re-clustered or rewritten, so growth is the sublinear scan term,
-    // not the superlinear re-dedup term.
-    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 streamingest 1 10
+    // Streaming-ingest receipt: one FIXED crawl batch (confined to 4 of
+    // the clean table's 16 fp-buckets) keep-min-MERGEd
+    // (graft.streaming.IngestDedup) into a history that grew k-fold in
+    // BOTH rows and files (k append waves — the shape a maintained ingest
+    // table actually has). Two claims, separately measured:
+    //  (1) bucket pruning: the MERGE's target scan reads only the files
+    //      of the batch's bucket set (~4/16 of history), never all of it
+    //      — merge_files_read / history_files stays ~0.25 at every k;
+    //  (2) maintenance bounds the per-bucket file count: after one
+    //      fp-sorted compaction, a second identical-shape batch reads
+    //      |bucket set| files FLAT (4) while history bytes carry the
+    //      full k-fold corpus — the 100 TB steady state (continuous
+    //      ingest + periodic compaction) reads O(batch buckets) files
+    //      per batch regardless of history size.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 streamingest 1 10 50
     if (streamIngestMode) {
       import graft.functions.TextHashFunctions.md5Key60
       import graft.streaming.IngestDedup
@@ -882,44 +889,104 @@ object ScaleStress {
         spark.sql(s"CREATE TABLE $t (fp BIGINT, doc_id BIGINT, " +
           "src STRING, n_chars BIGINT, fpb INT) PARTITIONED BY (fpb) " +
           "TBLPROPERTIES('graft.merge_mode'='mor')")
-        // seed: k text-perturbed copies of the even half, already
-        // fingerprinted (history build cost amortized over past
-        // batches — not this batch's bill)
-        val hist = (0 until k).map { i =>
+        // a batch "confined to buckets {0..3}" — the steady-state shape
+        // where a micro-batch touches a subset of the table's buckets
+        def confined(df: org.apache.spark.sql.DataFrame) =
+          df.filter(pmod(hash(md5Key60(col("text"))), lit(16)) < 4)
+        // seed: k WAVES of text-perturbed copies of the even half — the
+        // history a maintained ingest table actually has (files grow
+        // with k, not just bytes); build cost amortized over past
+        // batches, not this batch's bill
+        (0 until k).foreach { i =>
           docs0.filter(col("doc_id") % 2 === 0).select(
-            (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
-            concat(col("text"), lit(s" v$i")).as("text"),
-            col("n_chars"))
-        }.reduce(_ unionByName _)
-        hist.select(md5Key60(col("text")).as("fp"), col("doc_id"),
-            lit("hist").as("src"), col("n_chars"))
-          .withColumn("fpb", IngestDedup.fpBucket(16))
-          .repartition(8).writeTo(t).append()
-        // fixed crawl: the odd half (all fresh) + a re-delivery of a
-        // 1/6 slice of history copy 0 under LARGER ids (matched,
-        // keep-min no-op — the recrawl pattern)
+              (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+              concat(col("text"), lit(s" v$i")).as("text"),
+              col("n_chars"))
+            .select(md5Key60(col("text")).as("fp"), col("doc_id"),
+              lit("hist").as("src"), col("n_chars"))
+            .withColumn("fpb", IngestDedup.fpBucket(16))
+            .repartition(4).writeTo(t).append()
+        }
+        // fixed crawl commit 1: fresh odd-half docs + a recrawl
+        // re-delivery of a history slice under LARGER ids (matched,
+        // keep-min no-op) — both confined to buckets {0..3}
         val crawlDir = java.nio.file.Files
           .createTempDirectory(s"graft-si-crawl-$k").toString
-        docs0.filter(col("doc_id") % 2 === 1)
+        def deliver(df: org.apache.spark.sql.DataFrame): Unit =
+          confined(df)
+            .select(col("doc_id"), col("text"), col("n_chars"), col("src"))
+            .repartition(4).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("append").save(crawlDir)
+        deliver(docs0.filter(col("doc_id") % 2 === 1)
           .withColumn("src", lit("crawl"))
           .unionByName(docs0.filter(col("doc_id") % 6 === 0).select(
             (col("doc_id") + lit(5000000000L)).as("doc_id"),
             concat(col("text"), lit(" v0")).as("text"), col("n_chars"))
-            .withColumn("src", lit("recrawl")))
-          .select(col("doc_id"), col("text"), col("n_chars"), col("src"))
-          .repartition(4).write.format("graft-orc")
-          .option("graft.manifest", "true").mode("append").save(crawlDir)
+            .withColumn("src", lit("recrawl"))))
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-si-ck-$k").toString + "/c"
         val histRows = spark.table(t).count()
+        def tableFiles(): Long =
+          spark.sql(s"SELECT count(*) FROM $t.files")
+            .collect()(0).getLong(0)
+        val histFiles = tableFiles()
+        // the receipt's load-bearing number: how many of the history's
+        // files the MERGE's target scan actually READ — bounded by the
+        // batch's bucket set (explicit fpb partition predicate), not by
+        // how much history has accumulated
+        var mergeFilesRead = 0L
+        def scanFilesRead(df: org.apache.spark.sql.DataFrame): Long = {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          org.apache.spark.GraftSparkBridge
+            .waitUntilListenerBusEmpty(spark.sparkContext)
+          def scans(pl: SparkPlan): Seq[BatchScanExec] = pl match {
+            case b: BatchScanExec => Seq(b)
+            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+            case q: QueryStageExec => scans(q.plan)
+            case c: org.apache.spark.sql.execution.CommandResultExec =>
+              scans(c.commandPhysicalPlan)
+            case other =>
+              (other.children ++ other.subqueries).flatMap(scans)
+          }
+          scans(df.queryExecution.executedPlan)
+            .flatMap(_.metrics.collectFirst {
+              case (key, m) if key == "graftFilesRead" => m.value })
+            .sum
+        }
         val t0 = System.nanoTime()
         IngestDedup.ingest(spark, crawlDir, t, ckpt,
-          buckets = Some(16))
+          buckets = Some(16),
+          onMerge = df => mergeFilesRead += scanFilesRead(df))
         val sec = (System.nanoTime() - t0) / 1e9
+        val rawRead = mergeFilesRead
+        // steady state: one fp-sorted compaction (the maintenance a
+        // continuously-ingesting table runs anyway), then a SECOND
+        // same-shape batch — its target scan must read |bucket set|
+        // files FLAT regardless of k
+        spark.sql(s"CALL gsi.system.compact(table => 'default.clean_$k'" +
+          ", zorder_by => 'fp')")
+        val compactedFiles = tableFiles()
+        deliver(docs0.filter(col("doc_id") % 2 === 1).select(
+            (col("doc_id") + lit(9000000000L)).as("doc_id"),
+            col("text"), col("n_chars"))
+          .withColumn("src", lit("recrawl2")))
+        mergeFilesRead = 0L
+        val t1 = System.nanoTime()
+        IngestDedup.ingest(spark, crawlDir, t, ckpt,
+          buckets = Some(16),
+          onMerge = df => mergeFilesRead += scanFilesRead(df))
+        val secCompacted = (System.nanoTime() - t1) / 1e9
+        val compactedRead = mergeFilesRead
         val cleanRows = spark.table(t).count()
         println(s"""{"op":"streaming_ingest","factor":$k,""" +
-          s""""history_rows":$histRows,"clean_rows":$cleanRows,""" +
-          s""""ingest_sec":${num(sec)}}""")
+          s""""history_rows":$histRows,"history_files":$histFiles,""" +
+          s""""merge_files_read":$rawRead,""" +
+          s""""compacted_files":$compactedFiles,""" +
+          s""""merge_files_read_compacted":$compactedRead,""" +
+          s""""clean_rows":$cleanRows,"ingest_sec":${num(sec)},""" +
+          s""""ingest_sec_compacted":${num(secCompacted)}}""")
         spark.sql(s"DROP TABLE $t")
       }
       spark.stop()

@@ -328,6 +328,54 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Integer quantization of the first `n` embedding components:
+    * `floor(vec[i] * scale)` as array<long> — native replacement for the
+    * HOF form `transform(slice(embedding, 1, n), x ->
+    * CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT))`. The HOF is
+    * CodegenFallback (boxed per-element lambda through
+    * NamedLambdaVariable) and, as the one non-native kernel left in the
+    * det-ANN queries, the standing suspect for their recurring
+    * driver-bench anomalies — this compiles to a tight primitive loop.
+    * Arithmetic identical (widen float to double, multiply, Math.floor,
+    * narrow to long), pinned in NativeExpressionsSpec.
+    */
+  case class QuantizePrefix(child: Expression, n: Int, scale: Double)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_quantize_prefix"
+
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData]
+      val m = math.min(vec.numElements(), n)
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        out(i) = math.floor(vec.getFloat(i).toDouble * scale).toLong
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val m = ctx.freshName("m"); val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |int $m = Math.min($v.numElements(), $n);
+           |long[] $out = new long[$m];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  $out[$i] = (long) Math.floor(((double) $v.getFloat($i)) * $scale);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** BIGINT dot product of two long arrays — the hot verify kernel of
     * the deterministic similarity twins (quantized-prefix scoring). The
     * HOF form `aggregate(zip_with(a, b, ...))` is CodegenFallback with
@@ -573,6 +621,9 @@ object NativeExpressions {
 
   def cjkCharCount(c: Column): Column =
     GraftBridge.column(CjkCharCount(GraftBridge.expression(c)))
+
+  def quantizePrefix(vec: Column, n: Int, scale: Double = 1000.0): Column =
+    GraftBridge.column(QuantizePrefix(GraftBridge.expression(vec), n, scale))
 
   def intDot(a: Column, b: Column): Column =
     GraftBridge.column(IntegerDot(

@@ -47,10 +47,12 @@ object Similarity {
   private[graft] val RangePlanes = 6
   private[graft] val RangeQueries = 40
 
-  /** Quantized 16-prefix as one BIGINT-array column. */
+  /** Quantized 16-prefix as one BIGINT-array column — native codegen'd
+    * kernel (the HOF `transform(slice(...))` form is CodegenFallback
+    * with boxed per-element lambdas; arithmetic identical either way).
+    */
   private def qvArr: org.apache.spark.sql.Column =
-    expr("transform(slice(embedding, 1, 16), x -> " +
-      "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    graft.functions.NativeExpressions.quantizePrefix(col("embedding"), 16)
 
   /** BIGINT fold of an array column (sum of elements). */
   private def foldSum(arr: String): org.apache.spark.sql.Column =
@@ -63,8 +65,8 @@ object Similarity {
     */
   private[graft] def rangeLshCandidates(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val qv8 = expr("transform(slice(embedding, 1, 8), x -> " +
-      "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    val qv8 =
+      graft.functions.NativeExpressions.quantizePrefix(col("embedding"), 8)
     val long = e.select(col("vec_id"),
       posexplode(DetLsh.bucketArray(qv8, RangeTables, RangePlanes))
         .as(Seq("t", "bucket")))
@@ -236,8 +238,6 @@ object Similarity {
     QueryDef("ss_ann_lsh_det",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val qvArr = expr("transform(slice(embedding, 1, 16), x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         val buckets = DetLsh.bucketCols(DetLsh.quantized(col("embedding")))
         val base = e.select(col("vec_id") +: qvArr.as("qv") +:
           buckets.zipWithIndex.map { case (b, t) => b.as(s"b$t") }: _*)
@@ -311,8 +311,6 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d)
-        val qvArr = expr("transform(slice(embedding, 1, 16), x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         def bin(i: Int) = {
           val v = element_at(col("qv"), i)
           when(v < -100L, 0).when(v < 100L, 1).otherwise(2)

@@ -77,7 +77,8 @@ object IngestDedup {
              checkpoint: String,
              fingerprint: Column = md5Key60(col("text")),
              maxFilesPerTrigger: Option[Int] = None,
-             buckets: Option[Int] = None): Unit = {
+             buckets: Option[Int] = None,
+             onMerge: DataFrame => Unit = _ => ()): Unit = {
     val reader = spark.readStream.format("graft-orc")
       .option("graft.snapshot_offsets", "true")
     maxFilesPerTrigger.foreach(n =>
@@ -88,7 +89,8 @@ object IngestDedup {
     val q = crawl.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, cleanTable, fingerprint, payloadCols, buckets)
+        mergeBatch(batch, cleanTable, fingerprint, payloadCols, buckets,
+          onMerge)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -103,9 +105,15 @@ object IngestDedup {
     * key can never match and would re-insert on every delivery.
     * Exposed for the batch twin in specs.
     */
+  /** @param onMerge observation hook invoked with each executed MERGE
+    *   statement's result frame (its executedPlan carries the target
+    *   scan's metrics — the ScaleStress streamingest receipt reads
+    *   `graftFilesRead` off it). Must not re-execute the frame.
+    */
   def mergeBatch(batch: DataFrame, cleanTable: String,
                  fingerprint: Column, payloadCols: Seq[String],
-                 buckets: Option[Int] = None): Unit = {
+                 buckets: Option[Int] = None,
+                 onMerge: DataFrame => Unit = _ => ()): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
     val winner0 = batch
@@ -142,12 +150,12 @@ object IngestDedup {
       val insCols = ("fp" +: "doc_id" +: payload).mkString(", ")
       val insVals = ("fp" +: "doc_id" +: payload)
         .map(c => s"b.$c").mkString(", ")
-      try s.sql(
+      try onMerge(s.sql(
         s"""MERGE INTO $cleanTable t USING $view b
            |ON t.fp = b.fp$bucketPred
            |WHEN MATCHED AND b.doc_id < t.doc_id THEN UPDATE SET $setAll
            |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)
-           |""".stripMargin)
+           |""".stripMargin))
       finally s.catalog.dropTempView(view)
     } finally if (buckets.isDefined) winner.unpersist()
   }

@@ -52,6 +52,25 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("native quantizePrefix == HOF transform(slice(...)) quantization " +
+    "(bit-exact, both prefix lengths), and is null-safe") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    def hof(n: Int) = expr(s"transform(slice(embedding, 1, $n), x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    Seq(8, 16).foreach { n =>
+      val diff = e.select(
+          NativeExpressions.quantizePrefix($"embedding", n).as("native"),
+          hof(n).as("hofq"))
+        .filter($"native" =!= $"hofq").count()
+      assert(diff === 0L, s"prefix $n diverged from the HOF form")
+    }
+    val withNull = Seq(Some(Array(0.5f, -1.25f)), None).toDF("embedding")
+      .select(NativeExpressions.quantizePrefix($"embedding", 16).as("qv"))
+      .collect()
+    assert(withNull(0).getSeq[Long](0) === Seq(500L, -1250L))
+    assert(withNull(1).isNullAt(0))
+  }
+
   test("rolling hash matches JVM reference and is null-safe") {
     def ref(s: String): Long = {
       var h = -3750763034362895579L
