@@ -684,13 +684,15 @@ object Dedup {
     QueryDef("dd_embed_lsh_det",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val buckets = DetLsh.bucketCols(DetLsh.quantized(col("embedding")))
-        val banded = e.select(col("vec_id") +:
-          buckets.zipWithIndex.map { case (b, t) => b.as(s"b$t") }: _*)
+        // native DetLshBuckets kernel, not the unrolled bucketCols tree —
+        // constant-size generated code bounds the cold-JVM cost (the
+        // round-17 first-position receipts; same swap as ss_ann_lsh_det)
+        val banded = e.select(col("vec_id"),
+          DetLsh.bucketArray(graft.functions.NativeExpressions
+              .quantizePrefix(col("embedding"), DetLsh.Dims),
+            DetLsh.Tables, DetLsh.Planes).as("bks"))
         val long = banded.select(col("vec_id"),
-          posexplode(array((0 until DetLsh.Tables)
-            .map(t => col(s"b$t")): _*))
-            .as(Seq("t", "bucket")))
+          posexplode(col("bks")).as(Seq("t", "bucket")))
         val a = long.select(col("t"), col("bucket"),
           col("vec_id").as("a_id"))
         val b = long.select(col("t"), col("bucket"),

@@ -238,12 +238,16 @@ object Similarity {
     QueryDef("ss_ann_lsh_det",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val buckets = DetLsh.bucketCols(DetLsh.quantized(col("embedding")))
-        val base = e.select(col("vec_id") +: qvArr.as("qv") +:
-          buckets.zipWithIndex.map { case (b, t) => b.as(s"b$t") }: _*)
+        // banding through the native DetLshBuckets kernel (constant-size
+        // generated code) — the unrolled bucketCols Column tree made this
+        // query's COLD-JVM cost ~9-10 s (the r16 driver-bench anomaly's
+        // magnitude; receipt in BASELINE.md round-17 adjudication)
+        val base = e.select(col("vec_id"), qvArr.as("qv"),
+          DetLsh.bucketArray(graft.functions.NativeExpressions
+              .quantizePrefix(col("embedding"), DetLsh.Dims),
+            DetLsh.Tables, DetLsh.Planes).as("bks"))
         val long = base.select(col("vec_id"),
-          posexplode(array((0 until DetLsh.Tables)
-            .map(t => col(s"b$t")): _*)).as(Seq("t", "bucket")))
+          posexplode(col("bks")).as(Seq("t", "bucket")))
         val q = long.filter(col("vec_id") < 40)
           .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
         val cand = long.select(col("vec_id").as("n_id"), col("t"),
