@@ -209,7 +209,8 @@ object Bench {
     // fresh crawl + clean table + checkpoint per iteration — and
     // exactly-once streaming corpus accounting (batch-id-guarded
     // counter MERGE, idle-resume no-op included in the timing)
-    "rl_stream_dedup_ingest", "rl_stream_corpus_stats")
+    "rl_stream_dedup_ingest", "rl_stream_corpus_stats",
+    "rl_stream_neardup_ingest")
 
   /** Embedding near-dup at a synthetic 10x vector count — past the
     * brute-vs-LSH crossover (BASELINE.md: the n^2 cross join loses once

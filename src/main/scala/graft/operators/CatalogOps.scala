@@ -1041,5 +1041,95 @@ object CatalogOps {
              |  count(*) AS docs,
              |  CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents
-             |GROUP BY 1 ORDER BY lang""".stripMargin)))
+             |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // --------------- streaming NEAR-dup ingestion (round 17)
+    // The minhash companion to rl_stream_dedup_ingest: a crawl stream
+    // is banded (the md5-deterministic 8x4 minhash banding shared with
+    // dd_minhash_lsh_det), each batch drops every doc that shares a
+    // band key with ANY earlier-delivered doc — kept or dropped, so
+    // near-dup chains collapse to the first survivor — and survivors
+    // land in the clean table while ALL the batch's band keys land in
+    // the bucket-partitioned signature table (the corpus-awareness the
+    // next batch prunes its history join with). Under ascending-id
+    // delivery the final clean table is exactly "docs with no
+    // smaller-id band collider" — the oracle below recomputes the whole
+    // banding + collider set in DuckDB. graft.streaming.NearDupIngest;
+    // replay/boundary/chain semantics pinned in
+    // GraftOrcStreamIngestSpec.
+    QueryDef("rl_stream_neardup_ingest",
+      (s, d) => {
+        val cat = catalogName(s)
+        val qt = s"$cat.default.${uniq("snd")}"
+        val sig = s"$cat.default.${uniq("sndsig")}"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+        val crawlDir = freshDir("sndcrawl")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            col("source").as("src"), col("n_chars"))
+        def deliver(df: DataFrame): Unit =
+          df.select(col("doc_id"), col("text"), col("src"), col("n_chars"))
+            .repartition(2).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("append").save(crawlDir)
+        s.sql(s"CREATE TABLE $qt (doc_id BIGINT, src STRING, " +
+          "n_chars BIGINT, db INT) PARTITIONED BY (db) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
+        s.sql(s"CREATE TABLE $sig (band INT, key BIGINT, doc_id BIGINT, " +
+          "kb INT) PARTITIONED BY (kb) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
+        val ckpt = freshDir("sndckpt") + "/ckpt"
+        // ascending-id waves (the crawl contract): wave 1 = lower half;
+        // wave 2 = upper half + exact re-crawls of every 5th doc under
+        // ids past the corpus (guaranteed banding collisions)
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        deliver(docs.filter(col("doc_id") <= mid))
+        graft.streaming.NearDupIngest.ingest(s, crawlDir, qt, sig, ckpt)
+        deliver(docs.filter(col("doc_id") > mid)
+          .unionByName(docs.filter(col("doc_id") % 5 === 0).select(
+            (col("doc_id") + 100000L).as("doc_id"), col("text"),
+            lit("recrawl").as("src"), col("n_chars"))))
+        graft.streaming.NearDupIngest.ingest(s, crawlDir, qt, sig, ckpt)
+        // idle resume (nothing new) must change nothing
+        graft.streaming.NearDupIngest.ingest(s, crawlDir, qt, sig, ckpt)
+        s.sql(s"SELECT doc_id, src, n_chars FROM $qt ORDER BY doc_id")
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text, source AS src, n_chars
+              |  FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000, text, 'recrawl', n_chars
+              |  FROM documents WHERE doc_id % 5 = 0),
+              |d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks
+              |  FROM corpus),
+              |sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    CASE WHEN len(toks) >= 3
+              |      THEN list_transform(range(1, len(toks) - 1),
+              |             i -> array_to_string(toks[i:i+2], ' '))
+              |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              |  FROM d),
+              |ph AS (
+              |  SELECT doc_id, p, min(${graft.functions.TextHashFunctions
+                   .md5Key60Sql(
+                     "CAST(p AS VARCHAR) || chr(1) || shingle")}) AS mh
+              |  FROM sh, range(0, 32) t(p)
+              |  GROUP BY doc_id, p),
+              |sig AS (
+              |  SELECT doc_id, list(mh ORDER BY p) AS sig
+              |  FROM ph GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, b, ${graft.functions.TextHashFunctions
+                   .md5Key60Sql(
+                     "array_to_string(list_transform(range(1, 5), " +
+                       "r -> CAST(sig[CAST(b * 4 + r AS INT)] AS " +
+                       "VARCHAR)), ',')")} AS key
+              |  FROM sig, range(0, 8) t(b)),
+              |coll AS (
+              |  SELECT DISTINCT r.doc_id AS doc_id
+              |  FROM bands l JOIN bands r
+              |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+              |SELECT c.doc_id, c.src, c.n_chars FROM corpus c
+              |WHERE c.doc_id NOT IN (SELECT doc_id FROM coll)
+              |ORDER BY c.doc_id""".stripMargin)))
 }

@@ -183,7 +183,15 @@ object Dedup {
     * benched; this twin trades one md5 per (perm, shingle) for
     * cross-engine reproducibility.
     */
-  def minhashNearDupsDet(docs: DataFrame, minJac: Double): DataFrame = {
+  /** The deterministic (md5-permuted) minhash BAND KEYS of each
+    * document: one `(doc_id, band, key)` row per band, where `key` is
+    * the md5Key60 of the band's signature slice — exactly the banding
+    * [[minhashNearDupsDet]] candidates on, and bit-reproducible in
+    * DuckDB (the dd_minhash_lsh_det / rl_stream_neardup_ingest
+    * oracles). Exposed so the STREAMING near-dup ingester shares one
+    * banding definition with the batch twin.
+    */
+  def detBandKeys(docs: DataFrame): DataFrame = {
     val rpb = RowsPerBand
     val permHash = (p: Column, shingle: Column) =>
       md5Key60(concat(p.cast("string"), lit("\u0001"), shingle))
@@ -198,11 +206,15 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
         s => s.getField("mh")).as("sig"))
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
         md5Key60(concat_ws(",", (0 until rpb).map(r =>
           element_at(col("sig"), b * rpb + r + 1).cast("string")): _*))
       }: _*)).as(Seq("band", "key")))
+  }
+
+  def minhashNearDupsDet(docs: DataFrame, minJac: Double): DataFrame = {
+    val banded = detBandKeys(docs)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("b_id"))
     val cands = l.join(r, Seq("band", "key"))

@@ -188,6 +188,97 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
     assert(got === expected, s"streamed $got vs batch $expected")
   }
 
+  private def mkNearDup(tag: String): (String, String) = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ging.default")
+    val qt = s"ging.default.${uniq(tag)}"
+    val sig = s"ging.default.${uniq(tag + "sig")}"
+    spark.sql(s"CREATE TABLE $qt (doc_id BIGINT, src STRING, " +
+      "n_chars BIGINT, db INT) PARTITIONED BY (db) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    spark.sql(s"CREATE TABLE $sig (band INT, key BIGINT, doc_id BIGINT, " +
+      "kb INT) PARTITIONED BY (kb) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    (qt, sig)
+  }
+
+  test("NearDupIngest chain semantics: a doc colliding ONLY with a " +
+    "DROPPED doc is still dropped (all-seen keys), across a restart") {
+    assume(wh.nonEmpty)
+    import graft.streaming.NearDupIngest
+    // injected banding: d1 {(0,100)}, d2 {(0,100),(1,200)}, d3 {(1,200)},
+    // d4 {(0,300)} — d2 drops against d1; d3 collides ONLY with d2 (a
+    // dropped doc) and must still drop; d4 is clean
+    val keyRows = Seq((1L, 0, 100L), (2L, 0, 100L), (2L, 1, 200L),
+      (3L, 1, 200L), (4L, 0, 300L))
+    val bk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      docs => docs.select($"doc_id")
+        .join(keyRows.toDF("doc_id", "band", "key"), Seq("doc_id"))
+    val crawl = Files.createTempDirectory("graft-nd-chain").toString
+    val (qt, sig) = mkNearDup("ndchain")
+    val ckpt = Files.createTempDirectory("graft-nd-chain-ck").toString + "/c"
+    deliver(crawl, docs(Seq(1, 2), 0L, "w1"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt, bandKeys = bk)
+    // d2 was dropped, but its keys must be IN the signature table
+    assert(spark.sql(s"SELECT count(*) FROM $sig WHERE doc_id = 2")
+      .head().getLong(0) === 2L)
+    // restart; d3 arrives and must drop against the DROPPED d2's keys
+    deliver(crawl, docs(Seq(3, 4), 0L, "w2"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt, bandKeys = bk)
+    val kept = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(1L, 4L),
+      s"chain did not collapse to the first survivor: $kept")
+  }
+
+  test("NearDupIngest det banding equals the batch no-smaller-collider " +
+    "twin; micro-batch boundaries and a fresh-checkpoint replay are " +
+    "both invariant") {
+    assume(wh.nonEmpty)
+    import graft.streaming.NearDupIngest
+    import graft.operators.Dedup
+    // ascending waves: 0..14, then 15..29 + exact re-crawls of 0..9
+    // under +100 (guaranteed full-band collisions with their originals)
+    val w1 = docs(0 until 15, 0L, "w1")
+    val w2 = docs(15 until 30, 0L, "w2")
+      .unionByName(docs(0 until 10, 100L, "re"))
+    val corpus = w1.unionByName(w2)
+    // batch twin: kept = docs with NO strictly-smaller band collider
+    val bands = Dedup.detBandKeys(corpus.select($"doc_id", $"text"))
+    val coll = bands.as("a")
+      .join(bands.select($"band", $"key", $"doc_id".as("e_id")).as("b"),
+        Seq("band", "key"))
+      .where($"e_id" < $"doc_id").select($"doc_id").distinct()
+    val expected = corpus.join(coll, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"src", $"n_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(expected.nonEmpty && expected.size < 40,
+      s"twin degenerate: ${expected.size}")
+    def run(tag: String, mfpt: Option[Int]): Seq[(Long, String, Long)] = {
+      val crawl = Files.createTempDirectory(s"graft-nd-$tag").toString
+      val (qt, sig) = mkNearDup(s"nd$tag")
+      val ckpt = Files.createTempDirectory(s"graft-nd-$tag-ck")
+        .toString + "/c"
+      deliver(crawl, w1)
+      NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
+        maxFilesPerTrigger = mfpt)
+      deliver(crawl, w2)
+      NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
+        maxFilesPerTrigger = mfpt)
+      // fresh-checkpoint FULL replay must be a no-op (insert-only keyed
+      // MERGEs + strictly-smaller-id decisions)
+      val ckpt2 = Files.createTempDirectory(s"graft-nd-$tag-ck2")
+        .toString + "/c"
+      NearDupIngest.ingest(spark, crawl, qt, sig, ckpt2)
+      spark.sql(s"SELECT doc_id, src, n_chars FROM $qt ORDER BY doc_id")
+        .as[(Long, String, Long)].collect().toSeq
+    }
+    val whole = run("whole", None)
+    assert(whole === expected, "streamed result diverged from the twin")
+    val fileAtATime = run("file", Some(1))
+    assert(fileAtATime === expected,
+      "micro-batch boundaries changed the final state")
+  }
+
   test("CorpusStats epoch guard: a FRESH checkpoint against a non-empty " +
     "stats table is refused loudly; truncate-then-rerun rebuilds " +
     "exactly; file-at-a-time micro-batches accumulate the same counters") {

@@ -122,7 +122,12 @@ class SqlParitySpec extends AnyFunSuite {
       "rl_stream_dedup_ingest" ->
         ("DuckDB md5 hex-substr '0x…' BIGINT cast + arg_min " +
           "(Spark: conv()/min_by; the Spark side is the streaming " +
-          "MERGE pipeline, not one SQL text)"))
+          "MERGE pipeline, not one SQL text)"),
+      "rl_stream_neardup_ingest" ->
+        ("DuckDB list slice l[i:j] + range() table function + " +
+          "list_transform + md5 hex-substr '0x…' BIGINT cast (Spark: " +
+          "slice()/sequence()/transform/conv(); the Spark side is the " +
+          "streaming banding MERGE pipeline, not one SQL text)"))
   }
 
   private def registerViews(): Unit =
