@@ -223,6 +223,34 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Deterministic md5-permuted minhash band keys (see
+    * [[TextHashImpl.detMinhashBands]]) as array<long> of length `bands`
+    * — the dd_minhash_lsh_det / rl_stream_neardup_ingest banding as one
+    * native pass (the Column-tree form pays 32 boxed HOF md5 lambdas
+    * per shingle; value parity pinned in NativeExpressionsSpec).
+    */
+  case class DetMinhashBands(child: Expression, numPerms: Int, bands: Int,
+                             k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_det_minhash_bands"
+
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        TextHashImpl.detMinhashBands(v.asInstanceOf[UTF8String],
+          numPerms, bands, k))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v =>
+        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TextHashImpl.detMinhashBands($v, $numPerms, " +
+          s"$bands, $k))")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Repetition statistics (see [[TextHashImpl.repetitionStats]]) as
     * array<long> [nTokens, distinctTokens, nShingles, distinctShingles] —
     * native replacement for the interpreted HOF set algebra
@@ -607,6 +635,11 @@ object NativeExpressions {
 
   def minhashSig(c: Column, numPerms: Int = 32, k: Int = 3): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), numPerms, k))
+
+  def detMinhashBands(c: Column, numPerms: Int = 32, bands: Int = 8,
+                      k: Int = 3): Column =
+    GraftBridge.column(DetMinhashBands(GraftBridge.expression(c),
+      numPerms, bands, k))
 
   def repetitionStats(c: Column, k: Int = 3): Column =
     GraftBridge.column(RepetitionStats(GraftBridge.expression(c), k))

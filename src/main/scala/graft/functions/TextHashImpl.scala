@@ -98,6 +98,91 @@ object TextHashImpl {
     mins
   }
 
+  /** Deterministic md5-permuted minhash BAND KEYS — the
+    * dd_minhash_lsh_det / rl_stream_neardup_ingest banding as one tight
+    * loop. Value-identical to the Column-tree form (parity-pinned in
+    * NativeExpressionsSpec): per shingle and permutation p the hash is
+    * md5Key60("p" + U+0001 + shingle) (= the top 60 bits of the md5,
+    * exactly the first-15-hex-chars BIGINT parse), the signature is the
+    * per-permutation min (duplicate shingles are harmless under min, so
+    * the Column form's distinct() is pure work-saving), and band b's key
+    * is md5Key60 of the comma-joined decimal signature slice
+    * [b*rpb, (b+1)*rpb). Tokens/shingles match `split(text, " ")` /
+    * `concat_ws(" ", slice(...))` byte-exactly (object scaladoc), so a
+    * shingle IS the original byte range.
+    */
+  def detMinhashBands(s: UTF8String, numPerms: Int, bands: Int,
+                      k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0; var start = 0; i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        starts(t) = start; ends(t) = i; t += 1; start = i + 1
+      }
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // per-permutation prefix bytes: "p" + U+0001 (ASCII-only)
+    val prefixes = new Array[Array[Byte]](numPerms)
+    var p = 0
+    while (p < numPerms) {
+      prefixes(p) = (p.toString + "\u0001").getBytes("UTF-8")
+      p += 1
+    }
+    def key60(digest: Array[Byte]): Long = {
+      // first 15 hex chars == top 60 bits: big-endian first-8-bytes >>> 4
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+      h >>> 4
+    }
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    def addShingle(from: Int, until: Int): Unit = {
+      var p = 0
+      while (p < numPerms) {
+        md.reset()
+        md.update(prefixes(p))
+        md.update(bytes, from, until - from)
+        val h = key60(md.digest())
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+    }
+    if (nTokens < k) addShingle(0, n)
+    else {
+      var sIdx = 0
+      while (sIdx <= nTokens - k) {
+        addShingle(starts(sIdx), ends(sIdx + k - 1))
+        sIdx += 1
+      }
+    }
+    val rpb = numPerms / bands
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(rpb * 20)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rpb) {
+        if (r > 0) sb.append(',')
+        sb.append(sig(b * rpb + r))
+        r += 1
+      }
+      md.reset()
+      md.update(sb.toString.getBytes("UTF-8"))
+      out(b) = key60(md.digest())
+      b += 1
+    }
+    out
+  }
+
   /** Repetition statistics in one pass:
     * [nTokens, distinctTokens, nShingles, distinctShingles] for k-word
     * shingles. Distinctness is counted over 64-bit xxhash64 of the token /

@@ -191,7 +191,17 @@ object Dedup {
     * oracles). Exposed so the STREAMING near-dup ingester shares one
     * banding definition with the batch twin.
     */
-  def detBandKeys(docs: DataFrame): DataFrame = {
+  def detBandKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.NativeExpressions
+        .detMinhashBands(col("text"), NumPerms, Bands, 3))
+        .as(Seq("band", "key")))
+
+  /** The Column-tree/HOF formulation kept as the parity reference for
+    * [[detBandKeys]]'s native kernel (NativeExpressionsSpec) and as the
+    * documentation of the banding's derivation.
+    */
+  def detBandKeysHof(docs: DataFrame): DataFrame = {
     val rpb = RowsPerBand
     val permHash = (p: Column, shingle: Column) =>
       md5Key60(concat(p.cast("string"), lit("\u0001"), shingle))

@@ -71,6 +71,26 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(withNull(1).isNullAt(0))
   }
 
+  test("native detMinhashBands == the Column-tree det banding " +
+    "(bit-exact over real documents + edge strings)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    val edge = Seq((100001L, ""), (100002L, "a"), (100003L, "a b"),
+      (100004L, "a  b   c d"), (100005L, "a b c"), (100006L, " lead"),
+      (100007L, "trail "), (100008L, "大熊 和奏 🤔 ok"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val native = Dedup.detBandKeys(all)
+    val hof = Dedup.detBandKeysHof(all)
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native banding diverged from the Column-tree form")
+    // null text: the doc contributes no band keys on either path
+    val withNull = Seq((1L, Some("x y z")), (2L, None))
+      .toDF("doc_id", "text")
+    assert(Dedup.detBandKeys(withNull).filter($"doc_id" === 2L).isEmpty)
+  }
+
   test("rolling hash matches JVM reference and is null-safe") {
     def ref(s: String): Long = {
       var h = -3750763034362895579L
