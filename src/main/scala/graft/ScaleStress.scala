@@ -18,6 +18,33 @@ object ScaleStress {
   private def num(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** Sum of `graftFilesRead` over every graft BatchScan in an executed
+    * frame's plan (AQE stages, command results and subqueries included)
+    * — the streaming-ingest receipts' load-bearing metric: how many of
+    * the MERGE target's history files the scan actually read.
+    */
+  private def scanFilesRead(spark: SparkSession,
+                            df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    org.apache.spark.GraftSparkBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+    def scans(pl: SparkPlan): Seq[BatchScanExec] = pl match {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        scans(c.commandPhysicalPlan)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.collectFirst {
+        case (key, m) if key == "graftFilesRead" => m.value })
+      .sum
+  }
+
   /** Result of [[concurrentCommitters]] — the real-thread concurrency
     * receipt: every commit landed exactly once or threw, and the final
     * state equals the serial application of the SUCCESSFUL operations.
@@ -274,6 +301,7 @@ object ScaleStress {
     val branchConsMode = args.lift(1).contains("branchcons")
     val manifestScaleMode = args.lift(1).contains("manifestscale")
     val streamIngestMode = args.lift(1).contains("streamingest")
+    val neardupMode = args.lift(1).contains("neardup")
     val specEvoMode = args.lift(1).contains("specevo")
     val evoMode = !specEvoMode && args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
@@ -285,7 +313,7 @@ object ScaleStress {
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
       wapMode || hiddenMode || specEvoMode || morDenseMode ||
       consolidateMode || branchConsMode || manifestScaleMode ||
-      streamIngestMode
+      streamIngestMode || neardupMode
     val factors =
       if (args.length > (if (hasMode) 2 else 1))
         args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
@@ -935,26 +963,8 @@ object ScaleStress {
         // batch's bucket set (explicit fpb partition predicate), not by
         // how much history has accumulated
         var mergeFilesRead = 0L
-        def scanFilesRead(df: org.apache.spark.sql.DataFrame): Long = {
-          import org.apache.spark.sql.execution.SparkPlan
-          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-          import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-          org.apache.spark.GraftSparkBridge
-            .waitUntilListenerBusEmpty(spark.sparkContext)
-          def scans(pl: SparkPlan): Seq[BatchScanExec] = pl match {
-            case b: BatchScanExec => Seq(b)
-            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-            case q: QueryStageExec => scans(q.plan)
-            case c: org.apache.spark.sql.execution.CommandResultExec =>
-              scans(c.commandPhysicalPlan)
-            case other =>
-              (other.children ++ other.subqueries).flatMap(scans)
-          }
-          scans(df.queryExecution.executedPlan)
-            .flatMap(_.metrics.collectFirst {
-              case (key, m) if key == "graftFilesRead" => m.value })
-            .sum
-        }
+        def scanFilesRead(df: org.apache.spark.sql.DataFrame): Long =
+          ScaleStress.scanFilesRead(spark, df)
         val t0 = System.nanoTime()
         IngestDedup.ingest(spark, crawlDir, t, ckpt,
           buckets = Some(16),
@@ -988,6 +998,124 @@ object ScaleStress {
           s""""clean_rows":$cleanRows,"ingest_sec":${num(sec)},""" +
           s""""ingest_sec_compacted":${num(secCompacted)}}""")
         spark.sql(s"DROP TABLE $t")
+      }
+      spark.stop()
+      return
+    }
+
+    // Streaming NEAR-dup ingestion stress: k waves of text-perturbed
+    // corpus copies seed the SIGNATURE history (8 band keys per doc —
+    // the table the decision join and the sig MERGE face every batch),
+    // then a FIXED probe batch (half fresh, half re-crawls of wave-0
+    // texts, so both decision outcomes are exercised) is ingested and
+    // its per-phase cost plus the two MERGEs' target files-read are
+    // measured; then the signature table is key-sorted-compacted (the
+    // maintenance a continuously-ingesting table runs anyway) and a
+    // second same-shape probe prices the steady state. The stressed
+    // body IS graft.streaming.NearDupIngest.ingest, so the measured
+    // plan cannot drift from the oracle-checked query.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 neardup 1 10 50
+    if (neardupMode) {
+      import graft.streaming.NearDupIngest
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-nd-wh").toString
+      spark.conf.set("spark.sql.catalog.gnd",
+        "graft.sources.v2.GraftOrcCatalog")
+      spark.conf.set("spark.sql.catalog.gnd.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gnd.default")
+      val docs0 = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      factors.foreach { k =>
+        val ct = s"gnd.default.ndclean_$k"
+        val st = s"gnd.default.ndsig_$k"
+        spark.sql(s"CREATE TABLE $ct (doc_id BIGINT, n_chars BIGINT, " +
+          "db INT) PARTITIONED BY (db) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
+        spark.sql(s"CREATE TABLE $st (band INT, key BIGINT, " +
+          "doc_id BIGINT, kb INT) PARTITIONED BY (kb) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor')")
+        // seed: k waves of text-perturbed corpus copies — history rows
+        // and files grow with k. Seeding is data PREP (amortized over
+        // past batches), so keys/survivors are appended directly.
+        (0 until k).foreach { i =>
+          val w = docs0.select(
+            (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+            concat(col("text"), lit(s" v$i")).as("text"), col("n_chars"))
+          Dedup.detBandKeys(w.select(col("doc_id"), col("text")))
+            .withColumn("kb", NearDupIngest.keyBucket(16))
+            .repartition(4).writeTo(st).append()
+          w.select(col("doc_id"), col("n_chars"))
+            .withColumn("db", NearDupIngest.docBucket(16))
+            .repartition(4).writeTo(ct).append()
+        }
+        val histRows = spark.table(st).count()
+        def sigFiles(): Long =
+          spark.sql(s"SELECT count(*) FROM $st.files")
+            .collect()(0).getLong(0)
+        val histFiles = sigFiles()
+        val crawlDir = java.nio.file.Files
+          .createTempDirectory(s"graft-nd-crawl-$k").toString
+        // fixed probe batch (independent of k), ids above every wave's:
+        // an eighth of the corpus genuinely fresh (kept; reversed text
+        // shares no shingles with any wave) + an eighth re-crawling
+        // wave-0 texts (dropped via history band colliders)
+        val base = (k.toLong + 1L) * 1000000000L
+        def probe(tag: Int): DataFrame = {
+          val fresh =
+            if (tag == 0) reverse(col("text")) else upper(reverse(col("text")))
+          docs0.filter(col("doc_id") % 8 === 0).select(
+              (col("doc_id") + lit(base + tag * 500000000L)).as("doc_id"),
+              fresh.as("text"), col("n_chars"))
+            .unionByName(docs0.filter(col("doc_id") % 8 === 1).select(
+              (col("doc_id") + lit(base + tag * 500000000L)).as("doc_id"),
+              concat(col("text"), lit(" v0")).as("text"), col("n_chars")))
+        }
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-nd-ck-$k").toString + "/c"
+        val phases = scala.collection.mutable.Map.empty[String, Double]
+        val filesRead = scala.collection.mutable.Map.empty[String, Long]
+        def run(tag: Int): Double = {
+          deliverTo(crawlDir, probe(tag))
+          phases.clear(); filesRead.clear()
+          val t0 = System.nanoTime()
+          NearDupIngest.ingest(spark, crawlDir, ct, st, ckpt,
+            onPhase = (p, secs) =>
+              phases(p) = phases.getOrElse(p, 0.0) + secs,
+            onMerge = (which, df) => {
+              if (sys.env.get("GRAFT_ND_DEBUG").contains(which))
+                println(df.queryExecution.executedPlan.toString)
+              filesRead(which) =
+                filesRead.getOrElse(which, 0L) + scanFilesRead(spark, df)
+            })
+          (System.nanoTime() - t0) / 1e9
+        }
+        def deliverTo(dir: String, df: DataFrame): Unit =
+          df.select(col("doc_id"), col("text"), col("n_chars"))
+            .repartition(4).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("append").save(dir)
+        def phJson(m: Map[String, Double], reads: Map[String, Long],
+                   suffix: String): String =
+          Seq("band", "decide", "merge_clean", "merge_sig").map(p =>
+            s""""$p$suffix":${num(m.getOrElse(p, 0.0))}""").mkString(",") +
+            s""","sig_merge_files$suffix":${reads.getOrElse("sig", 0L)}""" +
+            s""","clean_merge_files$suffix":${reads.getOrElse("clean", 0L)}"""
+        val sec = run(0)
+        val raw = phJson(phases.toMap, filesRead.toMap, "")
+        // steady state: one key-sorted compaction of the signature table
+        spark.sql(s"CALL gnd.system.compact(table => 'default.ndsig_$k'" +
+          ", zorder_by => 'key')")
+        val compactedFiles = sigFiles()
+        val sec2 = run(1)
+        val cmp = phJson(phases.toMap, filesRead.toMap, "_compacted")
+        val cleanRows = spark.table(ct).count()
+        println(s"""{"op":"neardup_ingest","factor":$k,""" +
+          s""""sig_rows":$histRows,"sig_files":$histFiles,""" +
+          s""""sig_files_compacted":$compactedFiles,""" +
+          s""""clean_rows":$cleanRows,""" +
+          s""""ingest_sec":${num(sec)},$raw,""" +
+          s""""ingest_sec_compacted":${num(sec2)},$cmp}""")
+        spark.sql(s"DROP TABLE $ct")
+        spark.sql(s"DROP TABLE $st")
       }
       spark.stop()
       return

@@ -137,6 +137,10 @@ object CorpusStats {
       .groupBy(col("key"))
       .agg(count(lit(1)).as("docs"), sum(col("chars")).as("chars"))
       .withColumn("batch_id", lit(batchId))
+      // eager checkpoint: the MERGE may evaluate its source more than
+      // once — without it each pass re-scans the whole batch; with it
+      // the source is the materialized dim-sized frame
+      .localCheckpoint(true)
     val view = "graft_corpus_stats_" + java.util.UUID.randomUUID()
       .toString.replace("-", "").take(12)
     agg.createOrReplaceTempView(view)

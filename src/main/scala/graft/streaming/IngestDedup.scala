@@ -123,15 +123,17 @@ object IngestDedup {
       .groupBy(col("fp")).agg(min(col("w")).as("w"))
       .select(col("fp") +: col("w.doc_id") +: payloadCols.map(c =>
         col(s"w.$c")): _*)
-    val winner = buckets match {
+    // eager local checkpoint, not persist: the MERGE resolves its
+    // source view on a FRESH parse where the cache lookup can miss — a
+    // cached plan would then silently re-run the batch's fingerprint
+    // aggregation INSIDE the MERGE (and the bucket-set collect could
+    // diverge from the rows the MERGE sees). A checkpoint truncates the
+    // lineage to the materialized rows at batch-bounded cost.
+    val winner = (buckets match {
       case None => winner0
       case Some(n) => winner0.withColumn("fpb", fpBucket(n))
-    }
-    // with bucketing, pin the batch's winners (the bucket-set collect
-    // and the MERGE must see the same rows, and the MERGE itself reads
-    // the source twice on some plans)
-    if (buckets.isDefined) winner.persist()
-    try {
+    }).localCheckpoint(true)
+    locally {
       val bucketPred = buckets.map { _ =>
         val bs = winner.select(col("fpb")).distinct()
           .collect().map(_.getInt(0)).sorted // bounded by `buckets`
@@ -157,6 +159,6 @@ object IngestDedup {
            |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)
            |""".stripMargin))
       finally s.catalog.dropTempView(view)
-    } finally if (buckets.isDefined) winner.unpersist()
+    }
   }
 }

@@ -37,12 +37,20 @@ import org.apache.spark.sql.functions._
   * key-bucket set (`kb = pmod(hash(key), n)` identity-partition column;
   * the static `kb IN (...)` filter is an ordinary pushed predicate, so
   * the scan prunes to the batch's buckets — same receipt family as the
-  * streamingest ScaleStress mode), and both MERGEs carry the same
-  * static bucket predicate in their ON clause (MoR MERGEs get no
-  * runtime group filtering — GraftOrcMergePruneSpec). Driver collects
-  * are bounded by the bucket count, never by data. Signature history
-  * grows with the corpus; fp-sorted compaction keeps per-bucket file
-  * counts flat exactly as the streamingest receipt shows.
+  * streamingest ScaleStress mode) and streams PAST the broadcast batch
+  * side — history is scanned once per batch and never shuffled. Both
+  * MERGEs carry the static bucket predicate in their ON clause (MoR
+  * MERGEs get no runtime group filtering — GraftOrcMergePruneSpec)
+  * PLUS a static `t.doc_id >= min(batch doc_id)` lower bound: it is
+  * implied by the match condition, so results are identical, but under
+  * the ascending-id crawl contract min/max file statistics prune the
+  * ENTIRE history from both MERGE target scans — the MERGEs are
+  * O(batch), not O(history), and only the one decision-join scan pays
+  * for corpus awareness (the ScaleStress `neardup` receipt measures
+  * exactly this split). Driver collects are bounded by the bucket
+  * count, never by data. Signature history grows with the corpus;
+  * key-sorted compaction keeps per-bucket file counts flat exactly as
+  * the streamingest receipt shows.
   */
 object NearDupIngest {
 
@@ -68,7 +76,9 @@ object NearDupIngest {
              sigTable: String, checkpoint: String, buckets: Int = 16,
              bandKeys: DataFrame => DataFrame =
                graft.operators.Dedup.detBandKeys,
-             maxFilesPerTrigger: Option[Int] = None): Unit = {
+             maxFilesPerTrigger: Option[Int] = None,
+             onPhase: (String, Double) => Unit = (_, _) => (),
+             onMerge: (String, DataFrame) => Unit = (_, _) => ()): Unit = {
     val reader = spark.readStream.format("graft-orc")
       .option("graft.snapshot_offsets", "true")
     maxFilesPerTrigger.foreach(n =>
@@ -80,7 +90,7 @@ object NearDupIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeBatch(batch, cleanTable, sigTable, payloadCols, buckets,
-          bandKeys)
+          bandKeys, onPhase, onMerge)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -93,11 +103,27 @@ object NearDupIngest {
     * table. Both MERGEs are insert-only and keyed, hence replay no-ops.
     * Exposed for the decision-semantics specs (injectable banding).
     */
+  /** @param onPhase observation hook `(phase, seconds)` for the batch's
+    *   four timed phases (`band`, `decide`, `merge_clean`, `merge_sig`)
+    *   — the ScaleStress neardup receipt reads these.
+    * @param onMerge observation hook invoked with each executed MERGE's
+    *   result frame (its executedPlan carries the target scan's metrics,
+    *   e.g. `graftFilesRead`). Must not re-execute the frame.
+    */
   def mergeBatch(batch: DataFrame, cleanTable: String, sigTable: String,
                  payloadCols: Seq[String], buckets: Int,
-                 bandKeys: DataFrame => DataFrame): Unit = {
+                 bandKeys: DataFrame => DataFrame,
+                 onPhase: (String, Double) => Unit = (_, _) => (),
+                 onMerge: (String, DataFrame) => Unit = (_, _) => ())
+      : Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = {
+      val t1 = System.nanoTime()
+      onPhase(name, (t1 - t0) / 1e9)
+      t0 = t1
+    }
     // crawl may re-deliver a doc_id inside one batch (at-least-once
     // upstream); collapse to one deterministic row per id
     val docs = batch
@@ -107,60 +133,85 @@ object NearDupIngest {
       .agg(min(struct(col("text") +: payloadCols.map(col): _*)).as("w"))
       .select(col("doc_id") +: col("w.text") +: payloadCols.map(c =>
         col(s"w.$c")): _*)
+    // pinned: docs feeds BOTH the banding and the kept-side anti join
+    docs.persist()
+    // eager local checkpoint, not persist: the MERGE resolves its source
+    // view on a FRESH parse where the cache lookup can miss — a cached
+    // plan would then silently re-run the banding (and, for `kept`
+    // below, the whole decision join incl. the history scan) INSIDE the
+    // MERGE. A checkpoint truncates the lineage to the materialized
+    // rows, so the bucket-set collect, the history join and the MERGE
+    // source are the same rows by construction, at batch-bounded cost.
     val keys = bandKeys(docs.select(col("doc_id"), col("text")))
       .withColumn("kb", keyBucket(buckets))
-    // pin: the bucket-set collect, the history join and the sig MERGE
-    // must all see the same rows
-    keys.persist()
+      .localCheckpoint(true)
     try {
-      val kbs = keys.select(col("kb")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded by `buckets`
+      // one bounded job: the batch's key-bucket set AND its minimum
+      // doc_id (the static lower bound both MERGEs prune history with)
+      val summary = keys.groupBy()
+        .agg(collect_set(col("kb")).as("kbs"),
+          min(col("doc_id")).as("mn")).head()
+      val kbs = summary.getSeq[Int](0).sorted // bounded by `buckets`
       if (kbs.isEmpty) return
-      // history colliders: signature table pruned to the batch's
-      // buckets (static pushed predicate); strictly-smaller id makes
-      // replayed own-keys harmless and ascending delivery decisive
+      val minId = summary.getLong(1)
+      phase("band")
+      // colliders: every batch doc with a strictly-smaller-id band-key
+      // sharer, in history (signature table pruned to the batch's
+      // buckets — static pushed predicate) or in this batch (a dropped
+      // doc's keys poison its own later near-dups). One join: the
+      // checkpointed batch side broadcasts, history streams past it and
+      // is never shuffled. `dropped` may carry duplicate ids —
+      // left_anti doesn't care, so no distinct shuffle.
       val hist = s.table(sigTable)
         .where(col("kb").isin(kbs.map(Integer.valueOf): _*))
         .select(col("band"), col("key"), col("doc_id").as("e_id"))
-      val histColl = keys.join(hist, Seq("band", "key"))
+      val earlier = hist.unionByName(keys
+        .select(col("band"), col("key"), col("doc_id").as("e_id")))
+      val dropped = keys.join(earlier, Seq("band", "key"))
         .where(col("e_id") < col("doc_id"))
         .select(col("doc_id"))
-      val earlier = keys
-        .select(col("band"), col("key"), col("doc_id").as("e_id"))
-      val batchColl = keys.join(earlier, Seq("band", "key"))
-        .where(col("e_id") < col("doc_id"))
-        .select(col("doc_id"))
-      val dropped = histColl.union(batchColl).distinct()
       val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
         .withColumn("db", docBucket(buckets))
-      kept.persist()
-      try {
-        val dbs = kept.select(col("db")).distinct()
-          .collect().map(_.getInt(0)).sorted
+        .localCheckpoint(true)
+      locally {
+        val dbs = kept.groupBy().agg(collect_set(col("db"))).head()
+          .getSeq[Int](0).sorted
+        phase("decide")
+        // both MERGEs carry `t.doc_id >= minId` — implied by the match
+        // condition (t.doc_id = b.doc_id), so results are IDENTICAL; as
+        // a STATIC predicate it reaches the target scan and, under the
+        // ascending-id crawl contract, min/max file stats prune the
+        // ENTIRE history: the target scans are O(batch), not O(history)
+        // (a replayed batch still sees its own prior rows — their ids
+        // are >= minId — so replays stay no-ops)
         if (dbs.nonEmpty) {
           val view = tempView(s, kept)
           val insCols = ("doc_id" +: payloadCols) :+ "db"
-          try s.sql(
+          try onMerge("clean", s.sql(
             s"""MERGE INTO $cleanTable t USING $view b
                |ON t.doc_id = b.doc_id AND t.db IN (${dbs.mkString(", ")})
+               |  AND t.doc_id >= $minId
                |WHEN NOT MATCHED THEN
                |  INSERT (${insCols.mkString(", ")})
                |  VALUES (${insCols.map("b." + _).mkString(", ")})
-               |""".stripMargin)
+               |""".stripMargin))
           finally s.catalog.dropTempView(view)
         }
+        phase("merge_clean")
         val kview = tempView(s, keys)
-        try s.sql(
+        try onMerge("sig", s.sql(
           s"""MERGE INTO $sigTable t USING $kview b
              |ON t.band = b.band AND t.key = b.key
              |  AND t.doc_id = b.doc_id AND t.kb IN (${kbs.mkString(", ")})
+             |  AND t.doc_id >= $minId
              |WHEN NOT MATCHED THEN
              |  INSERT (band, key, doc_id, kb)
              |  VALUES (b.band, b.key, b.doc_id, b.kb)
-             |""".stripMargin)
+             |""".stripMargin))
         finally s.catalog.dropTempView(kview)
-      } finally kept.unpersist()
-    } finally keys.unpersist()
+        phase("merge_sig")
+      }
+    } finally docs.unpersist()
   }
 
   private def tempView(s: SparkSession, df: DataFrame): String = {

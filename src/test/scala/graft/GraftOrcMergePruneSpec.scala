@@ -237,4 +237,60 @@ class GraftOrcMergePruneSpec extends AnyFunSuite {
       s"sorted layout should prune to 1 file, read $after of " +
         s"${st.filesOut}")
   }
+
+  test("ascending-id near-dup ingest: the static doc_id lower bound " +
+    "prunes the ENTIRE history from both MERGE target scans while the " +
+    "decision join still sees it") {
+    assume(wh.nonEmpty)
+    import graft.streaming.NearDupIngest
+    val qt = s"gmpr.default.${uniq("ndp")}"
+    val sig = s"gmpr.default.${uniq("ndpsig")}"
+    spark.sql(s"CREATE TABLE $qt (doc_id BIGINT, src STRING, " +
+      "n_chars BIGINT, db INT) PARTITIONED BY (db) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    spark.sql(s"CREATE TABLE $sig (band INT, key BIGINT, doc_id BIGINT, " +
+      "kb INT) PARTITIONED BY (kb) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    // every shingle carries the doc number, so distinct docs share no
+    // band keys (no accidental cross-doc near-dups) while re-crawled
+    // EXACT texts still collide on every band
+    def docs(ids: Seq[Int], idOff: Long, src: String) =
+      ids.toDF("base").select((col("base") + idOff).as("doc_id"),
+        concat(lit("pin"), col("base").cast("string"),
+          lit(" alpha"), (col("base") * 7).cast("string"),
+          lit(" beta"), (col("base") * 13).cast("string"),
+          lit(" gamma"), (col("base") * 29).cast("string")).as("text"),
+        (col("base") % 5).cast("long").as("n_chars"), lit(src).as("src"))
+    val crawl = Files.createTempDirectory("graft-ndp-crawl").toString
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select($"doc_id", $"text", $"n_chars", $"src").repartition(2)
+        .write.format("graft-orc").option("graft.manifest", "true")
+        .mode("append").save(crawl)
+    val ckpt = Files.createTempDirectory("graft-ndp-ck").toString + "/c"
+    deliver(docs(0 until 30, 0L, "w1"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt)
+    val histSigFiles = spark.sql(s"SELECT count(*) FROM $sig.files")
+      .head().getLong(0)
+    assert(histSigFiles > 0L, "wave 1 left no signature history")
+    // wave 2 under LARGER ids: fresh docs 30..44 plus re-crawls of
+    // wave-1 texts 0..9 (history colliders — the decision join must
+    // still drop them, so it demonstrably reads the history the MERGE
+    // scans do not)
+    deliver(docs(30 until 45, 0L, "w2")
+      .unionByName(docs(0 until 10, 1000L, "re")))
+    var read = Map.empty[String, Long]
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
+      onMerge = (which, df) =>
+        read += which -> (read.getOrElse(which, 0L) + scanFilesRead(df)))
+    assert(read.contains("clean") && read.contains("sig"),
+      s"expected both MERGEs to run, saw ${read.keySet}")
+    assert(read("clean") === 0L && read("sig") === 0L,
+      "the doc_id >= min(batch) bound should stat-prune every " +
+        s"history file from both MERGE target scans, read $read")
+    // decisions unaffected: every fresh doc kept, every re-crawl dropped
+    val kept = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(kept === (0L until 45L),
+      s"decision semantics drifted under the pruning bound: $kept")
+  }
 }
