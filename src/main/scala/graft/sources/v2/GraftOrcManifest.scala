@@ -1023,14 +1023,17 @@ object GraftOrcManifest {
               case Some(s)
                   if System.currentTimeMillis() -
                     s.getModificationTime > staleMs =>
-                // guarded best-effort takeover: re-read and delete only
-                // if the lock is still the incarnation judged stale — a
-                // racer's fresh lock carries a different token and
-                // survives. (Two racers judging the SAME incarnation
+                // guarded best-effort takeover: re-STAT immediately
+                // before deleting and proceed only while the mtime is
+                // STILL stale — a holder that released and a racer that
+                // re-acquired in between leave a FRESH lock (new mtime),
+                // which survives; only the incarnation judged stale is
+                // ever deleted. (Two racers judging the SAME incarnation
                 // stale re-contend on the atomic create: one winner.)
-                val judged = readLockContent(fs, lock)
-                if (judged.isDefined &&
-                    readLockContent(fs, lock) == judged)
+                val still = try Some(fs.getFileStatus(lock))
+                  catch { case _: java.io.FileNotFoundException => None }
+                if (still.exists(s2 => System.currentTimeMillis() -
+                    s2.getModificationTime > staleMs))
                   try fs.delete(lock, false)
                   catch { case _: java.io.IOException => }
                 Thread.sleep(50L)

@@ -152,8 +152,14 @@ object NearDupIngest {
         .agg(collect_set(col("kb")).as("kbs"),
           min(col("doc_id")).as("mn")).head()
       val kbs = summary.getSeq[Int](0).sorted // bounded by `buckets`
-      if (kbs.isEmpty) return
-      val minId = summary.getLong(1)
+      // a batch can be all-keyless (banding yields nothing, e.g. empty
+      // texts): such docs share no key with anything, so they are ALL
+      // kept — the batch must still land in the clean table, only the
+      // collider machinery is skipped; the MERGE lower bound then comes
+      // from the (persisted) batch itself
+      val minId =
+        if (kbs.nonEmpty) summary.getLong(1)
+        else docs.agg(min(col("doc_id"))).head().getLong(0)
       phase("band")
       // colliders: every batch doc with a strictly-smaller-id band-key
       // sharer, in history (signature table pruned to the batch's
@@ -198,17 +204,19 @@ object NearDupIngest {
           finally s.catalog.dropTempView(view)
         }
         phase("merge_clean")
-        val kview = tempView(s, keys)
-        try onMerge("sig", s.sql(
-          s"""MERGE INTO $sigTable t USING $kview b
-             |ON t.band = b.band AND t.key = b.key
-             |  AND t.doc_id = b.doc_id AND t.kb IN (${kbs.mkString(", ")})
-             |  AND t.doc_id >= $minId
-             |WHEN NOT MATCHED THEN
-             |  INSERT (band, key, doc_id, kb)
-             |  VALUES (b.band, b.key, b.doc_id, b.kb)
-             |""".stripMargin))
-        finally s.catalog.dropTempView(kview)
+        if (kbs.nonEmpty) {
+          val kview = tempView(s, keys)
+          try onMerge("sig", s.sql(
+            s"""MERGE INTO $sigTable t USING $kview b
+               |ON t.band = b.band AND t.key = b.key
+               |  AND t.doc_id = b.doc_id AND t.kb IN (${kbs.mkString(", ")})
+               |  AND t.doc_id >= $minId
+               |WHEN NOT MATCHED THEN
+               |  INSERT (band, key, doc_id, kb)
+               |  VALUES (b.band, b.key, b.doc_id, b.kb)
+               |""".stripMargin))
+          finally s.catalog.dropTempView(kview)
+        }
         phase("merge_sig")
       }
     } finally docs.unpersist()

@@ -230,6 +230,34 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       s"chain did not collapse to the first survivor: $kept")
   }
 
+  test("NearDupIngest: an all-keyless batch is still ingested — keyless " +
+    "docs never collide, so they are kept, and the signature MERGE is " +
+    "skipped (no empty IN list)") {
+    assume(wh.nonEmpty)
+    import graft.streaming.NearDupIngest
+    // wave 1: banding yields NOTHING (e.g. every text empty) — the
+    // contract says a doc is dropped iff it SHARES a key, so all kept
+    val noKeys: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      docs => docs.select($"doc_id", lit(0).as("band"), lit(0L).as("key"))
+        .where(lit(false))
+    val crawl = Files.createTempDirectory("graft-nd-keyless").toString
+    val (qt, sig) = mkNearDup("ndkeyless")
+    val ckpt = Files.createTempDirectory("graft-nd-keyless-ck")
+      .toString + "/c"
+    deliver(crawl, docs(Seq(1, 2, 3), 0L, "w1"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt, bandKeys = noKeys)
+    assert(spark.sql(s"SELECT count(*) FROM $qt").head().getLong(0) === 3L,
+      "an all-keyless batch must still land in the clean table")
+    assert(spark.sql(s"SELECT count(*) FROM $sig").head().getLong(0) === 0L)
+    // wave 2 with REAL banding: earlier keyless docs have no signature
+    // rows, so they can never drop a later doc; fresh docs band normally
+    deliver(crawl, docs(Seq(4, 5), 0L, "w2"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt)
+    val kept = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(1L, 2L, 3L, 4L, 5L), s"got $kept")
+  }
+
   test("NearDupIngest det banding equals the batch no-smaller-collider " +
     "twin; micro-batch boundaries and a fresh-checkpoint replay are " +
     "both invariant") {
