@@ -63,7 +63,8 @@ class GraftOrcHiddenPartitionSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
-    val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir,
+      "graft.pack_small_files" -> "false").asJava)
     val schema = new graft.sources.v2.GraftOrcDataSource().inferSchema(opts)
     val b = new GraftOrcScanBuilder(schema, opts)
     b.pushFilters(filters.toArray)
@@ -333,7 +334,8 @@ class GraftOrcHiddenPartitionSpec extends AnyFunSuite {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import org.apache.spark.sql.sources.EqualTo
     import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
-    val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir,
+      "graft.pack_small_files" -> "false").asJava)
     val schema = new graft.sources.v2.GraftOrcDataSource()
       .inferSchema(opts)
     val b = new GraftOrcScanBuilder(schema, opts)

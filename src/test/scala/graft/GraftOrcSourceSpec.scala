@@ -23,6 +23,51 @@ class GraftOrcSourceSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("small files pack into shared tasks (Spark FilePartition sizing): " +
+    "fewer partitions, identical rows, graftFilesRead still counts every " +
+    "file; graft.pack_small_files=false restores one task per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    (0 until 12).foreach { i =>
+      spark.range(i * 10, (i + 1) * 10).select($"id", ($"id" * 2).as("v"))
+        .coalesce(1).write.format("graft-orc").mode("append").save(dir)
+    }
+    // make packing engage on tiny fixtures: shrink the open-cost pad and
+    // pin the parallelism floor below the file count
+    val conf = spark.conf
+    val oldOpen = conf.getOption("spark.sql.files.openCostInBytes")
+    val oldMin = conf.getOption("spark.sql.files.minPartitionNum")
+    conf.set("spark.sql.files.openCostInBytes", "1024")
+    conf.set("spark.sql.files.minPartitionNum", "3")
+    try {
+      val packed = spark.read.format("graft-orc").load(dir)
+      val nPacked = packed.rdd.getNumPartitions
+      assert(nPacked < 12 && nPacked >= 3,
+        s"expected 12 small files to pack into [3, 12) tasks, got $nPacked")
+      val a = packed.orderBy($"id").collect()
+      assert(a.length === 120 && a.map(_.getLong(0)).toSeq === (0L until 120L))
+      // per-file metrics survive the chain: the scan still reports
+      // every file read
+      packed.collect()
+      val scan = packed.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+      org.apache.spark.GraftSparkBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(scan.metrics("graftFilesRead").value === 12L,
+        s"chained readers must still count all files, got " +
+          s"${scan.metrics("graftFilesRead").value}")
+      val perFile = spark.read.format("graft-orc")
+        .option("graft.pack_small_files", "false").load(dir)
+      assert(perFile.rdd.getNumPartitions === 12)
+      assert(perFile.count() === 120L)
+    } finally {
+      oldOpen.fold(conf.unset("spark.sql.files.openCostInBytes"))(
+        conf.set("spark.sql.files.openCostInBytes", _))
+      oldMin.fold(conf.unset("spark.sql.files.minPartitionNum"))(
+        conf.set("spark.sql.files.minPartitionNum", _))
+    }
+  }
+
   test("timestamp and date columns round-trip identically to the built-in source") {
     // the alltypes fixture carries date32 but no timestamp; ORC timestamps
     // are the classic cross-reader divergence (writer-timezone base +

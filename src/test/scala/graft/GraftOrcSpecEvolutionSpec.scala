@@ -35,7 +35,11 @@ class GraftOrcSpecEvolutionSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
-    val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+    // this helper counts planned partitions as a FILE-PRUNING proxy —
+    // small-file packing would fold surviving files into shared tasks
+    // and break the equivalence, so it is switched off here
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir,
+      "graft.pack_small_files" -> "false").asJava)
     val schema = new graft.sources.v2.GraftOrcDataSource().inferSchema(opts)
     val b = new GraftOrcScanBuilder(schema, opts)
     b.pushFilters(filters.toArray)
@@ -191,7 +195,8 @@ class GraftOrcSpecEvolutionSpec extends AnyFunSuite {
     import org.apache.spark.sql.sources._
     import graft.sources.v2.{GraftOrcScan, GraftOrcScanBuilder}
     val opts = new CaseInsensitiveStringMap(Map("path" -> dir,
-      "graft.snapshot_id" -> "1").asJava)
+      "graft.snapshot_id" -> "1",
+      "graft.pack_small_files" -> "false").asJava)
     val schema = new graft.sources.v2.GraftOrcDataSource().inferSchema(opts)
     val b = new GraftOrcScanBuilder(schema, opts)
     b.pushFilters(Array[Filter](EqualTo("id", 7L)))
