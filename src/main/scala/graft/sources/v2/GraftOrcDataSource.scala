@@ -1831,6 +1831,18 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
     * a pack's reported `partitionKey` stays exact.
     * `graft.pack_small_files=false` restores one task per file.
     */
+  /** Streaming entry: pack one micro-batch's admitted files with the
+    * same policy (crawl commits are the many-small-files case). Batch
+    * membership is decided by OFFSETS, task granularity is free to
+    * change — replays admit the same file set regardless of packing.
+    */
+  private[v2] def packForStream(parts: Seq[GraftOrcInputPartition])
+      : Array[InputPartition] = {
+    val targetSplitBytes = options.get("graft.split_size")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    packSmall(parts, targetSplitBytes).toArray
+  }
+
   private def packSmall(parts: Seq[GraftOrcInputPartition],
                         targetSplitBytes: Long): Seq[InputPartition] = {
     val enabled = options.collectFirst {

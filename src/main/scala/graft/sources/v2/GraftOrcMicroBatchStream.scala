@@ -329,18 +329,17 @@ class GraftOrcMicroBatchStream(scan: GraftOrcScan, paths: Seq[String],
             }
           scan.pruneEntries(picked, scan.staticPartitionFilters)
         }
-      return files.map(f => GraftOrcInputPartition(f.path, 0, f.length,
-        scan.partValuesFor(f), f.length,
-        schemaV = f.schemaV)).toArray[InputPartition]
+      return scan.packForStream(
+        files.map(f => GraftOrcInputPartition(f.path, 0, f.length,
+          scan.partValuesFor(f), f.length, schemaV = f.schemaV)))
     }
     val s = start.asInstanceOf[GraftOrcStreamOffset]
     val e = end.asInstanceOf[GraftOrcStreamOffset]
     val c = cached
     val l = if (c != null && c._1 == e) c._2 else listing()
-    l.filter(f => after(f, s) && !after(f, e))
+    scan.packForStream(l.filter(f => after(f, s) && !after(f, e))
       .map(f => GraftOrcInputPartition(f.path, 0, f.length,
-        scan.partValuesFor(f), f.length, schemaV = f.schemaV))
-      .toArray[InputPartition]
+        scan.partValuesFor(f), f.length, schemaV = f.schemaV)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
