@@ -938,6 +938,12 @@ case class GraftOrcAggPartition(filePath: String, fileLength: Long,
                                 sidecar: Option[String] = None)
   extends InputPartition
 
+/** Count-chunked pack of [[GraftOrcAggPartition]]s: one task emits one
+  * partial row per member file (chained per-file readers).
+  */
+case class GraftOrcAggPackedPartition(files: Array[GraftOrcAggPartition])
+  extends InputPartition
+
 class GraftOrcAggScan(dataFileSchema: StructType, partitionSchema: StructType,
                       agg: Aggregation, aggSchema: StructType,
                       index: GraftOrcFileIndex, metaParallelism: Int,
@@ -952,15 +958,27 @@ class GraftOrcAggScan(dataFileSchema: StructType, partitionSchema: StructType,
     s"GraftOrcAggScan files=${index.entries.size}, pushedAggregation=" +
       agg.aggregateExpressions.map(_.describe).mkString("[", ", ", "]")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    index.entries.map { e =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val perFile = index.entries.map { e =>
       GraftOrcAggPartition(e.path, e.length,
         partitionSchema.fields.map { f =>
           e.partitionValues.collectFirst {
             case (k, v) if k.equalsIgnoreCase(f.name) => v
           }.orNull
         }, e.stats)
+    }
+    // each file contributes ONE partial row, usually from the in-plan
+    // stat sidecar (zero I/O) — per-file tasks are pure scheduler
+    // overhead at lake file counts. Chunk by COUNT to ~4 waves of
+    // parallelism, capped so a footer-read fallback task stays bounded.
+    val chunk = math.min(1024L, math.max(1L, perFile.length.toLong /
+      math.max(1L, 4L * spark.sparkContext.defaultParallelism))).toInt
+    if (chunk <= 1) perFile.toArray
+    else perFile.grouped(chunk).map { g =>
+      if (g.length == 1) g.head: InputPartition
+      else GraftOrcAggPackedPartition(g.toArray): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val serConf = org.apache.spark.GraftSparkBridge.serializableConf(
@@ -979,6 +997,12 @@ class GraftOrcAggReaderFactory(dataFileSchema: StructType,
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case GraftOrcAggPackedPartition(files) =>
+        return new GraftOrcChainedReader[InternalRow](files.toIndexedSeq,
+          createReader)
+      case _ => ()
+    }
     val ap = p.asInstanceOf[GraftOrcAggPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
@@ -1092,7 +1116,7 @@ case class GraftOrcPackedPartition(files: Array[GraftOrcInputPartition])
   * files, exactly what a per-file task would have reported.
   */
 private[v2] final class GraftOrcChainedReader[T](
-    files: Array[GraftOrcInputPartition],
+    files: IndexedSeq[InputPartition],
     mk: InputPartition => PartitionReader[T]) extends PartitionReader[T] {
   private var idx = 0
   private var cur: PartitionReader[T] = _
@@ -2108,7 +2132,8 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
         "graft-orc is a columnar source; Spark should call createColumnarReader")
     partition match {
       case GraftOrcPackedPartition(files) =>
-        return new GraftOrcChainedReader[InternalRow](files, createReader)
+        return new GraftOrcChainedReader[InternalRow](files.toIndexedSeq,
+          createReader)
       case _ => ()
     }
     val p = partition.asInstanceOf[GraftOrcInputPartition]
@@ -2223,7 +2248,8 @@ class GraftOrcPartitionReaderFactory(dataFileSchema: StructType,
     case GraftOrcPackedPartition(files) =>
       // chain the ordinary per-file readers (corrupt-tolerance, schema
       // resolution and metrics all stay per-file)
-      new GraftOrcChainedReader[ColumnarBatch](files, createColumnarReader)
+      new GraftOrcChainedReader[ColumnarBatch](files.toIndexedSeq,
+        createColumnarReader)
     case _ =>
     if (!ignoreCorruptFiles) createColumnarReaderUnsafe(partition)
     else {
