@@ -39,6 +39,31 @@ class GraftOrcAggPushdownSpec extends AnyFunSuite {
       spark.read.format("graft-orc").load(dir).count())
   }
 
+  test("footer-agg partitions chunk by count at high file counts; " +
+    "result stays exact") {
+    val d = Files.createTempDirectory("graft-agg-chunk").toString
+    (0 until 40).foreach { i =>
+      spark.range(i * 5, (i + 1) * 5).select($"id")
+        .coalesce(1).write.format("graft-orc").mode("append").save(d)
+    }
+    val q = pushed(d).agg(count(lit(1)).as("n"), max($"id").as("m"))
+    assert(aggScans(q) === 1, q.queryExecution.executedPlan.toString)
+    val row = q.collect().head
+    assert(row.getLong(0) === 200L && row.getLong(1) === 199L)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[BatchScanExec] = pl match {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val parts = scans(q.queryExecution.executedPlan)
+      .head.inputRDD.getNumPartitions
+    assert(parts < 40 && parts > 1,
+      s"40 footer-agg files should chunk into (1, 40) tasks, got $parts")
+  }
+
   test("min/max on integral columns match the full scan") {
     val q = pushed(dir).agg(
       min($"l_orderkey").as("a"), max($"l_orderkey").as("b"),
