@@ -4,7 +4,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.orc.OrcFile
 
 import org.apache.spark.sql.SparkSession
@@ -136,6 +136,66 @@ object GraftOrcCompact {
     * one range shuffle per directory); layout is per-directory, which is
     * exactly the scope stripe pruning acts on.
     */
+  /** Property-gated AUTO-compaction, run by the writer after a
+    * main-lineage commit that added data files: when
+    * `TBLPROPERTIES('graft.compact_after'=N)` (catalog tables persist
+    * TBLPROPERTIES into the manifest meta; session default
+    * `spark.graft.compact_after`) is set and the live count of files
+    * smaller than `smallFileBytes` reaches N, the committer compacts
+    * inline — the data-file analogue of `graft.consolidate_after`, and
+    * the "hidden maintenance" a continuously-ingesting table needs so
+    * its scans stay file-count-flat without a scheduler.
+    * `graft.compact_zorder='c1[,c2...]'` switches the merge to a layout
+    * rewrite sorted on those columns — that is what keeps a keyed
+    * ingest table's stat sidecars range-prunable (the streamingest /
+    * neardup steady-state receipts) batch after batch.
+    * Best-effort: the data commit already succeeded, so a compaction
+    * lost to a rival maintenance run is swallowed and any other failure
+    * is logged and swallowed (housekeeping never fails a committed
+    * write — the fast_forward consolidation posture).
+    */
+  def parseCompactAfter(v: String): Int = {
+    val n = try v.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft-orc: invalid graft.compact_after '$v', must be an " +
+            "integer >= 2")
+    }
+    require(n >= 2, "graft-orc: graft.compact_after must be >= 2 " +
+      s"(1 would compact after every commit), got $n")
+    n
+  }
+
+  def maybeAutoCompact(spark: SparkSession, fs: FileSystem, qt: Path,
+                       branch: Option[String] = None): Unit = {
+    if (branch.nonEmpty) return // maintenance is a MAIN-lineage op
+    val snap = GraftOrcManifest.readSnapshot(fs, qt).getOrElse { return }
+    val props = snap.meta.map(_.props).getOrElse(Map.empty[String, String])
+    def prop(name: String): Option[String] =
+      props.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val limit = prop("graft.compact_after").map(parseCompactAfter)
+      .orElse(spark.conf.getOption("spark.graft.compact_after")
+        .map(parseCompactAfter))
+    limit.foreach { n =>
+      val smallBytes = 32L << 20 // compact()'s smallFileBytes default
+      val small = snap.entries.count(_.length < smallBytes)
+      if (small >= n) {
+        val zorder = prop("graft.compact_zorder")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        try compact(spark, qt.toString, zorderCols = zorder)
+        catch {
+          case _: java.util.ConcurrentModificationException => ()
+          case scala.util.control.NonFatal(e) =>
+            GraftOrcLog.log.warn(
+              "graft-orc: auto-compaction after commit on {} failed " +
+                "({}: {}); the data commit is unaffected",
+              qt, e.getClass.getSimpleName, e.getMessage)
+        }
+      }
+    }
+  }
+
   def compact(spark: SparkSession, table: String,
               targetBytes: Long = 128L << 20,
               smallFileBytes: Long = 32L << 20,

@@ -1053,6 +1053,12 @@ object GraftOrcWrite {
       if (addedDeletes.nonEmpty)
         GraftOrcMor.maybeAutoConsolidate(SparkSession.active, fs, qdir,
           branch, explicit = consolidateAfter)
+      // graft.compact_after: a commit that added data files keeps the
+      // small-file count bounded the same way (zorder via
+      // graft.compact_zorder keeps a keyed ingest table stat-prunable)
+      if (added.nonEmpty)
+        GraftOrcCompact.maybeAutoCompact(SparkSession.active, fs, qdir,
+          branch)
     }
     dropStaging(fs, dir, writeId)
   }

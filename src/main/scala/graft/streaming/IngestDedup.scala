@@ -71,7 +71,11 @@ object IngestDedup {
     *   runtime group filtering prunes only copy-on-write MERGEs, so a
     *   merge-on-read clean table without the explicit bucket column
     *   re-scans its whole history every batch (both facts pinned in
-    *   GraftOrcMergePruneSpec).
+    *   GraftOrcMergePruneSpec). Pair with
+    *   `TBLPROPERTIES('graft.compact_after'='N',
+    *   'graft.compact_zorder'='fp')` and the MERGE commits keep the
+    *   clean table fp-sorted and file-count-bounded themselves — the
+    *   steady state of the streamingest receipt without a scheduler.
     */
   def ingest(spark: SparkSession, crawlDir: String, cleanTable: String,
              checkpoint: String,

@@ -50,7 +50,12 @@ import org.apache.spark.sql.functions._
   * exactly this split). Driver collects are bounded by the bucket
   * count, never by data. Signature history grows with the corpus;
   * key-sorted compaction keeps per-bucket file counts flat exactly as
-  * the streamingest receipt shows.
+  * the streamingest receipt shows — and with
+  * `TBLPROPERTIES('graft.compact_after'='N',
+  * 'graft.compact_zorder'='key')` on the signature table the ingest
+  * MERGE commits run that maintenance THEMSELVES
+  * ([[graft.sources.v2.GraftOrcCompact.maybeAutoCompact]]): the
+  * steady state needs no scheduler.
   */
 object NearDupIngest {
 

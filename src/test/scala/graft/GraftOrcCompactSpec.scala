@@ -214,6 +214,40 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, GraftOrcCompact.TombstoneDir).exists())
   }
 
+  test("graft.compact_after: the commit that crosses the small-file " +
+    "threshold auto-compacts inline; graft.compact_zorder keeps the " +
+    "layout key-sorted; rows exact throughout") {
+    val wh = Files.createTempDirectory("graft-autocompact-wh").toString
+    spark.conf.set("spark.sql.catalog.gcpa",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcpa.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcpa.default")
+    val t = "gcpa.default.autoc"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) TBLPROPERTIES(" +
+      "'graft.compact_after'='8', 'graft.compact_zorder'='k')")
+    def files(): Long =
+      spark.sql(s"SELECT count(*) FROM $t.files").head().getLong(0)
+    def append(i: Int): Unit =
+      spark.range(i * 10, (i + 1) * 10)
+        .select($"id".as("k"), ($"id" * 3).as("v"))
+        .coalesce(1).writeTo(t).append()
+    (0 until 7).foreach(append)
+    assert(files() === 7L, "below the threshold nothing may compact")
+    append(7) // 8th small file crosses the threshold -> inline compact
+    val after = files()
+    assert(after < 7L, s"expected the 8th commit to auto-compact, " +
+      s"table still has $after files")
+    val rows = spark.table(t).orderBy($"k").collect()
+    assert(rows.length === 80 &&
+      rows.map(_.getLong(0)).toSeq === (0L until 80L),
+      "auto-compaction changed the table's contents")
+    // the cycle repeats: more small commits re-cross and re-compact
+    (8 until 16).foreach(append)
+    assert(files() < 9L,
+      "the second threshold crossing should have compacted again")
+    assert(spark.table(t).count() === 160L)
+  }
+
   test("files at or above the small-file threshold are left untouched") {
     val dir = Files.createTempDirectory("graft-orc-compact2").toString
     val nation = Tables.nation(spark, TestSpark.sf0001)

@@ -230,6 +230,39 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       s"chain did not collapse to the first survivor: $kept")
   }
 
+  test("graft.compact_after on the clean table: streaming-ingest MERGE " +
+    "commits run the maintenance themselves — fewer files than the " +
+    "unmaintained twin, identical state") {
+    assume(wh.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ging.default")
+    val qa = s"ging.default.${uniq("autoc")}"
+    val qb = s"ging.default.${uniq("noauto")}"
+    spark.sql(s"CREATE TABLE $qa (fp BIGINT, doc_id BIGINT, " +
+      "src STRING, n_chars BIGINT) TBLPROPERTIES(" +
+      "'graft.merge_mode'='mor', 'graft.compact_after'='4', " +
+      "'graft.compact_zorder'='fp')")
+    spark.sql(s"CREATE TABLE $qb (fp BIGINT, doc_id BIGINT, " +
+      "src STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES('graft.merge_mode'='mor')")
+    def run(qt: String, tag: String): Unit = {
+      val crawl = Files.createTempDirectory(s"graft-ac-$tag").toString
+      val ckpt = Files.createTempDirectory(s"graft-ac-$tag-ck")
+        .toString + "/c"
+      (0 until 6).foreach { i =>
+        deliver(crawl, docs(i * 10 until (i + 1) * 10, 0L, s"w$i"))
+        IngestDedup.ingest(spark, crawl, qt, ckpt)
+      }
+    }
+    run(qa, "a"); run(qb, "b")
+    assert(state(qa) === state(qb),
+      "auto-compaction changed the ingested state")
+    def files(t: String): Long =
+      spark.sql(s"SELECT count(*) FROM $t.files").head().getLong(0)
+    val (fa, fb) = (files(qa), files(qb))
+    assert(fa < fb,
+      s"expected the maintained table to carry fewer files, got $fa vs $fb")
+  }
+
   test("NearDupIngest: an all-keyless batch is still ingested — keyless " +
     "docs never collide, so they are kept, and the signature MERGE is " +
     "skipped (no empty IN list)") {
