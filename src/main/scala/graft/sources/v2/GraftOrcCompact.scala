@@ -178,8 +178,22 @@ object GraftOrcCompact {
         .map(parseCompactAfter))
     limit.foreach { n =>
       val smallBytes = 32L << 20 // compact()'s smallFileBytes default
-      val small = snap.entries.count(_.length < smallBytes)
-      if (small >= n) {
+      val small = snap.entries.filter(_.length < smallBytes)
+      // only trigger when a merge can actually happen: once a
+      // partitioned table settles at one merged-but-still-small file
+      // per partition, compact() has no 2+ file bin — without this
+      // guard every further commit would pay a no-op maintenance pass.
+      // Same grouping as compact()'s binning: partition dir (w-<id>
+      // wave dirs are publish artifacts, not partition identity) +
+      // schema version + frozen spec version.
+      val mergeable = small.groupBy { e =>
+        val parent = e.path.substring(0, e.path.lastIndexOf('/'))
+        val name = parent.substring(parent.lastIndexOf('/') + 1)
+        (if (name.startsWith("w-"))
+          parent.substring(0, parent.lastIndexOf('/'))
+        else parent, e.schemaV, e.specV)
+      }.values.exists(_.size >= 2)
+      if (small.size >= n && mergeable) {
         val zorder = prop("graft.compact_zorder")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
