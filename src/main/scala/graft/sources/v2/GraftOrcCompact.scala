@@ -166,6 +166,15 @@ object GraftOrcCompact {
     n
   }
 
+  /** In-JVM per-table guard: concurrent committers would otherwise each
+    * launch the SAME compaction (one wins the swap, the rest lose on
+    * expectPresent after doing the full merge work) — an auto run that
+    * finds another in flight just skips; the table is being maintained.
+    * Cross-driver overlap still resolves loudly through expectPresent.
+    */
+  private val autoCompacting =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def maybeAutoCompact(spark: SparkSession, fs: FileSystem, qt: Path,
                        branch: Option[String] = None): Unit = {
     if (branch.nonEmpty) return // maintenance is a MAIN-lineage op
@@ -193,7 +202,8 @@ object GraftOrcCompact {
           parent.substring(0, parent.lastIndexOf('/'))
         else parent, e.schemaV, e.specV)
       }.values.exists(_.size >= 2)
-      if (small.size >= n && mergeable) {
+      if (small.size >= n && mergeable &&
+          autoCompacting.add(qt.toString)) {
         val zorder = prop("graft.compact_zorder")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
@@ -205,7 +215,7 @@ object GraftOrcCompact {
               "graft-orc: auto-compaction after commit on {} failed " +
                 "({}: {}); the data commit is unaffected",
               qt, e.getClass.getSimpleName, e.getMessage)
-        }
+        } finally autoCompacting.remove(qt.toString)
       }
     }
   }
@@ -411,9 +421,18 @@ object GraftOrcCompact {
       var committed = false
       while (!committed) {
         try {
+          // expectPresent: every input this rewrite replaces must still
+          // be LIVE in the snapshot the swap lands on. Without it, two
+          // compactions planned on the same snapshot both commit: the
+          // second sees no seq conflict, its `remove` filter matches
+          // nothing (the first already swapped the inputs out), and its
+          // outputs land as a SECOND copy of the same rows — whole-table
+          // duplication (found by the concurrency stress the moment
+          // auto-compaction made overlapping compactions routine).
           GraftOrcManifest.commitSwap(fs, qtable,
             remove = removeSet, add = addEntries, op = "compact",
-            expectDeletes = Some(Set.empty))
+            expectDeletes = Some(Set.empty),
+            expectPresent = removeSet)
           committed = true
         } catch {
           case e: java.util.ConcurrentModificationException =>
@@ -421,8 +440,16 @@ object GraftOrcCompact {
               .getOrElse(GraftOrcManifest.Snapshot(0L, Nil))
             if (attempt >= GraftOrcWrite.ManifestCommitRetries ||
                 winner.deletes.nonEmpty ||
-                !removeSet.subsetOf(winner.entries.map(_.path).toSet))
+                !removeSet.subsetOf(winner.entries.map(_.path).toSet)) {
+              // terminal loss: the merged outputs were already renamed
+              // into the table directories but never entered a snapshot
+              // — invisible to manifest readers, but delete them now
+              // instead of leaving orphans for vacuum
+              addEntries.foreach(o =>
+                try fs.delete(new Path(o.path), false)
+                catch { case _: java.io.IOException => })
               throw e
+            }
             attempt += 1
         }
       }

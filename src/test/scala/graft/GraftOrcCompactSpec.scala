@@ -214,6 +214,35 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, GraftOrcCompact.TombstoneDir).exists())
   }
 
+  test("a compaction whose inputs a rival already swapped out is " +
+    "REFUSED (expectPresent) — committing it would re-add the rows a " +
+    "concurrent compaction just merged") {
+    import graft.sources.v2.{GraftOrcManifest, OrcFileEntry}
+    val dir = Files.createTempDirectory("graft-compact-race").toString
+    (0 until 3).foreach { i =>
+      spark.range(i * 5, (i + 1) * 5).toDF("id").coalesce(1)
+        .write.format("graft-orc").option("graft.manifest", "true")
+        .mode("append").save(dir)
+    }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qt = fs.makeQualified(p)
+    val snap = GraftOrcManifest.readSnapshot(fs, qt).get
+    val victim = snap.entries.head
+    // rival commits first: swaps the victim for a (fake) merged output
+    GraftOrcManifest.commitSwap(fs, qt, remove = Set(victim.path),
+      add = Seq(victim.copy(path = victim.path + ".merged")),
+      op = "compact", expectPresent = Set(victim.path))
+    // the loser planned against the OLD snapshot: its inputs include the
+    // victim, which is gone — the swap must refuse, not silently re-add
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftOrcManifest.commitSwap(fs, qt, remove = Set(victim.path),
+        add = Seq(victim.copy(path = victim.path + ".merged2")),
+        op = "compact", expectPresent = Set(victim.path))
+    }
+    assert(e.getMessage.contains("already replaced"))
+  }
+
   test("graft.compact_after: the commit that crosses the small-file " +
     "threshold auto-compacts inline; graft.compact_zorder keeps the " +
     "layout key-sorted; rows exact throughout") {
