@@ -1471,8 +1471,10 @@ object ScaleStress {
         val files = GraftOrcManifest.readSnapshot(fs,
           fs.makeQualified(p)).get.entries.size
         def planned(filters: Filter*): Int = {
+          // packing off: the receipt counts SURVIVING FILES, and small-
+          // file bin packing would fold them into shared tasks
           val opts = new CaseInsensitiveStringMap(
-            Map("path" -> dir).asJava)
+            Map("path" -> dir, "graft.pack_small_files" -> "false").asJava)
           val schema = new graft.sources.v2.GraftOrcDataSource()
             .inferSchema(opts)
           val b = new GraftOrcScanBuilder(schema, opts)
@@ -1555,8 +1557,10 @@ object ScaleStress {
         val filesAll = GraftOrcManifest.readSnapshot(fs,
           fs.makeQualified(p)).get.entries.size
         def planned(filters: Filter*): Int = {
+          // packing off: the receipt counts SURVIVING FILES, and small-
+          // file bin packing would fold them into shared tasks
           val opts = new CaseInsensitiveStringMap(
-            Map("path" -> dir).asJava)
+            Map("path" -> dir, "graft.pack_small_files" -> "false").asJava)
           val schema = new graft.sources.v2.GraftOrcDataSource()
             .inferSchema(opts)
           val b = new GraftOrcScanBuilder(schema, opts)

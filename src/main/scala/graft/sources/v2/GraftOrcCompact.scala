@@ -59,6 +59,12 @@ object GraftOrcCompact {
     */
   val TombstoneDir = "_compact"
 
+  /** "Small file" threshold shared by [[compact]]'s `smallFileBytes`
+    * default and [[maybeAutoCompact]]'s trigger count — one constant so
+    * the trigger never counts files the subsequent compact() won't bin.
+    */
+  val DefaultSmallFileBytes: Long = 32L << 20
+
   case class CompactionStats(partitionDirs: Int, bins: Int,
                              filesCompacted: Int, bytesCompacted: Long,
                              filesOut: Int) {
@@ -186,8 +192,7 @@ object GraftOrcCompact {
       .orElse(spark.conf.getOption("spark.graft.compact_after")
         .map(parseCompactAfter))
     limit.foreach { n =>
-      val smallBytes = 32L << 20 // compact()'s smallFileBytes default
-      val small = snap.entries.filter(_.length < smallBytes)
+      val small = snap.entries.filter(_.length < DefaultSmallFileBytes)
       // only trigger when a merge can actually happen: once a
       // partitioned table settles at one merged-but-still-small file
       // per partition, compact() has no 2+ file bin — without this
@@ -222,7 +227,7 @@ object GraftOrcCompact {
 
   def compact(spark: SparkSession, table: String,
               targetBytes: Long = 128L << 20,
-              smallFileBytes: Long = 32L << 20,
+              smallFileBytes: Long = DefaultSmallFileBytes,
               parallelism: Int = 16,
               zorderCols: Seq[String] = Nil): CompactionStats = {
     require(smallFileBytes <= targetBytes,

@@ -1023,17 +1023,28 @@ object GraftOrcManifest {
               case Some(s)
                   if System.currentTimeMillis() -
                     s.getModificationTime > staleMs =>
-                // guarded best-effort takeover: re-STAT immediately
-                // before deleting and proceed only while the mtime is
-                // STILL stale — a holder that released and a racer that
-                // re-acquired in between leave a FRESH lock (new mtime),
-                // which survives; only the incarnation judged stale is
-                // ever deleted. (Two racers judging the SAME incarnation
-                // stale re-contend on the atomic create: one winner.)
+                // guarded best-effort takeover, content-anchored:
+                // (1) read the lock's CONTENT (its ownership token);
+                // (2) re-STAT — only a still-stale mtime proves the
+                //     content was read from the incarnation judged
+                //     stale (any release+re-acquire in between leaves
+                //     a fresh mtime and aborts the round);
+                // (3) re-read immediately before deleting and delete
+                //     only while the content is IDENTICAL — a racer's
+                //     re-acquired lock carries a NEW token and
+                //     survives. Only the judged incarnation is ever
+                //     deleted; an unreadable one is never taken over
+                //     this round (re-contend; the deadline bounds the
+                //     spin). Two racers judging the SAME incarnation
+                //     stale re-contend on the atomic create: one
+                //     winner.
+                val judged = readLockContent(fs, lock)
                 val still = try Some(fs.getFileStatus(lock))
                   catch { case _: java.io.FileNotFoundException => None }
-                if (still.exists(s2 => System.currentTimeMillis() -
-                    s2.getModificationTime > staleMs))
+                if (judged.isDefined &&
+                    still.exists(s2 => System.currentTimeMillis() -
+                      s2.getModificationTime > staleMs) &&
+                    readLockContent(fs, lock) == judged)
                   try fs.delete(lock, false)
                   catch { case _: java.io.IOException => }
                 Thread.sleep(50L)

@@ -153,6 +153,9 @@ object CorpusStats {
          |  INSERT (key, docs, chars, batch_id)
          |  VALUES (b.key, b.docs, b.chars, b.batch_id)
          |""".stripMargin)
-    finally s.catalog.dropTempView(view)
+    finally {
+      s.catalog.dropTempView(view)
+      BatchFrames.dropLocalCheckpoint(agg)
+    }
   }
 }

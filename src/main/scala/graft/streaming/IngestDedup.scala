@@ -137,7 +137,7 @@ object IngestDedup {
       case None => winner0
       case Some(n) => winner0.withColumn("fpb", fpBucket(n))
     }).localCheckpoint(true)
-    locally {
+    try {
       val bucketPred = buckets.map { _ =>
         val bs = winner.select(col("fpb")).distinct()
           .collect().map(_.getInt(0)).sorted // bounded by `buckets`
@@ -163,6 +163,6 @@ object IngestDedup {
            |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)
            |""".stripMargin))
       finally s.catalog.dropTempView(view)
-    }
+    } finally BatchFrames.dropLocalCheckpoint(winner)
   }
 }

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * — kept or dropped (a dropped near-dup's keys still poison its own
   * later near-dups, so chains collapse to the first survivor). "Earlier"
   * is `doc_id` order: the crawl contract is ascending-id delivery
-  * (crawlers assign monotone ids), which makes the final clean table a
-  * pure function of the delivered SET — reproducible by the DuckDB
+  * (crawlers assign monotone ids), RUNTIME-ENFORCED via a high-water
+  * `doc_id` persisted in the clean table's properties ([[HwmProp]]) —
+  * a batch straddling the mark is refused loudly, or warned past with
+  * `failOnOutOfOrder=false`. In-order delivery makes the final clean
+  * table a pure function of the delivered SET — reproducible by the DuckDB
   * oracle as "keep every doc with no smaller-id band collider"
   * (`rl_stream_neardup_ingest`), and exactly-once-equivalent under
   * replay: decisions compare STRICTLY-smaller ids, so a replayed
@@ -59,6 +62,21 @@ import org.apache.spark.sql.functions._
   */
 object NearDupIngest {
 
+  /** Clean-table property holding the highest `doc_id` ever merged —
+    * the runtime teeth of the ascending-id crawl contract: a batch that
+    * STRADDLES it (new ids below the mark) is out-of-order delivery and
+    * is refused loudly by default (`failOnOutOfOrder=false` downgrades
+    * to a warning: correctness invariants hold either way — the MERGE
+    * bounds are implied by their match conditions — but first-wins
+    * decisions drift toward delivery order and the O(batch) pruning
+    * claim voids for that batch). A batch entirely AT-OR-BELOW the mark
+    * is indistinguishable from a replay of an already-merged range and
+    * is allowed (replays must stay no-ops); a batch of genuinely new
+    * ids entirely below the mark therefore passes the guard too — the
+    * guard catches interleaving, not perfect reordering.
+    */
+  private[graft] val HwmProp = "graft.neardup.hwm"
+
   /** Key-bucket column over `key`. */
   def keyBucket(n: Int) = pmod(hash(col("key")), lit(n)).cast("int")
 
@@ -83,7 +101,8 @@ object NearDupIngest {
                graft.operators.Dedup.detBandKeys,
              maxFilesPerTrigger: Option[Int] = None,
              onPhase: (String, Double) => Unit = (_, _) => (),
-             onMerge: (String, DataFrame) => Unit = (_, _) => ()): Unit = {
+             onMerge: (String, DataFrame) => Unit = (_, _) => (),
+             failOnOutOfOrder: Boolean = true): Unit = {
     val reader = spark.readStream.format("graft-orc")
       .option("graft.snapshot_offsets", "true")
     maxFilesPerTrigger.foreach(n =>
@@ -95,7 +114,7 @@ object NearDupIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeBatch(batch, cleanTable, sigTable, payloadCols, buckets,
-          bandKeys, onPhase, onMerge)
+          bandKeys, onPhase, onMerge, failOnOutOfOrder)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -119,7 +138,8 @@ object NearDupIngest {
                  payloadCols: Seq[String], buckets: Int,
                  bandKeys: DataFrame => DataFrame,
                  onPhase: (String, Double) => Unit = (_, _) => (),
-                 onMerge: (String, DataFrame) => Unit = (_, _) => ())
+                 onMerge: (String, DataFrame) => Unit = (_, _) => (),
+                 failOnOutOfOrder: Boolean = true)
       : Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
@@ -147,24 +167,53 @@ object NearDupIngest {
     // MERGE. A checkpoint truncates the lineage to the materialized
     // rows, so the bucket-set collect, the history join and the MERGE
     // source are the same rows by construction, at batch-bounded cost.
+    // Recovery trade-off: checkpointed blocks are NOT fault-tolerant —
+    // an executor loss mid-batch fails the foreachBatch attempt instead
+    // of recomputing lineage; the stream then replays the batch, which
+    // is a no-op by the keyed insert-only MERGE contract. Both frames
+    // are explicitly unpersisted below so a long-running stream's
+    // executors don't accumulate orphaned checkpoint blocks.
     val keys = bandKeys(docs.select(col("doc_id"), col("text")))
       .withColumn("kb", keyBucket(buckets))
       .localCheckpoint(true)
+    var kept: DataFrame = null
     try {
-      // one bounded job: the batch's key-bucket set AND its minimum
-      // doc_id (the static lower bound both MERGEs prune history with)
-      val summary = keys.groupBy()
-        .agg(collect_set(col("kb")).as("kbs"),
-          min(col("doc_id")).as("mn")).head()
-      val kbs = summary.getSeq[Int](0).sorted // bounded by `buckets`
-      // a batch can be all-keyless (banding yields nothing, e.g. empty
-      // texts): such docs share no key with anything, so they are ALL
-      // kept — the batch must still land in the clean table, only the
-      // collider machinery is skipped; the MERGE lower bound then comes
-      // from the (persisted) batch itself
-      val minId =
-        if (kbs.nonEmpty) summary.getLong(1)
-        else docs.agg(min(col("doc_id"))).head().getLong(0)
+      // one bounded job over the PERSISTED batch: its id range. The
+      // MINIMUM is the static lower bound both MERGEs prune history
+      // with — from `docs`, not `keys`: the clean MERGE's source is
+      // derived from `docs`, which can hold KEYLESS docs (null/empty
+      // text, injectable bandings) with ids below every keyed doc, and
+      // a keys-derived bound would un-imply the match condition for
+      // them, breaking replay no-ops. The MAXIMUM advances the
+      // high-water mark.
+      val bounds = docs.agg(min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx")).head()
+      val minId = bounds.getLong(0)
+      val maxId = bounds.getLong(1)
+      // ascending-id contract, enforced: a batch straddling the stored
+      // high-water mark delivers NEW ids below already-merged ones
+      val hwm = s.sql(s"SHOW TBLPROPERTIES $cleanTable").collect()
+        .collectFirst {
+          case r if r.getString(0) == HwmProp => r.getString(1).toLong }
+      hwm.foreach { h =>
+        if (minId <= h && maxId > h) {
+          val msg = s"graft near-dup ingest: batch id range " +
+            s"[$minId, $maxId] straddles $cleanTable's high-water mark " +
+            s"$h — out-of-order delivery violates the ascending-id " +
+            "crawl contract (first-wins decisions would drift toward " +
+            "delivery order and MERGE history pruning voids). Deliver " +
+            "in id order, or pass failOnOutOfOrder=false to accept " +
+            "delivery-order semantics for this stream."
+          if (failOnOutOfOrder) throw new IllegalStateException(msg)
+          graft.sources.v2.GraftOrcLog.log.warn(msg)
+        }
+      }
+      // the batch's key-bucket set; EMPTY for an all-keyless batch
+      // (banding yields nothing, e.g. empty texts): such docs share no
+      // key with anything, so they are ALL kept — the batch still lands
+      // in the clean table, only the collider machinery is skipped
+      val kbs = keys.groupBy().agg(collect_set(col("kb")).as("kbs"))
+        .head().getSeq[Int](0).sorted // bounded by `buckets`
       phase("band")
       // colliders: every batch doc with a strictly-smaller-id band-key
       // sharer, in history (signature table pruned to the batch's
@@ -181,7 +230,7 @@ object NearDupIngest {
       val dropped = keys.join(earlier, Seq("band", "key"))
         .where(col("e_id") < col("doc_id"))
         .select(col("doc_id"))
-      val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+      kept = docs.join(dropped, Seq("doc_id"), "left_anti")
         .withColumn("db", docBucket(buckets))
         .localCheckpoint(true)
       locally {
@@ -224,7 +273,19 @@ object NearDupIngest {
         }
         phase("merge_sig")
       }
-    } finally docs.unpersist()
+      // advance the high-water mark AFTER both MERGEs committed: a
+      // crash in between leaves it stale-LOW, which the next in-order
+      // batch (min > stale mark) and a replay (max = stale-advanced
+      // max, min > mark or pure-replay range) both tolerate. A pure
+      // replay (max <= mark) advances nothing.
+      if (hwm.forall(maxId > _))
+        s.sql(s"ALTER TABLE $cleanTable SET TBLPROPERTIES(" +
+          s"'$HwmProp'='$maxId')")
+    } finally {
+      docs.unpersist()
+      BatchFrames.dropLocalCheckpoint(keys)
+      BatchFrames.dropLocalCheckpoint(kept)
+    }
   }
 
   private def tempView(s: SparkSession, df: DataFrame): String = {

@@ -12,8 +12,10 @@ import graft.sources.v2.{GraftOrcManifest, OrcFileEntry}
   * DRIVERS via an atomic create-no-overwrite of `commit.lock` in the
   * lineage dir. Covered: lock lifecycle (acquired + released around a
   * normal commit), loud timeout against a held lock, stale-lock
-  * takeover after a crashed holder, and that the default (no property)
-  * path never touches a lock file.
+  * takeover after a crashed holder, the mtime+content anchoring of the
+  * takeover delete (a released-and-re-acquired fresh lock survives a
+  * racer's takeover attempt), and that the default (no property) path
+  * never touches a lock file.
   */
 class GraftOrcCommitLockSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -130,6 +132,113 @@ class GraftOrcCommitLockSpec extends AnyFunSuite {
       assert(!fs.exists(lock), "B's own release did not clean up")
       assert(errs.get() == null, s"unexpected failure: ${errs.get()}")
     }
+  }
+
+  test("takeover is MTIME-anchored: a lock that turns FRESH between the " +
+    "staleness judgment and the delete (release + re-acquire race) " +
+    "survives the takeover attempt") {
+    val dir = Files.createTempDirectory("graft-lock-freshflip").toString
+    val stats = new java.util.concurrent.atomic.AtomicInteger(0)
+    // first stat of the lock reports STALE (the judgment); every later
+    // stat reports fresh — simulating a holder that released and a
+    // racer that re-acquired inside the judgment -> delete window
+    val flip = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getFileStatus(f: Path)
+          : org.apache.hadoop.fs.FileStatus = {
+        val st = super.getFileStatus(f)
+        if (f.getName == GraftOrcManifest.CommitLockName) {
+          val mtime = if (stats.incrementAndGet() == 1)
+            System.currentTimeMillis() - 120000L
+          else System.currentTimeMillis()
+          new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+            1, st.getBlockSize, mtime, f)
+        } else st
+      }
+    }
+    flip.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val md = new Path(dir)
+    flip.mkdirs(md)
+    val lock = new Path(md, GraftOrcManifest.CommitLockName)
+    val out = flip.create(lock, false)
+    out.write("re-acquired-holder token".getBytes("UTF-8")); out.close()
+    withProps("graft.commit.lock" -> "file",
+      "graft.commit.lock.timeout_ms" -> "600",
+      "graft.commit.lock.stale_ms" -> "1000") {
+      intercept[java.util.ConcurrentModificationException] {
+        GraftOrcManifest.withCommitFileLock(flip, md) {
+          fail("body must not run: the lock is held and fresh")
+        }
+      }
+    }
+    assert(flip.exists(lock),
+      "takeover deleted a lock that turned fresh after the judgment")
+    assert(stats.get() >= 2, "the takeover path never re-statted")
+  }
+
+  test("takeover delete is ownership-token anchored: lock content that " +
+    "CHANGES between the judgment read and the delete survives, even " +
+    "with a stale mtime") {
+    val dir = Files.createTempDirectory("graft-lock-tokenflip").toString
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    // mtime always reads stale, but every content read yields a NEW
+    // token — the judged incarnation can never be re-confirmed, so the
+    // guarded delete must never fire
+    class Bytes(data: Array[Byte])
+        extends java.io.ByteArrayInputStream(data)
+        with org.apache.hadoop.fs.Seekable
+        with org.apache.hadoop.fs.PositionedReadable {
+      def seek(p: Long): Unit = { pos = p.toInt }
+      def getPos: Long = pos
+      def seekToNewSource(t: Long): Boolean = false
+      def read(position: Long, b: Array[Byte], off: Int, len: Int): Int = {
+        if (position >= count) return -1
+        val n = math.min(len, count - position.toInt)
+        System.arraycopy(buf, position.toInt, b, off, n); n
+      }
+      def readFully(position: Long, b: Array[Byte], off: Int,
+                    len: Int): Unit = {
+        if (read(position, b, off, len) < len)
+          throw new java.io.EOFException()
+      }
+      def readFully(position: Long, b: Array[Byte]): Unit =
+        readFully(position, b, 0, b.length)
+    }
+    val shifty = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getFileStatus(f: Path)
+          : org.apache.hadoop.fs.FileStatus = {
+        val st = super.getFileStatus(f)
+        if (f.getName == GraftOrcManifest.CommitLockName)
+          new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+            1, st.getBlockSize, System.currentTimeMillis() - 120000L, f)
+        else st
+      }
+      override def open(f: Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName == GraftOrcManifest.CommitLockName)
+          new org.apache.hadoop.fs.FSDataInputStream(new Bytes(
+            s"token-${reads.incrementAndGet()}".getBytes("UTF-8")))
+        else super.open(f, bufferSize)
+    }
+    shifty.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val md = new Path(dir)
+    shifty.mkdirs(md)
+    val lock = new Path(md, GraftOrcManifest.CommitLockName)
+    val out = shifty.create(lock, false)
+    out.write("real content".getBytes("UTF-8")); out.close()
+    withProps("graft.commit.lock" -> "file",
+      "graft.commit.lock.timeout_ms" -> "600",
+      "graft.commit.lock.stale_ms" -> "100") {
+      intercept[java.util.ConcurrentModificationException] {
+        GraftOrcManifest.withCommitFileLock(shifty, md) {
+          fail("body must not run: the judged token never re-confirms")
+        }
+      }
+    }
+    assert(shifty.exists(lock),
+      "takeover deleted a lock whose ownership token had changed")
+    assert(reads.get() >= 2, "the takeover path never re-read the token")
   }
 
   test("a persistent lock-create failure (store fault) gives up loudly " +

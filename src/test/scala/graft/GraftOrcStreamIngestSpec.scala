@@ -230,6 +230,60 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       s"chain did not collapse to the first survivor: $kept")
   }
 
+  test("NearDupIngest high-water guard: a batch STRADDLING the clean " +
+    "table's persisted high-water doc_id is refused loudly by default; " +
+    "failOnOutOfOrder=false warns past it; a pure replay range is " +
+    "always allowed") {
+    assume(wh.nonEmpty)
+    import graft.streaming.NearDupIngest
+    // injected banding: every doc keys only to ITSELF, so no doc ever
+    // collides — the test isolates the guard, not the dedup
+    val selfKey: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      ds => ds.select($"doc_id", lit(0).as("band"), $"doc_id".as("key"))
+    val crawl = Files.createTempDirectory("graft-nd-hwm").toString
+    val (qt, sig) = mkNearDup("ndhwm")
+    val ckpt = Files.createTempDirectory("graft-nd-hwm-ck").toString + "/c"
+    deliver(crawl, docs(10 until 20, 0L, "w1"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt, bandKeys = selfKey)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $qt").collect().exists(r =>
+      r.getString(0) == NearDupIngest.HwmProp && r.getString(1) == "19"),
+      "first wave did not persist the high-water mark")
+    // wave 2 straddles: new ids 5..9 BELOW the mark, 20..24 above
+    deliver(crawl, docs((5 until 10) ++ (20 until 25), 0L, "w2"))
+    val before = spark.sql(s"SELECT count(*) FROM $qt").head().getLong(0)
+    val ex = intercept[Exception] {
+      NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
+        bandKeys = selfKey)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("straddles")),
+      s"expected the high-water refusal, got: ${chain(ex)}")
+    assert(spark.sql(s"SELECT count(*) FROM $qt").head().getLong(0)
+      === before, "a refused batch must leave the clean table unchanged")
+    // the offset was never committed: opting out re-delivers the same
+    // batch, which now lands (delivery-order semantics accepted)
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
+      bandKeys = selfKey, failOnOutOfOrder = false)
+    val kept = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(kept === ((5L until 10L) ++ (10L until 25L)).sorted,
+      s"self-keyed docs must all be kept, got $kept")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $qt").collect().exists(r =>
+      r.getString(0) == NearDupIngest.HwmProp && r.getString(1) == "24"),
+      "the accepted batch did not advance the high-water mark")
+    // a fresh-checkpoint FULL replay re-delivers each commit as a pure
+    // replay range (max <= mark): allowed under the DEFAULT guard and
+    // a state no-op
+    val ckpt2 = Files.createTempDirectory("graft-nd-hwm-ck2")
+      .toString + "/c"
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt2,
+      bandKeys = selfKey)
+    assert(spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq === kept, "replay changed state")
+  }
+
   test("graft.compact_after on the clean table: streaming-ingest MERGE " +
     "commits run the maintenance themselves — fewer files than the " +
     "unmaintained twin, identical state") {
@@ -319,17 +373,24 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       val (qt, sig) = mkNearDup(s"nd$tag")
       val ckpt = Files.createTempDirectory(s"graft-nd-$tag-ck")
         .toString + "/c"
+      // file-at-a-time batches split a wave's random repartition files,
+      // so batch id ranges interleave (no COLLIDING pair is reversed —
+      // re-crawls always carry larger ids than their originals, and
+      // originals land in the earlier wave): opt out of the high-water
+      // guard so the run exercises exactly boundary invariance
+      val ooo = mfpt.isEmpty
       deliver(crawl, w1)
       NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
-        maxFilesPerTrigger = mfpt)
+        maxFilesPerTrigger = mfpt, failOnOutOfOrder = ooo)
       deliver(crawl, w2)
       NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
-        maxFilesPerTrigger = mfpt)
+        maxFilesPerTrigger = mfpt, failOnOutOfOrder = ooo)
       // fresh-checkpoint FULL replay must be a no-op (insert-only keyed
       // MERGEs + strictly-smaller-id decisions)
       val ckpt2 = Files.createTempDirectory(s"graft-nd-$tag-ck2")
         .toString + "/c"
-      NearDupIngest.ingest(spark, crawl, qt, sig, ckpt2)
+      NearDupIngest.ingest(spark, crawl, qt, sig, ckpt2,
+        failOnOutOfOrder = ooo)
       spark.sql(s"SELECT doc_id, src, n_chars FROM $qt ORDER BY doc_id")
         .as[(Long, String, Long)].collect().toSeq
     }
