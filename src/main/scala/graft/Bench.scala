@@ -362,6 +362,40 @@ object Bench {
       }.getOrElse("{}")
     } catch { case _: Throwable => "{}" }
 
+    // A4 tie-in: PLAN (not run) a scan over a many-small-files layout
+    // and record files-per-task, so a small-file bin-packing regression
+    // shows up in the per-round detail JSON rather than only in the
+    // ScaleStress receipts. The probe table is built once and reused
+    // across sessions; "files" is the live manifest count (= tasks with
+    // packing opted out), "tasks_packed" the default plan's partitions.
+    def packingProbeJson: String = try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      val dir = "/tmp/graft-orc/packprobe"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          dir + "/_graft_manifest"))) {
+        fs.delete(p, true)
+        spark.range(4800).selectExpr("id", "id * 2 AS v")
+          .repartition(48, org.apache.spark.sql.functions.col("id"))
+          .write.format("graft-orc").option("graft.manifest", "true")
+          .mode("overwrite").save(dir)
+      }
+      def plan(opts: Map[String, String]): Int = {
+        val m = new CaseInsensitiveStringMap(
+          (Map("path" -> dir) ++ opts).asJava)
+        val schema = new graft.sources.v2.GraftOrcDataSource()
+          .inferSchema(m)
+        val b = new graft.sources.v2.GraftOrcScanBuilder(schema, m)
+        b.build().asInstanceOf[graft.sources.v2.GraftOrcScan]
+          .planInputPartitions().length
+      }
+      val unpacked = plan(Map("graft.pack_small_files" -> "false"))
+      val packed = plan(Map.empty)
+      s"""{"files":$unpacked,"tasks_packed":$packed}"""
+    } catch { case _: Throwable => "{}" }
+
     detailPath.foreach { p =>
       val ctx = s"""{"spark_version":"${spark.version}","num_cpus":$cpus,""" +
         s""""iterations":$iterations,"sf_dir":"$sfDir",""" +
@@ -370,6 +404,7 @@ object Bench {
         s""""memory_fraction":"${memoryFraction.getOrElse("default")}",""" +
         s""""scheduler":"${schedulerMode.getOrElse("default")}",""" +
         s""""sorted":$sorted,""" +
+        s""""packing":$packingProbeJson,""" +
         s""""graft_scan_metrics":$scanMetricsJson}"""
       val body = detail.map { case (q, is) =>
         val arr = is.map(i =>

@@ -301,6 +301,7 @@ object ScaleStress {
     val branchConsMode = args.lift(1).contains("branchcons")
     val manifestScaleMode = args.lift(1).contains("manifestscale")
     val streamIngestMode = args.lift(1).contains("streamingest")
+    val neardupAutoMode = args.lift(1).contains("neardupauto")
     val neardupMode = args.lift(1).contains("neardup")
     val specEvoMode = args.lift(1).contains("specevo")
     val evoMode = !specEvoMode && args.lift(1).contains("evo")
@@ -313,11 +314,14 @@ object ScaleStress {
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
       wapMode || hiddenMode || specEvoMode || morDenseMode ||
       consolidateMode || branchConsMode || manifestScaleMode ||
-      streamIngestMode || neardupMode
-    val factors =
-      if (args.length > (if (hasMode) 2 else 1))
-        args.drop(if (hasMode) 2 else 1).map(_.toInt).toSeq
-      else Seq(1, 10)
+      streamIngestMode || neardupMode || neardupAutoMode
+    val factors = {
+      // non-numeric trailing args are mode flags (e.g. neardupauto's
+      // `nomaint`), not factors
+      val nums = args.drop(if (hasMode) 2 else 1)
+        .filter(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt).toSeq
+      if (nums.nonEmpty) nums else Seq(1, 10)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -916,7 +920,8 @@ object ScaleStress {
         val t = s"gsi.default.clean_$k"
         spark.sql(s"CREATE TABLE $t (fp BIGINT, doc_id BIGINT, " +
           "src STRING, n_chars BIGINT, fpb INT) PARTITIONED BY (fpb) " +
-          "TBLPROPERTIES('graft.merge_mode'='mor')")
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
         // a batch "confined to buckets {0..3}" — the steady-state shape
         // where a micro-batch touches a subset of the table's buckets
         def confined(df: org.apache.spark.sql.DataFrame) =
@@ -1003,6 +1008,131 @@ object ScaleStress {
       return
     }
 
+    // AUTONOMOUS steady-state receipt: both ingest tables carry
+    // graft.compact_after (the signature table z-ordered on `key`) and
+    // the ingest MERGE commits run ALL maintenance THEMSELVES — zero
+    // manual compactions across >= `batches` ascending probe batches on
+    // a `histK`-wave history. Two claims, printed one JSON line per
+    // batch: per-batch ingest_sec stays bounded (a maintenance-bearing
+    // batch visibly pays its compaction, the next returns to baseline —
+    // a sawtooth, not a monotone climb) and the live signature file
+    // count stays bounded the same way. auto_* counters price the
+    // contention side: attempted ~= landed, lost_race ~= 0 on a single
+    // driver.
+    // A 5th arg `nomaint` runs the UNMAINTAINED control: same batches,
+    // no compact_after — the file counts then climb monotonically, the
+    // contrast the autonomy claim rests on.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 neardupauto 10 12 [nomaint]
+    if (neardupAutoMode) {
+      import graft.streaming.NearDupIngest
+      import graft.sources.v2.GraftOrcCompact
+      val histK = args.lift(2).map(_.toInt).getOrElse(10)
+      val batches = args.lift(3).map(_.toInt).getOrElse(12)
+      val maintain = !args.lift(4).contains("nomaint")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-nda-wh").toString
+      spark.conf.set("spark.sql.catalog.gnda",
+        "graft.sources.v2.GraftOrcCatalog")
+      spark.conf.set("spark.sql.catalog.gnda.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gnda.default")
+      val docs0 = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val ct = "gnda.default.ndclean"
+      val st = "gnda.default.ndsig"
+      // distribution_mode=hash: MERGE/append writes CLUSTER by the
+      // partition column first — one writer per partition dir per
+      // commit (~16 files/batch) instead of every task fanning out to
+      // every dir (32 tasks x 16 dirs = 512 files/batch), the
+      // write-amplification that made maintenance work this hard
+      spark.sql(s"CREATE TABLE $ct (doc_id BIGINT, n_chars BIGINT, " +
+        "db INT) PARTITIONED BY (db) " +
+        "TBLPROPERTIES('graft.merge_mode'='mor', " +
+        "'graft.distribution_mode'='hash')")
+      spark.sql(s"CREATE TABLE $st (band INT, key BIGINT, " +
+        "doc_id BIGINT, kb INT) PARTITIONED BY (kb) " +
+        "TBLPROPERTIES('graft.merge_mode'='mor', " +
+        "'graft.distribution_mode'='hash')")
+      // seed: histK waves, direct appends (data prep — maintenance off
+      // so the receipt isolates the steady state, not the catch-up)
+      (0 until histK).foreach { i =>
+        val w = docs0.select(
+          (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+          concat(col("text"), lit(s" v$i")).as("text"), col("n_chars"))
+        Dedup.detBandKeys(w.select(col("doc_id"), col("text")))
+          .withColumn("kb", NearDupIngest.keyBucket(16))
+          .repartition(4).writeTo(st).append()
+        w.select(col("doc_id"), col("n_chars"))
+          .withColumn("db", NearDupIngest.docBucket(16))
+          .repartition(4).writeTo(ct).append()
+      }
+      def files(t: String): Long =
+        spark.sql(s"SELECT count(*) FROM $t.files").head().getLong(0)
+      val seedSigFiles = files(st)
+      // hand the tables their own maintenance and measure from here on
+      if (maintain) {
+        spark.sql(s"ALTER TABLE $st SET TBLPROPERTIES(" +
+          "'graft.compact_after'='96', 'graft.compact_zorder'='key')")
+        spark.sql(s"ALTER TABLE $ct SET TBLPROPERTIES(" +
+          "'graft.compact_after'='96')")
+      }
+      GraftOrcCompact.resetAutoCompactStats()
+      val crawlDir = java.nio.file.Files
+        .createTempDirectory("graft-nda-crawl").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-nda-ck").toString + "/c"
+      println(s"""{"op":"neardup_auto","phase":"seed",""" +
+        s""""hist_waves":$histK,"sig_files_seeded":$seedSigFiles,""" +
+        s""""sig_rows":${spark.table(st).count()}}""")
+      var prevStats = GraftOrcCompact.autoCompactStats
+      (0 until batches).foreach { b =>
+        // ascending ids (the crawl contract, now runtime-enforced):
+        // an eighth genuinely fresh — a PER-BATCH alphabet rotation of
+        // the source text, so every batch's fresh shingle sets are
+        // disjoint from every other batch's AND from the seeded waves
+        // (a mere suffix tweak leaves the shingles near-identical and
+        // batch b's "fresh" docs would near-dup batch 0's) — plus an
+        // eighth re-crawling wave-0 texts (history colliders, dropped)
+        val base = (histK + 1 + b).toLong * 1000000000L
+        val az = "abcdefghijklmnopqrstuvwxyz"
+        val shift = (b % 25) + 1
+        val probe = docs0.filter(col("doc_id") % 8 === 0).select(
+            (col("doc_id") + lit(base)).as("doc_id"),
+            translate(col("text"), az, az.drop(shift) + az.take(shift))
+              .as("text"),
+            col("n_chars"))
+          .unionByName(docs0.filter(col("doc_id") % 8 === 1).select(
+            (col("doc_id") + lit(base)).as("doc_id"),
+            concat(col("text"), lit(" v0")).as("text"), col("n_chars")))
+        probe.select(col("doc_id"), col("text"), col("n_chars"))
+          .repartition(4).write.format("graft-orc")
+          .option("graft.manifest", "true").mode("append").save(crawlDir)
+        val t0 = System.nanoTime()
+        NearDupIngest.ingest(spark, crawlDir, ct, st, ckpt)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ac = GraftOrcCompact.autoCompactStats
+        val d = ac.map { case (k2, v) => k2 -> (v - prevStats(k2)) }
+        prevStats = ac
+        println(s"""{"op":"neardup_auto","batch":$b,""" +
+          s""""ingest_sec":${num(sec)},"sig_files":${files(st)},""" +
+          s""""clean_files":${files(ct)},""" +
+          s""""auto_attempted":${d("attempted")},""" +
+          s""""auto_landed":${d("landed")},""" +
+          s""""auto_lost_race":${d("lost_race")},""" +
+          s""""auto_skipped":${d("skipped_in_flight")}}""")
+      }
+      val tot = GraftOrcCompact.autoCompactStats
+      println(s"""{"op":"neardup_auto","phase":"final",""" +
+        s""""clean_rows":${spark.table(ct).count()},""" +
+        s""""sig_files":${files(st)},"clean_files":${files(ct)},""" +
+        s""""auto_attempted_total":${tot("attempted")},""" +
+        s""""auto_landed_total":${tot("landed")},""" +
+        s""""auto_lost_race_total":${tot("lost_race")}}""")
+      spark.sql(s"DROP TABLE $ct")
+      spark.sql(s"DROP TABLE $st")
+      spark.stop()
+      return
+    }
+
     // Streaming NEAR-dup ingestion stress: k waves of text-perturbed
     // corpus copies seed the SIGNATURE history (8 band keys per doc —
     // the table the decision join and the sig MERGE face every batch),
@@ -1030,10 +1160,12 @@ object ScaleStress {
         val st = s"gnd.default.ndsig_$k"
         spark.sql(s"CREATE TABLE $ct (doc_id BIGINT, n_chars BIGINT, " +
           "db INT) PARTITIONED BY (db) " +
-          "TBLPROPERTIES('graft.merge_mode'='mor')")
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
         spark.sql(s"CREATE TABLE $st (band INT, key BIGINT, " +
           "doc_id BIGINT, kb INT) PARTITIONED BY (kb) " +
-          "TBLPROPERTIES('graft.merge_mode'='mor')")
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
         // seed: k waves of text-perturbed corpus copies — history rows
         // and files grow with k. Seeding is data PREP (amortized over
         // past batches), so keys/survivors are appended directly.
@@ -1211,15 +1343,24 @@ object ScaleStress {
     if (concurrentMode) {
       val apps = args.lift(2).map(_.toInt).getOrElse(4)
       val rnds = args.lift(3).map(_.toInt).getOrElse(6)
+      graft.sources.v2.GraftOrcCompact.resetAutoCompactStats()
       val t0 = System.nanoTime()
       val res = concurrentCommitters(spark, "/tmp/graft-conc-stress",
         appenders = apps, rounds = rnds)
       val sec = (System.nanoTime() - t0) / 1e9
+      // auto-compaction contention accounting (all zero unless
+      // -Dspark.graft.compact_after is set): `lost_race` is full merge
+      // work thrown away at the swap — the wasted-cluster-work class
+      val ac = graft.sources.v2.GraftOrcCompact.autoCompactStats
       println(s"""{"op":"concurrent_committers","rounds":${res.rounds},""" +
         s""""appenders":$apps,"attempted":${res.attempted},""" +
         s""""succeeded":${res.succeeded},"conflicts":${res.conflicts},""" +
         s""""final_rows":${res.finalRows},""" +
         s""""expected_rows":${res.expectedRows},""" +
+        s""""auto_attempted":${ac("attempted")},""" +
+        s""""auto_landed":${ac("landed")},""" +
+        s""""auto_lost_race":${ac("lost_race")},""" +
+        s""""auto_skipped_in_flight":${ac("skipped_in_flight")},""" +
         s""""exact_state":${res.ok},"sec":${num(sec)}}""")
       require(res.ok, "concurrent committers diverged from the serial " +
         "oracle — see the JSON line above")

@@ -959,7 +959,8 @@ object CatalogOps {
         // state, engine-hash-keyed, invisible to the oracle.
         s.sql(s"CREATE TABLE $qt (fp BIGINT, doc_id BIGINT, src STRING, " +
           "n_chars BIGINT, fpb INT) PARTITIONED BY (fpb) " +
-          "TBLPROPERTIES('graft.merge_mode'='mor')")
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
         val ckpt = freshDir("sdickpt") + "/ckpt"
         deliver(docs.filter(col("doc_id") % 3 === 0)
           .withColumn("src", lit("c1"))
@@ -1071,12 +1072,17 @@ object CatalogOps {
           df.select(col("doc_id"), col("text"), col("src"), col("n_chars"))
             .repartition(2).write.format("graft-orc")
             .option("graft.manifest", "true").mode("append").save(crawlDir)
+        // distribution_mode=hash: each MERGE writes ~one file per
+        // partition dir instead of tasks x dirs — the write-amplification
+        // fix that keeps a continuously-ingesting table compactable
         s.sql(s"CREATE TABLE $qt (doc_id BIGINT, src STRING, " +
           "n_chars BIGINT, db INT) PARTITIONED BY (db) " +
-          "TBLPROPERTIES('graft.merge_mode'='mor')")
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
         s.sql(s"CREATE TABLE $sig (band INT, key BIGINT, doc_id BIGINT, " +
           "kb INT) PARTITIONED BY (kb) " +
-          "TBLPROPERTIES('graft.merge_mode'='mor')")
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
         val ckpt = freshDir("sndckpt") + "/ckpt"
         // ascending-id waves (the crawl contract): wave 1 = lower half;
         // wave 2 = upper half + exact re-crawls of every 5th doc under

@@ -600,14 +600,21 @@ class GraftOrcCatalog extends TableCatalog with SupportsNamespaces
               s"graft-orc: ${p.property()} is constraint state — use " +
                 "ALTER TABLE ... ADD CONSTRAINT (it validates existing " +
                 "rows; a hand-set property would not)")
-            m.copy(schemaV = m.schemaV + 1,
-              props = m.props + (p.property() -> p.value()))
+            // props-only change: schemaV STAYS — fields resolve by their
+            // own metadata (added_v/renames), so a bump would only (a)
+            // push every later file into a fresh version group that
+            // compaction's same-version binning can never merge (a
+            // per-batch property stamp — e.g. the near-dup ingest
+            // high-water mark — would make the table permanently
+            // uncompactable) and (b) force the evolution-aware read
+            // path on tables whose schema never changed
+            m.copy(props = m.props + (p.property() -> p.value()))
           case p: RemoveProperty =>
             require(!p.property().toLowerCase
                 .startsWith("graft.parts."),
               s"graft-orc: ${p.property()} is reserved partition-spec " +
                 "evolution state and cannot be unset")
-            m.copy(schemaV = m.schemaV + 1, props = m.props - p.property())
+            m.copy(props = m.props - p.property())
           case other => throw new UnsupportedOperationException(
             s"graft-orc: unsupported table change $other")
         }

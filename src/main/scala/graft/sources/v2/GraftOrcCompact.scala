@@ -181,6 +181,31 @@ object GraftOrcCompact {
   private val autoCompacting =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Auto-compaction accounting, for the contention receipts: how much
+    * maintenance work commits TRIGGER, how much of it lands, and how
+    * much is thrown away. `attempted` = the guard let a pass launch;
+    * `landed` = that pass committed a merge; `lostRace` = the pass did
+    * the full merge work and then lost the swap to a rival maintenance
+    * commit (wasted cluster work — the cost class the receipt watches);
+    * `skippedInFlight` = a committer found this JVM already maintaining
+    * the table and moved on (the cheap outcome). JVM-lifetime counters;
+    * [[resetAutoCompactStats]] zeroes them for a measurement window.
+    */
+  private val autoAttempted = new java.util.concurrent.atomic.AtomicLong()
+  private val autoLanded = new java.util.concurrent.atomic.AtomicLong()
+  private val autoLostRace = new java.util.concurrent.atomic.AtomicLong()
+  private val autoSkipped = new java.util.concurrent.atomic.AtomicLong()
+
+  def autoCompactStats: Map[String, Long] = Map(
+    "attempted" -> autoAttempted.get(), "landed" -> autoLanded.get(),
+    "lost_race" -> autoLostRace.get(),
+    "skipped_in_flight" -> autoSkipped.get())
+
+  def resetAutoCompactStats(): Unit = {
+    autoAttempted.set(0L); autoLanded.set(0L)
+    autoLostRace.set(0L); autoSkipped.set(0L)
+  }
+
   def maybeAutoCompact(spark: SparkSession, fs: FileSystem, qt: Path,
                        branch: Option[String] = None): Unit = {
     if (branch.nonEmpty) return // maintenance is a MAIN-lineage op
@@ -207,20 +232,25 @@ object GraftOrcCompact {
           parent.substring(0, parent.lastIndexOf('/'))
         else parent, e.schemaV, e.specV)
       }.values.exists(_.size >= 2)
-      if (small.size >= n && mergeable &&
-          autoCompacting.add(qt.toString)) {
-        val zorder = prop("graft.compact_zorder")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil)
-        try compact(spark, qt.toString, zorderCols = zorder)
-        catch {
-          case _: java.util.ConcurrentModificationException => ()
-          case scala.util.control.NonFatal(e) =>
-            GraftOrcLog.log.warn(
-              "graft-orc: auto-compaction after commit on {} failed " +
-                "({}: {}); the data commit is unaffected",
-              qt, e.getClass.getSimpleName, e.getMessage)
-        } finally autoCompacting.remove(qt.toString)
+      if (small.size >= n && mergeable) {
+        if (autoCompacting.add(qt.toString)) {
+          autoAttempted.incrementAndGet()
+          val zorder = prop("graft.compact_zorder")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+          try {
+            compact(spark, qt.toString, zorderCols = zorder)
+            autoLanded.incrementAndGet()
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              autoLostRace.incrementAndGet()
+            case scala.util.control.NonFatal(e) =>
+              GraftOrcLog.log.warn(
+                "graft-orc: auto-compaction after commit on {} failed " +
+                  "({}: {}); the data commit is unaffected",
+                qt, e.getClass.getSimpleName, e.getMessage)
+          } finally autoCompacting.remove(qt.toString)
+        } else autoSkipped.incrementAndGet()
       }
     }
   }
@@ -233,6 +263,28 @@ object GraftOrcCompact {
     require(smallFileBytes <= targetBytes,
       "graft-orc compact: smallFileBytes must be <= targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
+    // register this run in the auto-compaction in-flight set, so a
+    // commit-triggered auto pass skips instead of duplicating the full
+    // merge work and losing it at the swap's expectPresent. An EXPLICIT
+    // call never skips (the user asked); if the guard is already held —
+    // by the auto pass that is calling us, or by a racing explicit run
+    // (expectPresent still arbitrates that overlap loudly) — we simply
+    // don't take ownership of the flag.
+    val qtKey = {
+      val tp = new Path(table)
+      tp.getFileSystem(conf).makeQualified(tp).toString
+    }
+    val ownsFlag = autoCompacting.add(qtKey)
+    try compactInner(spark, table, targetBytes, smallFileBytes,
+      parallelism, zorderCols, conf)
+    finally { if (ownsFlag) autoCompacting.remove(qtKey) }
+  }
+
+  private def compactInner(spark: SparkSession, table: String,
+                           targetBytes: Long, smallFileBytes: Long,
+                           parallelism: Int, zorderCols: Seq[String],
+                           conf: org.apache.hadoop.conf.Configuration)
+      : CompactionStats = {
     // heal any interrupted predecessor FIRST: a crashed bin's stranded
     // duplicates must be deleted, not merged into the table as real rows
     repair(spark, table)

@@ -458,10 +458,16 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       case (k, v) if k.equalsIgnoreCase("graft.consolidate_after") =>
         GraftOrcMor.parseConsolidateAfter(v)
     }
+    // same knob as the batch write: MoR delta inserts cluster by the
+    // partition columns when the table opts in
+    val distMode = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.distribution_mode") =>
+        v.trim.toLowerCase(java.util.Locale.ROOT)
+    }.getOrElse("none")
     () =>
       if (mode == "mor")
         new GraftOrcDeltaOperation(tableSchema, ps.head, partCols,
-          info.command(), branch, sideFmt, consolidateAfter)
+          info.command(), branch, sideFmt, consolidateAfter, distMode)
       else new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
         info.command(), branch)
   }
@@ -653,20 +659,32 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       .map(t => GraftOrcPartitionSpec.fromTransform(t).canonical)
     // a branch-scoped table handle (`INSERT INTO t.branch_x`, loaded
     // with graft.branch in its props) must commit to the branch: the
-    // prop rides into the write options like the path does for reads
-    val winfo = props.get("graft.branch") match {
-      case Some(b) if !info.options().containsKey("graft.branch") =>
+    // prop rides into the write options like the path does for reads.
+    // The writer-SHAPE properties ride the same way — TBLPROPERTIES are
+    // table defaults (the Iceberg write.distribution-mode posture: set
+    // once on the table, every INSERT/MERGE writer honors it), and an
+    // explicit write option still wins.
+    val propDefaults = Seq("graft.branch", "graft.distribution_mode",
+      "graft.write_sort", "graft.advisory_partition_bytes",
+      "graft.max_open_writers")
+    val toAdd = propDefaults.flatMap { k =>
+      if (info.options().containsKey(k)) None
+      else props.collectFirst {
+        case (pk, v) if pk.equalsIgnoreCase(k) => k -> v }
+    }
+    val winfo =
+      if (toAdd.isEmpty) info
+      else {
         val m = new java.util.HashMap[String, String](
           info.options().asCaseSensitiveMap())
-        m.put("graft.branch", b)
+        toAdd.foreach { case (k, v) => m.put(k, v) }
         val merged = new CaseInsensitiveStringMap(m)
         new org.apache.spark.sql.connector.write.LogicalWriteInfo {
           override def queryId(): String = info.queryId()
           override def schema(): StructType = info.schema()
           override def options(): CaseInsensitiveStringMap = merged
         }
-      case _ => info
-    }
+      }
     new GraftOrcWriteBuilder(
       GraftOrcDataSource.paths(withTablePath(winfo.options())), winfo,
       partCols.toSeq)
@@ -1253,9 +1271,20 @@ class GraftOrcScan(dataFileSchema: StructType, partitionSchema: StructType,
   // In(id, <keys>) prunes ts_day / id_bucket directories through
   // [[GraftOrcPartitionSpec.hiddenPrune]]
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (partitionSchema.fieldNames ++ hiddenSpec.map(_.source)).map(
-      org.apache.spark.sql.connector.expressions.Expressions.column)
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns present in this scan's OUTPUT: Spark resolves these
+    // references against the scan relation (PartitionPruning /
+    // RowLevelOperationRuntimeGroupFiltering resolveRefs THROWS on a
+    // miss), and column pruning may have projected a partition column
+    // out — e.g. a MERGE's join-key-only target scan under a write
+    // whose required distribution re-exposes the partition column to
+    // the optimizer. A runtime filter we can't advertise there is an
+    // optimization skipped, not a correctness loss.
+    val out = readSchema().fieldNames.map(_.toLowerCase).toSet
+    (partitionSchema.fieldNames ++ hiddenSpec.map(_.source))
+      .filter(c => out(c.toLowerCase))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     val partNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet ++

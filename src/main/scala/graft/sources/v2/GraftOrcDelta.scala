@@ -67,7 +67,8 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
                              partitionCols: Seq[String], cmd: Command,
                              branch: Option[String] = None,
                              sidecarFormat: String = "bitmap",
-                             consolidateAfter: Option[Int] = None)
+                             consolidateAfter: Option[Int] = None,
+                             distributionMode: String = "none")
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): Command = cmd
@@ -95,7 +96,7 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftOrcDeltaWrite(tablePath, info, partitionCols, branch,
-          sidecarFormat, consolidateAfter)
+          sidecarFormat, consolidateAfter, distributionMode)
     }
 }
 
@@ -110,10 +111,64 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
                          partitionCols: Seq[String],
                          branch: Option[String] = None,
                          sidecarFormat: String = "bitmap",
-                         consolidateAfter: Option[Int] = None)
-    extends DeltaWrite {
+                         consolidateAfter: Option[Int] = None,
+                         distributionMode: String = "none")
+    extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private val rowSchema: StructType = info.schema()
+
+  // ---- writer-requested distribution (the MERGE-ingest fanout fix) --
+  // Without it a partitioned MoR MERGE's insert rows fan out from every
+  // task to every partition dir — T x P files PER BATCH (the
+  // streaming-ingest tables measured 512 files/batch at 32 tasks x 16
+  // dirs). `graft.distribution_mode=hash` (same table property as the
+  // batch write) clusters the delta rows by the identity partition
+  // columns, so each partition lands in one task: ~P files per batch.
+  // Delete-only deltas carry no row columns to cluster by — they stay
+  // unspecified, as do tables that never opt in (byte-identical plans).
+  require(distributionMode == "none" || distributionMode == "hash",
+    s"graft-orc: invalid value '$distributionMode' for " +
+      "'graft.distribution_mode', must be none or hash")
+  private val clusterCols: Seq[String] = {
+    if (distributionMode != "hash") Nil
+    else {
+      require(partitionCols.nonEmpty,
+        "graft-orc: graft.distribution_mode=hash requires a " +
+          "partitioned table (it clusters rows by the partition columns)")
+      val fs = GraftOrcPartitionSpec.parseCanonical(partitionCols)
+      require(fs.forall(_.isIdentity),
+        "graft-orc: graft.distribution_mode=hash over transform " +
+          "partitions is not supported yet — repartition on the source " +
+          "columns before the write instead")
+      val srcs = fs.map(_.source)
+      // resolvable only when the delta carries the row columns (a pure
+      // DELETE's schema is just the rowId — nothing to cluster)
+      if (srcs.forall(c => info.schema().fields
+          .exists(_.name.equalsIgnoreCase(c)))) srcs
+      else Nil
+    }
+  }
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (clusterCols.nonEmpty)
+      Distributions.clustered(clusterCols.toArray.map(c =>
+        Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression))
+    else Distributions.unspecified()
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    // partition columns lead, so each task emits its dirs as contiguous
+    // runs (one open writer at a time, not P)
+    clusterCols.toArray.map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+  }
   private val rowIdSchema: StructType = {
     val o = info.rowIdSchema()
     require(o.isPresent, "graft-orc delta: write planned without a rowId " +

@@ -76,6 +76,9 @@ object IngestDedup {
     *   'graft.compact_zorder'='fp')` and the MERGE commits keep the
     *   clean table fp-sorted and file-count-bounded themselves — the
     *   steady state of the streamingest receipt without a scheduler.
+    *   Add `'graft.distribution_mode'='hash'` so each MERGE writes ~one
+    *   file per bucket dir instead of tasks x dirs — far less
+    *   small-file creation for that maintenance to absorb.
     */
   def ingest(spark: SparkSession, crawlDir: String, cleanTable: String,
              checkpoint: String,

@@ -277,6 +277,38 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 160L)
   }
 
+  test("SET TBLPROPERTIES between appends does not fragment compaction " +
+    "bins: props-only DDL keeps schemaV, so files across the stamps " +
+    "still merge (the per-batch property-stamp ingest pattern)") {
+    val wh = Files.createTempDirectory("graft-propsv-wh").toString
+    spark.conf.set("spark.sql.catalog.gcpv",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcpv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcpv.default")
+    val t = "gcpv.default.propsv"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.range(i * 10, (i + 1) * 10)
+        .select($"id".as("k"), ($"id" * 3).as("v"))
+        .coalesce(1).writeTo(t).append()
+      // the per-batch stamp (e.g. an ingest high-water mark)
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('app.mark'='$i')")
+    }
+    def files(): Long =
+      spark.sql(s"SELECT count(*) FROM $t.files").head().getLong(0)
+    assert(files() === 4L)
+    val stats = GraftOrcCompact.compact(spark, s"$wh/default/propsv")
+    assert(stats.filesCompacted === 4 && stats.filesOut === 1,
+      s"props-only DDL fragmented the bins: $stats")
+    assert(files() === 1L)
+    assert(spark.table(t).count() === 40L)
+    // the stamps themselves survived
+    val mark = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .collectFirst { case r if r.getString(0) == "app.mark" =>
+        r.getString(1) }
+    assert(mark.contains("3"))
+  }
+
   test("files at or above the small-file threshold are left untouched") {
     val dir = Files.createTempDirectory("graft-orc-compact2").toString
     val nation = Tables.nation(spark, TestSpark.sf0001)

@@ -181,4 +181,54 @@ class GraftOrcWriteDistributionSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("none or hash"))
   }
+
+  test("graft.distribution_mode as TBLPROPERTIES is a table DEFAULT: " +
+    "catalog INSERTs and both MERGE write paths (append-rewritten " +
+    "insert-only + true MoR delta) write ~one file per partition") {
+    val wh = Files.createTempDirectory("graft-dist-wh").toString
+    val cat = "gdist" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+    val t = s"$cat.default.t"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING, p INT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES('graft.merge_mode'='mor', " +
+      "'graft.distribution_mode'='hash')")
+    def files(): Long =
+      spark.sql(s"SELECT count(*) FROM $t.files").head().getLong(0)
+    // catalog INSERT: the prop rides into the write options
+    spark.range(400)
+      .selectExpr("id AS k", "concat('x', id) AS v",
+        "CAST(id % 4 AS INT) AS p")
+      .repartition(8).createOrReplaceTempView("dist_src1")
+    spark.sql(s"INSERT INTO $t SELECT * FROM dist_src1")
+    val f1 = files()
+    assert(f1 === 4L, s"clustered INSERT should write 4 files, got $f1")
+    // insert-only MERGE (Spark rewrites it to an anti-join append)
+    spark.range(400, 800)
+      .selectExpr("id AS k", "concat('y', id) AS v",
+        "CAST(id % 4 AS INT) AS p")
+      .repartition(8).createOrReplaceTempView("dist_src2")
+    spark.sql(s"MERGE INTO $t t USING dist_src2 b ON t.k = b.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (b.k, b.v, b.p)")
+    val f2 = files()
+    assert(f2 - f1 === 4L,
+      s"clustered insert-only MERGE should add 4 files, got ${f2 - f1}")
+    // true delta MERGE (matched UPDATE forces the MoR position-delta
+    // write): its INSERT rows cluster the same way
+    spark.range(600, 1000)
+      .selectExpr("id AS k", "concat('z', id) AS v",
+        "CAST(id % 4 AS INT) AS p")
+      .repartition(8).createOrReplaceTempView("dist_src3")
+    spark.sql(s"MERGE INTO $t t USING dist_src3 b ON t.k = b.k " +
+      "WHEN MATCHED THEN UPDATE SET v = b.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (b.k, b.v, b.p)")
+    val f3 = files()
+    assert(f3 - f2 === 4L,
+      s"clustered delta MERGE should add 4 data files, got ${f3 - f2}")
+    assert(spark.table(t).count() === 1000L)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
