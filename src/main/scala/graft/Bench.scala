@@ -371,14 +371,18 @@ object Bench {
     def packingProbeJson: String = try {
       import scala.jdk.CollectionConverters._
       import org.apache.spark.sql.util.CaseInsensitiveStringMap
-      val dir = "/tmp/graft-orc/packprobe"
+      // 256 files: packing's bin size is max(openCost,
+      // totalBytes/parallelism) and each tiny file weighs ~openCost, so
+      // the probe must hold well over `parallelism` files before bins
+      // carry 2+ files (48 files at 32 cores pack 1:1 — measured)
+      val dir = "/tmp/graft-orc/packprobe256"
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(
           dir + "/_graft_manifest"))) {
         fs.delete(p, true)
-        spark.range(4800).selectExpr("id", "id * 2 AS v")
-          .repartition(48, org.apache.spark.sql.functions.col("id"))
+        spark.range(25600).selectExpr("id", "id * 2 AS v")
+          .repartition(256, org.apache.spark.sql.functions.col("id"))
           .write.format("graft-orc").option("graft.manifest", "true")
           .mode("overwrite").save(dir)
       }
