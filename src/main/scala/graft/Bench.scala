@@ -280,6 +280,14 @@ object Bench {
     OrcData.orcPath(spark, sfDir, "orders")
     OrcData.partitionedOrcPath(spark, sfDir, "lineitem", "l_returnflag")
     if (sorted) OrcData.sortedOrcPath(spark, sfDir, "lineitem", "l_orderkey")
+    // ... and the remaining once-per-sfDir cached layouts (q100/q101
+    // manifest orders, q102 SPJ sides, q105 hidden-partitioned events):
+    // on a machine where /tmp/graft-orc was cleared, those rows would
+    // otherwise price their one-time conversion instead of the query
+    OrcData.manifestOrcPath(spark, sfDir, "orders", "o_orderkey")
+    OrcData.partitionedOrcPath(spark, sfDir, "customer", "c_nationkey")
+    OrcData.partitionedOrcPath(spark, sfDir, "supplier", "s_nationkey")
+    OrcData.hiddenEventsPath(spark, sfDir)
     // dd_embed_lsh_10x input: the 10x expansion is prep (untimed), but it
     // is NOT built here — checkpointing it up front would pin ~10x the
     // embedding table in block-manager memory across all preceding
