@@ -464,10 +464,15 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       case (k, v) if k.equalsIgnoreCase("graft.distribution_mode") =>
         v.trim.toLowerCase(java.util.Locale.ROOT)
     }.getOrElse("none")
+    val writeSort = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.write_sort") =>
+        v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
     () =>
       if (mode == "mor")
         new GraftOrcDeltaOperation(tableSchema, ps.head, partCols,
-          info.command(), branch, sideFmt, consolidateAfter, distMode)
+          info.command(), branch, sideFmt, consolidateAfter, distMode,
+          writeSort)
       else new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
         info.command(), branch)
   }

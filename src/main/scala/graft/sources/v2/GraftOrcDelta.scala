@@ -68,7 +68,8 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
                              branch: Option[String] = None,
                              sidecarFormat: String = "bitmap",
                              consolidateAfter: Option[Int] = None,
-                             distributionMode: String = "none")
+                             distributionMode: String = "none",
+                             writeSort: Seq[String] = Nil)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): Command = cmd
@@ -96,7 +97,7 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftOrcDeltaWrite(tablePath, info, partitionCols, branch,
-          sidecarFormat, consolidateAfter, distributionMode)
+          sidecarFormat, consolidateAfter, distributionMode, writeSort)
     }
 }
 
@@ -112,7 +113,8 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
                          branch: Option[String] = None,
                          sidecarFormat: String = "bitmap",
                          consolidateAfter: Option[Int] = None,
-                         distributionMode: String = "none")
+                         distributionMode: String = "none",
+                         writeSort: Seq[String] = Nil)
     extends DeltaWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -161,12 +163,22 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
     else Distributions.unspecified()
   }
 
+  // `graft.write_sort=c1,c2`: within-task sort on the delta's INSERT
+  // rows (same table property as the batch write, threaded through the
+  // props-as-options default) — MoR MERGE/UPDATE output files then
+  // carry tight min/max stat ranges on those columns between
+  // compactions, instead of waiting for the next z-order pass.
+  // Resolvable only when the delta carries the row columns.
+  private val sortCols: Seq[String] = writeSort.filter(c =>
+    info.schema().fields.exists(_.name.equalsIgnoreCase(c)))
+
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     // partition columns lead, so each task emits its dirs as contiguous
-    // runs (one open writer at a time, not P)
-    clusterCols.toArray.map(c =>
+    // runs (one open writer at a time, not P); write_sort columns follow
+    (clusterCols ++ sortCols.filterNot(s =>
+      clusterCols.exists(_.equalsIgnoreCase(s)))).toArray.map(c =>
       Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
   }
   private val rowIdSchema: StructType = {

@@ -192,12 +192,16 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ging.default")
     val qt = s"ging.default.${uniq(tag)}"
     val sig = s"ging.default.${uniq(tag + "sig")}"
+    // hash distribution: CI coverage of the clustered MERGE write path
+    // the production ingest tables use (one file per partition per batch)
     spark.sql(s"CREATE TABLE $qt (doc_id BIGINT, src STRING, " +
       "n_chars BIGINT, db INT) PARTITIONED BY (db) " +
-      "TBLPROPERTIES('graft.merge_mode'='mor')")
+      "TBLPROPERTIES('graft.merge_mode'='mor', " +
+      "'graft.distribution_mode'='hash')")
     spark.sql(s"CREATE TABLE $sig (band INT, key BIGINT, doc_id BIGINT, " +
       "kb INT) PARTITIONED BY (kb) " +
-      "TBLPROPERTIES('graft.merge_mode'='mor')")
+      "TBLPROPERTIES('graft.merge_mode'='mor', " +
+      "'graft.distribution_mode'='hash')")
     (qt, sig)
   }
 

@@ -231,4 +231,47 @@ class GraftOrcWriteDistributionSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 1000L)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("graft.write_sort on a MoR table sorts the DELTA write's insert " +
+    "files too: every file a delta MERGE writes is internally ordered " +
+    "on the sort column") {
+    val wh = Files.createTempDirectory("graft-dist-ws-wh").toString
+    val cat = "gdws" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+    val t = s"$cat.default.t"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING, p INT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES('graft.merge_mode'='mor', " +
+      "'graft.distribution_mode'='hash', 'graft.write_sort'='k')")
+    spark.range(200)
+      .selectExpr("id AS k", "concat('x', id) AS v",
+        "CAST(id % 4 AS INT) AS p")
+      .createOrReplaceTempView("ws_seed")
+    spark.sql(s"INSERT INTO $t SELECT * FROM ws_seed")
+    // shuffled source so unsorted input is guaranteed; the MATCHED
+    // UPDATE forces the true MoR delta write path
+    spark.range(100, 300)
+      .selectExpr("id AS k", "concat('y', id) AS v",
+        "CAST(id % 4 AS INT) AS p")
+      .orderBy(expr("hash(id)")).repartition(8)
+      .createOrReplaceTempView("ws_src")
+    spark.sql(s"MERGE INTO $t t USING ws_src b ON t.k = b.k " +
+      "WHEN MATCHED THEN UPDATE SET v = b.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (b.k, b.v, b.p)")
+    assert(spark.table(t).count() === 300L)
+    // every physical file is internally sorted on k
+    val rows = spark.read.format("graft-orc")
+      .load(s"$wh/default/t")
+      .select($"_file", $"_pos", $"k")
+      .as[(String, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (f, rs) =>
+      val ks = rs.sortBy(_._2).map(_._3)
+      assert(ks.sameElements(ks.sorted),
+        s"file $f not sorted on k: ${ks.take(10).mkString(",")}")
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
 }
