@@ -468,11 +468,15 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       case (k, v) if k.equalsIgnoreCase("graft.write_sort") =>
         v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     }.getOrElse(Nil)
+    // orc.* writer conf (bloom filters, stride, ...) as table defaults,
+    // like the batch write's props-as-options ride-through
+    val orcOpts = props.filter(_._1.toLowerCase(java.util.Locale.ROOT)
+      .startsWith("orc."))
     () =>
       if (mode == "mor")
         new GraftOrcDeltaOperation(tableSchema, ps.head, partCols,
           info.command(), branch, sideFmt, consolidateAfter, distMode,
-          writeSort)
+          writeSort, orcOpts)
       else new GraftOrcRowLevelOperation(tableSchema, ps.head, partCols,
         info.command(), branch)
   }
@@ -676,7 +680,15 @@ class GraftOrcTable(tableSchema: StructType, props: Map[String, String],
       if (info.options().containsKey(k)) None
       else props.collectFirst {
         case (pk, v) if pk.equalsIgnoreCase(k) => k -> v }
-    }
+    } ++
+      // `orc.*` TBLPROPERTIES (bloom filters, stride, ...) are writer
+      // defaults the same way — the write path already forwards any
+      // orc.* OPTION into the ORC writer conf
+      props.collect {
+        case (pk, v) if pk.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("orc.") && !info.options().containsKey(pk) =>
+          pk -> v
+      }
     val winfo =
       if (toAdd.isEmpty) info
       else {

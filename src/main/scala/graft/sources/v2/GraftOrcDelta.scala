@@ -69,7 +69,9 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
                              sidecarFormat: String = "bitmap",
                              consolidateAfter: Option[Int] = None,
                              distributionMode: String = "none",
-                             writeSort: Seq[String] = Nil)
+                             writeSort: Seq[String] = Nil,
+                             orcOpts: Map[String, String] =
+                               Map.empty[String, String])
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): Command = cmd
@@ -97,7 +99,8 @@ class GraftOrcDeltaOperation(tableSchema: StructType, tablePath: String,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftOrcDeltaWrite(tablePath, info, partitionCols, branch,
-          sidecarFormat, consolidateAfter, distributionMode, writeSort)
+          sidecarFormat, consolidateAfter, distributionMode, writeSort,
+          orcOpts)
     }
 }
 
@@ -114,7 +117,9 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
                          sidecarFormat: String = "bitmap",
                          consolidateAfter: Option[Int] = None,
                          distributionMode: String = "none",
-                         writeSort: Seq[String] = Nil)
+                         writeSort: Seq[String] = Nil,
+                         orcOpts: Map[String, String] =
+                           Map.empty[String, String])
     extends DeltaWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -225,7 +230,7 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
     val fileFieldIdx = rowSchema.fields.zipWithIndex
       .filterNot { case (f, _) => partSet(f.name.toLowerCase) }.map(_._2)
     val (owf, conf) = GraftOrcShims.orcWriteSupport(spark,
-      Map("compression" -> "snappy"), fileSchema)
+      Map("compression" -> "snappy") ++ orcOpts, fileSchema)
     Some(GraftOrcWriterFactory(path, fileSchema, owf,
       new org.apache.spark.util.SerializableConfiguration(conf), partSpecs,
       fileFieldIdx, writeId,
