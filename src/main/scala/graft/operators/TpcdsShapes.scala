@@ -910,21 +910,25 @@ object TpcdsShapes {
     // ---------------------------------------------------------------- q74
     // NTILE quantile banding (TPC-DS customer-segmentation shape):
     // customers ranked into spend quartiles, then profiled per quartile.
-    // The global ntile window runs over PRE-AGGREGATED per-customer rows
-    // (the q47 discipline: facts are reduced by the groupBy first, so the
-    // single-partition sort sees |customers| rows, not |orders|). The
-    // (spend, custkey) order is TOTAL — ties cannot flip quartile
-    // membership between engines. Spark ntile returns INT, DuckDB BIGINT
-    // => cast.
+    // The quartile assignment runs through [[graft.operators.GlobalRank
+    // .ntile]] — an exact distributed ntile (parallel range sort +
+    // per-partition rank offsets), NOT a single-partition window: the
+    // per-customer aggregate is dimension-sized today, but the plan no
+    // longer carries the one bottleneck that would break if the ranked
+    // frame ever grew fact-like (GlobalRankSpec pins window parity and
+    // the no-SinglePartition-exchange property). The (spend, custkey)
+    // order is TOTAL — ties cannot flip quartile membership between
+    // engines. DuckDB ntile returns BIGINT => cast.
     QueryDef("q74_ntile_spend_quartiles",
       (s, d) => {
         val spend = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .as("spend_dec"))
-        spend.withColumn("quartile",
-            ntile(4).over(Window.orderBy(col("spend_dec"), col("o_custkey")))
-              .cast("long"))
+        graft.operators.GlobalRank
+          .ntile(spend, 4, Seq(col("spend_dec"), col("o_custkey")),
+            out = "quartile")
+          .withColumn("quartile", col("quartile").cast("long"))
           .groupBy(col("quartile"))
           .agg(count(lit(1)).as("n_customers"),
             decToDouble(sum(col("spend_dec")), "total_spend"))

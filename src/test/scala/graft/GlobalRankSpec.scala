@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GlobalRank
+
+/** Exact distributed NTILE (GlobalRank.ntile): same buckets as the
+  * single-partition window ntile on a total order, for every remainder
+  * class and the fewer-rows-than-buckets edge — with NO
+  * single-partition exchange in the plan.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def windowTwin(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.withColumn("expected",
+      ntile(n).over(Window.orderBy(col("v"), col("id"))))
+
+  test("parity with the window ntile across bucket counts, remainders, " +
+    "duplicates and the fewer-rows-than-buckets edge") {
+    // duplicate v values force the total order to carry the tiebreak
+    val base = spark.range(1000)
+      .select(col("id"), (col("id") * 2654435761L % 97L).as("v"))
+    for (n <- Seq(1, 3, 4, 7, 13)) {
+      val got = GlobalRank.ntile(base, n, Seq(col("v"), col("id")), "b")
+        .select(col("id"), col("b"))
+      val want = windowTwin(base, n).select(col("id"), col("expected"))
+      val diff = got.join(want, "id")
+        .filter(col("b") =!= col("expected")).count()
+      assert(diff === 0L, s"n=$n: $diff rows bucketed differently")
+    }
+    // fewer rows than buckets: each row its own bucket, in order
+    val tiny = spark.range(3).select(col("id"), col("id").as("v"))
+    val got = GlobalRank.ntile(tiny, 10, Seq(col("v"), col("id")), "b")
+      .orderBy(col("v")).select(col("b")).as[Int].collect().toSeq
+    assert(got === Seq(1, 2, 3))
+    // empty frame: no rows, no failure
+    assert(GlobalRank.ntile(tiny.filter(lit(false)), 4,
+      Seq(col("v")), "b").count() === 0L)
+  }
+
+  test("the plan has NO single-partition exchange (the scale property " +
+    "the operator exists for)") {
+    val base = spark.range(100000)
+      .select(col("id"), (col("id") * 48271L % 100000L).as("v"))
+    val out = GlobalRank.ntile(base, 4, Seq(col("v"), col("id")), "b")
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange found:\n${plan.take(2000)}")
+    // and the window twin DOES have one — the contrast is the point
+    val twin = windowTwin(base, 4).groupBy(col("expected"))
+      .agg(count(lit(1)).as("c"))
+    twin.collect()
+    assert(twin.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+    // exact quartile sizes on the big frame
+    val sizes = out.orderBy(col("b")).as[(Int, Long)].collect().toSeq
+    assert(sizes === Seq((1, 25000L), (2, 25000L), (3, 25000L),
+      (4, 25000L)), s"got $sizes")
+  }
+}
