@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   * buckets, the first N mod n buckets carry N/n + 1 rows. Ties across
   * the order columns get arbitrary distinct ranks (row_number
   * semantics) — pass a TOTAL order for cross-engine determinism.
+  *
+  * Lifetime: the checkpoint's executor blocks live until the returned
+  * frame is garbage-collected (ContextCleaner); a long-lived session
+  * calling this in a loop should drop its references promptly.
   */
 object GlobalRank {
 
