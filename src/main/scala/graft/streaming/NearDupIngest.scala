@@ -192,6 +192,10 @@ object NearDupIngest {
       // high-water mark.
       val bounds = docs.agg(min(col("doc_id")).as("mn"),
         max(col("doc_id")).as("mx")).head()
+      // a non-empty batch can still collapse to ZERO docs (every row's
+      // doc_id null): nothing to decide or merge — and the min/max are
+      // null, so the bound arithmetic must not run
+      if (bounds.isNullAt(0)) return
       val minId = bounds.getLong(0)
       val maxId = bounds.getLong(1)
       // ascending-id contract, enforced: a batch straddling the stored

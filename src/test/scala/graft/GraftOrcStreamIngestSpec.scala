@@ -288,6 +288,30 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === kept, "replay changed state")
   }
 
+  test("NearDupIngest: a batch whose rows ALL have null doc_id is a " +
+    "no-op (nothing to decide, no bound arithmetic on a null min); " +
+    "normal waves before and after are unaffected") {
+    assume(wh.nonEmpty)
+    import graft.streaming.NearDupIngest
+    val crawl = Files.createTempDirectory("graft-nd-nullid").toString
+    val (qt, sig) = mkNearDup("ndnullid")
+    val ckpt = Files.createTempDirectory("graft-nd-nullid-ck")
+      .toString + "/c"
+    deliver(crawl, docs(Seq(1, 2), 0L, "w1"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt)
+    // an all-null-id wave (upstream junk) must not fail the stream
+    deliver(crawl, spark.range(3).select(
+      lit(null).cast("long").as("doc_id"),
+      lit("junk").as("text"), lit(4L).as("n_chars"),
+      lit("w2").as("src")))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt)
+    deliver(crawl, docs(Seq(3), 0L, "w3"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt)
+    val kept = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(1L, 2L, 3L), s"got $kept")
+  }
+
   test("graft.compact_after on the clean table: streaming-ingest MERGE " +
     "commits run the maintenance themselves — fewer files than the " +
     "unmaintained twin, identical state") {
