@@ -394,17 +394,9 @@ object Bench {
           .write.format("graft-orc").option("graft.manifest", "true")
           .mode("overwrite").save(dir)
       }
-      def plan(opts: Map[String, String]): Int = {
-        val m = new CaseInsensitiveStringMap(
-          (Map("path" -> dir) ++ opts).asJava)
-        val schema = new graft.sources.v2.GraftOrcDataSource()
-          .inferSchema(m)
-        val b = new graft.sources.v2.GraftOrcScanBuilder(schema, m)
-        b.build().asInstanceOf[graft.sources.v2.GraftOrcScan]
-          .planInputPartitions().length
-      }
-      val unpacked = plan(Map("graft.pack_small_files" -> "false"))
-      val packed = plan(Map.empty)
+      val unpacked = PlanProbe.plannedPartitions(dir,
+        Map("graft.pack_small_files" -> "false"))
+      val packed = PlanProbe.plannedPartitions(dir, Map.empty)
       s"""{"files":$unpacked,"tasks_packed":$packed}"""
     } catch { case _: Throwable => "{}" }
 

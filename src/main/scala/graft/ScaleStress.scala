@@ -316,11 +316,20 @@ object ScaleStress {
       consolidateMode || branchConsMode || manifestScaleMode ||
       streamIngestMode || neardupMode || neardupAutoMode
     val factors = {
-      // non-numeric trailing args are mode flags (e.g. neardupauto's
-      // `nomaint`), not factors
-      val nums = args.drop(if (hasMode) 2 else 1)
-        .filter(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt).toSeq
-      if (nums.nonEmpty) nums else Seq(1, 10)
+      // non-numeric trailing args must be KNOWN mode flags (e.g.
+      // neardupauto's `nomaint`) — anything else is a typo'd factor or
+      // mode and silently running a different stress with default
+      // factors would produce a wrong receipt with no signal
+      val trailing = args.drop(if (hasMode) 2 else 1)
+      val knownFlags = Set("nomaint")
+      val (nums, rest) = trailing.partition(a =>
+        a.nonEmpty && a.forall(_.isDigit))
+      val unknown = rest.filterNot(knownFlags)
+      require(unknown.isEmpty,
+        s"graft ScaleStress: unrecognized argument(s) " +
+          s"${unknown.mkString(", ")} - not a factor (digits) and not " +
+          s"one of ${knownFlags.mkString(", ")}")
+      if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 10)
     }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1028,6 +1037,12 @@ object ScaleStress {
       import graft.sources.v2.GraftOrcCompact
       val histK = args.lift(2).map(_.toInt).getOrElse(10)
       val batches = args.lift(3).map(_.toInt).getOrElse(12)
+      // freshness comes from a per-batch alphabet rotation with period
+      // 25 — batch 25 would repeat batch 0's rotation and its "fresh"
+      // docs would silently near-dup batch 0's, poisoning the receipt
+      require(batches <= 25,
+        s"neardupauto supports at most 25 batches (the per-batch " +
+          s"alphabet rotation cycles after 25), got $batches")
       val maintain = !args.lift(4).contains("nomaint")
       val wh = java.nio.file.Files
         .createTempDirectory("graft-nda-wh").toString
@@ -1611,18 +1626,9 @@ object ScaleStress {
           .mode("append").save(dir)
         val files = GraftOrcManifest.readSnapshot(fs,
           fs.makeQualified(p)).get.entries.size
-        def planned(filters: Filter*): Int = {
-          // packing off: the receipt counts SURVIVING FILES, and small-
-          // file bin packing would fold them into shared tasks
-          val opts = new CaseInsensitiveStringMap(
-            Map("path" -> dir, "graft.pack_small_files" -> "false").asJava)
-          val schema = new graft.sources.v2.GraftOrcDataSource()
-            .inferSchema(opts)
-          val b = new GraftOrcScanBuilder(schema, opts)
-          b.pushFilters(filters.toArray)
-          b.build().asInstanceOf[GraftOrcScan]
-            .planInputPartitions().length
-        }
+        def planned(filters: Filter*): Int =
+          PlanProbe.plannedPartitions(dir,
+            Map("graft.pack_small_files" -> "false"), filters: _*)
         val day = Seq[Filter](
           GreaterThanOrEqual("ts",
             java.time.Instant.parse("2024-01-10T00:00:00Z")),
@@ -1697,18 +1703,9 @@ object ScaleStress {
           .write.format("graft-orc").mode("append").save(dir)
         val filesAll = GraftOrcManifest.readSnapshot(fs,
           fs.makeQualified(p)).get.entries.size
-        def planned(filters: Filter*): Int = {
-          // packing off: the receipt counts SURVIVING FILES, and small-
-          // file bin packing would fold them into shared tasks
-          val opts = new CaseInsensitiveStringMap(
-            Map("path" -> dir, "graft.pack_small_files" -> "false").asJava)
-          val schema = new graft.sources.v2.GraftOrcDataSource()
-            .inferSchema(opts)
-          val b = new GraftOrcScanBuilder(schema, opts)
-          b.pushFilters(filters.toArray)
-          b.build().asInstanceOf[GraftOrcScan]
-            .planInputPartitions().length
-        }
+        def planned(filters: Filter*): Int =
+          PlanProbe.plannedPartitions(dir,
+            Map("graft.pack_small_files" -> "false"), filters: _*)
         val day = Seq[Filter](
           GreaterThanOrEqual("ts",
             java.time.Instant.parse("2024-01-10T00:00:00Z")),

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   * semantics) — pass a TOTAL order for cross-engine determinism.
   *
   * Lifetime: the checkpoint's executor blocks live until the returned
-  * frame is garbage-collected (ContextCleaner); a long-lived session
-  * calling this in a loop should drop its references promptly.
+  * frame is garbage-collected (ContextCleaner); they register as
+  * persistent RDDs, so a loop that cannot wait for GC can sweep them
+  * via `sparkContext.getPersistentRDDs` (the bench does exactly that
+  * after its timing loop).
   */
 object GlobalRank {
 

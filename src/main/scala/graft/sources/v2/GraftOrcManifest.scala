@@ -1030,14 +1030,21 @@ object GraftOrcManifest {
                 //     stale (any release+re-acquire in between leaves
                 //     a fresh mtime and aborts the round);
                 // (3) re-read immediately before deleting and delete
-                //     only while the content is IDENTICAL — a racer's
-                //     re-acquired lock carries a NEW token and
-                //     survives. Only the judged incarnation is ever
-                //     deleted; an unreadable one is never taken over
-                //     this round (re-contend; the deadline bounds the
-                //     spin). Two racers judging the SAME incarnation
-                //     stale re-contend on the atomic create: one
-                //     winner.
+                //     only while the content is IDENTICAL — a
+                //     release+re-acquire that lands BEFORE the re-read
+                //     carries a new token and survives. This NARROWS
+                //     the race to the re-read -> delete instant; it
+                //     cannot close it (plain delete, no compare-and-
+                //     delete primitive on the store) — a re-acquire
+                //     landing inside that instant is still deleted,
+                //     which is why the post-rename single-winner
+                //     verify in writeSnapshot stays the correctness
+                //     backstop and this lock stays best-effort.
+                //     An unreadable judged incarnation is never taken
+                //     over this round (re-contend; the deadline bounds
+                //     the spin). Two racers judging the SAME
+                //     incarnation stale re-contend on the atomic
+                //     create: one winner.
                 val judged = readLockContent(fs, lock)
                 val still = try Some(fs.getFileStatus(lock))
                   catch { case _: java.io.FileNotFoundException => None }

@@ -1,11 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
-/** Micro-batch frame hygiene shared by the streaming-ingest operators.
+/** Micro-batch utilities shared by the streaming-ingest operators.
   */
 private[graft] object BatchFrames {
+
+  /** One table property by exact key, via SHOW TBLPROPERTIES (works on
+    * any catalog the table resolves through). Shared by the ingest
+    * guards (CorpusStats epoch, NearDupIngest high-water mark).
+    */
+  def tableProp(spark: SparkSession, table: String,
+                key: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == key => r.getString(1) }
 
   /** Free the executor blocks behind an EAGER `localCheckpoint(true)`
     * frame once its batch is done. `Dataset.unpersist()` can't do this

@@ -105,9 +105,7 @@ object CorpusStats {
     */
   private[graft] def guardEpoch(spark: SparkSession, statsTable: String,
                                 epoch: String): Unit = {
-    val stored = spark.sql(s"SHOW TBLPROPERTIES $statsTable")
-      .collect().collectFirst {
-        case r if r.getString(0) == EpochProp => r.getString(1) }
+    val stored = BatchFrames.tableProp(spark, statsTable, EpochProp)
     stored match {
       case Some(e) if e == epoch => ()
       case other =>

@@ -78,6 +78,14 @@ object NearDupIngest {
     * is allowed (replays must stay no-ops); a batch of genuinely new
     * ids entirely below the mark therefore passes the guard too — the
     * guard catches interleaving, not perfect reordering.
+    *
+    * Cost: advancing the mark is ONE property-only metadata commit per
+    * batch (it does not bump schemaV, so compaction grouping and the
+    * read fast paths are untouched), plus one SHOW TBLPROPERTIES read
+    * up front. Under count-based snapshot retention these stamps share
+    * the retained window with the data commits; fold the prop into the
+    * MERGE's own commit if that ever matters more than the isolation
+    * of keeping DML commits pure.
     */
   private[graft] val HwmProp = "graft.neardup.hwm"
 
@@ -200,9 +208,8 @@ object NearDupIngest {
       val maxId = bounds.getLong(1)
       // ascending-id contract, enforced: a batch straddling the stored
       // high-water mark delivers NEW ids below already-merged ones
-      val hwm = s.sql(s"SHOW TBLPROPERTIES $cleanTable").collect()
-        .collectFirst {
-          case r if r.getString(0) == HwmProp => r.getString(1).toLong }
+      val hwm = BatchFrames.tableProp(s, cleanTable, HwmProp)
+        .map(_.toLong)
       hwm.foreach { h =>
         if (minId <= h && maxId > h) {
           val msg = s"graft near-dup ingest: batch id range " +
