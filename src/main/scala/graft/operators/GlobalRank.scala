@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact GLOBAL ranking without a single-partition window.
@@ -19,17 +20,28 @@ import org.apache.spark.sql.functions._
   *  3. a broadcast join of per-partition rank OFFSETS back onto the
   *     sorted rows: global rank = offset + local index, all narrow.
   *
-  * The sorted frame is pinned with an eager `localCheckpoint`: the
-  * range partitioner samples its boundaries, so the offsets collect
-  * and the ranked output MUST see one materialized partitioning, not
-  * two independent executions of the same lineage.
+  * SIZE GATE: the offsets machinery costs a constant ~1 s of extra jobs
+  * (eager checkpoint, stats collect, broadcast) — pure overhead on a
+  * dimension-sized frame, where one single-partition sort is the
+  * cheapest exact plan there is. The gate is a LIMIT-bounded probe:
+  * `df.limit(threshold + 1).localCheckpoint(true)` materializes at
+  * most threshold+1 rows whatever the frame's true size. If the count
+  * comes back at or below the threshold the probe IS the whole frame
+  * and the window ntile runs straight over its checkpointed blocks —
+  * the dimension case pays ONE execution plus a tiny bounded cache,
+  * nothing else. Above the threshold the probe blocks are dropped and
+  * the distributed path pins the full input and range-sorts it; that
+  * fact case pays the probe as one extra (limit-bounded) pass — a
+  * caller that KNOWS the frame is fact-sized passes
+  * `windowBelowRows = 0` to skip it.
   *
-  * Bucket assignment follows SQL NTILE exactly: with N rows and n
-  * buckets, the first N mod n buckets carry N/n + 1 rows. Ties across
-  * the order columns get arbitrary distinct ranks (row_number
-  * semantics) — pass a TOTAL order for cross-engine determinism.
+  * Bucket assignment follows SQL NTILE exactly on both paths: with N
+  * rows and n buckets, the first N mod n buckets carry N/n + 1 rows.
+  * Ties across the order columns get arbitrary distinct ranks
+  * (row_number semantics) — pass a TOTAL order for cross-engine
+  * determinism.
   *
-  * Lifetime: the checkpoint's executor blocks live until the returned
+  * Lifetime: the checkpoints' executor blocks live until the returned
   * frame is garbage-collected (ContextCleaner); they register as
   * persistent RDDs, so a loop that cannot wait for GC can sweep them
   * via `sparkContext.getPersistentRDDs` (the bench does exactly that
@@ -37,17 +49,47 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Frames at or below this row count take the plain window path —
+    * 64k narrow rows sort in one task in milliseconds, far below the
+    * distributed path's fixed job overhead.
+    */
+  val DefaultWindowBelowRows: Long = 1L << 16
+
   /** Append an exact global NTILE bucket column. `order` should be a
     * total order (append a key column to break ties deterministically).
     * The returned frame is backed by an eager local checkpoint of the
-    * range-sorted input; rank/bucket derivation on top is narrow.
+    * input; rank/bucket derivation on top is narrow (distributed path)
+    * or a single small-frame window (gated path).
     */
   def ntile(df: DataFrame, n: Int, order: Seq[Column],
-            out: String = "ntile"): DataFrame = {
+            out: String = "ntile",
+            windowBelowRows: Long = DefaultWindowBelowRows): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
+    require(windowBelowRows < Int.MaxValue,
+      s"windowBelowRows must fit an Int limit, got $windowBelowRows")
     val s = df.sparkSession
+    if (windowBelowRows > 0) {
+      // bounded probe: materialize AT MOST threshold+1 rows (LocalLimit
+      // caps every partition before anything moves). If the frame is
+      // small the probe IS the whole frame — the window runs straight
+      // over its checkpointed blocks, so the gate costs ONE execution
+      // and a <= threshold-row cache, never a second pass.
+      val probe = df.limit(windowBelowRows.toInt + 1).localCheckpoint(true)
+      if (probe.count() <= windowBelowRows)
+        return probe.withColumn(out,
+          org.apache.spark.sql.functions.ntile(n)
+            .over(Window.orderBy(order: _*)))
+      // fact-sized: the probe's bounded blocks are dead weight — drop
+      // them and take the distributed path over the full lineage
+      probe.unpersist(false)
+    }
+
+    // Pin the input ONCE: the range sampler, the shuffle and the stats
+    // job all read the same materialized blocks instead of re-running
+    // the (often aggregate) input lineage per consumer.
+    val pinned = df.localCheckpoint(true)
     val parts = math.max(1, s.sparkContext.defaultParallelism)
-    val ranged = df.repartitionByRange(parts, order: _*)
+    val ranged = pinned.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__grk_pid", spark_partition_id())
       .withColumn("__grk_mid", monotonically_increasing_id())

@@ -912,13 +912,16 @@ object TpcdsShapes {
     // customers ranked into spend quartiles, then profiled per quartile.
     // The quartile assignment runs through [[graft.operators.GlobalRank
     // .ntile]] — an exact distributed ntile (parallel range sort +
-    // per-partition rank offsets), NOT a single-partition window: the
-    // per-customer aggregate is dimension-sized today, but the plan no
-    // longer carries the one bottleneck that would break if the ranked
-    // frame ever grew fact-like (GlobalRankSpec pins window parity and
-    // the no-SinglePartition-exchange property). The (spend, custkey)
-    // order is TOTAL — ties cannot flip quartile membership between
-    // engines. DuckDB ntile returns BIGINT => cast.
+    // per-partition rank offsets), NOT a single-partition window, once
+    // the frame outgrows the operator's size gate: the per-customer
+    // aggregate is dimension-sized today (the gate picks the plain
+    // window and skips the offsets machinery's fixed job cost), but the
+    // plan no longer carries the one bottleneck that would break if the
+    // ranked frame ever grew fact-like (GlobalRankSpec pins window
+    // parity, the gate, and the no-SinglePartition-exchange property on
+    // the large path). The (spend, custkey) order is TOTAL — ties
+    // cannot flip quartile membership between engines. DuckDB ntile
+    // returns BIGINT => cast.
     QueryDef("q74_ntile_spend_quartiles",
       (s, d) => {
         val spend = Tables.orders(s, d)

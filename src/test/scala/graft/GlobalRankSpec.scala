@@ -21,11 +21,14 @@ class GlobalRankSpec extends AnyFunSuite {
 
   test("parity with the window ntile across bucket counts, remainders, " +
     "duplicates and the fewer-rows-than-buckets edge") {
-    // duplicate v values force the total order to carry the tiebreak
+    // duplicate v values force the total order to carry the tiebreak;
+    // windowBelowRows = 0 forces the DISTRIBUTED path (the code under
+    // test) on these deliberately small frames
     val base = spark.range(1000)
       .select(col("id"), (col("id") * 2654435761L % 97L).as("v"))
     for (n <- Seq(1, 3, 4, 7, 13)) {
-      val got = GlobalRank.ntile(base, n, Seq(col("v"), col("id")), "b")
+      val got = GlobalRank.ntile(base, n, Seq(col("v"), col("id")), "b",
+          windowBelowRows = 0L)
         .select(col("id"), col("b"))
       val want = windowTwin(base, n).select(col("id"), col("expected"))
       val diff = got.join(want, "id")
@@ -34,12 +37,35 @@ class GlobalRankSpec extends AnyFunSuite {
     }
     // fewer rows than buckets: each row its own bucket, in order
     val tiny = spark.range(3).select(col("id"), col("id").as("v"))
-    val got = GlobalRank.ntile(tiny, 10, Seq(col("v"), col("id")), "b")
+    val got = GlobalRank.ntile(tiny, 10, Seq(col("v"), col("id")), "b",
+        windowBelowRows = 0L)
       .orderBy(col("v")).select(col("b")).as[Int].collect().toSeq
     assert(got === Seq(1, 2, 3))
-    // empty frame: no rows, no failure
+    // empty frame: no rows, no failure (takes the gated window path)
     assert(GlobalRank.ntile(tiny.filter(lit(false)), 4,
       Seq(col("v")), "b").count() === 0L)
+  }
+
+  test("size gate: a dimension-sized frame takes the plain window path " +
+    "(no offsets machinery), a large frame the distributed path") {
+    val small = spark.range(500)
+      .select(col("id"), (col("id") * 48271L % 101L).as("v"))
+    val gated = GlobalRank.ntile(small, 4, Seq(col("v"), col("id")), "b")
+    gated.collect()
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    // the gate picked the window operator — and parity still holds
+    assert(gatedPlan.contains("Window"), gatedPlan.take(2000))
+    assert(!gatedPlan.contains("__grk_pid"), gatedPlan.take(2000))
+    val diff = gated.select(col("id"), col("b"))
+      .join(windowTwin(small, 4).select(col("id"), col("expected")), "id")
+      .filter(col("b") =!= col("expected")).count()
+    assert(diff === 0L)
+    // just over the default threshold: distributed path, no Window node
+    val big = spark.range(GlobalRank.DefaultWindowBelowRows + 1)
+      .select(col("id"), col("id").as("v"))
+    val dist = GlobalRank.ntile(big, 4, Seq(col("v"), col("id")), "b")
+    dist.collect()
+    assert(!dist.queryExecution.executedPlan.toString.contains("Window"))
   }
 
   test("the plan has NO single-partition exchange (the scale property " +
