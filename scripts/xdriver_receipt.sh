@@ -1,0 +1,60 @@
+#!/bin/bash
+# Cross-driver auto-compaction receipt: two WRITER JVMs append small-file
+# batches to ONE shared graft-orc path table, each with
+# spark.graft.compact_after set and -Dgraft.commit.lock=file, so their
+# maintenance windows overlap constantly. Pass 1 runs with the
+# compact.intent marker active (default cooldown): the claim is
+# per-driver auto_lost_race = 0 — a driver that would have raced a
+# rival's merge skips instead (auto_skipped_cross_driver > 0 when
+# windows actually overlapped). Pass 2 disables the marker
+# (-Dgraft.compact.intent_cooldown_ms=0) as the contrast: the same
+# workload may now burn full merges that lose at expectPresent
+# (lost_race > 0 — the waste the marker prices out). Both passes must
+# end row-exact (the check role throws otherwise).
+# Usage: bash scripts/xdriver_receipt.sh [commits] [out_dir]
+set -e
+COMMITS="${1:-12}"
+OUT="${2:-/tmp/xdriver_receipt}"
+rm -rf "$OUT"; mkdir -p "$OUT"
+JARS=$(ls /opt/spark/jars/*.jar | tr '\n' ':')
+CP="/root/repo/target/scala-2.13/classes:$JARS"
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+--add-opens=java.base/java.io=ALL-UNNAMED \
+--add-opens=java.base/java.net=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+
+run_pass() { # pass_name extra_jvm_flags...
+  local name="$1"; shift
+  local wd="$OUT/$name"
+  mkdir -p "$wd"
+  java $OPENS -Xmx4g "$@" -cp "$CP" graft.ScaleStress \
+    /root/testdata/sf0.1 xdriver "$wd" prep | tee "$OUT/${name}_prep.out"
+  java $OPENS -Xmx4g -Dgraft.commit.lock=file "$@" -cp "$CP" \
+    graft.ScaleStress /root/testdata/sf0.1 xdriver "$wd" 0 "$COMMITS" \
+    > "$OUT/${name}_d0.out" 2> "$OUT/${name}_d0.err" &
+  local p0=$!
+  java $OPENS -Xmx4g -Dgraft.commit.lock=file "$@" -cp "$CP" \
+    graft.ScaleStress /root/testdata/sf0.1 xdriver "$wd" 1 "$COMMITS" \
+    > "$OUT/${name}_d1.out" 2> "$OUT/${name}_d1.err" &
+  local p1=$!
+  wait $p0; wait $p1
+  java $OPENS -Xmx4g "$@" -cp "$CP" graft.ScaleStress \
+    /root/testdata/sf0.1 xdriver "$wd" check "$COMMITS" \
+    | tee "$OUT/${name}_check.out"
+  grep -h '"op":"xdriver"' "$OUT/${name}_d0.out" "$OUT/${name}_d1.out"
+}
+
+echo "=== pass 1: intent marker ACTIVE ==="
+run_pass marker
+echo "=== pass 2: intent marker DISABLED (cooldown=0) ==="
+run_pass nomarker -Dgraft.compact.intent_cooldown_ms=0
+echo DONE

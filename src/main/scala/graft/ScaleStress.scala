@@ -283,8 +283,88 @@ object ScaleStress {
       exactState = actual == expected && actualRows == expected.size)
   }
 
+  /** CROSS-DRIVER auto-compaction receipt: one JVM per role, launched by
+    * scripts/xdriver_receipt.sh —
+    *   ScaleStress <sfDir> xdriver <workDir> prep
+    *   ScaleStress <sfDir> xdriver <workDir> <driverId> <commits>   (x2, concurrent)
+    *   ScaleStress <sfDir> xdriver <workDir> check <commits>
+    * Two drivers append small-file batches to ONE shared path table with
+    * `spark.graft.compact_after` set, under -Dgraft.commit.lock=file.
+    * The claim: with the `compact.intent` marker, neither driver ever
+    * burns a merge it then loses to the other (per-driver lost_race = 0;
+    * rivals' windows show up as skipped_cross_driver instead), and the
+    * final state is exact. The wrapper's second pass disables the marker
+    * (-Dgraft.compact.intent_cooldown_ms=0) to show the waste it
+    * removes. Writer roles print one JSON line of their auto counters;
+    * check verifies row-exactness or throws.
+    */
+  private def xdriverMain(args: Array[String]): Unit = {
+    val workDir = args(2)
+    val role = args(3)
+    val commits = args.lift(4).map(_.toInt).getOrElse(12)
+    val rowsPerCommit = 20000L
+    val spark = SparkSession.builder().master("local[12]")
+      .config("spark.sql.shuffle.partitions", "12")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // 4 tiny files/commit x 2 drivers: the threshold trips constantly
+      // once the table warms up, so maintenance windows overlap if
+      // nothing coordinates them
+      .config("spark.graft.compact_after", "24")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = s"$workDir/xdriver-table"
+    role match {
+      case "prep" =>
+        spark.range(0).selectExpr("id", "id AS v")
+          .write.format("graft-orc").option("graft.manifest", "true")
+          .mode("overwrite").save(dir)
+        println(s"""{"op":"xdriver","phase":"prep","dir":"$dir"}""")
+      case "check" =>
+        val df = spark.read.format("graft-orc").load(dir)
+        val rows = df.count()
+        val distinct = df.select("id").distinct().count()
+        val expected = 2L * commits * rowsPerCommit
+        val files = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.sources.v2.GraftOrcManifest
+            .readSnapshot(fs, fs.makeQualified(p))
+            .map(_.entries.size).getOrElse(-1)
+        }
+        val exact = rows == expected && distinct == expected
+        println(s"""{"op":"xdriver","phase":"check","rows":$rows,""" +
+          s""""expected":$expected,"distinct":$distinct,""" +
+          s""""files":$files,"exact_state":$exact}""")
+        require(exact, s"xdriver: expected $expected rows, got $rows " +
+          s"($distinct distinct) — a maintenance run lost data")
+      case id =>
+        val driverId = id.toInt
+        graft.sources.v2.GraftOrcCompact.resetAutoCompactStats()
+        (0 until commits).foreach { i =>
+          // driver-disjoint ascending ids; 4 small files per commit
+          val base = driverId.toLong * 1000000000L + i.toLong * 1000000L
+          spark.range(rowsPerCommit)
+            .selectExpr(s"id + ${base}L AS id", "id * 2 AS v")
+            .repartition(4)
+            .write.format("graft-orc").option("graft.manifest", "true")
+            .mode("append").save(dir)
+        }
+        val ac = graft.sources.v2.GraftOrcCompact.autoCompactStats
+        println(s"""{"op":"xdriver","driver":$driverId,""" +
+          s""""commits":$commits,""" +
+          s""""auto_attempted":${ac("attempted")},""" +
+          s""""auto_landed":${ac("landed")},""" +
+          s""""auto_lost_race":${ac("lost_race")},""" +
+          s""""auto_skipped_in_flight":${ac("skipped_in_flight")},""" +
+          s""""auto_skipped_cross_driver":${ac("skipped_cross_driver")}}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("xdriver")) { xdriverMain(args); return }
     val embedMode = args.lift(1).contains("embed")
     val incremMode = args.lift(1).contains("increm")
     val tpcdsMode = args.lift(1).contains("tpcds")

@@ -195,15 +195,86 @@ object GraftOrcCompact {
   private val autoLanded = new java.util.concurrent.atomic.AtomicLong()
   private val autoLostRace = new java.util.concurrent.atomic.AtomicLong()
   private val autoSkipped = new java.util.concurrent.atomic.AtomicLong()
+  private val autoSkippedCross = new java.util.concurrent.atomic.AtomicLong()
 
   def autoCompactStats: Map[String, Long] = Map(
     "attempted" -> autoAttempted.get(), "landed" -> autoLanded.get(),
     "lost_race" -> autoLostRace.get(),
-    "skipped_in_flight" -> autoSkipped.get())
+    "skipped_in_flight" -> autoSkipped.get(),
+    "skipped_cross_driver" -> autoSkippedCross.get())
 
   def resetAutoCompactStats(): Unit = {
     autoAttempted.set(0L); autoLanded.set(0L)
-    autoLostRace.set(0L); autoSkipped.set(0L)
+    autoLostRace.set(0L); autoSkipped.set(0L); autoSkippedCross.set(0L)
+  }
+
+  // ---- cross-driver maintenance-intent marker ---------------------------
+  // The in-JVM `autoCompacting` flag cannot see OTHER drivers: N drivers
+  // each maintaining the same table burn up to one losing merge per
+  // window each (full merge work thrown away at expectPresent — loud and
+  // bounded, but wasted cluster time that scales with driver count). A
+  // `compact.intent` marker in the manifest dir closes most of that:
+  // every maintenance run (auto or explicit) stamps it with a fresh
+  // ownership token before merging and clears it after; an AUTO pass that
+  // finds a marker younger than the cooldown skips — the table is being
+  // maintained by someone. Best-effort by design: the marker is an
+  // overwrite-create (two drivers racing the stamp both run, and the swap
+  // arbitrates loudly as before), clearing is token-guarded so a slow
+  // finisher cannot clear a successor's stamp, and a crashed maintainer's
+  // stale marker simply ages past the cooldown. Correctness never depends
+  // on it — expectPresent remains the arbiter; this only prices the waste
+  // out. The marker lives beside the snapshots (underscore-prefixed dir:
+  // invisible to data listings; vacuum sweeps only seg-/.tmp- names).
+  private[v2] val MaintIntentName = "compact.intent"
+
+  private def intentPath(fs: FileSystem, table: Path): Path =
+    new Path(new Path(fs.makeQualified(table), GraftOrcManifest.Dir),
+      MaintIntentName)
+
+  private def intentCooldownMs: Long =
+    try Option(System.getProperty("graft.compact.intent_cooldown_ms"))
+      .map(_.trim.toLong).getOrElse(60000L)
+    catch { case _: NumberFormatException => 60000L }
+
+  /** True if another driver stamped maintenance intent on this table
+    * less than the cooldown ago (our own stamps are cleared on exit, so
+    * a fresh marker means a LIVE rival or a very recent crash).
+    */
+  private def intentFresh(fs: FileSystem, table: Path): Boolean =
+    try {
+      val st = fs.getFileStatus(intentPath(fs, table))
+      System.currentTimeMillis() - st.getModificationTime < intentCooldownMs
+    } catch { case _: java.io.IOException => false }
+
+  /** Stamp the marker (overwrite-create) and return the ownership token;
+    * None if the stamp failed (missing manifest dir, read-only store) —
+    * the merge proceeds either way, the marker is advisory.
+    */
+  private def stampIntent(fs: FileSystem, table: Path): Option[String] =
+    try {
+      val token = java.util.UUID.randomUUID().toString
+      val out = fs.create(intentPath(fs, table), true)
+      try out.write(s"$token ${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+      Some(token)
+    } catch { case _: java.io.IOException => None }
+
+  /** Clear the marker iff it still carries our token (a successor's
+    * re-stamp survives; same narrowed-not-closed delete race as the
+    * commit lock's release — acceptable for an advisory marker).
+    */
+  private def clearIntent(fs: FileSystem, table: Path,
+                          token: Option[String]): Unit = token.foreach { t =>
+    val p = intentPath(fs, table)
+    try {
+      val in = fs.open(p)
+      val ours = try {
+        val b = new Array[Byte](64)
+        val n = in.read(b)
+        n > 0 && new String(b, 0, n, "UTF-8").startsWith(t)
+      } finally in.close()
+      if (ours) fs.delete(p, false)
+    } catch { case _: java.io.IOException => }
   }
 
   def maybeAutoCompact(spark: SparkSession, fs: FileSystem, qt: Path,
@@ -234,22 +305,36 @@ object GraftOrcCompact {
       }.values.exists(_.size >= 2)
       if (small.size >= n && mergeable) {
         if (autoCompacting.add(qt.toString)) {
-          autoAttempted.incrementAndGet()
-          val zorder = prop("graft.compact_zorder")
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Nil)
-          try {
-            compact(spark, qt.toString, zorderCols = zorder)
-            autoLanded.incrementAndGet()
-          } catch {
-            case _: java.util.ConcurrentModificationException =>
-              autoLostRace.incrementAndGet()
-            case scala.util.control.NonFatal(e) =>
-              GraftOrcLog.log.warn(
-                "graft-orc: auto-compaction after commit on {} failed " +
-                  "({}: {}); the data commit is unaffected",
-                qt, e.getClass.getSimpleName, e.getMessage)
-          } finally autoCompacting.remove(qt.toString)
+          // cross-driver courtesy: a marker younger than the cooldown
+          // means ANOTHER driver is maintaining (or just attempted) —
+          // skip instead of racing it into a wasted merge. Our own
+          // in-flight runs are already screened by the in-JVM flag, so
+          // a fresh marker here really is a rival's.
+          if (intentFresh(fs, qt)) {
+            autoSkippedCross.incrementAndGet()
+            autoCompacting.remove(qt.toString)
+          } else {
+            autoAttempted.incrementAndGet()
+            val zorder = prop("graft.compact_zorder")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(Nil)
+            val intent = stampIntent(fs, qt)
+            try {
+              compact(spark, qt.toString, zorderCols = zorder)
+              autoLanded.incrementAndGet()
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                autoLostRace.incrementAndGet()
+              case scala.util.control.NonFatal(e) =>
+                GraftOrcLog.log.warn(
+                  "graft-orc: auto-compaction after commit on {} failed " +
+                    "({}: {}); the data commit is unaffected",
+                  qt, e.getClass.getSimpleName, e.getMessage)
+            } finally {
+              clearIntent(fs, qt, intent)
+              autoCompacting.remove(qt.toString)
+            }
+          }
         } else autoSkipped.incrementAndGet()
       }
     }
@@ -270,14 +355,24 @@ object GraftOrcCompact {
     // by the auto pass that is calling us, or by a racing explicit run
     // (expectPresent still arbitrates that overlap loudly) — we simply
     // don't take ownership of the flag.
-    val qtKey = {
-      val tp = new Path(table)
-      tp.getFileSystem(conf).makeQualified(tp).toString
-    }
+    val tp = new Path(table)
+    val tfs = tp.getFileSystem(conf)
+    val qtKey = tfs.makeQualified(tp).toString
     val ownsFlag = autoCompacting.add(qtKey)
+    // an EXPLICIT run stamps the cross-driver intent marker too (other
+    // drivers' auto passes then skip while we merge) but never SKIPS on
+    // a rival's marker — the user asked. ownsFlag=false means an auto
+    // pass is driving this call and already stamped.
+    val intent =
+      if (ownsFlag && GraftOrcManifest.exists(tfs, tfs.makeQualified(tp)))
+        stampIntent(tfs, tp)
+      else None
     try compactInner(spark, table, targetBytes, smallFileBytes,
       parallelism, zorderCols, conf)
-    finally { if (ownsFlag) autoCompacting.remove(qtKey) }
+    finally {
+      clearIntent(tfs, tp, intent)
+      if (ownsFlag) autoCompacting.remove(qtKey)
+    }
   }
 
   private def compactInner(spark: SparkSession, table: String,
