@@ -74,10 +74,25 @@ object NearDupIngest {
     * bounds are implied by their match conditions — but first-wins
     * decisions drift toward delivery order and the O(batch) pruning
     * claim voids for that batch). A batch entirely AT-OR-BELOW the mark
-    * is indistinguishable from a replay of an already-merged range and
-    * is allowed (replays must stay no-ops); a batch of genuinely new
-    * ids entirely below the mark therefore passes the guard too — the
-    * guard catches interleaving, not perfect reordering.
+    * is allowed only if every one of its ids was already processed (in
+    * the clean table, or — dropped docs — in the signature table): true
+    * replays and upstream re-deliveries pass as the no-ops they are,
+    * while a batch of genuinely new ids hiding below the mark is
+    * refused as full reordering. That membership probe costs two
+    * id-range-pruned lookups and runs ONLY on at-or-below batches — a
+    * healthy ascending stream never pays it.
+    *
+    * GRANULARITY — the contract is per MICRO-BATCH: with
+    * `maxFilesPerTrigger`, one legitimately-in-order delivered wave
+    * whose FILES interleave doc_id ranges (e.g. written via
+    * `repartition`) splits into micro-batches that straddle each
+    * other's marks and hard-fails. That is deliberate: at micro-batch
+    * granularity the ids really do arrive out of order, and first-wins
+    * decisions inside the wave would drift exactly the way the guard
+    * exists to catch. Either deliver id-sorted files (sortWithinPartitions
+    * on doc_id before the crawl append — what the receipts do), drop
+    * `maxFilesPerTrigger` so the wave lands as one batch, or accept
+    * delivery-order semantics explicitly with `failOnOutOfOrder=false`.
     *
     * Cost: advancing the mark is ONE property-only metadata commit per
     * batch (it does not bump schemaV, so compaction grouping and the
@@ -221,6 +236,39 @@ object NearDupIngest {
             "delivery-order semantics for this stream."
           if (failOnOutOfOrder) throw new IllegalStateException(msg)
           graft.sources.v2.GraftOrcLog.log.warn(msg)
+        } else if (maxId <= h) {
+          // fully at-or-below the mark: a true replay or an upstream
+          // re-delivery is a no-op and must pass — but a batch of
+          // genuinely NEW ids hiding entirely below the mark is full
+          // reordering, which the range test alone cannot see. The two
+          // ARE distinguishable exactly, at a cost paid only on this
+          // never-in-a-healthy-stream path: every processed doc is in
+          // the clean table (kept) or has its band keys in the
+          // signature table (dropped — keyless docs are always kept),
+          // so an id in neither was never processed. The mark advances
+          // only AFTER both MERGEs commit, so a crash-replay cannot
+          // false-trip this (its batch still has maxId > the stale-low
+          // mark and never reaches here). No kb pruning on the sig
+          // lookup: a re-delivered doc's TEXT may have changed (other
+          // key buckets) — the id-range pushdown bounds the scan.
+          val seen = s.table(cleanTable)
+            .where(col("doc_id") >= minId && col("doc_id") <= maxId)
+            .select(col("doc_id"))
+            .unionByName(s.table(sigTable)
+              .where(col("doc_id") >= minId && col("doc_id") <= maxId)
+              .select(col("doc_id")))
+          val novel = docs.select(col("doc_id"))
+            .join(seen, Seq("doc_id"), "left_anti").limit(1).count()
+          if (novel > 0L) {
+            val msg = s"graft near-dup ingest: batch id range " +
+              s"[$minId, $maxId] sits entirely at or below $cleanTable's " +
+              s"high-water mark $h but carries ids never processed — " +
+              "this is reordered delivery (new ids below already-merged " +
+              "ones), not a replay. Deliver in id order, or pass " +
+              "failOnOutOfOrder=false to accept delivery-order semantics."
+            if (failOnOutOfOrder) throw new IllegalStateException(msg)
+            graft.sources.v2.GraftOrcLog.log.warn(msg)
+          }
         }
       }
       // the batch's key-bucket set; EMPTY for an all-keyless batch

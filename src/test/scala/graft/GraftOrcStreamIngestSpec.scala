@@ -288,6 +288,64 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === kept, "replay changed state")
   }
 
+  test("NearDupIngest high-water guard closes full reordering: a batch " +
+    "of genuinely NEW ids entirely below the mark is refused (not " +
+    "mistaken for a replay), while a replay whose docs were DROPPED " +
+    "still passes via their signature rows") {
+    assume(wh.nonEmpty)
+    import graft.streaming.NearDupIngest
+    // banding that collides ids sharing id % 5: within wave 1 (ids
+    // 10..19) the smaller of each pair wins, so 15..19 are DROPPED —
+    // present in the signature table only, never in the clean table
+    val modKey: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      ds => ds.select($"doc_id", lit(0).as("band"),
+        ($"doc_id" % 5).as("key"))
+    val crawl = Files.createTempDirectory("graft-nd-reord").toString
+    val (qt, sig) = mkNearDup("ndreord")
+    val ckpt = Files.createTempDirectory("graft-nd-reord-ck")
+      .toString + "/c"
+    deliver(crawl, docs(10 until 20, 0L, "w1"))
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt, bandKeys = modKey)
+    val kept0 = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(kept0 === (10L until 15L), s"expected 10..14 kept, got $kept0")
+    // wave 2: genuinely NEW ids 0..4, ENTIRELY below the mark (19) —
+    // before the membership probe this passed as a "replay range"
+    deliver(crawl, docs(0 until 5, 0L, "w2"))
+    val ex = intercept[Exception] {
+      NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
+        bandKeys = modKey)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("never processed")),
+      s"expected the reorder refusal, got: ${chain(ex)}")
+    assert(spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq === kept0,
+      "a refused batch must leave the clean table unchanged")
+    // a fresh-checkpoint replay of WAVE 1 ALONE (ids 10..19, half of
+    // them dropped) must pass: the dropped ids are found in the
+    // signature table. Replay delivery = a second crawl dir holding
+    // only wave 1's rows.
+    val crawl2 = Files.createTempDirectory("graft-nd-reord2").toString
+    deliver(crawl2, docs(10 until 20, 0L, "w1"))
+    val ckpt2 = Files.createTempDirectory("graft-nd-reord-ck2")
+      .toString + "/c"
+    NearDupIngest.ingest(spark, crawl2, qt, sig, ckpt2,
+      bandKeys = modKey)
+    assert(spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq === kept0, "replay changed state")
+    // opting out accepts the reordered batch under delivery-order
+    // semantics (the stream's offset was never committed past it)
+    NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
+      bandKeys = modKey, failOnOutOfOrder = false)
+    val after = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(after === ((0L until 5L) ++ (10L until 15L)),
+      s"delivery-order opt-in should land 0..4, got $after")
+  }
+
   test("NearDupIngest: a batch whose rows ALL have null doc_id is a " +
     "no-op (nothing to decide, no bound arithmetic on a null min); " +
     "normal waves before and after are unaffected") {
