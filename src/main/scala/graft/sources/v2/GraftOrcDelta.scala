@@ -150,9 +150,18 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
           "columns before the write instead")
       val srcs = fs.map(_.source)
       // resolvable only when the delta carries the row columns (a pure
-      // DELETE's schema is just the rowId — nothing to cluster)
+      // DELETE's schema is just the rowId — nothing to cluster).
+      // `_file` (the rowId column, present in every delta plan's
+      // output) rides along in the clustering tuple: INSERT rows carry
+      // it as null, so their co-location by partition values is
+      // unchanged — but a mixed MERGE's DELETE rows carry NULL
+      // partition columns, and without `_file` they would all hash to
+      // ONE task (a skew bottleneck for delete-heavy MERGEs). Hashed
+      // with their file path they spread across tasks AND stay
+      // file-local, which is also the sidecar writer's best case.
       if (srcs.forall(c => info.schema().fields
-          .exists(_.name.equalsIgnoreCase(c)))) srcs
+          .exists(_.name.equalsIgnoreCase(c))))
+        srcs :+ GraftOrcDataSource.FileMetaCol
       else Nil
     }
   }
