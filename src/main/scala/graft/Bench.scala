@@ -365,6 +365,20 @@ object Bench {
     OrcData.partitionedOrcPath(spark, sfDir, "customer", "c_nationkey")
     OrcData.partitionedOrcPath(spark, sfDir, "supplier", "s_nationkey")
     OrcData.hiddenEventsPath(spark, sfDir)
+    // micro_graft_bloom_point_lookup: layout build + probe-key pick are
+    // prep (untimed, via the per-query prep hook); the probe is the
+    // table's MIN bk — deterministic, guaranteed present, and its
+    // min/max stats never prune (every row group spans the domain), so
+    // the timed lookup isolates the BLOOM row-group-skip path
+    lazy val bloomProbe: Long = {
+      val p = OrcData.bloomLineitemPath(spark, sfDir)
+      spark.read.format("graft-orc").load(p)
+        .agg(min(col("bk")).as("m")).head().getLong(0)
+    }
+    def bloomLookup(): DataFrame =
+      spark.read.format("graft-orc")
+        .load(OrcData.bloomLineitemPath(spark, sfDir))
+        .filter(col("bk") === bloomProbe)
     // dd_embed_lsh_10x input: the 10x expansion is prep (untimed), but it
     // is NOT built here — checkpointing it up front would pin ~10x the
     // embedding table in block-manager memory across all preceding
@@ -376,7 +390,8 @@ object Bench {
     val all0: Seq[(String, () => DataFrame)] =
       microPatterns(spark, sfDir, sorted) ++
         Seq("micro_cached_aggregate" ->
-          (() => cachedAggregate(spark, sfDir))) ++
+          (() => cachedAggregate(spark, sfDir)),
+          "micro_graft_bloom_point_lookup" -> (() => bloomLookup())) ++
         headline.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
         Seq("dd_embed_lsh_10x" -> (() => embedLshOver(expanded10x)))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c: run a focused subset (adjudication /
@@ -392,7 +407,8 @@ object Bench {
     // untimed per-query prep, run right before the named query's first
     // iteration (the localCheckpoint inside expand10x is eager)
     val prep: Map[String, () => Unit] =
-      Map("dd_embed_lsh_10x" -> (() => { expanded10x; () }))
+      Map("dd_embed_lsh_10x" -> (() => { expanded10x; () }),
+        "micro_graft_bloom_point_lookup" -> (() => { bloomProbe; () }))
 
     // ambient-context pass bookkeeping: counters at pass start, control
     // samples every ctlEvery rows (focused adjudication sessions get a
@@ -494,6 +510,30 @@ object Bench {
       s"""{"files":$unpacked,"tasks_packed":$packed}"""
     } catch { case _: Throwable => "{}" }
 
+    // A10 tie-in: at sf0.1 the bloom row-group skip saves ~10 ms of
+    // decode — invisible under ~300 ms of fixed job cost, so the timed
+    // row alone cannot catch a bloom regression. Stamp the DECODED row
+    // count (the scan's numOutputRows) into the context: blooms working
+    // = a few row groups (<= ~40k rows); broken = the whole table.
+    def bloomProbeJson: String = try {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.SparkPlan
+      val df = bloomLookup()
+      // collect, not count: the metric must come from THIS
+      // QueryExecution (count() plans and executes its own)
+      val out = df.collect().length
+      def findScan(pl: SparkPlan): Option[BatchScanExec] = pl match {
+        case b: BatchScanExec => Some(b)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case q: QueryStageExec => findScan(q.plan)
+        case other => other.children.iterator.flatMap(findScan).nextOption()
+      }
+      val decoded = findScan(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).getOrElse(-1L)
+      s"""{"rows_decoded":$decoded,"rows_out":$out}"""
+    } catch { case _: Throwable => "{}" }
+
     detailPath.foreach { p =>
       val ctx = s"""{"spark_version":"${spark.version}","num_cpus":$cpus,""" +
         s""""iterations":$iterations,"sf_dir":"$sfDir",""" +
@@ -503,6 +543,7 @@ object Bench {
         s""""scheduler":"${schedulerMode.getOrElse("default")}",""" +
         s""""sorted":$sorted,""" +
         s""""packing":$packingProbeJson,""" +
+        s""""bloom":$bloomProbeJson,""" +
         s""""ambient":{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""disk_delta":${diskDeltaJson(diskStart, diskEnd)},""" +
         s""""controls":${ctlSamples.mkString("[", ",", "]")}},""" +

@@ -159,6 +159,34 @@ object OrcData {
     out
   }
 
+  /** Bloom-filtered ingest-shaped copy of lineitem: a multiplicative-hash
+    * BIGINT key (`bk`) nothing is sorted by, `orc.bloom.filter.columns`
+    * on it, and FEW large files (many row groups each) — the layout
+    * where min/max stats are useless (every row group's bk range spans
+    * the domain) and bloom filters are the only row-group-skip left.
+    * Built once per sfDir; the bench's point-lookup row reads it so a
+    * regression in the bloom skip path shows per round, not only in
+    * GraftOrcBloomFilterSpec.
+    */
+  def bloomLineitemPath(spark: SparkSession, sfDir: String): String = {
+    val out = s"$root/${sanitized(sfDir)}/lineitem_bloom"
+    val marker = new java.io.File(s"$out/_graft_manifest")
+    if (!marker.exists()) lock.synchronized {
+      if (!marker.exists()) {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn("bk",
+            pmod(col("l_orderkey") * lit(2654435761L), lit(1000000007L)))
+          .coalesce(2)
+          .write.format("graft-orc")
+          .option("graft.manifest", "true")
+          .option("orc.bloom.filter.columns", "bk")
+          .mode("overwrite").save(out)
+      }
+    }
+    out
+  }
+
   /** Hive-style partitioned ORC copy (`<out>/<col>=<v>/...`), converting on
     * first use — the layout that makes Catalyst partition-prune scans.
     */
