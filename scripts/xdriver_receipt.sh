@@ -46,7 +46,16 @@ run_pass() { # pass_name extra_jvm_flags...
     graft.ScaleStress /root/testdata/sf0.1 xdriver "$wd" 1 "$COMMITS" \
     > "$OUT/${name}_d1.out" 2> "$OUT/${name}_d1.err" &
   local p1=$!
-  wait $p0; wait $p1
+  # reap BOTH writers before judging anything: with set -e a bare
+  # `wait $p0` on a failed writer would abort here, orphaning writer 1
+  # mid-mutation and skipping the row-exactness check entirely
+  local st0=0 st1=0
+  wait $p0 || st0=$?
+  wait $p1 || st1=$?
+  if [ "$st0" -ne 0 ] || [ "$st1" -ne 0 ]; then
+    echo "WRITER FAILED (d0=$st0 d1=$st1) — see $OUT/${name}_d*.err"
+    exit 1
+  fi
   java $OPENS -Xmx4g "$@" -cp "$CP" graft.ScaleStress \
     /root/testdata/sf0.1 xdriver "$wd" check "$COMMITS" \
     | tee "$OUT/${name}_check.out"

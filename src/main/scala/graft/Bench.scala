@@ -20,6 +20,22 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** First graft BatchScan in an executed plan, unwrapping AQE stages —
+    * shared by the scan-metrics and bloom context probes (one place to
+    * fix when a Spark upgrade changes the plan shape).
+    */
+  private def findBatchScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => findBatchScan(a.executedPlan)
+      case q: QueryStageExec => findBatchScan(q.plan)
+      case other => other.children.iterator.flatMap(findBatchScan).nextOption()
+    }
+  }
+
   /** Locale-independent decimal formatting — the f-interpolator uses the
     * default locale and would emit comma decimals (invalid JSON) on e.g.
     * de_DE JVMs.
@@ -365,11 +381,13 @@ object Bench {
     OrcData.partitionedOrcPath(spark, sfDir, "customer", "c_nationkey")
     OrcData.partitionedOrcPath(spark, sfDir, "supplier", "s_nationkey")
     OrcData.hiddenEventsPath(spark, sfDir)
-    // micro_graft_bloom_point_lookup: layout build + probe-key pick are
-    // prep (untimed, via the per-query prep hook); the probe is the
-    // table's MIN bk — deterministic, guaranteed present, and its
-    // min/max stats never prune (every row group spans the domain), so
-    // the timed lookup isolates the BLOOM row-group-skip path
+    // micro_graft_bloom_point_lookup: the probe is the table's MIN bk —
+    // deterministic, guaranteed present, and its min/max stats never
+    // prune (every row group spans the domain), so the timed lookup
+    // isolates the BLOOM row-group-skip path. Layout build + probe pick
+    // happen in the PRE-PASS warm block below, never mid-pass: a
+    // mid-pass lineitem rewrite would contaminate the ambient
+    // disk_delta / commit-control signature this artifact exists for.
     lazy val bloomProbe: Long = {
       val p = OrcData.bloomLineitemPath(spark, sfDir)
       spark.read.format("graft-orc").load(p)
@@ -407,8 +425,12 @@ object Bench {
     // untimed per-query prep, run right before the named query's first
     // iteration (the localCheckpoint inside expand10x is eager)
     val prep: Map[String, () => Unit] =
-      Map("dd_embed_lsh_10x" -> (() => { expanded10x; () }),
-        "micro_graft_bloom_point_lookup" -> (() => { bloomProbe; () }))
+      Map("dd_embed_lsh_10x" -> (() => { expanded10x; () }))
+    // pre-pass warm of the bloom layout + probe key, gated on the row
+    // actually running this session (focused adjudication sessions that
+    // exclude it pay nothing — and emit "bloom":{} in their context)
+    val bloomRowRuns = all.exists(_._1 == "micro_graft_bloom_point_lookup")
+    if (bloomRowRuns) bloomProbe
 
     // ambient-context pass bookkeeping: counters at pass start, control
     // samples every ctlEvery rows (focused adjudication sessions get a
@@ -460,20 +482,9 @@ object Bench {
     // metrics (bytes/rows/batches/files) in the detail artifact, like the
     // reference's per-scan metrics JSON (metrics.rs:203-217).
     def scanMetricsJson: String = try {
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.QueryStageExec
       val df = SparkEntry.queries("q24_graft_orc_source")(spark, sfDir)
       df.collect() // execute THIS QueryExecution so its metrics populate
-      // AQE wraps executed subtrees in leaf QueryStageExec nodes; unwrap
-      def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
-        case b: BatchScanExec => Some(b)
-        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
-        case q: QueryStageExec => findScan(q.plan)
-        case other => other.children.iterator.flatMap(findScan).nextOption()
-      }
-      findScan(df.queryExecution.executedPlan).map { b =>
+      findBatchScan(df.queryExecution.executedPlan).map { b =>
         b.metrics.collect {
           case (name, m) if name.startsWith("graft") => s""""$name":${m.value}"""
         }.mkString("{", ",", "}")
@@ -516,20 +527,12 @@ object Bench {
     // count (the scan's numOutputRows) into the context: blooms working
     // = a few row groups (<= ~40k rows); broken = the whole table.
     def bloomProbeJson: String = try {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      import org.apache.spark.sql.execution.SparkPlan
+      if (!bloomRowRuns) return "{}"
       val df = bloomLookup()
       // collect, not count: the metric must come from THIS
       // QueryExecution (count() plans and executes its own)
       val out = df.collect().length
-      def findScan(pl: SparkPlan): Option[BatchScanExec] = pl match {
-        case b: BatchScanExec => Some(b)
-        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
-        case q: QueryStageExec => findScan(q.plan)
-        case other => other.children.iterator.flatMap(findScan).nextOption()
-      }
-      val decoded = findScan(df.queryExecution.executedPlan)
+      val decoded = findBatchScan(df.queryExecution.executedPlan)
         .map(_.metrics("numOutputRows").value).getOrElse(-1L)
       s"""{"rows_decoded":$decoded,"rows_out":$out}"""
     } catch { case _: Throwable => "{}" }

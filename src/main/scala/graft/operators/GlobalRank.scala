@@ -80,8 +80,9 @@ object GlobalRank {
           org.apache.spark.sql.functions.ntile(n)
             .over(Window.orderBy(order: _*)))
       // fact-sized: the probe's bounded blocks are dead weight — drop
-      // them and take the distributed path over the full lineage
-      probe.unpersist(false)
+      // them (at the RDD layer: Dataset.unpersist does not reach a
+      // localCheckpoint) and take the distributed path over the lineage
+      graft.streaming.BatchFrames.dropLocalCheckpoint(probe)
     }
 
     // Pin the input ONCE: the range sampler, the shuffle and the stats
@@ -94,6 +95,10 @@ object GlobalRank {
       .withColumn("__grk_pid", spark_partition_id())
       .withColumn("__grk_mid", monotonically_increasing_id())
       .localCheckpoint(true)
+    // ranged's checkpoint truncates lineage, so pinned's full unsorted
+    // copy is dead weight from here on — drop it rather than holding
+    // TWO fact-sized copies in executor storage until GC
+    graft.streaming.BatchFrames.dropLocalCheckpoint(pinned)
     // P (partition count) rows to the driver — counts and the partition-
     // local id base (min of the monotonic id, so no bit-layout
     // assumption about monotonically_increasing_id's encoding)

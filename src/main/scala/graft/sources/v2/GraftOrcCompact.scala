@@ -248,7 +248,10 @@ object GraftOrcCompact {
 
   /** Stamp the marker (overwrite-create) and return the ownership token;
     * None if the stamp failed (missing manifest dir, read-only store) —
-    * the merge proceeds either way, the marker is advisory.
+    * the merge proceeds either way, the marker is advisory. The leading
+    * UUID is the ownership token; the trailing timestamp is DIAGNOSTIC
+    * only (who stamped, when) — freshness is judged from the file's
+    * mtime, same as the commit lock.
     */
   private def stampIntent(fs: FileSystem, table: Path): Option[String] =
     try {
