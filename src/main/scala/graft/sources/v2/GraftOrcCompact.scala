@@ -280,6 +280,33 @@ object GraftOrcCompact {
     } catch { case _: java.io.IOException => }
   }
 
+  /** Outcome of [[beginMaintenance]]: go (with the stamped token to pass
+    * to [[endMaintenance]]), or the reason an AUTO pass should skip.
+    */
+  private[v2] sealed trait MaintGate
+  private[v2] case class MaintGo(token: Option[String]) extends MaintGate
+  private[v2] case object MaintBusyInJvm extends MaintGate
+  private[v2] case object MaintBusyCrossDriver extends MaintGate
+
+  /** The shared gate every AUTO maintenance pass (compaction AND
+    * sidecar consolidation — both are whole-table merges a rival can
+    * invalidate at the swap) walks before doing work: the in-JVM
+    * in-flight flag first, then the cross-driver intent marker; on go,
+    * the flag is held and the marker stamped. Callers MUST pair with
+    * [[endMaintenance]] in a finally.
+    */
+  private[v2] def beginMaintenance(fs: FileSystem, qt: Path): MaintGate =
+    if (!autoCompacting.add(qt.toString)) MaintBusyInJvm
+    else if (intentFresh(fs, qt)) {
+      autoCompacting.remove(qt.toString); MaintBusyCrossDriver
+    } else MaintGo(stampIntent(fs, qt))
+
+  private[v2] def endMaintenance(fs: FileSystem, qt: Path,
+                                 go: MaintGo): Unit = {
+    clearIntent(fs, qt, go.token)
+    autoCompacting.remove(qt.toString)
+  }
+
   def maybeAutoCompact(spark: SparkSession, fs: FileSystem, qt: Path,
                        branch: Option[String] = None): Unit = {
     if (branch.nonEmpty) return // maintenance is a MAIN-lineage op
@@ -307,21 +334,19 @@ object GraftOrcCompact {
         else parent, e.schemaV, e.specV)
       }.values.exists(_.size >= 2)
       if (small.size >= n && mergeable) {
-        if (autoCompacting.add(qt.toString)) {
-          // cross-driver courtesy: a marker younger than the cooldown
-          // means ANOTHER driver is maintaining (or just attempted) —
-          // skip instead of racing it into a wasted merge. Our own
-          // in-flight runs are already screened by the in-JVM flag, so
-          // a fresh marker here really is a rival's.
-          if (intentFresh(fs, qt)) {
-            autoSkippedCross.incrementAndGet()
-            autoCompacting.remove(qt.toString)
-          } else {
+        // cross-driver courtesy inside the gate: a marker younger than
+        // the cooldown means ANOTHER driver is maintaining (or just
+        // attempted) — skip instead of racing it into a wasted merge.
+        // Our own in-flight runs are screened by the in-JVM flag first,
+        // so a fresh marker really is a rival's.
+        beginMaintenance(fs, qt) match {
+          case MaintBusyInJvm => autoSkipped.incrementAndGet()
+          case MaintBusyCrossDriver => autoSkippedCross.incrementAndGet()
+          case go: MaintGo =>
             autoAttempted.incrementAndGet()
             val zorder = prop("graft.compact_zorder")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil)
-            val intent = stampIntent(fs, qt)
             try {
               compact(spark, qt.toString, zorderCols = zorder)
               autoLanded.incrementAndGet()
@@ -333,12 +358,8 @@ object GraftOrcCompact {
                   "graft-orc: auto-compaction after commit on {} failed " +
                     "({}: {}); the data commit is unaffected",
                   qt, e.getClass.getSimpleName, e.getMessage)
-            } finally {
-              clearIntent(fs, qt, intent)
-              autoCompacting.remove(qt.toString)
-            }
-          }
-        } else autoSkipped.incrementAndGet()
+            } finally endMaintenance(fs, qt, go)
+        }
       }
     }
   }

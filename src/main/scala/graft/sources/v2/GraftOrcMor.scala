@@ -509,8 +509,19 @@ object GraftOrcMor {
       val livePos = snap.deletes.count(e =>
         !GraftOrcEqDelete.isEqualitySidecar(e.path))
       if (livePos >= n) {
-        try consolidate(spark, qt.toString)
-        catch { case _: java.util.ConcurrentModificationException => () }
+        // same maintenance gate as auto-compaction (in-JVM flag +
+        // cross-driver intent marker): consolidation is a whole-table
+        // sidecar merge a rival maintenance commit invalidates at the
+        // swap, so N committers racing it burn the same wasted work
+        // class — and a rival COMPACTION subsumes it anyway (compact's
+        // purge retires the sidecars this would have unioned)
+        GraftOrcCompact.beginMaintenance(fs, qt) match {
+          case go: GraftOrcCompact.MaintGo =>
+            try consolidate(spark, qt.toString)
+            catch { case _: java.util.ConcurrentModificationException => () }
+            finally GraftOrcCompact.endMaintenance(fs, qt, go)
+          case _ => () // someone is maintaining this table; theirs wins
+        }
       }
     }
   }

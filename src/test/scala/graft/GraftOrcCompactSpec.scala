@@ -277,6 +277,85 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 160L)
   }
 
+  test("cross-driver intent marker: a rival's fresh compact.intent makes " +
+    "the threshold-crossing commit SKIP auto-compaction (counted as " +
+    "skipped_cross_driver); once the marker ages past the cooldown the " +
+    "next commit compacts and clears its own stamp") {
+    val wh = Files.createTempDirectory("graft-intent-wh").toString
+    spark.conf.set("spark.sql.catalog.gcim",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcim.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcim.default")
+    val t = "gcim.default.intm"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) TBLPROPERTIES(" +
+      "'graft.compact_after'='8')")
+    def files(): Long =
+      spark.sql(s"SELECT count(*) FROM $t.files").head().getLong(0)
+    def append(i: Int): Unit =
+      spark.range(i * 10, (i + 1) * 10)
+        .select($"id".as("k"), ($"id" * 3).as("v"))
+        .coalesce(1).writeTo(t).append()
+    (0 until 7).foreach(append)
+    // catalog layout: <warehouse>/<ns>/<table>; marker beside snapshots
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$wh/default/intm/_graft_manifest/compact.intent")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a RIVAL driver's fresh stamp (foreign token, current mtime)
+    val out = fs.create(marker, true)
+    out.write("not-our-token 0".getBytes("UTF-8")); out.close()
+    GraftOrcCompact.resetAutoCompactStats()
+    append(7) // crosses the threshold — but the rival is maintaining
+    assert(files() === 8L,
+      "a fresh rival marker must make the auto pass skip")
+    val st1 = GraftOrcCompact.autoCompactStats
+    assert(st1("skipped_cross_driver") === 1L && st1("attempted") === 0L,
+      s"expected one cross-driver skip, got $st1")
+    // age the marker past the 60 s cooldown: the rival crashed or moved
+    // on; the next commit may maintain
+    fs.setTimes(marker, System.currentTimeMillis() - 120000L, -1L)
+    append(8)
+    assert(files() < 9L, "an aged marker must not block maintenance")
+    val st2 = GraftOrcCompact.autoCompactStats
+    assert(st2("attempted") === 1L && st2("landed") === 1L &&
+      st2("lost_race") === 0L, s"expected one landed merge, got $st2")
+    // our stamp overwrote the stale rival's and was cleared on exit
+    assert(!fs.exists(marker),
+      "the finished maintenance pass must clear its own stamp")
+    assert(spark.table(t).count() === 90L, "rows must be exact throughout")
+  }
+
+  test("the maintenance gate also guards auto-consolidation: a rival's " +
+    "fresh marker defers the sidecar union; an aged one admits it") {
+    val wh = Files.createTempDirectory("graft-intent-cons-wh").toString
+    spark.conf.set("spark.sql.catalog.gcic",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcic.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcic.default")
+    val t = "gcic.default.intc"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) TBLPROPERTIES(" +
+      "'graft.delete_mode'='mor', 'graft.consolidate_after'='2')")
+    spark.range(100).select($"id".as("k"), ($"id" * 3).as("v"))
+      .coalesce(1).writeTo(t).append()
+    def sidecars(): Long =
+      spark.sql(s"SELECT count(*) FROM $t.deletes").head().getLong(0)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$wh/default/intc/_graft_manifest/compact.intent")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    out.write("not-our-token 0".getBytes("UTF-8")); out.close()
+    spark.sql(s"DELETE FROM $t WHERE k = 3")
+    spark.sql(s"DELETE FROM $t WHERE k = 7")
+    // two live position sidecars crossed consolidate_after=2, but the
+    // rival's fresh marker deferred the union
+    assert(sidecars() === 2L,
+      "a fresh rival marker must defer auto-consolidation")
+    fs.setTimes(marker, System.currentTimeMillis() - 120000L, -1L)
+    spark.sql(s"DELETE FROM $t WHERE k = 11")
+    assert(sidecars() === 1L,
+      "an aged marker must admit the consolidation")
+    assert(spark.table(t).count() === 97L)
+  }
+
   test("SET TBLPROPERTIES between appends does not fragment compaction " +
     "bins: props-only DDL keeps schemaV, so files across the stamps " +
     "still merge (the per-batch property-stamp ingest pattern)") {
