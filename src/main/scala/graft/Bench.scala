@@ -110,10 +110,15 @@ object Bench {
     val cpuMs = (System.nanoTime() - t0) / 1e6
     val t1 = System.nanoTime()
     val commitMs = try {
+      // per-process dir: concurrent bench JVMs must not contend on one
+      // control table — a rival's commit conflict would read as fsync
+      // pressure and poison exactly the signal this exists to provide
       s.range(128).selectExpr("id", "id * 3 AS v")
         .coalesce(1)
         .write.format("graft-orc").option("graft.manifest", "true")
-        .mode("overwrite").save("/tmp/graft-orc/ambient-control")
+        .mode("overwrite")
+        .save(s"/tmp/graft-orc/ambient-control-${
+          java.lang.ProcessHandle.current().pid()}")
       (System.nanoTime() - t1) / 1e6
     } catch { case _: Throwable => -1.0 }
     s"""{"after_idx":$afterIdx,"after":"$after","cpu_ms":${num(cpuMs, 1)},""" +
