@@ -68,6 +68,31 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(!dist.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("checkpoint lifetimes: each path leaves exactly ONE persistent " +
+    "block set alive (the returned frame's) — the gate probe and the " +
+    "pinned input release theirs at the RDD layer") {
+    def addedBy(body: => Unit): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      body
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    }
+    // small path: the probe IS the returned frame's backing — 1 survives
+    val small = spark.range(100).select(col("id"), col("id").as("v"))
+    val nSmall = addedBy {
+      GlobalRank.ntile(small, 4, Seq(col("v"), col("id")), "b").count()
+    }
+    assert(nSmall === 1, s"small path should keep only the probe, got $nSmall")
+    // distributed path: probe + pinned are dropped, ranged survives
+    val big = spark.range(GlobalRank.DefaultWindowBelowRows + 1)
+      .select(col("id"), col("id").as("v"))
+    val nBig = addedBy {
+      GlobalRank.ntile(big, 4, Seq(col("v"), col("id")), "b").count()
+    }
+    assert(nBig === 1,
+      s"distributed path should keep only the ranged checkpoint, got $nBig")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("the plan has NO single-partition exchange (the scale property " +
     "the operator exists for)") {
     val base = spark.range(100000)
