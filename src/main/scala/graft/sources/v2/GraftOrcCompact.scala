@@ -385,10 +385,15 @@ object GraftOrcCompact {
     val ownsFlag = autoCompacting.add(qtKey)
     // an EXPLICIT run stamps the cross-driver intent marker too (other
     // drivers' auto passes then skip while we merge) but never SKIPS on
-    // a rival's marker — the user asked. ownsFlag=false means an auto
-    // pass is driving this call and already stamped.
+    // a rival's marker — the user asked. It also never OVERWRITES a
+    // FRESH rival's stamp: clearing our overwrite on exit would erase
+    // the still-running rival's protection window and expose it to a
+    // third driver's auto — under a fresh rival marker the explicit run
+    // simply proceeds unstamped (the swap arbitrates, as ever).
+    // ownsFlag=false means an auto pass drives this call and stamped.
     val intent =
-      if (ownsFlag && GraftOrcManifest.exists(tfs, tfs.makeQualified(tp)))
+      if (ownsFlag && GraftOrcManifest.exists(tfs, tfs.makeQualified(tp)) &&
+          !intentFresh(tfs, tp))
         stampIntent(tfs, tp)
       else None
     try compactInner(spark, table, targetBytes, smallFileBytes,

@@ -324,6 +324,35 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 90L, "rows must be exact throughout")
   }
 
+  test("an explicit compact under a rival's FRESH marker runs anyway " +
+    "(the user asked) but leaves the rival's stamp untouched — its " +
+    "protection window survives our pass") {
+    val dir = Files.createTempDirectory("graft-intent-expl").toString
+    (0 until 4).foreach { i =>
+      spark.range(i * 10, (i + 1) * 10)
+        .selectExpr("id AS k", "id * 3 AS v").coalesce(1)
+        .write.format("graft-orc").option("graft.manifest", "true")
+        .mode("append").save(dir)
+    }
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_manifest/compact.intent")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    out.write("not-our-token 0".getBytes("UTF-8")); out.close()
+    val st = GraftOrcCompact.compact(spark, dir)
+    assert(st.filesCompacted === 4, "explicit compact must never skip")
+    assert(fs.exists(marker), "the rival's stamp must survive")
+    val in = fs.open(marker)
+    val content = try {
+      val b = new Array[Byte](64); val n = in.read(b)
+      new String(b, 0, n, "UTF-8")
+    } finally in.close()
+    assert(content.startsWith("not-our-token"),
+      "the rival's stamp content must be untouched")
+    fs.delete(marker, false)
+    assert(spark.read.format("graft-orc").load(dir).count() === 40L)
+  }
+
   test("the maintenance gate also guards auto-consolidation: a rival's " +
     "fresh marker defers the sidecar union; an aged one admits it") {
     val wh = Files.createTempDirectory("graft-intent-cons-wh").toString
