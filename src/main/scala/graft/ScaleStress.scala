@@ -382,6 +382,7 @@ object ScaleStress {
     val manifestScaleMode = args.lift(1).contains("manifestscale")
     val streamIngestMode = args.lift(1).contains("streamingest")
     val neardupAutoMode = args.lift(1).contains("neardupauto")
+    val neardupReplayMode = args.lift(1).contains("neardupreplay")
     val neardupMode = args.lift(1).contains("neardup")
     val specEvoMode = args.lift(1).contains("specevo")
     val evoMode = !specEvoMode && args.lift(1).contains("evo")
@@ -394,7 +395,8 @@ object ScaleStress {
       spjMode || morMode || evoMode || upsertMode || concurrentMode ||
       wapMode || hiddenMode || specEvoMode || morDenseMode ||
       consolidateMode || branchConsMode || manifestScaleMode ||
-      streamIngestMode || neardupMode || neardupAutoMode
+      streamIngestMode || neardupMode || neardupAutoMode ||
+      neardupReplayMode
     val factors = {
       // non-numeric trailing args must be KNOWN mode flags (e.g.
       // neardupauto's `nomaint`) — anything else is a typo'd factor or
@@ -1240,6 +1242,106 @@ object ScaleStress {
     // body IS graft.streaming.NearDupIngest.ingest, so the measured
     // plan cannot drift from the oracle-checked query.
     //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 neardup 1 10 50
+    // FULL-CRAWL REPLAY receipt: the membership probe's cost and the
+    // state invariance when a LOST CHECKPOINT forces re-delivery of the
+    // whole crawl — the operational event the at-or-below guard exists
+    // for. k waves are ingested forward through NearDupIngest (one
+    // checkpoint, one commit per wave, the mark advancing each time),
+    // the signature table is compacted z-ordered on `key` (the
+    // ADVERSARIAL layout for the probe's doc_id-range lookups — key
+    // order scrambles id locality), then a FRESH checkpoint replays
+    // every wave: each replay batch sits fully at-or-below the mark, so
+    // EVERY batch pays the probe's two membership lookups. Claims: the
+    // replay is a state no-op, and per-batch replay cost stays flat as
+    // k grows at the receipt's scales. Honest bound: the lookups are
+    // id-range-pushed, but on the key-zordered layout min/max stats
+    // prune doc_id weakly, so an extreme-history replay's per-batch
+    // decode is layout-dependent — replay is the disaster-recovery
+    // path, priced here, not optimized for. One JSON line per k.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 neardupreplay 3 10
+    if (neardupReplayMode) {
+      import graft.streaming.NearDupIngest
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-ndr-wh").toString
+      spark.conf.set("spark.sql.catalog.gndr",
+        "graft.sources.v2.GraftOrcCatalog")
+      spark.conf.set("spark.sql.catalog.gndr.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gndr.default")
+      val docs0 = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      factors.foreach { k =>
+        val ct = s"gndr.default.ndrclean_$k"
+        val st = s"gndr.default.ndrsig_$k"
+        spark.sql(s"CREATE TABLE $ct (doc_id BIGINT, n_chars BIGINT, " +
+          "db INT) PARTITIONED BY (db) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
+        spark.sql(s"CREATE TABLE $st (band INT, key BIGINT, " +
+          "doc_id BIGINT, kb INT) PARTITIONED BY (kb) " +
+          "TBLPROPERTIES('graft.merge_mode'='mor', " +
+          "'graft.distribution_mode'='hash')")
+        val crawlDir = java.nio.file.Files
+          .createTempDirectory(s"graft-ndr-crawl-$k").toString
+        def deliver(df: DataFrame): Unit =
+          df.select(col("doc_id"), col("text"), col("n_chars"))
+            .repartition(4).write.format("graft-orc")
+            .option("graft.manifest", "true").mode("append").save(crawlDir)
+        val az = "abcdefghijklmnopqrstuvwxyz"
+        def wave(i: Int): DataFrame = {
+          val shift = (i % 25) + 1 // disjoint fresh shingles per wave
+          docs0.select(
+            (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+            translate(col("text"), az, az.drop(shift) + az.take(shift))
+              .as("text"),
+            col("n_chars"))
+        }
+        val ckpt1 = java.nio.file.Files
+          .createTempDirectory(s"graft-ndr-ck1-$k").toString + "/c"
+        val fwd = (0 until k).map { i =>
+          deliver(wave(i))
+          val t0 = System.nanoTime()
+          NearDupIngest.ingest(spark, crawlDir, ct, st, ckpt1)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val rowsBefore = spark.table(ct).count()
+        spark.sql(s"CALL gndr.system.compact(" +
+          s"table => 'default.ndrsig_$k', zorder_by => 'key')")
+        spark.sql(s"CALL gndr.system.compact(table => 'default.ndrclean_$k')")
+        val sigFiles = spark.sql(s"SELECT count(*) FROM $st.files")
+          .head().getLong(0)
+        // lost checkpoint: a fresh one re-delivers the crawl. Without a
+        // trigger cap the backfill arrives as ONE giant batch (one
+        // probe); maxFilesPerTrigger=4 = exactly one 4-file wave per
+        // batch (whole waves — id ranges complete, so the granularity
+        // contract holds), making the probe fire PER WAVE: the per-batch
+        // band phase then shows whether probe cost grows with history.
+        val ckpt2 = java.nio.file.Files
+          .createTempDirectory(s"graft-ndr-ck2-$k").toString + "/c"
+        val bands = scala.collection.mutable.ArrayBuffer[Double]()
+        val t0 = System.nanoTime()
+        NearDupIngest.ingest(spark, crawlDir, ct, st, ckpt2,
+          maxFilesPerTrigger = Some(4),
+          onPhase = (p, secs) => if (p == "band") bands += secs)
+        val replaySec = (System.nanoTime() - t0) / 1e9
+        val rowsAfter = spark.table(ct).count()
+        println(s"""{"op":"neardup_replay","factor":$k,""" +
+          s""""hist_rows":${spark.table(st).count()},""" +
+          s""""sig_files_compacted":$sigFiles,""" +
+          s""""fwd_sec_per_wave":${num(fwd.sum / k)},""" +
+          s""""replay_sec":${num(replaySec)},""" +
+          s""""replay_batches":${bands.size},""" +
+          s""""replay_band_sec":[${bands.map(num).mkString(",")}],""" +
+          s""""rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
+          s""""state_noop":${rowsBefore == rowsAfter}}""")
+        require(rowsBefore == rowsAfter,
+          "neardupreplay: a full-crawl replay must be a state no-op")
+        spark.sql(s"DROP TABLE $ct")
+        spark.sql(s"DROP TABLE $st")
+      }
+      spark.stop()
+      return
+    }
+
     if (neardupMode) {
       import graft.streaming.NearDupIngest
       val wh = java.nio.file.Files
