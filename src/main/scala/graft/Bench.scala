@@ -478,6 +478,15 @@ object Bench {
     if (sampleControls) ctlSamples += controlSample(spark, all.size, "pass_end")
     val loadEnd = loadAvgJson
     val diskEnd = diskStats
+    // the per-PID control table is this process's alone — remove it so
+    // repeated bench runs don't accumulate one abandoned dir per JVM
+    if (sampleControls) try {
+      val p = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft-orc/ambient-control-${
+          java.lang.ProcessHandle.current().pid()}")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    } catch { case _: Throwable => () }
     // Free the prep blocks: localCheckpoint caches at the RDD layer, which
     // Dataset.unpersist (CacheManager) does not reach — sweep the persistent
     // RDDs instead (timing is done; the mem-table cache going too is fine).

@@ -1270,6 +1270,10 @@ object ScaleStress {
       val docs0 = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"), col("n_chars"))
       factors.foreach { k =>
+        // wave freshness comes from a 25-period alphabet rotation (the
+        // neardupauto constraint), and k=0 would divide by zero below
+        require(k >= 1 && k <= 25,
+          s"neardupreplay supports 1..25 waves, got $k")
         val ct = s"gndr.default.ndrclean_$k"
         val st = s"gndr.default.ndrsig_$k"
         spark.sql(s"CREATE TABLE $ct (doc_id BIGINT, n_chars BIGINT, " +
@@ -1282,10 +1286,16 @@ object ScaleStress {
           "'graft.distribution_mode'='hash')")
         val crawlDir = java.nio.file.Files
           .createTempDirectory(s"graft-ndr-crawl-$k").toString
+        // retain ALL k wave snapshots: the default retention (3) folds
+        // the first k-2 waves into the fresh stream's FIRST snapshot,
+        // which would make replay batch 1 an (k-2)-wave giant and the
+        // per-batch comparison meaningless
         def deliver(df: DataFrame): Unit =
           df.select(col("doc_id"), col("text"), col("n_chars"))
             .repartition(4).write.format("graft-orc")
-            .option("graft.manifest", "true").mode("append").save(crawlDir)
+            .option("graft.manifest", "true")
+            .option("graft.manifest.retain", (k + 1).toString)
+            .mode("append").save(crawlDir)
         val az = "abcdefghijklmnopqrstuvwxyz"
         def wave(i: Int): DataFrame = {
           val shift = (i % 25) + 1 // disjoint fresh shingles per wave

@@ -517,8 +517,18 @@ object GraftOrcMor {
         // purge retires the sidecars this would have unioned)
         GraftOrcCompact.beginMaintenance(fs, qt) match {
           case go: GraftOrcCompact.MaintGo =>
+            // best-effort like auto-compaction: the data commit already
+            // landed, so NO consolidation failure may propagate out of
+            // this post-commit hook and fail a succeeded DELETE/MERGE
             try consolidate(spark, qt.toString)
-            catch { case _: java.util.ConcurrentModificationException => () }
+            catch {
+              case _: java.util.ConcurrentModificationException => ()
+              case scala.util.control.NonFatal(e) =>
+                GraftOrcLog.log.warn(
+                  "graft-orc: auto-consolidation after commit on {} " +
+                    "failed ({}: {}); the data commit is unaffected",
+                  qt, e.getClass.getSimpleName, e.getMessage)
+            }
             finally GraftOrcCompact.endMaintenance(fs, qt, go)
           case _ => () // someone is maintaining this table; theirs wins
         }

@@ -71,10 +71,13 @@ class GlobalRankSpec extends AnyFunSuite {
   test("checkpoint lifetimes: each path leaves exactly ONE persistent " +
     "block set alive (the returned frame's) — the gate probe and the " +
     "pinned input release theirs at the RDD layer") {
+    val created = scala.collection.mutable.Set[Int]()
     def addedBy(body: => Unit): Int = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       body
-      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      created ++= added
+      added.size
     }
     // small path: the probe IS the returned frame's backing — 1 survives
     val small = spark.range(100).select(col("id"), col("id").as("v"))
@@ -90,7 +93,11 @@ class GlobalRankSpec extends AnyFunSuite {
     }
     assert(nBig === 1,
       s"distributed path should keep only the ranged checkpoint, got $nBig")
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // release only what THIS test created — the session is shared, and
+    // another suite's localCheckpoint-backed frame would be unrecoverable
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => created(id) }
+      .values.foreach(_.unpersist(false))
   }
 
   test("the plan has NO single-partition exchange (the scale property " +
