@@ -4,9 +4,14 @@
 # spark.graft.compact_after set and -Dgraft.commit.lock=file, so their
 # maintenance windows overlap constantly. Pass 1 runs with the
 # compact.intent marker active (default cooldown): the claim is
-# per-driver auto_lost_race = 0 — a driver that would have raced a
-# rival's merge skips instead (auto_skipped_cross_driver > 0 when
-# windows actually overlapped). Pass 2 disables the marker
+# per-driver auto_lost_race EXPECTED 0, not guaranteed 0 — the marker's
+# check-then-stamp window is not atomic (overwrite-create), so two
+# drivers can occasionally both pass intentFresh, both stamp, and one
+# loses at expectPresent exactly as without the marker. The marker is
+# advisory: it prices the waste OUT in expectation; correctness never
+# depends on it. Typically a driver that would have raced a rival's
+# merge skips instead (auto_skipped_cross_driver > 0 when windows
+# actually overlapped). Pass 2 disables the marker
 # (-Dgraft.compact.intent_cooldown_ms=0) as the contrast: the same
 # workload may now burn full merges that lose at expectPresent
 # (lost_race > 0 — the waste the marker prices out). Both passes must

@@ -384,6 +384,7 @@ object ScaleStress {
     val neardupAutoMode = args.lift(1).contains("neardupauto")
     val neardupReplayMode = args.lift(1).contains("neardupreplay")
     val neardupMode = args.lift(1).contains("neardup")
+    val ntileGateMode = args.lift(1).contains("ntilegate")
     val specEvoMode = args.lift(1).contains("specevo")
     val evoMode = !specEvoMode && args.lift(1).contains("evo")
     val upsertMode = args.lift(1).contains("upsert")
@@ -396,7 +397,7 @@ object ScaleStress {
       wapMode || hiddenMode || specEvoMode || morDenseMode ||
       consolidateMode || branchConsMode || manifestScaleMode ||
       streamIngestMode || neardupMode || neardupAutoMode ||
-      neardupReplayMode
+      neardupReplayMode || ntileGateMode
     val factors = {
       // non-numeric trailing args must be KNOWN mode flags (e.g.
       // neardupauto's `nomaint`) — anything else is a typo'd factor or
@@ -1290,9 +1291,17 @@ object ScaleStress {
         // the first k-2 waves into the fresh stream's FIRST snapshot,
         // which would make replay batch 1 an (k-2)-wave giant and the
         // per-batch comparison meaningless
+        // sortWithinPartitions: the guard's documented delivery contract
+        // (NearDupIngest GRANULARITY note) — id-sorted files within each
+        // wave. The replay's batch==wave alignment additionally relies on
+        // the stream source listing commit files in COMMIT order (it
+        // reads the manifest's snapshot log, which is append-ordered);
+        // if that ever changed, a 4-file batch could straddle two waves
+        // and the receipt would hard-fail loudly, not measure garbage.
         def deliver(df: DataFrame): Unit =
           df.select(col("doc_id"), col("text"), col("n_chars"))
-            .repartition(4).write.format("graft-orc")
+            .repartition(4).sortWithinPartitions(col("doc_id"))
+            .write.format("graft-orc")
             .option("graft.manifest", "true")
             .option("graft.manifest.retain", (k + 1).toString)
             .mode("append").save(crawlDir)
@@ -1328,12 +1337,21 @@ object ScaleStress {
         val ckpt2 = java.nio.file.Files
           .createTempDirectory(s"graft-ndr-ck2-$k").toString + "/c"
         val bands = scala.collection.mutable.ArrayBuffer[Double]()
+        // counter window: forward ingest must NOT have fired the probe
+        // (ascending waves), every replay batch MUST (at-or-below mark)
+        val fwdProbes = NearDupIngest.hwmProbeStats
+        require(fwdProbes("fired") == 0L,
+          s"neardupreplay: forward ingest fired the membership probe " +
+            s"${fwdProbes("fired")}x — the healthy ascending path must " +
+            "never pay it")
+        NearDupIngest.resetHwmProbeStats()
         val t0 = System.nanoTime()
         NearDupIngest.ingest(spark, crawlDir, ct, st, ckpt2,
           maxFilesPerTrigger = Some(4),
           onPhase = (p, secs) => if (p == "band") bands += secs)
         val replaySec = (System.nanoTime() - t0) / 1e9
         val rowsAfter = spark.table(ct).count()
+        val probes = NearDupIngest.hwmProbeStats
         println(s"""{"op":"neardup_replay","factor":$k,""" +
           s""""hist_rows":${spark.table(st).count()},""" +
           s""""sig_files_compacted":$sigFiles,""" +
@@ -1341,10 +1359,17 @@ object ScaleStress {
           s""""replay_sec":${num(replaySec)},""" +
           s""""replay_batches":${bands.size},""" +
           s""""replay_band_sec":[${bands.map(num).mkString(",")}],""" +
+          s""""hwm_probes_fired":${probes("fired")},""" +
+          s""""hwm_probes_refused":${probes("refused")},""" +
           s""""rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
           s""""state_noop":${rowsBefore == rowsAfter}}""")
         require(rowsBefore == rowsAfter,
           "neardupreplay: a full-crawl replay must be a state no-op")
+        require(probes("fired") == bands.size.toLong &&
+          probes("refused") == 0L,
+          s"neardupreplay: expected the probe on every replay batch " +
+            s"(${bands.size}) with zero refusals, got $probes")
+        NearDupIngest.resetHwmProbeStats()
         spark.sql(s"DROP TABLE $ct")
         spark.sql(s"DROP TABLE $st")
       }
@@ -1447,14 +1472,59 @@ object ScaleStress {
         val sec2 = run(1)
         val cmp = phJson(phases.toMap, filesRead.toMap, "_compacted")
         val cleanRows = spark.table(ct).count()
+        // ascending probe batches: the HWM membership probe must never
+        // fire on this healthy path — its zero-cost claim, receipted
+        val probes = NearDupIngest.hwmProbeStats
         println(s"""{"op":"neardup_ingest","factor":$k,""" +
           s""""sig_rows":$histRows,"sig_files":$histFiles,""" +
           s""""sig_files_compacted":$compactedFiles,""" +
           s""""clean_rows":$cleanRows,""" +
+          s""""hwm_probes_fired":${probes("fired")},""" +
           s""""ingest_sec":${num(sec)},$raw,""" +
           s""""ingest_sec_compacted":${num(sec2)},$cmp}""")
+        require(probes("fired") == 0L,
+          s"neardup: the membership probe fired ${probes("fired")}x on " +
+            "an ascending stream — it must stay off the healthy path")
         spark.sql(s"DROP TABLE $ct")
         spark.sql(s"DROP TABLE $st")
+      }
+      spark.stop()
+      return
+    }
+
+    // NTILE gate crossover sweep: GlobalRank.ntile's size gate routes
+    // frames at or below DefaultWindowBelowRows (64k) to the plain
+    // single-partition window and larger ones to the distributed
+    // offsets path. 64k was asserted ("sorts in one task in
+    // milliseconds"), not receipted — this mode times BOTH paths on the
+    // SAME pinned frame at 16k/64k/256k/1M rows (3 warm iterations,
+    // min), so the measured crossover pins the constant and catches
+    // JVM/Spark version drift. Forcing: windowBelowRows = size forces
+    // the gated window path; 0 forces the distributed path.
+    //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 ntilegate
+    if (ntileGateMode) {
+      import graft.operators.GlobalRank
+      val sizes =
+        Seq(16384L, 65536L, 262144L, 1048576L, 4194304L, 16777216L)
+      def sweepBlocks(): Unit = spark.sparkContext.getPersistentRDDs
+        .values.foreach(_.unpersist(false))
+      def run(size: Long, threshold: Long): Double = {
+        val frame = spark.range(size)
+          .select(col("id"), (col("id") * 2654435761L % size).as("v"))
+        val t0 = System.nanoTime()
+        GlobalRank.ntile(frame, 4, Seq(col("v"), col("id")), "b",
+          windowBelowRows = threshold).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        sweepBlocks() // each call leaves one checkpoint block set
+        sec
+      }
+      run(sizes.head, sizes.head); run(sizes.head, 0L) // JIT warm, untimed
+      sizes.foreach { size =>
+        val win = (1 to 3).map(_ => run(size, size)).min
+        val dist = (1 to 3).map(_ => run(size, 0L)).min
+        println(s"""{"op":"ntile_gate","rows":$size,""" +
+          s""""window_sec":${num(win)},"dist_sec":${num(dist)},""" +
+          s""""window_wins":${win <= dist}}""")
       }
       spark.stop()
       return

@@ -23,17 +23,18 @@ import org.apache.spark.sql.functions._
   * SIZE GATE: the offsets machinery costs a constant ~1 s of extra jobs
   * (eager checkpoint, stats collect, broadcast) — pure overhead on a
   * dimension-sized frame, where one single-partition sort is the
-  * cheapest exact plan there is. The gate is a LIMIT-bounded probe:
-  * `df.limit(threshold + 1).localCheckpoint(true)` materializes at
-  * most threshold+1 rows whatever the frame's true size. If the count
-  * comes back at or below the threshold the probe IS the whole frame
-  * and the window ntile runs straight over its checkpointed blocks —
-  * the dimension case pays ONE execution plus a tiny bounded cache,
-  * nothing else. Above the threshold the probe blocks are dropped and
-  * the distributed path pins the full input and range-sorts it; that
-  * fact case pays the probe as one extra (limit-bounded) pass — a
-  * caller that KNOWS the frame is fact-sized passes
-  * `windowBelowRows = 0` to skip it.
+  * cheapest exact plan there is. The gate pins FIRST and counts the
+  * checkpoint: both paths need the input materialized exactly once
+  * anyway (the small path to window over it, the distributed path to
+  * range-sort it), so `df.localCheckpoint(true)` up front makes the
+  * gate's count a metadata-cheap job over already-materialized blocks
+  * and the input lineage — often a blocking aggregate — executes ONCE
+  * no matter which path wins. (An earlier LIMIT-probe design bounded
+  * the rows materialized but not the upstream compute: a blocking
+  * aggregate runs to completion before LocalLimit emits anything, and
+  * the fact path then re-ran the whole lineage for its own pin —
+  * strictly dominated by pin-first.) A caller that KNOWS the frame is
+  * fact-sized passes `windowBelowRows = 0` to skip the count job.
   *
   * Bucket assignment follows SQL NTILE exactly on both paths: with N
   * rows and n buckets, the first N mod n buckets carry N/n + 1 rows.
@@ -49,11 +50,22 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Frames at or below this row count take the plain window path —
-    * 64k narrow rows sort in one task in milliseconds, far below the
-    * distributed path's fixed job overhead.
+  /** Frames at or below this row count take the plain window path.
+    *
+    * Receipted, not asserted (the `ntilegate` ScaleStress sweep, 3 warm
+    * iterations/point at local[32]): the single-partition window beats
+    * the distributed offsets path at EVERY measured size — 0.30 s vs
+    * 0.73 s at 64k, 0.37 vs 0.97 at 1M, 0.93 vs 3.18 at 16M rows — so
+    * there is no single-node latency crossover in range; the
+    * distributed path's ~0.5–2 s is fixed-job insurance premium. The
+    * threshold is therefore a MEMORY/SCALE bound, not a latency one:
+    * the window path ships the whole frame to ONE task, and 256k rows
+    * keeps that task ≤ ~25 MB for typical ranked frames and ≤ ~256 MB
+    * even at a pathological ~1 KB/row — comfortable on any executor.
+    * Above it, the cheap constant buys the plan that survives a frame
+    * growing fact-like (the property GlobalRankSpec pins).
     */
-  val DefaultWindowBelowRows: Long = 1L << 16
+  val DefaultWindowBelowRows: Long = 1L << 18
 
   /** Append an exact global NTILE bucket column. `order` should be a
     * total order (append a key column to break ties deterministically).
@@ -65,30 +77,19 @@ object GlobalRank {
             out: String = "ntile",
             windowBelowRows: Long = DefaultWindowBelowRows): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
-    require(windowBelowRows < Int.MaxValue,
-      s"windowBelowRows must fit an Int limit, got $windowBelowRows")
     val s = df.sparkSession
-    if (windowBelowRows > 0) {
-      // bounded probe: materialize AT MOST threshold+1 rows (LocalLimit
-      // caps every partition before anything moves). If the frame is
-      // small the probe IS the whole frame — the window runs straight
-      // over its checkpointed blocks, so the gate costs ONE execution
-      // and a <= threshold-row cache, never a second pass.
-      val probe = df.limit(windowBelowRows.toInt + 1).localCheckpoint(true)
-      if (probe.count() <= windowBelowRows)
-        return probe.withColumn(out,
-          org.apache.spark.sql.functions.ntile(n)
-            .over(Window.orderBy(order: _*)))
-      // fact-sized: the probe's bounded blocks are dead weight — drop
-      // them (at the RDD layer: Dataset.unpersist does not reach a
-      // localCheckpoint) and take the distributed path over the lineage
-      graft.streaming.BatchFrames.dropLocalCheckpoint(probe)
-    }
-
-    // Pin the input ONCE: the range sampler, the shuffle and the stats
-    // job all read the same materialized blocks instead of re-running
-    // the (often aggregate) input lineage per consumer.
+    // Pin the input ONCE, before the gate: the gate's count, the range
+    // sampler, the shuffle and the stats job all read the same
+    // materialized blocks instead of re-running the (often aggregate)
+    // input lineage per consumer — whichever path wins, the lineage
+    // executes exactly once.
     val pinned = df.localCheckpoint(true)
+    if (windowBelowRows > 0 && pinned.count() <= windowBelowRows)
+      // dimension-sized: one single-partition window over the
+      // checkpointed blocks is the cheapest exact plan there is
+      return pinned.withColumn(out,
+        org.apache.spark.sql.functions.ntile(n)
+          .over(Window.orderBy(order: _*)))
     val parts = math.max(1, s.sparkContext.defaultParallelism)
     val ranged = pinned.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)

@@ -231,6 +231,11 @@ object GraftOrcCompact {
     new Path(new Path(fs.makeQualified(table), GraftOrcManifest.Dir),
       MaintIntentName)
 
+  // Freshness compares the store's file mtime against THIS driver's
+  // clock — an assumption, not a guarantee: on a shared or object store
+  // whose clock skews from ours, a rival's fresh stamp can misjudge in
+  // either direction. Both directions degrade safely (see intentFresh),
+  // but the cooldown should comfortably exceed the expected skew.
   private def intentCooldownMs: Long =
     try Option(System.getProperty("graft.compact.intent_cooldown_ms"))
       .map(_.trim.toLong).getOrElse(60000L)
@@ -239,11 +244,28 @@ object GraftOrcCompact {
   /** True if another driver stamped maintenance intent on this table
     * less than the cooldown ago (our own stamps are cleared on exit, so
     * a fresh marker means a LIVE rival or a very recent crash).
+    *
+    * Freshness is SYMMETRIC on purpose: a marker whose mtime sits more
+    * than the cooldown in our FUTURE (store/rival clock far ahead, or a
+    * store that fabricates mtimes) is treated as not-fresh rather than
+    * fresh-forever. The failure directions are then both benign:
+    *  - mtimes stale/behind (eventual stores, skew backward): markers
+    *    age out early ⇒ rivals race as if the marker didn't exist —
+    *    exactly the pre-marker behavior, loud and correct (the swap's
+    *    expectPresent arbitrates; the waste the marker priced out comes
+    *    back, nothing else);
+    *  - mtimes ahead: without the symmetry, every auto pass would skip
+    *    FOREVER on a marker nobody will ever clear — a silent
+    *    maintenance outage. With it, skew beyond the cooldown degrades
+    *    to the same loud racing mode as above.
+    * GraftOrcCompactSpec pins both degraded modes (aged-past and
+    * future-skewed markers both admit maintenance).
     */
   private def intentFresh(fs: FileSystem, table: Path): Boolean =
     try {
       val st = fs.getFileStatus(intentPath(fs, table))
-      System.currentTimeMillis() - st.getModificationTime < intentCooldownMs
+      math.abs(System.currentTimeMillis() - st.getModificationTime) <
+        intentCooldownMs
     } catch { case _: java.io.IOException => false }
 
   /** Stamp the marker (overwrite-create) and return the ownership token;

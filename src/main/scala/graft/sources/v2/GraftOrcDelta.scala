@@ -159,6 +159,19 @@ class GraftOrcDeltaWrite(path: String, info: LogicalWriteInfo,
       // ONE task (a skew bottleneck for delete-heavy MERGEs). Hashed
       // with their file path they spread across tasks AND stay
       // file-local, which is also the sidecar writer's best case.
+      // UPDATE-row tradeoff: an UPDATE's reinsert rows ALSO carry a
+      // non-null _file, so a partition dir's updated rows spread
+      // across tasks by their SOURCE file — an update-heavy MERGE can
+      // emit up to files-touched-per-dir data files per partition dir
+      // instead of ~1, partially re-opening the small-file fanout this
+      // clustering exists to close. Accepted: file-locality is what the
+      // sidecar writer needs for the co-travelling delete rows, the
+      // fanout is bounded by files actually touched (not tasks x dirs),
+      // and auto-compaction absorbs it. If the streaming-ingest
+      // receipts ever show update-driven file regression, cluster
+      // reinsert rows by partition columns alone (null out _file for
+      // rows whose partition tuple is non-null) — at the cost of
+      // splitting each touched file's delete rows across tasks.
       if (srcs.forall(c => info.schema().fields
           .exists(_.name.equalsIgnoreCase(c))))
         srcs :+ GraftOrcDataSource.FileMetaCol

@@ -104,6 +104,27 @@ object NearDupIngest {
     */
   private[graft] val HwmProp = "graft.neardup.hwm"
 
+  /** Membership-probe accounting (the [[GraftOrcCompact.autoCompactStats]]
+    * pattern): `fired` = an at-or-below-mark batch ran the two-lookup
+    * membership probe; `refused` = the probe found genuinely-new ids
+    * below the mark (full reordering — thrown or warned per
+    * `failOnOutOfOrder`). The healthy-path zero-cost claim is exactly
+    * "`fired` stays 0 on an ascending stream" — the per-round bench
+    * stamps these into its detail context and the ScaleStress neardup
+    * receipts assert them, so a refactor that accidentally puts the
+    * probe on the hot path (e.g. evaluating `seen` eagerly or widening
+    * the at-or-below test) shows up in the artifact, not just in a
+    * latency drift. JVM-lifetime counters; [[resetHwmProbeStats]]
+    * zeroes them for a measurement window.
+    */
+  private val probeFired = new java.util.concurrent.atomic.AtomicLong()
+  private val probeRefused = new java.util.concurrent.atomic.AtomicLong()
+
+  def hwmProbeStats: Map[String, Long] = Map(
+    "fired" -> probeFired.get(), "refused" -> probeRefused.get())
+
+  def resetHwmProbeStats(): Unit = { probeFired.set(0L); probeRefused.set(0L) }
+
   /** Key-bucket column over `key`. */
   def keyBucket(n: Int) = pmod(hash(col("key")), lit(n)).cast("int")
 
@@ -257,9 +278,11 @@ object NearDupIngest {
             .unionByName(s.table(sigTable)
               .where(col("doc_id") >= minId && col("doc_id") <= maxId)
               .select(col("doc_id")))
+          probeFired.incrementAndGet()
           val novel = docs.select(col("doc_id"))
             .join(seen, Seq("doc_id"), "left_anti").limit(1).count()
           if (novel > 0L) {
+            probeRefused.incrementAndGet()
             val msg = s"graft near-dup ingest: batch id range " +
               s"[$minId, $maxId] sits entirely at or below $cleanTable's " +
               s"high-water mark $h but carries ids never processed — " +

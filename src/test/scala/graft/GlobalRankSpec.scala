@@ -69,8 +69,8 @@ class GlobalRankSpec extends AnyFunSuite {
   }
 
   test("checkpoint lifetimes: each path leaves exactly ONE persistent " +
-    "block set alive (the returned frame's) — the gate probe and the " +
-    "pinned input release theirs at the RDD layer") {
+    "block set alive — the small path returns the pinned input itself, " +
+    "the distributed path drops it once `ranged` truncates lineage") {
     val created = scala.collection.mutable.Set[Int]()
     def addedBy(body: => Unit): Int = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -79,13 +79,14 @@ class GlobalRankSpec extends AnyFunSuite {
       created ++= added
       added.size
     }
-    // small path: the probe IS the returned frame's backing — 1 survives
+    // small path: the pinned input IS the returned frame's backing
     val small = spark.range(100).select(col("id"), col("id").as("v"))
     val nSmall = addedBy {
       GlobalRank.ntile(small, 4, Seq(col("v"), col("id")), "b").count()
     }
-    assert(nSmall === 1, s"small path should keep only the probe, got $nSmall")
-    // distributed path: probe + pinned are dropped, ranged survives
+    assert(nSmall === 1,
+      s"small path should keep only the pinned input, got $nSmall")
+    // distributed path: pinned is dropped, ranged survives
     val big = spark.range(GlobalRank.DefaultWindowBelowRows + 1)
       .select(col("id"), col("id").as("v"))
     val nBig = addedBy {
@@ -102,8 +103,9 @@ class GlobalRankSpec extends AnyFunSuite {
 
   test("the plan has NO single-partition exchange (the scale property " +
     "the operator exists for)") {
-    val base = spark.range(100000)
-      .select(col("id"), (col("id") * 48271L % 100000L).as("v"))
+    val rows = GlobalRank.DefaultWindowBelowRows * 2 // above the gate
+    val base = spark.range(rows)
+      .select(col("id"), (col("id") * 48271L % rows).as("v"))
     val out = GlobalRank.ntile(base, 4, Seq(col("v"), col("id")), "b")
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
     out.collect()
@@ -117,8 +119,8 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(twin.queryExecution.executedPlan.toString
       .contains("Exchange SinglePartition"))
     // exact quartile sizes on the big frame
+    val q = rows / 4
     val sizes = out.orderBy(col("b")).as[(Int, Long)].collect().toSeq
-    assert(sizes === Seq((1, 25000L), (2, 25000L), (3, 25000L),
-      (4, 25000L)), s"got $sizes")
+    assert(sizes === Seq((1, q), (2, q), (3, q), (4, q)), s"got $sizes")
   }
 }

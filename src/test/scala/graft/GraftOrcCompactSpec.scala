@@ -324,6 +324,51 @@ class GraftOrcCompactSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 90L, "rows must be exact throughout")
   }
 
+  test("clock-skew degraded mode: a marker whose store mtime sits far in " +
+    "the FUTURE of this driver's clock is NOT fresh — the auto pass " +
+    "proceeds (fail-open to the pre-marker racing behavior, arbitrated " +
+    "loudly at the swap) instead of skipping forever on a stamp nobody " +
+    "will ever clear") {
+    val wh = Files.createTempDirectory("graft-intent-skew-wh").toString
+    spark.conf.set("spark.sql.catalog.gcis",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gcis.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcis.default")
+    val t = "gcis.default.ints"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) TBLPROPERTIES(" +
+      "'graft.compact_after'='8')")
+    def files(): Long =
+      spark.sql(s"SELECT count(*) FROM $t.files").head().getLong(0)
+    def append(i: Int): Unit =
+      spark.range(i * 10, (i + 1) * 10)
+        .select($"id".as("k"), ($"id" * 3).as("v"))
+        .coalesce(1).writeTo(t).append()
+    (0 until 7).foreach(append)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$wh/default/ints/_graft_manifest/compact.intent")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    out.write("skewed-rival-token 0".getBytes("UTF-8")); out.close()
+    // a rival (or the store itself) whose clock runs 10 minutes ahead:
+    // under the old one-sided freshness test (now - mtime < cooldown)
+    // this marker would read fresh for the next ~11 minutes and a
+    // LONG-skewed one forever — every auto pass silently skipping on a
+    // stamp whose owner believes it already cleared it
+    fs.setTimes(marker, System.currentTimeMillis() + 600000L, -1L)
+    GraftOrcCompact.resetAutoCompactStats()
+    append(7) // crosses the threshold
+    assert(files() < 8L,
+      "a future-skewed marker must not block maintenance")
+    val st = GraftOrcCompact.autoCompactStats
+    assert(st("attempted") === 1L && st("landed") === 1L &&
+      st("skipped_cross_driver") === 0L,
+      s"expected the pass to proceed through the skewed marker, got $st")
+    // our pass stamped over the skewed marker and cleared its own stamp
+    assert(!fs.exists(marker),
+      "the finished pass must have replaced and cleared the marker")
+    assert(spark.table(t).count() === 80L, "rows must be exact throughout")
+  }
+
   test("an explicit compact under a rival's FRESH marker runs anyway " +
     "(the user asked) but leaves the rival's stamp untouched — its " +
     "protection window survives our pass") {

@@ -304,11 +304,18 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
     val (qt, sig) = mkNearDup("ndreord")
     val ckpt = Files.createTempDirectory("graft-nd-reord-ck")
       .toString + "/c"
+    NearDupIngest.resetHwmProbeStats()
     deliver(crawl, docs(10 until 20, 0L, "w1"))
     NearDupIngest.ingest(spark, crawl, qt, sig, ckpt, bandKeys = modKey)
     val kept0 = spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
       .as[Long].collect().toSeq
     assert(kept0 === (10L until 15L), s"expected 10..14 kept, got $kept0")
+    // healthy ascending wave: the membership probe must not have run —
+    // the hot path's zero-cost claim, pinned here so a refactor that
+    // evaluates the probe eagerly fails THIS test, not just a receipt
+    assert(NearDupIngest.hwmProbeStats ===
+      Map("fired" -> 0L, "refused" -> 0L),
+      "the membership probe fired on a healthy ascending wave")
     // wave 2: genuinely NEW ids 0..4, ENTIRELY below the mark (19) —
     // before the membership probe this passed as a "replay range"
     deliver(crawl, docs(0 until 5, 0L, "w2"))
@@ -324,6 +331,10 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
       .as[Long].collect().toSeq === kept0,
       "a refused batch must leave the clean table unchanged")
+    // the reordered batch is exactly one probe firing and one refusal
+    assert(NearDupIngest.hwmProbeStats ===
+      Map("fired" -> 1L, "refused" -> 1L),
+      "reordered at-or-below batch must fire the probe once and refuse")
     // a fresh-checkpoint replay of WAVE 1 ALONE (ids 10..19, half of
     // them dropped) must pass: the dropped ids are found in the
     // signature table. Replay delivery = a second crawl dir holding
@@ -332,10 +343,16 @@ class GraftOrcStreamIngestSpec extends AnyFunSuite {
     deliver(crawl2, docs(10 until 20, 0L, "w1"))
     val ckpt2 = Files.createTempDirectory("graft-nd-reord-ck2")
       .toString + "/c"
+    NearDupIngest.resetHwmProbeStats()
     NearDupIngest.ingest(spark, crawl2, qt, sig, ckpt2,
       bandKeys = modKey)
     assert(spark.sql(s"SELECT doc_id FROM $qt ORDER BY doc_id")
       .as[Long].collect().toSeq === kept0, "replay changed state")
+    // a true replay fires the probe (at-or-below range) but passes it
+    assert(NearDupIngest.hwmProbeStats ===
+      Map("fired" -> 1L, "refused" -> 0L),
+      "a true replay must fire the probe exactly once, refusing nothing")
+    NearDupIngest.resetHwmProbeStats()
     // opting out accepts the reordered batch under delivery-order
     // semantics (the stream's offset was never committed past it)
     NearDupIngest.ingest(spark, crawl, qt, sig, ckpt,
