@@ -1295,9 +1295,16 @@ object ScaleStress {
         // (NearDupIngest GRANULARITY note) — id-sorted files within each
         // wave. The replay's batch==wave alignment additionally relies on
         // the stream source listing commit files in COMMIT order (it
-        // reads the manifest's snapshot log, which is append-ordered);
-        // if that ever changed, a 4-file batch could straddle two waves
-        // and the receipt would hard-fail loudly, not measure garbage.
+        // reads the manifest's snapshot log, which is append-ordered).
+        // HONEST LIMIT: if that ordering ever changed, a 4-file replay
+        // batch could mix two waves and nothing here would trip — every
+        // replay id is at-or-below the mark regardless of grouping, so
+        // the straddle check, the membership probe (fired==batches,
+        // refused==0) and the state no-op all still pass; only the
+        // per-WAVE attribution of replay_band_sec would silently blur.
+        // The receipt's flatness claim therefore assumes the source's
+        // commit-order listing, which the forward/replay row counts
+        // below do not independently prove.
         def deliver(df: DataFrame): Unit =
           df.select(col("doc_id"), col("text"), col("n_chars"))
             .repartition(4).sortWithinPartitions(col("doc_id"))
@@ -1493,14 +1500,17 @@ object ScaleStress {
     }
 
     // NTILE gate crossover sweep: GlobalRank.ntile's size gate routes
-    // frames at or below DefaultWindowBelowRows (64k) to the plain
-    // single-partition window and larger ones to the distributed
-    // offsets path. 64k was asserted ("sorts in one task in
-    // milliseconds"), not receipted — this mode times BOTH paths on the
-    // SAME pinned frame at 16k/64k/256k/1M rows (3 warm iterations,
-    // min), so the measured crossover pins the constant and catches
-    // JVM/Spark version drift. Forcing: windowBelowRows = size forces
-    // the gated window path; 0 forces the distributed path.
+    // frames at or below DefaultWindowBelowRows (256k as of round 20,
+    // set BY this receipt) to the plain single-partition window and
+    // larger ones to the distributed offsets path. The constant was
+    // asserted, not receipted — this mode times BOTH paths on
+    // same-shape frames at 16k..16M rows (3 warm iterations, min), so
+    // the measured crossover pins it and catches JVM/Spark version
+    // drift. Forcing: windowBelowRows = size forces the gated window
+    // path; windowBelowRows = 1 forces the distributed path THROUGH
+    // the gate (pin + count + distributed — the cost a default-gated
+    // fact frame actually pays; 0 would skip the count job and flatter
+    // the distributed side).
     //   scripts/run.sh graft.ScaleStress /root/testdata/sf0.1 ntilegate
     if (ntileGateMode) {
       import graft.operators.GlobalRank
@@ -1518,10 +1528,10 @@ object ScaleStress {
         sweepBlocks() // each call leaves one checkpoint block set
         sec
       }
-      run(sizes.head, sizes.head); run(sizes.head, 0L) // JIT warm, untimed
+      run(sizes.head, sizes.head); run(sizes.head, 1L) // JIT warm, untimed
       sizes.foreach { size =>
         val win = (1 to 3).map(_ => run(size, size)).min
-        val dist = (1 to 3).map(_ => run(size, 0L)).min
+        val dist = (1 to 3).map(_ => run(size, 1L)).min
         println(s"""{"op":"ntile_gate","rows":$size,""" +
           s""""window_sec":${num(win)},"dist_sec":${num(dist)},""" +
           s""""window_wins":${win <= dist}}""")

@@ -1019,10 +1019,20 @@ object GraftOrcManifest {
             // held by someone: stale-takeover or wait
             val st = try Some(fs.getFileStatus(lock))
               catch { case _: java.io.FileNotFoundException => None }
+            // Staleness is SYMMETRIC (|now - mtime| > staleMs), same
+            // rationale as GraftOrcCompact.intentFresh: a lock whose
+            // store mtime sits more than staleMs in our FUTURE (clock
+            // skew, fabricated mtimes) is as unjudgeable as a stale
+            // one — and without takeover it would block EVERY writer
+            // until wall clock catches up to the skew, a full write
+            // outage. Taking over a possibly-live far-skewed holder is
+            // the same bounded risk the stale path already accepts:
+            // content-anchored delete + the post-rename single-winner
+            // verify in writeSnapshot stay the correctness backstop.
             st match {
               case Some(s)
-                  if System.currentTimeMillis() -
-                    s.getModificationTime > staleMs =>
+                  if math.abs(System.currentTimeMillis() -
+                    s.getModificationTime) > staleMs =>
                 // guarded best-effort takeover, content-anchored:
                 // (1) read the lock's CONTENT (its ownership token);
                 // (2) re-STAT — only a still-stale mtime proves the
@@ -1049,8 +1059,9 @@ object GraftOrcManifest {
                 val still = try Some(fs.getFileStatus(lock))
                   catch { case _: java.io.FileNotFoundException => None }
                 if (judged.isDefined &&
-                    still.exists(s2 => System.currentTimeMillis() -
-                      s2.getModificationTime > staleMs) &&
+                    still.exists(s2 =>
+                      math.abs(System.currentTimeMillis() -
+                        s2.getModificationTime) > staleMs) &&
                     readLockContent(fs, lock) == judged)
                   try fs.delete(lock, false)
                   catch { case _: java.io.IOException => }

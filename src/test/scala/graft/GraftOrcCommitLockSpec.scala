@@ -293,6 +293,29 @@ class GraftOrcCommitLockSpec extends AnyFunSuite {
     assert(GraftOrcManifest.readSnapshot(fs, qt).get.seq === 2L)
   }
 
+  test("a FUTURE-skewed lock mtime (store/rival clock far ahead) is " +
+    "treated as unjudgeable and taken over, not fresh-forever — without " +
+    "the symmetric staleness every writer would block until wall clock " +
+    "caught up to the skew") {
+    val dir = Files.createTempDirectory("graft-lock-skew").toString
+    val fs = fsFor(dir)
+    val qt = fs.makeQualified(new Path(dir))
+    GraftOrcManifest.writeSnapshot(fs, qt, 1L, mk(3, qt))
+    val lock = new Path(qt,
+      "_graft_manifest/" + GraftOrcManifest.CommitLockName)
+    val out = fs.create(lock, false)
+    out.write("skewed-driver".getBytes("UTF-8")); out.close()
+    // 10 minutes in the future: under the old one-sided test
+    // (now - mtime > staleMs) this lock reads "fresh" for the next
+    // ~11 minutes and the commit below would spin to its 30 s timeout
+    fs.setTimes(lock, System.currentTimeMillis() + 600000L, -1)
+    withProps("graft.commit.lock" -> "file") {
+      GraftOrcManifest.writeSnapshot(fs, qt, 2L, mk(5, qt))
+    }
+    assert(!fs.exists(lock))
+    assert(GraftOrcManifest.readSnapshot(fs, qt).get.seq === 2L)
+  }
+
   test("vacuum sweeps AGED .tmp- staging leftovers (crashed commits) " +
     "but spares fresh ones inside another driver's in-flight window") {
     val dir = Files.createTempDirectory("graft-lock-tmpsweep").toString
