@@ -1009,11 +1009,19 @@ object GraftOrcManifest {
           case _: java.io.IOException if created =>
             // the create succeeded — the lock is OURS; the TOKEN write
             // failed. An unreadable token would wedge the guarded
-            // release, so withdraw our own fresh lock and re-contend
-            // (nobody can have staleness-taken it over within the same
-            // window we just created it in).
-            try fs.delete(lock, false)
-            catch { case _: java.io.IOException => }
+            // release, so withdraw our own fresh lock and re-contend.
+            // The withdrawal is CONTENT-guarded like the release: under
+            // symmetric staleness a far-future store mtime can make even
+            // a brand-new lock takeover-eligible, so a rival may already
+            // have deleted this incarnation and acquired its own — an
+            // unguarded delete here would erase the rival's LIVE lock.
+            // Any readable content is either empty or a prefix of OUR
+            // content (the partial write); a rival's lock carries its
+            // own token, which is no prefix of ours.
+            try {
+              val c = readLockContent(fs, lock)
+              if (c.forall(content.startsWith)) fs.delete(lock, false)
+            } catch { case _: java.io.IOException => }
             Thread.sleep(50L)
           case _: java.io.IOException =>
             // held by someone: stale-takeover or wait
@@ -1024,11 +1032,20 @@ object GraftOrcManifest {
             // store mtime sits more than staleMs in our FUTURE (clock
             // skew, fabricated mtimes) is as unjudgeable as a stale
             // one — and without takeover it would block EVERY writer
-            // until wall clock catches up to the skew, a full write
-            // outage. Taking over a possibly-live far-skewed holder is
-            // the same bounded risk the stale path already accepts:
-            // content-anchored delete + the post-rename single-winner
-            // verify in writeSnapshot stay the correctness backstop.
+            // until wall clock caught up to the skew, a full write
+            // outage. HONEST TRADE: under PERSISTENT store-clock skew
+            // beyond staleMs, every live lock is continuously
+            // takeover-eligible and the lock degrades to ADVISORY — a
+            // strictly worse serialization posture than the stale
+            // path's likely-dead targets. That degraded mode is still
+            // the designed fallback, not a correctness hole: the
+            // post-rename single-winner verify arbitrates (the loser
+            // withdraws its snapshot + fresh segments and throws
+            // loudly), exactly as on stores with non-atomic create
+            // where this lock is best-effort to begin with. We prefer
+            // noisy contention with exact state over the one-sided
+            // alternative (a standing write outage with the same skew).
+            // Transient skew within staleMs is unaffected either way.
             st match {
               case Some(s)
                   if math.abs(System.currentTimeMillis() -
@@ -1383,9 +1400,19 @@ object GraftOrcManifest {
         new java.io.OutputStreamWriter(out, "UTF-8"))
       val r = retain.map(v => s""","retain":${math.max(1, v)}""")
         .getOrElse("")
-      w.write(s"""{"base":${src.seq}$r}"""); w.newLine()
+      // "dv":1 marks that this witness records the fork's DELETE
+      // sidecar set ("d" lines, possibly zero) — cherryPick needs it to
+      // tell branch-ADDED sidecars (MoR DML, unpickable) from fork-
+      // INHERITED ones (harmless: the pick publishes net-new data files
+      // only). Witnesses without the marker predate it; cherryPick
+      // falls back to the conservative current-main comparison there.
+      w.write(s"""{"base":${src.seq}$r,"dv":1}"""); w.newLine()
       src.entries.foreach { e =>
         w.write(s"""{"p":${jsonQuote(relativize(qt, e.path))}}""")
+        w.newLine()
+      }
+      src.deletes.foreach { d =>
+        w.write(s"""{"d":${jsonQuote(relativize(qt, d.path))}}""")
         w.newLine()
       }
       w.flush()
@@ -1460,12 +1487,20 @@ object GraftOrcManifest {
       s"graft-orc: no branch '$name' on $table (available: " +
         s"${listBranches(fs, qt).mkString(", ")})")
     val head = readSnapshot(fs, qt, Some(name)).get
-    val forkRel: Set[String] = {
+    val (forkRel: Set[String], forkDel: Option[Set[String]]) = {
       val in = fs.open(basePath(qt, name))
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
-      lines.filter(_.startsWith("{\"p\":"))
+      val entries = lines.filter(_.startsWith("{\"p\":"))
         .map(l => jsonString(l, "p")).toSet
+      // fork sidecar witness: only present (as "d" lines + the "dv":1
+      // header marker) on witnesses written since the marker existed
+      val hasDv = lines.headOption.exists(_.contains("\"dv\":1"))
+      val dels =
+        if (hasDv) Some(lines.filter(_.startsWith("{\"d\":"))
+          .map(l => jsonString(l, "d")).toSet)
+        else None
+      (entries, dels)
     }
     val netNew0 = head.entries.filterNot(e =>
       forkRel(relativize(qt, e.path)))
@@ -1485,13 +1520,31 @@ object GraftOrcManifest {
         "cherry_pick publishes net additions only and would duplicate " +
         "their surviving rows; use fast_forward to publish a " +
         "destructive stage")
-    val mainDeletes = readSnapshot(fs, qt)
-      .map(_.deletes.map(_.path).toSet).getOrElse(Set.empty)
-    val branchOnlySidecars =
-      head.deletes.map(_.path).toSet -- mainDeletes
-    require(branchOnlySidecars.isEmpty,
-      s"graft-orc: branch '$name' carries ${branchOnlySidecars.size} " +
-        "delete sidecar(s) main does not reference (branch MoR DML) — " +
+    // Branch MoR DML detection must compare against the FORK state, not
+    // current main: an append-only branch CARRIES the fork snapshot's
+    // sidecars, and main may have consolidated/purged/compacted them
+    // away meanwhile — those inherited sidecars are harmless (the pick
+    // publishes net-new DATA files only; main's own delete set rules).
+    // Comparing against current main misclassified that interleaving as
+    // branch DML and failed a pure-append WAP publish (caught by the
+    // concurrency stress racing wap against consolidate). Only a
+    // sidecar the branch ADDED (present at head, absent from the fork
+    // witness) is real branch MoR DML and unpickable. Old witnesses
+    // without the "dv":1 marker can't tell inherited from added —
+    // there, fall back to the current-main comparison (conservative:
+    // may still refuse a pickable branch, never picks an unpickable
+    // one).
+    val branchAddedSidecars = forkDel match {
+      case Some(fd) => head.deletes.map(d => relativize(qt, d.path))
+        .toSet -- fd
+      case None =>
+        val mainDeletes = readSnapshot(fs, qt)
+          .map(_.deletes.map(_.path).toSet).getOrElse(Set.empty)
+        head.deletes.map(_.path).toSet -- mainDeletes
+    }
+    require(branchAddedSidecars.isEmpty,
+      s"graft-orc: branch '$name' carries ${branchAddedSidecars.size} " +
+        "delete sidecar(s) added on the branch (branch MoR DML) — " +
         "cherry_pick cannot replay position deletes onto a diverged " +
         "main; use fast_forward")
     var attempt = 0

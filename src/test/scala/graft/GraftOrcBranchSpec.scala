@@ -469,6 +469,90 @@ class GraftOrcBranchSpec extends AnyFunSuite {
       .collect().toSeq == (3L to 9L))
   }
 
+  test("a pure-append branch forked from a main WITH MoR sidecars " +
+    "cherry-picks even after main consolidates them away — inherited " +
+    "sidecars are not branch DML (the concurrency-stress interleave: " +
+    "wap racing consolidate)") {
+    val wh = Files.createTempDirectory("graft-branchinh-wh").toString
+    spark.conf.set("spark.sql.catalog.gbi",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbi.warehouse", wh)
+    spark.sql("CREATE TABLE gbi.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.delete_mode'='mor')")
+    spark.sql("INSERT INTO gbi.t SELECT /*+ REPARTITION(2) */ id, " +
+      "concat('m', id) FROM range(0, 10)")
+    // two MAIN MoR deletes -> two position sidecars on main
+    spark.sql("DELETE FROM gbi.t WHERE k = 0")
+    spark.sql("DELETE FROM gbi.t WHERE k = 1")
+    val fs = fsOf(wh)
+    val tp = new Path(s"$wh/t")
+    val forkDeletes = GraftOrcManifest.readSnapshot(fs, tp).get.deletes
+    assert(forkDeletes.size == 2, "setup: expected two main sidecars")
+    // fork, then append-only staging on the branch
+    spark.sql("CALL gbi.system.create_branch('t', 'wap')").collect()
+    spark.sql("INSERT INTO gbi.t.branch_wap SELECT id, concat('w', id) " +
+      "FROM range(100, 105)")
+    // main moves on: consolidation replaces both sidecars with one new
+    // dv file (the branch still references the old two), plus a
+    // diverging append so the pick really is onto moved state
+    assert(graft.sources.v2.GraftOrcMor.consolidate(spark, s"$wh/t")._1 > 0)
+    spark.sql("INSERT INTO gbi.t VALUES (200, 'late')")
+    val mainDel = GraftOrcManifest.readSnapshot(fs, tp).get.deletes
+      .map(_.path).toSet
+    assert(forkDeletes.forall(d => !mainDel.contains(d.path)),
+      "setup: consolidation must have replaced the fork-era sidecars")
+    // the pick must succeed: the branch ADDED no sidecars
+    val (_, added) = GraftOrcManifest.cherryPick(conf, s"$wh/t", "wap")
+    assert(added >= 1, s"expected the staged files to publish, got $added")
+    assert(spark.sql("SELECT count(*) FROM gbi.t").as[Long]
+      .collect().head == 8 + 5 + 1) // 10-2 deleted, +5 staged, +1 late
+    assert(spark.sql("SELECT v FROM gbi.t WHERE k = 102").as[String]
+      .collect().toSeq == Seq("w102"))
+  }
+
+  test("old-format fork witness (no dv marker): cherry_pick falls back " +
+    "to the conservative current-main comparison and refuses when main " +
+    "no longer references the inherited sidecars") {
+    val wh = Files.createTempDirectory("graft-branchold-wh").toString
+    spark.conf.set("spark.sql.catalog.gbo",
+      "graft.sources.v2.GraftOrcCatalog")
+    spark.conf.set("spark.sql.catalog.gbo.warehouse", wh)
+    spark.sql("CREATE TABLE gbo.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.delete_mode'='mor')")
+    spark.sql("INSERT INTO gbo.t SELECT /*+ REPARTITION(2) */ id, " +
+      "concat('m', id) FROM range(0, 10)")
+    spark.sql("DELETE FROM gbo.t WHERE k = 0")
+    spark.sql("DELETE FROM gbo.t WHERE k = 1")
+    spark.sql("CALL gbo.system.create_branch('t', 'wap')").collect()
+    spark.sql("INSERT INTO gbo.t.branch_wap SELECT id, concat('w', id) " +
+      "FROM range(100, 105)")
+    // rewrite the witness into the PRE-MARKER format: strip the dv
+    // marker and the "d" lines (what a branch forked by an older build
+    // left on disk)
+    val fs = fsOf(wh)
+    val witness = new Path(s"$wh/t/_graft_manifest/branches/wap/base.json")
+    val in = fs.open(witness)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val out = fs.create(witness, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, "UTF-8"))
+      lines.foreach { l =>
+        if (!l.startsWith("{\"d\":")) {
+          w.write(l.replace(",\"dv\":1", "")); w.newLine()
+        }
+      }
+      w.flush()
+    } finally out.close()
+    assert(graft.sources.v2.GraftOrcMor.consolidate(spark, s"$wh/t")._1 > 0)
+    spark.sql("INSERT INTO gbo.t VALUES (200, 'late')")
+    val e = intercept[Exception](
+      GraftOrcManifest.cherryPick(conf, s"$wh/t", "wap"))
+    assert(Option(e.getMessage).exists(_.contains("fast_forward")),
+      e.getMessage)
+  }
+
   test("a CoW-DML branch also refuses cherry_pick (rewrites would " +
     "duplicate surviving rows of rewritten fork files)") {
     val wh = Files.createTempDirectory("graft-branchcp-wh").toString
