@@ -76,6 +76,16 @@ object ScaleStress {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // Committer key spaces MUST stay disjoint or the serial oracle is
+    // confounded: base 0..999 (+ upsert 0..199, deletes 300+), appenders
+    // 1000000 + r*100000 + i*1000 + j (grows with rounds), wap
+    // 50000000 + r*1000, branchdml 60000000 + r*1000. Round 20 burned
+    // this: at rounds >= 10 the old wap base (2000000) collided with
+    // appender round-10 keys and the 12-round soak read as inexact
+    // state with nothing actually wrong.
+    require(1000000 + rounds * 100000 <= 50000000,
+      s"concurrentCommitters: $rounds rounds would push appender keys " +
+        "into the wap key space — raise the wap/branchdml bases first")
     val baseKeys = 0 until 1000
     baseKeys.map(k => (k, "base")).toDF("k", "v").repartition(4)
       .write.format("graft-orc").option("graft.manifest", "true")
@@ -195,13 +205,13 @@ object ScaleStress {
             GraftOrcManifest.createBranch(fs, pth, bname,
               retain = Some(6))
             try {
-              (0 until 80).map(j => (2000000 + r * 1000 + j, s"wap-$r"))
+              (0 until 80).map(j => (50000000 + r * 1000 + j, s"wap-$r"))
                 .toDF("k", "v").coalesce(1)
                 .write.format("graft-orc").option("graft.branch", bname)
                 .mode("append").save(dir)
               val staged = spark.read.format("graft-orc")
                 .option("graft.branch", bname).load(dir)
-                .filter(col("k") >= 2000000 + r * 1000).count()
+                .filter(col("k") >= 50000000 + r * 1000).count()
               require(staged == 80, s"branch audit read saw $staged/80")
               GraftOrcManifest.cherryPick(
                 spark.sparkContext.hadoopConfiguration, dir, bname)
@@ -219,7 +229,7 @@ object ScaleStress {
           committer("branchdml") {
             val pth = new org.apache.hadoop.fs.Path(dir)
             val bname = s"bdml$r"
-            val lo = 3000000 + r * 1000
+            val lo = 60000000 + r * 1000
             GraftOrcManifest.createBranch(fs, pth, bname)
             try {
               (0 until 60).map(j => (lo + j, s"bdml-$r")).toDF("k", "v")
@@ -256,7 +266,7 @@ object ScaleStress {
           (1000000 + r * 100000 + i * 1000 + j) -> s"app-$r-$i")
       } ++
       wapRounds.asScala.flatMap { r =>
-        (0 until 80).map(j => (2000000 + r * 1000 + j) -> s"wap-$r")
+        (0 until 80).map(j => (50000000 + r * 1000 + j) -> s"wap-$r")
       }
     val actual = spark.read.format("graft-orc").load(dir)
       .as[(Int, String)].collect().toMap
