@@ -833,14 +833,32 @@ object GraftOrcManifest {
       withCommitFileLock(fs, dir, onAcquireFailure = () => {
         try { fs.delete(tmp, false); dropFresh() }
         catch { case _: java.io.IOException => } }) {
-        if (fs.listStatus(dir).map(_.getPath.getName).exists(n =>
-            n.startsWith(f"$SnapPrefix$seq%020d") && n.endsWith(".json"))) {
+        // MONOTONIC occupancy check: the target seq must exceed every
+        // EXISTING snapshot's seq, not merely be unoccupied. "File at
+        // my seq exists" alone is not decisive, because retention
+        // DELETES expired snapshot files: a committer that staged
+        // against a stale head and then queued long behind this lock
+        // (measured: 22 committers on one table, retain=3 — the head
+        // can advance past the retention depth while it waits) would
+        // find its long-since-committed-AND-EXPIRED target seq vacant,
+        // publish a snapshot BELOW the live head, verify itself the
+        // "winner" of that buried seq, and report success for a commit
+        // no reader ever sees — the silent loss this protocol must not
+        // have (caught by the 16-appender concurrency soak, round 20).
+        // A lineage's FIRST snapshot (empty dir) may carry any seq: a
+        // branch forks at its source's numbering.
+        val existingSeqs = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(n => n.startsWith(SnapPrefix) && n.endsWith(".json"))
+          .map(n => n.substring(SnapPrefix.length,
+            SnapPrefix.length + 20).toLong)
+        if (existingSeqs.nonEmpty && seq <= existingSeqs.max) {
           fs.delete(tmp, false)
           dropFresh() // only this withdrawn snapshot referenced them
           throw new java.util.ConcurrentModificationException(
             s"graft-orc manifest: lost a commit race on snapshot seq $seq of " +
-              s"$table — a concurrent writer already committed it. Re-read " +
-              "the table state and retry the write at the next seq.")
+              s"$table — a concurrent writer already committed it (live " +
+              s"head ${existingSeqs.max}). Re-read the table state and " +
+              "retry the write at the next seq.")
         }
         val d = new Path(dir, f"$SnapPrefix$seq%020d-${UUID.randomUUID()}.json")
         if (!fs.rename(tmp, d)) {

@@ -228,6 +228,35 @@ class GraftOrcManifestSpec extends AnyFunSuite {
     assert(spark.read.format("graft-orc").load(dir).count() === nation.count())
   }
 
+  test("a committer targeting a seq that committed AND already EXPIRED " +
+    "still loses loudly (monotonic occupancy): retention deleting old " +
+    "snapshot files must not let a stale-based commit publish below " +
+    "the live head and report success no reader ever sees") {
+    val dir = freshDir("graft-manifest-buried")
+    nation.limit(5).write.format("graft-orc")
+      .option("graft.manifest", "true").mode("append").save(dir) // seq 1
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = GraftOrcManifest.readSnapshot(fs, table).get
+    // advance the head to seq 8 at retain=2: seqs 1..6's snapshot FILES
+    // are expired and deleted — exactly the state a committer that
+    // staged against seq 3 and then queued behind the commit lock
+    // would find (its target seq 4 vacant again)
+    (2L to 8L).foreach(s =>
+      GraftOrcManifest.writeSnapshot(fs, table, s, cur.entries,
+        retain = 2))
+    assert(!snapshots(dir).exists(_.startsWith(f"snap-${4L}%020d")),
+      "setup: seq 4's snapshot file must be expired away")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      GraftOrcManifest.writeSnapshot(fs, table, 4L, cur.entries,
+        retain = 2)
+    }
+    assert(ex.getMessage.contains("live head 8"), ex.getMessage)
+    assert(!snapshots(dir).exists(_.startsWith(f"snap-${4L}%020d")),
+      "the refused commit must not leave a buried snapshot file")
+    assert(GraftOrcManifest.readSnapshot(fs, table).get.seq === 8L)
+  }
+
   test("an append that loses a commit race retries on top of the winner " +
     "(optimistic concurrency), not fails") {
     val dir = freshDir("graft-manifest-retry")
