@@ -83,9 +83,13 @@ object ScaleStress {
     // this: at rounds >= 10 the old wap base (2000000) collided with
     // appender round-10 keys and the 12-round soak read as inexact
     // state with nothing actually wrong.
-    require(1000000 + rounds * 100000 <= 50000000,
+    require(1000000L + rounds.toLong * 100000L <= 50000000L,
       s"concurrentCommitters: $rounds rounds would push appender keys " +
         "into the wap key space — raise the wap/branchdml bases first")
+    require(appenders <= 100,
+      s"concurrentCommitters: $appenders appenders overflow one round's " +
+        "100000-wide appender key block into the next round's " +
+        "(i*1000 + j needs i < 100) — widen the per-round stride first")
     val baseKeys = 0 until 1000
     baseKeys.map(k => (k, "base")).toDF("k", "v").repartition(4)
       .write.format("graft-orc").option("graft.manifest", "true")

@@ -847,10 +847,10 @@ object GraftOrcManifest {
         // have (caught by the 16-appender concurrency soak, round 20).
         // A lineage's FIRST snapshot (empty dir) may carry any seq: a
         // branch forks at its source's numbering.
-        val existingSeqs = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(n => n.startsWith(SnapPrefix) && n.endsWith(".json"))
-          .map(n => n.substring(SnapPrefix.length,
-            SnapPrefix.length + 20).toLong)
+        val existingSeqs = fs.listStatus(dir).map(_.getPath)
+          .filter(p => p.getName.startsWith(SnapPrefix) &&
+            p.getName.endsWith(".json"))
+          .map(seqOfName)
         if (existingSeqs.nonEmpty && seq <= existingSeqs.max) {
           fs.delete(tmp, false)
           dropFresh() // only this withdrawn snapshot referenced them
@@ -863,6 +863,10 @@ object GraftOrcManifest {
         val d = new Path(dir, f"$SnapPrefix$seq%020d-${UUID.randomUUID()}.json")
         if (!fs.rename(tmp, d)) {
           fs.delete(tmp, false)
+          dropFresh() // withdraw this commit's fresh segment files too:
+          // nothing references them once the snapshot is gone, and
+          // gcSegments only sweeps segments of DEAD snapshots — without
+          // this they would sit as orphans until an explicit vacuum
           throw new java.io.IOException(
             s"graft-orc manifest: failed to publish snapshot $d")
         }
@@ -1033,12 +1037,20 @@ object GraftOrcManifest {
             // a brand-new lock takeover-eligible, so a rival may already
             // have deleted this incarnation and acquired its own — an
             // unguarded delete here would erase the rival's LIVE lock.
-            // Any readable content is either empty or a prefix of OUR
-            // content (the partial write); a rival's lock carries its
-            // own token, which is no prefix of ours.
+            // Delete ONLY on readable, NON-EMPTY content that is a
+            // prefix of OUR content (the partial write); a rival's lock
+            // carries its own token, no prefix of ours. An EMPTY file is
+            // ambiguous (our zero-byte failed write vs a rival inside
+            // its own create-to-token-write window) and an unreadable
+            // one is unjudgeable (matching the stale-takeover path's
+            // refusal) — leave both: worst case OUR empty lock sits
+            // until the staleness takeover frees it (bounded liveness
+            // cost, loud timeout), never a deleted live rival (which
+            // would let two committers run "exclusively" at once).
             try {
               val c = readLockContent(fs, lock)
-              if (c.forall(content.startsWith)) fs.delete(lock, false)
+              if (c.exists(x => x.nonEmpty && content.startsWith(x)))
+                fs.delete(lock, false)
             } catch { case _: java.io.IOException => }
             Thread.sleep(50L)
           case _: java.io.IOException =>
