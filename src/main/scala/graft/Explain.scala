@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   *   scripts/run.sh graft.Explain /root/testdata/sf0.01 q35_grouping_sets_join
   *
   * With no query names, explains every query. `SPARK_GRAFT_EXPLAIN_FULL=1`
-  * prints the whole plan instead of the operator skeleton.
+  * prints the whole plan instead of the operator skeleton;
+  * `SPARK_GRAFT_EXPLAIN_FORMATTED=<dir>` additionally writes each query's
+  * `.explain("formatted")` output (post-execution, AQE-settled) to
+  * `<dir>/<name>.txt` — the plans/r{N} evidence files.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -16,6 +19,7 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val full = sys.env.get("SPARK_GRAFT_EXPLAIN_FULL").contains("1")
+    val fmtDir = sys.env.get("SPARK_GRAFT_EXPLAIN_FORMATTED")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,6 +31,12 @@ object Explain {
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.collect() // materialize so AQE settles on the final plan
       val plan = df.queryExecution.executedPlan.toString
+      fmtDir.foreach { dir =>
+        val p = java.nio.file.Paths.get(dir, s"$n.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
       if (full) println(plan)
       else println(plan.linesIterator
         .filter(l => Seq("Join", "Exchange", "Scan", "Expand", "Window",

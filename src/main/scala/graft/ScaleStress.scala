@@ -1530,8 +1530,10 @@ object ScaleStress {
       import graft.operators.GlobalRank
       val sizes =
         Seq(16384L, 65536L, 262144L, 1048576L, 4194304L, 16777216L)
+      // blocking: block cleanup from the previous run must not overlap
+      // the next TIMED iteration (this sweep sits between measurements)
       def sweepBlocks(): Unit = spark.sparkContext.getPersistentRDDs
-        .values.foreach(_.unpersist(false))
+        .values.foreach(_.unpersist(true))
       def run(size: Long, threshold: Long): Double = {
         val frame = spark.range(size)
           .select(col("id"), (col("id") * 2654435761L % size).as("v"))

@@ -72,6 +72,14 @@ object GlobalRank {
     * The returned frame is backed by an eager local checkpoint of the
     * input; rank/bucket derivation on top is narrow (distributed path)
     * or a single small-frame window (gated path).
+    *
+    * `windowBelowRows` is a MEMORY bound the caller owns: every frame at
+    * or under it is sorted by ONE task (the gated window path), so a
+    * caller raising it past the default accepts that a frame of that
+    * many rows fits a single executor task's memory. There is no
+    * Int.MaxValue ceiling anymore (the gate no longer materializes a
+    * LIMIT probe), so an oversized threshold fails as a slow/OOM single
+    * task, not loudly at the boundary.
     */
   def ntile(df: DataFrame, n: Int, order: Seq[Column],
             out: String = "ntile",

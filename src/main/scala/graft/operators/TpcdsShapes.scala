@@ -169,7 +169,12 @@ object TpcdsShapes {
               .as("in_m"))
           .filter(col("in_b") === 1 && col("in_m") === 1)
           .select(col("l_partkey"))
-        li.join(common, Seq("l_partkey"), "left_semi")
+        // deliberate broadcast: `common` is bounded by the part dimension
+        // (distinct l_partkey), the same size class as the broadcast(part)
+        // below — without the hint AQE converts the semi join to BHJ only
+        // AFTER materializing a full lineitem exchange on l_partkey (the
+        // probe side's shuffle was already paid; guide §2.4/§3.1)
+        li.join(broadcast(common), Seq("l_partkey"), "left_semi")
           .join(broadcast(Tables.part(s, d)),
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))

@@ -235,11 +235,27 @@ object GraftOrcChangelog {
       sidecars.filter(e => GraftOrcEqDelete.isEqualitySidecar(e.path))
 
     // (absolute file, position) pairs of a POSITION sidecar set — both
-    // encodings (ORC rows and deletion vectors) via GraftOrcMor.pairsDF
+    // encodings (ORC rows and deletion vectors) via GraftOrcMor.pairsDF.
+    // Deliberate size-informed broadcast (guide §3.1): the manifest
+    // already KNOWS the sidecar byte sizes, so when the set is small —
+    // the overwhelmingly common commit-bounded case — hint broadcast on
+    // the pairs side. Without the hint the planner starts every
+    // pairs join as SMJ and AQE converts to BHJ only after materializing
+    // a full exchange of BOTH sides (the data-file side's shuffle is
+    // paid for nothing: 4 wasted exchange pairs per rl_cdc_* plan,
+    // measured). A pathological delete wave past the threshold keeps
+    // the planner's choice — the hint never risks an oversized build.
+    val pairsBroadcastBytes = conf.getLong(
+      "graft.cdc.broadcast_pairs_bytes", 32L << 20)
     def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] =
-      GraftOrcMor.pairsDF(spark, posOnly(sidecars)).map(
-        _.select(concat(lit(prefix), col("f")).as("__cdc_dfile"),
-          col("pos").as("__cdc_dpos")).distinct())
+      GraftOrcMor.pairsDF(spark, posOnly(sidecars)).map { df =>
+        val pairs = df.select(
+          concat(lit(prefix), col("f")).as("__cdc_dfile"),
+          col("pos").as("__cdc_dpos")).distinct()
+        if (posOnly(sidecars).map(_.length).sum <= pairsBroadcastBytes)
+          broadcast(pairs)
+        else pairs
+      }
 
     // drop rows whose key tuple matches an EQUALITY sidecar newer than
     // the row's file (GraftOrcEqDelete applicability); file mtimes come

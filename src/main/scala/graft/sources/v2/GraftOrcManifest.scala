@@ -232,8 +232,7 @@ object GraftOrcManifest {
     val dir = snapDirOf(fs.makeQualified(table), branch)
     val snaps =
       try fs.listStatus(dir).filter(st => st.isFile &&
-        st.getPath.getName.startsWith(SnapPrefix) &&
-        st.getPath.getName.endsWith(".json"))
+        isWellFormedSnapName(st.getPath.getName))
       catch { case _: java.io.FileNotFoundException => return None }
     // snap-%020d-<uuid>.json: lexicographic order = numeric seq order,
     // with a deterministic uuid tiebreak should two writers race one seq;
@@ -847,9 +846,11 @@ object GraftOrcManifest {
         // have (caught by the 16-appender concurrency soak, round 20).
         // A lineage's FIRST snapshot (empty dir) may carry any seq: a
         // branch forks at its source's numbering.
+        // tolerate foreign junk: a malformed snap-*.json name (manual
+        // copy, foreign tool) must degrade to "ignored", not wedge every
+        // future commit with a parse exception inside the lock body
         val existingSeqs = fs.listStatus(dir).map(_.getPath)
-          .filter(p => p.getName.startsWith(SnapPrefix) &&
-            p.getName.endsWith(".json"))
+          .filter(p => isWellFormedSnapName(p.getName))
           .map(seqOfName)
         if (existingSeqs.nonEmpty && seq <= existingSeqs.max) {
           fs.delete(tmp, false)
@@ -903,8 +904,7 @@ object GraftOrcManifest {
     // retention slot (it would silently shorten the retained history).
     try {
       val all = fs.listStatus(dir).map(_.getPath)
-        .filter(p => p.getName.startsWith(SnapPrefix) &&
-          p.getName.endsWith(".json")).sortBy(_.getName)
+        .filter(p => isWellFormedSnapName(p.getName)).sortBy(_.getName)
       val winners = all.groupBy(seqOfName).toSeq.sortBy(_._1)
         .map(_._2.maxBy(_.getName))
       val losers = all.diff(winners)
@@ -942,6 +942,15 @@ object GraftOrcManifest {
 
   private def seqOfName(p: Path): Long =
     p.getName.substring(SnapPrefix.length, SnapPrefix.length + 20).toLong
+
+  /** snap-<20 digits>-*.json — the names [[seqOfName]] can parse. */
+  private def isWellFormedSnapName(n: String): Boolean =
+    n.length > SnapPrefix.length + 20 &&
+      n.startsWith(SnapPrefix) && n.endsWith(".json") &&
+      { var i = SnapPrefix.length; var ok = true
+        while (ok && i < SnapPrefix.length + 20)
+          { ok = n.charAt(i) >= '0' && n.charAt(i) <= '9'; i += 1 }
+        ok }
 
   /** Per-lineage (qualified snapshot dir: the table's main manifest dir
     * or one branch dir) commit lock: serializes the same-JVM
@@ -1109,9 +1118,28 @@ object GraftOrcManifest {
                     still.exists(s2 =>
                       math.abs(System.currentTimeMillis() -
                         s2.getModificationTime) > staleMs) &&
-                    readLockContent(fs, lock) == judged)
+                    readLockContent(fs, lock) == judged) {
+                  // a FUTURE-skewed mtime means persistent store-clock
+                  // skew is degrading this lock to advisory (every live
+                  // lock continuously takeover-eligible) — surface the
+                  // degraded mode loudly instead of silently eating it;
+                  // a past-stale takeover is the normal crash-recovery
+                  // path and stays quiet
+                  still.foreach { s2 =>
+                    val skew = s2.getModificationTime -
+                      System.currentTimeMillis()
+                    if (skew > staleMs)
+                      log.warn("graft-orc commit lock: taking over a " +
+                        "FUTURE-skewed lock on {} (store mtime {} ms " +
+                        "ahead of local clock, stale_ms={}). Persistent " +
+                        "store-clock skew beyond stale_ms degrades the " +
+                        "cross-driver lock to ADVISORY — fix the clock " +
+                        "skew or raise graft.commit.lock.stale_ms.",
+                        lock, Long.box(skew), Long.box(staleMs))
+                  }
                   try fs.delete(lock, false)
                   catch { case _: java.io.IOException => }
+                }
                 Thread.sleep(50L)
               case _ =>
                 // held and fresh, or vanished between create and stat:
