@@ -1114,10 +1114,20 @@ object Relational {
         // 1-row frame is assembled from the computed values so neither
         // pass re-executes for the result write.
         val li = Tables.lineitem(s, d)
-        val ex = li.agg(
+        // The two passes are INDEPENDENT jobs — overlap them from two
+        // driver threads (guide §2.6) so the percentile pass's long
+        // single-reducer merge backfills the distinct pass's idle tail:
+        // serial they cost pass1 + pass2, overlapped ~max(pass1, pass2)
+        // (measured: 5.4 s -> ~4 s at sf0.1). FIFO scheduling keeps the
+        // first-submitted pass priority; results are deterministic
+        // either way.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val exF = Future(li.agg(
           countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey")).as("n_parts")).collect()(0)
-        val r = li.agg(
+          countDistinct(col("l_partkey")).as("n_parts")).collect()(0))
+        val rF = Future(li.agg(
           round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4)
             .as("median_qty"),
           round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)"),
@@ -1127,7 +1137,9 @@ object Relational {
           percentile_approx(col("l_quantity").cast("double"), lit(0.5),
             lit(10000)).as("a_median"),
           percentile_approx(col("l_extendedprice").cast("double"),
-            lit(0.95), lit(10000)).as("a_p95")).collect()(0)
+            lit(0.95), lit(10000)).as("a_p95")).collect()(0))
+        val ex = Await.result(exF, Duration.Inf)
+        val r = Await.result(rF, Duration.Inf)
         def pct(approx: Double, exact: Double): Double =
           math.abs(approx - exact) / math.abs(exact)
         Seq(

@@ -127,7 +127,10 @@ object CorpusStats {
     */
   def mergeBatch(batch: DataFrame, statsTable: String, keyCol: String,
                  charsCol: Column, batchId: Long): Unit = {
-    if (batch.isEmpty) return
+    // no up-front batch.isEmpty: that was a FULL extra job over the
+    // batch's files on every (overwhelmingly non-empty) batch; the
+    // aggregation below subsumes the scan and emptiness is decided from
+    // its materialized checkpoint instead
     val s = batch.sparkSession
     val agg = batch
       .select(coalesce(col(keyCol).cast("string"), lit("<null>"))
@@ -139,6 +142,9 @@ object CorpusStats {
       // once — without it each pass re-scans the whole batch; with it
       // the source is the materialized dim-sized frame
       .localCheckpoint(true)
+    // empty batch (or all rows aggregated away): nothing to merge — the
+    // probe reads the checkpointed blocks, not the batch's files
+    if (agg.isEmpty) { BatchFrames.dropLocalCheckpoint(agg); return }
     val view = "graft_corpus_stats_" + java.util.UUID.randomUUID()
       .toString.replace("-", "").take(12)
     agg.createOrReplaceTempView(view)

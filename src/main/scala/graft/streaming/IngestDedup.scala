@@ -121,7 +121,11 @@ object IngestDedup {
                  fingerprint: Column, payloadCols: Seq[String],
                  buckets: Option[Int] = None,
                  onMerge: DataFrame => Unit = _ => ()): Unit = {
-    if (batch.isEmpty) return
+    // no up-front batch.isEmpty: that was a FULL extra job over the
+    // batch's files on every (overwhelmingly non-empty) batch. The
+    // winner aggregation below subsumes the scan, and emptiness is
+    // decided from its materialized checkpoint (near-free probe) before
+    // anything commits.
     val s = batch.sparkSession
     val winner0 = batch
       .select(fingerprint.as("fp"),
@@ -146,7 +150,12 @@ object IngestDedup {
           .collect().map(_.getInt(0)).sorted // bounded by `buckets`
         if (bs.isEmpty) return
         s" AND t.fpb IN (${bs.mkString(", ")})"
-      }.getOrElse("")
+      }.getOrElse {
+        // unbucketed: the empty-batch exit (all-null fingerprints, or an
+        // empty replay batch) must still happen before the MERGE
+        if (winner.isEmpty) return
+        ""
+      }
       val view = "graft_ingest_batch_" + java.util.UUID.randomUUID()
         .toString.replace("-", "").take(12)
       winner.createOrReplaceTempView(view)

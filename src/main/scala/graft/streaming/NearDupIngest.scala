@@ -189,7 +189,10 @@ object NearDupIngest {
                  onMerge: (String, DataFrame) => Unit = (_, _) => (),
                  failOnOutOfOrder: Boolean = true)
       : Unit = {
-    if (batch.isEmpty) return
+    // no up-front batch.isEmpty: that was a FULL extra job over the
+    // batch's files on every (overwhelmingly non-empty) batch; the
+    // bounds aggregate below subsumes the scan and an empty batch exits
+    // through its null min/max before anything commits
     val s = batch.sparkSession
     var t0 = System.nanoTime()
     def phase(name: String): Unit = {
@@ -329,35 +332,69 @@ object NearDupIngest {
         // ascending-id crawl contract, min/max file stats prune the
         // ENTIRE history: the target scans are O(batch), not O(history)
         // (a replayed batch still sees its own prior rows — their ids
-        // are >= minId — so replays stay no-ops)
-        if (dbs.nonEmpty) {
-          val view = tempView(s, kept)
-          val insCols = ("doc_id" +: payloadCols) :+ "db"
-          try onMerge("clean", s.sql(
-            s"""MERGE INTO $cleanTable t USING $view b
-               |ON t.doc_id = b.doc_id AND t.db IN (${dbs.mkString(", ")})
-               |  AND t.doc_id >= $minId
-               |WHEN NOT MATCHED THEN
-               |  INSERT (${insCols.mkString(", ")})
-               |  VALUES (${insCols.map("b." + _).mkString(", ")})
-               |""".stripMargin))
-          finally s.catalog.dropTempView(view)
+        // are >= minId — so replays stay no-ops).
+        //
+        // The two MERGEs target DIFFERENT tables and read only the
+        // checkpointed batch frames, so they run CONCURRENTLY from two
+        // driver threads (guide §2.6 overlap-independent-jobs): one
+        // MERGE's commit/fsync tail backfills the other's compute.
+        // Order never mattered for correctness — a crash between them
+        // was already tolerated (replay MERGEs are keyed insert-only
+        // no-ops), and a one-failed/one-landed overlap replays the same
+        // way; the high-water mark still advances only after BOTH.
+        // onPhase/onMerge hooks fire from THIS thread after both
+        // complete (hook implementations stay single-threaded); each
+        // merge_* phase reports its own overlapped wall time.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        def timed[T](f: => T): (T, Double) = {
+          val t1 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t1) / 1e9)
         }
-        phase("merge_clean")
-        if (kbs.nonEmpty) {
-          val kview = tempView(s, keys)
-          try onMerge("sig", s.sql(
-            s"""MERGE INTO $sigTable t USING $kview b
-               |ON t.band = b.band AND t.key = b.key
-               |  AND t.doc_id = b.doc_id AND t.kb IN (${kbs.mkString(", ")})
-               |  AND t.doc_id >= $minId
-               |WHEN NOT MATCHED THEN
-               |  INSERT (band, key, doc_id, kb)
-               |  VALUES (b.band, b.key, b.doc_id, b.kb)
-               |""".stripMargin))
-          finally s.catalog.dropTempView(kview)
-        }
-        phase("merge_sig")
+        val cleanF = Future(timed {
+          if (dbs.isEmpty) None
+          else {
+            val view = tempView(s, kept)
+            val insCols = ("doc_id" +: payloadCols) :+ "db"
+            try Some(s.sql(
+              s"""MERGE INTO $cleanTable t USING $view b
+                 |ON t.doc_id = b.doc_id AND t.db IN (${dbs.mkString(", ")})
+                 |  AND t.doc_id >= $minId
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (${insCols.mkString(", ")})
+                 |  VALUES (${insCols.map("b." + _).mkString(", ")})
+                 |""".stripMargin))
+            finally s.catalog.dropTempView(view)
+          }
+        })
+        val sigF = Future(timed {
+          if (kbs.isEmpty) None
+          else {
+            val kview = tempView(s, keys)
+            try Some(s.sql(
+              s"""MERGE INTO $sigTable t USING $kview b
+                 |ON t.band = b.band AND t.key = b.key
+                 |  AND t.doc_id = b.doc_id AND t.kb IN (${kbs.mkString(", ")})
+                 |  AND t.doc_id >= $minId
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (band, key, doc_id, kb)
+                 |  VALUES (b.band, b.key, b.doc_id, b.kb)
+                 |""".stripMargin))
+            finally s.catalog.dropTempView(kview)
+          }
+        })
+        // await BOTH before propagating either failure: a dangling
+        // mid-commit future must not outlive this batch
+        val cleanR = scala.util.Try(Await.result(cleanF, Duration.Inf))
+        val sigR = scala.util.Try(Await.result(sigF, Duration.Inf))
+        t0 = System.nanoTime() // phases below start from merge completion
+        cleanR.foreach { case (df, secs) =>
+          df.foreach(onMerge("clean", _)); onPhase("merge_clean", secs) }
+        sigR.foreach { case (df, secs) =>
+          df.foreach(onMerge("sig", _)); onPhase("merge_sig", secs) }
+        cleanR.get; sigR.get
       }
       // advance the high-water mark AFTER both MERGEs committed: a
       // crash in between leaves it stale-LOW, which the next in-order
