@@ -165,6 +165,10 @@ object Dedup {
       array_distinct(transform(words(col("text")), tokenKey)).as("tokset"))
 
   /** MinHash+LSH near-duplicate pairs verified by exact Jaccard >= minJac. */
+  // (r21, measured: a Spread floor here LOST on cold first iterations —
+  // the native xxhash signatures are cheap enough per scan task that the
+  // added exchange outweighed the parallelism; the md5 det twin's
+  // banding keeps its floor inside detBandKeys, where it wins.)
   def minhashNearDups(docs: DataFrame, minJac: Double): DataFrame = {
     val sigs = minhashSignatures(docs, "doc_id", "text", NumPerms)
     withJaccard(lshCandidates(sigs), docsets(docs))
@@ -192,7 +196,9 @@ object Dedup {
     * banding definition with the batch twin.
     */
   def detBandKeys(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // 32 md5 minhashes per shingle: the heaviest per-row kernel in the
+    // tree — floor the scan parallelism (no-op past it, Spread scaladoc)
+    Spread.spread(docs, col("doc_id")).select(col("doc_id"),
       posexplode(graft.functions.NativeExpressions
         .detMinhashBands(col("text"), NumPerms, Bands, 3))
         .as(Seq("band", "key")))
@@ -298,8 +304,9 @@ object Dedup {
     * demo threshold 0.45 (LSH targets true near-duplicates; raise L or
     * lower k to chase lower-similarity pairs).
     */
-  def embedLshNearDups(e: DataFrame, minCos: Double,
+  def embedLshNearDups(e0: DataFrame, minCos: Double,
                        tables: Int = 8, planesPerTable: Int = 6): DataFrame = {
+    val e = Spread.spread(e0, col("vec_id"))
     // ids-only through the candidate shuffle (16 bytes/row, not 256-byte
     // arrays); vectors join back only for the deduped candidates. All
     // tables' buckets come from ONE native pass over the vector
@@ -624,7 +631,10 @@ object Dedup {
     // flip membership; scores themselves stay out of the output.
     QueryDef("dd_embed_cosine",
       (s, d) => {
-        val e = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+        // spread the LEFT (streamed) side so the n^2/2 cosine work runs
+        // on every core, not the input's one small-file task
+        val e = Spread.spread(Tables.embeddings(s, d), col("vec_id"))
+          .filter(col("vec_id") < 1000)
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
         a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -811,7 +821,7 @@ object Dedup {
     // hash-exact.
     QueryDef("dd_dup_ngram_fraction",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val toks = Spread.spread(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 8)
         val wins = toks.select(col("doc_id"),
@@ -858,7 +868,9 @@ object Dedup {
     */
   def semDedupSummary(e: DataFrame, threshold: Double,
                       k: Int = 16): DataFrame = {
-    val assigned = semDedupAssign(e, k)
+    // centroid assignment = per-vector dot products against the
+    // broadcast model, pre-shuffle — floor the scan parallelism
+    val assigned = semDedupAssign(Spread.spread(e, col("vec_id")), k)
     val dropped = semDedupDropped(assigned, threshold)
     assigned.join(dropped, assigned("vec_id") === dropped("d_id"), "left")
       .groupBy(col("c_id"))
@@ -878,8 +890,9 @@ object Dedup {
       val v = element_at(col("embedding"), i).cast("double")
       when(v < -0.1, 0).when(v < 0.1, 1).otherwise(2)
     }
-    val assigned = e.select(col("vec_id"), col("embedding"),
-      (bin(1) * 3 + bin(2)).as("c_id"))
+    val assigned = Spread.spread(e, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        (bin(1) * 3 + bin(2)).as("c_id"))
     val dropped = semDedupDropped(assigned, threshold)
     assigned.join(dropped, assigned("vec_id") === dropped("d_id"), "left")
       .groupBy(col("c_id"))

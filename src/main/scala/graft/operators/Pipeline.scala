@@ -298,7 +298,9 @@ object Pipeline {
             .otherwise(lit("")),
           lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
           lit("."), (expr("doc_id div 7") % 256).cast("string"))
-        Tables.documents(s, d)
+        // three regex passes per row, all pre-shuffle: floor the scan
+        // parallelism (Spread scaladoc; no-op at scale)
+        Spread.spread(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), t.as("t"))
           .select(col("doc_id"),
             regexp_replace(regexp_replace(regexp_replace(col("t"),
@@ -467,7 +469,10 @@ object Pipeline {
     QueryDef("pp_sql_functions",
       (s, d) => {
         GraftExtensions.register(s)
-        Tables.embeddings(s, d).createOrReplaceTempView("v_embeddings")
+        // scan-parallelism floor for the per-vector band/cosine CPU
+        // (see Spread scaladoc; no-op at scale)
+        Spread.spread(Tables.embeddings(s, d), col("vec_id"))
+          .createOrReplaceTempView("v_embeddings")
         s.sql(signLshSql("v_embeddings", "element_at", "graft_cosine",
           sparkForm = true))
       },

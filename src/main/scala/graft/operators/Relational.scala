@@ -33,7 +33,11 @@ object Relational {
     // the shuffle to ~6 rows per task — scales linearly with input.
     QueryDef("q01_pricing_summary",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
+        // the decimal partial aggregation is the scan stage's CPU and a
+        // small parquet plans ~3 tasks on 32 cores — floor the
+        // parallelism (Spread scaladoc; exact decimal/count aggregates,
+        // so row order cannot perturb the result; no-op at scale)
+        val li = Spread.spread(Tables.lineitem(s, d), col("l_orderkey"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             dsum(col("l_quantity"), "sum_qty"),
@@ -191,7 +195,9 @@ object Relational {
     // aggregation; exact integers so engine-independent.
     QueryDef("q09_count_distinct",
       (s, d) => {
-        Tables.lineitem(s, d)
+        // scan-parallelism floor for the partial-dedup CPU (exact
+        // distinct aggregates — order-free; see Spread scaladoc)
+        Spread.spread(Tables.lineitem(s, d), col("l_orderkey"))
           .groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_partkey")).as("nd_part"),
             countDistinct(col("l_suppkey")).as("nd_supp"),
@@ -271,7 +277,9 @@ object Relational {
     // differs in accumulation order; it is covered by ScalaTest instead).
     QueryDef("q13_variance",
       (s, d) => {
-        val g = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        // scan-parallelism floor (exact decimal sums — order-free)
+        val g = Spread.spread(Tables.lineitem(s, d), col("l_orderkey"))
+          .groupBy(col("l_returnflag")).agg(
           count(lit(1)).cast("double").as("n"),
           sum(col("l_quantity").cast(DecimalType(28, 6))).cast("double").as("s1"),
           sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 6)))
@@ -1113,7 +1121,13 @@ object Relational {
         // The contract check reads both collected rows; the returned
         // 1-row frame is assembled from the computed values so neither
         // pass re-executes for the result write.
-        val li = Tables.lineitem(s, d)
+        // scan-parallelism floor: the distinct partial-dedup and the
+        // percentile/sketch accumulators are the scan stage's CPU (3
+        // tasks on 32 cores unspread). Exact outputs are order-free;
+        // the approx sketches feed only the 5% contract (HLL merges are
+        // partition-structure-independent; percentile_approx stays
+        // within its 1e-4 accuracy either way).
+        val li = Spread.spread(Tables.lineitem(s, d), col("l_orderkey"))
         // The two passes are INDEPENDENT jobs — overlap them from two
         // driver threads (guide §2.6) so the percentile pass's long
         // single-reducer merge backfills the distinct pass's idle tail:

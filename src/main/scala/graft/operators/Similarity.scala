@@ -21,6 +21,12 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  // NOTE (r21, measured): a [[Spread]] scan-parallelism floor on the
+  // embeddings loads was tried and REVERTED — the ANN paths' per-vector
+  // CPU (quantize, bucket) is light enough at any one scan that the
+  // added exchange + extra codegen stage cost more on a cold first
+  // iteration than the parallelism bought (interleaved A/B:
+  // ss_topk_bruteforce 1.07->1.37 cold, ss_ann_ivf 1.8->2.35 cold).
   private val TopK = 8
   private val NumQueries = 5
   // adaptive IVF probe: cells with angular distance within ProbeRatio of

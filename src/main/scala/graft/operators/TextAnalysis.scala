@@ -100,7 +100,10 @@ object TextAnalysis {
   def bigramLm(docs0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.TextHashFunctions.md5Key60
-    val docs = docs0
+    // the bigram explode + per-bigram md5 is the scan stage's CPU —
+    // floor its parallelism when the input is a few small files
+    // (Spread scaladoc; no-op at scale)
+    val docs = Spread.spread(docs0, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
     val bi = docs.select(col("doc_id"),
@@ -176,7 +179,7 @@ object TextAnalysis {
   def perplexity(docs0: org.apache.spark.sql.DataFrame,
                  k: Double = 0.5): org.apache.spark.sql.DataFrame = {
     import graft.functions.TextHashFunctions.md5Key60
-    val toks = docs0
+    val toks = Spread.spread(docs0, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
     val bi = toks.select(col("doc_id"),
@@ -267,7 +270,7 @@ object TextAnalysis {
   def perplexityDet(docs0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.TextHashFunctions.md5Key60
-    val toks = docs0
+    val toks = Spread.spread(docs0, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
     val bi = toks.select(col("doc_id"),
