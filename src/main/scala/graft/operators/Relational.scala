@@ -195,9 +195,11 @@ object Relational {
     // aggregation; exact integers so engine-independent.
     QueryDef("q09_count_distinct",
       (s, d) => {
-        // scan-parallelism floor for the partial-dedup CPU (exact
-        // distinct aggregates — order-free; see Spread scaladoc)
-        Spread.spread(Tables.lineitem(s, d), col("l_orderkey"))
+        // no Spread floor here (r22 interleaved A/B, 2x3 iterations:
+        // the floor's full-row exchange lost consistently — cold
+        // 1.65/1.86 s with vs 1.26/1.48 s without; the per-task partial
+        // dedup is cheap enough that added exchange > parallelism win)
+        Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_partkey")).as("nd_part"),
             countDistinct(col("l_suppkey")).as("nd_supp"),
@@ -1152,8 +1154,13 @@ object Relational {
             lit(10000)).as("a_median"),
           percentile_approx(col("l_extendedprice").cast("double"),
             lit(0.95), lit(10000)).as("a_p95")).collect()(0))
-        val ex = Await.result(exF, Duration.Inf)
-        val r = Await.result(rF, Duration.Inf)
+        // await BOTH before propagating either failure (the NearDupIngest
+        // pattern): if the distinct pass throws, the percentile pass must
+        // not keep running as a detached job past this query's scope
+        val exT = scala.util.Try(Await.result(exF, Duration.Inf))
+        val rT = scala.util.Try(Await.result(rF, Duration.Inf))
+        val ex = exT.get
+        val r = rT.get
         def pct(approx: Double, exact: Double): Double =
           math.abs(approx - exact) / math.abs(exact)
         Seq(

@@ -245,17 +245,35 @@ object GraftOrcChangelog {
     // paid for nothing: 4 wasted exchange pairs per rl_cdc_* plan,
     // measured). A pathological delete wave past the threshold keeps
     // the planner's choice — the hint never risks an oversized build.
+    //
+    // The threshold gates the ESTIMATED DECODED pair bytes, not the
+    // on-disk bytes (r22, from r21 advice): the broadcast builds a
+    // decoded (path string, pos) hash relation at ~64 bytes per pair,
+    // and the encodings expand very differently — a dense deletion
+    // vector packs up to 8 positions per payload byte (65536 ordinals
+    // in an 8 KB bitmap container), so dv-*.bin bytes are charged x512
+    // (8 pairs/byte x 64 B/pair); row-ORC sidecars hold ~8-16
+    // compressed bytes per pair, charged x8. A <=32 MB DV set that
+    // would decode to gigabytes now keeps the planner's choice instead
+    // of OOMing the driver.
     val pairsBroadcastBytes = conf.getLong(
       "graft.cdc.broadcast_pairs_bytes", 32L << 20)
-    def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] =
-      GraftOrcMor.pairsDF(spark, posOnly(sidecars)).map { df =>
+    def decodedPairBytes(pos: Seq[OrcFileEntry]): Long =
+      pos.map { e =>
+        if (GraftOrcDeleteVector.isBitmapSidecar(e.path)) e.length * 512L
+        else e.length * 8L
+      }.sum
+    def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] = {
+      val pos = posOnly(sidecars)
+      GraftOrcMor.pairsDF(spark, pos).map { df =>
         val pairs = df.select(
           concat(lit(prefix), col("f")).as("__cdc_dfile"),
           col("pos").as("__cdc_dpos")).distinct()
-        if (posOnly(sidecars).map(_.length).sum <= pairsBroadcastBytes)
+        if (decodedPairBytes(pos) <= pairsBroadcastBytes)
           broadcast(pairs)
         else pairs
       }
+    }
 
     // drop rows whose key tuple matches an EQUALITY sidecar newer than
     // the row's file (GraftOrcEqDelete applicability); file mtimes come

@@ -165,9 +165,12 @@ object GraftOrcManifest {
     }
 
   private def snapFilesIn(fs: FileSystem, dir: Path): Seq[Path] =
+    // well-formed names only (r22, from r21 advice): a malformed foreign
+    // snap-*.json can never be a live snapshot — the commit path already
+    // tolerates it, and including it here would make expire/vacuum's
+    // protected-path scan throw on its unparseable body
     try fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith(SnapPrefix) &&
-        p.getName.endsWith(".json"))
+      .filter(p => isWellFormedSnapName(p.getName))
     catch { case _: java.io.FileNotFoundException => Nil }
 
   /** Every file path referenced by ANY snapshot of any lineage OTHER

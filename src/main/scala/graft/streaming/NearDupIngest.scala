@@ -125,6 +125,17 @@ object NearDupIngest {
 
   def resetHwmProbeStats(): Unit = { probeFired.set(0L); probeRefused.set(0L) }
 
+  /** Default phase hook: a stderr receipt line per phase when
+    * `SPARK_GRAFT_PHASE_LOG` is set (guide §1.1 measurement aid for the
+    * bench-declared ingest, whose caller passes no hook); no-op
+    * otherwise.
+    */
+  private[graft] val defaultPhaseLog: (String, Double) => Unit =
+    if (sys.env.contains("SPARK_GRAFT_PHASE_LOG"))
+      (n, s) => System.err.println(
+        f"[neardup-phase] $n%-12s ${s}%8.3f s")
+    else (_, _) => ()
+
   /** Key-bucket column over `key`. */
   def keyBucket(n: Int) = pmod(hash(col("key")), lit(n)).cast("int")
 
@@ -148,7 +159,7 @@ object NearDupIngest {
              bandKeys: DataFrame => DataFrame =
                graft.operators.Dedup.detBandKeys,
              maxFilesPerTrigger: Option[Int] = None,
-             onPhase: (String, Double) => Unit = (_, _) => (),
+             onPhase: (String, Double) => Unit = defaultPhaseLog,
              onMerge: (String, DataFrame) => Unit = (_, _) => (),
              failOnOutOfOrder: Boolean = true): Unit = {
     val reader = spark.readStream.format("graft-orc")
@@ -158,6 +169,7 @@ object NearDupIngest {
     val crawl = reader.load(crawlDir)
     val payloadCols = crawl.columns.filterNot(c =>
       c.equalsIgnoreCase("doc_id") || c.equalsIgnoreCase("text")).toSeq
+    val tIngest = System.nanoTime()
     val q = crawl.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -166,6 +178,7 @@ object NearDupIngest {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    defaultPhaseLog("ingest_total", (System.nanoTime() - tIngest) / 1e9)
     q.exception.foreach(throw _)
   }
 
@@ -224,27 +237,49 @@ object NearDupIngest {
     // is a no-op by the keyed insert-only MERGE contract. Both frames
     // are explicitly unpersisted below so a long-running stream's
     // executors don't accumulate orphaned checkpoint blocks.
-    val keys = bandKeys(docs.select(col("doc_id"), col("text")))
+    // explicit banding-parallelism floor: the batch frame sits behind the
+    // dedup aggregate, so [[Spread]]'s narrow-plan floor inside the
+    // default banding no longer applies (r22: probing a post-aggregate
+    // plan's partitioning executed the aggregation as an extra job per
+    // batch). The repartition is batch-bounded (ids + text once per
+    // batch) and distributes the 32-minhashes-per-shingle banding CPU
+    // over every core regardless of how AQE coalesced the aggregate.
+    val keys = bandKeys(docs.select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       .withColumn("kb", keyBucket(buckets))
       .localCheckpoint(true)
+    // sub-segment receipt (stderr-only, never the hook: ScaleStress sums
+    // hook phases and an overlapping segment would double-count)
+    defaultPhaseLog("band_ckpt", (System.nanoTime() - t0) / 1e9)
     var kept: DataFrame = null
     try {
-      // one bounded job over the PERSISTED batch: its id range. The
-      // MINIMUM is the static lower bound both MERGEs prune history
-      // with — from `docs`, not `keys`: the clean MERGE's source is
-      // derived from `docs`, which can hold KEYLESS docs (null/empty
-      // text, injectable bandings) with ids below every keyed doc, and
-      // a keys-derived bound would un-imply the match condition for
-      // them, breaking replay no-ops. The MAXIMUM advances the
-      // high-water mark.
-      val bounds = docs.agg(min(col("doc_id")).as("mn"),
-        max(col("doc_id")).as("mx")).head()
+      // ONE bounded job over the PERSISTED batch + the checkpointed keys
+      // (r22: was two sequential driver actions — the union lets Spark
+      // run both dim-sized aggregates inside a single job, saving a
+      // driver round trip per batch): the batch's id range and its
+      // key-bucket set. The id MINIMUM is the static lower bound both
+      // MERGEs prune history with — from `docs`, not `keys`: the clean
+      // MERGE's source is derived from `docs`, which can hold KEYLESS
+      // docs (null/empty text, injectable bandings) with ids below every
+      // keyed doc, and a keys-derived bound would un-imply the match
+      // condition for them, breaking replay no-ops. The MAXIMUM advances
+      // the high-water mark.
+      val stat = docs.agg(min(col("doc_id")).as("mn"),
+          max(col("doc_id")).as("mx"))
+        .select(lit(0).as("t"), col("mn"), col("mx"),
+          lit(null).cast("array<int>").as("kbs"))
+        .unionByName(keys.groupBy()
+          .agg(collect_set(col("kb")).as("kbs"))
+          .select(lit(1).as("t"), lit(null).cast("bigint").as("mn"),
+            lit(null).cast("bigint").as("mx"), col("kbs")))
+        .collect()
+      val bounds = stat.find(_.getInt(0) == 0).get
       // a non-empty batch can still collapse to ZERO docs (every row's
       // doc_id null): nothing to decide or merge — and the min/max are
       // null, so the bound arithmetic must not run
-      if (bounds.isNullAt(0)) return
-      val minId = bounds.getLong(0)
-      val maxId = bounds.getLong(1)
+      if (bounds.isNullAt(1)) return
+      val minId = bounds.getLong(1)
+      val maxId = bounds.getLong(2)
       // ascending-id contract, enforced: a batch straddling the stored
       // high-water mark delivers NEW ids below already-merged ones
       val hwm = BatchFrames.tableProp(s, cleanTable, HwmProp)
@@ -297,12 +332,13 @@ object NearDupIngest {
           }
         }
       }
-      // the batch's key-bucket set; EMPTY for an all-keyless batch
-      // (banding yields nothing, e.g. empty texts): such docs share no
-      // key with anything, so they are ALL kept — the batch still lands
-      // in the clean table, only the collider machinery is skipped
-      val kbs = keys.groupBy().agg(collect_set(col("kb")).as("kbs"))
-        .head().getSeq[Int](0).sorted // bounded by `buckets`
+      // the batch's key-bucket set (from the fused stat job above);
+      // EMPTY for an all-keyless batch (banding yields nothing, e.g.
+      // empty texts): such docs share no key with anything, so they are
+      // ALL kept — the batch still lands in the clean table, only the
+      // collider machinery is skipped
+      val kbs = stat.find(_.getInt(0) == 1).get
+        .getSeq[Int](3).sorted // bounded by `buckets`
       phase("band")
       // colliders: every batch doc with a strictly-smaller-id band-key
       // sharer, in history (signature table pruned to the batch's
@@ -319,7 +355,11 @@ object NearDupIngest {
       val dropped = keys.join(earlier, Seq("band", "key"))
         .where(col("e_id") < col("doc_id"))
         .select(col("doc_id"))
-      kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+      // project text away BEFORE the checkpoint (guide §2.3): the clean
+      // MERGE inserts only (doc_id, payload, db) — materializing the
+      // full text column into the kept blocks was pure waste
+      kept = docs.select(col("doc_id") +: payloadCols.map(col): _*)
+        .join(dropped, Seq("doc_id"), "left_anti")
         .withColumn("db", docBucket(buckets))
         .localCheckpoint(true)
       locally {
@@ -345,9 +385,20 @@ object NearDupIngest {
         // onPhase/onMerge hooks fire from THIS thread after both
         // complete (hook implementations stay single-threaded); each
         // merge_* phase reports its own overlapped wall time.
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        // fresh thread per merge, created from THIS batch thread — not
+        // the global pool: a new Thread inherits the batch's Spark local
+        // properties (job group, SQL execution id) via
+        // InheritableThreadLocal, so q.stop()'s job-group cancel reaches
+        // in-flight merges, and two concurrent streams can never starve
+        // each other through a shared pool (r22, from r21 advice)
+        implicit val mergeEc: ExecutionContext =
+          ExecutionContext.fromExecutor((r: Runnable) => {
+            val t = new Thread(r, "graft-neardup-merge")
+            t.setDaemon(true)
+            t.start()
+          })
         def timed[T](f: => T): (T, Double) = {
           val t1 = System.nanoTime()
           val r = f
@@ -404,6 +455,7 @@ object NearDupIngest {
       if (hwm.forall(maxId > _))
         s.sql(s"ALTER TABLE $cleanTable SET TBLPROPERTIES(" +
           s"'$HwmProp'='$maxId')")
+      defaultPhaseLog("hwm_commit", (System.nanoTime() - t0) / 1e9)
     } finally {
       docs.unpersist()
       BatchFrames.dropLocalCheckpoint(keys)
