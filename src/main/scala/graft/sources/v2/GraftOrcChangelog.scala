@@ -263,12 +263,17 @@ object GraftOrcChangelog {
         if (GraftOrcDeleteVector.isBitmapSidecar(e.path)) e.length * 512L
         else e.length * 8L
       }.sum
+    // NO distinct on the pairs (r22, measured: one full hash exchange
+    // per sidecar set, several per feed plan): every consumer is a
+    // LEFT ANTI ([[minusPairs]]) or LEFT SEMI (delete images) against
+    // this frame, and both are duplicate-insensitive — a re-recorded
+    // pair changes nothing. The broadcast build dedups by key anyway.
     def pairsOf(sidecars: Seq[OrcFileEntry]): Option[DataFrame] = {
       val pos = posOnly(sidecars)
       GraftOrcMor.pairsDF(spark, pos).map { df =>
         val pairs = df.select(
           concat(lit(prefix), col("f")).as("__cdc_dfile"),
-          col("pos").as("__cdc_dpos")).distinct()
+          col("pos").as("__cdc_dpos"))
         if (decodedPairBytes(pos) <= pairsBroadcastBytes)
           broadcast(pairs)
         else pairs
