@@ -58,6 +58,34 @@ object TextAnalysis {
   private val bigramModelSlot = new ModelSlot
   private val perplexityModelSlot = new ModelSlot
 
+  /** [[ModelSlot]]'s lifecycle with an EAGER LOCAL CHECKPOINT instead of
+    * a persist: same one-slot rotation (at most one live frame per
+    * function; a new input drops the predecessor's RDD blocks), but the
+    * stored frame is materialized rows with TRUNCATED lineage — every
+    * downstream branch reads the blocks instead of re-deriving the
+    * subtree, where a persist only helps branches whose fresh parse
+    * hits the cache lookup (and pays the row→columnar conversion; the
+    * r21 cb-persist A/B lost on exactly that). Keyed on the ORIGINAL
+    * plan for the sameResult reuse check — a checkpoint's LogicalRDD
+    * can't be compared structurally.
+    */
+  private final class CheckpointSlot {
+    private var key: org.apache.spark.sql.DataFrame = null
+    private var ckpt: org.apache.spark.sql.DataFrame = null
+    def checkpointRotating(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = synchronized {
+      if (key != null &&
+          key.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        return ckpt
+      if (ckpt != null)
+        graft.streaming.BatchFrames.dropLocalCheckpoint(ckpt)
+      key = df
+      ckpt = df.localCheckpoint(true)
+      ckpt
+    }
+  }
+  private val perplexityDetOccSlot = new CheckpointSlot
+
   private def skewGate(model: org.apache.spark.sql.DataFrame,
                        keyRowsCol: String): Boolean = {
     val prof = model.agg(max(col(keyRowsCol)), sum(col(keyRowsCol))).head()
@@ -189,7 +217,12 @@ object TextAnalysis {
       .select(col("doc_id"), md5Key60(col("bg.u")).as("u"),
         md5Key60(col("bg.w")).as("w"))
     // one row per (doc, bigram): map-side combine collapses in-document
-    // repetition before anything shuffles on the bigram key
+    // repetition before anything shuffles on the bigram key.
+    // NOT checkpointed (r22 interleaved A/B, 4 cold runs each: with an
+    // occ checkpoint ~8.7 s, without ~8.1 s — the persisted cb model
+    // below already decouples the expensive branches here, so the extra
+    // materialization only added cost; the DET twin, which has no
+    // persisted model, is where the occ checkpoint wins)
     val occ = bi.groupBy(col("doc_id"), col("u"), col("w"))
       .agg(count(lit(1)).as("o"))
     // persisted model frame: the skew probe and the main job share one
@@ -279,8 +312,16 @@ object TextAnalysis {
         .as("bg"))
       .select(col("doc_id"), md5Key60(col("bg.u")).as("u"),
         md5Key60(col("bg.w")).as("w"))
-    val occ = bi.groupBy(col("doc_id"), col("u"), col("w"))
-      .agg(count(lit(1)).as("o"))
+    // eagerly checkpointed (rotating slot): occ feeds the model build
+    // (cb -> cu/v/model) AND the corpus-scale score join — without the
+    // checkpoint the executed plan re-derived the tokenize+explode+md5
+    // subtree 11 times (8 ReusedExchange did not cover the rest;
+    // r22 measured). The materialized frame is one row per DISTINCT
+    // (doc, bigram) — corpus-bounded, the same frame the r21 cb-persist
+    // A/B showed was too far downstream to matter.
+    val occ = perplexityDetOccSlot.checkpointRotating(
+      bi.groupBy(col("doc_id"), col("u"), col("w"))
+        .agg(count(lit(1)).as("o")))
     val cb = occ.groupBy(col("u"), col("w")).agg(sum(col("o")).as("cb"))
     val cu = cb.groupBy(col("u")).agg(sum(col("cb")).as("cu"))
     val v = cb.select(col("u").as("t")).union(cb.select(col("w").as("t")))
