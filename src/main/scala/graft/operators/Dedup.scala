@@ -901,20 +901,28 @@ object Dedup {
       .orderBy(col("c_id"))
   }
 
-  /** Probe-1 centroid assignment over the sampled k-means fit. */
+  /** Probe-1 centroid assignment over the sampled k-means fit.
+    *
+    * The argmax is a `max_by` AGGREGATE, not a row_number window (r22):
+    * the k candidate rows of one vector come out of the same crossJoin
+    * input row, so they are colocated in the scan task — a hash
+    * aggregate folds them map-side and the exchange carries ONE row per
+    * vector, where the window shuffled the k-times-amplified frame on
+    * vec_id first. Identical result: max of (c_sim, -c_id) is exactly
+    * row_number()=1 under ORDER BY c_sim DESC, c_id ASC.
+    */
   def semDedupAssign(e: DataFrame, k: Int = 16): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val cents = Similarity.fitCentroids(e, k = k,
       sampleN = math.max(512, k * 8)).toDF("c_id", "c_v")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
     e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("c_sim", VectorFunctions.cosine(col("embedding"), col("c_v")))
-      .withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("c_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("c_sim"), negate(col("c_id")))).as("w"))
+      .select(col("vec_id"), col("w.c_id"), col("w.embedding"))
   }
 
   /** Ids dropped by SemDeDup: vectors with a LOWER-id near-dup (cosine >=
